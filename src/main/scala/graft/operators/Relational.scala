@@ -1,0 +1,463 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Num._
+
+/** Relational operator pack (SURVEY.md §2 B1–B20).
+  *
+  * Each query is the kind of computation a nibbler `Processor` callback
+  * (reference: /root/reference/nibbler.go:25) would run against a batch —
+  * here declared as lazy DataFrame plans so Catalyst drives pushdown,
+  * join strategy, and whole-stage codegen.
+  *
+  * Scale notes (100 TB): dimension sides of joins are broadcast explicitly;
+  * fact-fact joins shuffle on their keys (bucket both sides at scale);
+  * top-k uses orderBy.limit -> TakeOrderedAndProject (per-partition heaps,
+  * no global sort); every scan projects/filters early so parquet pushdown
+  * applies.
+  */
+object Relational {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  // B1 — full-table agg with decimal-exact money math (TPC-H Q1 flavor).
+  private val q01 = Q(
+    "q01_pricing_summary",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          money(col("l_quantity")).as("sum_qty"),
+          money(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 2)
+            .cast(DoubleType).as("sum_disc_price"),
+          r2(sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${moneySql("l_quantity")} AS sum_qty,
+        ${moneySql("l_extendedprice")} AS sum_base_price,
+        CAST(ROUND(SUM(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(12,2)) - ${decSql("l_discount")})),2) AS DOUBLE) AS sum_disc_price,
+        ${r2Sql(s"CAST(SUM(${decSql("l_quantity")}) AS DOUBLE)/COUNT(*)")} AS avg_qty,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  // B2 — 3-way join + agg + top-N (TPC-H Q3 flavor). Top-N via
+  // orderBy.limit => TakeOrderedAndProject, never a global sort.
+  private val q02 = Q(
+    "q02_top_orders",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 2)
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some(s"""
+      SELECT o_orderkey, o_orderdate,
+        CAST(ROUND(SUM(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(12,2)) - ${decSql("l_discount")})),2) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate  > TIMESTAMP '1998-01-01'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 20"""))
+
+  // B3 — 6-way star join with broadcast dims (TPC-H Q5 flavor).
+  private val q03 = Q(
+    "q03_revenue_by_nation",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))), 2)
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(s"""
+      SELECT n_name,
+        CAST(ROUND(SUM(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(12,2)) - ${decSql("l_discount")})),2) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""))
+
+  // B4 — selective filter + global agg; the pushdown showcase (Q6 flavor).
+  private val q04 = Q(
+    "q04_forecast_revenue",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""
+      SELECT CAST(ROUND(SUM(${decSql("l_extendedprice")} * ${decSql("l_discount")}),2) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""))
+
+  // B5 — left-semi join with a non-equi conjunct (EXISTS).
+  private val q05 = Q(
+    "q05_order_priority",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-07-01"))
+      val l = Tables.lineitem(s, d)
+      o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  // B6 — join + multi-key agg + HAVING.
+  private val q06 = Q(
+    "q06_parts_by_brand",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(money(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_lines"))
+        .filter(col("n_lines") >= 10)
+        .orderBy(col("p_brand"), col("p_type"))
+    },
+    Some(s"""
+      SELECT p_brand, p_type, ${moneySql("l_quantity")} AS total_qty, COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_type
+      HAVING COUNT(*) >= 10
+      ORDER BY p_brand, p_type"""))
+
+  // B7 — ROLLUP multi-level aggregate.
+  private val q07 = Q(
+    "q07_segment_rollup",
+    (s, d) => {
+      Tables.customer(s, d)
+        .rollup(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), money(col("c_acctbal")).as("total_bal"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"), col("n_cust"), col("total_bal"))
+        .orderBy(col("segment"))
+    },
+    Some(s"""
+      SELECT COALESCE(c_mktsegment, 'ALL') AS segment, COUNT(*) AS n_cust,
+        ${moneySql("c_acctbal")} AS total_bal
+      FROM customer
+      GROUP BY ROLLUP(c_mktsegment)
+      ORDER BY segment"""))
+
+  // B8 — window row_number top-k per group (decimal-exact ordering key).
+  private val q08 = Q(
+    "q08_top_parts_per_supplier",
+    (s, d) => {
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("qty_dec").desc, col("l_partkey"))
+      per.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .filter(col("l_suppkey") <= 100)
+        .select(col("l_suppkey"), col("rnk"), col("l_partkey"),
+          round(col("qty_dec"), 2).cast(DoubleType).as("total_qty"))
+        .orderBy(col("l_suppkey"), col("rnk"))
+    },
+    Some(s"""
+      SELECT l_suppkey, rnk, l_partkey, CAST(ROUND(qty_dec,2) AS DOUBLE) AS total_qty
+      FROM (
+        SELECT l_suppkey, l_partkey, SUM(${decSql("l_quantity")}) AS qty_dec,
+          ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY SUM(${decSql("l_quantity")}) DESC, l_partkey) AS rnk
+        FROM lineitem GROUP BY l_suppkey, l_partkey)
+      WHERE rnk <= 3 AND l_suppkey <= 100
+      ORDER BY l_suppkey, rnk"""))
+
+  // B9 — running sum window frame + lag.
+  private val q09 = Q(
+    "q09_running_customer_balance",
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_custkey") <= 100)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          round(sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .cast(DoubleType).as("running_total"),
+          (col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0))).as("delta_prev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some(s"""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(ROUND(SUM(${decSql("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DOUBLE) AS running_total,
+        o_totalprice - COALESCE(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0) AS delta_prev
+      FROM orders
+      WHERE o_custkey <= 100
+      ORDER BY o_custkey, o_orderkey"""))
+
+  // B10 — count distinct + conditional distinct agg.
+  private val q10 = Q(
+    "q10_distinct_counts",
+    (s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          countDistinct(when(col("c_acctbal") > 5000, col("c_custkey"))).as("rich_customers"),
+          count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment,
+        COUNT(DISTINCT c_nationkey) AS n_nations,
+        COUNT(DISTINCT CASE WHEN c_acctbal > 5000 THEN c_custkey END) AS rich_customers,
+        COUNT(*) AS n_customers
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // B11 — left-anti join (NOT EXISTS).
+  private val q11 = Q(
+    "q11_customers_without_orders",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""))
+
+  // B12 — union + distinct.
+  private val q12 = Q(
+    "q12_priority_union",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+      val b = o.filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000)
+      a.select(col("o_orderkey"), col("o_orderpriority"))
+        .union(b.select(col("o_orderkey"), col("o_orderpriority")))
+        .distinct()
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+      UNION
+      SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 250000
+      ORDER BY o_orderkey"""))
+
+  // B13 — CASE WHEN bucketing.
+  private val q13 = Q(
+    "q13_price_buckets",
+    (s, d) => {
+      val bucket = when(col("o_totalprice") < 50000, "small")
+        .when(col("o_totalprice") < 150000, "medium")
+        .when(col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+      Tables.orders(s, d)
+        .groupBy(bucket.as("price_bucket"))
+        .agg(count(lit(1)).as("n_orders"), money(col("o_totalprice")).as("total_value"))
+        .orderBy(col("price_bucket"))
+    },
+    Some(s"""
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                  WHEN o_totalprice < 150000 THEN 'medium'
+                  WHEN o_totalprice < 300000 THEN 'large'
+                  ELSE 'jumbo' END AS price_bucket,
+        COUNT(*) AS n_orders, ${moneySql("o_totalprice")} AS total_value
+      FROM orders GROUP BY 1 ORDER BY price_bucket"""))
+
+  // B14 — date_trunc month + agg.
+  private val q14 = Q(
+    "q14_monthly_revenue",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+        .agg(money(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("order_month"))
+    },
+    Some(s"""
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+        ${moneySql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1 ORDER BY order_month"""))
+
+  // B15 — exact interpolated percentiles per group.
+  private val q15 = Q(
+    "q15_price_quantiles",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r2(expr("percentile(l_extendedprice, 0.5)")).as("median_price"),
+          r2(expr("percentile(l_extendedprice, 0.95)")).as("p95_price"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      SELECT l_returnflag,
+        ${r2Sql("quantile_cont(l_extendedprice, 0.5)")} AS median_price,
+        ${r2Sql("quantile_cont(l_extendedprice, 0.95)")} AS p95_price,
+        COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // B16 — tumbling 1-minute window agg on the events stream table
+  // (batch twin of the streaming A14 pipeline).
+  private val q16 = Q(
+    "q16_events_tumbling",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("minute", col("ts")).as("minute_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), money(col("value")).as("total_value"))
+        .orderBy(col("minute_start"), col("event_type"))
+    },
+    Some(s"""
+      SELECT date_trunc('minute', ts) AS minute_start, event_type,
+        COUNT(*) AS n_events, ${moneySql("value")} AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY minute_start, event_type"""))
+
+  // B17 — gap-based sessionization via lag + cumulative sum windows.
+  private val q17 = Q(
+    "q17_events_sessionize",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_timestamp(col("ts").cast(TimestampType)).as("sec"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      val flagged = ev.withColumn("is_new",
+        when(col("sec") - lag(col("sec"), 1).over(wOrd) > 1800 || lag(col("sec"), 1).over(wOrd).isNull, 1L)
+          .otherwise(0L))
+      val sessioned = flagged.withColumn("session_id",
+        sum(col("is_new")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessioned.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .filter(col("user_id") <= 50)
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, ts, sec,
+          CASE WHEN sec - LAG(sec) OVER w > 1800 OR LAG(sec) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM g WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      sess AS (
+        SELECT user_id, ts,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM f)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM sess WHERE user_id <= 50
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  // B18 — agg + deterministic top-k.
+  private val q18 = Q(
+    "q18_top_users_by_value",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), money(col("value")).as("total_value"))
+        .orderBy(col("total_value").desc, col("user_id"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT user_id, COUNT(*) AS n_events, ${moneySql("value")} AS total_value
+      FROM events GROUP BY user_id
+      ORDER BY total_value DESC, user_id LIMIT 10"""))
+
+  // B19 — pivot / conditional aggregation.
+  private val q19 = Q(
+    "q19_event_type_pivot",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .filter(col("user_id") <= 100)
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id,
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+      FROM events WHERE user_id <= 100
+      GROUP BY user_id ORDER BY user_id"""))
+
+  // B20 — GROUPING SETS + count distinct.
+  private val q20 = Q(
+    "q20_order_cohorts",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      s.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+        FROM graft_orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        ORDER BY status, priority""")
+    },
+    Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      ORDER BY status, priority"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+}
