@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Num._
+
+/** Text-analysis pack (SURVEY.md §2 E1–E6) over the documents table.
+  *
+  * Everything here is built from codegen'd built-ins (regexp_*, split,
+  * higher-order array functions) — no UDFs — so a 100 TB corpus runs these
+  * as a single whole-stage-codegen'd scan with full column pruning: each
+  * operator reads only (doc_id, text).
+  *
+  * Oracle twins are spelled with identical arithmetic shapes so DuckDB
+  * produces bit-identical numbers (see Num).
+  */
+object TextAnalysis {
+
+  /** Common English-ish stopword alternation used by quality + langid. */
+  private val StopEn = "the|and|of|to|in|is|that|it|for|was"
+  private val StopDe = "der|die|das|und|ist|nicht|mit|ein|auf|wir"
+  private val StopFr = "le|les|et|est|que|pour|dans|une|des|avec"
+  private val StopEs = "el|los|las|y|es|en|un|para|por|como"
+
+  // E1 — token/char stats.
+  private val t1 = Relational.Q(
+    "t1_token_stats",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_actual"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+          length(regexp_replace(col("text"), "\\s", "")).as("n_nonspace"))
+        .withColumn("avg_token_len",
+          r2(col("n_nonspace").cast("double") / col("n_tokens")))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id, length(text) AS n_chars_actual,
+        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+        length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+        ${r2Sql("CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))")} AS avg_token_len
+      FROM documents ORDER BY doc_id"""))
+
+  // E2 — quality scoring from punct/digit/upper/stopword ratios.
+  private val t2 = Relational.Q(
+    "t2_quality_score",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", ""))).as("n_upper"),
+        size(expr(s"regexp_extract_all(lower(text), '\\\\b(?:$StopEn)\\\\b', 0)")).as("n_stop"))
+      base.withColumn("quality",
+          r4(lit(0.4) * (col("n_stop").cast("double") / col("n_tokens"))
+            + lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars_actual"))
+            + lit(0.3) * (lit(1.0) - col("n_digit").cast("double") / col("n_chars_actual"))))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, length(text) AS n_chars_actual,
+          len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+          length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+          length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+          len(regexp_extract_all(lower(text), '\\b(?:$StopEn)\\b')) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_chars_actual, n_tokens, n_punct, n_digit, n_upper, n_stop,
+        ${r4Sql("0.4 * (CAST(n_stop AS DOUBLE) / n_tokens) + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars_actual) + 0.3 * (1.0 - CAST(n_digit AS DOUBLE) / n_chars_actual)")} AS quality
+      FROM base ORDER BY doc_id"""))
+
+  // E3 — language-ID heuristic: stopword hits per candidate language,
+  // deterministic argmax. (The table's `lang` column is synthetic noise —
+  // the check is engine-vs-engine on an identical definition.)
+  private val t3 = Relational.Q(
+    "t3_langid",
+    (s, d) => {
+      def hits(alt: String): Column =
+        size(expr(s"regexp_extract_all(lower(text), '\\\\b(?:$alt)\\\\b', 0)"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("claimed_lang"),
+          hits(StopEn).as("hits_en"), hits(StopDe).as("hits_de"),
+          hits(StopFr).as("hits_fr"), hits(StopEs).as("hits_es"))
+        .withColumn("predicted_lang",
+          when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr")
+            && col("hits_en") >= col("hits_es") && col("hits_en") > 0, "en")
+            .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es")
+              && col("hits_de") > 0, "de")
+            .when(col("hits_fr") >= col("hits_es") && col("hits_fr") > 0, "fr")
+            .when(col("hits_es") > 0, "es")
+            .otherwise("und"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, lang AS claimed_lang,
+          len(regexp_extract_all(lower(text), '\\b(?:$StopEn)\\b')) AS hits_en,
+          len(regexp_extract_all(lower(text), '\\b(?:$StopDe)\\b')) AS hits_de,
+          len(regexp_extract_all(lower(text), '\\b(?:$StopFr)\\b')) AS hits_fr,
+          len(regexp_extract_all(lower(text), '\\b(?:$StopEs)\\b')) AS hits_es
+        FROM documents)
+      SELECT doc_id, claimed_lang, hits_en, hits_de, hits_fr, hits_es,
+        CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+             WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+             WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+             WHEN hits_es > 0 THEN 'es'
+             ELSE 'und' END AS predicted_lang
+      FROM h ORDER BY doc_id"""))
+
+  // E4 — document fingerprint over whitespace-normalized text.
+  private val t4 = Relational.Q(
+    "t4_fingerprint",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fingerprint"),
+          length(col("text")).as("n_chars_actual"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        length(text) AS n_chars_actual
+      FROM documents ORDER BY doc_id"""))
+
+  // E5 — explode tokens -> global term frequencies, top 50.
+  private val t5 = Relational.Q(
+    "t5_token_histogram",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(50)
+    },
+    Some("""
+      SELECT token, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents)
+      GROUP BY token ORDER BY freq DESC, token LIMIT 50"""))
+
+  // E6 — BPE-ish token estimate: regex piece segmentation + per-word
+  // ceil(len/4) subword estimate via a higher-order array fold.
+  private val t6 = Relational.Q(
+    "t6_token_count_bpe",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)")).as("n_pieces"),
+          expr("aggregate(split(lower(trim(text)), '\\\\s+'), 0L, (acc, w) -> acc + CAST(ceil(length(w)/4.0) AS LONG))")
+            .as("est_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_pieces,
+        CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\s+'),
+          w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS est_bpe_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6)
+}

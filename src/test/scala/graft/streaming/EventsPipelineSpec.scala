@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class EventsPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling agg over a file source matches the batch answer") {
+    // Stage the events table as a streaming parquet directory.
+    val batchEvents = Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-stream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+    val q = EventsPipeline.tumblingAgg(stream)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .select("minute_start", "event_type", "n_events")
+        .orderBy("minute_start", "event_type").collect()
+      val batch = EventsPipeline.tumblingAgg(batchEvents)
+        .select("minute_start", "event_type", "n_events")
+        .orderBy("minute_start", "event_type").collect()
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("sessionTracker counts gap-separated sessions per user") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[EventsPipeline.Event]
+    def ev(id: Long, user: Long, minute: Long) =
+      EventsPipeline.Event(id, new Timestamp(minute * 60000L), user, "click", 1.0)
+
+    val q = EventsPipeline.sessionTracker(source.toDS())
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("update").start()
+    try {
+      // user 1: two events 5 min apart (1 session) then one 60 min later
+      // (2nd session); user 2: one event.
+      source.addData(ev(1, 1, 0), ev(2, 1, 5), ev(3, 1, 65), ev(4, 2, 0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_test")
+        .orderBy("user_id").as[EventsPipeline.SessionUpdate].collect()
+      assert(out.toSeq == Seq(
+        EventsPipeline.SessionUpdate(1, 2, 3),
+        EventsPipeline.SessionUpdate(2, 1, 1)))
+      // Late batch continues from state: event 10 min after user 1's last.
+      source.addData(ev(5, 1, 75))
+      q.processAllAvailable()
+      val upd = spark.table("sessions_test")
+        .filter($"user_id" === 1).as[EventsPipeline.SessionUpdate].collect()
+      assert(upd.last == EventsPipeline.SessionUpdate(1, 2, 4))
+    } finally q.stop()
+  }
+
+  test("NibblerSink applies size-or-ticker semantics to a streaming Dataset") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Int]
+    val seen = new ConcurrentLinkedQueue[(Trigger, Long)]()
+    val q = NibblerSink.start[Int](source.toDS(), NibblerSink.Config[Int](
+      processor = (t, ds) => { seen.add((t, ds.count())); () },
+      size = 5,
+      tickerDuration = 200.millis))
+    try {
+      source.addData(1 to 7) // one micro-batch of 7 >= size -> BatchFull
+      q.processAllAvailable()
+      source.addData(8 to 9) // 2 < size -> Ticker
+      q.processAllAvailable()
+      val got = seen.asScala.toVector
+      assert(got == Vector((Trigger.BatchFull, 7L), (Trigger.Ticker, 2L)))
+    } finally q.stop()
+  }
+
+  test("NibblerSink error without resume fails the query; with resume continues") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // resume = true: error is swallowed after onError
+    val src1 = MemoryStream[Int]
+    @volatile var errCount = 0
+    val q1 = NibblerSink.start[Int](src1.toDS(), NibblerSink.Config[Int](
+      processor = (_, ds) =>
+        if (ds.filter(_ < 0).count() > 0) throw new RuntimeException("bad batch"),
+      size = 100,
+      tickerDuration = 200.millis,
+      resumeAfterErr = true,
+      onError = (_, _) => errCount += 1))
+    try {
+      src1.addData(-1)
+      q1.processAllAvailable()
+      src1.addData(1)
+      q1.processAllAvailable()
+      assert(errCount == 1)
+      assert(q1.isActive)
+    } finally q1.stop()
+
+    // resume = false: the streaming query itself fails
+    val src2 = MemoryStream[Int]
+    val q2 = NibblerSink.start[Int](src2.toDS(), NibblerSink.Config[Int](
+      processor = (_, _) => throw new RuntimeException("fatal"),
+      size = 100, tickerDuration = 200.millis, resumeAfterErr = false))
+    src2.addData(1)
+    intercept[Exception] { q2.processAllAvailable() }
+    assert(!q2.isActive)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+
+/** Mirrors the reference's own test coverage (nibbler_test.go):
+  * batch-by-full vs batch-by-ticker, error callback with/without resume,
+  * panic (exception) recovery, sanitize/validate defaults, timeout.
+  */
+class NibblerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flushes full batches immediately and partials on the ticker") {
+    val batches = new ConcurrentLinkedQueue[(Trigger, Seq[String])]()
+    val nib = Nibbler.start(spark, NibblerConfig[String](
+      processor = (t, b) => { batches.add((t, b)); () },
+      size = 6,
+      tickerDuration = 400.millis,
+      processingTimeout = 5.seconds))
+
+    // 8 items: one full batch of 6 immediately, remainder of 2 by ticker.
+    nib.pushAll((0 until 8).map(i => s"i:$i"))
+    nib.processAllAvailable()
+    val deadline = System.nanoTime() + 5.seconds.toNanos
+    while (batches.size < 2 && System.nanoTime() < deadline) Thread.sleep(25)
+
+    val got = batches.asScala.toVector
+    assert(got.length == 2, s"expected 2 batches, got $got")
+    assert(got(0)._1 == Trigger.BatchFull)
+    assert(got(0)._2 == (0 until 6).map(i => s"i:$i"))
+    assert(got(1)._1 == Trigger.Ticker)
+    assert(got(1)._2 == Seq("i:6", "i:7"))
+    nib.stop()
+  }
+
+  test("a large arrival is split into size-capped BATCH_FULL slices") {
+    val batches = new ConcurrentLinkedQueue[Seq[Int]]()
+    val nib = Nibbler.start(spark, NibblerConfig[Int](
+      processor = (_, b) => { batches.add(b); () },
+      size = 10,
+      tickerDuration = 10.seconds,
+      processingTimeout = 5.seconds))
+    nib.pushAll(1 to 35)
+    nib.processAllAvailable()
+    Thread.sleep(100)
+    assert(batches.asScala.toVector == Vector((1 to 10), (11 to 20), (21 to 30)).map(_.toVector))
+    nib.stop() // flushes the remaining 5 as a ticker batch
+    assert(batches.asScala.toVector.last == (31 to 35).toVector)
+  }
+
+  test("processor error without resume stops the nibbler (closed receiver)") {
+    val sawError = new CountDownLatch(1)
+    @volatile var failed: Seq[String] = Nil
+    @volatile var err: Throwable = null
+    val nib = Nibbler.start(spark, NibblerConfig[String](
+      processor = (_, _) => throw new RuntimeException("failed processing"),
+      size = 1,
+      tickerDuration = 300.millis,
+      processingTimeout = 5.seconds,
+      resumeAfterErr = false,
+      onError = (b, e) => { failed = b; err = e; sawError.countDown() }))
+
+    nib.push("hello")
+    nib.processAllAvailable()
+    assert(sawError.await(5, TimeUnit.SECONDS))
+    assert(failed == Seq("hello"))
+    assert(err.getMessage == "failed processing")
+    // reference: pushing after a non-resume failure panics with
+    // "send on closed channel" (nibbler_test.go:89-117)
+    val deadline = System.nanoTime() + 5.seconds.toNanos
+    var closed = false
+    while (!closed && System.nanoTime() < deadline) {
+      try { nib.push("again"); Thread.sleep(20) }
+      catch { case _: Nibbler.ReceiverClosedException => closed = true }
+    }
+    assert(closed, "expected push to fail after non-resume error")
+  }
+
+  test("processor error with resume keeps processing later batches") {
+    val errs = new ConcurrentLinkedQueue[Seq[String]]()
+    val nib = Nibbler.start(spark, NibblerConfig[String](
+      processor = (_, _) => throw new IllegalStateException("processor panic"),
+      size = 1,
+      tickerDuration = 300.millis,
+      processingTimeout = 5.seconds,
+      resumeAfterErr = true,
+      onError = (b, _) => { errs.add(b); () }))
+
+    nib.push("hello")
+    nib.processAllAvailable()
+    val d1 = System.nanoTime() + 5.seconds.toNanos
+    while (errs.size < 1 && System.nanoTime() < d1) Thread.sleep(20)
+    // still accepting + still processing after the failure
+    nib.push("again")
+    nib.processAllAvailable()
+    val d2 = System.nanoTime() + 5.seconds.toNanos
+    while (errs.size < 2 && System.nanoTime() < d2) Thread.sleep(20)
+    assert(errs.asScala.toVector == Vector(Seq("hello"), Seq("again")))
+    assert(nib.isActive)
+    nib.stop()
+  }
+
+  test("processing timeout routes to the error path") {
+    val sawError = new CountDownLatch(1)
+    @volatile var err: Throwable = null
+    val nib = Nibbler.start(spark, NibblerConfig[Int](
+      processor = (_, _) => Thread.sleep(2000),
+      size = 1,
+      tickerDuration = 300.millis,
+      processingTimeout = 100.millis,
+      resumeAfterErr = true,
+      onError = (_, e) => { err = e; sawError.countDown() }))
+    nib.push(1)
+    nib.processAllAvailable()
+    assert(sawError.await(10, TimeUnit.SECONDS))
+    assert(err.isInstanceOf[java.util.concurrent.TimeoutException]
+      || err.isInstanceOf[scala.concurrent.TimeoutException])
+    nib.stop()
+  }
+
+  test("config sanitize applies the reference defaults") {
+    val cfg = NibblerConfig[String](processor = (_, _) => ()).sanitized
+    assert(cfg.size == 100)
+    assert(cfg.tickerDuration == 1.minute)
+    assert(cfg.processingTimeout == 1.second)
+    val explicit = NibblerConfig[String](
+      processor = (_, _) => (), size = 10,
+      tickerDuration = 1.second, processingTimeout = 1.minute).sanitized
+    assert(explicit.size == 10)
+    assert(explicit.tickerDuration == 1.second)
+    assert(explicit.processingTimeout == 1.minute)
+  }
+
+  test("validation rejects a missing processor") {
+    intercept[Nibbler.ValidationException] {
+      new Nibbler[String](spark, NibblerConfig[String](processor = null))
+    }
+  }
+}
