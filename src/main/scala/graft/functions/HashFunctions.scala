@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shingling, MinHash, and SimHash building blocks (SURVEY.md C2/C4).
+  *
+  * All pure Column expressions over built-ins (split, transform, xxhash64,
+  * bit ops) — fully distributed, codegen-friendly, no driver state. The
+  * MinHash family is `xxhash64(shingleHash, i)` for permutation i: seeded
+  * rehashing instead of affine permutations, which keeps ANSI mode happy
+  * (no deliberate 64-bit overflow) and stays one codegen'd call per perm.
+  */
+object HashFunctions {
+
+  /** Whitespace tokens of lowercased trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word k-shingles ("a b c") of a token array column. Empty for
+    * docs shorter than k tokens (guards the ANSI-strict element_at).
+    */
+  def wordShingles(tk: Column, k: Int = 3): Column =
+    when(size(tk) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(tk) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(tk, i + lit(j))): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct character k-grams of a string column. */
+  def charGrams(text: Column, k: Int = 4): Column =
+    when(length(text) >= k,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** 64-bit hashes of each shingle. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => xxhash64(s))
+
+  /** MinHash signature: array of k minima over seeded rehashes. */
+  def minhashSignature(hashes: Column, k: Int): Column =
+    array((0 until k).map(i => array_min(transform(hashes, h => xxhash64(h, lit(i))))): _*)
+
+  /** LSH band keys from a minhash signature: `bands` hashes of `rows`
+    * consecutive signature entries each.
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rows).map(r => sig.getItem(b * rows + r))): _*)
+    }: _*)
+
+  /** Exact Jaccard of two distinct-element array columns, as the oracle's
+    * double division of exact integer counts.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** 64-bit SimHash of a token-hash array: per-bit majority vote. */
+  def simhash(hashes: Column): Column = {
+    val bitVotes = (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bitVotes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit hash columns — deliberately NOT a
+    * custom expression: bit_count(a XOR b) is already whole-stage codegen'd
+    * (SURVEY.md H2).
+    */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 8 x 8-bit band keys of a simhash — pigeonhole guarantee: any pair at
+    * hamming distance <= 6 shares at least one exact band.
+    */
+  def simhashBands(sh: Column): Column =
+    array((0 until 8).map(b =>
+      shiftright(sh, b * 8).bitwiseAND(0xffL).bitwiseOR(lit(b.toLong << 8))): _*)
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{HashFunctions => H, CosineSimilarity => CosF}
+import Num._
+
+/** Deduplication suite (SURVEY.md §2 C1–C5) over documents/embeddings.
+  *
+  * Scale design: every candidate-generation step is a shuffle on a bucket
+  * key (content hash, LSH band key, simhash band) — never a cross join.
+  * Exact verification runs only inside buckets; self-joins halve work with
+  * `a.id < b.id`. At 100 TB, band keys are the shuffle partitioning and
+  * skewed buckets get salted (band key + salt) before the pair join.
+  */
+object Dedup {
+
+  /** Normalized-content hash per doc (shared by d1/d4). */
+  private def normHash(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  // C1 — exact dedup: hash-groupBy, keep min doc_id. One shuffle on the
+  // content hash; at 100 TB this is the canonical map-side-combine pattern.
+  private val d1 = Relational.Q(
+    "d1_dedup_exact",
+    (s, d) => {
+      Tables.documents(s, d)
+        .groupBy(normHash(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content_hash"))
+    },
+    Some("""
+      SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+        MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY content_hash"""))
+
+  /** Shared shingle-set frame: (doc_id, sg: distinct word-3-shingles). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), H.wordShingles(H.tokens(col("text")), 3).as("sg"))
+      .filter(size(col("sg")) > 0)
+
+  /** Exact Jaccard >= tau pairs from a candidate-pair frame carrying
+    * (doc_a, doc_b, sg_a, sg_b).
+    */
+  private def verifiedPairs(cands: DataFrame, tau: Double): DataFrame = {
+    val inter = size(array_intersect(col("sg_a"), col("sg_b"))).cast("double")
+    val j = inter / (size(col("sg_a")) + size(col("sg_b"))
+      - size(array_intersect(col("sg_a"), col("sg_b"))))
+    cands.withColumn("jaccard_exact", j)
+      .filter(col("jaccard_exact") >= tau)
+      .select(col("doc_a"), col("doc_b"), r4(col("jaccard_exact")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // C2 — MinHash + LSH near-dup detection: shingle -> 128-perm signature ->
+  // 32 bands x 4 rows -> band-bucket join -> exact-Jaccard verify >= 0.8.
+  // The oracle is the exact full-pairwise answer: with these LSH params the
+  // miss probability at j >= 0.8 is (1 - 0.8^4)^32 ~= 2e-7 per pair and the
+  // data's near-dup pairs sit at j >= 0.9 (miss ~1e-15), so LSH recall is
+  // exact here — which is precisely the claim being verified.
+  private val d2 = Relational.Q(
+    "d2_dedup_minhash_lsh",
+    (s, d) => {
+      val sg = shingled(s, d)
+      val sig = sg.withColumn("hs", H.shingleHashes(col("sg")))
+        .withColumn("sig", H.minhashSignature(col("hs"), 128))
+        .withColumn("bands", H.bandKeys(col("sig"), bands = 32, rows = 4))
+        .select(col("doc_id"), col("sg"), explode(col("bands")).as("band_key"))
+      val a = sig.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"), col("band_key"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"), col("band_key"))
+      val cands = a.join(b, Seq("band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sg_a", "sg_b")
+        .dropDuplicates("doc_a", "doc_b")
+      verifiedPairs(cands, 0.8)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                         FOR i IN range(1, len(tk) - 1)]) AS sg
+        FROM toks WHERE len(tk) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+            / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, ${r4Sql("j")} AS jaccard
+      FROM pairs WHERE j >= 0.8 ORDER BY doc_a, doc_b"""))
+
+  // C3 — n-gram Jaccard similarity join: char-4-gram sets, blocked by
+  // (lang, length bucket) so the exact join never goes quadratic.
+  private val d3 = Relational.Q(
+    "d3_dedup_ngram_jaccard",
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 200).as("len_bkt"),
+          H.charGrams(lower(col("text")), 4).as("sg"))
+        .filter(size(col("sg")) > 0)
+      val a = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_a"), col("sg").as("sg_a"))
+      val b = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_b"), col("sg").as("sg_b"))
+      val cands = a.join(b, Seq("lang", "len_bkt")).filter(col("doc_a") < col("doc_b"))
+      verifiedPairs(cands, 0.62)
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT doc_id, lang, CAST(FLOOR(n_chars / 200) AS BIGINT) AS len_bkt,
+          list_distinct([substr(lower(text), i, 4)
+                         FOR i IN range(1, length(text) - 2)]) AS sg
+        FROM documents WHERE length(text) >= 4),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+            / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
+        FROM g a JOIN g b
+          ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, ${r4Sql("j")} AS jaccard
+      FROM pairs WHERE j >= 0.62 ORDER BY doc_a, doc_b"""))
+
+  // C4 — SimHash near-dup pairs (no SQL oracle: DuckDB lacks xxhash64;
+  // rows-only driver check + ScalaTest spec). 8x8-bit banding guarantees
+  // recall for hamming <= 6 by pigeonhole.
+  private val d4 = Relational.Q(
+    "d4_dedup_simhash",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), H.simhash(H.shingleHashes(H.tokens(col("text")))).as("sh"))
+      val banded = sh.select(col("doc_id"), col("sh"), explode(H.simhashBands(col("sh"))).as("band"))
+      val a = banded.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = banded.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("hamming", H.hamming64(col("sh_a"), col("sh_b")).cast("long"))
+        .filter(col("hamming") <= 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None)
+
+  // C5 — embedding near-dup pairs by cosine. Brute-force within the
+  // threshold here (exact semantics, oracle-checked); the LSH-bucketed
+  // scale path is Similarity.s3.
+  private val d5 = Relational.Q(
+    "d5_dedup_embedding",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", CosF(col("va"), col("vb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), r4(col("cos")).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+          / sqrt(
+              list_reduce(list_transform(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)
+              * list_reduce(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, ${r4Sql("cos")} AS cosine
+      FROM pairs WHERE cos >= 0.4 ORDER BY id_a, id_b"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5)
+}

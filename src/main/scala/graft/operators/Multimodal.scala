@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2 F1–F3).
+  *
+  * Media payloads are opaque `binary` columns plus typed metadata — the
+  * 100 TB pattern is: keep bytes columnar in parquet, push *metadata*
+  * filters down, and run decode/feature-extraction per partition in
+  * batch-shaped iterators (mapPartitions), never per-row driver calls.
+  *
+  * The actual codec step is STUBBED (no image/audio libs in this
+  * environment): `decodeStub` derives deterministic fake features from the
+  * bytes. Everything around it — schema, partitioning, iterator shape,
+  * typed output — is real and tested.
+  */
+object Multimodal {
+
+  // F1 — binary ingest: payload + typed metadata struct. Oracle-checked
+  // (byte lengths and metadata survive the binary round-trip).
+  private val m1 = Relational.Q(
+    "m1_binary_ingest",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          col("text").cast(BinaryType).as("payload"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("payload_bytes"),
+          col("meta.lang").as("lang"),
+          col("meta.source").as("source"),
+          lit("text/plain").as("mime"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS payload_bytes,
+        lang, source, 'text/plain' AS mime
+      FROM documents ORDER BY doc_id"""))
+
+  /** STUB decoder: stands in for an image/audio codec. Deterministic fake
+    * features — 8 stride-summed byte buckets, normalized. The real system
+    * would swap this single function for a JNI/codec call; the Spark
+    * plumbing around it is unchanged.
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val dim = 8
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % dim) += bytes(i) & 0xff
+      i += 1
+    }
+    acc.map(v => (v % 997).toFloat / 997f)
+  }
+
+  final case class DocPayload(doc_id: Long, payload: Array[Byte])
+  final case class DocFeatures(doc_id: Long, n_bytes: Int, features: Array[Float])
+
+  /** F2 core — batch-shaped "decode" over partitions of binary payloads. */
+  def extractFeatures(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[DocPayload]
+      .mapPartitions { it =>
+        // One iterator pass per partition: the decode batch shape a real
+        // codec (or model server) wants; no per-row driver round-trips.
+        it.map { p =>
+          DocFeatures(p.doc_id, p.payload.length, decodeStub(p.payload))
+        }
+      }
+      .toDF()
+  }
+
+  // F2 — rows-only (stub features aren't SQL-expressible in the oracle).
+  private val m2 = Relational.Q(
+    "m2_feature_extract",
+    (s, d) => {
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      extractFeatures(payloads)
+        .select(col("doc_id"), col("n_bytes"), size(col("features")).as("n_features"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  // F3 — frame array + posexplode + every-k-th sampling (video-frame
+  // shaped pipeline; frames here are 64-byte payload chunks).
+  private val m3 = Relational.Q(
+    "m3_frame_sample",
+    (s, d) => {
+      val frameLen = 64
+      val framed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          transform(
+            sequence(lit(0), floor((length(col("text")) - lit(1)) / lit(frameLen)).cast("integer")),
+            i => col("text").substr(lit(1) + i * frameLen, lit(frameLen)).cast(BinaryType))
+            .as("frames"))
+      framed.select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        .filter(col("frame_idx") % 4 === 0)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""
+      WITH framed AS (
+        SELECT doc_id, i AS frame_idx,
+          octet_length(CAST(substr(text, 1 + i * 64, 64) AS BLOB)) AS frame_bytes
+        FROM documents, UNNEST(range(0, CAST(FLOOR((length(text) - 1) / 64) AS BIGINT) + 1)) AS t(i))
+      SELECT doc_id, frame_idx, frame_bytes
+      FROM framed WHERE frame_idx % 4 = 0
+      ORDER BY doc_id, frame_idx"""))
+
+  val all: Seq[Relational.Q] = Seq(m1, m2, m3)
+}

@@ -202,7 +202,7 @@ object Relational {
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("qty_dec").desc, col("l_partkey"))
-      per.withColumn("rnk", row_number().over(w))
+      per.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .filter(col("l_suppkey") <= 100)
         .select(col("l_suppkey"), col("rnk"), col("l_partkey"),
@@ -391,8 +391,8 @@ object Relational {
         FROM g WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
       sess AS (
         SELECT user_id, ts,
-          SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM f)
       SELECT user_id, session_id, COUNT(*) AS n_events,
         MIN(ts) AS session_start, MAX(ts) AS session_end

@@ -29,9 +29,9 @@ object TextAnalysis {
     (s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          length(col("text")).as("n_chars_actual"),
-          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
-          length(regexp_replace(col("text"), "\\s", "")).as("n_nonspace"))
+          length(col("text")).cast("long").as("n_chars_actual"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace"))
         .withColumn("avg_token_len",
           r2(col("n_nonspace").cast("double") / col("n_tokens")))
         .orderBy(col("doc_id"))
@@ -49,12 +49,12 @@ object TextAnalysis {
     (s, d) => {
       val base = Tables.documents(s, d).select(
         col("doc_id"),
-        length(col("text")).as("n_chars_actual"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", ""))).as("n_upper"),
-        size(expr(s"regexp_extract_all(lower(text), '\\\\b(?:$StopEn)\\\\b', 0)")).as("n_stop"))
+        length(col("text")).cast("long").as("n_chars_actual"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long").as("n_punct"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("n_digit"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", ""))).cast("long").as("n_upper"),
+        size(expr(s"regexp_extract_all(lower(text), '\\\\b(?:$StopEn)\\\\b', 0)")).cast("long").as("n_stop"))
       base.withColumn("quality",
           r4(lit(0.4) * (col("n_stop").cast("double") / col("n_tokens"))
             + lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars_actual"))
@@ -84,8 +84,8 @@ object TextAnalysis {
         size(expr(s"regexp_extract_all(lower(text), '\\\\b(?:$alt)\\\\b', 0)"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang").as("claimed_lang"),
-          hits(StopEn).as("hits_en"), hits(StopDe).as("hits_de"),
-          hits(StopFr).as("hits_fr"), hits(StopEs).as("hits_es"))
+          hits(StopEn).cast("long").as("hits_en"), hits(StopDe).cast("long").as("hits_de"),
+          hits(StopFr).cast("long").as("hits_fr"), hits(StopEs).cast("long").as("hits_es"))
         .withColumn("predicted_lang",
           when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr")
             && col("hits_en") >= col("hits_es") && col("hits_en") > 0, "en")
@@ -119,7 +119,7 @@ object TextAnalysis {
       Tables.documents(s, d)
         .select(col("doc_id"),
           md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fingerprint"),
-          length(col("text")).as("n_chars_actual"))
+          length(col("text")).cast("long").as("n_chars_actual"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -152,7 +152,7 @@ object TextAnalysis {
     (s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)")).as("n_pieces"),
+          size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)")).cast("long").as("n_pieces"),
           expr("aggregate(split(lower(trim(text)), '\\\\s+'), 0L, (acc, w) -> acc + CAST(ceil(length(w)/4.0) AS LONG))")
             .as("est_bpe_tokens"))
         .orderBy(col("doc_id"))

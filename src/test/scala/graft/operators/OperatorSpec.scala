@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{CosineSimilarity, HashFunctions => H, VectorFunctions => V}
+
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codegen'd CosineSimilarity is bit-identical to the HOF spelling") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val diff = a.join(b, col("id_a") < col("id_b"))
+      .select(
+        CosineSimilarity(col("va"), col("vb")).as("fast"),
+        V.cosine(col("va"), col("vb")).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("cosine of a vector with itself is 1.0") {
+    val one = spark.sql("SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(-3.5 AS FLOAT)) AS v")
+    val c = one.select(CosineSimilarity(col("v"), col("v"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("simhash: identical token streams collide, near-identical stay close") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight"))
+      .toDF("id", "text")
+      .select(col("id"), H.simhash(H.shingleHashes(H.tokens(col("text")))).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    val near = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    val far = java.lang.Long.bitCount(m(1L) ^ m(4L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("word shingles and jaccard behave on edges") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "a b c d e"))
+      .toDF("id", "text")
+      .select(col("id"), H.wordShingles(H.tokens(col("text")), 3).as("sg"))
+    val sizes = df.select(col("id"), size(col("sg"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sizes == Map(1L -> 2, 2L -> 0, 3L -> 3))
+  }
+
+  test("LSH ANN (s2) returns valid ranked output; similarity join (s3) is a subset of exact pairs") {
+    val sf = "/root/testdata/sf0.01"
+    val s2 = graft.SparkEntry.queries("s2_ann_lsh_topk")(spark, sf).collect()
+    assert(s2.nonEmpty)
+    // ranks within each query are 1..k without gaps
+    val byQ = s2.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+    val exact = graft.SparkEntry.queries("d5_dedup_embedding")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s3 = graft.SparkEntry.queries("s3_similarity_join")(spark, sf)
+      .filter(col("cosine") >= 0.4).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s3.subsetOf(exact), s"LSH join produced pairs outside the exact set")
+  }
+
+  test("multimodal feature extraction has the right batch shape") {
+    val payloads = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val feats = Multimodal.extractFeatures(payloads)
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    assert(feats.schema.fieldNames.toSeq == Seq("doc_id", "n_bytes", "features"))
+    rows.foreach { r =>
+      val f = r.getSeq[Float](2)
+      assert(f.length == 8)
+      assert(f.forall(v => v >= 0f && v <= 1f))
+    }
+    // determinism: same payload -> same features
+    val again = Multimodal.extractFeatures(payloads).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("simhash dedup (d4) finds the planted near-duplicates") {
+    val sf = "/root/testdata/sf0.01"
+    val d4 = graft.SparkEntry.queries("d4_dedup_simhash")(spark, sf).collect()
+    val d2 = graft.SparkEntry.queries("d2_dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d4pairs = d4.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the strong (minhash-verified) near-dups should overlap simhash's view
+    assert(d2.nonEmpty)
+    assert((d2 & d4pairs).size >= d2.size / 2,
+      s"simhash found ${(d2 & d4pairs).size} of ${d2.size} minhash pairs")
+  }
+}
