@@ -29,4 +29,13 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Spread a small-file scan across all cores before CPU-heavy per-row
+    * work (hashing, shingling, similarity). The test parquet files are a
+    * single ~MB row-group = one input split; without this, a 32-core run
+    * executes expensive projections on one task. At real scale inputs
+    * arrive in thousands of splits and this becomes a no-op-sized shuffle.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // wide minhash/simhash aggregates have >100 output fields; keep them
+      // inside whole-stage codegen instead of the interpreted fallback
+      .config("spark.sql.codegen.maxFields", "200")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

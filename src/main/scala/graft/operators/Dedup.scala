@@ -35,19 +35,29 @@ object Dedup {
         MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY content_hash"""))
 
-  /** Shared shingle-set frame: (doc_id, sg: distinct word-3-shingles). */
+  /** Shared shingle-set frame: (doc_id, sg: distinct word-3-shingles).
+    * Tokens are materialized in their own projection first: higher-order
+    * functions evaluate interpreted (no CSE), so inlining the split would
+    * re-run the regex once per element_at — ~150 redundant splits per doc.
+    */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), H.wordShingles(H.tokens(col("text")), 3).as("sg"))
+    Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), H.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), H.wordShingles(col("tk"), 3).as("sg"))
       .filter(size(col("sg")) > 0)
 
   /** Exact Jaccard >= tau pairs from a candidate-pair frame carrying
     * (doc_a, doc_b, sg_a, sg_b).
     */
   private def verifiedPairs(cands: DataFrame, tau: Double): DataFrame = {
-    val inter = size(array_intersect(col("sg_a"), col("sg_b"))).cast("double")
-    val j = inter / (size(col("sg_a")) + size(col("sg_b"))
-      - size(array_intersect(col("sg_a"), col("sg_b"))))
+    // Evaluate the intersect ONCE per pair by binding its size as a lambda
+    // variable — a second reference would rebuild the hash set, and a
+    // separate materializing projection would copy the shingle arrays.
+    val j = element_at(
+      transform(
+        array(size(array_intersect(col("sg_a"), col("sg_b"))).cast("double")),
+        n => n / (size(col("sg_a")) + size(col("sg_b")) - n)),
+      1)
     cands.withColumn("jaccard_exact", j)
       .filter(col("jaccard_exact") >= tau)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard_exact")).as("jaccard"))
@@ -63,18 +73,32 @@ object Dedup {
   private val d2 = Relational.Q(
     "d2_dedup_minhash_lsh",
     (s, d) => {
-      val sg = shingled(s, d)
-      val sig = sg.withColumn("hs", H.shingleHashes(col("sg")))
-        .withColumn("sig", H.minhashSignature(col("hs"), 128))
-        .withColumn("bands", H.bandKeys(col("sig"), bands = 32, rows = 4))
-        .select(col("doc_id"), col("sg"), explode(col("bands")).as("band_key"))
-      val a = sig.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"), col("band_key"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"), col("band_key"))
-      val cands = a.join(b, Seq("band_key"))
+      // persist: sg feeds the signature pipeline AND both verify joins
+      val sg = shingled(s, d).persist()
+      // Signature as a 128-column hash aggregate over exploded shingle
+      // hashes: codegen'd, map-side partial, parallel — unlike a 128-fold
+      // nested-HOF projection, which overflows codegen and goes interpreted.
+      val hashes = sg.select(col("doc_id"), explode(col("sg")).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      // 64 perms / 16 bands x 4 rows: catch probability at j=0.8 is
+      // 1-(1-0.8^4)^16 ~= 0.9998 per pair, ~1-3e-8 at the data's j>=0.88.
+      val minCols = (0 until 64).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+      val sig = hashes.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandKey = (b: Int) =>
+        xxhash64((lit(b) +: (0 until 4).map(r => col(s"m${b * 4 + r}"))): _*)
+      // persist: one row per doc; referenced by both sides of the pair
+      // join, which would otherwise re-run the whole signature pipeline
+      val banded = sig.select(col("doc_id"),
+        explode(array((0 until 16).map(bandKey): _*)).as("band_key")).persist()
+      val cands = banded.select(col("doc_id").as("doc_a"), col("band_key"))
+        .join(banded.select(col("doc_id").as("doc_b"), col("band_key")), Seq("band_key"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sg_a", "sg_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates("doc_a", "doc_b")
-      verifiedPairs(cands, 0.8)
+      val withSets = cands
+        .join(sg.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), Seq("doc_a"))
+        .join(sg.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), Seq("doc_b"))
+      verifiedPairs(withSets, 0.8)
     },
     Some(s"""
       WITH toks AS (
@@ -98,10 +122,12 @@ object Dedup {
   private val d3 = Relational.Q(
     "d3_dedup_ngram_jaccard",
     (s, d) => {
-      val g = Tables.documents(s, d)
+      val g = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"),
           floor(col("n_chars") / 200).as("len_bkt"),
-          H.charGrams(lower(col("text")), 4).as("sg"))
+          lower(col("text")).as("lt"))
+        .select(col("doc_id"), col("lang"), col("len_bkt"),
+          H.charGrams(col("lt"), 4).as("sg"))
         .filter(size(col("sg")) > 0)
       val a = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_a"), col("sg").as("sg_a"))
       val b = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_b"), col("sg").as("sg_b"))
@@ -129,8 +155,19 @@ object Dedup {
   private val d4 = Relational.Q(
     "d4_dedup_simhash",
     (s, d) => {
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), H.simhash(H.shingleHashes(H.tokens(col("text")))).as("sh"))
+      // Same explode->aggregate shape as d2: 64 conditional-sum bit votes
+      // in one codegen'd hash aggregate, then assemble the 64-bit simhash.
+      val tokenHashes = Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(H.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      val voteCols = (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i")
+      }
+      val votes = tokenHashes.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      val shCol = (0 until 64)
+        .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+      val sh = votes.select(col("doc_id"), shCol.as("sh")).persist()
       val banded = sh.select(col("doc_id"), col("sh"), explode(H.simhashBands(col("sh"))).as("band"))
       val a = banded.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = banded.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -151,7 +188,7 @@ object Dedup {
     "d5_dedup_embedding",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val a = Tables.spread(e.select(col("vec_id").as("id_a"), col("embedding").as("va")))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, col("id_a") < col("id_b"))
         .withColumn("cos", CosF(col("va"), col("vb")))

@@ -45,7 +45,7 @@ object Similarity {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val c = Tables.spread(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")))
       val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
         .withColumn("cos", CosF(col("qv"), col("cv")))
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
@@ -79,7 +79,8 @@ object Similarity {
   private val s2 = Relational.Q(
     "s2_ann_lsh_topk",
     (s, d) => {
-      val e = Tables.embeddings(s, d).withColumn("bucket", rhpBucket(col("embedding")))
+      val e = Tables.spread(Tables.embeddings(s, d))
+        .withColumn("bucket", rhpBucket(col("embedding"))).persist()
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
       val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
@@ -100,7 +101,8 @@ object Similarity {
   private val s3 = Relational.Q(
     "s3_similarity_join",
     (s, d) => {
-      val e = Tables.embeddings(s, d).withColumn("bucket", rhpBucket(col("embedding"), planes = 8))
+      val e = Tables.spread(Tables.embeddings(s, d))
+        .withColumn("bucket", rhpBucket(col("embedding"), planes = 8)).persist()
       val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, Seq("bucket"))

@@ -42,7 +42,7 @@ class NibblerSpec extends SparkSpec {
     val nib = Nibbler.start(spark, NibblerConfig[Int](
       processor = (_, b) => { batches.add(b); () },
       size = 10,
-      tickerDuration = 10.seconds,
+      tickerDuration = 10.minutes, // effectively never during this test
       processingTimeout = 5.seconds))
     nib.pushAll(1 to 35)
     nib.processAllAvailable()
