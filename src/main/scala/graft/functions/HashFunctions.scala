@@ -74,10 +74,15 @@ object HashFunctions {
     */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** 8 x 8-bit band keys of a simhash — pigeonhole guarantee: any pair at
-    * hamming distance <= 6 shares at least one exact band.
+  /** 7 x 9/10-bit band keys of a simhash — pigeonhole guarantee: any pair
+    * at hamming distance <= 6 differs in at most 6 bands, so it shares at
+    * least one exact band. Wider bands (512+ values) keep the candidate
+    * join's bucket sizes small on skewed corpora.
     */
   def simhashBands(sh: Column): Column =
-    array((0 until 8).map(b =>
-      shiftright(sh, b * 8).bitwiseAND(0xffL).bitwiseOR(lit(b.toLong << 8))): _*)
+    array((0 until 7).map { b =>
+      val width = if (b == 6) 10 else 9
+      val mask = (1L << width) - 1
+      shiftright(sh, b * 9).bitwiseAND(mask).bitwiseOR(lit(b.toLong << 12))
+    }: _*)
 }

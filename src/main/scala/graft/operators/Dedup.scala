@@ -73,21 +73,30 @@ object Dedup {
   private val d2 = Relational.Q(
     "d2_dedup_minhash_lsh",
     (s, d) => {
-      // persist: sg feeds the signature pipeline AND both verify joins
-      val sg = shingled(s, d).persist()
-      // Signature as a 128-column hash aggregate over exploded shingle
-      // hashes: codegen'd, map-side partial, parallel — unlike a 128-fold
-      // nested-HOF projection, which overflows codegen and goes interpreted.
-      val hashes = sg.select(col("doc_id"), explode(col("sg")).as("shingle"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      import org.apache.spark.sql.expressions.Window
+      // Shingles built relationally (posexplode + window lead) instead of
+      // a higher-order transform: HOFs evaluate interpreted per element,
+      // while this whole pipeline stays in codegen. Set semantics via
+      // distinct; no shingle arrays ever materialize.
+      val toks = Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), posexplode(H.tokens(col("text"))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val shd = toks
+        .select(col("doc_id"), col("pos"), col("tok"),
+          lead(col("tok"), 1).over(w).as("t1"), lead(col("tok"), 2).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+        .distinct()
+        .persist() // feeds sizes, signatures, and the verify join
+      val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val hashes = shd.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       // 64 perms / 16 bands x 4 rows: catch probability at j=0.8 is
       // 1-(1-0.8^4)^16 ~= 0.9998 per pair, ~1-3e-8 at the data's j>=0.88.
+      // One codegen'd wide hash aggregate (map-side partial) per doc.
       val minCols = (0 until 64).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
       val sig = hashes.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       val bandKey = (b: Int) =>
         xxhash64((lit(b) +: (0 until 4).map(r => col(s"m${b * 4 + r}"))): _*)
-      // persist: one row per doc; referenced by both sides of the pair
-      // join, which would otherwise re-run the whole signature pipeline
       val banded = sig.select(col("doc_id"),
         explode(array((0 until 16).map(bandKey): _*)).as("band_key")).persist()
       val cands = banded.select(col("doc_id").as("doc_a"), col("band_key"))
@@ -95,10 +104,21 @@ object Dedup {
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates("doc_a", "doc_b")
-      val withSets = cands
-        .join(sg.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), Seq("doc_a"))
-        .join(sg.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), Seq("doc_b"))
-      verifiedPairs(withSets, 0.8)
+      // Exact-Jaccard verify, relationally: |A ∩ B| by joining the few
+      // candidate pairs back to the shingle rows — no array set ops.
+      val inter = cands
+        .join(shd.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+        .join(shd.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val j = col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        .withColumn("jaccard_exact", j)
+        .filter(col("jaccard_exact") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard_exact")).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
     },
     Some(s"""
       WITH toks AS (
@@ -173,10 +193,12 @@ object Dedup {
       val b = banded.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       a.join(b, Seq("band"))
         .filter(col("doc_a") < col("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
+        // cheap codegen'd hamming filter BEFORE the dedup shuffle: raw
+        // band-collision candidates never hit the exchange
         .withColumn("hamming", H.hamming64(col("sh_a"), col("sh_b")).cast("long"))
         .filter(col("hamming") <= 6)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .dropDuplicates("doc_a", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))
     },
     None)

@@ -47,7 +47,8 @@ object Micro {
         .filter(col("hamming") <= 6).count())
     // shingle pipeline pieces (d2)
     val sg = Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), H.wordShingles(H.tokens(col("text")), 3).as("sg"))
+      .select(col("doc_id"), H.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), H.wordShingles(col("tk"), 3).as("sg"))
       .filter(size(col("sg")) > 0)
     time("shingle-sets")(sg.count())
     val hashes = sg.select(col("doc_id"), explode(col("sg")).as("shingle"))

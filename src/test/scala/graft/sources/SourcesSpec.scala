@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import graft.streaming.{NibblerSink, Trigger}
+
+/** Sources/sinks coverage (SURVEY.md §2 G1–G6) + the §5 pushdown claims. */
+class SourcesSpec extends SparkSpec {
+
+  test("csv round-trip preserves rows and schema") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val orders = Tables.orders(spark, sfDir)
+    orders.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(orders.schema).csv(dir)
+    assert(back.count() == orders.count())
+    assert(back.schema == orders.schema)
+    val a = orders.agg(sum("o_totalprice").cast("decimal(18,2)")).head.getDecimal(0)
+    val b = back.agg(sum("o_totalprice").cast("decimal(18,2)")).head.getDecimal(0)
+    assert(a == b)
+  }
+
+  test("json round-trip preserves rows") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    val nation = Tables.nation(spark, sfDir)
+    nation.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(nation.schema).json(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.orders(spark, sfDir).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(pruned.count() ==
+      Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("selective scan pushes filters and prunes columns (q04)") {
+    val df = SparkEntry.queries("q04_forecast_revenue")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), "no pushdown section in scan")
+    assert(plan.contains("IsNotNull(l_discount)") || plan.contains("l_discount"),
+      "discount filter not pushed")
+    // column pruning: untouched wide columns must not be read
+    val scanSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanSchema.contains("l_returnflag"), s"no pruning: $scanSchema")
+  }
+
+  test("aggregate query reads only the grouped/aggregated columns (q01)") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanSchema.contains("l_orderkey"), s"no pruning: $scanSchema")
+    assert(scanSchema.contains("l_quantity"))
+  }
+
+  test("rate source drives NibblerSink with ticker semantics") {
+    val seen = new ConcurrentLinkedQueue[(Trigger, Long)]()
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").load()
+    import spark.implicits._
+    val q = NibblerSink.start[Long](rate.select(col("value").as[Long]),
+      NibblerSink.Config[Long](
+        processor = (t, ds) => { seen.add((t, ds.count())); () },
+        size = 10000, // never "full" at 50 rows/sec
+        tickerDuration = 300.millis))
+    try {
+      val deadline = System.nanoTime() + 20.seconds.toNanos
+      while (seen.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.size >= 2, "rate source produced no ticker batches")
+      assert(seen.asScala.forall(_._1 == Trigger.Ticker))
+    } finally q.stop()
+  }
+}
