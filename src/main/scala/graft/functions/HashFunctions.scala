@@ -34,6 +34,19 @@ object HashFunctions {
         i => text.substr(i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct 64-bit hashes of the character k-grams. Set operations on
+    * primitive long arrays hit array_intersect's specialized fast path —
+    * string-array intersects pay per-element UTF8 equality instead.
+    * Jaccard over hashed grams equals Jaccard over grams up to 64-bit
+    * collisions (~n^2/2^64 per doc).
+    */
+  def charGramHashes(text: Column, k: Int = 4): Column =
+    when(length(text) >= k,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => xxhash64(text.substr(i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+
   /** 64-bit hashes of each shingle. */
   def shingleHashes(shingles: Column): Column =
     transform(shingles, s => xxhash64(s))

@@ -144,19 +144,29 @@ object Dedup {
     (s, d) => {
       val g = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / 200).as("len_bkt"),
+          floor(col("n_chars") / 100).as("len_bkt"),
           lower(col("text")).as("lt"))
         .select(col("doc_id"), col("lang"), col("len_bkt"),
-          H.charGrams(col("lt"), 4).as("sg"))
+          H.charGramHashes(col("lt"), 4).as("sg"))
         .filter(size(col("sg")) > 0)
-      val a = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_a"), col("sg").as("sg_a"))
-      val b = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_b"), col("sg").as("sg_b"))
-      val cands = a.join(b, Seq("lang", "len_bkt")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("sz", size(col("sg")))
+      val a = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_a"),
+        col("sg").as("sg_a"), col("sz").as("sz_a"))
+      val b = g.select(col("lang").as("lang_b"), col("len_bkt").as("len_bkt_b"),
+        col("doc_id").as("doc_b"), col("sg").as("sg_b"), col("sz").as("sz_b"))
+      // size-ratio bound inside the join condition: j >= 0.62 forces
+      // min(|A|,|B|)/max(|A|,|B|) >= 0.62, so non-viable pairs are dropped
+      // during the probe, before their gram arrays are ever copied out
+      val cands = a.join(b,
+        col("lang") === col("lang_b") && col("len_bkt") === col("len_bkt_b")
+          && col("doc_a") < col("doc_b")
+          && col("sz_a") * 100 >= col("sz_b") * 62
+          && col("sz_b") * 100 >= col("sz_a") * 62)
       verifiedPairs(cands, 0.62)
     },
     Some(s"""
       WITH g AS (
-        SELECT doc_id, lang, CAST(FLOOR(n_chars / 200) AS BIGINT) AS len_bkt,
+        SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bkt,
           list_distinct([substr(lower(text), i, 4)
                          FOR i IN range(1, length(text) - 2)]) AS sg
         FROM documents WHERE length(text) >= 4),
@@ -165,7 +175,9 @@ object Dedup {
           CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
             / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
         FROM g a JOIN g b
-          ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id)
+          ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
+          AND len(a.sg) * 100 >= len(b.sg) * 62
+          AND len(b.sg) * 100 >= len(a.sg) * 62)
       SELECT doc_a, doc_b, ${r4Sql("j")} AS jaccard
       FROM pairs WHERE j >= 0.62 ORDER BY doc_a, doc_b"""))
 

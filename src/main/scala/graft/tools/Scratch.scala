@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{HashFunctions => H}
+
+/** One-off diagnostics for d4's candidate volume. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.maxFields", "200")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tokenHashes = Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(H.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val voteCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i")
+    }
+    val votes = tokenHashes.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val shCol = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sh = votes.select(col("doc_id"), shCol.as("sh")).persist()
+    println("[scratch] docs=" + sh.count())
+    println("[scratch] distinct simhashes=" + sh.select("sh").distinct().count())
+    val banded = sh.select(col("doc_id"), col("sh"), explode(H.simhashBands(col("sh"))).as("band"))
+    val bandSizes = banded.groupBy("band").count()
+    bandSizes.orderBy(col("count").desc).show(10, false)
+    println("[scratch] raw candidate pairs=" + bandSizes
+      .agg(sum(col("count") * (col("count") - 1) / 2)).head.get(0))
+    spark.stop()
+  }
+}
