@@ -87,15 +87,16 @@ object HashFunctions {
     */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** 7 x 9/10-bit band keys of a simhash — pigeonhole guarantee: any pair
-    * at hamming distance <= 6 differs in at most 6 bands, so it shares at
-    * least one exact band. Wider bands (512+ values) keep the candidate
-    * join's bucket sizes small on skewed corpora.
+  /** 5 x 13-bit band keys of a simhash — pigeonhole guarantee: any pair at
+    * hamming distance <= 4 differs in at most 4 bands, so it shares at
+    * least one exact band. Wide bands (8k values) keep the candidate
+    * join's bucket sizes small on skewed corpora; tighter thresholds with
+    * fewer, wider bands cut candidate volume superlinearly.
     */
   def simhashBands(sh: Column): Column =
-    array((0 until 7).map { b =>
-      val width = if (b == 6) 10 else 9
+    array((0 until 5).map { b =>
+      val width = if (b == 4) 12 else 13
       val mask = (1L << width) - 1
-      shiftright(sh, b * 9).bitwiseAND(mask).bitwiseOR(lit(b.toLong << 12))
+      shiftright(sh, b * 13).bitwiseAND(mask).bitwiseOR(lit(b.toLong << 16))
     }: _*)
 }

@@ -182,8 +182,8 @@ object Dedup {
       FROM pairs WHERE j >= 0.62 ORDER BY doc_a, doc_b"""))
 
   // C4 — SimHash near-dup pairs (no SQL oracle: DuckDB lacks xxhash64;
-  // rows-only driver check + ScalaTest spec). 8x8-bit banding guarantees
-  // recall for hamming <= 6 by pigeonhole.
+  // rows-only driver check + ScalaTest spec). 5x13-bit banding guarantees
+  // recall for hamming <= 4 by pigeonhole.
   private val d4 = Relational.Q(
     "d4_dedup_simhash",
     (s, d) => {
@@ -208,7 +208,7 @@ object Dedup {
         // cheap codegen'd hamming filter BEFORE the dedup shuffle: raw
         // band-collision candidates never hit the exchange
         .withColumn("hamming", H.hamming64(col("sh_a"), col("sh_b")).cast("long"))
-        .filter(col("hamming") <= 6)
+        .filter(col("hamming") <= 4)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .dropDuplicates("doc_a", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))

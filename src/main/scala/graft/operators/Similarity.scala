@@ -26,8 +26,14 @@ object Similarity {
   private def hyperplaneSign(p: Int, i: Column): Column =
     when(pmod(xxhash64(lit(p.toLong * 1000003L) + i), lit(2)) === 0, 1.0).otherwise(-1.0)
 
-  /** 16-bit random-hyperplane bucket of an embedding column. */
-  def rhpBucket(v: Column, planes: Int = 16): Column = {
+  /** Random-hyperplane bucket — codegen'd custom expression (the HOF
+    * spelling below is kept as the cross-check oracle for its spec).
+    */
+  def rhpBucket(v: Column, planes: Int = 16): Column =
+    graft.functions.RandomHyperplaneBucket(v, planes)
+
+  /** Interpreted higher-order spelling of [[rhpBucket]]; bit-compatible. */
+  def rhpBucketHof(v: Column, planes: Int = 16): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),

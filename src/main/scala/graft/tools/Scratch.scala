@@ -34,6 +34,14 @@ object Scratch {
     bandSizes.orderBy(col("count").desc).show(10, false)
     println("[scratch] raw candidate pairs=" + bandSizes
       .agg(sum(col("count") * (col("count") - 1) / 2)).head.get(0))
+    // hamming distribution of the minhash-verified (true) near-dup pairs
+    val d2 = graft.SparkEntry.queries("d2_dedup_minhash_lsh")(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val withH = d2
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    withH.groupBy("hamming").count().orderBy("hamming").show(30)
     spark.stop()
   }
 }

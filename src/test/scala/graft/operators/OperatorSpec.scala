@@ -95,4 +95,13 @@ class OperatorSpec extends SparkSpec {
     assert((d2 & d4pairs).size >= d2.size / 2,
       s"simhash found ${(d2 & d4pairs).size} of ${d2.size} minhash pairs")
   }
+
+  test("codegen'd RandomHyperplaneBucket matches the HOF spelling") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val diff = e.select(
+        Similarity.rhpBucket(col("embedding"), 16).as("fast"),
+        Similarity.rhpBucketHof(col("embedding"), 16).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(diff == 0)
+  }
 }
