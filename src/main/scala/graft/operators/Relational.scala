@@ -458,6 +458,85 @@ object Relational {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
       ORDER BY status, priority"""))
 
+  // B21 — as-of join: each purchase matched to the user's latest prior
+  // click. Spark has no native ASOF JOIN; the scalable spelling is a
+  // union + last(ignoreNulls) running window — one shuffle on user_id,
+  // no range join, no per-row subquery. The oracle uses the identical
+  // union+window definition (not DuckDB's native ASOF) so semantics match
+  // tie-for-tie.
+  private val q21 = Q(
+    "q21_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.union(purchases)
+        .withColumn("last_click_ts",
+          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("last_click_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("last_click_ts"), col("last_click_id"))
+        .orderBy(col("user_id"), col("purchase_id"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, ts, event_id, 0 AS kind FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, event_id, 1 AS kind FROM events WHERE event_type = 'purchase'),
+      w AS (
+        SELECT user_id, ts, event_id, kind,
+          last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER win AS last_click_ts,
+          last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER win AS last_click_id
+        FROM u
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+             last_click_ts, last_click_id
+      FROM w WHERE kind = 1
+      ORDER BY user_id, purchase_id"""))
+
+  // B22 — correlation via explicit decimal-exact moment sums. Native
+  // corr() uses engine-specific streaming formulas (not bit-stable across
+  // engines); the textbook formula over exact decimal sums is.
+  private val q22 = Q(
+    "q22_price_qty_correlation",
+    (s, d) => {
+      val base = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sx"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast(DoubleType).as("sxy"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast(DoubleType).as("sxx"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast(DoubleType).as("syy"))
+      base.select(col("l_returnflag"), col("n").cast("long").as("n_lines"),
+          r4((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT l_returnflag,
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(${decSql("l_quantity")}) AS DOUBLE) AS sx,
+          CAST(SUM(${decSql("l_extendedprice")}) AS DOUBLE) AS sy,
+          CAST(SUM(${decSql("l_quantity")} * ${decSql("l_extendedprice")}) AS DOUBLE) AS sxy,
+          CAST(SUM(${decSql("l_quantity")} * ${decSql("l_quantity")}) AS DOUBLE) AS sxx,
+          CAST(SUM(${decSql("l_extendedprice")} * ${decSql("l_extendedprice")}) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n_lines,
+        ${r4Sql("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS corr_qty_price
+      FROM base ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }
