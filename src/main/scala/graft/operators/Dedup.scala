@@ -92,11 +92,12 @@ object Dedup {
       val hashes = shd.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       // 64 perms / 16 bands x 4 rows: catch probability at j=0.8 is
       // 1-(1-0.8^4)^16 ~= 0.9998 per pair, ~1-3e-8 at the data's j>=0.88.
-      // One codegen'd wide hash aggregate (map-side partial) per doc.
-      val minCols = (0 until 64).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-      val sig = hashes.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      // Single-pass imperative sketch aggregate (SURVEY H3): one primitive
+      // buffer updated per row, map-side partial merge by element-min.
+      val sig = hashes.groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashSignature(col("h"), 64).as("sig"))
       val bandKey = (b: Int) =>
-        xxhash64((lit(b) +: (0 until 4).map(r => col(s"m${b * 4 + r}"))): _*)
+        xxhash64((lit(b) +: (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))): _*)
       val banded = sig.select(col("doc_id"),
         explode(array((0 until 16).map(bandKey): _*)).as("band_key")).persist()
       val cands = banded.select(col("doc_id").as("doc_a"), col("band_key"))
@@ -147,7 +148,8 @@ object Dedup {
           floor(col("n_chars") / 100).as("len_bkt"),
           lower(col("text")).as("lt"))
         .select(col("doc_id"), col("lang"), col("len_bkt"),
-          H.charGramHashes(col("lt"), 4).as("sg"))
+          // sorted + distinct: contract for the merge-walk intersect below
+          sort_array(H.charGramHashes(col("lt"), 4)).as("sg"))
         .filter(size(col("sg")) > 0)
         .withColumn("sz", size(col("sg")))
       val a = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_a"),
@@ -162,7 +164,17 @@ object Dedup {
           && col("doc_a") < col("doc_b")
           && col("sz_a") * 100 >= col("sz_b") * 62
           && col("sz_b") * 100 >= col("sz_a") * 62)
-      verifiedPairs(cands, 0.62)
+      // codegen'd merge-walk intersect (arrays pre-sorted); bound once as
+      // a lambda variable so the walk runs once per pair
+      val jac = element_at(
+        transform(
+          array(graft.functions.SortedIntersectSize(col("sg_a"), col("sg_b")).cast("double")),
+          n => n / (col("sz_a") + col("sz_b") - n)),
+        1)
+      cands.withColumn("jaccard_exact", jac)
+        .filter(col("jaccard_exact") >= 0.62)
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard_exact")).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
     },
     Some(s"""
       WITH g AS (
@@ -187,19 +199,14 @@ object Dedup {
   private val d4 = Relational.Q(
     "d4_dedup_simhash",
     (s, d) => {
-      // Same explode->aggregate shape as d2: 64 conditional-sum bit votes
-      // in one codegen'd hash aggregate, then assemble the 64-bit simhash.
+      // Same explode->aggregate shape as d2, via the single-pass SimHash64
+      // imperative aggregate (SURVEY H3): all 64 bit votes update in one
+      // tight loop per token hash, sign-packed at eval.
       val tokenHashes = Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"), explode(H.tokens(col("text"))).as("tok"))
         .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      val voteCols = (0 until 64).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i")
-      }
-      val votes = tokenHashes.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      val shCol = (0 until 64)
-        .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b))
-      val sh = votes.select(col("doc_id"), shCol.as("sh")).persist()
+      val sh = tokenHashes.groupBy(col("doc_id"))
+        .agg(graft.functions.SimHash64(col("h")).as("sh")).persist()
       val banded = sh.select(col("doc_id"), col("sh"), explode(H.simhashBands(col("sh"))).as("band"))
       val a = banded.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = banded.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
