@@ -111,12 +111,21 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
 
   def isActive: Boolean = !stopped.get() && query != null && query.isActive
 
-  /** Start listening (reference `Listen()`, nibbler.go:125-150). */
+  /** Start listening (reference `Listen()`, nibbler.go:125-150).
+    *
+    * The QUERY trigger is a fast poll, NOT the ticker: the reference
+    * checks batch fullness on every arrival (nibbler.go:160-165), so
+    * arrivals must reach foreachBatch promptly — a trigger equal to the
+    * ticker would delay full-batch flushes (and drain calls) by up to a
+    * whole ticker period. Ticker semantics live in the carry buffer +
+    * ticker thread.
+    */
   def start(): this.type = {
     val tickMs = cfg.tickerDuration.toMillis
+    val pollMs = math.max(1L, math.min(tickMs, 50L))
     query = source.toDS().writeStream
       .queryName(s"nibbler-${System.identityHashCode(this)}")
-      .trigger(SSTrigger.ProcessingTime(tickMs))
+      .trigger(SSTrigger.ProcessingTime(pollMs))
       .outputMode("append")
       .foreachBatch { (batch: Dataset[T], _: Long) =>
         val items = batch.collect()

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming source presets with the backpressure knobs a nibbler user
+  * needs at scale (SURVEY.md §5): a trigger's batch size must be bounded
+  * at the SOURCE (files/offsets per trigger) so a 100 TB/day firehose
+  * can't materialize an unbounded micro-batch — the streaming analog of
+  * the reference's bounded `Size` (nibbler.go:33).
+  */
+object SourcePresets {
+
+  /** Parquet-directory source, at most `maxFilesPerTrigger` files per
+    * micro-batch. Pair with NibblerSink: one trigger ~ one "full" batch.
+    */
+  def parquetDir(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+
+  /** Rate source for load tests and ticker demos. */
+  def rate(spark: SparkSession, rowsPerSecond: Long): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+
+  /** Kafka-shaped source preset (documented for real deployments; the
+    * kafka connector jar is not in this environment). `maxOffsetsPerTrigger`
+    * is the Size bound: offsets per micro-batch across all partitions.
+    */
+  def kafka(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      maxOffsetsPerTrigger: Long = 1000000L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+      .load()
+}

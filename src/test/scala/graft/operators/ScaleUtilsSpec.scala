@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class ScaleUtilsSpec extends SparkSpec {
+
+  test("bucketed tables join without an exchange") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '/tmp/graft-warehouse'")
+    // managed-table locations outlive the session's in-memory catalog;
+    // clear both so reruns don't trip LOCATION_ALREADY_EXISTS
+    spark.sql("DROP TABLE IF EXISTS graft_bkt.orders_b")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt.lineitem_b")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    Seq("orders_b", "lineitem_b")
+      .foreach(t => rmrf(new java.io.File(s"/tmp/graft-warehouse/$t")))
+    ScaleUtils.writeBucketed(
+      Tables.orders(spark, sfDir), "graft_bkt.orders_b", Seq("o_orderkey"), 4)
+    ScaleUtils.writeBucketed(
+      Tables.lineitem(spark, sfDir), "graft_bkt.lineitem_b", Seq("l_orderkey"), 4)
+    val joined = spark.table("graft_bkt.lineitem_b")
+      .join(spark.table("graft_bkt.orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucketed join: sort-merge with NO shuffle exchange on the join keys
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"join shuffled despite bucketing:\n${plan.take(800)}")
+    // same answer as the unbucketed join
+    val expected = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(joined.orderBy("o_orderpriority").collect().toSeq == expected)
+  }
+
+  test("salted equi-join returns exactly the plain join's rows") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").cast("decimal(18,2)").as("q"))
+      .orderBy("o_orderpriority").collect().toSeq
+    val salted = ScaleUtils.saltedEquiJoin(li, o, Seq("l_orderkey"), salts = 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").cast("decimal(18,2)").as("q"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(salted == plain)
+  }
+}

@@ -14,6 +14,26 @@ import graft.streaming.{NibblerSink, Trigger}
 /** Sources/sinks coverage (SURVEY.md §2 G1–G6) + the §5 pushdown claims. */
 class SourcesSpec extends SparkSpec {
 
+  test("bounded parquet streaming source respects maxFilesPerTrigger") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bounded").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = graft.streaming.SourcePresets.parquetDir(spark, dir, docs.schema, maxFilesPerTrigger = 1)
+    val batchSizes = new ConcurrentLinkedQueue[Long]()
+    val q = NibblerSink.start[org.apache.spark.sql.Row](
+      stream.asInstanceOf[org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]],
+      NibblerSink.Config(
+        processor = (_, ds) => { batchSizes.add(ds.count()); () },
+        size = Long.MaxValue, tickerDuration = 200.millis))
+    try {
+      q.processAllAvailable()
+      // 4 files, 1 per trigger -> at least 4 micro-batches, none the full table
+      assert(batchSizes.size >= 4, s"batches=$batchSizes")
+      assert(batchSizes.asScala.forall(_ < docs.count()))
+      assert(batchSizes.asScala.sum == docs.count())
+    } finally q.stop()
+  }
+
   test("csv round-trip preserves rows and schema") {
     val dir = Files.createTempDirectory("graft-csv").toString
     val orders = Tables.orders(spark, sfDir)
@@ -67,8 +87,7 @@ class SourcesSpec extends SparkSpec {
 
   test("rate source drives NibblerSink with ticker semantics") {
     val seen = new ConcurrentLinkedQueue[(Trigger, Long)]()
-    val rate = spark.readStream.format("rate")
-      .option("rowsPerSecond", "50").load()
+    val rate = graft.streaming.SourcePresets.rate(spark, 50)
     import spark.implicits._
     val q = NibblerSink.start[Long](rate.select(col("value").as[Long]),
       NibblerSink.Config[Long](
