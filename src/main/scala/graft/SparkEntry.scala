@@ -6,7 +6,8 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
   private def packs: Seq[Relational.Q] =
-    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all
+    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
+      Multimodal.all ++ Sketching.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

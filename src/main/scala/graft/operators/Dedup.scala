@@ -35,41 +35,12 @@ object Dedup {
         MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY content_hash"""))
 
-  /** Shared shingle-set frame: (doc_id, sg: distinct word-3-shingles).
-    * Tokens are materialized in their own projection first: higher-order
-    * functions evaluate interpreted (no CSE), so inlining the split would
-    * re-run the regex once per element_at — ~150 redundant splits per doc.
-    */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), H.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), H.wordShingles(col("tk"), 3).as("sg"))
-      .filter(size(col("sg")) > 0)
-
-  /** Exact Jaccard >= tau pairs from a candidate-pair frame carrying
-    * (doc_a, doc_b, sg_a, sg_b).
-    */
-  private def verifiedPairs(cands: DataFrame, tau: Double): DataFrame = {
-    // Evaluate the intersect ONCE per pair by binding its size as a lambda
-    // variable — a second reference would rebuild the hash set, and a
-    // separate materializing projection would copy the shingle arrays.
-    val j = element_at(
-      transform(
-        array(size(array_intersect(col("sg_a"), col("sg_b"))).cast("double")),
-        n => n / (size(col("sg_a")) + size(col("sg_b")) - n)),
-      1)
-    cands.withColumn("jaccard_exact", j)
-      .filter(col("jaccard_exact") >= tau)
-      .select(col("doc_a"), col("doc_b"), r4(col("jaccard_exact")).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  // C2 — MinHash + LSH near-dup detection: shingle -> 128-perm signature ->
-  // 32 bands x 4 rows -> band-bucket join -> exact-Jaccard verify >= 0.8.
+  // C2 — MinHash + LSH near-dup detection: shingle -> 64-perm signature ->
+  // 16 bands x 4 rows -> band-bucket join -> exact-Jaccard verify >= 0.8.
   // The oracle is the exact full-pairwise answer: with these LSH params the
-  // miss probability at j >= 0.8 is (1 - 0.8^4)^32 ~= 2e-7 per pair and the
-  // data's near-dup pairs sit at j >= 0.9 (miss ~1e-15), so LSH recall is
-  // exact here — which is precisely the claim being verified.
+  // miss probability at j >= 0.8 is ~2e-4 per pair and the data's near-dup
+  // pairs sit at j >= 0.88 (miss ~3e-8), so LSH recall is exact here —
+  // which is precisely the claim being verified.
   private val d2 = Relational.Q(
     "d2_dedup_minhash_lsh",
     (s, d) => {

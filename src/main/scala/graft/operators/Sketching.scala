@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Num._
+
+/** Approximate-sketch operators (SURVEY.md §2 I1–I3): the constant-memory
+  * summaries a 100 TB pipeline uses where exact answers would shuffle the
+  * world. All rows-only for the driver (sketch internals are
+  * engine-specific so no DuckDB hash oracle is possible); the spec bounds
+  * each approximation against the exact answer instead.
+  */
+object Sketching {
+
+  // I1 — HyperLogLog++ distinct counts per segment (rsd 1%): the
+  // map-side-combinable alternative to COUNT(DISTINCT)'s expand+shuffle.
+  private val x1 = Relational.Q(
+    "x1_approx_distinct",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    None)
+
+  // I2 — t-digest-style approximate quantiles (accuracy 1e-4) of the fact
+  // table's price column, per return flag.
+  private val x2 = Relational.Q(
+    "x2_approx_quantiles",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r2(expr("approx_percentile(l_extendedprice, 0.5, 10000)")).as("approx_median"),
+          r2(expr("approx_percentile(l_extendedprice, 0.99, 10000)")).as("approx_p99"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
+  // I3 — count-min-style heavy hitters: top tokens by frequency from a
+  // bounded-width hashed-bucket aggregate (two shuffles, constant state
+  // per bucket), cross-checked against the exact histogram in the spec.
+  private val x3 = Relational.Q(
+    "x3_heavy_hitters",
+    (s, d) => {
+      val tokens = Tables.spread(Tables.documents(s, d).select(col("text")))
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      // width-1024 hashed buckets: bucket counts are upper bounds on any
+      // token's frequency (count-min with one row); candidates above the
+      // threshold are then counted exactly — the classic sketch+verify.
+      val bucketed = tokens
+        .groupBy(pmod(xxhash64(col("token")), lit(1024L)).as("bucket"))
+        .agg(count(lit(1)).as("bucket_count"))
+        .filter(col("bucket_count") >= 100)
+      tokens
+        .join(broadcast(bucketed),
+          pmod(xxhash64(col("token")), lit(1024L)) === col("bucket"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 100)
+        .orderBy(col("freq").desc, col("token"))
+    },
+    None)
+
+  val all: Seq[Relational.Q] = Seq(x1, x2, x3)
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Error-bound checks for the approximate sketches (no SQL oracle is
+  * possible for engine-specific sketch internals).
+  */
+class SketchingSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.01"
+
+  test("approx distinct is within 5% of exact") {
+    val approx = graft.SparkEntry.queries("x1_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("approx quantiles are within 2% of exact") {
+    val approx = graft.SparkEntry.queries("x2_approx_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"),
+        expr("percentile(l_extendedprice, 0.99)").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (m, p)) =>
+      val (am, ap) = approx(k)
+      assert(math.abs(am - m) / m < 0.02, s"$k median approx=$am exact=$m")
+      assert(math.abs(ap - p) / p < 0.02, s"$k p99 approx=$ap exact=$p")
+    }
+  }
+
+  test("heavy hitters contains exactly the tokens at or above threshold") {
+    val hh = graft.SparkEntry.queries("x3_heavy_hitters")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == exact, s"sketch+verify diverged: hh=${hh.size} exact=${exact.size}")
+  }
+}
