@@ -140,4 +140,33 @@ class NibblerSpec extends SparkSpec {
       new Nibbler[String](spark, NibblerConfig[String](processor = null))
     }
   }
+
+  // Port of the reference README's bulk-processing example
+  // (README.md:126-160): bank account statements batched into a "db".
+  test("bank statements example: all accounts land via bulk batches") {
+    case class AccStatement(accountId: String, balance: Long)
+    val db = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val totalBalance = new java.util.concurrent.atomic.AtomicLong()
+    val nBulkCalls = new java.util.concurrent.atomic.AtomicInteger()
+    implicit val enc: org.apache.spark.sql.Encoder[(String, Long)] =
+      org.apache.spark.sql.Encoders.product[(String, Long)]
+    val nib = Nibbler.start[(String, Long)](spark, NibblerConfig(
+      processor = (_, batch) => {
+        nBulkCalls.incrementAndGet()
+        batch.foreach { case (id, bal) =>
+          db.put(id, bal); totalBalance.addAndGet(bal); ()
+        }
+      },
+      size = 10,
+      tickerDuration = 500.millis,
+      processingTimeout = 5.seconds))
+    val expected = (0 until 100).map(i => (s"account_id_$i", (50000L / (i + 1))))
+    expected.foreach(nib.push)
+    nib.processAllAvailable()
+    nib.stop()
+    assert(db.size == 100)
+    assert(totalBalance.get == expected.map(_._2).sum)
+    // bulk semantics: far fewer processor calls than items
+    assert(nBulkCalls.get <= 20, s"calls=${nBulkCalls.get}")
+  }
 }
