@@ -537,6 +537,37 @@ object Relational {
         ${r4Sql("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS corr_qty_price
       FROM base ORDER BY l_returnflag"""))
 
+  // B23 — full outer join of two filtered aggregates (asymmetric sides so
+  // outer nulls genuinely occur), null-bridged with coalesce.
+  private val q23 = Q(
+    "q23_nation_coverage",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_rich_customers"))
+      val su = Tables.supplier(s, d).filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_rich_suppliers"))
+      c.join(su, col("nk_c") === col("nk_s"), "full_outer")
+        .select(
+          coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"),
+          coalesce(col("n_rich_suppliers"), lit(0L)).as("n_rich_suppliers"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS n_rich_customers
+        FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+      s AS (
+        SELECT s_nationkey AS nk, COUNT(*) AS n_rich_suppliers
+        FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+      SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        COALESCE(n_rich_customers, 0) AS n_rich_customers,
+        COALESCE(n_rich_suppliers, 0) AS n_rich_suppliers
+      FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      ORDER BY nationkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
 }
