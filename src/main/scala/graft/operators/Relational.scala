@@ -568,6 +568,35 @@ object Relational {
       FROM c FULL OUTER JOIN s ON c.nk = s.nk
       ORDER BY nationkey"""))
 
+  // B24 — correlated scalar subquery (TPC-H Q17 flavor): Catalyst
+  // decorrelates the per-part average into an aggregate + join. The
+  // threshold is spelled as exact-decimal-sum / count so both engines
+  // compute the identical double (native AVG is not bit-stable).
+  private val q24 = Q(
+    "q24_small_order_revenue",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_v")
+      Tables.part(s, d).createOrReplaceTempView("graft_part_v")
+      s.sql(s"""
+        SELECT CAST(ROUND(SUM(${decSql("l_extendedprice")}), 2) AS DOUBLE) AS total_revenue,
+               COUNT(*) AS n_lines
+        FROM graft_lineitem_v, graft_part_v
+        WHERE p_partkey = l_partkey
+          AND p_size <= 10
+          AND l_quantity < (
+            SELECT 0.5 * (CAST(SUM(${decSql("l2.l_quantity")}) AS DOUBLE) / COUNT(*))
+            FROM graft_lineitem_v l2 WHERE l2.l_partkey = p_partkey)""")
+    },
+    Some(s"""
+      SELECT CAST(ROUND(SUM(${decSql("l_extendedprice")}), 2) AS DOUBLE) AS total_revenue,
+             COUNT(*) AS n_lines
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey
+        AND p_size <= 10
+        AND l_quantity < (
+          SELECT 0.5 * (CAST(SUM(${decSql("l2.l_quantity")}) AS DOUBLE) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
 }

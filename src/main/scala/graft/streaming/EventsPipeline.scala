@@ -18,6 +18,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsPipeline {
 
+  /** Streaming exact dedup by id with bounded state (A16): the streaming
+    * twin of Dedup.d1 — duplicates arriving within the watermark horizon
+    * are dropped; state for ids older than the watermark is evicted, so
+    * the store stays bounded on an unbounded stream.
+    */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+
   /** Watermarked 1-minute tumbling aggregation (A14). Works on any
     * streaming or batch DataFrame with (ts: timestamp, event_type, value).
     */

@@ -119,4 +119,45 @@ class EventsPipelineSpec extends SparkSpec {
     intercept[Exception] { q2.processAllAvailable() }
     assert(!q2.isActive)
   }
+
+  test("streaming dedup drops duplicates; watermark drops late events in windowed agg") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // dedup: same event_id arriving twice -> one row out
+    val src = MemoryStream[EventsPipeline.Event]
+    def ev(id: Long, minute: Long) =
+      EventsPipeline.Event(id, new java.sql.Timestamp(minute * 60000L), 1L, "click", 1.0)
+    val q = EventsPipeline.dedupStream(src.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      src.addData(ev(1, 100), ev(2, 101), ev(1, 100))
+      q.processAllAvailable()
+      src.addData(ev(1, 100), ev(3, 102))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+
+    // watermark: an event older than (max ts - watermark) never reaches a
+    // finalized window in append mode
+    val src2 = MemoryStream[EventsPipeline.Event]
+    val q2 = EventsPipeline.tumblingAgg(src2.toDS().toDF(), watermark = "2 minutes")
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      src2.addData(ev(10, 100))
+      q2.processAllAvailable()
+      src2.addData(ev(11, 200)) // advances watermark to minute 198
+      q2.processAllAvailable()
+      src2.addData(ev(12, 100)) // late: far behind watermark, dropped
+      q2.processAllAvailable()
+      src2.addData(ev(13, 300)) // finalize remaining windows
+      q2.processAllAvailable()
+      val counts = spark.table("late_test")
+        .select("minute_start", "n_events")
+        .collect().map(r => r.getTimestamp(0).getTime / 60000 -> r.getLong(1)).toMap
+      assert(counts.get(100L) == Some(1L), s"late event was counted: $counts")
+    } finally q2.stop()
+  }
 }
