@@ -597,6 +597,61 @@ object Relational {
           SELECT 0.5 * (CAST(SUM(${decSql("l2.l_quantity")}) AS DOUBLE) / COUNT(*))
           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""))
 
+  // B25 — ranking-function zoo: ntile / rank / dense_rank / percent_rank /
+  // cume_dist in one window (all exact-arithmetic outputs).
+  private val q25 = Q(
+    "q25_ranking_zoo",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .filter(col("c_custkey") <= 300)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          r4(percent_rank().over(w)).as("pct_rank"),
+          r4(cume_dist().over(w)).as("cume"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some(s"""
+      SELECT c_mktsegment, c_custkey,
+        ntile(4) OVER win AS quartile,
+        rank() OVER win AS rnk,
+        dense_rank() OVER win AS drnk,
+        ${r4Sql("percent_rank() OVER win")} AS pct_rank,
+        ${r4Sql("cume_dist() OVER win")} AS cume
+      FROM customer
+      WHERE c_custkey <= 300
+      WINDOW win AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_mktsegment, c_custkey"""))
+
+  // B26 — EXCEPT / INTERSECT set operators.
+  private val q26 = Q(
+    "q26_set_operations",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val finished = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val exceptCusts = urgent.except(finished)
+        .select(col("o_custkey"), lit("urgent_only").as("cohort"))
+      val bothCusts = urgent.intersect(finished)
+        .select(col("o_custkey"), lit("urgent_and_finished").as("cohort"))
+      exceptCusts.union(bothCusts).orderBy(col("cohort"), col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey, cohort FROM (
+        SELECT o_custkey, 'urgent_only' AS cohort FROM (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT o_custkey, 'urgent_and_finished' AS cohort FROM (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+      ORDER BY cohort, o_custkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q26)
 }
