@@ -192,6 +192,8 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
   /** Drain everything already pushed through the processor (test/shutdown
     * aid; the reference's tests sleep instead).
     */
+  def awaitIdle(): Unit = processAllAvailable()
+
   def processAllAvailable(): Unit = {
     val q = query
     if (q != null && q.isActive)
