@@ -120,5 +120,51 @@ object Similarity {
     },
     None)
 
-  val all: Seq[Relational.Q] = Seq(s1, s2, s3)
+  // D4 — IVF-lite ANN: a deterministic centroid sample partitions the
+  // corpus into inverted lists (each vector assigned to its nearest
+  // centroid); queries probe their nProbe nearest lists only. At 100 TB
+  // the lists are the partitioning: the corpus scan is replaced by a
+  // bucket-pruned read, and centroids come from k-means instead of a
+  // sample — the join/shuffle shape is identical.
+  private val s4 = Relational.Q(
+    "s4_ann_ivf_topk",
+    (s, d) => {
+      val nProbe = 2
+      val e = Tables.spread(Tables.embeddings(s, d))
+      // deterministic "training": every 50th vector is a centroid
+      val centroids = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      // inverted lists: nearest centroid per corpus vector
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))
+      val assigned = e.join(broadcast(centroids), lit(true))
+        .withColumn("ccos", CosF(col("embedding"), col("centv")))
+        .withColumn("arnk", row_number().over(wAssign))
+        .filter(col("arnk") === 1)
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+        .persist()
+      // queries probe their nProbe nearest centroids
+      val q = assigned.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("centroid_id"))
+      val probes = q.join(broadcast(centroids), lit(true))
+        .withColumn("pcos", CosF(col("qv"), col("centv")))
+        .withColumn("prnk", row_number().over(wProbe))
+        .filter(col("prnk") <= nProbe)
+        .select(col("query_id"), col("qv"), col("centroid_id"))
+      // search only the probed lists
+      val scored = probes
+        .join(assigned.select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          Seq("centroid_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", CosF(col("qv"), col("cv")))
+      val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), r4(col("cos")).as("cosine"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    None)
+
+  val all: Seq[Relational.Q] = Seq(s1, s2, s3, s4)
 }

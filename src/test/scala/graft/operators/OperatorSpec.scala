@@ -104,4 +104,20 @@ class OperatorSpec extends SparkSpec {
       .filter(col("fast") =!= col("hof")).count()
     assert(diff == 0)
   }
+
+  test("IVF ANN (s4) produces valid ranks with reasonable recall vs brute force") {
+    val sf = "/root/testdata/sf0.01"
+    val s4 = graft.SparkEntry.queries("s4_ann_ivf_topk")(spark, sf).collect()
+    assert(s4.nonEmpty)
+    s4.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+    val exact = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = s4.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // nProbe=2 of ~10 lists on weakly-clustered random vectors: just
+    // assert the pipeline finds a nontrivial share of true neighbors
+    assert(recall >= 0.2, s"IVF recall $recall")
+  }
 }
