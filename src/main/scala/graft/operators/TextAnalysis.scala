@@ -164,5 +164,54 @@ object TextAnalysis {
           w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS est_bpe_tokens
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6)
+  // E7 — winnowing fingerprints (Schleimer et al.): the rolling local-min
+  // selection over positional k-gram hashes, built relationally (posexplode
+  // + sliding window min, all codegen), then a fingerprint-sharing join.
+  // Docs sharing >= 50% of the smaller fingerprint set are near-dup
+  // candidates. Rows-only (no 64-bit hash common with DuckDB); the spec
+  // checks it rediscovers the minhash-verified near-dups.
+  private val t7 = Relational.Q(
+    "t7_winnowing_fingerprints",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 5  // gram length
+      val w = 4  // winnow window
+      val grams = graft.Tables.spread(
+          graft.Tables.documents(s, d).select(col("doc_id"), lower(col("text")).as("lt")))
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(1, greatest(length(lt) - ${k - 1}, 1)), i -> xxhash64(substr(lt, i, $k)))"))
+            .as(Seq("pos", "gh")))
+      val winnowWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, w - 1)
+      val fps = grams
+        .withColumn("fp", min(col("gh")).over(winnowWin))
+        .select(col("doc_id"), col("fp"))
+        .distinct()
+        .persist()
+      // drop ubiquitous fingerprints (shared by >25% of docs) — they carry
+      // no near-dup signal and would explode the pair join; overlap ratios
+      // are computed on the FILTERED sets so the discriminative
+      // fingerprints carry full weight
+      val nDocs = fps.select(col("doc_id")).distinct().count()
+      val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= lit(math.max(2L, nDocs / 4)))
+      val filtered = fps.join(rare.select("fp"), Seq("fp")).persist()
+      val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      val shared = filtered.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(filtered.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")), Seq("doc_b"))
+        .withColumn("overlap",
+          col("n_shared").cast("double") / least(col("n_fp_a"), col("n_fp_b")))
+        .filter(col("overlap") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), r4(col("overlap")).as("overlap"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None)
+
+  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7)
 }

@@ -120,4 +120,15 @@ class OperatorSpec extends SparkSpec {
     // assert the pipeline finds a nontrivial share of true neighbors
     assert(recall >= 0.2, s"IVF recall $recall")
   }
+
+  test("winnowing fingerprints rediscover the minhash near-duplicates") {
+    val sf = "/root/testdata/sf0.01"
+    val t7 = graft.SparkEntry.queries("t7_winnowing_fingerprints")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d2 = graft.SparkEntry.queries("d2_dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d2.nonEmpty && t7.nonEmpty)
+    val found = (d2 & t7).size
+    assert(found >= d2.size / 2, s"winnowing found $found of ${d2.size} near-dup pairs")
+  }
 }
