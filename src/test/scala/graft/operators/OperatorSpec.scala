@@ -50,7 +50,7 @@ class OperatorSpec extends SparkSpec {
     assert(sizes == Map(1L -> 2, 2L -> 0, 3L -> 3))
   }
 
-  test("LSH ANN (s2) returns valid ranked output; similarity join (s3) is a subset of exact pairs") {
+  test("LSH ANN (s2) has recall >= 0.8 vs brute force; similarity join (s3) is a subset of exact pairs") {
     val sf = "/root/testdata/sf0.01"
     val s2 = graft.SparkEntry.queries("s2_ann_lsh_topk")(spark, sf).collect()
     assert(s2.nonEmpty)
@@ -59,6 +59,13 @@ class OperatorSpec extends SparkSpec {
     byQ.foreach { case (_, rows) =>
       assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
     }
+    // multi-probe recall floor: the probed union must recover >= 80% of the
+    // true top-k (query_id, neighbor_id) pairs from the brute-force baseline
+    val exactTopk = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lshTopk = s2.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (lshTopk & exactTopk).size.toDouble / exactTopk.size
+    assert(recall >= 0.8, s"s2 multi-probe recall $recall < 0.8")
     val exact = graft.SparkEntry.queries("d5_dedup_embedding")(spark, sf)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val s3 = graft.SparkEntry.queries("s3_similarity_join")(spark, sf)
