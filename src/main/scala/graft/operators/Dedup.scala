@@ -47,47 +47,62 @@ object Dedup {
       import org.apache.spark.sql.expressions.Window
       // Shingles built relationally (posexplode + window lead) instead of
       // a higher-order transform: HOFs evaluate interpreted per element,
-      // while this whole pipeline stays in codegen. Set semantics via
-      // distinct; no shingle arrays ever materialize.
-      val toks = Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      // while this whole pipeline stays in codegen. Shingles are hashed to
+      // 64-bit the moment they're formed — every downstream shuffle, agg,
+      // and join carries longs, never shingle strings (collision odds
+      // ~n²/2^64 per doc, the same contract d3 documents for its gram
+      // hashes). The ONE data exchange is the repartition by doc_id below:
+      // the window, the distinct, and the per-doc aggregate all reuse that
+      // partitioning (ClusteredDistribution satisfied), so the plan has no
+      // further exchange over shingle rows.
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(col("doc_id")) // spreads the tiny scan AND keys everything downstream
         .select(col("doc_id"), posexplode(H.tokens(col("text"))).as(Seq("pos", "tok")))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val shd = toks
         .select(col("doc_id"), col("pos"), col("tok"),
           lead(col("tok"), 1).over(w).as("t1"), lead(col("tok"), 2).over(w).as("t2"))
         .filter(col("t2").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-        .distinct()
-        .persist() // feeds sizes, signatures, and the verify join
-      val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val hashes = shd.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .select(col("doc_id"), xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h"))
+        .dropDuplicates("doc_id", "h")
+        .persist()
+      // One fused per-doc aggregate produces size, the 64-perm minhash
+      // signature (single-pass imperative sketch, SURVEY H3), and the
+      // sorted gram-hash array for the merge-walk verify — three frames in
+      // round 1, one pass now, exchange-free on the cached partitioning.
       // 64 perms / 16 bands x 4 rows: catch probability at j=0.8 is
       // 1-(1-0.8^4)^16 ~= 0.9998 per pair, ~1-3e-8 at the data's j>=0.88.
-      // Single-pass imperative sketch aggregate (SURVEY H3): one primitive
-      // buffer updated per row, map-side partial merge by element-min.
-      val sig = hashes.groupBy(col("doc_id"))
-        .agg(graft.functions.MinHashSignature(col("h"), 64).as("sig"))
+      val docStats = shd.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("sz"),
+          graft.functions.MinHashSignature(col("h"), 64).as("sig"),
+          sort_array(collect_list(col("h"))).as("sg"))
+        .persist()
       val bandKey = (b: Int) =>
         xxhash64((lit(b) +: (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))): _*)
-      val banded = sig.select(col("doc_id"),
-        explode(array((0 until 16).map(bandKey): _*)).as("band_key")).persist()
+      val banded = docStats.select(col("doc_id"),
+        explode(array((0 until 16).map(bandKey): _*)).as("band_key"))
+      // Band self-join: one (doc_id, band_key) long-pair frame broadcast —
+      // at bench scale this is KBs; at 100 TB the same join runs as a
+      // shuffle on band_key (drop the hint), still never a cross join.
       val cands = banded.select(col("doc_id").as("doc_a"), col("band_key"))
-        .join(banded.select(col("doc_id").as("doc_b"), col("band_key")), Seq("band_key"))
+        .join(broadcast(banded.select(col("doc_id").as("doc_b"), col("band_key"))), Seq("band_key"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates("doc_a", "doc_b")
-      // Exact-Jaccard verify, relationally: |A ∩ B| by joining the few
-      // candidate pairs back to the shingle rows — no array set ops.
-      val inter = cands
-        .join(shd.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-        .join(shd.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      val j = col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-        .withColumn("jaccard_exact", j)
+      // Exact-Jaccard verify via the codegen merge-walk over the sorted
+      // per-doc gram-hash arrays (SURVEY H4): the candidate pair frame is
+      // broadcast twice, so the verify adds zero shuffles of gram data.
+      val withA = broadcast(cands)
+        .join(docStats.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"), col("sz").as("sz_a")),
+          Seq("doc_a"))
+      val pairs = broadcast(withA)
+        .join(docStats.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"), col("sz").as("sz_b")),
+          Seq("doc_b"))
+      pairs
+        .withColumn("n_inter",
+          graft.functions.SortedIntersectSize(col("sg_a"), col("sg_b")).cast("double"))
+        .withColumn("jaccard_exact",
+          col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")))
         .filter(col("jaccard_exact") >= 0.8)
         .select(col("doc_a"), col("doc_b"), r4(col("jaccard_exact")).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -193,16 +208,37 @@ object Dedup {
     },
     None)
 
-  // C5 — embedding near-dup pairs by cosine. Brute-force within the
-  // threshold here (exact semantics, oracle-checked); the LSH-bucketed
-  // scale path is Similarity.s3.
+  // C5 — embedding near-dup pairs by cosine, EXACT (oracle-checked), via
+  // triangle partitioning: ids hash into B groups; each vector is
+  // replicated to the B buckets {(min(g,j), max(g,j))} containing its
+  // group, pairs are computed inside each of the B(B+1)/2 buckets by an
+  // EQUI-join on the bucket key, and every unordered pair lands in exactly
+  // one surviving bucket (the (min,max) of its two groups; same-group
+  // pairs only count in the diagonal). The n²/2 comparisons are inherent
+  // to exact all-pairs semantics, but this spreads them evenly over
+  // B(B+1)/2 shuffle tasks with B-fold input replication — the standard
+  // distributed exact all-pairs shape (no BroadcastNestedLoopJoin, no
+  // driver-held corpus; at 1000 executors pick B ~ 45 for ~1000 buckets).
+  // The sub-quadratic approximate path at scale remains Similarity.s3.
   private val d5 = Relational.Q(
     "d5_dedup_embedding",
     (s, d) => {
+      val B = 8
       val e = Tables.embeddings(s, d)
-      val a = Tables.spread(e.select(col("vec_id").as("id_a"), col("embedding").as("va")))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      a.join(b, col("id_a") < col("id_b"))
+      def sides(id: String, v: String, g: String) =
+        Tables.spread(e.select(col("vec_id").as(id), col("embedding").as(v)))
+          .withColumn(g, pmod(col(id), lit(B)))
+          .select(col(id), col(v), col(g),
+            explode(array((0 until B).map(j =>
+              struct(least(col(g), lit(j)).as("k1"), greatest(col(g), lit(j)).as("k2"))): _*)).as("bk"))
+          .select(col(id), col(v), col(g), col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+      val a = sides("id_a", "va", "ga")
+      val b = sides("id_b", "vb", "gb")
+      a.join(b, Seq("k1", "k2"))
+        .filter(col("id_a") < col("id_b"))
+        // same-group pairs appear in every bucket containing g — keep only
+        // the diagonal occurrence; cross-group pairs meet exactly once
+        .filter(col("ga") =!= col("gb") || (col("k1") === col("ga") && col("k2") === col("ga")))
         .withColumn("cos", CosF(col("va"), col("vb")))
         .filter(col("cos") >= 0.4)
         .select(col("id_a"), col("id_b"), r4(col("cos")).as("cosine"))

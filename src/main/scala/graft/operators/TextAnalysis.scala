@@ -176,11 +176,16 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       val k = 5  // gram length
       val w = 4  // winnow window
+      // Gram hashing stays in whole-stage codegen: explode the POSITIONS
+      // (a cheap int sequence), then hash each k-gram as a per-row column
+      // expression. The earlier HOF spelling (transform(sequence, i ->
+      // xxhash64(substr))) evaluated interpreted per element — the repo's
+      // documented hot-path pitfall.
       val grams = graft.Tables.spread(
           graft.Tables.documents(s, d).select(col("doc_id"), lower(col("text")).as("lt")))
-        .select(col("doc_id"),
-          posexplode(expr(s"transform(sequence(1, greatest(length(lt) - ${k - 1}, 1)), i -> xxhash64(substr(lt, i, $k)))"))
-            .as(Seq("pos", "gh")))
+        .select(col("doc_id"), col("lt"),
+          explode(sequence(lit(1), greatest(length(col("lt")) - (k - 1), lit(1)))).as("pos"))
+        .select(col("doc_id"), col("pos"), xxhash64(col("lt").substr(col("pos"), lit(k))).as("gh"))
       val winnowWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(0, w - 1)
       val fps = grams
@@ -191,10 +196,14 @@ object TextAnalysis {
       // drop ubiquitous fingerprints (shared by >25% of docs) — they carry
       // no near-dup signal and would explode the pair join; overlap ratios
       // are computed on the FILTERED sets so the discriminative
-      // fingerprints carry full weight
-      val nDocs = fps.select(col("doc_id")).distinct().count()
+      // fingerprints carry full weight. The doc count arrives as a
+      // broadcast one-row frame, keeping the whole operator lazily planned
+      // (no driver-side action).
+      val nDocsDf = fps.agg(count_distinct(col("doc_id")).as("n_docs"))
       val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= lit(math.max(2L, nDocs / 4)))
+        .crossJoin(broadcast(nDocsDf))
+        .filter(col("df") <= greatest(lit(2L), (col("n_docs") / lit(4)).cast("long")))
+        .select(col("fp"))
       val filtered = fps.join(rare.select("fp"), Seq("fp")).persist()
       val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
       val shared = filtered.select(col("fp"), col("doc_id").as("doc_a"))

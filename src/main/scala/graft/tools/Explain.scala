@@ -24,7 +24,7 @@ object Explain {
     df.explain("formatted")
     val t0 = System.nanoTime()
     val n = df.count()
-    println(s"rows=$n  elapsed=${(System.nanoTime() - t0) / 1e9}%.2f sec")
+    println(f"rows=$n  elapsed=${(System.nanoTime() - t0) / 1e9}%.2f sec")
     spark.stop()
   }
 }
