@@ -1,11 +1,11 @@
 package graft.streaming
 
-import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.{CancellationException, ExecutionException, Executors, ExecutorService, FutureTask, ScheduledExecutorService, TimeUnit}
 import java.util.concurrent.atomic.AtomicBoolean
 
 import scala.collection.mutable.ArrayBuffer
 import scala.concurrent.duration._
-import scala.concurrent.{Await, Future, ExecutionContext, TimeoutException}
+import scala.concurrent.TimeoutException
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
@@ -40,19 +40,43 @@ object Nibbler {
   }
 }
 
+/** Cooperative cancellation handle for context-aware processors — the
+  * analog of the reference's `ctx` carrying `ProcessingTimeout`
+  * (nibbler.go:25, :103-106). `isCancelled` flips when the processing
+  * deadline elapses (the worker thread is also interrupted), so a looping
+  * processor can abort early. As in Go, cancellation is cooperative: a
+  * processor that ignores it keeps running, its side effects may still
+  * land after the batch was reported failed, and — because processing is
+  * strictly serial (nibbler.go blocks until Processor returns) — the NEXT
+  * batch waits until the stale invocation actually finishes.
+  */
+final class BatchContext private[streaming] (deadlineNanos: Long) {
+  private[streaming] val cancelFlag = new AtomicBoolean(false)
+  /** True once the processing deadline has passed (ctx.Done() analog). */
+  def isCancelled: Boolean = cancelFlag.get()
+  /** Time left before the processing deadline (ctx.Deadline() analog). */
+  def remaining: FiniteDuration =
+    math.max(0L, deadlineNanos - System.nanoTime()).nanos
+}
+
 /** Config for the micro-batch processor (reference: nibbler.go:27-46).
   *
   * Defaults mirror the reference's `Sanitize` (nibbler.go:48-60):
   * sub-millisecond timeout -> 1s, sub-millisecond ticker -> 1m, size 0 -> 100.
   * A missing processor fails validation (nibbler.go:62-68).
+  *
+  * Exactly one of `processor` (plain) or `ctxProcessor` (receives the
+  * [[BatchContext]] cancellation handle, mirroring the reference's
+  * `Processor(ctx, trigger, batch)` signature) must be set.
   */
 final case class NibblerConfig[T](
-    processor: (Trigger, Seq[T]) => Unit,
+    processor: (Trigger, Seq[T]) => Unit = null,
     size: Int = 0,
     tickerDuration: Duration = Duration.Zero,
     processingTimeout: Duration = Duration.Zero,
     resumeAfterErr: Boolean = false,
-    onError: (Seq[T], Throwable) => Unit = null) {
+    onError: (Seq[T], Throwable) => Unit = null,
+    ctxProcessor: (BatchContext, Trigger, Seq[T]) => Unit = null) {
 
   def sanitized: NibblerConfig[T] = copy(
     size = if (size <= 0) Nibbler.DefaultSize else size,
@@ -61,9 +85,13 @@ final case class NibblerConfig[T](
     processingTimeout =
       if (processingTimeout < 1.milli) Nibbler.DefaultTimeout else processingTimeout)
 
-  def validate(): Unit =
-    if (processor == null)
+  def validate(): Unit = {
+    if (processor == null && ctxProcessor == null)
       throw new Nibbler.ValidationException("batch processor cannot be empty")
+    if (processor != null && ctxProcessor != null)
+      throw new Nibbler.ValidationException(
+        "set exactly one of processor and ctxProcessor")
+  }
 }
 
 /** Embedded micro-batch processor: the reference's `Nibbler[T]`
@@ -96,7 +124,22 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
   private val stopped = new AtomicBoolean(false)
   @volatile private var query: StreamingQuery = _
   private var ticker: ScheduledExecutorService = _
-  private implicit val ec: ExecutionContext = ExecutionContext.global
+  /** Dedicated single-thread processor executor: invocations queue here,
+    * which makes processing strictly serial like the reference's listen
+    * loop (nibbler.go blocks until Processor returns) — even a timed-out
+    * invocation that ignores cancellation is waited out by the next
+    * flush's task before it can start.
+    */
+  private val worker: ExecutorService = Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "nibbler-processor"); t.setDaemon(true); t
+  })
+  /** The latest processor invocation. `task.get` alone can't be used to
+    * wait out a STALE invocation: FutureTask.cancel flips get() to throw
+    * immediately while the runnable keeps executing — `done` only counts
+    * down when the runnable actually returns.
+    */
+  private final case class Invocation(task: FutureTask[Unit], done: java.util.concurrent.CountDownLatch)
+  @volatile private var inFlight: Invocation = null
 
   /** Push one item (reference `Receiver()`, nibbler.go:120-122). Throws
     * [[Nibbler.ReceiverClosedException]] once the nibbler has stopped after a
@@ -152,16 +195,51 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
 
   /** Process `n` items under the processing timeout; reset them from the
     * carry buffer only on success (nibbler.go:98-117). Must hold `lock`.
+    *
+    * The invocation runs on the dedicated single-thread worker. On timeout
+    * the batch context's cancel flag flips and the worker thread is
+    * interrupted (FutureTask.cancel(true)) — a cooperative processor
+    * observes either within ProcessingTimeout; one that ignores both keeps
+    * running (its side effects may still land, as in Go), but strict
+    * serialization holds: the next flush's task queues behind it.
     */
   private def flushLocked(trigger: Trigger, n: Int): Unit = {
+    // Strictly-serial contract: wait out any stale (timed-out but still
+    // running) invocation BEFORE starting this one, so the worker is idle
+    // at submission (the invocation starts immediately and its timeout
+    // clock measures actual processing) — the reference's listen loop
+    // likewise blocks until Processor returns, however late.
+    val prev = inFlight
+    if (prev != null) {
+      try prev.task.get()
+      catch { case _: InterruptedException => (); case NonFatal(_) => () }
+      prev.done.await()
+    }
     val slice = carry.take(n).toVector
+    val ctx = new BatchContext(System.nanoTime() + cfg.processingTimeout.toNanos)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val task = new FutureTask[Unit](() => {
+      try {
+        if (cfg.ctxProcessor != null) cfg.ctxProcessor(ctx, trigger, slice)
+        else cfg.processor(trigger, slice)
+      } finally done.countDown()
+    })
+    worker.execute(task)
+    inFlight = Invocation(task, done)
     val result =
       try {
-        Await.result(Future(cfg.processor(trigger, slice)), cfg.processingTimeout)
+        task.get(cfg.processingTimeout.toNanos, TimeUnit.NANOSECONDS)
         None
       } catch {
-        case e: TimeoutException => Some(e)
-        case NonFatal(e)         => Some(e) // panic recovery (nibbler.go:81-96)
+        case _: java.util.concurrent.TimeoutException =>
+          ctx.cancelFlag.set(true)
+          task.cancel(true) // interrupt the worker thread
+          Some(new TimeoutException(
+            s"processor exceeded processingTimeout=${cfg.processingTimeout}"))
+        case e: ExecutionException =>
+          Some(if (e.getCause != null) e.getCause else e) // panic recovery (nibbler.go:81-96)
+        case e @ (_: CancellationException | _: InterruptedException) => Some(e)
+        case NonFatal(e) => Some(e)
       }
     result match {
       case None =>
@@ -186,6 +264,7 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
     new Thread(() => {
       try if (q != null && q.isActive) q.stop() catch { case NonFatal(_) => () }
       if (t != null) t.shutdown()
+      worker.shutdown() // in-flight invocation may finish; nothing new starts
     }, "nibbler-stopper").start()
   }
 
@@ -212,5 +291,6 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
     val q = query
     try if (q != null && q.isActive) q.stop() catch { case NonFatal(_) => () }
     if (ticker != null) ticker.shutdown()
+    worker.shutdown()
   }
 }

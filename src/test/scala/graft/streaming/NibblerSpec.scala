@@ -122,6 +122,81 @@ class NibblerSpec extends SparkSpec {
     nib.stop()
   }
 
+  test("a looping ctxProcessor observes cancellation within the processing timeout") {
+    val sawError = new CountDownLatch(1)
+    @volatile var cancelObservedAt = -1L
+    @volatile var started = -1L
+    val nib = Nibbler.start(spark, NibblerConfig[Int](
+      ctxProcessor = (ctx, _, _) => {
+        started = System.nanoTime()
+        // cooperative loop: poll the context, swallow the interrupt into a
+        // flag check (a processor may also just let InterruptedException
+        // propagate)
+        while (!ctx.isCancelled) {
+          try Thread.sleep(5)
+          catch { case _: InterruptedException => () }
+        }
+        cancelObservedAt = System.nanoTime()
+      },
+      size = 1,
+      tickerDuration = 300.millis,
+      processingTimeout = 200.millis,
+      resumeAfterErr = true,
+      onError = (_, e) => { sawError.countDown() }))
+    nib.push(1)
+    nib.processAllAvailable()
+    assert(sawError.await(10, TimeUnit.SECONDS))
+    val deadline = System.nanoTime() + 5.seconds.toNanos
+    while (cancelObservedAt < 0 && System.nanoTime() < deadline) Thread.sleep(10)
+    assert(cancelObservedAt > 0, "processor never observed cancellation")
+    val observedAfterMs = (cancelObservedAt - started) / 1000000L
+    // cancelled at the 200ms deadline; observed shortly after (scheduling slack)
+    assert(observedAfterMs >= 190 && observedAfterMs < 2000,
+      s"cancellation observed after ${observedAfterMs}ms")
+    nib.stop()
+  }
+
+  test("processing is strictly serial: next batch waits for a stale timed-out processor") {
+    val running = new java.util.concurrent.atomic.AtomicInteger()
+    val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger()
+    val finished = new ConcurrentLinkedQueue[Int]()
+    val nib = Nibbler.start(spark, NibblerConfig[Int](
+      // ignores cancellation entirely: holds the worker for 600ms while the
+      // nibbler declares it timed out at 100ms and moves on
+      processor = (_, b) => {
+        val now = running.incrementAndGet()
+        maxConcurrent.updateAndGet(m => math.max(m, now))
+        val deadline = System.nanoTime() + 600.millis.toNanos
+        while (System.nanoTime() < deadline) {
+          try Thread.sleep(10) catch { case _: InterruptedException => () }
+        }
+        finished.add(b.head)
+        running.decrementAndGet()
+      },
+      size = 1,
+      tickerDuration = 200.millis,
+      processingTimeout = 100.millis,
+      resumeAfterErr = true,
+      onError = (_, _) => ()))
+    nib.push(1)
+    nib.processAllAvailable()
+    nib.push(2)
+    nib.processAllAvailable()
+    val deadline = System.nanoTime() + 10.seconds.toNanos
+    while (finished.size < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(finished.asScala.toVector == Vector(1, 2))
+    assert(maxConcurrent.get == 1,
+      s"stale and fresh processor invocations overlapped (max=${maxConcurrent.get})")
+    nib.stop()
+  }
+
+  test("validation rejects setting both processor flavors") {
+    intercept[Nibbler.ValidationException] {
+      new Nibbler[String](spark, NibblerConfig[String](
+        processor = (_, _) => (), ctxProcessor = (_, _, _) => ()))
+    }
+  }
+
   test("config sanitize applies the reference defaults") {
     val cfg = NibblerConfig[String](processor = (_, _) => ()).sanitized
     assert(cfg.size == 100)
