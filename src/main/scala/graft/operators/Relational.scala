@@ -437,26 +437,34 @@ object Relational {
       FROM events WHERE user_id <= 100
       GROUP BY user_id ORDER BY user_id"""))
 
-  // B20 — GROUPING SETS + count distinct.
+  // B20 — orders ⋈ lineitem cohort: join + GROUPING SETS + count distinct
+  // + decimal-exact quantity sum. The fact-fact join shuffles on orderkey
+  // (bucketed to zero-shuffle at 100 TB via ScaleUtils.writeBucketed);
+  // grouping-sets expansion happens AFTER the join's aggregate input, and
+  // COUNT(DISTINCT) plans as the two-phase expand+agg, all map-side
+  // partial.
   private val q20 = Q(
-    "q20_order_cohorts",
+    "q20_order_lineitem_cohort",
     (s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
-      s.sql("""
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_v")
+      s.sql(s"""
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-               COALESCE(o_orderpriority, 'ALL') AS priority,
-               COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
-        FROM graft_orders_v
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
-        ORDER BY status, priority""")
+               COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_lines,
+               ${moneySql("l_quantity")} AS sum_qty
+        FROM graft_orders_v JOIN graft_lineitem_v ON l_orderkey = o_orderkey
+        GROUP BY GROUPING SETS ((o_orderstatus), (l_returnflag), (o_orderstatus, l_returnflag))
+        ORDER BY status, returnflag""")
     },
-    Some("""
+    Some(s"""
       SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-             COALESCE(o_orderpriority, 'ALL') AS priority,
-             COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
-      FROM orders
-      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
-      ORDER BY status, priority"""))
+             COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_lines,
+             ${moneySql("l_quantity")} AS sum_qty
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY GROUPING SETS ((o_orderstatus), (l_returnflag), (o_orderstatus, l_returnflag))
+      ORDER BY status, returnflag"""))
 
   // B21 — as-of join: each purchase matched to the user's latest prior
   // click. Spark has no native ASOF JOIN; the scalable spelling is a

@@ -41,6 +41,14 @@ object ScaleUtils {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts >= 1)
+    // Right rows are replicated across all salts, so any join type that
+    // emits UNMATCHED right rows (right/full outer) would duplicate them
+    // `salts` times. Only left-preserving types are sound here.
+    val ok = Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+      "left_semi", "leftanti", "left_anti")
+    require(ok(joinType.toLowerCase.replace(" ", "")),
+      s"saltedEquiJoin supports inner/left/left_semi/left_anti joins, got '$joinType': " +
+        "right-preserving outer types would emit each unmatched right row once per salt")
     val saltedLeft = left.withColumn("__graft_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
     val saltedRight = right.withColumn("__graft_salt",

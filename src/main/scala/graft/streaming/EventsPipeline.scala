@@ -19,13 +19,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventsPipeline {
 
   /** Streaming exact dedup by id with bounded state (A16): the streaming
-    * twin of Dedup.d1 — duplicates arriving within the watermark horizon
-    * are dropped; state for ids older than the watermark is evicted, so
-    * the store stays bounded on an unbounded stream.
+    * twin of Dedup.d1 — a duplicate id arriving within the watermark
+    * horizon is dropped even if its timestamp differs (the key is the id
+    * ALONE, via dropDuplicatesWithinWatermark); per-id state is evicted
+    * once the watermark passes it, so the store stays bounded on an
+    * unbounded stream.
     */
   def dedupStream(events: DataFrame, idCol: String = "event_id",
       watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
+
+  /** Production state-store configuration for the stateful operators here
+    * (sessionTracker, dedupStream, tumblingAgg) on a 100 TB/day stream:
+    * the RocksDB provider keeps keyed state off the executor heap (no GC
+    * pressure from hundreds of millions of keys) with changelog
+    * checkpointing so each commit ships only the delta. Apply via
+    * `conf.foreach { case (k, v) => spark.conf.set(k, v) }` before
+    * starting queries.
+    */
+  val RocksDBStateStore: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
 
   /** Watermarked 1-minute tumbling aggregation (A14). Works on any
     * streaming or batch DataFrame with (ts: timestamp, event_type, value).

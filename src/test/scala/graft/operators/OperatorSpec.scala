@@ -26,6 +26,14 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("cosine of mismatched-length vectors is null, not a truncated score") {
+    val df = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS a, array(CAST(1.0 AS FLOAT)) AS b")
+    assert(df.select(CosineSimilarity(col("a"), col("b"))).head().isNullAt(0))
+    // interpreted path agrees with codegen
+    assert(df.filter(CosineSimilarity(col("a"), col("b")).isNull).count() == 1)
+  }
+
   test("simhash: identical token streams collide, near-identical stay close") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -50,4 +50,18 @@ class ScaleUtilsSpec extends SparkSpec {
       .orderBy("o_orderpriority").collect().toSeq
     assert(salted == plain)
   }
+
+  test("salted equi-join rejects right-preserving outer join types") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey")
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey").as("l_orderkey"))
+    intercept[IllegalArgumentException] {
+      ScaleUtils.saltedEquiJoin(li, o, Seq("l_orderkey"), salts = 4, joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleUtils.saltedEquiJoin(li, o, Seq("l_orderkey"), salts = 4, joinType = "full")
+    }
+    // left-preserving types stay allowed
+    assert(ScaleUtils.saltedEquiJoin(li, o, Seq("l_orderkey"), salts = 4,
+      joinType = "left_semi").columns.sameElements(Array("l_orderkey")))
+  }
 }
