@@ -176,16 +176,26 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       val k = 5  // gram length
       val w = 4  // winnow window
-      // Gram hashing stays in whole-stage codegen: explode the POSITIONS
-      // (a cheap int sequence), then hash each k-gram as a per-row column
-      // expression. The earlier HOF spelling (transform(sequence, i ->
-      // xxhash64(substr))) evaluated interpreted per element — the repo's
-      // documented hot-path pitfall.
+      // Gram hashing in O(1) per position, fully codegen'd: explode to one
+      // row per CHARACTER (its code, a long), then build each k-gram's key
+      // from k window leads packed base-131 and hash the packed long.
+      // Naive spellings are quadratic or interpreted: substr(lt, pos, k)
+      // walks codepoints from the string start (O(pos) per gram -> O(len²)
+      // per doc), and a transform(...) HOF evaluates interpreted — both
+      // previously measured as the bench's worst line. The gram-lead pass
+      // and the winnowing-min pass share ONE per-doc sort (same window
+      // partitioning/ordering).
+      val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val packed = (0 until k).map(j =>
+          if (j == 0) col("c") else lead(col("c"), j).over(ord))
+        .reduce((acc, c) => acc * 131 + c)
       val grams = graft.Tables.spread(
           graft.Tables.documents(s, d).select(col("doc_id"), lower(col("text")).as("lt")))
-        .select(col("doc_id"), col("lt"),
-          explode(sequence(lit(1), greatest(length(col("lt")) - (k - 1), lit(1)))).as("pos"))
-        .select(col("doc_id"), col("pos"), xxhash64(col("lt").substr(col("pos"), lit(k))).as("gh"))
+        .select(col("doc_id"), posexplode(split(col("lt"), "")).as(Seq("pos", "ch")))
+        .select(col("doc_id"), col("pos"), ascii(col("ch")).cast("long").as("c"))
+        .select(col("doc_id"), col("pos"), packed.as("packed"))
+        .filter(col("packed").isNotNull) // trailing positions with < k chars left
+        .select(col("doc_id"), col("pos"), xxhash64(col("packed")).as("gh"))
       val winnowWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(0, w - 1)
       val fps = grams
@@ -193,27 +203,46 @@ object TextAnalysis {
         .select(col("doc_id"), col("fp"))
         .distinct()
         .persist()
-      // drop ubiquitous fingerprints (shared by >25% of docs) — they carry
-      // no near-dup signal and would explode the pair join; overlap ratios
-      // are computed on the FILTERED sets so the discriminative
-      // fingerprints carry full weight. The doc count arrives as a
-      // broadcast one-row frame, keeping the whole operator lazily planned
-      // (no driver-side action).
+      // Two document-frequency tiers, both derived relationally (the doc
+      // count arrives as a broadcast one-row frame — no driver action):
+      //  - DISCRIMINATIVE fps (df <= 25% of docs) define the overlap sets,
+      //    as in round 1;
+      //  - RARE fps (df <= 1%) gate CANDIDATE GENERATION: only pairs
+      //    sharing at least one rare fingerprint are considered. Real
+      //    near-dups always share rare fps (their common content is
+      //    theirs), while boilerplate-only fps shared by hundreds of docs
+      //    previously exploded the pair join into 11M candidates at sf0.1.
       val nDocsDf = fps.agg(count_distinct(col("doc_id")).as("n_docs"))
-      val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nDocsDf))
-        .filter(col("df") <= greatest(lit(2L), (col("n_docs") / lit(4)).cast("long")))
-        .select(col("fp"))
-      val filtered = fps.join(rare.select("fp"), Seq("fp")).persist()
-      val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-      val shared = filtered.select(col("fp"), col("doc_id").as("doc_a"))
-        .join(filtered.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocsDf)).persist()
+      val discSet = fps.join(
+        dfreq.filter(col("df") <= greatest(lit(2L), (col("n_docs") / lit(4)).cast("long")))
+          .select("fp"),
+        Seq("fp"))
+      // per-doc sorted discriminative fp arrays for the merge-walk verify
+      val docFps = discSet.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("fp"))).as("sfps"), count(lit(1)).as("n_fp"))
+        .persist()
+      val rareSet = fps.join(
+        dfreq.filter(col("df") <= greatest(lit(2L), (col("n_docs") / lit(100)).cast("long")))
+          .select("fp"),
+        Seq("fp"))
+      val cands = rareSet.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(rareSet.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
         .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-      shared
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")), Seq("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates("doc_a", "doc_b")
+      // exact overlap on the discriminative sets via the codegen merge-walk
+      // (SortedIntersectSize), candidate frame broadcast — the d2 verify
+      // pattern: no fingerprint row ever re-shuffles for verification
+      val withA = broadcast(cands)
+        .join(docFps.select(col("doc_id").as("doc_a"), col("sfps").as("sfps_a"),
+          col("n_fp").as("n_fp_a")), Seq("doc_a"))
+      broadcast(withA)
+        .join(docFps.select(col("doc_id").as("doc_b"), col("sfps").as("sfps_b"),
+          col("n_fp").as("n_fp_b")), Seq("doc_b"))
+        .withColumn("n_shared",
+          graft.functions.SortedIntersectSize(col("sfps_a"), col("sfps_b")).cast("long"))
         .withColumn("overlap",
           col("n_shared").cast("double") / least(col("n_fp_a"), col("n_fp_b")))
         .filter(col("overlap") >= 0.5)
