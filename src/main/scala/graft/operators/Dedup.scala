@@ -129,15 +129,35 @@ object Dedup {
   private val d3 = Relational.Q(
     "d3_dedup_ngram_jaccard",
     (s, d) => {
-      val g = Tables.spread(Tables.documents(s, d))
+      import org.apache.spark.sql.expressions.Window
+      val k = 4
+      // Gram ids in O(1) per position, fully codegen'd (the t7 pattern):
+      // one row per character code, k window leads, and — since k=4 —
+      // the four 16-bit codepoints pack INJECTIVELY into one long: the
+      // gram id is exact, not a hash (zero collision odds, BMP text).
+      // The old spelling was a transform(...) HOF (interpreted) calling
+      // substr (O(pos) per gram => O(len²) per doc).
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / 100).as("len_bkt"),
-          lower(col("text")).as("lt"))
-        .select(col("doc_id"), col("lang"), col("len_bkt"),
-          // sorted + distinct: contract for the merge-walk intersect below
-          sort_array(H.charGramHashes(col("lt"), 4)).as("sg"))
-        .filter(size(col("sg")) > 0)
+          floor(col("n_chars") / 100).as("len_bkt"), lower(col("text")).as("lt"))
+        .repartition(col("doc_id")) // spread + key the window and aggregate
+      val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val gramId = (0 until k).map(j =>
+          if (j == 0) col("c") else lead(col("c"), j).over(ord))
+        .zipWithIndex.map { case (c, j) => shiftleft(c, 16 * (k - 1 - j)) }
+        .reduce(_.bitwiseOR(_))
+      val grams = base
+        .select(col("doc_id"), posexplode(split(col("lt"), "")).as(Seq("pos", "ch")))
+        .select(col("doc_id"), col("pos"), ascii(col("ch")).cast("long").as("c"))
+        .select(col("doc_id"), gramId.as("g"))
+        .filter(col("g").isNotNull) // trailing positions with < k chars left
+      // sorted + distinct: contract for the merge-walk intersect below;
+      // persisted — BOTH sides of the self-join read this one frame
+      val g = grams.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("g"))).as("sg"))
         .withColumn("sz", size(col("sg")))
+        .join(base.select(col("doc_id"), col("lang"), col("len_bkt")), Seq("doc_id"))
+        .persist()
       val a = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_a"),
         col("sg").as("sg_a"), col("sz").as("sz_a"))
       val b = g.select(col("lang").as("lang_b"), col("len_bkt").as("len_bkt_b"),
