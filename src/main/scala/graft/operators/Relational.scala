@@ -659,7 +659,42 @@ object Relational {
           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
       ORDER BY cohort, o_custkey"""))
 
+  // B27 — native session_window aggregation (batch twin of the streaming
+  // EventsPipeline.sessionWindowAgg; q17 is the same sessionization spelled
+  // with lag+cumsum, which is also how the DuckDB oracle defines it here:
+  // a session's window ends 30 minutes after its LAST event).
+  private val q27 = Q(
+    "q27_session_windows",
+    (s, d) => {
+      Tables.events(s, d)
+        .filter(col("user_id") <= 50)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sess"))
+        .agg(count(lit(1)).as("n_events"), money(col("value")).as("total_value"))
+        .select(col("user_id"), col("sess.start").as("session_start"),
+          col("sess.end").as("session_end"), col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT user_id, ts, value,
+          -- session_window windows are [start, end): a gap of EXACTLY the
+          -- gap duration starts a new session, hence >= not >
+          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+                 OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM events WHERE user_id <= 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, value,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM f)
+      SELECT user_id, MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        COUNT(*) AS n_events, ${moneySql("value")} AS total_value
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26)
+    q25, q26, q27)
 }

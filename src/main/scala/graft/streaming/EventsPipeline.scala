@@ -60,6 +60,57 @@ object EventsPipeline {
 
   final case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
 
+  /** Native gap-based session windows (A18): groups each user's events
+    * into sessions that close after `gap` of inactivity — the built-in
+    * operator twin of [[sessionTracker]]'s hand-rolled state (and, in
+    * batch mode, of the lag+cumsum spelling in q17/q27). State is bounded
+    * by the watermark; the aggregation is map-side partial like any
+    * groupBy.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sess"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("sess.start").as("session_start"),
+        col("sess.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** Watermarked stream-stream interval join (A19): each purchase matched
+    * to the same user's clicks in the `horizon` before it. Both sides are
+    * watermarked and the join condition bounds event-time distance, so
+    * Spark can expire join state — the unbounded-state trap of a naive
+    * stream-stream equi-join is structurally avoided. At 100 TB/day the
+    * state store holds one horizon's worth of each side, partitioned by
+    * user_id.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      horizonMinutes: Int = 10): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", s"$horizonMinutes minutes")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", s"$horizonMinutes minutes")
+    c.join(p, expr(
+      s"""c_user = p_user AND
+          click_ts BETWEEN purchase_ts - INTERVAL $horizonMinutes MINUTES
+                       AND purchase_ts"""))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
+  /** Stream-static enrichment join (A20): a streaming fact joined to a
+    * batch dimension. The dimension is broadcast — each micro-batch plans
+    * a broadcast hash join, no shuffle of the stream and no state store
+    * at all (the static side is re-resolved per batch, picking up dim
+    * updates).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Custom keyed state (A15): per-user session counting with a 30-minute
     * gap rule, the streaming twin of the batch q17_events_sessionize.
     *

@@ -120,6 +120,81 @@ class EventsPipelineSpec extends SparkSpec {
     assert(!q2.isActive)
   }
 
+  test("native session_window streaming agg finalizes the same sessions as batch mode") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[EventsPipeline.Event]
+    def ev(id: Long, user: Long, minute: Long) =
+      EventsPipeline.Event(id, new Timestamp(minute * 60000L), user, "click", 1.0)
+    val data = Seq(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 60), ev(4, 2, 5))
+    val q = EventsPipeline.sessionWindowAgg(src.toDS().toDF(),
+        gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sesswin_test")
+      .outputMode("append").start()
+    try {
+      src.addData(data: _*)
+      q.processAllAvailable()
+      src.addData(ev(5, 9, 1000)) // advance watermark, finalize all sessions above
+      q.processAllAvailable()
+      val streamed = spark.table("sesswin_test")
+        .filter($"user_id" =!= 9)
+        .select("user_id", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000, r.getLong(2))).toSet
+      // batch mode over the same events (watermark is a no-op in batch)
+      val batch = EventsPipeline.sessionWindowAgg(data.toDF())
+        .select("user_id", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000, r.getLong(2))).toSet
+      assert(streamed == batch)
+      // 30-min gap: user 1 -> sessions {0,10} and {60}; user 2 -> {5}
+      assert(batch == Set((1L, 0L, 2L), (1L, 60L, 1L), (2L, 5L, 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches purchases to the same user's prior clicks only") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[EventsPipeline.Event]
+    val purchases = MemoryStream[EventsPipeline.Event]
+    def ev(id: Long, user: Long, minute: Long, typ: String) =
+      EventsPipeline.Event(id, new Timestamp(minute * 60000L), user, typ, 1.0)
+    // stage BOTH sources before starting so batch 0 sees all rows — the
+    // watermark must not advance between the click and purchase arrivals
+    // (a late purchase would be dropped by design, which is not what this
+    // test asserts). Minute offsets sit well above 0: an event AT the
+    // initial epoch-0 watermark is filtered as late.
+    clicks.addData(ev(1, 1, 1000, "click"), ev(2, 1, 1030, "click"), ev(3, 2, 1000, "click"))
+    purchases.addData(ev(10, 1, 1035, "purchase"), ev(11, 1, 1005, "purchase"))
+    val q = EventsPipeline.clickPurchaseJoin(
+        clicks.toDS().toDF(), purchases.toDS().toDF(), horizonMinutes = 10)
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.table("ssjoin_test")
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // purchase@35 sees click@30 (within [25,35]) but not click@0;
+      // purchase@5 sees click@0; user 2's click matches nothing
+      assert(pairs == Set((10L, 2L), (11L, 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins each micro-batch against the broadcast dimension") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Long]
+    val dim = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val q = EventsPipeline.enrich(src.toDS().toDF("n_nationkey"), dim, "n_nationkey")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      src.addData(0L, 1L, 9999L) // 9999 has no dim row -> left-join null
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows.size == 3)
+      assert(rows(0L).isDefined && rows(1L).isDefined)
+      assert(rows(9999L).isEmpty)
+    } finally q.stop()
+  }
+
   test("stateful dedup on the RocksDB state store: id-only dedup, metered and bounded state") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val saved = EventsPipeline.RocksDBStateStore.keys
