@@ -694,7 +694,29 @@ object Relational {
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_start"""))
 
+  // B28 — semi-structured JSON extraction: the events props column is a
+  // JSON string; extract a typed field and aggregate. get_json_object is
+  // codegen'd and the whole query stays one scan + one shuffle; all
+  // emitted aggregates are exact integers (no float discipline needed).
+  private val q28 = Q(
+    "q28_props_json",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27)
+    q25, q26, q27, q28)
 }

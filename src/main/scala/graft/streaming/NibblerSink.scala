@@ -37,21 +37,63 @@ object NibblerSink {
       resumeAfterErr: Boolean = false,
       onError: (Dataset[T], Throwable) => Unit = null)
 
-  /** Attach the micro-batch semantics to a streaming Dataset and return the
-    * started query's writer (caller invokes .start()).
+  /** Durable last-committed-batch marker for exactly-once foreachBatch
+    * sinks. Structured Streaming replays a failed micro-batch with the
+    * SAME batchId, so a sink that skips already-committed ids and commits
+    * the marker only AFTER its writes land turns at-least-once redelivery
+    * into exactly-once effects — the standard pattern for transactionless
+    * sinks. The marker write is atomic (tmp file + rename); a crash
+    * between the sink write and commit() re-runs that batch, which is
+    * precisely the at-least-once window the sink's writes must tolerate
+    * (e.g. by overwrite-by-batchId, as partitioned parquet does).
     */
-  def writer[T](ds: Dataset[T], cfg: Config[T]): DataStreamWriter[T] =
+  final class BatchTracker(path: String) {
+    private val file = java.nio.file.Paths.get(path)
+    def lastCommitted: Long =
+      if (java.nio.file.Files.exists(file))
+        new String(java.nio.file.Files.readAllBytes(file)).trim.toLong
+      else -1L
+    def shouldProcess(batchId: Long): Boolean = batchId > lastCommitted
+    def commit(batchId: Long): Unit = {
+      val tmp = java.nio.file.Paths.get(path + ".tmp")
+      java.nio.file.Files.write(tmp, batchId.toString.getBytes)
+      java.nio.file.Files.move(tmp, file,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Wrap a batch processor in exactly-once semantics via a [[BatchTracker]]:
+    * replayed batchIds are skipped, fresh ones are processed then committed.
+    */
+  def idempotent[T](tracker: BatchTracker)(
+      processor: (Trigger, Dataset[T]) => Unit): (Trigger, Dataset[T], Long) => Unit =
+    (trigger, batch, batchId) =>
+      if (tracker.shouldProcess(batchId)) {
+        processor(trigger, batch)
+        tracker.commit(batchId)
+      }
+
+  /** Attach the micro-batch semantics to a streaming Dataset and return the
+    * started query's writer (caller invokes .start()). The optional
+    * `withBatchId` processor also receives the deterministic micro-batch id
+    * (see [[idempotent]]); when set it replaces `cfg.processor`.
+    */
+  def writer[T](ds: Dataset[T], cfg: Config[T],
+      withBatchId: (Trigger, Dataset[T], Long) => Unit = null): DataStreamWriter[T] =
     ds.writeStream
       .trigger(SSTrigger.ProcessingTime(cfg.tickerDuration.toMillis))
-      .foreachBatch { (batch: Dataset[T], _: Long) =>
+      .foreachBatch { (batch: Dataset[T], batchId: Long) =>
         batch.persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val n = batch.count()
           if (n > 0) {
             val trigger =
               if (n >= cfg.size) Trigger.BatchFull else Trigger.Ticker
-            try cfg.processor(trigger, batch)
-            catch {
+            try {
+              if (withBatchId != null) withBatchId(trigger, batch, batchId)
+              else cfg.processor(trigger, batch)
+            } catch {
               case NonFatal(e) =>
                 if (cfg.onError != null)
                   try cfg.onError(batch, e) catch { case NonFatal(_) => () }
@@ -63,4 +105,12 @@ object NibblerSink {
 
   def start[T](ds: Dataset[T], cfg: Config[T]): StreamingQuery =
     writer(ds, cfg).start()
+
+  /** Start with exactly-once batch effects: `processor` runs once per
+    * distinct batchId even across query restarts/replays (see
+    * [[BatchTracker]]).
+    */
+  def startIdempotent[T](ds: Dataset[T], cfg: Config[T],
+      tracker: BatchTracker): StreamingQuery =
+    writer(ds, cfg, idempotent(tracker)(cfg.processor)).start()
 }

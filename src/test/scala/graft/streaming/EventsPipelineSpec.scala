@@ -89,6 +89,34 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotent sink applies each batchId exactly once across replays") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-idem")
+    val tracker = new NibblerSink.BatchTracker(dir.resolve("last_batch").toString)
+    val applications = new ConcurrentLinkedQueue[Long]()
+    val cfg = NibblerSink.Config[Int](
+      processor = (_, ds) => { applications.add(ds.count()); () },
+      size = 3, tickerDuration = 200.millis)
+    val src = MemoryStream[Int]
+    val q = NibblerSink.startIdempotent(src.toDS(), cfg, tracker)
+    try {
+      src.addData(1, 2, 3)
+      q.processAllAvailable()
+      assert(applications.asScala.toVector == Vector(3L))
+      val last = tracker.lastCommitted
+      assert(last >= 0)
+      // redelivery of an already-committed batchId (what Structured
+      // Streaming does when a batch is replayed after a crash) is a no-op
+      val guarded = NibblerSink.idempotent[Int](tracker)(cfg.processor)
+      guarded(Trigger.Ticker, Seq(9).toDS(), last)
+      assert(applications.asScala.toVector == Vector(3L))
+      // a fresh batchId processes, then commits the marker
+      guarded(Trigger.Ticker, Seq(9).toDS(), last + 1)
+      assert(applications.asScala.toVector == Vector(3L, 1L))
+      assert(tracker.lastCommitted == last + 1)
+    } finally q.stop()
+  }
+
   test("NibblerSink error without resume fails the query; with resume continues") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     // resume = true: error is swallowed after onError
