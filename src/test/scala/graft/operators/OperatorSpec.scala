@@ -80,6 +80,8 @@ class OperatorSpec extends SparkSpec {
       .filter(col("cosine") >= 0.4).select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(s3.subsetOf(exact), s"LSH join produced pairs outside the exact set")
+    val s3recall = (s3 & exact).size.toDouble / exact.size
+    assert(s3recall >= 0.8, s"s3 recall $s3recall < 0.8 vs the exact cos>=0.4 pairs")
   }
 
   test("multimodal feature extraction has the right batch shape") {
