@@ -26,50 +26,11 @@ object HashFunctions {
         i => concat_ws(" ", (0 until k).map(j => element_at(tk, i + lit(j))): _*))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct character k-grams of a string column. */
-  def charGrams(text: Column, k: Int = 4): Column =
-    when(length(text) >= k,
-      array_distinct(transform(
-        sequence(lit(1), length(text) - (k - 1)),
-        i => text.substr(i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Distinct 64-bit hashes of the character k-grams. Set operations on
-    * primitive long arrays hit array_intersect's specialized fast path —
-    * string-array intersects pay per-element UTF8 equality instead.
-    * Jaccard over hashed grams equals Jaccard over grams up to 64-bit
-    * collisions (~n^2/2^64 per doc).
+  /** 64-bit hashes of each shingle (HOF cross-check spelling — production
+    * paths hash shingles relationally; see Dedup.d2).
     */
-  def charGramHashes(text: Column, k: Int = 4): Column =
-    when(length(text) >= k,
-      array_distinct(transform(
-        sequence(lit(1), length(text) - (k - 1)),
-        i => xxhash64(text.substr(i, lit(k))))))
-      .otherwise(array().cast("array<bigint>"))
-
-  /** 64-bit hashes of each shingle. */
   def shingleHashes(shingles: Column): Column =
     transform(shingles, s => xxhash64(s))
-
-  /** MinHash signature: array of k minima over seeded rehashes. */
-  def minhashSignature(hashes: Column, k: Int): Column =
-    array((0 until k).map(i => array_min(transform(hashes, h => xxhash64(h, lit(i))))): _*)
-
-  /** LSH band keys from a minhash signature: `bands` hashes of `rows`
-    * consecutive signature entries each.
-    */
-  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64((lit(b) +: (0 until rows).map(r => sig.getItem(b * rows + r))): _*)
-    }: _*)
-
-  /** Exact Jaccard of two distinct-element array columns, as the oracle's
-    * double division of exact integer counts.
-    */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
-  }
 
   /** 64-bit SimHash of a token-hash array: per-bit majority vote. */
   def simhash(hashes: Column): Column = {

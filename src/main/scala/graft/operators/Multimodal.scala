@@ -115,5 +115,75 @@ object Multimodal {
       FROM framed WHERE frame_idx % 4 = 0
       ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[Relational.Q] = Seq(m1, m2, m3)
+  final case class MediaIn(doc_id: Long, payload: Array[Byte], in_w: Long, in_h: Long)
+  final case class MediaOut(doc_id: Long, in_w: Long, in_h: Long,
+      out_w: Long, out_h: Long, out_bytes: Long)
+
+  /** STUB resampler: stands in for an image resize. Output length follows
+    * the pixel-ratio exactly (max(1, n*outW*outH/(inW*inH)), long
+    * arithmetic) and bytes are a deterministic stride subsample — a real
+    * codec swaps this one function, the batch plumbing stays.
+    */
+  def resizeStub(bytes: Array[Byte], inW: Long, inH: Long,
+      outW: Long, outH: Long): Array[Byte] = {
+    val target = math.max(1L, bytes.length.toLong * outW * outH / (inW * inH)).toInt
+    if (target >= bytes.length) bytes
+    else Array.tabulate(target)(i => bytes((i.toLong * bytes.length / target).toInt))
+  }
+
+  /** F4 core — fit-to-box resize over partitions: scale = min(maxW/w,
+    * maxH/h, 1) (never upscale), output dims floored with a 1-pixel
+    * minimum. Dimension math is plain IEEE double + integer ops, so the
+    * driver oracle checks it bit-exactly; only the pixel resample itself
+    * is the declared stub.
+    */
+  def resizeToBox(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("in_w"), col("in_h"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.map { m =>
+          val scale = math.min(math.min(
+            maxW.toDouble / m.in_w, maxH.toDouble / m.in_h), 1.0)
+          val outW = math.max(math.floor(m.in_w * scale).toLong, 1L)
+          val outH = math.max(math.floor(m.in_h * scale).toLong, 1L)
+          val out = resizeStub(m.payload, m.in_w, m.in_h, outW, outH)
+          MediaOut(m.doc_id, m.in_w, m.in_h, outW, outH, out.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  // F4 — resize-to-box with synthetic per-doc dimensions; the dimension
+  // and byte-count math is fully oracle-checked, the resample is the stub.
+  private val m4 = Relational.Q(
+    "m4_resize_box",
+    (s, d) => {
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          col("text").cast(BinaryType).as("payload"),
+          (lit(160L) + col("n_chars") % 1760L).as("in_w"),
+          (lit(120L) + (col("doc_id") * 37L) % 960L).as("in_h"))
+      resizeToBox(media, 640, 480).orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+          160 + (n_chars % 1760) AS in_w, 120 + ((doc_id * 37) % 960) AS in_h
+        FROM documents),
+      sc AS (
+        SELECT *, LEAST(CAST(640 AS DOUBLE) / in_w, CAST(480 AS DOUBLE) / in_h, 1.0) AS scale
+        FROM m),
+      o AS (
+        SELECT doc_id, n, in_w, in_h,
+          GREATEST(CAST(FLOOR(in_w * scale) AS BIGINT), 1) AS out_w,
+          GREATEST(CAST(FLOOR(in_h * scale) AS BIGINT), 1) AS out_h
+        FROM sc)
+      SELECT doc_id, in_w, in_h, out_w, out_h,
+        CASE WHEN GREATEST((n * out_w * out_h) // (in_w * in_h), 1) >= n THEN n
+             ELSE GREATEST((n * out_w * out_h) // (in_w * in_h), 1) END AS out_bytes
+      FROM o ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4)
 }

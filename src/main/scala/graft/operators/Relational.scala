@@ -716,7 +716,36 @@ object Relational {
         MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // B29 — UNPIVOT (wide metrics -> long rows), the inverse of q19's
+  // pivot: melt three lineitem measure columns into (metric, val) rows
+  // and aggregate decimal-exact per (returnflag, metric). Catalyst plans
+  // unpivot as Expand — one scan, map-side partial agg; the oracle uses
+  // the dialect-portable UNION ALL spelling.
+  private val q29 = Q(
+    "q29_metric_unpivot",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(money(col("val")).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+    Some(s"""
+      SELECT l_returnflag, metric, ${moneySql("val")} AS total, COUNT(*) AS n
+      FROM (
+        SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice' AS metric, l_extendedprice AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount' AS metric, l_discount AS val FROM lineitem)
+      GROUP BY l_returnflag, metric
+      ORDER BY l_returnflag, metric"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28)
+    q25, q26, q27, q28, q29)
 }

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** End-to-end driveable streaming surface (the relational pack has
+  * Verify/Bench; this is the streaming equivalent): runs the reference
+  * README's bank bulk-insert example through Nibbler, the size-or-ticker
+  * semantics through NibblerSink on a real file source, and a watermarked
+  * session_window stream — printing one `[demo] ... PASS|FAIL` line per
+  * scenario and exiting nonzero on any failure.
+  *
+  * Usage: runMain graft.streaming.Demo [sfDir]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    var failed = false
+    def check(name: String, cond: Boolean, detail: String): Unit = {
+      if (!cond) failed = true
+      println(s"[demo] $name: ${if (cond) "PASS" else "FAIL"} ($detail)")
+    }
+
+    // 1. Reference README bank example: 100 account statements pushed one
+    // by one, land in the "db" via bulk batches (size 10 / 500ms ticker).
+    {
+      val db = new ConcurrentHashMap[String, Long]()
+      val calls = new AtomicInteger()
+      implicit val enc: org.apache.spark.sql.Encoder[(String, Long)] =
+        org.apache.spark.sql.Encoders.product[(String, Long)]
+      val nib = Nibbler.start[(String, Long)](spark, NibblerConfig(
+        processor = (_, batch) => {
+          calls.incrementAndGet()
+          batch.foreach { case (id, bal) => db.put(id, bal); () }
+        },
+        size = 10, tickerDuration = 500.millis, processingTimeout = 5.seconds))
+      (0 until 100).foreach(i => nib.push((s"account_id_$i", 50000L / (i + 1))))
+      nib.awaitIdle()
+      nib.stop()
+      check("bank-bulk-insert", db.size == 100 && calls.get() <= 20,
+        s"accounts=${db.size} bulkCalls=${calls.get()}")
+    }
+
+    // 2. NibblerSink on a streaming parquet file source: size-or-ticker
+    // trigger classification over real event micro-batches.
+    {
+      val events = graft.Tables.events(spark, sfDir)
+      val dir = Files.createTempDirectory("graft-demo-stream").toString
+      events.write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val batches = new AtomicInteger()
+      val rows = new java.util.concurrent.atomic.AtomicLong()
+      val q = NibblerSink.start[org.apache.spark.sql.Row](
+        stream.as(org.apache.spark.sql.Encoders.row(events.schema)),
+        NibblerSink.Config(
+          processor = (_, ds) => { batches.incrementAndGet(); rows.addAndGet(ds.count()); () },
+          size = 100, tickerDuration = 200.millis))
+      q.processAllAvailable()
+      q.stop()
+      val expected = events.count()
+      check("file-source-sink", rows.get() == expected,
+        s"rows=${rows.get()}/$expected batches=${batches.get()}")
+    }
+
+    // 3. Watermarked session_window stream: finalized sessions match the
+    // batch answer on the same data.
+    {
+      implicit val evEnc: org.apache.spark.sql.Encoder[EventsPipeline.Event] =
+        org.apache.spark.sql.Encoders.product[EventsPipeline.Event]
+      val src = MemoryStream[EventsPipeline.Event]
+      def ev(id: Long, user: Long, minute: Long) =
+        EventsPipeline.Event(id, new Timestamp(minute * 60000L), user, "click", 1.0)
+      val data = Seq(ev(1, 1, 1000), ev(2, 1, 1010), ev(3, 1, 1060), ev(4, 2, 1005))
+      val q = EventsPipeline.sessionWindowAgg(src.toDS().toDF(),
+          gap = "30 minutes", watermark = "10 minutes")
+        .writeStream.format("memory").queryName("demo_sessions")
+        .outputMode("append").start()
+      src.addData(data: _*)
+      q.processAllAvailable()
+      src.addData(ev(5, 9, 9000))
+      q.processAllAvailable()
+      val streamed = spark.table("demo_sessions")
+        .filter(org.apache.spark.sql.functions.col("user_id") =!= 9).count()
+      q.stop()
+      import spark.implicits._
+      val batch = EventsPipeline.sessionWindowAgg(data.toDF()).count()
+      check("session-window-stream", streamed == batch && batch == 3L,
+        s"streamed=$streamed batch=$batch")
+    }
+
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}
