@@ -7,7 +7,7 @@ import graft.operators._
 object SparkEntry {
   private def packs: Seq[Relational.Q] =
     Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ Sketching.all
+      Multimodal.all ++ Sketching.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

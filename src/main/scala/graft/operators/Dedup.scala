@@ -16,8 +16,10 @@ import Num._
   */
 object Dedup {
 
-  /** Normalized-content hash per doc (shared by d1/d4). */
-  private def normHash(text: Column): Column =
+  /** Normalized-content hash per doc (shared by d1/d4 and the composite
+    * cleaning pipeline).
+    */
+  def normHash(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
   // C1 — exact dedup: hash-groupBy, keep min doc_id. One shuffle on the
@@ -41,9 +43,12 @@ object Dedup {
   // miss probability at j >= 0.8 is ~2e-4 per pair and the data's near-dup
   // pairs sit at j >= 0.88 (miss ~3e-8), so LSH recall is exact here —
   // which is precisely the claim being verified.
-  private val d2 = Relational.Q(
-    "d2_dedup_minhash_lsh",
-    (s, d) => {
+  /** MinHash/LSH near-duplicate pairs over any (doc_id, text) frame —
+    * d2's core, reusable by the composite corpus-cleaning pipeline.
+    * Returns (doc_a, doc_b, jaccard) for exact Jaccard >= `minJaccard`,
+    * ordered. See d2's Q below for the oracle contract.
+    */
+  def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       // Shingles built relationally (posexplode + window lead) instead of
       // a higher-order transform: HOFs evaluate interpreted per element,
@@ -55,7 +60,7 @@ object Dedup {
       // the window, the distinct, and the per-doc aggregate all reuse that
       // partitioning (ClusteredDistribution satisfied), so the plan has no
       // further exchange over shingle rows.
-      val toks = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"), col("text"))
         .repartition(col("doc_id")) // spreads the tiny scan AND keys everything downstream
         .select(col("doc_id"), posexplode(H.tokens(col("text"))).as(Seq("pos", "tok")))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -103,10 +108,14 @@ object Dedup {
           graft.functions.SortedIntersectSize(col("sg_a"), col("sg_b")).cast("double"))
         .withColumn("jaccard_exact",
           col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")))
-        .filter(col("jaccard_exact") >= 0.8)
+        .filter(col("jaccard_exact") >= minJaccard)
         .select(col("doc_a"), col("doc_b"), r4(col("jaccard_exact")).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
-    },
+  }
+
+  private val d2 = Relational.Q(
+    "d2_dedup_minhash_lsh",
+    (s, d) => nearDupPairs(Tables.documents(s, d)),
     Some(s"""
       WITH toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Num._
+
+/** Composite corpus-cleaning pipeline (the engine's headline use case):
+  * the individual operators from the E/C packs COMPOSE into one lazily
+  * planned query — quality gate (t2's score) → exact dedup (d1's
+  * keep-min-id rule) → minhash near-dup removal (d2's verified pairs,
+  * greater id dropped) → per-doc stats. Catalyst sees the whole tree, so
+  * column pruning and the shared doc_id partitioning apply end to end;
+  * every stage is the same code a user calls stand-alone.
+  */
+object Pipeline {
+
+  private val QualityMin = 0.61
+
+  // P1 — clean-corpus: the full chain, oracle-checked against the same
+  // composition of the t2/d1/d2 oracle fragments in DuckDB.
+  private val p1 = Relational.Q(
+    "p1_clean_corpus",
+    (s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      val qualified = scored.filter(col("quality") >= QualityMin)
+      // exact dedup: keep the smallest doc_id per normalized content hash
+      val keepers = qualified
+        .groupBy(Dedup.normHash(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val kept = qualified.join(keepers, Seq("doc_id")).persist()
+      // near-dup removal: the greater id of each verified pair is dropped
+      val drops = Dedup.nearDupPairs(kept.select(col("doc_id"), col("text")))
+        .select(col("doc_b").as("doc_id")).distinct()
+      kept.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, text,
+          len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+          ${r4Sql(
+            "0.4 * (CAST(len(regexp_extract_all(lower(text), '\\b(?:" + TextAnalysis.StopEn + ")\\b')) AS DOUBLE)" +
+            " / len(string_split_regex(trim(text), '\\s+')))" +
+            " + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text))" +
+            " + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text))")} AS quality
+        FROM documents),
+      qualified AS (SELECT * FROM scored WHERE quality >= $QualityMin),
+      keepers AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM qualified
+        GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
+      kept AS (SELECT q.* FROM qualified q JOIN keepers k USING (doc_id)),
+      toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM kept),
+      sh AS (
+        SELECT doc_id,
+          list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                         FOR i IN range(1, len(tk) - 1)]) AS sg
+        FROM toks WHERE len(tk) >= 3),
+      drops AS (
+        SELECT DISTINCT b.doc_id AS doc_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+              / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.8)
+      SELECT doc_id, n_tokens, quality FROM kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(p1)
+}

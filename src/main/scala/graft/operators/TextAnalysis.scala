@@ -18,7 +18,7 @@ import Num._
 object TextAnalysis {
 
   /** Common English-ish stopword alternation used by quality + langid. */
-  private val StopEn = "the|and|of|to|in|is|that|it|for|was"
+  private[operators] val StopEn = "the|and|of|to|in|is|that|it|for|was"
   private val StopDe = "der|die|das|und|ist|nicht|mit|ein|auf|wir"
   private val StopFr = "le|les|et|est|que|pour|dans|une|des|avec"
   private val StopEs = "el|los|las|y|es|en|un|para|por|como"
@@ -42,6 +42,21 @@ object TextAnalysis {
         length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
         ${r2Sql("CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))")} AS avg_token_len
       FROM documents ORDER BY doc_id"""))
+
+  /** Composite quality score of a text column — t2's exact formula
+    * (0.4·stopword-ratio + 0.3·(1−punct-ratio) + 0.3·(1−digit-ratio),
+    * r4-quantized) as a reusable expression for pipeline composition.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTokens = size(split(trim(text), "\\s+")).cast("long")
+    val nChars = length(text).cast("long")
+    val nPunct = (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+    val nDigit = (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long")
+    val nStop = size(regexp_extract_all(lower(text), lit(s"\\b(?:$StopEn)\\b"), lit(0))).cast("long")
+    r4(lit(0.4) * (nStop.cast("double") / nTokens)
+      + lit(0.3) * (lit(1.0) - nPunct.cast("double") / nChars)
+      + lit(0.3) * (lit(1.0) - nDigit.cast("double") / nChars))
+  }
 
   // E2 — quality scoring from punct/digit/upper/stopword ratios.
   private val t2 = Relational.Q(
