@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-pass plan audit over every SparkEntry query: flags nested-loop /
+  * cartesian joins (the quadratic-plan smells) and counts exchanges, so a
+  * scale regression shows up as a diff in this tool's output rather than
+  * a slow cluster run. BNLJ is acceptable ONLY with a constant-size
+  * broadcast build side (the ANN query-set pattern, s1/s4) — anything
+  * else listed here is a bug.
+  *
+  * Usage: runMain graft.tools.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.maxFields", "200")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Queries whose nested-loop join is a CONSTANT-size broadcast by
+    // design (never grows with the corpus) — the legitimate BNLJ shape.
+    val allowed = Map(
+      "s1_ann_bruteforce_topk" ->
+        "corpus scanned once against the broadcast fixed-size query set (theta join)",
+      "s4_ann_ivf_topk" ->
+        "corpus x broadcast constant-size centroid sample (IVF assignment/probing)",
+      "t7_winnowing_fingerprints" ->
+        "crossJoin(broadcast(<one-row nDocs frame>)) for the relational threshold")
+    var flagged = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+        val cart = plan.linesIterator.count(_.contains("CartesianProduct"))
+        val exch = plan.linesIterator.count(_.contains("Exchange"))
+        val note =
+          if (cart > 0 || (bnlj > 0 && !allowed.contains(name))) { flagged += 1; "  <== inspect" }
+          else if (bnlj > 0) s"  [allowed: ${allowed(name)}]"
+          else ""
+        println(f"[audit] $name%-28s exchanges=$exch%2d bnlj=$bnlj cartesian=$cart$note")
+      } catch {
+        case e: Throwable => println(s"[audit] $name FAILED to plan: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
+    println(s"[audit] queries with UNEXPECTED nested-loop/cartesian joins: $flagged")
+    spark.stop()
+  }
+}
