@@ -2,23 +2,61 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSimilarity, MinHashSignature, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
 
 /** Spark session extension: registers graft's custom Catalyst expressions
-  * as SQL functions so `spark.sql("... cosine_sim(a, b) ...")` works.
+  * as SQL functions, so the whole similarity/dedup toolkit is reachable
+  * from `spark.sql(...)` without touching the Scala API:
+  *
+  *   cosine_sim(a, b)             — fused codegen cosine over float arrays
+  *   rhp_bucket(v, planes)        — random-hyperplane LSH bucket bits
+  *   sorted_intersect_size(a, b)  — merge-walk |A ∩ B| of sorted arrays
+  *   minhash_sig(h, k)            — AGG: k-perm minhash signature of hashes
+  *   simhash64(h)                 — AGG: 64-bit simhash of token hashes
   *
   * Enable with:
   *   SparkSession.builder().config("spark.sql.extensions", "graft.GraftExtensions")
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _)   => v
+    case Literal(v: Long, _)  => v.toInt
+    case Literal(v: Short, _) => v.toInt
+    case Literal(v: Byte, _)  => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $e")
+  }
+
+  private def register(ext: SparkSessionExtensions, name: String,
+      builder: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 2, "cosine_sim expects exactly 2 arguments")
-        CosineSimilarity(children.head, children(1))
-      }))
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      builder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "cosine_sim", { children =>
+      require(children.length == 2, "cosine_sim expects exactly 2 arguments")
+      CosineSimilarity(children.head, children(1))
+    })
+    register(ext, "rhp_bucket", { children =>
+      require(children.length == 2, "rhp_bucket expects (vector, planes)")
+      RandomHyperplaneBucket(children.head, litInt(children(1), "rhp_bucket", "planes"))
+    })
+    register(ext, "sorted_intersect_size", { children =>
+      require(children.length == 2, "sorted_intersect_size expects exactly 2 arguments")
+      SortedIntersectSize(children.head, children(1))
+    })
+    register(ext, "minhash_sig", { children =>
+      require(children.length == 2, "minhash_sig expects (hash, k)")
+      MinHashSignature(children.head, litInt(children(1), "minhash_sig", "k"))
+        .toAggregateExpression()
+    })
+    register(ext, "simhash64", { children =>
+      require(children.length == 1, "simhash64 expects exactly 1 argument")
+      SimHash64(children.head).toAggregateExpression()
+    })
   }
 }

@@ -32,6 +32,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c""".stripMargin)
         .head().getDouble(0)
       assert(math.abs(r2 - 1.0) < 1e-12)
+      // the rest of the similarity/dedup toolkit resolves from SQL too
+      val inter = spark.sql(
+        "SELECT sorted_intersect_size(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n")
+        .head().getInt(0)
+      assert(inter == 2)
+      val bucket = spark.sql(
+        "SELECT rhp_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 8) AS b")
+        .head().getLong(0)
+      assert(bucket >= 0L && bucket < 256L)
+      val aggs = spark.sql(
+        """SELECT minhash_sig(h, 16) AS sig, simhash64(h) AS sh
+          |FROM VALUES (xxhash64('a')), (xxhash64('b')), (xxhash64('c')) AS t(h)""".stripMargin)
+        .head()
+      assert(aggs.getSeq[Long](0).length == 16)
+      // simhash of a fixed input set is deterministic and non-degenerate
+      assert(aggs.getLong(1) != 0L)
     } finally {
       // do NOT stop(): that would kill the shared SparkContext
       SparkSession.clearDefaultSession()

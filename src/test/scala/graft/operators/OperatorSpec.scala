@@ -133,9 +133,9 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = s4.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
-    // nProbe=2 of ~10 lists on weakly-clustered random vectors: just
-    // assert the pipeline finds a nontrivial share of true neighbors
-    assert(recall >= 0.2, s"IVF recall $recall")
+    // nProbe=4 of ~10 lists on weakly-clustered random vectors; on real
+    // clustered embeddings the same probe budget buys far higher recall
+    assert(recall >= 0.4, s"IVF recall $recall")
   }
 
   test("winnowing fingerprints rediscover the minhash near-duplicates") {
