@@ -204,8 +204,12 @@ object TextAnalysis {
       val packed = (0 until k).map(j =>
           if (j == 0) col("c") else lead(col("c"), j).over(ord))
         .reduce((acc, c) => acc * 131 + c)
-      val grams = graft.Tables.spread(
-          graft.Tables.documents(s, d).select(col("doc_id"), lower(col("text")).as("lt")))
+      // repartition at the DOC level (5k rows through the exchange), so
+      // the 10M char rows generated by the explode are born already
+      // clustered by doc_id and the window sorts without re-shuffling them
+      val grams = graft.Tables.documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"), posexplode(split(col("lt"), "")).as(Seq("pos", "ch")))
         .select(col("doc_id"), col("pos"), ascii(col("ch")).cast("long").as("c"))
         .select(col("doc_id"), col("pos"), packed.as("packed"))
