@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session tuning (SURVEY.md §5) — every main
+  * (Verify, Bench, Demo, tools) builds through here:
+  *   - shuffle partitions match the local core count (AQE, on by default,
+  *     coalesces small partitions; at cluster scale the knob is sized to
+  *     2-3x total cores instead);
+  *   - codegen field limit raised so the wide minhash/simhash sketch
+  *     aggregates stay inside whole-stage codegen;
+  *   - UTC + no UI for deterministic, headless runs;
+  *   - [[GraftExtensions]] applied, so the SQL surface (cosine_sim,
+  *     rhp_bucket, minhash_sig, ...) is available in every session.
+  */
+object GraftSession {
+
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.maxFields", "200")
+      .withExtensions(new GraftExtensions)
+
+  /** Local session with `cores` threads; `cores` defaults to the
+    * SPARK_GRAFT_CPUS env var, then 4.
+    */
+  def local(cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
+      quiet: Boolean = true): SparkSession = {
+    val spark = builder(cores).getOrCreate()
+    if (quiet) spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -7,7 +7,6 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import scala.concurrent.duration._
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** End-to-end driveable streaming surface (the relational pack has
@@ -22,13 +21,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 object Demo {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(8)
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     var failed = false
     def check(name: String, cond: Boolean, detail: String): Unit = {

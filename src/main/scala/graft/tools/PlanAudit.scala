@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** One-pass plan audit over every SparkEntry query: flags nested-loop /
   * cartesian joins (the quadratic-plan smells) and counts exchanges, so a
@@ -14,14 +13,7 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.maxFields", "200")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(8)
     // Queries whose nested-loop join is a CONSTANT-size broadcast by
     // design (never grows with the corpus) — the legitimate BNLJ shape.
     val allowed = Map(
