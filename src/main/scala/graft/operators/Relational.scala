@@ -745,7 +745,31 @@ object Relational {
       GROUP BY l_returnflag, metric
       ORDER BY l_returnflag, metric"""))
 
+  // B30 — event-time interval join, the BATCH twin of the streaming
+  // clickPurchaseJoin (A19): literally the same operator code run on
+  // batch frames (withWatermark is a no-op in batch), oracle-checked.
+  // Plan shape: equi-join on user_id with the time bound as a join-side
+  // filter — work is quadratic only within a user's own events.
+  private val q30 = Q(
+    "q30_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.EventsPipeline.clickPurchaseJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          horizonMinutes = 10)
+        .select(col("user_id"), col("purchase_id"), col("click_id"), col("value"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+    Some("""
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id, p.value
+      FROM events p JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+        AND c.user_id = p.user_id
+        AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+      ORDER BY purchase_id, click_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29)
+    q25, q26, q27, q28, q29, q30)
 }

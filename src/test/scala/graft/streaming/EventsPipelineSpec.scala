@@ -117,6 +117,37 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed idempotent sink resumes across query restarts, each row exactly once") {
+    val dataDir = Files.createTempDirectory("graft-ckpt-data").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val tracker = new NibblerSink.BatchTracker(s"$ckpt/graft_last_batch")
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("v", org.apache.spark.sql.types.LongType)
+    val cfg = NibblerSink.Config[Long](
+      processor = (_, ds) => { ds.collect().foreach(v => seen.add(v)); () },
+      size = 1000, tickerDuration = 200.millis)
+    def startQuery() =
+      NibblerSink.writer(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "10")
+          .parquet(dataDir).as[Long],
+        cfg, NibblerSink.idempotent(tracker)(cfg.processor))
+        .option("checkpointLocation", ckpt)
+        .start()
+    spark.range(1, 6).toDF("v").write.mode("append").parquet(dataDir)
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(seen.asScala.toVector.sorted == (1L to 5L))
+    // restart from the checkpoint: earlier offsets are NOT re-read, new
+    // files are, and the batchId sequence continues
+    spark.range(6, 11).toDF("v").write.mode("append").parquet(dataDir)
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(seen.asScala.toVector.sorted == (1L to 10L),
+      s"expected each row exactly once, got ${seen.asScala.toVector.sorted}")
+    assert(tracker.lastCommitted >= 1L)
+  }
+
   test("NibblerSink error without resume fails the query; with resume continues") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     // resume = true: error is swallowed after onError
