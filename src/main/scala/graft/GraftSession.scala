@@ -22,6 +22,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.maxFields", "200")
+      // let AQE propagate a cached plan's output partitioning: operators
+      // that persist a keyed frame (d2/d3/t7/p1 repartition(doc_id) +
+      // persist) otherwise pay a redundant re-shuffle between the partial
+      // and final aggregate over every InMemoryTableScan
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .withExtensions(new GraftExtensions)
 
   /** Local session with `cores` threads; `cores` defaults to the

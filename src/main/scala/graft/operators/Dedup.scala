@@ -161,12 +161,16 @@ object Dedup {
         .select(col("doc_id"), gramId.as("g"))
         .filter(col("g").isNotNull) // trailing positions with < k chars left
       // sorted + distinct: contract for the merge-walk intersect below;
-      // persisted — BOTH sides of the self-join read this one frame
-      val g = grams.groupBy(col("doc_id"))
+      // persisted — BOTH sides of the self-join read this one frame. Only
+      // the AGGREGATE is cached; the cheap doc-metadata join stays outside
+      // the cache so AQE plans it fresh per side (a join inside a cached
+      // plan re-plans poorly under adaptive cached-partitioning).
+      val gAgg = grams.groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("g"))).as("sg"))
         .withColumn("sz", size(col("sg")))
-        .join(base.select(col("doc_id"), col("lang"), col("len_bkt")), Seq("doc_id"))
         .persist()
+      val g = gAgg
+        .join(broadcast(base.select(col("doc_id"), col("lang"), col("len_bkt"))), Seq("doc_id"))
       val a = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_a"),
         col("sg").as("sg_a"), col("sz").as("sz_a"))
       val b = g.select(col("lang").as("lang_b"), col("len_bkt").as("len_bkt_b"),
