@@ -113,6 +113,33 @@ class OperatorSpec extends SparkSpec {
       s"simhash found ${(d2 & d4pairs).size} of ${d2.size} minhash pairs")
   }
 
+  test("combination keys: every random hamming<=4 pair shares a key (pigeonhole property)") {
+    // 500 seeded random (simhash, <=4-bit-flipped twin) pairs, evaluated
+    // through the REAL column expression — asserts the d4 blocking's
+    // recall guarantee on arbitrary inputs, not just the test corpus
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(500) {
+      val a = rnd.nextLong()
+      val flips = rnd.nextInt(5) // 0..4 bit flips
+      val mask = Seq.fill(flips)(1L << rnd.nextInt(64)).foldLeft(0L)(_ | _)
+      (a, a ^ mask)
+    }
+    val df = pairs.toDF("a", "b")
+    val misses = df.filter(!arrays_overlap(
+        H.simhashCombinationKeys(col("a"), 8, 4),
+        H.simhashCombinationKeys(col("b"), 8, 4)))
+      .count()
+    assert(misses == 0, s"$misses hamming<=4 pairs shared no combination key")
+    // and selectivity: pairs at hamming >= 20 essentially never collide
+    val far = Seq.fill(200)((rnd.nextLong(), rnd.nextLong())).toDF("a", "b")
+      .filter(bit_count(col("a").bitwiseXOR(col("b"))) >= 20)
+      .filter(arrays_overlap(
+        H.simhashCombinationKeys(col("a"), 8, 4),
+        H.simhashCombinationKeys(col("b"), 8, 4)))
+      .count()
+    assert(far == 0, s"$far far pairs spuriously collided")
+  }
+
   test("codegen'd RandomHyperplaneBucket matches the HOF spelling") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val diff = e.select(

@@ -197,6 +197,31 @@ class NibblerSpec extends SparkSpec {
     }
   }
 
+  test("slicing invariant: random-sized pushes drain in order as size-capped batches") {
+    val rnd = new scala.util.Random(7)
+    val input = (1 to 500).toVector
+    val batches = new ConcurrentLinkedQueue[(Trigger, Seq[Int])]()
+    val nib = Nibbler.start(spark, NibblerConfig[Int](
+      processor = (t, b) => { batches.add((t, b)); () },
+      size = 7,
+      tickerDuration = 250.millis,
+      processingTimeout = 5.seconds))
+    var rest = input
+    while (rest.nonEmpty) {
+      val n = math.min(1 + rnd.nextInt(40), rest.length)
+      nib.pushAll(rest.take(n))
+      rest = rest.drop(n)
+    }
+    nib.awaitIdle()
+    nib.stop() // flushes any carried remainder as a ticker batch
+    val got = batches.asScala.toVector
+    // batches concatenate to the input, in order, nothing lost or duplicated
+    assert(got.flatMap(_._2) == input)
+    // every batch respects the size cap; every BATCH_FULL flush is exactly full
+    assert(got.forall(_._2.length <= 7))
+    got.filter(_._1 == Trigger.BatchFull).foreach(b => assert(b._2.length == 7))
+  }
+
   test("config sanitize applies the reference defaults") {
     val cfg = NibblerConfig[String](processor = (_, _) => ()).sanitized
     assert(cfg.size == 100)
