@@ -270,5 +270,101 @@ object TextAnalysis {
     },
     None)
 
-  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7)
+  /** Language trigram profiles, derived deterministically from the same
+    * stopword lists t3 uses: all distinct char-trigrams of words with
+    * >= 3 chars. Computed ONCE here and embedded in both the Spark lit
+    * frame and the oracle SQL literal list, so the two engines cannot
+    * diverge on profile contents.
+    */
+  private def profileTrigrams(alternation: String): Seq[String] =
+    alternation.split('|').toSeq
+      .flatMap(w => if (w.length < 3) Nil else (0 to w.length - 3).map(i => w.substring(i, i + 3)))
+      .distinct.sorted
+
+  /** 16-bit-per-codepoint injective pack of a trigram (the d3 gram-id
+    * scheme) — lets the Spark side match packed long ids computed
+    * relationally against profile ids computed here.
+    */
+  private def packTrigram(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc << 16) | c.toLong)
+
+  // E8 — n-gram language-ID: distinct char-trigram hits against per-language
+  // trigram profiles, deterministic argmax. The gram ids are built
+  // relationally (char explode + window leads + injective 16-bit pack, the
+  // d3 pattern — O(1)/position, codegen), then counted against the
+  // broadcast profile table. Oracle computes the same hits with string
+  // trigrams and embedded literal profiles.
+  private val t8 = Relational.Q(
+    "t8_langid_ngram",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val langs = Seq("en" -> StopEn, "de" -> StopDe, "fr" -> StopFr, "es" -> StopEs)
+      val profile = langs.flatMap { case (lang, alt) =>
+        profileTrigrams(alt).map(t => (lang, packTrigram(t)))
+      }.toDF("plang", "g")
+      val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val gramId = (0 until 3).map(j =>
+          if (j == 0) col("c") else lead(col("c"), j).over(ord))
+        .zipWithIndex.map { case (c, j) => shiftleft(c, 16 * (2 - j)) }
+        .reduce(_.bitwiseOR(_))
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), posexplode(split(col("lt"), "")).as(Seq("pos", "ch")))
+        .select(col("doc_id"), col("pos"), ascii(col("ch")).cast("long").as("c"))
+        .select(col("doc_id"), gramId.as("g"))
+        .filter(col("g").isNotNull)
+        .dropDuplicates("doc_id", "g")
+      val hits = grams.join(broadcast(profile), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("plang") === "en", 1L).otherwise(0L)).as("hits_en"),
+          sum(when(col("plang") === "de", 1L).otherwise(0L)).as("hits_de"),
+          sum(when(col("plang") === "fr", 1L).otherwise(0L)).as("hits_fr"),
+          sum(when(col("plang") === "es", 1L).otherwise(0L)).as("hits_es"))
+      // left join back so docs with zero profile hits still appear
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hits_en"), lit(0L)).as("hits_en"),
+          coalesce(col("hits_de"), lit(0L)).as("hits_de"),
+          coalesce(col("hits_fr"), lit(0L)).as("hits_fr"),
+          coalesce(col("hits_es"), lit(0L)).as("hits_es"))
+        .withColumn("predicted_lang",
+          when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr")
+            && col("hits_en") >= col("hits_es") && col("hits_en") > 0, "en")
+            .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es")
+              && col("hits_de") > 0, "de")
+            .when(col("hits_fr") >= col("hits_es") && col("hits_fr") > 0, "fr")
+            .when(col("hits_es") > 0, "es")
+            .otherwise("und"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def litList(alt: String): String =
+        profileTrigrams(alt).map(t => "'" + t + "'").mkString("[", ", ", "]")
+      s"""
+      WITH g AS (
+        SELECT doc_id,
+          list_distinct([substr(lower(text), i, 3)
+                         FOR i IN range(1, length(text) - 1)]) AS tg
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+          len(list_intersect(tg, ${litList(StopEn)})) AS hits_en,
+          len(list_intersect(tg, ${litList(StopDe)})) AS hits_de,
+          len(list_intersect(tg, ${litList(StopFr)})) AS hits_fr,
+          len(list_intersect(tg, ${litList(StopEs)})) AS hits_es
+        FROM g)
+      SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+        CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+             WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+             WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+             WHEN hits_es > 0 THEN 'es'
+             ELSE 'und' END AS predicted_lang
+      FROM h ORDER BY doc_id"""
+    })
+
+  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
 }
