@@ -33,10 +33,15 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      Files.writeString(Paths.get(p), json)
-    }
+    // stdout is the primary channel — print BEFORE the file write, which
+    // may fail (bad path) and must not discard the whole run's result
     println(json)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      try Files.writeString(Paths.get(p), json)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

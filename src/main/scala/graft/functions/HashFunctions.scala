@@ -16,6 +16,43 @@ object HashFunctions {
   /** Whitespace tokens of lowercased trimmed text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** One row per character k-gram of each document: (doc_id, pos, g).
+    *
+    * The O(1)-per-position relational gram pipeline shared by d3/t7/t8:
+    * explode to one row per character CODE, then build each gram id from
+    * k window leads — never substr(text, pos, k), which walks codepoints
+    * from the string start (O(len²) per doc), and never a higher-order
+    * transform (interpreted). The repartition moves only doc-level rows;
+    * gram rows are born clustered by doc_id, so the lead window (and any
+    * same-keyed window/aggregate downstream) sorts without re-shuffling
+    * them.
+    *
+    * Gram-id contract: for k <= 4 the id is the INJECTIVE 16-bit-per-
+    * codepoint pack (exact, zero collisions for BMP text); for larger k
+    * it is xxhash64 over the k code tuple (~2^-64 collision odds,
+    * null-guarded so sub-k tails never hash).
+    */
+  def charGramIds(docs: DataFrame, textCol: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 32)
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val codes = (0 until k).map(j =>
+      if (j == 0) col("c") else lead(col("c"), j).over(ord))
+    val gid =
+      if (k <= 4)
+        codes.zipWithIndex.map { case (c, j) => shiftleft(c, 16 * (k - 1 - j)) }
+          .reduce(_.bitwiseOR(_)) // OR with a null lead nulls the id: tails drop
+      else
+        when(codes.last.isNull, lit(null)) // xxhash64 would SKIP nulls, not null out
+          .otherwise(xxhash64(codes: _*))
+    docs.select(col("doc_id"), textCol.as("__graft_text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("__graft_text"), "")).as(Seq("pos", "ch")))
+      .select(col("doc_id"), col("pos"), ascii(col("ch")).cast("long").as("c"))
+      .select(col("doc_id"), col("pos"), gid.as("g"))
+      .filter(col("g").isNotNull)
+  }
+
   /** Distinct word k-shingles ("a b c") of a token array column. Empty for
     * docs shorter than k tokens (guards the ANSI-strict element_at).
     */

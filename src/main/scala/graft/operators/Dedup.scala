@@ -95,12 +95,14 @@ object Dedup {
         .select("doc_a", "doc_b")
         .dropDuplicates("doc_a", "doc_b")
       // Exact-Jaccard verify via the codegen merge-walk over the sorted
-      // per-doc gram-hash arrays (SURVEY H4): the candidate pair frame is
-      // broadcast twice, so the verify adds zero shuffles of gram data.
+      // per-doc gram-hash arrays (SURVEY H4). Only the SLIM candidate
+      // id-pair frame is broadcast; the gram arrays stream through the
+      // joins (never forced through a driver-side broadcast, whose 8 GB
+      // ceiling an unbounded pair x array payload would hit at scale)
       val withA = broadcast(cands)
         .join(docStats.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"), col("sz").as("sz_a")),
           Seq("doc_a"))
-      val pairs = broadcast(withA)
+      val pairs = withA
         .join(docStats.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"), col("sz").as("sz_b")),
           Seq("doc_b"))
       pairs
@@ -138,28 +140,9 @@ object Dedup {
   private val d3 = Relational.Q(
     "d3_dedup_ngram_jaccard",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val k = 4
-      // Gram ids in O(1) per position, fully codegen'd (the t7 pattern):
-      // one row per character code, k window leads, and — since k=4 —
-      // the four 16-bit codepoints pack INJECTIVELY into one long: the
-      // gram id is exact, not a hash (zero collision odds, BMP text).
-      // The old spelling was a transform(...) HOF (interpreted) calling
-      // substr (O(pos) per gram => O(len²) per doc).
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / 100).as("len_bkt"), lower(col("text")).as("lt"))
-        .repartition(col("doc_id")) // spread + key the window and aggregate
-      val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val gramId = (0 until k).map(j =>
-          if (j == 0) col("c") else lead(col("c"), j).over(ord))
-        .zipWithIndex.map { case (c, j) => shiftleft(c, 16 * (k - 1 - j)) }
-        .reduce(_.bitwiseOR(_))
-      val grams = base
-        .select(col("doc_id"), posexplode(split(col("lt"), "")).as(Seq("pos", "ch")))
-        .select(col("doc_id"), col("pos"), ascii(col("ch")).cast("long").as("c"))
-        .select(col("doc_id"), gramId.as("g"))
-        .filter(col("g").isNotNull) // trailing positions with < k chars left
+      // Shared relational gram pipeline (HashFunctions.charGramIds): at
+      // k=4 the gram id is the injective 16-bit pack — exact, not a hash.
+      val grams = H.charGramIds(Tables.documents(s, d), lower(col("text")), 4)
       // sorted + distinct: contract for the merge-walk intersect below;
       // persisted — BOTH sides of the self-join read this one frame. Only
       // the AGGREGATE is cached; the cheap doc-metadata join stays outside
@@ -169,8 +152,9 @@ object Dedup {
         .agg(sort_array(collect_set(col("g"))).as("sg"))
         .withColumn("sz", size(col("sg")))
         .persist()
-      val g = gAgg
-        .join(broadcast(base.select(col("doc_id"), col("lang"), col("len_bkt"))), Seq("doc_id"))
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("len_bkt"))
+      val g = gAgg.join(broadcast(meta), Seq("doc_id"))
       val a = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_a"),
         col("sg").as("sg_a"), col("sz").as("sz_a"))
       val b = g.select(col("lang").as("lang_b"), col("len_bkt").as("len_bkt_b"),

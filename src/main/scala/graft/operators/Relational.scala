@@ -677,9 +677,10 @@ object Relational {
     Some(s"""
       WITH f AS (
         SELECT user_id, ts, value,
-          -- session_window windows are [start, end): a gap of EXACTLY the
-          -- gap duration starts a new session, hence >= not >
-          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+          -- session_window MERGES an event arriving at exactly the gap
+          -- duration (empirically verified: UpdatingSessionsIterator opens
+          -- a new session only when start > currentEnd), hence strict >
+          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
         FROM events WHERE user_id <= 50
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

@@ -190,35 +190,17 @@ object TextAnalysis {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val k = 5  // gram length
-      val w = 4  // winnow window
-      // Gram hashing in O(1) per position, fully codegen'd: explode to one
-      // row per CHARACTER (its code, a long), then build each k-gram's key
-      // from k window leads packed base-131 and hash the packed long.
-      // Naive spellings are quadratic or interpreted: substr(lt, pos, k)
-      // walks codepoints from the string start (O(pos) per gram -> O(len²)
-      // per doc), and a transform(...) HOF evaluates interpreted — both
-      // previously measured as the bench's worst line. The gram-lead pass
-      // and the winnowing-min pass share ONE per-doc sort (same window
-      // partitioning/ordering).
-      val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val packed = (0 until k).map(j =>
-          if (j == 0) col("c") else lead(col("c"), j).over(ord))
-        .reduce((acc, c) => acc * 131 + c)
-      // repartition at the DOC level (5k rows through the exchange), so
-      // the 10M char rows generated by the explode are born already
-      // clustered by doc_id and the window sorts without re-shuffling them
-      val grams = graft.Tables.documents(s, d)
-        .select(col("doc_id"), lower(col("text")).as("lt"))
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), posexplode(split(col("lt"), "")).as(Seq("pos", "ch")))
-        .select(col("doc_id"), col("pos"), ascii(col("ch")).cast("long").as("c"))
-        .select(col("doc_id"), col("pos"), packed.as("packed"))
-        .filter(col("packed").isNotNull) // trailing positions with < k chars left
-        .select(col("doc_id"), col("pos"), xxhash64(col("packed")).as("gh"))
+      val w = 3  // winnow window (~1/3 of positions selected)
+      // Shared relational gram pipeline (HashFunctions.charGramIds): at
+      // k=5 the gram id is xxhash64 over the 5-codepoint tuple (~2^-64
+      // collision odds on ANY text). The gram-lead pass and the winnowing
+      // min below share ONE per-doc sort (same window partition/order).
+      val grams = graft.functions.HashFunctions
+        .charGramIds(graft.Tables.documents(s, d), lower(col("text")), k)
       val winnowWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(0, w - 1)
       val fps = grams
-        .withColumn("fp", min(col("gh")).over(winnowWin))
+        .withColumn("fp", min(col("g")).over(winnowWin))
         .select(col("doc_id"), col("fp"))
         .distinct()
         .persist()
@@ -226,7 +208,7 @@ object TextAnalysis {
       // count arrives as a broadcast one-row frame — no driver action):
       //  - DISCRIMINATIVE fps (df <= 25% of docs) define the overlap sets,
       //    as in round 1;
-      //  - RARE fps (df <= 1%) gate CANDIDATE GENERATION: only pairs
+      //  - RARE fps (df <= 5%) gate CANDIDATE GENERATION: only pairs
       //    sharing at least one rare fingerprint are considered. Real
       //    near-dups always share rare fps (their common content is
       //    theirs), while boilerplate-only fps shared by hundreds of docs
@@ -243,7 +225,7 @@ object TextAnalysis {
         .agg(sort_array(collect_list(col("fp"))).as("sfps"), count(lit(1)).as("n_fp"))
         .persist()
       val rareSet = fps.join(
-        dfreq.filter(col("df") <= greatest(lit(2L), (col("n_docs") / lit(100)).cast("long")))
+        dfreq.filter(col("df") <= greatest(lit(2L), (col("n_docs") / lit(20)).cast("long")))
           .select("fp"),
         Seq("fp"))
       val cands = rareSet.select(col("fp"), col("doc_id").as("doc_a"))
@@ -252,12 +234,14 @@ object TextAnalysis {
         .select("doc_a", "doc_b")
         .dropDuplicates("doc_a", "doc_b")
       // exact overlap on the discriminative sets via the codegen merge-walk
-      // (SortedIntersectSize), candidate frame broadcast — the d2 verify
-      // pattern: no fingerprint row ever re-shuffles for verification
+      // (SortedIntersectSize). Only the SLIM id-pair frame is broadcast;
+      // the per-doc fingerprint arrays stream through the joins (AQE may
+      // still broadcast the small pair side at bench scale, but nothing
+      // forces unbounded array payloads through the driver at 100 TB)
       val withA = broadcast(cands)
         .join(docFps.select(col("doc_id").as("doc_a"), col("sfps").as("sfps_a"),
           col("n_fp").as("n_fp_a")), Seq("doc_a"))
-      broadcast(withA)
+      withA
         .join(docFps.select(col("doc_id").as("doc_b"), col("sfps").as("sfps_b"),
           col("n_fp").as("n_fp_b")), Seq("doc_b"))
         .withColumn("n_shared",
@@ -297,24 +281,15 @@ object TextAnalysis {
   private val t8 = Relational.Q(
     "t8_langid_ngram",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val langs = Seq("en" -> StopEn, "de" -> StopDe, "fr" -> StopFr, "es" -> StopEs)
       val profile = langs.flatMap { case (lang, alt) =>
         profileTrigrams(alt).map(t => (lang, packTrigram(t)))
       }.toDF("plang", "g")
-      val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val gramId = (0 until 3).map(j =>
-          if (j == 0) col("c") else lead(col("c"), j).over(ord))
-        .zipWithIndex.map { case (c, j) => shiftleft(c, 16 * (2 - j)) }
-        .reduce(_.bitwiseOR(_))
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), lower(col("text")).as("lt"))
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), posexplode(split(col("lt"), "")).as(Seq("pos", "ch")))
-        .select(col("doc_id"), col("pos"), ascii(col("ch")).cast("long").as("c"))
-        .select(col("doc_id"), gramId.as("g"))
-        .filter(col("g").isNotNull)
+      // shared relational gram pipeline; k=3 ids are the same injective
+      // 16-bit pack packTrigram uses for the profile side
+      val grams = graft.functions.HashFunctions
+        .charGramIds(Tables.documents(s, d), lower(col("text")), 3)
         .dropDuplicates("doc_id", "g")
       val hits = grams.join(broadcast(profile), Seq("g"))
         .groupBy(col("doc_id"))

@@ -109,8 +109,17 @@ object NibblerSink {
   /** Start with exactly-once batch effects: `processor` runs once per
     * distinct batchId even across query restarts/replays (see
     * [[BatchTracker]]).
+    *
+    * A checkpoint location is REQUIRED, not optional: without one a
+    * restarted query re-issues batchIds from 0 while the durable tracker
+    * still holds the previous run's high-water mark — every fresh batch
+    * up to it would be silently skipped as a "replay". The checkpoint
+    * makes batchIds continue monotonically across restarts, which is the
+    * invariant the tracker's skip rule depends on.
     */
   def startIdempotent[T](ds: Dataset[T], cfg: Config[T],
-      tracker: BatchTracker): StreamingQuery =
-    writer(ds, cfg, idempotent(tracker)(cfg.processor)).start()
+      tracker: BatchTracker, checkpointLocation: String): StreamingQuery =
+    writer(ds, cfg, idempotent(tracker)(cfg.processor))
+      .option("checkpointLocation", checkpointLocation)
+      .start()
 }

@@ -98,7 +98,8 @@ class EventsPipelineSpec extends SparkSpec {
       processor = (_, ds) => { applications.add(ds.count()); () },
       size = 3, tickerDuration = 200.millis)
     val src = MemoryStream[Int]
-    val q = NibblerSink.startIdempotent(src.toDS(), cfg, tracker)
+    val q = NibblerSink.startIdempotent(src.toDS(), cfg, tracker,
+      Files.createTempDirectory("graft-idem-ckpt").toString)
     try {
       src.addData(1, 2, 3)
       q.processAllAvailable()
