@@ -209,6 +209,24 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window merges an event at exactly the gap duration (q27 oracle contract)") {
+    // q27's DuckDB oracle splits sessions on STRICT gap > duration because
+    // Spark's session_window merges the boundary case — pin that here so a
+    // Spark behavior change surfaces as this spec, not an oracle mismatch
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00")),  // == gap: merges
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00.000001"))) // > gap: splits
+      .toDF("user_id", "ts")
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("n")).as[Long].collect().sorted
+    assert(sessions.sameElements(Array(1L, 2L)),
+      s"expected sessions of sizes [1, 2], got ${sessions.toSeq}")
+  }
+
   test("stream-stream interval join matches purchases to the same user's prior clicks only") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val clicks = MemoryStream[EventsPipeline.Event]
