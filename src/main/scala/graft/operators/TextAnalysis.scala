@@ -204,15 +204,22 @@ object TextAnalysis {
         .select(col("doc_id"), col("fp"))
         .distinct()
         .persist()
-      // Two document-frequency tiers, both derived relationally (the doc
-      // count arrives as a broadcast one-row frame — no driver action):
-      //  - DISCRIMINATIVE fps (df <= 25% of docs) define the overlap sets,
-      //    as in round 1;
-      //  - RARE fps (df <= 5%) gate CANDIDATE GENERATION: only pairs
-      //    sharing at least one rare fingerprint are considered. Real
-      //    near-dups always share rare fps (their common content is
-      //    theirs), while boilerplate-only fps shared by hundreds of docs
-      //    previously exploded the pair join into 11M candidates at sf0.1.
+      // Candidate generation and overlap scoring use different views of
+      // the fingerprint index, all derived relationally (the doc count
+      // arrives as a broadcast one-row frame — no driver action):
+      //  - DISCRIMINATIVE fps (df <= 25% of docs) define the overlap
+      //    sets, as in round 1;
+      //  - each doc's RAREST-M fingerprints WITHIN the df <= 5% tier gate
+      //    CANDIDATE GENERATION: near-identical docs have near-identical
+      //    rarest lists, so true near-dups collide, while emission is
+      //    bounded at M rows per document AND every gate fp has small df —
+      //    the two bounds compose (rarest-M alone lets a mid-frequency fp
+      //    be "rarest" for a whole template cohort, exploding pairs; a df
+      //    tier alone keeps each doc's full 5% tail: measured 11.7s vs
+      //    5.1s warm at sf0.1 for the same spec-checked recall). A 1%
+      //    tier is too strict — on this corpus 16 of 25 true pairs share
+      //    no <=1%-df fingerprint at all.
+      val M = 12
       val nDocsDf = fps.agg(count_distinct(col("doc_id")).as("n_docs"))
       val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocsDf)).persist()
@@ -224,10 +231,13 @@ object TextAnalysis {
       val docFps = discSet.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("fp"))).as("sfps"), count(lit(1)).as("n_fp"))
         .persist()
-      val rareSet = fps.join(
-        dfreq.filter(col("df") <= greatest(lit(2L), (col("n_docs") / lit(20)).cast("long")))
-          .select("fp"),
-        Seq("fp"))
+      val rarestRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("fp"))
+      val rareSet = fps
+        .join(dfreq.filter(col("df") <= greatest(lit(2L), (col("n_docs") / lit(20)).cast("long")))
+          .select(col("fp"), col("df")), Seq("fp"))
+        .withColumn("rk", row_number().over(rarestRank))
+        .filter(col("rk") <= M)
+        .select(col("fp"), col("doc_id"))
       val cands = rareSet.select(col("fp"), col("doc_id").as("doc_a"))
         .join(rareSet.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
         .filter(col("doc_a") < col("doc_b"))
