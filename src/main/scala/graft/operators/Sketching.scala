@@ -64,7 +64,16 @@ object Sketching {
         .filter(col("freq") >= 100)
         .orderBy(col("freq").desc, col("token"))
     },
-    None)
+    // The output is provably EXACT (bucket counts upper-bound any member
+    // token's frequency, so pruning can never drop a true heavy hitter;
+    // survivors are then counted exactly) — hence a full DuckDB oracle
+    // even though the pruning itself is a sketch.
+    Some("""
+      SELECT token, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents)
+      GROUP BY token HAVING COUNT(*) >= 100
+      ORDER BY freq DESC, token"""))
 
   val all: Seq[Relational.Q] = Seq(x1, x2, x3)
 }
