@@ -28,11 +28,16 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> (1 to math.max(1, runs)).map(_ => timeOnce(fn)).min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the whole line short: the driver captures
+    // only the last ~2000 chars of stdout, and round 2's full-precision line
+    // (~1970 chars with sbt's [success] suffix) overflowed that window and
+    // failed to parse. 55+ queries at %.3f fit with ample margin.
+    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout is the primary channel — print BEFORE the file write, which
     // may fail (bad path) and must not discard the whole run's result
     println(json)

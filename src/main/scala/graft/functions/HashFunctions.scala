@@ -98,8 +98,17 @@ object HashFunctions {
       shiftright(sh, b * 13).bitwiseAND(mask).bitwiseOR(lit(b.toLong << 16))
     }: _*)
 
+  /** 56-bit cross-engine token hash: the first 14 hex chars of md5,
+    * parsed as an integer — the one >= 56-bit hash both Spark
+    * (conv(hex, 16, 10)) and DuckDB (('0x' || hex)::BIGINT) compute
+    * identically. 14 hex chars keep the value < 2^56, comfortably inside
+    * a signed long, so no unsigned-overflow edge exists in either engine.
+    */
+  def md5Hash56(s: Column): Column =
+    conv(substring(md5(s), 1, 14), 16, 10).cast("long")
+
   /** Combination band keys (multi-index-hashing style) for hamming <= k
-    * blocking: split the 64 bits into `parts` disjoint parts; a pair at
+    * blocking: split the `bits` hash bits into `parts` disjoint parts; a pair at
     * hamming <= parts - clean differs in at most parts - clean parts, so
     * at least `clean` parts are EXACTLY equal — meaning some clean-sized
     * subset of parts matches in full. Emitting one key per clean-subset
@@ -109,9 +118,9 @@ object HashFunctions {
     * the lever against vocabulary-biased simhash bits, where any single
     * 13-bit band collides massively.
     */
-  def simhashCombinationKeys(sh: Column, parts: Int, clean: Int): Column = {
-    val widths = Array.fill(parts)(64 / parts)
-    for (i <- 0 until 64 % parts) widths(i) += 1
+  def simhashCombinationKeys(sh: Column, parts: Int, clean: Int, bits: Int = 64): Column = {
+    val widths = Array.fill(parts)(bits / parts)
+    for (i <- 0 until bits % parts) widths(i) += 1
     val offsets = widths.scanLeft(0)(_ + _)
     val partVals = (0 until parts).map(p =>
       shiftrightunsigned(sh, offsets(p)).bitwiseAND(lit((1L << widths(p)) - 1)))

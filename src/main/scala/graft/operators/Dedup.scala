@@ -196,28 +196,34 @@ object Dedup {
       SELECT doc_a, doc_b, ${r4Sql("j")} AS jaccard
       FROM pairs WHERE j >= 0.62 ORDER BY doc_a, doc_b"""))
 
-  // C4 — SimHash near-dup pairs (no SQL oracle: DuckDB lacks xxhash64;
-  // rows-only driver check + ScalaTest spec). 5x13-bit banding guarantees
-  // recall for hamming <= 4 by pigeonhole.
+  // C4 — SimHash near-dup pairs. The token hash is the md5-derived 56-bit
+  // value (HashFunctions.md5Hash56) both engines compute identically, so
+  // the FULL pipeline — sign-vote simhash, hamming <= 4 pairing — is
+  // oracle-checked against DuckDB's exact all-pairs answer (the
+  // combination-key blocking below is provably lossless at hamming <= 4,
+  // so pruned Spark == unpruned oracle, the x3 pattern).
   private val d4 = Relational.Q(
     "d4_dedup_simhash",
     (s, d) => {
       // Same explode->aggregate shape as d2, via the single-pass SimHash64
-      // imperative aggregate (SURVEY H3): all 64 bit votes update in one
-      // tight loop per token hash, sign-packed at eval.
+      // imperative aggregate (SURVEY H3): all bit votes update in one
+      // tight loop per token hash, sign-packed at eval. Bits 56-63 of the
+      // 56-bit hash are constant 0 -> vote negative -> simhash bits 56-63
+      // are 0; hamming and banding below therefore run on 56 live bits.
       val tokenHashes = Tables.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"), explode(H.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        .select(col("doc_id"), H.md5Hash56(col("tok")).as("h"))
       val sh = tokenHashes.groupBy(col("doc_id"))
         .agg(graft.functions.SimHash64(col("h")).as("sh")).persist()
-      // Combination-key blocking (C(8,4) = 70 composite keys/doc, 32 exact
-      // bits each): a hamming<=4 pair leaves >=4 of 8 bit-parts untouched,
-      // so some 4-part subset matches in full — recall guaranteed, while
-      // measured raw candidate volume at sf0.1 drops 17.6x (1.10M -> 62k)
-      // and the largest bucket from 770 to 27 docs (no straggler task) vs
-      // round 1's single 13-bit bands on vocabulary-biased simhash bits.
+      // Combination-key blocking (C(8,4) = 70 composite keys/doc, 28 exact
+      // bits each over the 8 x 7-bit parts): a hamming<=4 pair leaves >=4
+      // of 8 bit-parts untouched, so some 4-part subset matches in full —
+      // recall guaranteed, while measured raw candidate volume at sf0.1
+      // drops 17.6x (1.10M -> 62k) and the largest bucket from 770 to 27
+      // docs (no straggler task) vs round 1's single 13-bit bands on
+      // vocabulary-biased simhash bits.
       val banded = sh.select(col("doc_id"), col("sh"),
-        explode(H.simhashCombinationKeys(col("sh"), 8, 4)).as("band"))
+        explode(H.simhashCombinationKeys(col("sh"), 8, 4, 56)).as("band"))
       val a = banded.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = banded.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       a.join(b, Seq("band"))
@@ -230,7 +236,30 @@ object Dedup {
         .dropDuplicates("doc_a", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    None)
+    // Oracle: exact all-pairs over the identical 56-bit simhash — per-bit
+    // sign votes over the token-hash multiset, bit i set iff vote > 0.
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents),
+      h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h
+        FROM tok),
+      votes AS (
+        SELECT doc_id, i,
+          SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, (SELECT unnest(range(0, 56)) AS i) bits
+        GROUP BY doc_id, i),
+      sh AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sh
+        FROM votes GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 4
+      ORDER BY doc_a, doc_b"""))
 
   // C5 — embedding near-dup pairs by cosine, EXACT (oracle-checked), via
   // triangle partitioning: ids hash into B groups; each vector is
@@ -282,5 +311,85 @@ object Dedup {
       SELECT id_a, id_b, ${r4Sql("cos")} AS cosine
       FROM pairs WHERE cos >= 0.4 ORDER BY id_a, id_b"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5)
+  // C6 — near-dup CLUSTER formation: connected components over d2's
+  // verified pair graph, so a corpus-cleaning pass can keep one canonical
+  // doc per duplicate cluster instead of reasoning pair-by-pair. Min-label
+  // propagation: every node starts labeled with itself; each round every
+  // node takes the min label in its neighborhood; fixpoint = components.
+  //
+  // This is the one legitimately ITERATIVE operator in the engine — each
+  // round is one shuffle join + one map-side-combinable min aggregate, and
+  // localCheckpoint truncates lineage so round N's plan doesn't embed
+  // rounds 1..N-1. Convergence is detected via sum(lbl), a single-row
+  // aggregate per round (labels only decrease, so an unchanged sum means
+  // a fixpoint — no row-level comparison needed). Rounds needed = graph
+  // diameter; near-dup clusters are dense template cohorts (diameter 1-2).
+  // At 1000-executor scale the same loop runs with the alternating
+  // large-star/small-star optimization (Kiveris et al., "Connected
+  // Components in MapReduce") for O(log n) worst-case rounds; the
+  // per-round join shape is identical.
+  private val d6 = Relational.Q(
+    "d6_dedup_clusters",
+    (s, d) => {
+      val pairs = nearDupPairs(Tables.documents(s, d)).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .persist()
+      var labels = edges.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+        .localCheckpoint()
+      var prevSum = Long.MinValue
+      var converged = false
+      var round = 0
+      while (!converged && round < 15) {
+        val neighborMin = edges
+          .join(labels.select(col("node").as("v"), col("lbl").as("vlbl")), Seq("v"))
+          .groupBy(col("u"))
+          .agg(min(col("vlbl")).as("nlbl"))
+        labels = labels
+          .join(neighborMin.select(col("u").as("node"), col("nlbl")), Seq("node"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        val sum = labels.agg(org.apache.spark.sql.functions.sum(col("lbl"))).head.getLong(0)
+        converged = sum == prevSum
+        prevSum = sum
+        round += 1
+      }
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(wc).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    // Oracle: the d2 pairwise near-dup SQL feeds a recursive CTE that
+    // enumerates reachable labels; MIN per node = component id. UNION
+    // (not ALL) dedups the frontier so cyclic graphs terminate.
+    Some(s"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                         FOR i IN range(1, len(tk) - 1)]) AS sg
+        FROM toks WHERE len(tk) >= 3),
+      pr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+              / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.8),
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pr
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pr),
+      reach(node, lbl) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+      comp AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+      SELECT doc_id, cluster_id,
+        CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      FROM comp ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6)
 }

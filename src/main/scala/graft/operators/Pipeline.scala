@@ -72,5 +72,60 @@ object Pipeline {
       WHERE doc_id NOT IN (SELECT doc_id FROM drops)
       ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(p1)
+  // P2 — deterministic train/val split: the md5-derived 56-bit hash of
+  // the doc id (HashFunctions.md5Hash56 — identical in DuckDB) modulo 100
+  // buckets, 90/10. Pure map-side projection: no shuffle, no RNG state,
+  // stable under re-runs/retries/repartitioning — the property a training
+  // pipeline needs so the same doc NEVER migrates between train and val
+  // across runs (sample()/rand() can't promise that).
+  private val p2 = Relational.Q(
+    "p2_train_val_split",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          pmod(graft.functions.HashFunctions.md5Hash56(col("doc_id").cast("string")), lit(100L))
+            .as("bucket"))
+        .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS bucket,
+        CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 90
+             THEN 'train' ELSE 'val' END AS split
+      FROM documents ORDER BY doc_id"""))
+
+  // P3 — deterministic stratified sample: exactly S docs per language,
+  // chosen by hash order (md5-derived key, doc_id tie-break) — a
+  // reproducible evaluation subset per stratum. The window sorts within
+  // each stratum only; at 100 TB prefer the map-only rate-based variant
+  // (filter hash < threshold, no sort) unless exact per-stratum counts
+  // are required.
+  private val p3 = Relational.Q(
+    "p3_stratified_sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val S = 25
+      val wl = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.HashFunctions.md5Hash56(col("doc_id").cast("string")).as("hk"))
+        .withColumn("rk", row_number().over(wl).cast("long"))
+        .filter(col("rk") <= S)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, lang,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS hk
+        FROM documents),
+      r AS (
+        SELECT doc_id, lang,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+        FROM h)
+      SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+      FROM r WHERE rk <= 25 ORDER BY lang, rk"""))
+
+  val all: Seq[Relational.Q] = Seq(p1, p2, p3)
 }

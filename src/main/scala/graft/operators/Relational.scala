@@ -712,7 +712,7 @@ object Relational {
     },
     Some("""
       SELECT event_type, COUNT(*) AS n,
-        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
@@ -770,7 +770,36 @@ object Relational {
         AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
       ORDER BY purchase_id, click_id"""))
 
+  // B31 — CUBE multi-dimensional aggregation (all four grouping levels in
+  // one pass): Catalyst plans cube as a single Expand + hash aggregate —
+  // one scan, map-side partials, no per-level re-read. grouping() flags
+  // disambiguate "NULL because subtotal" from a genuinely NULL dimension.
+  private val q31 = Q(
+    "q31_cube_totals",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          money(col("l_quantity")).as("sum_qty"),
+          money(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          coalesce(col("l_returnflag"), lit("~")), coalesce(col("l_linestatus"), lit("~")))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${moneySql("l_quantity")} AS sum_qty,
+        ${moneySql("l_extendedprice")} AS sum_price,
+        COUNT(*) AS n,
+        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY g_rf, g_ls, COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30)
+    q25, q26, q27, q28, q29, q30, q31)
 }

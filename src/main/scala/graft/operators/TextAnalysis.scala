@@ -180,21 +180,22 @@ object TextAnalysis {
       FROM documents ORDER BY doc_id"""))
 
   // E7 — winnowing fingerprints (Schleimer et al.): the rolling local-min
-  // selection over positional k-gram hashes, built relationally (posexplode
+  // selection over positional k-gram ids, built relationally (posexplode
   // + sliding window min, all codegen), then a fingerprint-sharing join.
   // Docs sharing >= 50% of the smaller fingerprint set are near-dup
-  // candidates. Rows-only (no 64-bit hash common with DuckDB); the spec
-  // checks it rediscovers the minhash-verified near-dups.
+  // candidates. At k=4 the gram id is the INJECTIVE 16-bit pack (no hash
+  // at all), and packed-long order == per-codepoint lexicographic order,
+  // so DuckDB reproduces the exact min-selection with string grams — the
+  // whole winnowing pipeline is oracle-checked, not just spec'd.
   private val t7 = Relational.Q(
     "t7_winnowing_fingerprints",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val k = 5  // gram length
+      val k = 4  // gram length (<= 4 keeps the gram id injective + oracle-able)
       val w = 3  // winnow window (~1/3 of positions selected)
-      // Shared relational gram pipeline (HashFunctions.charGramIds): at
-      // k=5 the gram id is xxhash64 over the 5-codepoint tuple (~2^-64
-      // collision odds on ANY text). The gram-lead pass and the winnowing
-      // min below share ONE per-doc sort (same window partition/order).
+      // Shared relational gram pipeline (HashFunctions.charGramIds). The
+      // gram-lead pass and the winnowing min below share ONE per-doc sort
+      // (same window partition/order).
       val grams = graft.functions.HashFunctions
         .charGramIds(graft.Tables.documents(s, d), lower(col("text")), k)
       val winnowWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -262,7 +263,50 @@ object TextAnalysis {
         .select(col("doc_a"), col("doc_b"), col("n_shared"), r4(col("overlap")).as("overlap"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    None)
+    // The oracle mirrors every stage with string 4-grams: for equal-length
+    // grams, lexicographic codepoint order == packed-long order, so MIN
+    // window selection, (df, fp) rarest ranking, and set intersection all
+    // agree with the Spark side exactly.
+    Some(s"""
+      WITH g AS (
+        SELECT doc_id, pos, substr(lt, pos, 4) AS gram
+        FROM (SELECT doc_id, lower(text) AS lt,
+                unnest(range(1, length(text) - 2)) AS pos
+              FROM documents WHERE length(text) >= 4)),
+      fps AS (
+        SELECT DISTINCT doc_id, fp FROM (
+          SELECT doc_id,
+            MIN(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS fp
+          FROM g)),
+      nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM fps),
+      dfreq AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp),
+      disc AS (
+        SELECT f.doc_id, f.fp FROM fps f JOIN dfreq d ON f.fp = d.fp, nd
+        WHERE d.df <= GREATEST(2, CAST(FLOOR(nd.n_docs / 4.0) AS BIGINT))),
+      docfps AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp, list(fp) AS sfps
+        FROM disc GROUP BY doc_id),
+      rare AS (
+        SELECT fp, doc_id FROM (
+          SELECT f.fp, f.doc_id,
+            ROW_NUMBER() OVER (PARTITION BY f.doc_id ORDER BY d.df, f.fp) AS rk
+          FROM fps f JOIN dfreq d ON f.fp = d.fp, nd
+          WHERE d.df <= GREATEST(2, CAST(FLOOR(nd.n_docs / 20.0) AS BIGINT)))
+        WHERE rk <= 12),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(len(list_intersect(fa.sfps, fb.sfps)) AS BIGINT) AS n_shared,
+          CAST(len(list_intersect(fa.sfps, fb.sfps)) AS DOUBLE)
+            / LEAST(fa.n_fp, fb.n_fp) AS overlap
+        FROM cands c
+        JOIN docfps fa ON fa.doc_id = c.doc_a
+        JOIN docfps fb ON fb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, n_shared, ${r4Sql("overlap")} AS overlap
+      FROM scored WHERE overlap >= 0.5 ORDER BY doc_a, doc_b"""))
 
   /** Language trigram profiles, derived deterministically from the same
     * stopword lists t3 uses: all distinct char-trigrams of words with
@@ -351,5 +395,42 @@ object TextAnalysis {
       FROM h ORDER BY doc_id"""
     })
 
-  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
+  // E9 — TF-IDF term scoring: per-doc term frequency x corpus inverse
+  // document frequency, emitting each doc's discriminative repeated terms
+  // (tf >= 2, df <= 10% of docs — integer thresholds, so the cross-engine
+  // cut is exact; the float tfidf is r4-quantized payload, never a rank
+  // key). Two hash aggregates + one broadcast: the df frame derives FROM
+  // the tf frame (docs-containing = rows per token after the first
+  // group), so the corpus is tokenized once.
+  private val t9 = Relational.Q(
+    "t9_tfidf",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, Seq("token"))
+        .crossJoin(broadcast(n))
+        .filter(col("tf") >= 2 && col("df") <= floor(col("n_docs") / lit(10)))
+        .withColumn("tfidf", r4(col("tf").cast("double") *
+          log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double"))))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("token"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT t.doc_id, t.token, t.tf, d.df,
+        ${r4Sql("CAST(t.tf AS DOUBLE) * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE))")} AS tfidf
+      FROM tf t JOIN dfreq d USING (token), n
+      WHERE t.tf >= 2 AND d.df <= FLOOR(n.n_docs / 10.0)
+      ORDER BY doc_id, token"""))
+
+  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9)
 }

@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming analytics over the events stream (SURVEY.md A14/A15):
   * watermarked tumbling-window aggregation and custom keyed state via
@@ -149,5 +150,50 @@ object EventsPipeline {
             SessionUpdate(userId, st.nSessions, st.nEvents)
           }
       }
+  }
+
+  /** Arbitrary stateful processing v2 (A21): the same per-user session
+    * counting as [[sessionTracker]], re-expressed on Spark 4's
+    * `transformWithState` StatefulProcessor API — typed named state
+    * variables (value/list/map) with per-variable TTL, timers, and schema
+    * evolution, the successor to mapGroupsWithState for long-lived
+    * services. In production pass a `ttl` so an unbounded user key space
+    * stays bounded (the v2 analog of A15's processing-time timeout); state
+    * v2 requires the RocksDB provider ([[RocksDBStateStore]]).
+    */
+  class SessionProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, Event, SessionUpdate] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], ttl)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionUpdate] = {
+      var st = if (state.exists()) state.get() else SessionState(0L, Long.MinValue, 0L)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val sec = e.ts.getTime / 1000
+        val newSession = st.lastSec == Long.MinValue || sec - st.lastSec > 1800
+        st = SessionState(
+          nEvents = st.nEvents + 1,
+          lastSec = sec,
+          nSessions = st.nSessions + (if (newSession) 1 else 0))
+      }
+      state.update(st)
+      Iterator.single(SessionUpdate(user, st.nSessions, st.nEvents))
+    }
+  }
+
+  /** [[SessionProcessor]] wired onto a stream — must run with the RocksDB
+    * state store ([[RocksDBStateStore]]); see the spec for the contract
+    * that its outputs equal [[sessionTracker]]'s batch for batch.
+    */
+  def sessionTrackerTws(events: Dataset[Event],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(ttl), TimeMode.None(), OutputMode.Update())
   }
 }

@@ -175,4 +175,83 @@ class OperatorSpec extends SparkSpec {
     val found = (d2 & t7).size
     assert(found >= d2.size / 2, s"winnowing found $found of ${d2.size} near-dup pairs")
   }
+
+  test("dedup clusters (d6) equal union-find components of the d2 pair graph") {
+    val sf = "/root/testdata/sf0.01"
+    val pairs = graft.SparkEntry.queries("d2_dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent reference: a driver-side union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    val d6 = graft.SparkEntry.queries("d6_dedup_clusters")(spark, sf).collect()
+    val got = d6.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "label-propagation components != union-find components")
+    // cluster_id is the min member and cluster_size counts its rows
+    val byCluster = d6.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.map(_.getLong(0)).min == cid)
+      assert(rows.forall(_.getLong(2) == rows.length))
+    }
+  }
+
+  test("train/val split (p2) is deterministic, bounded, and consistent") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("p2_train_val_split")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bucket, split) = (r.getLong(1), r.getString(2))
+      assert(bucket >= 0 && bucket < 100)
+      assert(split == (if (bucket < 90) "train" else "val"))
+    }
+    val trainFrac = rows.count(_.getString(2) == "train").toDouble / rows.length
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+    // rerun -> identical assignment (the anti-rand() guarantee)
+    val again = graft.SparkEntry.queries("p2_train_val_split")(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("stratified sample (p3) takes at most S docs per language, rank-contiguous") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("p3_stratified_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (_, g) =>
+      assert(g.length <= 25)
+      assert(g.map(_.getLong(2)).sorted.sameElements(1L to g.length))
+    }
+  }
+
+  test("tfidf (t9) respects its integer gates and scores repeated rare terms") {
+    val sf = "/root/testdata/sf0.01"
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val rows = graft.SparkEntry.queries("t9_tfidf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 2, "tf gate")
+      assert(r.getLong(3) <= nDocs / 10, "df gate")
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
+  test("cube totals (q31) are internally consistent across grouping levels") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("q31_cube_totals")(spark, sf).collect()
+    val grand = rows.filter(r => r.getLong(5) == 1 && r.getLong(6) == 1)
+    assert(grand.length == 1)
+    val total = grand.head.getLong(4)
+    assert(total == graft.Tables.lineitem(spark, sf).count())
+    // each partial level's counts re-sum to the grand total
+    Seq((0L, 0L), (0L, 1L), (1L, 0L)).foreach { case (grf, gls) =>
+      val n = rows.filter(r => r.getLong(5) == grf && r.getLong(6) == gls)
+        .map(_.getLong(4)).sum
+      assert(n == total, s"level ($grf,$gls) sums to $n != $total")
+    }
+  }
 }

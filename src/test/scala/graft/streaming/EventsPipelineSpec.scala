@@ -71,6 +71,44 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState session tracker matches mapGroupsWithState answers") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // state v2 runs only on the RocksDB provider
+    val saved = EventsPipeline.RocksDBStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    val source = MemoryStream[EventsPipeline.Event]
+    def ev(id: Long, user: Long, minute: Long) =
+      EventsPipeline.Event(id, new Timestamp(minute * 60000L), user, "click", 1.0)
+    val q = EventsPipeline.sessionTrackerTws(source.toDS())
+      .writeStream.format("memory").queryName("tws_sessions_test")
+      .outputMode("update").start()
+    try {
+      // identical scenario to the A15 sessionTracker spec: the v2 API must
+      // produce the same per-user session counts
+      source.addData(ev(1, 1, 0), ev(2, 1, 5), ev(3, 1, 65), ev(4, 2, 0))
+      q.processAllAvailable()
+      val out = spark.table("tws_sessions_test")
+        .orderBy("user_id").as[EventsPipeline.SessionUpdate].collect()
+      assert(out.toSeq == Seq(
+        EventsPipeline.SessionUpdate(1, 2, 3),
+        EventsPipeline.SessionUpdate(2, 1, 1)))
+      // ValueState persists across micro-batches: 10 min after user 1's
+      // last event -> same session, counts continue from state
+      source.addData(ev(5, 1, 75))
+      q.processAllAvailable()
+      val upd = spark.table("tws_sessions_test")
+        .filter($"user_id" === 1).as[EventsPipeline.SessionUpdate].collect()
+      assert(upd.last == EventsPipeline.SessionUpdate(1, 2, 4))
+    } finally {
+      q.stop()
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("NibblerSink applies size-or-ticker semantics to a streaming Dataset") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[Int]

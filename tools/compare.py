@@ -15,13 +15,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    # Render through pandas dtypes, not raw Python values: DuckDB's
+    # SUM(BIGINT) -> HUGEINT materializes as float64 in a dataframe
+    # ("99111.0"), which is how the driver sees it — fetchall()'s Python
+    # ints masked exactly that mismatch in round 2 (q28).
+    cols = sorted(df.columns)
     out = []
-    for r in rows:
+    for _, r in df[cols].iterrows():
         vals = []
-        for i in order:
-            v = r[i]
+        for v in r:
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
@@ -42,22 +45,18 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            spark_rel = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols = [d[0] for d in spark_rel.description]
-            s_rows = spark_rel.fetchall()
-            duck_rel = con.execute(sql)
-            d_cols = [d[0] for d in duck_rel.description]
-            d_rows = duck_rel.fetchall()
+            s_df = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            d_df = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        if sorted(s_cols) != sorted(d_cols):
-            print(f"FAIL {name}: cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if sorted(s_df.columns) != sorted(d_df.columns):
+            print(f"FAIL {name}: cols spark={sorted(s_df.columns)} duck={sorted(d_df.columns)}")
             n_fail += 1
             continue
-        cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
+        cs, cd = canon(s_df), canon(d_df)
         if cs == cd:
             print(f"PASS {name} ({len(cs)} rows)")
             n_pass += 1
