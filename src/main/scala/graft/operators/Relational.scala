@@ -799,7 +799,36 @@ object Relational {
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY g_rf, g_ls, COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')"""))
 
+  // B32 — event-time RANGE window frame: each order's trailing-7-day
+  // revenue for the same customer. Unlike q09's ROWS frame, the RANGE
+  // frame is bounded by the ORDER-BY VALUE (days), so same-day peer rows
+  // all join the frame and gaps in the calendar shrink it — the moving-
+  // aggregate shape running totals can't express. The frame key is
+  // epoch-days (cross-engine-exact integer); decimal-exact money
+  // discipline as everywhere.
+  private val q32 = Q(
+    "q32_moving_revenue",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"),
+          dec(col("o_totalprice")).as("price"))
+        .withColumn("win7_total", round(sum(col("price")).over(w), 2).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("win7_total"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    },
+    Some(s"""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(ROUND(SUM(${decSql("o_totalprice")}) OVER (
+          PARTITION BY o_custkey
+          ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS win7_total
+      FROM orders
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31)
+    q25, q26, q27, q28, q29, q30, q31, q32)
 }

@@ -223,19 +223,23 @@ object TextAnalysis {
       val M = 12
       val nDocsDf = fps.agg(count_distinct(col("doc_id")).as("n_docs"))
       val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nDocsDf)).persist()
-      val discSet = fps.join(
-        dfreq.filter(col("df") <= greatest(lit(2L), (col("n_docs") / lit(4)).cast("long")))
-          .select("fp"),
-        Seq("fp"))
+        .crossJoin(broadcast(nDocsDf))
+      // ONE fps⋈dfreq join feeds both tiers (the 25% discriminative set
+      // and the 5% rare set are filters over the same annotated frame —
+      // round 2 joined fps to dfreq twice, shuffling the widest frame
+      // once per tier)
+      val withDf = fps
+        .join(dfreq.filter(col("df") <= greatest(lit(2L), (col("n_docs") / lit(4)).cast("long"))),
+          Seq("fp"))
+        .persist()
+      val discSet = withDf
       // per-doc sorted discriminative fp arrays for the merge-walk verify
       val docFps = discSet.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("fp"))).as("sfps"), count(lit(1)).as("n_fp"))
         .persist()
       val rarestRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("fp"))
-      val rareSet = fps
-        .join(dfreq.filter(col("df") <= greatest(lit(2L), (col("n_docs") / lit(20)).cast("long")))
-          .select(col("fp"), col("df")), Seq("fp"))
+      val rareSet = withDf
+        .filter(col("df") <= greatest(lit(2L), (col("n_docs") / lit(20)).cast("long")))
         .withColumn("rk", row_number().over(rarestRank))
         .filter(col("rk") <= M)
         .select(col("fp"), col("doc_id"))
@@ -396,12 +400,12 @@ object TextAnalysis {
     })
 
   // E9 — TF-IDF term scoring: per-doc term frequency x corpus inverse
-  // document frequency, emitting each doc's discriminative repeated terms
-  // (tf >= 2, df <= 10% of docs — integer thresholds, so the cross-engine
-  // cut is exact; the float tfidf is r4-quantized payload, never a rank
-  // key). Two hash aggregates + one broadcast: the df frame derives FROM
-  // the tf frame (docs-containing = rows per token after the first
-  // group), so the corpus is tokenized once.
+  // document frequency, emitting each doc's repeated non-ubiquitous terms
+  // (tf >= 2, df <= 80% of docs, both spelled in exact integer arithmetic
+  // so the cross-engine cut can't flake; the float tfidf is r4-quantized
+  // payload, never a rank key). Two hash aggregates + one broadcast: the
+  // df frame derives FROM the tf frame (docs-containing = rows per token
+  // after the first group), so the corpus is tokenized once.
   private val t9 = Relational.Q(
     "t9_tfidf",
     (s, d) => {
@@ -412,7 +416,7 @@ object TextAnalysis {
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, Seq("token"))
         .crossJoin(broadcast(n))
-        .filter(col("tf") >= 2 && col("df") <= floor(col("n_docs") / lit(10)))
+        .filter(col("tf") >= 2 && col("df") * 5 <= col("n_docs") * 4)
         .withColumn("tfidf", r4(col("tf").cast("double") *
           log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double"))))
         .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
@@ -429,7 +433,7 @@ object TextAnalysis {
       SELECT t.doc_id, t.token, t.tf, d.df,
         ${r4Sql("CAST(t.tf AS DOUBLE) * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE))")} AS tfidf
       FROM tf t JOIN dfreq d USING (token), n
-      WHERE t.tf >= 2 AND d.df <= FLOOR(n.n_docs / 10.0)
+      WHERE t.tf >= 2 AND d.df * 5 <= n.n_docs * 4
       ORDER BY doc_id, token"""))
 
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9)

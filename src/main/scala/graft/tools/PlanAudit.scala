@@ -22,7 +22,9 @@ object PlanAudit {
       "s4_ann_ivf_topk" ->
         "corpus x broadcast constant-size centroid sample (IVF assignment/probing)",
       "t7_winnowing_fingerprints" ->
-        "crossJoin(broadcast(<one-row nDocs frame>)) for the relational threshold")
+        "crossJoin(broadcast(<one-row nDocs frame>)) for the relational threshold",
+      "t9_tfidf" ->
+        "crossJoin(broadcast(<one-row nDocs frame>)) for the idf/df thresholds")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -232,10 +232,11 @@ class OperatorSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.01"
     val nDocs = graft.Tables.documents(spark, sf).count()
     val rows = graft.SparkEntry.queries("t9_tfidf")(spark, sf).collect()
-    assert(rows.nonEmpty)
+    // the gates must leave a substantive per-doc term profile, not a sliver
+    assert(rows.length > nDocs, s"only ${rows.length} tfidf rows for $nDocs docs")
     rows.foreach { r =>
       assert(r.getLong(2) >= 2, "tf gate")
-      assert(r.getLong(3) <= nDocs / 10, "df gate")
+      assert(r.getLong(3) * 5 <= nDocs * 4, "df gate")
       assert(r.getDouble(4) > 0.0)
     }
   }

@@ -55,6 +55,19 @@ class SourcesSpec extends SparkSpec {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves rows and pushes filters") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val orders = Tables.orders(spark, sfDir)
+    orders.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      orders.orderBy("o_orderkey").collect().toSeq)
+    // ORC scans push predicates just like parquet
+    val plan = back.filter(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(500))
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.orders(spark, sfDir).write.mode("overwrite")
