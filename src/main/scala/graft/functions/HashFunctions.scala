@@ -28,9 +28,19 @@ object HashFunctions {
     * them.
     *
     * Gram-id contract: for k <= 4 the id is the INJECTIVE 16-bit-per-
-    * codepoint pack (exact, zero collisions for BMP text); for larger k
-    * it is xxhash64 over the k code tuple (~2^-64 collision odds,
-    * null-guarded so sub-k tails never hash).
+    * codepoint pack (exact, zero collisions for BMP text; non-BMP
+    * codepoints arrive as surrogate halves and should use the hashed
+    * k >= 5 path); for larger k it is xxhash64 over the k code tuple
+    * (~2^-64 collision odds, null-guarded so sub-k tails never hash).
+    *
+    * Order contract (what winnowing's MIN selection relies on): packed-id
+    * LONG order equals per-codepoint lexicographic order. At k=4 the
+    * first codepoint lands in bits 48-63, so a first char >= U+8000
+    * would flip the SIGN and invert the comparison — the XOR with
+    * Long.MinValue below rotates the domain so signed-long order is
+    * unsigned pack order for every BMP gram. (Equality consumers — d3's
+    * intersection, t8's profile join — are indifferent to the constant
+    * XOR; t8's k=3 pack tops out at bit 47 and needs no rotation.)
     */
   def charGramIds(docs: DataFrame, textCol: Column, k: Int): DataFrame = {
     require(k >= 1 && k <= 32)
@@ -39,10 +49,11 @@ object HashFunctions {
     val codes = (0 until k).map(j =>
       if (j == 0) col("c") else lead(col("c"), j).over(ord))
     val gid =
-      if (k <= 4)
-        codes.zipWithIndex.map { case (c, j) => shiftleft(c, 16 * (k - 1 - j)) }
+      if (k <= 4) {
+        val packed = codes.zipWithIndex.map { case (c, j) => shiftleft(c, 16 * (k - 1 - j)) }
           .reduce(_.bitwiseOR(_)) // OR with a null lead nulls the id: tails drop
-      else
+        if (k == 4) packed.bitwiseXOR(lit(Long.MinValue)) else packed
+      } else
         when(codes.last.isNull, lit(null)) // xxhash64 would SKIP nulls, not null out
           .otherwise(xxhash64(codes: _*))
     docs.select(col("doc_id"), textCol.as("__graft_text"))
@@ -106,6 +117,13 @@ object HashFunctions {
     */
   def md5Hash56(s: Column): Column =
     conv(substring(md5(s), 1, 14), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Hash56]] (the Num.money/moneySql pairing
+    * convention): interpolate into oracle SQL so the hash width lives in
+    * exactly one place per engine.
+    */
+  def md5Hash56Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 14))::BIGINT"
 
   /** Combination band keys (multi-index-hashing style) for hamming <= k
     * blocking: split the `bits` hash bits into `parts` disjoint parts; a pair at

@@ -115,13 +115,16 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val d2 = Relational.Q(
-    "d2_dedup_minhash_lsh",
-    (s, d) => nearDupPairs(Tables.documents(s, d)),
-    Some(s"""
-      WITH toks AS (
+  /** The DuckDB spelling of [[nearDupPairs]]'s exact semantics (full
+    * pairwise word-3-shingle Jaccard over `fromTable`), as CTEs
+    * `toks`/`sh`/`pairs(doc_a, doc_b, j)` — ONE definition interpolated
+    * into every oracle that consumes the near-dup pair graph (d2, d6), so
+    * a threshold or tokenization change can't silently diverge them.
+    */
+  private[operators] def pairwiseSql(fromTable: String): String = s"""
+      toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
-        FROM documents),
+        FROM $fromTable),
       sh AS (
         SELECT doc_id,
           list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
@@ -131,7 +134,13 @@ object Dedup {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
             / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
+
+  private val d2 = Relational.Q(
+    "d2_dedup_minhash_lsh",
+    (s, d) => nearDupPairs(Tables.documents(s, d)),
+    Some(s"""
+      WITH ${pairwiseSql("documents")}
       SELECT doc_a, doc_b, ${r4Sql("j")} AS jaccard
       FROM pairs WHERE j >= 0.8 ORDER BY doc_a, doc_b"""))
 
@@ -238,13 +247,13 @@ object Dedup {
     },
     // Oracle: exact all-pairs over the identical 56-bit simhash — per-bit
     // sign votes over the token-hash multiset, bit i set iff vote > 0.
-    Some("""
+    Some(s"""
       WITH tok AS (
         SELECT doc_id,
-          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
         FROM documents),
       h AS (
-        SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h
+        SELECT doc_id, ${H.md5Hash56Sql("tok")} AS h
         FROM tok),
       votes AS (
         SELECT doc_id, i,
@@ -318,20 +327,24 @@ object Dedup {
   // node takes the min label in its neighborhood; fixpoint = components.
   //
   // This is the one legitimately ITERATIVE operator in the engine — each
-  // round is one shuffle join + one map-side-combinable min aggregate, and
-  // localCheckpoint truncates lineage so round N's plan doesn't embed
-  // rounds 1..N-1. Convergence is detected via sum(lbl), a single-row
-  // aggregate per round (labels only decrease, so an unchanged sum means
-  // a fixpoint — no row-level comparison needed). Rounds needed = graph
-  // diameter; near-dup clusters are dense template cohorts (diameter 1-2).
-  // At 1000-executor scale the same loop runs with the alternating
-  // large-star/small-star optimization (Kiveris et al., "Connected
-  // Components in MapReduce") for O(log n) worst-case rounds; the
-  // per-round join shape is identical.
-  private val d6 = Relational.Q(
-    "d6_dedup_clusters",
-    (s, d) => {
-      val pairs = nearDupPairs(Tables.documents(s, d)).select(col("doc_a"), col("doc_b"))
+  // round is one shuffle join + one map-side-combinable min aggregate
+  // plus a pointer-jump (lbl <- lbl's lbl), and localCheckpoint truncates
+  // lineage so round N's plan doesn't embed rounds 1..N-1. Convergence is
+  // detected via sum(lbl), a single-row aggregate per round (labels only
+  // decrease, so an unchanged sum means a fixpoint — no row-level
+  // comparison needed). The pointer-jump halves the distance a min label
+  // still has to travel, so rounds needed = O(log diameter) — 30 rounds
+  // cover any graph that fits in storage — and non-convergence within the
+  // cap THROWS rather than returning silently wrong clusters. At
+  // 1000-executor scale the same loop runs as alternating
+  // large-star/small-star (Kiveris et al., "Connected Components in
+  // MapReduce"); the per-round join shape is identical.
+  /** Connected components over an undirected (doc_a, doc_b) pair frame —
+    * d6's core, factored out so the chain/empty/convergence edge cases
+    * are directly testable. Returns (doc_id, cluster_id, cluster_size)
+    * for every node that appears in a pair, cluster_id = min member id.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
       val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
         .persist()
@@ -339,44 +352,48 @@ object Dedup {
         .select(col("node"), col("node").as("lbl"))
         .localCheckpoint()
       var prevSum = Long.MinValue
-      var converged = false
+      var converged = labels.isEmpty // a dup-free corpus: no propagation, no rows
       var round = 0
-      while (!converged && round < 15) {
+      while (!converged && round < maxRounds) {
         val neighborMin = edges
           .join(labels.select(col("node").as("v"), col("lbl").as("vlbl")), Seq("v"))
           .groupBy(col("u"))
           .agg(min(col("vlbl")).as("nlbl"))
-        labels = labels
+        val propagated = labels
           .join(neighborMin.select(col("u").as("node"), col("nlbl")), Seq("node"), "left")
           .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        // pointer-jump: follow one hop of the label chain (lbl is itself a
+        // node id), turning linear-diameter propagation into logarithmic
+        labels = propagated
+          .join(propagated.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
           .localCheckpoint()
         val sum = labels.agg(org.apache.spark.sql.functions.sum(col("lbl"))).head.getLong(0)
         converged = sum == prevSum
         prevSum = sum
         round += 1
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxRounds rounds — " +
+            "component diameter beyond design range; use large-star/small-star")
       val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(wc).cast("long"))
         .orderBy(col("doc_id"))
-    },
-    // Oracle: the d2 pairwise near-dup SQL feeds a recursive CTE that
-    // enumerates reachable labels; MIN per node = component id. UNION
-    // (not ALL) dedups the frontier so cyclic graphs terminate.
+  }
+
+  private val d6 = Relational.Q(
+    "d6_dedup_clusters",
+    (s, d) => connectedComponents(
+      nearDupPairs(Tables.documents(s, d)).select(col("doc_a"), col("doc_b"))),
+    // Oracle: the SHARED d2 pairwise near-dup SQL (pairwiseSql — one
+    // definition for both oracles) feeds a recursive CTE that enumerates
+    // reachable labels; MIN per node = component id. UNION (not ALL)
+    // dedups the frontier so cyclic graphs terminate.
     Some(s"""
-      WITH RECURSIVE toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-          list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-                         FOR i IN range(1, len(tk) - 1)]) AS sg
-        FROM toks WHERE len(tk) >= 3),
-      pr AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
-              / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.8),
+      WITH RECURSIVE ${pairwiseSql("documents")},
+      pr AS (SELECT doc_a, doc_b FROM pairs WHERE j >= 0.8),
       edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pr
         UNION ALL

@@ -88,12 +88,13 @@ object Pipeline {
         .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
         .orderBy(col("doc_id"))
     },
-    Some("""
-      SELECT doc_id,
-        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS bucket,
-        CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 90
-             THEN 'train' ELSE 'val' END AS split
-      FROM documents ORDER BY doc_id"""))
+    Some {
+      val bucket = s"${graft.functions.HashFunctions.md5Hash56Sql("CAST(doc_id AS VARCHAR)")} % 100"
+      s"""
+      SELECT doc_id, $bucket AS bucket,
+        CASE WHEN $bucket < 90 THEN 'train' ELSE 'val' END AS split
+      FROM documents ORDER BY doc_id"""
+    })
 
   // P3 — deterministic stratified sample: exactly S docs per language,
   // chosen by hash order (md5-derived key, doc_id tie-break) — a
@@ -115,10 +116,10 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("rk"))
         .orderBy(col("lang"), col("rk"))
     },
-    Some("""
+    Some(s"""
       WITH h AS (
         SELECT doc_id, lang,
-          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS hk
+          ${graft.functions.HashFunctions.md5Hash56Sql("CAST(doc_id AS VARCHAR)")} AS hk
         FROM documents),
       r AS (
         SELECT doc_id, lang,

@@ -202,6 +202,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: empty graph, long chain, and multi-component cases") {
+    // empty pair frame -> empty result, no crash (the dup-free corpus case)
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).collect().isEmpty)
+    // a 20-node chain needs 19 linear rounds; pointer-jumping must close
+    // it well inside the cap — and a second component must stay separate
+    val chain = (1L until 20L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
+    val out = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b")).collect()
+    val labels = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 20L).forall(labels(_) == 1L))
+    assert(labels(100L) == 100L && labels(101L) == 100L)
+    val sizes = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sizes(5L) == 20 && sizes(101L) == 2)
+  }
+
   test("train/val split (p2) is deterministic, bounded, and consistent") {
     val sf = "/root/testdata/sf0.01"
     val rows = graft.SparkEntry.queries("p2_train_val_split")(spark, sf).collect()

@@ -63,10 +63,12 @@ class EventsPipelineSpec extends SparkSpec {
         EventsPipeline.SessionUpdate(1, 2, 3),
         EventsPipeline.SessionUpdate(2, 1, 1)))
       // Late batch continues from state: event 10 min after user 1's last.
+      // Order by the monotone n_events, not sink insertion order.
       source.addData(ev(5, 1, 75))
       q.processAllAvailable()
       val upd = spark.table("sessions_test")
-        .filter($"user_id" === 1).as[EventsPipeline.SessionUpdate].collect()
+        .filter($"user_id" === 1).orderBy($"n_events")
+        .as[EventsPipeline.SessionUpdate].collect()
       assert(upd.last == EventsPipeline.SessionUpdate(1, 2, 4))
     } finally q.stop()
   }
@@ -94,11 +96,14 @@ class EventsPipelineSpec extends SparkSpec {
         EventsPipeline.SessionUpdate(1, 2, 3),
         EventsPipeline.SessionUpdate(2, 1, 1)))
       // ValueState persists across micro-batches: 10 min after user 1's
-      // last event -> same session, counts continue from state
+      // last event -> same session, counts continue from state. n_events
+      // grows monotonically, so the max row IS the latest update (no
+      // reliance on the memory sink preserving batch order).
       source.addData(ev(5, 1, 75))
       q.processAllAvailable()
       val upd = spark.table("tws_sessions_test")
-        .filter($"user_id" === 1).as[EventsPipeline.SessionUpdate].collect()
+        .filter($"user_id" === 1).orderBy($"n_events")
+        .as[EventsPipeline.SessionUpdate].collect()
       assert(upd.last == EventsPipeline.SessionUpdate(1, 2, 4))
     } finally {
       q.stop()

@@ -22,7 +22,10 @@ def canon(df):
     # ints masked exactly that mismatch in round 2 (q28).
     cols = sorted(df.columns)
     out = []
-    for _, r in df[cols].iterrows():
+    # itertuples, NOT iterrows: iterrows upcasts mixed int64/float64 rows
+    # to float64, which would corrupt large ints on both sides and mask
+    # the very dtype mismatches this comparator exists to catch
+    for r in df[cols].itertuples(index=False, name=None):
         vals = []
         for v in r:
             if isinstance(v, float):
