@@ -828,7 +828,35 @@ object Relational {
       FROM orders
       ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
+  // B33 — SLIDING event-time windows (10-minute window, 5-minute slide):
+  // each event lands in exactly windowDuration/slide = 2 overlapping
+  // windows. Spark plans window() with a slide as one Expand (2 rows per
+  // event) + hash aggregate — one scan, map-side partials, the same shape
+  // the streaming twin (EventsPipeline.slidingAgg) runs incrementally.
+  // The oracle replicates the grid arithmetic: both window starts on the
+  // 5-minute epoch grid that cover each event's second.
+  private val q33 = Q(
+    "q33_events_sliding",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), money(col("value")).as("total_value"))
+        .select(col("win.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT event_type, value, unnest([s0, s0 - 300]) AS ws
+        FROM (
+          SELECT event_type, value,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 300) * 300 AS s0
+          FROM events))
+      SELECT make_timestamp(ws * 1000000) AS window_start, event_type,
+        COUNT(*) AS n_events, ${moneySql("value")} AS total_value
+      FROM g GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33)
 }

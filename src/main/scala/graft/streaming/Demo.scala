@@ -97,6 +97,30 @@ object Demo {
         s"streamed=$streamed batch=$batch")
     }
 
+    // 4. transformWithState (state v2, RocksDB provider): the session
+    // tracker's typed ValueState survives across micro-batches.
+    {
+      EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+      implicit val evEnc: org.apache.spark.sql.Encoder[EventsPipeline.Event] =
+        org.apache.spark.sql.Encoders.product[EventsPipeline.Event]
+      val src = MemoryStream[EventsPipeline.Event]
+      def ev(id: Long, user: Long, minute: Long) =
+        EventsPipeline.Event(id, new Timestamp(minute * 60000L), user, "click", 1.0)
+      val q = EventsPipeline.sessionTrackerTws(src.toDS())
+        .writeStream.format("memory").queryName("demo_tws")
+        .outputMode("update").start()
+      src.addData(ev(1, 1, 0), ev(2, 1, 5))
+      q.processAllAvailable()
+      src.addData(ev(3, 1, 65)) // 60 min gap -> second session, state carried
+      q.processAllAvailable()
+      q.stop()
+      import spark.implicits._
+      val fin = spark.table("demo_tws").orderBy($"n_events")
+        .as[EventsPipeline.SessionUpdate].collect().last
+      check("transform-with-state", fin == EventsPipeline.SessionUpdate(1, 2, 3),
+        s"final=$fin")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -54,6 +54,20 @@ object EventsPipeline {
       .select(col("win.start").as("minute_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked SLIDING-window aggregation (A22): each event counts into
+    * duration/slide overlapping windows (Expand + hash agg, incremental
+    * under streaming — state is one row per open (window, type), evicted
+    * past the watermark). Batch twin: q33_events_sliding.
+    */
+  def slidingAgg(events: DataFrame, duration: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration, slide).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

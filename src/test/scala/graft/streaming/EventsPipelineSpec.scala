@@ -43,6 +43,28 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding agg matches the batch answer and doubles event coverage") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[EventsPipeline.Event]
+    def ev(id: Long, minute: Long, value: Double) =
+      EventsPipeline.Event(id, new Timestamp(minute * 60000L), 1L, "click", value)
+    val data = Seq(ev(1, 1000, 1.0), ev(2, 1003, 2.0), ev(3, 1007, 4.0))
+    val q = EventsPipeline.slidingAgg(src.toDS().toDF())
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").start()
+    try {
+      src.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_test")
+        .orderBy("window_start", "event_type").collect()
+      val batch = EventsPipeline.slidingAgg(data.toDF())
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      // every event is in exactly duration/slide = 2 windows
+      assert(streamed.map(_.getLong(2)).sum == 2L * data.length)
+    } finally q.stop()
+  }
+
   test("sessionTracker counts gap-separated sessions per user") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[EventsPipeline.Event]
