@@ -88,6 +88,55 @@ object Multimodal {
     },
     None)
 
+  /** STUB vectorized decoder: one call per BATCH of payloads — the
+    * signature a GPU model server / vectorized codec exposes. The stub
+    * delegates per element; a real system replaces this one function
+    * with a single batched inference call.
+    */
+  def batchDecodeStub(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    batch.map(decodeStub)
+
+  /** F5 core — MICRO-BATCHED decode: each partition's rows are grouped
+    * into `batchSize` slices and the (stub) vectorized decoder runs once
+    * per slice — the Scala equivalent of mapInArrow/mapInPandas batch
+    * plumbing: bounded memory per call, one model-server round-trip per
+    * batch rather than per row, iterator-lazy end to end. `decoder` is
+    * injectable so specs can instrument call counts/shapes.
+    */
+  def extractFeaturesBatched(payloads: DataFrame, batchSize: Int = 64,
+      decoder: Seq[Array[Byte]] => Seq[Array[Float]] = batchDecodeStub): DataFrame = {
+    require(batchSize >= 1)
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[DocPayload]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val feats = decoder(batch.map(_.payload))
+          require(feats.length == batch.length,
+            s"decoder returned ${feats.length} results for ${batch.length} inputs")
+          batch.lazyZip(feats).map { (p, f) =>
+            DocFeatures(p.doc_id, p.payload.length, f)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  // F5 — rows-only like F2 (stub features aren't SQL-expressible); the
+  // spec pins batched == unbatched output and the batch-size contract.
+  private val m5 = Relational.Q(
+    "m5_feature_extract_batched",
+    (s, d) => {
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      extractFeaturesBatched(payloads)
+        .select(col("doc_id"), col("n_bytes"), size(col("features")).as("n_features"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   // F3 — frame array + posexplode + every-k-th sampling (video-frame
   // shaped pipeline; frames here are 64-byte payload chunks).
   private val m3 = Relational.Q(
@@ -185,5 +234,5 @@ object Multimodal {
              ELSE GREATEST((n * out_w * out_h) // (in_w * in_h), 1) END AS out_bytes
       FROM o ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4)
+  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5)
 }

@@ -101,6 +101,28 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("batched feature extraction: same answers as per-row, decoder sees bounded batches") {
+    val payloads = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val calls = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val counting: Seq[Array[Byte]] => Seq[Array[Float]] = { batch =>
+      calls.add(batch.length)
+      Multimodal.batchDecodeStub(batch)
+    }
+    // collect unsorted and sort client-side: a global orderBy would add a
+    // range-partitioning sampling pass that evaluates the decoder twice
+    val batched = Multimodal.extractFeaturesBatched(payloads, batchSize = 16, decoder = counting)
+      .collect().sortBy(_.getLong(0))
+    val perRow = Multimodal.extractFeatures(payloads).collect().sortBy(_.getLong(0))
+    assert(batched.map(_.toString).sameElements(perRow.map(_.toString)))
+    // the decoder was really called per batch, never above the cap, and
+    // covered every row exactly once
+    import scala.jdk.CollectionConverters._
+    val sizes = calls.value.asScala.toVector
+    assert(sizes.nonEmpty && sizes.forall(s => s >= 1 && s <= 16))
+    assert(sizes.sum == perRow.length)
+  }
+
   test("simhash dedup (d4) finds the planted near-duplicates") {
     val sf = "/root/testdata/sf0.01"
     val d4 = graft.SparkEntry.queries("d4_dedup_simhash")(spark, sf).collect()
@@ -200,6 +222,27 @@ class OperatorSpec extends SparkSpec {
       assert(rows.map(_.getLong(0)).min == cid)
       assert(rows.forall(_.getLong(2) == rows.length))
     }
+  }
+
+  test("k=4 gram ids preserve gram string order for BMP text, including chars >= U+8000") {
+    // winnowing's MIN selection and the (df, fp) rarest ranking rely on
+    // packed-long order == lexicographic codepoint order; the rotation by
+    // Long.MinValue must keep that true when the first char's codepoint
+    // sets bit 15 of its 16-bit field (CJK, Hangul, full-width forms)
+    val texts = Seq(
+      (1L, "ab語écd！ef"),          // CJK + full-width in the middle
+      (2L, "耀A￮Bzz"),        // >= U+8000 as a gram FIRST char
+      (3L, "plain ascii text here"))
+    val grams = graft.functions.HashFunctions
+      .charGramIds(texts.toDF("doc_id", "text"), col("text"), 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = texts.toMap
+    val pairs = for {
+      (d1, p1, g1) <- grams; (d2, p2, g2) <- grams
+      s1 = byDoc(d1).substring(p1, p1 + 4); s2 = byDoc(d2).substring(p2, p2 + 4)
+    } yield (g1.compareTo(g2).sign, s1.compareTo(s2).sign)
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (lo, so) => assert(lo == so, "long order != string order") }
   }
 
   test("connectedComponents: empty graph, long chain, and multi-component cases") {
