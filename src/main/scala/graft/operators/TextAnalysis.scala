@@ -436,5 +436,35 @@ object TextAnalysis {
       WHERE t.tf >= 2 AND d.df * 5 <= n.n_docs * 4
       ORDER BY doc_id, token"""))
 
-  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9)
+  // E10 — repetition ratio: the fraction of a doc's word-3-shingles that
+  // are repeats (1 - distinct/total) — the standard "repetitive document"
+  // quality gate in corpus filtering (template spam, keyword stuffing,
+  // boilerplate loops score high). Pure per-row scalar math: one scan,
+  // zero shuffles besides the output sort.
+  private val t10 = Relational.Q(
+    "t10_repetition",
+    (s, d) => {
+      val tk = split(lower(trim(col("text"))), "\\s+")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          greatest(size(tk) - 2, lit(0)).cast("long").as("n_shingles"),
+          size(graft.functions.HashFunctions.wordShingles(tk, 3)).cast("long").as("n_distinct"))
+        .filter(col("n_shingles") > 0)
+        .withColumn("rep_ratio",
+          r4(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles")))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id,
+          GREATEST(len(tk) - 2, 0) AS n_shingles,
+          len(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             FOR i IN range(1, len(tk) - 1)])) AS n_distinct
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents))
+      SELECT doc_id, n_shingles, n_distinct,
+        ${r4Sql("1.0 - CAST(n_distinct AS DOUBLE) / n_shingles")} AS rep_ratio
+      FROM sh WHERE n_shingles > 0 ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10)
 }

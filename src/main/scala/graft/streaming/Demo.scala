@@ -121,6 +121,38 @@ object Demo {
         s"final=$fin")
     }
 
+    // 5. The reference's core story, closed end to end: a Processor
+    // callback running the OPERATOR LIBRARY on each micro-batch — the
+    // corpus-cleaning chain (quality gate + exact dedup) applied inside
+    // the nibbler sink, matching the same operators run in batch.
+    {
+      import org.apache.spark.sql.functions.{col, min}
+      val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      val dir = Files.createTempDirectory("graft-demo-proc").toString
+      docs.coalesce(1).write.mode("overwrite").parquet(dir)
+      val kept = new java.util.concurrent.atomic.AtomicLong()
+      val stream = spark.readStream.schema(docs.schema).parquet(dir)
+      val q = NibblerSink.start[org.apache.spark.sql.Row](
+        stream.as(org.apache.spark.sql.Encoders.row(docs.schema)),
+        NibblerSink.Config(
+          processor = (_, ds) => {
+            val cleaned = ds.toDF()
+              .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.61)
+              .groupBy(graft.operators.Dedup.normHash(col("text")))
+              .agg(min(col("doc_id")))
+            kept.addAndGet(cleaned.count()); ()
+          },
+          size = Long.MaxValue, tickerDuration = 200.millis))
+      q.processAllAvailable()
+      q.stop()
+      val expected = docs
+        .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.61)
+        .groupBy(graft.operators.Dedup.normHash(col("text")))
+        .agg(min(col("doc_id"))).count()
+      check("processor-runs-operators", kept.get() == expected && expected > 0,
+        s"kept=${kept.get()}/$expected")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }
