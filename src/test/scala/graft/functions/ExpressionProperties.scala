@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** ScalaCheck properties for the custom Catalyst expressions, driven
+  * through their interpreted eval path with Literal children — no Spark
+  * session, hundreds of random cases per property. (Codegen/interpreted
+  * equivalence is separately pinned by the bit-identity specs in
+  * OperatorSpec; these properties pin the SEMANTICS on arbitrary input.)
+  */
+object ExpressionProperties extends Properties("graft.functions") {
+
+  private def litLongs(a: Seq[Long]) =
+    Literal.create(a.toArray, ArrayType(LongType, containsNull = false))
+  private def litFloats(a: Seq[Float]) =
+    Literal.create(a.toArray, ArrayType(FloatType, containsNull = false))
+
+  property("sortedIntersectSize == Set intersection size") =
+    forAll { (a: Set[Long], b: Set[Long]) =>
+      val n = SortedIntersectSize(litLongs(a.toSeq.sorted), litLongs(b.toSeq.sorted))
+        .eval(null).asInstanceOf[Int]
+      n == (a & b).size
+    }
+
+  property("sortedIntersectSize is symmetric and bounded") =
+    forAll { (a: Set[Long], b: Set[Long]) =>
+      val sa = litLongs(a.toSeq.sorted); val sb = litLongs(b.toSeq.sorted)
+      val ab = SortedIntersectSize(sa, sb).eval(null).asInstanceOf[Int]
+      val ba = SortedIntersectSize(sb, sa).eval(null).asInstanceOf[Int]
+      ab == ba && ab <= math.min(a.size, b.size)
+    }
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.chooseNum(1, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100f, 100f).suchThat(f => !f.isNaN)))
+
+  private def refCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  property("cosine matches the sequential-double reference bit for bit") =
+    forAll(vecGen, vecGen) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val got = CosineSimilarity(litFloats(a), litFloats(b)).eval(null)
+      val exp = refCosine(a, b)
+      if (got == null) Prop(exp.isNaN) // zero vector -> NaN reference, null expr
+      else Prop(got.asInstanceOf[Double] == exp ||
+        (got.asInstanceOf[Double].isNaN && exp.isNaN))
+    }
+
+  property("cosine of ragged vectors is null, never a truncated score") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      (a.length != b.length) ==>
+        Prop(CosineSimilarity(litFloats(a), litFloats(b)).eval(null) == null)
+    }
+
+  property("rhp bucket is scale-invariant (depends only on direction)") =
+    forAll(vecGen, Gen.chooseNum(1, 8)) { (v, planesLog) =>
+      val planes = planesLog * 4
+      val b1 = RandomHyperplaneBucket(litFloats(v), planes).eval(null)
+      val b2 = RandomHyperplaneBucket(litFloats(v.map(_ * 4.0f)), planes).eval(null)
+      b1 == b2
+    }
+
+  property("rhp bucket uses exactly `planes` bits") =
+    forAll(vecGen, Gen.chooseNum(1, 63)) { (v, planes) =>
+      val b = RandomHyperplaneBucket(litFloats(v), planes).eval(null).asInstanceOf[Long]
+      (b >>> planes) == 0L
+    }
+}
