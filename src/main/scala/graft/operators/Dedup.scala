@@ -408,5 +408,54 @@ object Dedup {
         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
       FROM comp ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6)
+  // C7 — canonical-doc selection: per near-dup cluster keep the HIGHEST-
+  // QUALITY member (not the min id) — the retention policy a production
+  // cleaning pipeline actually wants. Composition of C6's clusters with
+  // E2's quality score; the winner is a map-side-combinable max_by over
+  // (quality, -doc_id), so ties break to the smaller id deterministically
+  // in both engines (quality is r4-quantized, hence cross-engine-exact).
+  private val d7 = Relational.Q(
+    "d7_dedup_canonical",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = connectedComponents(
+        nearDupPairs(docs).select(col("doc_a"), col("doc_b")))
+      val quality = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      clusters.join(quality, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(
+          max_by(col("doc_id"),
+            struct(col("quality"), (-col("doc_id")).as("tie"))).as("keep_id"),
+          max(col("quality")).as("keep_quality"),
+          count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${pairwiseSql("documents")},
+      pr AS (SELECT doc_a, doc_b FROM pairs WHERE j >= 0.8),
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pr
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pr),
+      reach(node, lbl) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+      comp AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+      q AS (
+        SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality
+        FROM documents),
+      ranked AS (
+        SELECT c.cluster_id, c.doc_id, q.quality,
+          ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                             ORDER BY q.quality DESC, c.doc_id) AS rk,
+          COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM comp c JOIN q USING (doc_id))
+      SELECT cluster_id, doc_id AS keep_id, quality AS keep_quality,
+        CAST(n_members AS BIGINT) AS n_members
+      FROM ranked WHERE rk = 1 ORDER BY cluster_id"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7)
 }

@@ -43,11 +43,7 @@ object Pipeline {
       WITH scored AS (
         SELECT doc_id, text,
           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-          ${r4Sql(
-            "0.4 * (CAST(len(regexp_extract_all(lower(text), '\\b(?:" + TextAnalysis.StopEn + ")\\b')) AS DOUBLE)" +
-            " / len(string_split_regex(trim(text), '\\s+')))" +
-            " + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text))" +
-            " + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text))")} AS quality
+          ${TextAnalysis.qualityScoreSql("text")} AS quality
         FROM documents),
       qualified AS (SELECT * FROM scored WHERE quality >= $QualityMin),
       keepers AS (

@@ -58,6 +58,16 @@ object TextAnalysis {
       + lit(0.3) * (lit(1.0) - nDigit.cast("double") / nChars))
   }
 
+  /** DuckDB twin of [[qualityScore]] over a text expression — ONE
+    * definition interpolated into every oracle that scores quality (p1,
+    * d7), per the money/moneySql pairing convention.
+    */
+  def qualityScoreSql(textExpr: String): String = r4Sql(
+    s"0.4 * (CAST(len(regexp_extract_all(lower($textExpr), '\\b(?:$StopEn)\\b')) AS DOUBLE)" +
+    s" / len(string_split_regex(trim($textExpr), '\\s+')))" +
+    s" + 0.3 * (1.0 - CAST(length($textExpr) - length(regexp_replace($textExpr, '[.,!?;:]', '', 'g')) AS DOUBLE) / length($textExpr))" +
+    s" + 0.3 * (1.0 - CAST(length($textExpr) - length(regexp_replace($textExpr, '[0-9]', '', 'g')) AS DOUBLE) / length($textExpr))")
+
   // E2 — quality scoring from punct/digit/upper/stopword ratios.
   private val t2 = Relational.Q(
     "t2_quality_score",

@@ -32,7 +32,9 @@ object PlanAudit {
     // pair-graph equi-join audited via d2.
     val iterative = Map(
       "d6_dedup_clusters" ->
-        "iterative label propagation; per-round shape == d2's audited joins")
+        "iterative label propagation; per-round shape == d2's audited joins",
+      "d7_dedup_canonical" ->
+        "consumes d6's materialized components; per-round shape == d2's audited joins")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -260,6 +260,31 @@ class OperatorSpec extends SparkSpec {
     assert(sizes(5L) == 20 && sizes(101L) == 2)
   }
 
+  test("canonical selection (d7) keeps the best-quality member of each d6 cluster") {
+    val sf = "/root/testdata/sf0.01"
+    val clusters = graft.SparkEntry.queries("d6_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d7 = graft.SparkEntry.queries("d7_dedup_canonical")(spark, sf).collect()
+    assert(d7.nonEmpty)
+    // one keeper per d6 cluster; the keeper is a member and no member of
+    // its cluster scores strictly higher
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(d7.map(_.getLong(0)).toSet == byCluster.keySet)
+    d7.foreach { r =>
+      val (cid, keep, keepQ, n) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      val members = byCluster(cid)
+      assert(members.contains(keep))
+      assert(n == members.size)
+      assert(keepQ == quality(keep))
+      assert(members.forall(m => quality(m) <= keepQ))
+      // deterministic tie-break: smallest id among max-quality members
+      assert(keep == members.filter(m => quality(m) == keepQ).min)
+    }
+  }
+
   test("train/val split (p2) is deterministic, bounded, and consistent") {
     val sf = "/root/testdata/sf0.01"
     val rows = graft.SparkEntry.queries("p2_train_val_split")(spark, sf).collect()
