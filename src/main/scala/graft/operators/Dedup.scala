@@ -368,7 +368,7 @@ object Dedup {
           .join(propagated.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
           .select(col("node"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
           .localCheckpoint()
-        val sum = labels.agg(org.apache.spark.sql.functions.sum(col("lbl"))).head.getLong(0)
+        val sum = labels.agg(org.apache.spark.sql.functions.sum(col("lbl"))).head().getLong(0)
         converged = sum == prevSum
         prevSum = sum
         round += 1

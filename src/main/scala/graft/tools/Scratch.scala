@@ -26,12 +26,12 @@ object Scratch {
     val bandSizes = banded.groupBy("band").count()
     bandSizes.orderBy(col("count").desc).show(10, false)
     println("[scratch] raw candidate pairs (1-level)=" + bandSizes
-      .agg(sum(col("count") * (col("count") - 1) / 2)).head.get(0))
+      .agg(sum(col("count") * (col("count") - 1) / 2)).head().get(0))
     for ((p, c) <- Seq((6, 2), (7, 3), (8, 4))) {
       val bk = sh.select(col("doc_id"), explode(H.simhashCombinationKeys(col("sh"), p, c)).as("band"))
         .groupBy("band").count()
-      println(s"[scratch] C($p,$c): max bucket=" + bk.agg(max("count")).head.get(0) +
-        " pairs=" + bk.agg(sum(col("count") * (col("count") - 1) / 2)).head.get(0))
+      println(s"[scratch] C($p,$c): max bucket=" + bk.agg(max("count")).head().get(0) +
+        " pairs=" + bk.agg(sum(col("count") * (col("count") - 1) / 2)).head().get(0))
     }
     // hamming distribution of the minhash-verified (true) near-dup pairs
     val d2 = graft.SparkEntry.queries("d2_dedup_minhash_lsh")(spark, sfDir)
