@@ -48,7 +48,20 @@ object Dedup {
     * Returns (doc_a, doc_b, jaccard) for exact Jaccard >= `minJaccard`,
     * ordered. See d2's Q below for the oracle contract.
     */
-  def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+  /** LSH band key b over a minhash signature column (4 rows per band) —
+    * `xxhash64(b, sig[4b+1..4b+4])`. One definition shared by the batch
+    * join ([[nearDupPairs]]), the banded-frame view ([[minhashBanded]]),
+    * and replicated bit-for-bit by the row-local streaming twin
+    * ([[minhashBandedLocal]]).
+    */
+  private def bandKeyCol(sig: Column, b: Int): Column =
+    xxhash64((lit(b) +: (0 until 4).map(r => element_at(sig, b * 4 + r + 1))): _*)
+
+  /** Per-doc minhash stats (shingle count, 64-perm signature, sorted
+    * shingle hashes) — the shared core of d2/d6/d7 and the banded views.
+    * Returned frame is persisted and keyed by doc_id.
+    */
+  private def docMinhashStats(docs: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       // Shingles built relationally (posexplode + window lead) instead of
       // a higher-order transform: HOFs evaluate interpreted per element,
@@ -77,15 +90,61 @@ object Dedup {
       // round 1, one pass now, exchange-free on the cached partitioning.
       // 64 perms / 16 bands x 4 rows: catch probability at j=0.8 is
       // 1-(1-0.8^4)^16 ~= 0.9998 per pair, ~1-3e-8 at the data's j>=0.88.
-      val docStats = shd.groupBy(col("doc_id"))
+      shd.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("sz"),
           graft.functions.MinHashSignature(col("h"), 64).as("sig"),
           sort_array(collect_list(col("h"))).as("sg"))
         .persist()
-      val bandKey = (b: Int) =>
-        xxhash64((lit(b) +: (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))): _*)
+  }
+
+  /** The (band_key, doc_id, sig) LSH view of a (doc_id, text) frame —
+    * what the batch candidate join shuffles on, and the exact frame the
+    * streaming near-dup operator keys its state by.
+    */
+  def minhashBanded(docs: DataFrame): DataFrame = {
+    val stats = docMinhashStats(docs)
+    stats.select(col("doc_id"), col("sig"),
+      explode(array((0 until 16).map(b => bandKeyCol(col("sig"), b)): _*)).as("band_key"))
+      .select(col("band_key"), col("doc_id"), col("sig"))
+  }
+
+  /** Row-local twin of [[minhashBanded]] for STREAMING inputs (window
+    * functions and blocking aggregates can't run on a stream): the same
+    * tokenization, word-3-shingling, xxhash64 shingle hashing, 64-perm
+    * seeded-rehash minhash, and 16-band keys, computed per document in
+    * Scala — bit-compatible by construction (spec-pinned against
+    * [[minhashBanded]]): shingle hash == xxhash64(utf8, seed 42),
+    * component i == min XXH64.hashInt(i, hashLong(h, 42)) (the
+    * MinHashSignature contract), band key == xxhash64(b, 4 components).
+    */
+  def minhashBandedLocal(docId: Long, text: String): Seq[(Long, Long, Array[Long])] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val tk = text.toLowerCase.trim.split("\\s+")
+    if (tk.length < 3) return Nil
+    val hashes = tk.sliding(3).map(_.mkString(" ")).toArray.distinct
+      .map(s => XXH64.hashUTF8String(UTF8String.fromString(s), 42L))
+    val sig = Array.fill(64)(Long.MaxValue)
+    hashes.foreach { h =>
+      val base = XXH64.hashLong(h, 42L)
+      var i = 0
+      while (i < 64) {
+        val v = XXH64.hashInt(i, base)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    (0 until 16).map { b =>
+      var k = XXH64.hashInt(b, 42L)
+      (0 until 4).foreach(r => k = XXH64.hashLong(sig(b * 4 + r), k))
+      (k, docId, sig)
+    }
+  }
+
+  def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+      val docStats = docMinhashStats(docs)
       val banded = docStats.select(col("doc_id"),
-        explode(array((0 until 16).map(bandKey): _*)).as("band_key"))
+        explode(array((0 until 16).map(b => bandKeyCol(col("sig"), b)): _*)).as("band_key"))
       // Band self-join: one (doc_id, band_key) long-pair frame broadcast —
       // at bench scale this is KBs; at 100 TB the same join runs as a
       // shuffle on band_key (drop the hint), still never a cross join.

@@ -210,4 +210,80 @@ object EventsPipeline {
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(ttl), TimeMode.None(), OutputMode.Update())
   }
+
+  final case class BandedDoc(band_key: Long, doc_id: Long, sig: Array[Long])
+
+  final case class NearDupHit(doc_id: Long, earlier_id: Long, est_jaccard: Double)
+
+  /** Streaming NEAR-dup detection (A23) — the streaming twin of the batch
+    * minhash/LSH pipeline (Dedup.d2), for the "drop near-dups as the
+    * corpus arrives" ingestion shape a training-data pipeline needs:
+    *
+    *   docs stream → relational shingle+minhash (the SAME codegen
+    *   pipeline batch d2 uses, via [[graft.operators.Dedup.minhashBanded]])
+    *   → explode to one row per LSH band key → `flatMapGroupsWithState`
+    *   keyed BY BAND KEY, whose state is the band's previously-seen
+    *   (doc_id, signature) members → each arriving doc is compared to its
+    *   band's members by SIGNATURE AGREEMENT (matching minhash components
+    *   / k estimates Jaccard, the standard estimator) and emits a hit per
+    *   earlier near-duplicate.
+    *
+    * Scale/state design: state is partitioned by band key (the same key
+    * the batch join shuffles on), bounded per band by `maxPerBand` (FIFO
+    * eviction) and globally by the processing-time timeout — an unbounded
+    * corpus cannot grow a band's member list or keep dead bands alive.
+    * Candidate work per doc is |band members| per its 16 bands, never a
+    * corpus scan. A pair colliding in several bands is emitted once per
+    * colliding band — dedupe downstream per micro-batch if exact-once
+    * pair emission matters (the batch twin dedups the same way).
+    */
+  /** Convenience wiring: a (doc_id, text) stream through the row-local
+    * minhash/banding twin ([[graft.operators.Dedup.minhashBandedLocal]] —
+    * bit-compatible with the batch pipeline) into [[streamingNearDup]].
+    */
+  def nearDupStream(docs: Dataset[(Long, String)],
+      minEstJaccard: Double = 0.8,
+      maxPerBand: Int = 64): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val banded = docs.flatMap { case (id, text) =>
+      graft.operators.Dedup.minhashBandedLocal(id, text)
+        .map { case (k, i, s) => BandedDoc(k, i, s) }
+    }
+    streamingNearDup(banded, minEstJaccard, maxPerBand)
+  }
+
+  def streamingNearDup(
+      banded: Dataset[BandedDoc],
+      minEstJaccard: Double = 0.8,
+      maxPerBand: Int = 64,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[NearDupHit] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[Vector[(Long, Array[Long])], NearDupHit](
+        OutputMode.Append(), timeout) {
+        (_: Long, docs: Iterator[BandedDoc], state: GroupState[Vector[(Long, Array[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(Vector.empty)
+            val hits = Vector.newBuilder[NearDupHit]
+            docs.toSeq.sortBy(_.doc_id).foreach { d =>
+              if (!members.exists(_._1 == d.doc_id)) {
+                members.foreach { case (earlierId, earlierSig) =>
+                  val k = math.min(earlierSig.length, d.sig.length)
+                  var agree = 0; var i = 0
+                  while (i < k) { if (earlierSig(i) == d.sig(i)) agree += 1; i += 1 }
+                  val est = if (k == 0) 0.0 else agree.toDouble / k
+                  if (est >= minEstJaccard) hits += NearDupHit(d.doc_id, earlierId, est)
+                }
+                members = (members :+ (d.doc_id, d.sig)).takeRight(maxPerBand)
+              }
+            }
+            state.update(members)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration("1 hour")
+            hits.result().iterator
+          }
+      }
+  }
 }

@@ -136,6 +136,47 @@ class EventsPipelineSpec extends SparkSpec {
     }
   }
 
+  test("row-local minhash banding is bit-compatible with the batch pipeline") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val batch = graft.operators.Dedup.minhashBanded(docs)
+      .select("band_key", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = docs.collect().flatMap { r =>
+      graft.operators.Dedup.minhashBandedLocal(r.getLong(0), r.getString(1))
+        .map { case (k, id, _) => (k, id) }
+    }.toSet
+    assert(batch.nonEmpty)
+    assert(local == batch, "streaming twin's band keys diverge from the batch pipeline")
+  }
+
+  test("streaming near-dup detects duplicates across micro-batches with bounded band state") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while counting " +
+      "tokens and shingles for the minhash signature pipeline test corpus"
+    val distinct = "completely different content about spark catalyst plans " +
+      "exchanges partitions and whole stage codegen with nothing shared"
+    val src = MemoryStream[(Long, String)]
+    val q = EventsPipeline.nearDupStream(src.toDS())
+      .writeStream.format("memory").queryName("neardup_stream_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: an identical pair (1,2) and an unrelated doc 3
+      src.addData((1L, base), (2L, base), (3L, distinct))
+      q.processAllAvailable()
+      // batch 2: a doc near-identical to 1 — the CROSS-BATCH case that
+      // requires band state to persist between micro-batches
+      src.addData((4L, base + " tail"))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_stream_test")
+        .select("doc_id", "earlier_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((2L, 1L)), s"in-batch duplicate missed: $hits")
+      assert(hits.contains((4L, 1L)), s"cross-batch near-dup missed: $hits")
+      assert(!hits.exists(h => h._1 == 3L || h._2 == 3L), s"false positive on 3: $hits")
+    } finally q.stop()
+  }
+
   test("NibblerSink applies size-or-ticker semantics to a streaming Dataset") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[Int]
