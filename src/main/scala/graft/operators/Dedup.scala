@@ -83,7 +83,10 @@ object Dedup {
         .filter(col("t2").isNotNull)
         .select(col("doc_id"), xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h"))
         .dropDuplicates("doc_id", "h")
-        .persist()
+      // (shd is NOT persisted: its single consumer is the aggregate below
+      // — the round-2 cache was for the era when sizes/signature/verify
+      // read it separately, and a dead cache entry just starves storage
+      // memory for the rest of a Verify/Bench session.)
       // One fused per-doc aggregate produces size, the 64-perm minhash
       // signature (single-pass imperative sketch, SURVEY H3), and the
       // sorted gram-hash array for the merge-walk verify — three frames in
@@ -120,7 +123,13 @@ object Dedup {
   def minhashBandedLocal(docId: Long, text: String): Seq[(Long, Long, Array[Long])] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
-    val tk = text.toLowerCase.trim.split("\\s+")
+    // Tokenize through UTF8String so the semantics are EXACTLY Spark's:
+    // trim strips only ' ' (Java trim eats all chars <= U+0020), lower is
+    // locale-independent (Java toLowerCase is default-locale-sensitive),
+    // and split keeps trailing empty strings (Spark's split uses limit
+    // -1; Java's 1-arg split drops them). A doc like "foo bar baz\n"
+    // otherwise tokenizes differently and every band key diverges.
+    val tk = UTF8String.fromString(text).trim().toLowerCase().toString.split("\\s+", -1)
     if (tk.length < 3) return Nil
     val hashes = tk.sliding(3).map(_.mkString(" ")).toArray.distinct
       .map(s => XXH64.hashUTF8String(UTF8String.fromString(s), 42L))

@@ -76,6 +76,9 @@ object Multimodal {
   }
 
   // F2 — rows-only (stub features aren't SQL-expressible in the oracle).
+  // The decode result is persisted BEFORE the global sort: orderBy plans
+  // a range-partitioning sampling pass that would otherwise evaluate the
+  // decoder twice per run (double inference calls with a real model).
   private val m2 = Relational.Q(
     "m2_feature_extract",
     (s, d) => {
@@ -84,6 +87,7 @@ object Multimodal {
       extractFeatures(payloads)
         .select(col("doc_id"), col("n_bytes"), size(col("features")).as("n_features"),
           element_at(col("features"), 1).as("f0"))
+        .persist()
         .orderBy(col("doc_id"))
     },
     None)
@@ -125,6 +129,9 @@ object Multimodal {
 
   // F5 — rows-only like F2 (stub features aren't SQL-expressible); the
   // spec pins batched == unbatched output and the batch-size contract.
+  // persist-before-sort for the same single-decode reason as F2 — here a
+  // double evaluation would double the per-batch model-server calls the
+  // operator exists to bound.
   private val m5 = Relational.Q(
     "m5_feature_extract_batched",
     (s, d) => {
@@ -133,6 +140,7 @@ object Multimodal {
       extractFeaturesBatched(payloads)
         .select(col("doc_id"), col("n_bytes"), size(col("features")).as("n_features"),
           element_at(col("features"), 1).as("f0"))
+        .persist()
         .orderBy(col("doc_id"))
     },
     None)

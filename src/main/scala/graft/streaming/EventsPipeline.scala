@@ -229,11 +229,15 @@ object EventsPipeline {
     *   earlier near-duplicate.
     *
     * Scale/state design: state is partitioned by band key (the same key
-    * the batch join shuffles on), bounded per band by `maxPerBand` (FIFO
-    * eviction) and globally by the processing-time timeout — an unbounded
-    * corpus cannot grow a band's member list or keep dead bands alive.
-    * Candidate work per doc is |band members| per its 16 bands, never a
-    * corpus scan. A pair colliding in several bands is emitted once per
+    * the batch join shuffles on). `maxPerBand` FIFO-bounds each band's
+    * member list; the NUMBER of live band groups is only bounded when a
+    * `ProcessingTimeTimeout` is passed (dead bands then evict after
+    * `stateTtl`) — with the NoTimeout default (right for drain-style
+    * tests, whose processAllAvailable never quiesces under a
+    * processing-time timeout), total state grows with the distinct band
+    * count, so PRODUCTION ingestion must pass the timeout. Candidate
+    * work per doc is |band members| per its 16 bands, never a corpus
+    * scan. A pair colliding in several bands is emitted once per
     * colliding band — dedupe downstream per micro-batch if exact-once
     * pair emission matters (the batch twin dedups the same way).
     */
@@ -243,20 +247,25 @@ object EventsPipeline {
     */
   def nearDupStream(docs: Dataset[(Long, String)],
       minEstJaccard: Double = 0.8,
-      maxPerBand: Int = 64): Dataset[NearDupHit] = {
+      maxPerBand: Int = 64,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      stateTtl: String = "1 hour"): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     val banded = docs.flatMap { case (id, text) =>
       graft.operators.Dedup.minhashBandedLocal(id, text)
         .map { case (k, i, s) => BandedDoc(k, i, s) }
     }
-    streamingNearDup(banded, minEstJaccard, maxPerBand)
+    streamingNearDup(banded, minEstJaccard, maxPerBand, timeout, stateTtl)
   }
 
   def streamingNearDup(
       banded: Dataset[BandedDoc],
       minEstJaccard: Double = 0.8,
       maxPerBand: Int = 64,
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[NearDupHit] = {
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      stateTtl: String = "1 hour"): Dataset[NearDupHit] = {
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "streamingNearDup supports NoTimeout or ProcessingTimeTimeout (no event-time column)")
     import banded.sparkSession.implicits._
     banded
       .groupByKey(_.band_key)
@@ -281,7 +290,7 @@ object EventsPipeline {
             }
             state.update(members)
             if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
-              state.setTimeoutDuration("1 hour")
+              state.setTimeoutDuration(stateTtl)
             hits.result().iterator
           }
       }

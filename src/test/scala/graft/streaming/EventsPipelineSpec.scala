@@ -137,7 +137,19 @@ class EventsPipelineSpec extends SparkSpec {
   }
 
   test("row-local minhash banding is bit-compatible with the batch pipeline") {
+    import spark.implicits._
+    // the sf corpus PLUS hostile whitespace: Spark's trim strips only
+    // ' ' and its split keeps trailing empties, so tab/newline-framed
+    // text is exactly where a Java trim/split twin would silently
+    // diverge in every band key
+    val hostile = Seq(
+      (100001L, "\tleading tab words one two three"),
+      (100002L, "trailing newline words one two three\n"),
+      (100003L, "  double  spaced  words  one  two  three  "),
+      (100004L, "Mixed CASE Tokens With ÜNICODE Éléments here"))
+      .toDF("doc_id", "text")
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionByName(hostile)
     val batch = graft.operators.Dedup.minhashBanded(docs)
       .select("band_key", "doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -46,6 +46,11 @@ def main(sf_dir, out_dir, only=()):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
+        # a typo'd name must not silently produce "0 pass / 0 fail" success
+        unknown = sorted(set(only) - set(oracles))
+        if unknown:
+            print(f"ERROR: no such oracle query: {unknown}")
+            return 2
         oracles = {k: v for k, v in oracles.items() if k in set(only)}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
