@@ -28,16 +28,18 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> (1 to math.max(1, runs)).map(_ => timeOnce(fn)).min
     }
-    // millisecond precision keeps the whole line short: the driver captures
-    // only the last ~2000 chars of stdout, and round 2's full-precision line
-    // (~1970 chars with sbt's [success] suffix) overflowed that window and
-    // failed to parse. 55+ queries at %.3f fit with ample margin.
-    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
+    // Keep the whole line SHORT: the driver captures only the last ~2000
+    // chars of stdout and sbt appends a ~70-char [success] line after the
+    // JSON — round 2's full-precision line overflowed that window by ~2
+    // chars and failed to parse. 65 queries at centisecond precision plus
+    // a basename sf leave ~250 chars of headroom.
+    def cs2(v: Double): String = (math.round(v * 100) / 100.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + cs2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val json =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${cs2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     // stdout is the primary channel — print BEFORE the file write, which
     // may fail (bad path) and must not discard the whole run's result
     println(json)
