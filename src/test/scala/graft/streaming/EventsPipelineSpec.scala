@@ -189,6 +189,37 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup rediscovers the batch minhash pairs on the real corpus") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val d2 = graft.operators.Dedup.nearDupPairs(Tables.documents(spark, sfDir))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d2.nonEmpty)
+    val src = MemoryStream[(Long, String)]
+    // est-jaccard 0.7 vs the batch exact-jaccard 0.8: the 64-perm
+    // signature estimate of a >=0.8 pair sits above 0.7 for this corpus
+    // (deterministic — the signatures carry no RNG state)
+    val q = EventsPipeline.nearDupStream(src.toDS(), minEstJaccard = 0.7)
+      .writeStream.format("memory").queryName("neardup_corpus_test")
+      .outputMode("append").start()
+    try {
+      // three micro-batches in id order: earlier docs are in state when
+      // later near-dups arrive, so a hit (b, a) maps to batch pair (a, b)
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val hits = spark.table("neardup_corpus_test")
+        .select("earlier_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = (d2 & hits).size
+      assert(found >= (d2.size * 8) / 10,
+        s"streaming found $found of ${d2.size} batch near-dup pairs: missing ${d2 -- hits}")
+    } finally q.stop()
+  }
+
   test("NibblerSink applies size-or-ticker semantics to a streaming Dataset") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[Int]
