@@ -31,11 +31,16 @@ object Bench {
     // Keep the whole line SHORT: the driver captures only the last ~2000
     // chars of stdout and sbt appends a ~70-char [success] line after the
     // JSON — round 2's full-precision line overflowed that window by ~2
-    // chars and failed to parse. 65 queries at centisecond precision plus
-    // a basename sf leave ~250 chars of headroom.
+    // chars and failed to parse. Centisecond times, basename sf, and
+    // queries keyed by their unique id prefix (q09/d2/t7 — the SURVEY §2
+    // ids; full names stay in Verify/CORRECTNESS) keep the line ~900
+    // chars with room for 100+ queries.
     def cs2(v: Double): String = (math.round(v * 100) / 100.0).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + cs2(v) }
-      .mkString("{", ",", "}")
+    def short(n: String): String = n.takeWhile(_ != '_')
+    val collides = results.keys.groupBy(short).collect { case (_, v) if v.size > 1 => v }.flatten.toSet
+    val qs = results.map { case (k, v) =>
+      "\"" + (if (collides(k)) k else short(k)) + "\":" + cs2(v)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val json =

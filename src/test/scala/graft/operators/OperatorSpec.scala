@@ -338,4 +338,36 @@ class OperatorSpec extends SparkSpec {
       assert(n == total, s"level ($grf,$gls) sums to $n != $total")
     }
   }
+
+  test("decontamination (d8) flags exactly the docs sharing an n-gram with the benchmark slice") {
+    // planted corpus: doc 10 copies an 8-token window from benchmark doc 0,
+    // doc 11 shares only shorter runs, doc 12 is disjoint
+    val planted = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (10L, "x0 w2 w3 w4 w5 w6 w7 w8 w9 x1"),
+      (11L, "w1 w2 w3 w4 w5 w6 w7 x w8 w9 w10"),
+      (12L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(planted, col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(10L -> (1L, true), 11L -> (0L, false), 12L -> (0L, false)))
+
+    // real corpus: exact both directions vs a driver-side brute force
+    // (tokenization twin: UTF8String trim/lower + split -1, the exact
+    // Spark semantics — see minhashBandedLocal's rationale)
+    import org.apache.spark.unsafe.types.UTF8String
+    def gramsOf(text: String): Set[String] = {
+      val tk = UTF8String.fromString(text).trim().toLowerCase().toString.split("\\s+", -1)
+      if (tk.length < 8) Set.empty else tk.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val sf = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val benchGrams = docs.filter(_._1 % 20 == 0).flatMap(d => gramsOf(d._2)).toSet
+    val expected = docs.filter(_._1 % 20 != 0)
+      .map { case (id, t) => id -> (gramsOf(t) & benchGrams).size.toLong }.toMap
+    val got = graft.SparkEntry.queries("d8_decontaminate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(expected.values.exists(_ > 0), "corpus gate check: no contamination found at all")
+  }
 }
