@@ -124,5 +124,45 @@ object Pipeline {
       SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
       FROM r WHERE rk <= 25 ORDER BY lang, rk"""))
 
-  val all: Seq[Relational.Q] = Seq(p1, p2, p3)
+  // P4 — token-budget sequence packing: assign docs, in deterministic
+  // doc_id order, to fixed-budget training packs by EXCLUSIVE cumulative
+  // token count — pack_id = cum_before div B. Contiguous packing: every
+  // pack holds consecutive docs, integer math end to end so both engines
+  // agree bit-for-bit. The global ORDER BY window is the determinism
+  // contract at test scale; at 100 TB the same expression runs
+  // per-shard (partitionBy(shard) + local cumsum → pack_id = (shard,
+  // local bin)) — packing quality is identical, the sort never leaves a
+  // partition, and no single-task bottleneck appears.
+  private val p4 = Relational.Q(
+    "p4_pack_sequences",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 2048L
+      val wx = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+        .withColumn("cb", coalesce(sum(col("nt")).over(wx), lit(0L)))
+        .withColumn("pack_id", expr(s"cb div $B"))
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("pack_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS nt
+        FROM documents),
+      c AS (
+        SELECT doc_id, nt,
+          COALESCE(SUM(nt) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM t)
+      SELECT CAST(cb // 2048 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM c GROUP BY 1 ORDER BY pack_id"""))
+
+  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4)
 }

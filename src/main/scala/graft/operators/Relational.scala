@@ -856,7 +856,41 @@ object Relational {
         COUNT(*) AS n_events, ${moneySql("value")} AS total_value
       FROM g GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
+  // B34 — explicit GROUPING SETS: the priority×status detail plus a
+  // per-priority rollup and the grand total, in ONE scan — Spark plans
+  // GROUPING SETS (like q31's CUBE) as a single Expand + hash aggregate,
+  // so the three levels cost one shuffle, not three unioned queries.
+  // SQL-expressed (the DataFrame API has rollup/cube but not arbitrary
+  // sets), exercising the spark.sql path over registered views.
+  private val q34 = Q(
+    "q34_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      s.sql(s"""
+        SELECT o_orderpriority, o_orderstatus,
+          COUNT(*) AS n,
+          ${moneySql("o_totalprice")} AS total_price,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
+        FROM graft_orders_v
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        ORDER BY g_pri, g_st, COALESCE(o_orderpriority, '~'),
+                 COALESCE(o_orderstatus, '~')""")
+    },
+    Some(s"""
+      SELECT o_orderpriority, o_orderstatus,
+        COUNT(*) AS n,
+        ${moneySql("o_totalprice")} AS total_price,
+        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                              (o_orderpriority), ())
+      ORDER BY g_pri, g_st, COALESCE(o_orderpriority, '~'),
+               COALESCE(o_orderstatus, '~')"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
 }

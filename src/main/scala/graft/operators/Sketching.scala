@@ -75,5 +75,28 @@ object Sketching {
       GROUP BY token HAVING COUNT(*) >= 100
       ORDER BY freq DESC, token"""))
 
-  val all: Seq[Relational.Q] = Seq(x1, x2, x3)
+  // I4 — MERGEABLE distinct sketches (Apache DataSketches HLL via
+  // hll_sketch_agg/hll_union_agg): the 100 TB pattern x1 can't express —
+  // build one small sketch per partition/day ONCE, store it, and answer
+  // any-grain distinct questions later by unioning sketches instead of
+  // rescanning raw data. Here: per-priority customer sketches → one
+  // union → global distinct estimate, all in two map-side-combinable
+  // aggregates over constant-size state. Rows-only (sketch internals are
+  // engine-specific); the spec bounds the estimate against the exact
+  // count and proves the union estimate equals the single-pass estimate.
+  private val x4 = Relational.Q(
+    "x4_sketch_union",
+    (s, d) => {
+      val perPriority = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
+          count(lit(1)).as("n_orders"))
+      perPriority.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_custs"),
+        count(lit(1)).as("n_partial_sketches"),
+        sum(col("n_orders")).as("n_orders"))
+    },
+    None)
+
+  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4)
 }

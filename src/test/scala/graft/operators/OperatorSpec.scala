@@ -370,4 +370,33 @@ class OperatorSpec extends SparkSpec {
     assert(got == expected)
     assert(expected.values.exists(_ > 0), "corpus gate check: no contamination found at all")
   }
+
+  test("grouping sets (q34) levels re-sum to the grand total") {
+    val rows = graft.SparkEntry.queries("q34_grouping_sets")(spark, sfDir).collect()
+    def lvl(gp: Long, gs: Long) = rows.filter(r => r.getLong(4) == gp && r.getLong(5) == gs)
+    val total = lvl(1L, 1L) match { case Array(r) => r.getLong(2) }
+    Seq((0L, 0L), (0L, 1L)).foreach { case (gp, gs) =>
+      assert(lvl(gp, gs).map(_.getLong(2)).sum == total, s"level ($gp,$gs) count mismatch")
+    }
+  }
+
+  test("sequence packing (p4): packs are contiguous, complete, and land on the budget grid") {
+    val B = 2048L
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    val rows = graft.SparkEntry.queries("p4_pack_sequences")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).sum == docs, "every doc packed exactly once")
+    rows.sliding(2).foreach {
+      case Array((_, _, _, _, lastA), (_, _, _, firstB, _)) =>
+        assert(lastA < firstB, "packs must hold consecutive disjoint doc ranges")
+      case _ => ()
+    }
+    // exclusive cumulative tokens at each pack's first doc sit in [k*B, (k+1)*B)
+    var cum = 0L
+    rows.foreach { case (packId, _, totalTokens, _, _) =>
+      assert(cum >= packId * B && cum < (packId + 1) * B,
+        s"pack $packId starts at cumulative $cum outside its budget window")
+      cum += totalTokens
+    }
+  }
 }

@@ -47,4 +47,18 @@ class SketchingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hh == exact, s"sketch+verify diverged: hh=${hh.size} exact=${exact.size}")
   }
+
+  test("sketch union (x4): merged partial sketches estimate within 5% and match a single-pass sketch") {
+    val row = graft.SparkEntry.queries("x4_sketch_union")(spark, sf).head()
+    val est = row.getLong(0).toDouble
+    val exact = Tables.orders(spark, sf)
+      .agg(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(math.abs(est - exact) / exact < 0.05, s"union est=$est exact=$exact")
+    // mergeability: union-of-partials answers the same question as one
+    // global sketch over the raw column (within sketch noise)
+    val single = Tables.orders(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(14))))
+      .head().getLong(0).toDouble
+    assert(math.abs(est - single) / single < 0.01, s"union=$est single=$single")
+  }
 }
