@@ -35,13 +35,20 @@ object PlanAudit {
         "iterative label propagation; per-round shape == d2's audited joins",
       "d7_dedup_canonical" ->
         "consumes d6's materialized components; per-round shape == d2's audited joins")
+    // d2's queries() entry returns the eagerly materialized pair-graph
+    // view (a checkpointed-RDD scan — nothing to audit); audit the lazy
+    // pipeline it materializes instead.
+    val lazyTwin: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("d2_dedup_minhash_lsh" ->
+        ((s, d) => graft.operators.Dedup.nearDupPairs(graft.Tables.documents(s, d))))
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         if (iterative.contains(name)) {
           println(f"[audit] $name%-28s SKIPPED [${iterative(name)}]")
         } else {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val plan = lazyTwin.getOrElse(name, fn)(spark, sfDir)
+          .queryExecution.executedPlan.toString
         val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
         val cart = plan.linesIterator.count(_.contains("CartesianProduct"))
         val exch = plan.linesIterator.count(_.contains("Exchange"))
