@@ -21,6 +21,8 @@ object PlanAudit {
         "corpus scanned once against the broadcast fixed-size query set (theta join)",
       "s4_ann_ivf_topk" ->
         "corpus x broadcast constant-size centroid sample (IVF assignment/probing)",
+      "s5_ann_quantized_topk" ->
+        "int8 corpus scanned once against the broadcast fixed-size query set (theta join)",
       "t7_winnowing_fingerprints" ->
         "crossJoin(broadcast(<one-row nDocs frame>)) for the relational threshold",
       "t9_tfidf" ->

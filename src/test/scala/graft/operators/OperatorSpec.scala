@@ -399,4 +399,28 @@ class OperatorSpec extends SparkSpec {
       cum += totalTokens
     }
   }
+
+  test("quantized ANN (s5): int8 scan + exact rerank has recall >= 0.9 vs brute force") {
+    val sf = "/root/testdata/sf0.01"
+    val exact = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val s5 = graft.SparkEntry.queries("s5_ann_quantized_topk")(spark, sf).collect()
+    // rank integrity per query
+    s5.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+    val quantTopk = s5.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (quantTopk & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"s5 quantized recall $recall < 0.9")
+    // the rerank step reports EXACT float cosines: scores of true-positive
+    // pairs must match s1's to the shared 4-dp quantization
+    val exactScores = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    s5.foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(2))).foreach { es =>
+        assert(math.abs(es - r.getDouble(3)) < 1e-12,
+          s"rerank cosine diverged from exact for ${(r.getLong(0), r.getLong(2))}")
+      }
+    }
+  }
 }

@@ -64,4 +64,39 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(ScaleUtils.saltedEquiJoin(li, o, Seq("l_orderkey"), salts = 4,
       joinType = "left_semi").columns.sameElements(Array("l_orderkey")))
   }
+
+  test("runtime bloom filter prunes the fact side of a shuffled join with a selective dim filter") {
+    // The 100 TB lever: a selective predicate on the build side is turned
+    // into a bloom filter applied to the probe-side SCAN, so most fact
+    // rows die before the exchange. Local test files sit under every
+    // default threshold, so pin them to force what a real fact table
+    // would trigger on its own; broadcast is disabled because runtime
+    // filters only apply to shuffled joins (a broadcast join already
+    // prunes at the probe).
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      val dim = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").cast("decimal(18,2)").as("q"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${optimized.take(1200)}")
+      // and the filtered plan still returns the exact answer
+      val expected = fact.join(dim.hint("broadcast"), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").cast("decimal(18,2)").as("q"))
+      assert(joined.collect().toSeq == expected.collect().toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
