@@ -16,7 +16,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = GraftSession.local()
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // View-backed queries read a memoized materialized artifact, which
+    // would reduce their warm run to a checkpoint scan and hide any
+    // regression in the build they stand for. Before EACH timed run,
+    // drop exactly the artifact that query is responsible for building:
+    // d2's line then measures the minhash+LSH+verify build (warm), d6's
+    // the connected-components build over a staged pair graph, and d7
+    // stays the pure read-the-staged-clusters line — the production
+    // pipeline's three cost classes, each visible.
+    val rebuild: Map[String, () => Unit] = Map(
+      "d2_dedup_minhash_lsh" -> (() => graft.operators.Dedup.clearPairViews()),
+      "d6_dedup_clusters" -> (() => graft.operators.Dedup.clearClusterViews()))
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      rebuild.get(name).foreach(_.apply())
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -26,7 +38,7 @@ object Bench {
       dt
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> (1 to math.max(1, runs)).map(_ => timeOnce(fn)).min
+      name -> (1 to math.max(1, runs)).map(_ => timeOnce(name, fn)).min
     }
     // Keep the whole line SHORT: the driver captures only the last ~2000
     // chars of stdout and sbt appends a ~70-char [success] line after the

@@ -205,10 +205,25 @@ object Dedup {
   // in storage (KBs here, ~GBs at 100 TB: the pair graph is O(dup pairs),
   // not O(corpus); a cluster deployment would write it to parquet
   // instead, same contract).
+  // Bounded insertion-order caches: a long-lived session cycling many
+  // corpus dirs (or many sessions in one JVM) can't grow these without
+  // limit — the eldest entry is dropped (its checkpointed blocks are
+  // freed by the ContextCleaner once unreferenced) and rebuilt on next
+  // use. STALENESS CONTRACT: like any materialized view, the artifact
+  // reflects the table at build time; after rewriting a dir's parquet in
+  // the SAME session, call [[clearViews]] (short-lived Verify/Bench/
+  // driver processes never hit this).
+  private val MaxViews = 16
+  private def boundedCache[K, V]() =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](MaxViews, 0.75f, false) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+          size() > MaxViews
+      })
   private val pairViewCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+    boundedCache[(SparkSession, String, Double), DataFrame]()
   private val clusterViewCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+    boundedCache[(SparkSession, String, Double), DataFrame]()
 
   /** The verified near-dup pair graph of `dir`'s documents table —
     * built once per (session, dir, threshold), checkpoint-materialized.
@@ -233,13 +248,22 @@ object Dedup {
     })
 
   /** Drop every memoized view reference (tests / long-lived sessions
-    * switching corpora). The checkpointed blocks themselves are freed by
-    * the ContextCleaner once unreferenced.
+    * switching corpora, or after rewriting a dir's tables in-session).
+    * The checkpointed blocks themselves are freed by the ContextCleaner
+    * once unreferenced.
     */
   def clearViews(): Unit = {
     pairViewCache.clear()
     clusterViewCache.clear()
   }
+
+  /** Drop only the pair-graph views (keeps clusters; Bench uses these to
+    * time each stage's build honestly — see Bench's rebuild map).
+    */
+  def clearPairViews(): Unit = pairViewCache.clear()
+
+  /** Drop only the cluster views. */
+  def clearClusterViews(): Unit = clusterViewCache.clear()
 
   /** The DuckDB spelling of [[nearDupPairs]]'s exact semantics (full
     * pairwise word-3-shingle Jaccard over `fromTable`), as CTEs

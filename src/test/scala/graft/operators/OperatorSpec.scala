@@ -402,8 +402,8 @@ class OperatorSpec extends SparkSpec {
 
   test("quantized ANN (s5): int8 scan + exact rerank has recall >= 0.9 vs brute force") {
     val sf = "/root/testdata/sf0.01"
-    val exact = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val s1Rows = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sf).collect()
+    val exact = s1Rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val s5 = graft.SparkEntry.queries("s5_ann_quantized_topk")(spark, sf).collect()
     // rank integrity per query
     s5.groupBy(_.getLong(0)).foreach { case (_, rows) =>
@@ -414,8 +414,7 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.9, s"s5 quantized recall $recall < 0.9")
     // the rerank step reports EXACT float cosines: scores of true-positive
     // pairs must match s1's to the shared 4-dp quantization
-    val exactScores = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exactScores = s1Rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     s5.foreach { r =>
       exactScores.get((r.getLong(0), r.getLong(2))).foreach { es =>
         assert(math.abs(es - r.getDouble(3)) < 1e-12,
