@@ -621,21 +621,51 @@ object Dedup {
     * doc, the number of distinct `n`-token word-grams it shares with the
     * benchmark slice (`isBench` selects it), and a contaminated flag.
     */
-  def decontaminate(docs: DataFrame, isBench: Column, n: Int = 8): DataFrame = {
+  /** Per-doc distinct n-token word-gram hashes of a (doc_id, text) frame
+    * — d8's building block, also the batch twin of the streaming
+    * decontamination operator's row-local gram hashing.
+    */
+  def wordGramHashes(docs: DataFrame, n: Int): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val base = docs.select(col("doc_id"), col("text"))
-      val toks = Tables.spread(base)
+      val toks = Tables.spread(docs.select(col("doc_id"), col("text")))
         .select(col("doc_id"), posexplode(H.tokens(col("text"))).as(Seq("pos", "tok")))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
-      val grams = toks
+      toks
         .select((Seq(col("doc_id"), col("tok")) ++ leads): _*)
         .filter(col(s"t${n - 1}").isNotNull) // n-1 leads over ONE window sort
         .select(col("doc_id"),
           xxhash64(concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)).as("g"))
         .dropDuplicates("doc_id", "g")
-      val benchGrams = grams.filter(isBench).select(col("g")).distinct()
-      val hits = grams.filter(!isBench)
+  }
+
+  /** Row-local twin of [[wordGramHashes]] for STREAMING inputs — same
+    * UTF8String tokenization (trim strips only ' ', locale-free lower,
+    * split keeps trailing empties; see [[minhashBandedLocal]]'s
+    * rationale), same gram join (" "), same xxhash64 seed 42 — so a
+    * benchmark gram set built by the batch pipeline is directly probeable
+    * from a stream. Spec-pinned bit-identical to the batch column.
+    */
+  def wordGramHashesLocal(text: String, n: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val tk = UTF8String.fromString(text).trim().toLowerCase().toString.split("\\s+", -1)
+    if (tk.length < n) Array.empty
+    else tk.sliding(n)
+      .map(g => XXH64.hashUTF8String(UTF8String.fromString(g.mkString(" ")), 42L))
+      .toArray.distinct
+  }
+
+  def decontaminate(docs: DataFrame, isBench: Column, n: Int = 8): DataFrame = {
+      val base = docs.select(col("doc_id"), col("text"))
+      // gram the two slices SEPARATELY: the benchmark slice is a filtered
+      // scan (at 100 TB: a different, tiny table entirely), so the corpus
+      // gram pipeline runs once over the corpus slice only — no shared
+      // subtree recomputed per consumer, and the pushed-down filters reach
+      // each scan
+      val benchGrams = wordGramHashes(base.filter(isBench), n)
+        .select(col("g")).distinct()
+      val hits = wordGramHashes(base.filter(!isBench), n)
         .join(broadcast(benchGrams), Seq("g"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_grams"))

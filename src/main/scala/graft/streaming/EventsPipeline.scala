@@ -258,6 +258,31 @@ object EventsPipeline {
     streamingNearDup(banded, minEstJaccard, maxPerBand, timeout, stateTtl)
   }
 
+  final case class ContamFlag(doc_id: Long, n_shared_grams: Long, contaminated: Boolean)
+
+  /** Streaming decontamination (A24) — the streaming twin of batch d8,
+    * for the "reject benchmark-leaking docs as they arrive" ingestion
+    * shape: the benchmark's distinct gram-hash set (built ONCE by the
+    * batch pipeline, [[graft.operators.Dedup.wordGramHashes]] — benchmark
+    * suites are MBs, so the set broadcasts) is probed per arriving doc by
+    * the bit-compatible row-local gram twin. Stateless — no group state,
+    * no watermark, no shuffle: a pure map over the stream, which is why
+    * the contaminated flag is exact per doc (same n_shared_grams the
+    * batch operator reports) and throughput scales with partitions.
+    */
+  def decontaminateStream(
+      docs: Dataset[(Long, String)],
+      benchGrams: Set[Long],
+      n: Int = 8): Dataset[ContamFlag] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(benchGrams)
+    docs.map { case (id, text) =>
+      val shared = graft.operators.Dedup.wordGramHashesLocal(text, n)
+        .count(bc.value.contains)
+      ContamFlag(id, shared.toLong, shared > 0)
+    }
+  }
+
   def streamingNearDup(
       banded: Dataset[BandedDoc],
       minEstJaccard: Double = 0.8,

@@ -78,4 +78,26 @@ object ExpressionProperties extends Properties("graft.functions") {
       val b = RandomHyperplaneBucket(litFloats(v), planes).eval(null).asInstanceOf[Long]
       (b >>> planes) == 0L
     }
+
+  // s5's scalar quantization: per-vector symmetric int8 (q = round(x *
+  // 127 / max|x|)). Cosine is scale-invariant, so the quantized cosine
+  // should track the float cosine; this pins the error envelope the
+  // recall spec relies on, over arbitrary (not just corpus) vectors.
+  private def quantize(v: Seq[Float]): Seq[Double] = {
+    val scale = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-9)
+    v.map(x => math.round(x.toDouble * 127.0 / scale).toDouble)
+  }
+
+  property("int8 quantization preserves cosine within 0.1 for non-degenerate vectors") =
+    forAll(vecGen, vecGen) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      (a.exists(_ != 0f) && b.exists(_ != 0f)) ==> {
+        val exact = refCosine(a, b)
+        val (qa, qb) = (quantize(a), quantize(b))
+        val dot = qa.lazyZip(qb).map(_ * _).sum
+        val q = dot / math.sqrt(qa.map(x => x * x).sum * qb.map(x => x * x).sum)
+        Prop(math.abs(q - exact) < 0.1)
+      }
+    }
 }

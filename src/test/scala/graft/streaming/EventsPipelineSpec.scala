@@ -220,6 +220,56 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("row-local word-gram hashes are bit-identical to the batch column, hostile whitespace included") {
+    import spark.implicits._
+    val hostile = Seq(
+      (200001L, "\tgram tab one two three four five six seven eight nine"),
+      (200002L, "gram newline one two three four five six seven eight\n"),
+      (200003L, "  Gram  CASED  Ünicode  one  two  three  four  five  six  "),
+      (200004L, "short doc"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionByName(hostile)
+    val batch = graft.operators.Dedup.wordGramHashes(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = docs.collect().flatMap { r =>
+      graft.operators.Dedup.wordGramHashesLocal(r.getString(1), 8)
+        .map(g => (r.getLong(0), g))
+    }.toSet
+    assert(batch.nonEmpty)
+    assert(local == batch, "streaming gram twin diverges from the batch pipeline")
+  }
+
+  test("streaming decontamination flags exactly the docs batch d8 flags") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sf)
+    // benchmark gram set staged by the BATCH pipeline (the production
+    // shape: built once, broadcast to the ingestion stream)
+    val benchGrams = graft.operators.Dedup
+      .wordGramHashes(docs.filter(col("doc_id") % 20 === 0), 8)
+      .select("g").collect().map(_.getLong(0)).toSet
+    val expected = graft.SparkEntry.queries("d8_decontaminate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val src = MemoryStream[(Long, String)]
+    val q = EventsPipeline.decontaminateStream(src.toDS(), benchGrams)
+      .writeStream.format("memory").queryName("decontam_stream_test")
+      .outputMode("append").start()
+    try {
+      val arriving = docs.filter(col("doc_id") % 20 =!= 0)
+        .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+      arriving.grouped(math.max(1, arriving.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("decontam_stream_test")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(got == expected, "streaming contamination flags diverge from batch d8")
+      assert(expected.values.exists(_._2), "gate check: corpus has no contaminated docs")
+    } finally q.stop()
+  }
+
   test("NibblerSink applies size-or-ticker semantics to a streaming Dataset") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[Int]
