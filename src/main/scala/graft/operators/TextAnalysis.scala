@@ -476,5 +476,42 @@ object TextAnalysis {
         ${r4Sql("1.0 - CAST(n_distinct AS DOUBLE) / n_shingles")} AS rep_ratio
       FROM sh WHERE n_shingles > 0 ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10)
+  // E11 — corpus-unigram surprisal: per-doc mean -ln p(token) under the
+  // corpus's own unigram model — the poor-man's perplexity filter (the
+  // CCNet/Gopher-style "LM quality" gate without an external LM):
+  // template/boilerplate docs score low, rare-token-heavy docs score
+  // high. Two hash aggregates over one tokenization; the token-count
+  // frame is vocabulary-sized (broadcast here; at 100 TB vocabularies it
+  // becomes the shuffle side of a hash join on token — same plan shape
+  // minus the hint). Float discipline: ln/avg are IEEE math both engines
+  // evaluate identically modulo summation order, and the r4 quantization
+  // absorbs last-ulp reorder noise (the q22/t9 precedent).
+  private val t11 = Relational.Q(
+    "t11_surprisal",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val n = toks.agg(count(lit(1)).as("nt"))
+      toks.join(broadcast(counts), Seq("token"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          r4(avg(log(col("nt").cast("double") / col("c").cast("double"))))
+            .as("avg_surprisal"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents),
+      c AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+      n AS (SELECT COUNT(*) AS nt FROM toks)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        ${r4Sql("AVG(ln(CAST(n.nt AS DOUBLE) / CAST(c.c AS DOUBLE)))")} AS avg_surprisal
+      FROM toks t JOIN c USING (token), n
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11)
 }

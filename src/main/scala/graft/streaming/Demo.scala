@@ -153,6 +153,51 @@ object Demo {
         s"kept=${kept.get()}/$expected")
     }
 
+    // 6. Streaming INGESTION GATE: the LLM-pipeline front door as one
+    // stream — every arriving doc is checked against the batch-staged
+    // benchmark gram set (A24 decontamination) while near-duplicates of
+    // earlier arrivals are flagged from LSH band state (A23) — and the
+    // gate's decisions match the batch operators on the same corpus.
+    {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val docs = graft.Tables.documents(spark, sfDir)
+      val benchGrams = graft.operators.Dedup
+        .wordGramHashes(docs.filter(col("doc_id") % 20 === 0), 8)
+        .select("g").collect().map(_.getLong(0)).toSet
+      val arriving = docs.filter(col("doc_id") % 20 =!= 0)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val src = MemoryStream[(Long, String)]
+      val qc = EventsPipeline.decontaminateStream(src.toDS(), benchGrams)
+        .writeStream.format("memory").queryName("demo_gate_contam")
+        .outputMode("append").start()
+      val qd = EventsPipeline.nearDupStream(src.toDS(), minEstJaccard = 0.7)
+        .writeStream.format("memory").queryName("demo_gate_neardup")
+        .outputMode("append").start()
+      arriving.grouped(math.max(1, arriving.length / 2)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        qc.processAllAvailable(); qd.processAllAvailable()
+      }
+      qc.stop(); qd.stop()
+      val contamGot = spark.table("demo_gate_contam")
+        .filter(col("contaminated")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val contamExp = graft.operators.Dedup
+        .decontaminate(docs, col("doc_id") % 20 === 0)
+        .filter(col("contaminated")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val dupFlagged = spark.table("demo_gate_neardup")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val dupExp = graft.operators.Dedup.nearDupPairs(docs.select("doc_id", "text"))
+        .filter(col("doc_a") % 20 =!= 0 && col("doc_b") % 20 =!= 0)
+        .select("doc_b").collect().map(_.getLong(0)).toSet
+      val dupFound = (dupExp & dupFlagged).size
+      check("streaming-ingestion-gate",
+        contamGot == contamExp && dupExp.nonEmpty && dupFound * 10 >= dupExp.size * 8,
+        s"contaminated=${contamGot.size}==${contamExp.size} nearDups=$dupFound/${dupExp.size}")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -400,6 +400,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("surprisal (t11) scores are positive, bounded by ln(corpus tokens), and discriminate docs") {
+    val rows = graft.SparkEntry.queries("t11_surprisal")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val totalTokens = rows.map(_._2).sum
+    val maxSurprisal = math.log(totalTokens.toDouble)
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, sc) =>
+      assert(sc > 0 && sc <= maxSurprisal + 1e-9, s"doc $id surprisal $sc out of range")
+    }
+    // gate check: the score must separate docs, not collapse to a constant
+    // (template corpus + 4-dp quantization → ~40% distinct at sf0.001)
+    assert(rows.map(_._3).distinct.length > rows.length / 5,
+      "surprisal degenerate: most docs share a score")
+  }
+
   test("quantized ANN (s5): int8 scan + exact rerank has recall >= 0.9 vs brute force") {
     val sf = "/root/testdata/sf0.01"
     val s1Rows = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sf).collect()
