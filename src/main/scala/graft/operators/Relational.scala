@@ -890,7 +890,47 @@ object Relational {
       ORDER BY g_pri, g_st, COALESCE(o_orderpriority, '~'),
                COALESCE(o_orderstatus, '~')"""))
 
+  // B35 — sequential funnel: how many users complete view → click →
+  // purchase IN TIMESTAMP ORDER. Stage timestamps chain through min-ts
+  // joins (first view, first click strictly after it, first purchase
+  // strictly after that) — three hash aggregates and two equi-joins, all
+  // shuffling on user_id (one co-partitioning at scale), no per-user
+  // event array ever materialized (the collect_list spelling would cap
+  // at memory per user; this one doesn't).
+  private val q35 = Q(
+    "q35_funnel",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), lit("view").as("step"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit(2L).as("stage"), lit("view>click").as("step"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit(3L).as("stage"), lit("view>click>purchase").as("step"), col("n_users")))
+        .orderBy(col("stage"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      v AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+      SELECT 1::BIGINT AS stage, 'view' AS step, COUNT(*) AS n_users FROM v
+      UNION ALL
+      SELECT 2::BIGINT, 'view>click', COUNT(*) FROM c
+      UNION ALL
+      SELECT 3::BIGINT, 'view>click>purchase', COUNT(*) FROM p
+      ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
 }

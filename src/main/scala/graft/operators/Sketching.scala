@@ -98,5 +98,30 @@ object Sketching {
     },
     None)
 
-  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4)
+  // I5 — EXACT percentiles (the sort-based ground truth x2 approximates):
+  // Spark's percentile() aggregates per group with a full value buffer —
+  // right when the answer must be exact and groups fit in memory; at
+  // 100 TB prefer x2's fixed-state sketch. Having both, oracle-checked
+  // against each other's engines, documents the exact-vs-sketch tradeoff
+  // with running code. Interpolation is (1-f)*lo + f*hi in both engines;
+  // r2 quantization absorbs last-ulp differences.
+  private val x5 = Relational.Q(
+    "x5_exact_quantiles",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r2(expr("percentile(l_extendedprice, 0.5)")).as("median"),
+          r2(expr("percentile(l_extendedprice, 0.99)")).as("p99"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      SELECT l_returnflag,
+        ${r2Sql("quantile_cont(l_extendedprice, 0.5)")} AS median,
+        ${r2Sql("quantile_cont(l_extendedprice, 0.99)")} AS p99,
+        COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5)
 }

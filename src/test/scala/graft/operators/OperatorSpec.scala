@@ -400,6 +400,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("funnel (q35) stages are monotonically non-increasing and stage 1 covers all viewers") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("q35_funnel")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L) >= rows(2L) && rows(2L) >= rows(3L), s"funnel not monotone: $rows")
+    assert(rows(3L) > 0, "gate check: nobody completes the funnel on this corpus")
+    val viewers = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(rows(1L) == viewers)
+  }
+
   test("surprisal (t11) scores are positive, bounded by ln(corpus tokens), and discriminate docs") {
     val rows = graft.SparkEntry.queries("t11_surprisal")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -48,6 +48,19 @@ class SketchingSpec extends SparkSpec {
     assert(hh == exact, s"sketch+verify diverged: hh=${hh.size} exact=${exact.size}")
   }
 
+  test("approx quantiles (x2) sit within 2% of the exact sort-based percentiles (x5)") {
+    val approx = graft.SparkEntry.queries("x2_approx_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.SparkEntry.queries("x5_exact_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.nonEmpty && approx.keySet == exact.keySet)
+    exact.foreach { case (k, (med, p99)) =>
+      val (am, ap) = approx(k)
+      assert(math.abs(am - med) / med < 0.02, s"$k median: approx=$am exact=$med")
+      assert(math.abs(ap - p99) / p99 < 0.02, s"$k p99: approx=$ap exact=$p99")
+    }
+  }
+
   test("sketch union (x4): merged partial sketches estimate within 5% and match a single-pass sketch") {
     val row = graft.SparkEntry.queries("x4_sketch_union")(spark, sf).head()
     val est = row.getLong(0).toDouble
