@@ -129,6 +129,7 @@ object Dedup {
     // and split keeps trailing empty strings (Spark's split uses limit
     // -1; Java's 1-arg split drops them). A doc like "foo bar baz\n"
     // otherwise tokenizes differently and every band key diverges.
+    if (text == null) return Nil // batch twin: split(null) -> no shingles
     val tk = UTF8String.fromString(text).trim().toLowerCase().toString.split("\\s+", -1)
     if (tk.length < 3) return Nil
     val hashes = tk.sliding(3).map(_.mkString(" ")).toArray.distinct
@@ -617,10 +618,6 @@ object Dedup {
   // to 64-bit the moment they're formed (d2's contract: equality on
   // xxhash64 == equality on the gram string, collision odds ~|grams|²/2⁶⁴)
   // so the broadcast carries longs, not 8-word strings.
-  /** d8's core, over any (doc_id, text) frame: for every non-benchmark
-    * doc, the number of distinct `n`-token word-grams it shares with the
-    * benchmark slice (`isBench` selects it), and a contaminated flag.
-    */
   /** Per-doc distinct n-token word-gram hashes of a (doc_id, text) frame
     * — d8's building block, also the batch twin of the streaming
     * decontamination operator's row-local gram hashing.
@@ -649,6 +646,9 @@ object Dedup {
   def wordGramHashesLocal(text: String, n: Int): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
+    // null text: the batch twin's split(null) yields no gram rows — a
+    // null doc is clean, not a query-killing NPE
+    if (text == null) return Array.empty
     val tk = UTF8String.fromString(text).trim().toLowerCase().toString.split("\\s+", -1)
     if (tk.length < n) Array.empty
     else tk.sliding(n)
@@ -656,6 +656,10 @@ object Dedup {
       .toArray.distinct
   }
 
+  /** d8's core, over any (doc_id, text) frame: for every non-benchmark
+    * doc, the number of distinct `n`-token word-grams it shares with the
+    * benchmark slice (`isBench` selects it), and a contaminated flag.
+    */
   def decontaminate(docs: DataFrame, isBench: Column, n: Int = 8): DataFrame = {
       val base = docs.select(col("doc_id"), col("text"))
       // gram the two slices SEPARATELY: the benchmark slice is a filtered

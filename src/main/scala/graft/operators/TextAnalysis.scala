@@ -492,7 +492,9 @@ object TextAnalysis {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-      val n = toks.agg(count(lit(1)).as("nt"))
+      // total tokens from the vocabulary-sized aggregate, NOT a third
+      // scan+tokenize of the corpus (Catalyst doesn't share the subtree)
+      val n = counts.agg(sum(col("c")).as("nt"))
       toks.join(broadcast(counts), Seq("token"))
         .crossJoin(broadcast(n))
         .groupBy(col("doc_id"))

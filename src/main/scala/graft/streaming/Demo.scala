@@ -168,15 +168,19 @@ object Demo {
       val arriving = docs.filter(col("doc_id") % 20 =!= 0)
         .select("doc_id", "text").collect()
         .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-      val src = MemoryStream[(Long, String)]
-      val qc = EventsPipeline.decontaminateStream(src.toDS(), benchGrams)
+      // one MemoryStream per query: MemoryStream is single-consumer (a
+      // query's commit trims blocks the other may not have read yet)
+      val srcC = MemoryStream[(Long, String)]
+      val srcD = MemoryStream[(Long, String)]
+      val qc = EventsPipeline.decontaminateStream(srcC.toDS(), benchGrams)
         .writeStream.format("memory").queryName("demo_gate_contam")
         .outputMode("append").start()
-      val qd = EventsPipeline.nearDupStream(src.toDS(), minEstJaccard = 0.7)
+      val qd = EventsPipeline.nearDupStream(srcD.toDS(), minEstJaccard = 0.7)
         .writeStream.format("memory").queryName("demo_gate_neardup")
         .outputMode("append").start()
       arriving.grouped(math.max(1, arriving.length / 2)).foreach { chunk =>
-        src.addData(chunk.toIndexedSeq: _*)
+        srcC.addData(chunk.toIndexedSeq: _*)
+        srcD.addData(chunk.toIndexedSeq: _*)
         qc.processAllAvailable(); qd.processAllAvailable()
       }
       qc.stop(); qd.stop()

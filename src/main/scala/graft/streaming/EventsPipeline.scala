@@ -275,10 +275,15 @@ object EventsPipeline {
       benchGrams: Set[Long],
       n: Int = 8): Dataset[ContamFlag] = {
     import docs.sparkSession.implicits._
-    val bc = docs.sparkSession.sparkContext.broadcast(benchGrams)
+    // broadcast a sorted primitive array, not the Set: 8 bytes/gram vs
+    // ~50 for boxed HashSet nodes, and the per-token probe is an
+    // allocation-free binarySearch — this IS the ingestion hot path
+    val sorted = benchGrams.toArray
+    java.util.Arrays.sort(sorted)
+    val bc = docs.sparkSession.sparkContext.broadcast(sorted)
     docs.map { case (id, text) =>
       val shared = graft.operators.Dedup.wordGramHashesLocal(text, n)
-        .count(bc.value.contains)
+        .count(g => java.util.Arrays.binarySearch(bc.value, g) >= 0)
       ContamFlag(id, shared.toLong, shared > 0)
     }
   }

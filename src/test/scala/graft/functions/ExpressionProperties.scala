@@ -85,7 +85,11 @@ object ExpressionProperties extends Properties("graft.functions") {
   // recall spec relies on, over arbitrary (not just corpus) vectors.
   private def quantize(v: Seq[Float]): Seq[Double] = {
     val scale = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-9)
-    v.map(x => math.round(x.toDouble * 127.0 / scale).toDouble)
+    // mirror Spark's round: HALF_UP = half AWAY FROM ZERO (Scala's
+    // math.round is half toward +inf, which differs for negative halves)
+    def roundHalfAway(x: Double): Double =
+      if (x < 0) -math.round(-x).toDouble else math.round(x).toDouble
+    v.map(x => roundHalfAway(x.toDouble * 127.0 / scale))
   }
 
   property("int8 quantization preserves cosine within 0.1 for non-degenerate vectors") =

@@ -419,7 +419,9 @@ class OperatorSpec extends SparkSpec {
     val maxSurprisal = math.log(totalTokens.toDouble)
     assert(rows.nonEmpty)
     rows.foreach { case (id, _, sc) =>
-      assert(sc > 0 && sc <= maxSurprisal + 1e-9, s"doc $id surprisal $sc out of range")
+      // slack must exceed the r4 quantization step (5e-5): an all-unique
+      // doc's true avg is exactly ln(nt) and may round up to the grid
+      assert(sc > 0 && sc <= maxSurprisal + 1e-4, s"doc $id surprisal $sc out of range")
     }
     // gate check: the score must separate docs, not collapse to a constant
     // (template corpus + 4-dp quantization → ~40% distinct at sf0.001)

@@ -226,7 +226,8 @@ class EventsPipelineSpec extends SparkSpec {
       (200001L, "\tgram tab one two three four five six seven eight nine"),
       (200002L, "gram newline one two three four five six seven eight\n"),
       (200003L, "  Gram  CASED  Ünicode  one  two  three  four  five  six  "),
-      (200004L, "short doc"))
+      (200004L, "short doc"),
+      (200005L, null.asInstanceOf[String])) // null text: no grams, no NPE
       .toDF("doc_id", "text")
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .unionByName(hostile)
