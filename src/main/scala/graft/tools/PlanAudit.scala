@@ -26,7 +26,9 @@ object PlanAudit {
       "t7_winnowing_fingerprints" ->
         "crossJoin(broadcast(<one-row nDocs frame>)) for the relational threshold",
       "t9_tfidf" ->
-        "crossJoin(broadcast(<one-row nDocs frame>)) for the idf/df thresholds")
+        "crossJoin(broadcast(<one-row nDocs frame>)) for the idf/df thresholds",
+      "t11_surprisal" ->
+        "crossJoin(broadcast(<one-row total-tokens frame>)) for the unigram model")
     // Iterative operators EXECUTE when their builder runs (label
     // propagation materializes per round), so "building the plan" would
     // run the whole algorithm and return only a scan of the checkpointed
