@@ -930,7 +930,36 @@ object Relational {
       SELECT 3::BIGINT, 'view>click>purchase', COUNT(*) FROM p
       ORDER BY stage"""))
 
+  // B36 — cohort retention: users grouped by first-activity day; for
+  // each cohort and day-offset k (0..7), how many are active again k
+  // days later. Two hash aggregates + one user_id equi-join — the
+  // (user, day) dedup and the first-day aggregate reuse one shuffle
+  // shape; output is integer-exact (counts + epoch-day arithmetic).
+  private val q36 = Q(
+    "q36_retention_cohorts",
+    (s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .dropDuplicates("user_id", "day")
+      val firstDay = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      act.join(firstDay, Seq("user_id"))
+        .withColumn("k", datediff(col("day"), col("cohort_day")).cast("long"))
+        .filter(col("k") <= 7)
+        .groupBy(col("cohort_day"), col("k"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("k"))
+    },
+    Some("""
+      WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      f AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+      SELECT f.cohort_day, CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS k,
+        COUNT(*) AS n_users
+      FROM act a JOIN f ON a.user_id = f.user_id
+      WHERE date_diff('day', f.cohort_day, a.day) <= 7
+      GROUP BY 1, 2 ORDER BY cohort_day, k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
 }

@@ -412,6 +412,24 @@ class OperatorSpec extends SparkSpec {
     assert(rows(1L) == viewers)
   }
 
+  test("retention (q36): day-0 equals cohort size and later offsets never exceed it") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("q36_retention_cohorts")(spark, sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    val totalUsers = graft.Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(byCohort.map { case (_, rs) => rs.find(_._2 == 0L).map(_._3).getOrElse(0L) }.sum
+      == totalUsers, "every user appears in exactly one cohort at k=0")
+    byCohort.foreach { case (cd, rs) =>
+      val day0 = rs.find(_._2 == 0L).map(_._3).getOrElse(0L)
+      assert(day0 > 0, s"cohort $cd missing its k=0 row")
+      rs.foreach { case (_, k, n) =>
+        assert(n <= day0, s"cohort $cd offset $k retains $n > cohort size $day0")
+      }
+    }
+  }
+
   test("surprisal (t11) scores are positive, bounded by ln(corpus tokens), and discriminate docs") {
     val rows = graft.SparkEntry.queries("t11_surprisal")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
