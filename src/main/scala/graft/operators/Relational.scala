@@ -890,32 +890,38 @@ object Relational {
       ORDER BY g_pri, g_st, COALESCE(o_orderpriority, '~'),
                COALESCE(o_orderstatus, '~')"""))
 
-  // B35 — sequential funnel: how many users complete view → click →
-  // purchase IN TIMESTAMP ORDER. Stage timestamps chain through min-ts
-  // joins (first view, first click strictly after it, first purchase
-  // strictly after that) — three hash aggregates and two equi-joins, all
+  // B35 — sequential funnel: how many users complete each prefix of a
+  // step sequence IN TIMESTAMP ORDER. Stage timestamps chain through
+  // min-ts joins (first step-1 event, first step-2 event strictly after
+  // it, ...) — one hash aggregate + one equi-join per step, all
   // shuffling on user_id (one co-partitioning at scale), no per-user
   // event array ever materialized (the collect_list spelling would cap
   // at memory per user; this one doesn't).
+  /** Parameterized funnel over any (user_id, event_type, ts) frame:
+    * one row per step prefix with the count of users whose events reach
+    * it in order. q35 is `funnel(events, Seq("view","click","purchase"))`.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    val reached = steps.tail.scanLeft(
+      e.filter(col("event_type") === steps.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) { (prev, step) =>
+      e.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    reached.zipWithIndex.map { case (stage, i) =>
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"),
+          lit(steps.take(i + 1).mkString(">")).as("step"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy(col("stage"))
+  }
+
   private val q35 = Q(
     "q35_funnel",
-    (s, d) => {
-      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-      val v = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
-        .filter(col("ts") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
-        .filter(col("ts") > col("t2"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-      v.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), lit("view").as("step"), col("n_users"))
-        .unionByName(c.agg(count(lit(1)).as("n_users"))
-          .select(lit(2L).as("stage"), lit("view>click").as("step"), col("n_users")))
-        .unionByName(p.agg(count(lit(1)).as("n_users"))
-          .select(lit(3L).as("stage"), lit("view>click>purchase").as("step"), col("n_users")))
-        .orderBy(col("stage"))
-    },
+    (s, d) => funnel(Tables.events(s, d), Seq("view", "click", "purchase")),
     Some("""
       WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
       v AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),

@@ -412,6 +412,21 @@ class OperatorSpec extends SparkSpec {
     assert(rows(1L) == viewers)
   }
 
+  test("parameterized funnel: longer step lists never retain more users, prefix counts agree") {
+    val sf = "/root/testdata/sf0.01"
+    val e = graft.Tables.events(spark, sf)
+    val two = Relational.funnel(e, Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val three = Relational.funnel(e, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // shared prefix stages count identically; the added stage only shrinks
+    assert(two(1L) == three(1L) && two(2L) == three(2L))
+    assert(three(3L) <= three(2L) && three(2L) <= three(1L))
+    val single = Relational.funnel(e, Seq("signup")).collect()
+    assert(single.length == 1 && single.head.getLong(2) ==
+      e.filter(col("event_type") === "signup").select("user_id").distinct().count())
+  }
+
   test("retention (q36): day-0 equals cohort size and later offsets never exceed it") {
     val sf = "/root/testdata/sf0.01"
     val rows = graft.SparkEntry.queries("q36_retention_cohorts")(spark, sf)
