@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -242,5 +242,109 @@ object Multimodal {
              ELSE GREATEST((n * out_w * out_h) // (in_w * in_h), 1) END AS out_bytes
       FROM o ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5)
+  /** "Luma" sample p (0..71) of a payload rendered as text: the codepoint
+    * at the p-th of 72 evenly spaced character positions. This is m6's
+    * declared decode stub — a real image pipeline swaps this one column
+    * for the mean-pooled gray cell of a decoded 9x8 thumbnail; the dHash
+    * packing and the banded join below are unchanged.
+    */
+  private def lumaAt(text: Column, p: Int): Column = {
+    val pos = floor((lit(p) * (length(text) - lit(1))) / lit(71.0)).cast("int") + lit(1)
+    ascii(text.substr(pos, lit(1)))
+  }
+
+  /** F6 core — perceptual dHash: 8 rows x 9 samples, each bit compares
+    * horizontally adjacent "pixels" (sample r*9+c+1 > sample r*9+c),
+    * packed little-endian into bits 0..62 (bit 63 is dropped so the hash
+    * stays sign-safe in both engines). Pure codegen column expressions —
+    * no UDF, oracle-expressible.
+    */
+  def dHash63(text: Column): Column =
+    (0 until 63).map { i =>
+      val r = i / 8
+      val c = i % 8
+      when(lumaAt(text, r * 9 + c + 1) > lumaAt(text, r * 9 + c), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** F6 — near-duplicate pairs by perceptual hash: hamming(dHash) <=
+    * `maxHamming`. Candidates come from a 4x16-bit band equi-join
+    * (pigeonhole: <= 3 differing bits cannot touch all four bands, so
+    * recall is exactly 1 at maxHamming <= 3 — which is what the full
+    * pairwise oracle verifies). The shuffle key is the band value; at
+    * 100 TB identical-hash clusters (exact perceptual dups) are the skew
+    * risk — pre-group equal hashes and join representatives if a band
+    * bucket grows past the partition budget.
+    */
+  def dhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding only guarantees recall for hamming <= 3")
+    val h = docs.select(col("doc_id"), dHash63(col("text")).as("h"))
+    // band index rides along so equal 16-bit values in different lanes
+    // don't collide into one bucket
+    val withIdx = h.select(col("doc_id"), col("h"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = withIdx.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("h").as("h_a"))
+    val b = withIdx.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("h").as("h_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("h_a"), col("h_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // F6 — perceptual near-dup over payloads plus their "re-encoded"
+  // variants: each payload of length >= 72 gets a twin with one byte
+  // perturbed in place (the stub analog of JPEG re-encode noise — tiny
+  // pixel deltas, same dimensions). Because the 72 sample positions are
+  // injective for length >= 72, the twin differs in at most one sample,
+  // so dHash moves by at most 2 bits and every (doc, twin) pair must
+  // surface at maxHamming = 3. Fully oracle-checked: DuckDB recomputes
+  // the same 63-bit dHash and takes the exact full-pairwise answer — so
+  // the driver gate also proves the band join's recall-1 claim, pair for
+  // pair, rather than comparing empty sets.
+  private val m6 = Relational.Q(
+    "m6_dhash_near_dup",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val twins = base.filter(length(col("text")) >= 72)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text").substr(lit(1), lit(35)), lit("Z"),
+            col("text").substr(lit(37), length(col("text")))).as("text"))
+      dhashNearDups(base.unionByName(twins))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id,
+          substr(text, 1, 35) || 'Z' || substr(text, 37) AS text
+        FROM documents WHERE length(text) >= 72),
+      s AS (
+        SELECT doc_id, p,
+          ord(substr(text, CAST((p * (length(text) - 1)) // 71 AS INTEGER) + 1, 1)) AS g
+        FROM corpus, UNNEST(range(0, 72)) AS t(p)),
+      bits AS (
+        SELECT doc_id, p, (p // 9) * 8 + (p % 9) AS bit,
+          CASE WHEN lead(g) OVER (PARTITION BY doc_id ORDER BY p) > g
+               THEN 1 ELSE 0 END AS v
+        FROM s),
+      h AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN v = 1 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS h
+        FROM bits WHERE p % 9 < 8 AND (p // 9) * 8 + (p % 9) <= 62
+        GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+      ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6)
 }

@@ -123,6 +123,24 @@ class OperatorSpec extends SparkSpec {
     assert(sizes.sum == perRow.length)
   }
 
+  test("dhash near-dup (m6): every re-encoded twin is recovered, within its 2-bit budget") {
+    val sf = "/root/testdata/sf0.01"
+    val res = graft.SparkEntry.queries("m6_dhash_near_dup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val eligible = graft.Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 72).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(eligible.nonEmpty)
+    val pairs = res.map(t => (t._1, t._2)).toSet
+    // recall 1 on the planted twins: one in-place byte flip moves exactly
+    // one sample (injective sampling at length >= 72), so <= 2 dHash bits
+    eligible.foreach { id =>
+      assert(pairs.contains((id, id + 10000000L)), s"twin of doc $id missing")
+    }
+    res.filter(t => t._2 == t._1 + 10000000L).foreach(t => assert(t._3 <= 2))
+    assert(res.forall(_._3 <= 3))
+  }
+
   test("simhash dedup (d4) finds the planted near-duplicates") {
     val sf = "/root/testdata/sf0.01"
     val d4 = graft.SparkEntry.queries("d4_dedup_simhash")(spark, sf).collect()
