@@ -965,7 +965,109 @@ object Relational {
       WHERE date_diff('day', f.cohort_day, a.day) <= 7
       GROUP BY 1, 2 ORDER BY cohort_day, k"""))
 
+  // B37 — year-over-year growth: monthly revenue series self-joined on
+  // (y-1, m) rather than lag(12) so missing months can never silently
+  // misalign the comparison. Both join sides are the SAME ~80-row
+  // post-aggregate frame (broadcast-sized at any SF — the heavy work is
+  // the one monthly hash aggregate over orders); growth is IEEE division
+  // of two decimal-exact doubles, r4-quantized.
+  private val q37 = Q(
+    "q37_yoy_growth",
+    (s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("y"),
+          month(col("o_orderdate")).cast(LongType).as("m"))
+        .agg(round(sum(dec(col("o_totalprice"))), 2).cast(DoubleType).as("revenue"))
+      val prev = monthly.select((col("y") + 1).as("y"), col("m"),
+        col("revenue").as("prev_revenue"))
+      monthly.join(prev, Seq("y", "m"), "left")
+        .withColumn("yoy_pct",
+          r4(col("revenue") / col("prev_revenue") * 100.0 - 100.0))
+        .orderBy(col("y"), col("m"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))),2) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1, 2)
+      SELECT a.y, a.m, a.revenue, b.revenue AS prev_revenue,
+        (FLOOR((a.revenue / b.revenue * 100.0 - 100.0)*10000.0+0.5)/10000.0) AS yoy_pct
+      FROM monthly a LEFT JOIN monthly b ON a.y = b.y + 1 AND a.m = b.m
+      ORDER BY a.y, a.m"""))
+
+  // B38 — market-basket co-occurrence: part pairs ordered together.
+  // Plan shape: ONE shuffle on l_orderkey builds each order's distinct
+  // part set (collect_set is safe — order size is bounded at 7 lines in
+  // TPC-H, a data-model bound, not a data-volume bound), pairs expand
+  // MAP-SIDE via two chained explodes with `p1 < p2` halving them, and
+  // the pair count is a map-side-combinable hash aggregate on (p1,p2).
+  // The self-equi-join spelling costs 4 exchanges (dedup on (ok,pk) +
+  // both join sides re-shuffled on ok + the agg) — measured 5.6s vs
+  // ~1s for this shape at sf0.1. Top-30 plans as TakeOrderedAndProject
+  // (per-partition heaps, no global sort); the (count desc, p1, p2)
+  // ordering is total, so the limit is deterministic across engines.
+  private val q38 = Q(
+    "q38_market_basket",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+        .select(explode(col("pks")).as("p1"), col("pks"))
+        .select(col("p1"), explode(col("pks")).as("p2"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+        .limit(30)
+    },
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_orders
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      ORDER BY n_orders DESC, p1, p2
+      LIMIT 30"""))
+
+  // B39 — percent-of-total contribution: each nation's revenue share.
+  // The windowed total runs over the POST-AGGREGATE 25-row frame (the
+  // empty-partition window is deliberate and bounded by |nation|, not by
+  // data volume); the total is summed in DECIMAL so it is exact and
+  // order-independent — summing the doubles would make the share depend
+  // on float accumulation order, which differs across engines.
+  private val q39 = Q(
+    "q39_revenue_share",
+    (s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(dec(col("o_totalprice"))), 2).cast(DoubleType).as("revenue"))
+      val total = sum(col("revenue").cast(DecimalType(18, 2)))
+        .over(Window.partitionBy()).cast(DoubleType)
+      rev
+        .withColumn("share_pct", r4(col("revenue") / total * 100.0))
+        .withColumn("rev_rank",
+          rank().over(Window.orderBy(col("revenue").desc, col("n_name"))).cast(LongType))
+        .orderBy(col("rev_rank"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT n_name,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))),2) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name, revenue,
+        (FLOOR((revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER () AS DOUBLE) * 100.0)*10000.0+0.5)/10000.0) AS share_pct,
+        CAST(RANK() OVER (ORDER BY revenue DESC, n_name) AS BIGINT) AS rev_rank
+      FROM rev
+      ORDER BY rev_rank"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
+    q39)
 }
