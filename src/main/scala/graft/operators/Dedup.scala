@@ -706,5 +706,70 @@ object Dedup {
       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
       WHERE d.doc_id % 20 != 0 ORDER BY d.doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8)
+  /** C9's core over any (doc_id, text) frame: flag documents dominated by
+    * corpus-repeated segments — the line-dedup / boilerplate-removal stage
+    * of CCNet-style corpus cleaning, re-expressed for newline-free text as
+    * non-overlapping `w`-word positional segments. A segment is boilerplate
+    * when it occurs in >= `minDf` distinct documents.
+    *
+    * Plan shape (every shuffle keyed, never a cross join): map-side word
+    * posexplode -> ONE (doc_id, seg) hash aggregate where each of the `w`
+    * slot words lands in its own conditional-max column (pure codegen —
+    * no collect_list ordering hazard, no interpreted HOFs) -> md5 the
+    * joined segment -> segment df on the hash key -> slim (hash, df) join
+    * back -> per-doc aggregate. The df frame never carries text.
+    */
+  def boilerplateSegments(docs: DataFrame, w: Int, minDf: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val words = Tables.spread(base)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val slots = (0 until w).map(i =>
+      max(when(col("pos") % w === i, col("w"))).as(s"w$i"))
+    val segs = words
+      .groupBy(col("doc_id"), floor(col("pos") / w).cast("long").as("seg"))
+      .agg(slots.head, (slots.tail :+ count(lit(1)).as("nw")): _*)
+      .filter(col("nw") === w) // trailing partial segment dropped
+      .select(col("doc_id"),
+        md5(concat_ws(" ", (0 until w).map(i => col(s"w$i")): _*)).as("h"))
+    val df = segs.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ndocs"))
+    val perDoc = segs.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("ndocs") >= minDf, 1L).otherwise(0L)).as("n_boilerplate"))
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"))
+      .withColumn("bp_pct", r4(col("n_boilerplate") * 100.0 /
+        greatest(col("n_segments"), lit(1L))))
+      // keep when boilerplate <= 30% of segments — integer-exact gate
+      // (n_b*10 <= n_s*3), so the cut never rides on a float compare
+      .withColumn("keep", col("n_boilerplate") * 10 <= col("n_segments") * 3)
+      .orderBy(col("doc_id"))
+  }
+
+  // C9 — repeated-segment boilerplate detection.
+  private val d9 = Relational.Q(
+    "d9_boilerplate_segments",
+    (s, d) => boilerplateSegments(Tables.documents(s, d), 3, 3),
+    Some("""
+      WITH segs AS (
+        SELECT doc_id,
+          md5(array_to_string(words[(i-1)*3+1 : (i-1)*3+3], ' ')) AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t,
+             UNNEST(generate_series(1, len(words) // 3)) AS g(i)),
+      sdf AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY h),
+      per_doc AS (
+        SELECT s.doc_id, COUNT(*) AS n_segments,
+          CAST(SUM(CASE WHEN sdf.ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+        FROM segs s JOIN sdf USING (h) GROUP BY s.doc_id)
+      SELECT d.doc_id,
+        COALESCE(p.n_segments, 0) AS n_segments,
+        COALESCE(p.n_boilerplate, 0) AS n_boilerplate,
+        (FLOOR((COALESCE(p.n_boilerplate, 0) * 100.0 / GREATEST(COALESCE(p.n_segments, 0), 1))*10000.0+0.5)/10000.0) AS bp_pct,
+        (COALESCE(p.n_boilerplate, 0) * 10 <= COALESCE(p.n_segments, 0) * 3) AS keep
+      FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+      ORDER BY d.doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
 }

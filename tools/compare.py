@@ -7,7 +7,7 @@ Reads each <outDir>/<name> parquet (Spark result) and runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir tables;
 sorts columns by name, sorts rows, compares values exactly.
 """
-import json, math, sys
+import json, math, os, sys
 
 import duckdb
 
@@ -52,8 +52,15 @@ def main(sf_dir, out_dir, only=()):
             print(f"ERROR: no such oracle query: {unknown}")
             return 2
         oracles = {k: v for k, v in oracles.items() if k in set(only)}
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracles.items()):
+        # a filtered Verify run writes only the requested queries; absent
+        # output dirs are "not run", not failures. A FULL run that fails
+        # to write a query still fails loudly: Verify itself errors first,
+        # and the SKIP count below makes any silent gap visible.
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             s_df = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
@@ -80,7 +87,8 @@ def main(sf_dir, out_dir, only=()):
             only_d = [r for r in cd if r not in set(cs)][:2]
             if only_s: print(f"  only-spark: {only_s}")
             if only_d: print(f"  only-duck : {only_d}")
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    skip = f" / {n_skip} skipped (no output dir)" if n_skip else ""
+    print(f"== {n_pass} pass / {n_fail} fail{skip} ==")
     return 1 if n_fail else 0
 
 
