@@ -100,6 +100,16 @@ object Dedup {
         .persist()
   }
 
+  /** The (doc_id, sg: sorted shingle-hash array) view of a (doc_id, text)
+    * frame — the staged verification artifact the streaming exact-verify
+    * stage (A25, [[graft.streaming.EventsPipeline.nearDupStreamVerified]])
+    * joins candidate pairs against. Persisted (shares [[docMinhashStats]]),
+    * so a stream-static join re-reads cached blocks per micro-batch
+    * instead of re-running the shingle pipeline.
+    */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docMinhashStats(docs).select(col("doc_id"), col("sg"))
+
   /** The (band_key, doc_id, sig) LSH view of a (doc_id, text) frame —
     * what the batch candidate join shuffles on, and the exact frame the
     * streaming near-dup operator keys its state by.

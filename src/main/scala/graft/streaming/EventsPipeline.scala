@@ -258,6 +258,48 @@ object EventsPipeline {
     streamingNearDup(banded, minEstJaccard, maxPerBand, timeout, stateTtl)
   }
 
+  /** Exact-verify second stage for streaming near-dup (A25) — candidates
+    * from the signature-estimate stage ([[nearDupStream]], run at a
+    * LOWERED estimate gate so no true pair is lost to estimator noise)
+    * are verified by EXACT Jaccard before anything is dropped, the same
+    * two-phase shape as the batch d2 pipeline:
+    *
+    *   candidate hits (slim id pairs — no payload ever rides the band
+    *   shuffle) → stream-static equi-join against the staged per-doc
+    *   sorted shingle-set artifact ([[graft.operators.Dedup.shingleSets]],
+    *   persisted, re-read per micro-batch) on EACH side of the pair →
+    *   codegen merge-walk intersection → exact Jaccard ≥ `minJaccard`.
+    *
+    * Staleness contract: a pair is verifiable only when BOTH docs are in
+    * the staged artifact — a doc racing ahead of the artifact refresh is
+    * silently unverifiable (inner join), so production refreshes the
+    * artifact per ingestion window and replays the gap. A pair colliding
+    * in several bands is verified once per colliding band — dedupe
+    * downstream if exact-once emission matters (same contract as A23).
+    */
+  def nearDupStreamVerified(
+      docs: Dataset[(Long, String)],
+      corpusGrams: DataFrame,
+      minJaccard: Double = 0.8,
+      candidateEstGate: Double = 0.5,
+      maxPerBand: Int = 64,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      stateTtl: String = "1 hour"): DataFrame = {
+    val hits = nearDupStream(docs, candidateEstGate, maxPerBand, timeout, stateTtl)
+      .toDF()
+    val a = corpusGrams.select(col("doc_id").as("a_id"), col("sg").as("a_sg"))
+    val b = corpusGrams.select(col("doc_id").as("b_id"), col("sg").as("b_sg"))
+    val inter = graft.functions.SortedIntersectSize(col("a_sg"), col("b_sg")).cast("double")
+    hits
+      .join(a, col("doc_id") === col("a_id"))
+      .join(b, col("earlier_id") === col("b_id"))
+      .withColumn("inter", inter)
+      .withColumn("jaccard",
+        col("inter") / (size(col("a_sg")) + size(col("b_sg")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id"), col("earlier_id"), col("jaccard"))
+  }
+
   final case class ContamFlag(doc_id: Long, n_shared_grams: Long, contaminated: Boolean)
 
   /** Streaming decontamination (A24) — the streaming twin of batch d8,

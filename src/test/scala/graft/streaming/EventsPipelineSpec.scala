@@ -220,6 +220,39 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup exact-verify emits exactly the batch verified pairs") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sfDir)
+    val docs = corpus.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val d2 = graft.operators.Dedup.nearDupPairs(corpus)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d2.nonEmpty)
+    val grams = graft.operators.Dedup.shingleSets(corpus.select("doc_id", "text"))
+    val src = MemoryStream[(Long, String)]
+    // candidate gate 0.5 (vs the batch exact 0.8): estimator noise on a
+    // true >=0.8 pair cannot push the 64-perm estimate below 0.5 for this
+    // corpus, so the exact-verify stage sees every true pair — then the
+    // exact Jaccard filter reproduces the batch pair set, not a superset
+    val q = EventsPipeline.nearDupStreamVerified(src.toDS(), grams)
+      .writeStream.format("memory").queryName("neardup_verified_test")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val rows = spark.table("neardup_verified_test").collect()
+      assert(rows.forall(_.getAs[Double]("jaccard") >= 0.8))
+      // in-id-order arrival: a streamed hit (earlier, later) maps to the
+      // batch pair (doc_a < doc_b); multi-band duplicates collapse in the set
+      val hits = rows.map(r => (r.getAs[Long]("earlier_id"), r.getAs[Long]("doc_id"))).toSet
+      assert(hits == d2,
+        s"verified stream != batch: missing=${d2 -- hits} extra=${hits -- d2}")
+    } finally q.stop()
+  }
+
   test("row-local word-gram hashes are bit-identical to the batch column, hostile whitespace included") {
     import spark.implicits._
     val hostile = Seq(
