@@ -55,6 +55,27 @@ class SourcesSpec extends SparkSpec {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("binaryFile source ingests opaque payloads with path/length metadata") {
+    // the multimodal ingest path (SURVEY F1): image/audio files land as
+    // one row per file — (path, modificationTime, length, content) —
+    // with glob pushdown selecting the modality, no decode on the scan
+    val dir = Files.createTempDirectory("graft-bin")
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, 4),
+      "b.img" -> Array[Byte](5, 6), "skip.txt" -> Array[Byte](9))
+    payloads.foreach { case (n, bytes) => Files.write(dir.resolve(n), bytes) }
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img") // modality filter applied at listing, not after read
+      .load(dir.toString)
+      .select(element_at(split(col("path"), "/"), -1).as("name"),
+        col("length"), col("content"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]]("content")))
+    assert(rows.map(_._1).toSet == Set("a.img", "b.img"), "glob filter leaked non-modality files")
+    rows.foreach { case (name, len, content) =>
+      assert(content.sameElements(payloads(name)), s"$name bytes differ")
+      assert(len == payloads(name).length)
+    }
+  }
+
   test("orc round-trip preserves rows and pushes filters") {
     val dir = Files.createTempDirectory("graft-orc").toString
     val orders = Tables.orders(spark, sfDir)
