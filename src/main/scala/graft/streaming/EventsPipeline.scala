@@ -91,16 +91,25 @@ object EventsPipeline {
       .select(col("user_id"), col("sess.start").as("session_start"),
         col("sess.end").as("session_end"), col("n_events"), col("total_value"))
 
-  /** Watermarked stream-stream interval join (A19): each purchase matched
-    * to the same user's clicks in the `horizon` before it. Both sides are
-    * watermarked and the join condition bounds event-time distance, so
-    * Spark can expire join state — the unbounded-state trap of a naive
-    * stream-stream equi-join is structurally avoided. At 100 TB/day the
-    * state store holds one horizon's worth of each side, partitioned by
-    * user_id.
+  /** Watermarked stream-stream interval join (A19, outer variants A26):
+    * each purchase matched to the same user's clicks in the `horizon`
+    * before it. Both sides are watermarked and the join condition bounds
+    * event-time distance, so Spark can expire join state — the
+    * unbounded-state trap of a naive stream-stream equi-join is
+    * structurally avoided. At 100 TB/day the state store holds one
+    * horizon's worth of each side, partitioned by user_id.
+    *
+    * `joinType` left/right/full outer (A26) emits the unmatched side
+    * null-extended — NOT immediately, but when the watermark closes that
+    * row's match horizon (only then is "no partner" final), so outer
+    * results trail the inner ones by up to horizon + watermark delay:
+    * the abandoned-click shape a funnel pipeline wants, with the same
+    * state bound as the inner join.
     */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
-      horizonMinutes: Int = 10): DataFrame = {
+      horizonMinutes: Int = 10, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer", "right_outer", "full_outer", "left_semi")(joinType),
+      s"unsupported stream-stream joinType: $joinType")
     val c = clicks
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -109,11 +118,16 @@ object EventsPipeline {
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"), col("value"))
       .withWatermark("purchase_ts", s"$horizonMinutes minutes")
-    c.join(p, expr(
+    val joined = c.join(p, expr(
       s"""c_user = p_user AND
           click_ts BETWEEN purchase_ts - INTERVAL $horizonMinutes MINUTES
-                       AND purchase_ts"""))
-      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+                       AND purchase_ts"""), joinType)
+    if (joinType == "left_semi")
+      joined.select(col("c_user").as("user_id"), col("click_id"), col("click_ts"))
+    else joined
+      // outer variants leave one side null — the surviving side names the user
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("click_id"),
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 

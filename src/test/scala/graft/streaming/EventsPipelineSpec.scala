@@ -488,6 +488,48 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits abandoned clicks only after the watermark closes their horizon") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[EventsPipeline.Event]
+    val purchases = MemoryStream[EventsPipeline.Event]
+    def ev(id: Long, user: Long, minute: Long, typ: String) =
+      EventsPipeline.Event(id, new Timestamp(minute * 60000L), user, typ, 1.0)
+    val q = EventsPipeline.clickPurchaseJoin(
+        clicks.toDS().toDF(), purchases.toDS().toDF(),
+        horizonMinutes = 10, joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssjoin_outer_test")
+      .outputMode("append").start()
+    try {
+      // click@1000 converts (purchase@1005); click@1001 is abandoned
+      clicks.addData(ev(1, 1, 1000, "click"), ev(2, 2, 1001, "click"))
+      purchases.addData(ev(10, 1, 1005, "purchase"))
+      q.processAllAvailable()
+      val early = spark.table("ssjoin_outer_test")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // the unmatched click must NOT be emitted yet: a purchase in
+      // [1001, 1011] could still arrive — "no partner" isn't final until
+      // the watermark passes 1011
+      assert(early == Set((1L, 10L)), s"premature outer emission: $early")
+      // advance BOTH streams far past the horizon (global watermark is
+      // the min across inputs), then run the follow-up batch that emits
+      // newly-final unmatched rows
+      clicks.addData(ev(3, 3, 2000, "click"))
+      purchases.addData(ev(11, 4, 2000, "purchase"))
+      q.processAllAvailable()
+      clicks.addData(ev(4, 3, 2001, "click"))
+      purchases.addData(ev(12, 4, 2001, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_outer_test")
+        .select("user_id", "click_id", "purchase_id").collect()
+      val abandoned = rows.filter(_.isNullAt(2)).map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(abandoned.contains((2L, 2L)),
+        s"abandoned click not emitted after watermark close: ${rows.mkString(",")}")
+      // clicks 3/4's horizons (2010/2011) are still open — not emitted
+      assert(!abandoned.exists(_._2 >= 3L), s"open-horizon click leaked: $abandoned")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the broadcast dimension") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[Long]
