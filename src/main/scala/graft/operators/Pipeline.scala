@@ -164,5 +164,52 @@ object Pipeline {
         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       FROM c GROUP BY 1 ORDER BY pack_id"""))
 
-  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4)
+  // P5 — corpus card: the per-(lang, source) dataset summary a training
+  // pipeline publishes with every corpus snapshot — doc/token volumes,
+  // quality profile, and the quality-gate pass rate, in ONE scan + one
+  // map-side-combinable aggregate. Float discipline: the quality average
+  // is computed from the SUM OF INTEGER-QUANTIZED scores (floor(q*1e4+.5)
+  // as BIGINT) — summing doubles would make the average depend on float
+  // accumulation order, which differs across engines; integer sums are
+  // exact, and the final division is one deterministic IEEE op.
+  private val p5 = Relational.Q(
+    "p5_corpus_card",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("nt"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          sum(floor(col("quality") * 10000.0 + 0.5)).as("qsum"),
+          sum(when(col("quality") >= QualityMin, 1L).otherwise(0L)).as("n_quality_pass"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
+          r2(col("total_tokens") / col("n_docs")).as("avg_tokens"),
+          r4(col("qsum") / (col("n_docs") * 10000.0)).as("avg_quality"),
+          col("n_quality_pass"), col("min_chars"), col("max_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT lang, source, n_chars,
+          len(string_split_regex(trim(text), '\\s+')) AS nt,
+          ${TextAnalysis.qualityScoreSql("text")} AS quality
+        FROM documents)
+      SELECT lang, source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        ${r2Sql("CAST(SUM(nt) AS BIGINT) / COUNT(*)")} AS avg_tokens,
+        ${r4Sql("CAST(SUM(CAST(FLOOR(quality*10000.0+0.5) AS BIGINT)) AS BIGINT) / (COUNT(*) * 10000.0)")} AS avg_quality,
+        CAST(SUM(CASE WHEN quality >= $QualityMin THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+        MIN(n_chars) AS min_chars,
+        MAX(n_chars) AS max_chars
+      FROM scored
+      GROUP BY lang, source
+      ORDER BY lang, source"""))
+
+  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5)
 }
