@@ -781,5 +781,61 @@ object Dedup {
       FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
       ORDER BY d.doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
+  /** C10's core: asymmetric containment pairs — doc A whose shingle set
+    * is >= `minContainment` contained in doc B (|A∩B|/|A|, the
+    * quote/subset relation Jaccard near-dup CANNOT see: a paragraph
+    * lifted into a long doc has tiny Jaccard but containment ~1).
+    *
+    * Candidate generation is a PREFIX FILTER (the set-similarity-join
+    * technique), provably lossless by pigeonhole: if B misses at most
+    * floor((1-τ)·|A|) of A's shingles, then among any floor((1-τ)·|A|)+1
+    * of A's shingles at least one is in B — so A probes with its
+    * floor((1-τ)·|A|)+1 SMALLEST shingle hashes (sg is already sorted)
+    * against the full inverted index, and no qualifying pair can escape.
+    * Candidates are slim id pairs deduped before any payload moves;
+    * exact verify via the codegen merge-walk. At 100 TB the df skew of
+    * index shingles is the knob: ubiquitous shingles fan out, so cap df
+    * on the INDEX side only after proving the cap keeps the prefix
+    * guarantee for the τ in use (not needed at test scale).
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.8): DataFrame = {
+    require(minContainment > 0.5 && minContainment <= 1.0,
+      s"minContainment out of range: $minContainment")
+    val stats = docMinhashStats(docs).select(col("doc_id"), col("sg"))
+    val withSz = stats.select(col("doc_id"), col("sg"), size(col("sg")).as("sz"))
+    val probeLen = (floor(col("sz") * (1.0 - minContainment)) + 1).cast("int")
+    val probes = withSz
+      .select(col("doc_id").as("doc_a"), explode(slice(col("sg"), lit(1), probeLen)).as("h"))
+    val index = withSz.select(col("doc_id").as("doc_b"), explode(col("sg")).as("h"))
+    val cand = probes.join(index, Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).dropDuplicates("doc_a", "doc_b")
+    val a = stats.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"))
+    val b = stats.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize(col("sg_a"), col("sg_b")).cast("double"))
+      .withColumn("c", col("inter") / size(col("sg_a")))
+      .filter(col("c") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), r4(col("c")).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // C10 — containment (quote/subset) detection. Oracle is the exact
+  // all-ordered-pairs answer over the same string shingles (the shared
+  // pairwiseSql fragment's toks/sh CTEs; its Jaccard `pairs` CTE goes
+  // unused here) — valid as ground truth because the prefix filter is
+  // exact, not probabilistic.
+  private val d10 = Relational.Q(
+    "d10_containment",
+    (s, d) => containmentPairs(Tables.documents(s, d), 0.8),
+    Some(s"""
+      WITH ${pairwiseSql("documents")}
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        ${r4Sql("CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / len(a.sg)")} AS containment
+      FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+      WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / len(a.sg) >= 0.8
+      ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
 }
