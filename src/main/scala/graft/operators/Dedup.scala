@@ -837,5 +837,58 @@ object Dedup {
       WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / len(a.sg) >= 0.8
       ORDER BY doc_a, doc_b"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
+  /** C11's core: INCREMENTAL near-dup detection — a new document slice
+    * deduped against an existing corpus without re-running pairwise dedup
+    * over the corpus (the corpus-refresh shape: at 100 TB the staged
+    * side's minhash stats are a written-once artifact, here rebuilt
+    * because test corpora are small). Same LSH geometry and exact-verify
+    * contract as d2, restricted to cross-slice pairs: new bands equi-join
+    * staged bands on band_key, slim id pairs dedupe, merge-walk verify.
+    * One docMinhashStats pass per side feeds BOTH its band view and its
+    * verify arrays (no duplicate shingle pipeline).
+    */
+  def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
+      minJaccard: Double = 0.8): DataFrame = {
+    val ns = docMinhashStats(newDocs)
+    val cs = docMinhashStats(corpus)
+    def bands(stats: DataFrame, as: String) = stats
+      .select(col("doc_id").as(as),
+        explode(array((0 until 16).map(b => bandKeyCol(col("sig"), b)): _*)).as("band_key"))
+    val cand = bands(ns, "new_id").join(bands(cs, "corpus_id"), Seq("band_key"))
+      .select(col("new_id"), col("corpus_id")).dropDuplicates("new_id", "corpus_id")
+    val a = ns.select(col("doc_id").as("new_id"), col("sg").as("sg_a"))
+    val b = cs.select(col("doc_id").as("corpus_id"), col("sg").as("sg_b"))
+    cand.join(a, Seq("new_id")).join(b, Seq("corpus_id"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize(col("sg_a"), col("sg_b")).cast("double"))
+      .withColumn("j",
+        col("inter") / (size(col("sg_a")) + size(col("sg_b")) - col("inter")))
+      .filter(col("j") >= minJaccard)
+      .select(col("new_id"), col("corpus_id"), r4(col("j")).as("jaccard"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  // C11 — incremental dedup of an arriving slice (doc_id % 10 == 0
+  // stands in for "today's crawl") against the staged remainder. The
+  // oracle is the exact cross-slice pairwise answer — valid ground truth
+  // for the LSH pipeline by the same miss-probability argument d2
+  // documents (~3e-8 at this corpus's j >= 0.88).
+  private val d11 = Relational.Q(
+    "d11_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalNearDups(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+    },
+    Some(s"""
+      WITH ${pairwiseSql("documents")}
+      SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+        ${r4Sql("CAST(len(list_intersect(n.sg, c.sg)) AS DOUBLE) / (len(n.sg) + len(c.sg) - len(list_intersect(n.sg, c.sg)))")} AS jaccard
+      FROM sh n JOIN sh c ON n.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+      WHERE CAST(len(list_intersect(n.sg, c.sg)) AS DOUBLE)
+            / (len(n.sg) + len(c.sg) - len(list_intersect(n.sg, c.sg))) >= 0.8
+      ORDER BY new_id, corpus_id"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11)
 }
