@@ -12,11 +12,13 @@ object Verify {
       else SparkEntry.queries.view.filterKeys(only.toSet).toMap
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
       }
       spark.catalog.clearCache()
     }
@@ -36,5 +38,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // nonzero exit on any per-query failure: a query that errors leaves
+    // no output dir, and a downstream comparator must not be able to
+    // read the gap as "filtered out" and report green
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] FAILED queries: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -57,6 +57,13 @@ object Dedup {
   private def bandKeyCol(sig: Column, b: Int): Column =
     xxhash64((lit(b) +: (0 until 4).map(r => element_at(sig, b * 4 + r + 1))): _*)
 
+  /** The exploded 16-band-key generator over a signature column — ONE
+    * definition consumed by the batch candidate join, the banded view,
+    * and the incremental path (the row-local streaming twin replicates
+    * it bit-for-bit under spec pin). */
+  private def bandKeysExploded(sig: Column): Column =
+    explode(array((0 until 16).map(b => bandKeyCol(sig, b)): _*))
+
   /** Per-doc minhash stats (shingle count, 64-perm signature, sorted
     * shingle hashes) — the shared core of d2/d6/d7 and the banded views.
     * Returned frame is persisted and keyed by doc_id.
@@ -117,7 +124,7 @@ object Dedup {
   def minhashBanded(docs: DataFrame): DataFrame = {
     val stats = docMinhashStats(docs)
     stats.select(col("doc_id"), col("sig"),
-      explode(array((0 until 16).map(b => bandKeyCol(col("sig"), b)): _*)).as("band_key"))
+      bandKeysExploded(col("sig")).as("band_key"))
       .select(col("band_key"), col("doc_id"), col("sig"))
   }
 
@@ -166,7 +173,7 @@ object Dedup {
 
   private def nearDupPairsFrom(docStats: DataFrame, minJaccard: Double): DataFrame = {
       val banded = docStats.select(col("doc_id"),
-        explode(array((0 until 16).map(b => bandKeyCol(col("sig"), b)): _*)).as("band_key"))
+        bandKeysExploded(col("sig")).as("band_key"))
       // Band self-join: one (doc_id, band_key) long-pair frame broadcast —
       // at bench scale this is KBs; at 100 TB the same join runs as a
       // shuffle on band_key (drop the hint), still never a cross join.
@@ -741,6 +748,10 @@ object Dedup {
       .filter(col("nw") === w) // trailing partial segment dropped
       .select(col("doc_id"),
         md5(concat_ws(" ", (0 until w).map(i => col(s"w$i")): _*)).as("h"))
+      // BOTH the df aggregate and the join back read this frame — persist
+      // so the explode+aggregate pipeline runs once (the d3 pattern), not
+      // twice-unless-ReusedExchange-happens-to-fire
+      .persist()
     val df = segs.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ndocs"))
     val perDoc = segs.join(df, Seq("h"))
       .groupBy(col("doc_id"))
@@ -801,7 +812,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, minContainment: Double = 0.8): DataFrame = {
     require(minContainment > 0.5 && minContainment <= 1.0,
       s"minContainment out of range: $minContainment")
-    val stats = docMinhashStats(docs).select(col("doc_id"), col("sg"))
+    val stats = shingleSets(docs)
     val withSz = stats.select(col("doc_id"), col("sg"), size(col("sg")).as("sz"))
     val probeLen = (floor(col("sz") * (1.0 - minContainment)) + 1).cast("int")
     val probes = withSz
@@ -852,8 +863,7 @@ object Dedup {
     val ns = docMinhashStats(newDocs)
     val cs = docMinhashStats(corpus)
     def bands(stats: DataFrame, as: String) = stats
-      .select(col("doc_id").as(as),
-        explode(array((0 until 16).map(b => bandKeyCol(col("sig"), b)): _*)).as("band_key"))
+      .select(col("doc_id").as(as), bandKeysExploded(col("sig")).as("band_key"))
     val cand = bands(ns, "new_id").join(bands(cs, "corpus_id"), Seq("band_key"))
       .select(col("new_id"), col("corpus_id")).dropDuplicates("new_id", "corpus_id")
     val a = ns.select(col("doc_id").as("new_id"), col("sg").as("sg_a"))

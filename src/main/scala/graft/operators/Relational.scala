@@ -977,7 +977,7 @@ object Relational {
       val monthly = Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).cast(LongType).as("y"),
           month(col("o_orderdate")).cast(LongType).as("m"))
-        .agg(round(sum(dec(col("o_totalprice"))), 2).cast(DoubleType).as("revenue"))
+        .agg(money(col("o_totalprice")).as("revenue"))
       val prev = monthly.select((col("y") + 1).as("y"), col("m"),
         col("revenue").as("prev_revenue"))
       monthly.join(prev, Seq("y", "m"), "left")
@@ -1043,7 +1043,7 @@ object Relational {
         .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(dec(col("o_totalprice"))), 2).cast(DoubleType).as("revenue"))
+        .agg(money(col("o_totalprice")).as("revenue"))
       val total = sum(col("revenue").cast(DecimalType(18, 2)))
         .over(Window.partitionBy()).cast(DoubleType)
       rev

@@ -55,11 +55,16 @@ def main(sf_dir, out_dir, only=()):
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracles.items()):
         # a filtered Verify run writes only the requested queries; absent
-        # output dirs are "not run", not failures. A FULL run that fails
-        # to write a query still fails loudly: Verify itself errors first,
-        # and the SKIP count below makes any silent gap visible.
+        # output dirs are "not run" UNLESS the caller named the query
+        # explicitly — then the gap means Verify failed to produce it
+        # (Verify also exits nonzero itself in that case) and silence
+        # would turn a broken query into a green run.
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1
+            if name in set(only):
+                print(f"FAIL {name}: no output dir (Verify did not produce it)")
+                n_fail += 1
+            else:
+                n_skip += 1
             continue
         try:
             s_df = con.execute(
