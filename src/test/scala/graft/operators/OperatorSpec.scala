@@ -502,4 +502,51 @@ class OperatorSpec extends SparkSpec {
       }
     }
   }
+  test("boilerplate segments (d9): slot aggregation equals naive w-word grouping on hand-checked cases") {
+    // "a b c" occurs in docs 1,2,3,5 (df 4 >= 3 -> boilerplate);
+    // "d e f" df 2 and "x y z" df 1 stay; trailing partials drop;
+    // a doc under w words has zero segments and passes the keep gate
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c x y z"),
+      (3L, "a b c a b c"),
+      (4L, "q r"),
+      (5L, "a b c d e f")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateSegments(docs, 3, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((2L, 1L, false))) // 1/2 boilerplate = 50% > 30%
+    assert(out(2L) == ((2L, 1L, false)))
+    assert(out(3L) == ((2L, 2L, false))) // same segment twice in one doc: df counts the doc once
+    assert(out(4L) == ((0L, 0L, true)))
+    assert(out(5L) == ((2L, 1L, false)))
+  }
+
+  test("containment (d10) finds a quoted subset that Jaccard near-dup cannot see") {
+    val quoted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val container = quoted + " " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, quoted), (2L, container)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"full containment missed: ${pairs.mkString(",")}")
+    assert(!pairs.exists(p => p._1 == 2L && p._2 == 1L),
+      "containment must be asymmetric: the container is not contained")
+    // the symmetric Jaccard operator is structurally blind to this pair
+    assert(Dedup.nearDupPairs(docs, 0.8).count() == 0)
+  }
+
+  test("incremental dedup (d11) equals the batch pairwise answer restricted to cross-slice pairs") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val inc = Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = Dedup.nearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if a % 10 == 0 && b % 10 != 0 => (a, b)
+        case (a, b) if b % 10 == 0 && a % 10 != 0 => (b, a)
+      }.toSet
+    assert(inc == cross, s"missing=${cross -- inc} extra=${inc -- cross}")
+  }
 }
