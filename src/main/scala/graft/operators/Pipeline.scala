@@ -211,5 +211,42 @@ object Pipeline {
       GROUP BY lang, source
       ORDER BY lang, source"""))
 
-  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5)
+  // P6 — deterministic weighted corpus mixing: the epoch-sampling stage
+  // of training-data assembly — each source gets a sampling weight and
+  // every doc a repeat count (0 = downsampled out, 2+ = upsampled), with
+  // NO RNG state: weight percent = 50 + hash(source) % 200 (50%..249%,
+  // exercising both down- and up-sampling), and the fractional part is
+  // resolved per doc by hash(doc_id) % 100 < weight % 100. All integer
+  // arithmetic end to end, so the mix is cross-engine exact AND stable
+  // under retries/repartitioning — the same doc always gets the same
+  // copy count, which is what makes a 1000-executor mixing job
+  // reproducible. Map-only (one scan, no shuffle before the ordered
+  // output); the actual upsample is explode(sequence(1, n_copies)) on
+  // the consumer side.
+  private val p6 = Relational.Q(
+    "p6_weighted_mix",
+    (s, d) => {
+      import graft.functions.{HashFunctions => H}
+      val wpct = (pmod(H.md5Hash56(col("source")), lit(200L)) + 50L).as("wpct")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), wpct)
+        .withColumn("n_copies",
+          (col("wpct") / 100L).cast("long") +
+            when(pmod(H.md5Hash56(col("doc_id").cast("string")), lit(100L)) <
+              col("wpct") % 100L, 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val srcHash = graft.functions.HashFunctions.md5Hash56Sql("source")
+      val docHash = graft.functions.HashFunctions.md5Hash56Sql("CAST(doc_id AS VARCHAR)")
+      s"""
+      SELECT doc_id, source,
+        ($srcHash % 200 + 50) AS wpct,
+        (($srcHash % 200 + 50) // 100
+          + CASE WHEN $docHash % 100 < ($srcHash % 200 + 50) % 100
+                 THEN 1 ELSE 0 END) AS n_copies
+      FROM documents ORDER BY doc_id"""
+    })
+
+  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6)
 }
