@@ -202,6 +202,37 @@ object Demo {
         s"contaminated=${contamGot.size}==${contamExp.size} nearDups=$dupFound/${dupExp.size}")
     }
 
+    // 7. EXACT-VERIFIED streaming dedup (A25): band-state candidates are
+    // verified by exact Jaccard against the staged shingle-set artifact
+    // before anything is dropped — the streamed verdicts EQUAL the batch
+    // pipeline's pair set, not approximately (scenario 6's estimate-only
+    // flags are floored at 80% recall; this stage closes the gap to ==).
+    {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val corpus = graft.Tables.documents(spark, sfDir)
+      val grams = graft.operators.Dedup.shingleSets(corpus.select("doc_id", "text"))
+      val arriving = corpus.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val src = MemoryStream[(Long, String)]
+      val q = EventsPipeline.nearDupStreamVerified(src.toDS(), grams)
+        .writeStream.format("memory").queryName("demo_verified_dedup")
+        .outputMode("append").start()
+      arriving.grouped(math.max(1, arriving.length / 2)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("demo_verified_dedup")
+        .select("earlier_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exp = graft.operators.Dedup.nearDupPairs(corpus)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      check("streaming-verified-dedup", exp.nonEmpty && got == exp,
+        s"pairs=${got.size}==${exp.size}")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }
