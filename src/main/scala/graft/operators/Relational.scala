@@ -1066,8 +1066,55 @@ object Relational {
       FROM rev
       ORDER BY rev_rank"""))
 
+  // B40 — "blame the sole late supplier" (TPC-H Q21 flavor, adapted to
+  // this schema's dates): suppliers whose shipment ran >90 days past the
+  // order date on orders where ANOTHER supplier participated but NO other
+  // supplier was late — EXISTS and NOT EXISTS against the same frame with
+  // different conditions, the hardest decorrelation shape in the TPC-H
+  // suite. All three self-references are equi-joins on orderkey (semi +
+  // anti, one shared shuffle key); the supplier dim broadcasts; top-20
+  // plans as TakeOrderedAndProject with a total (numwait desc, s_name)
+  // order so the limit is deterministic.
+  private val q40 = Q(
+    "q40_blame_supplier",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .dropDuplicates("ok", "sk")
+      val sup = l.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .dropDuplicates("ok", "sk")
+      val other = sup.select(col("ok"), col("sk").as("osk"))
+      val lateOther = late.select(col("ok"), col("sk").as("lsk"))
+      val blamed = late
+        .join(other, late("ok") === other("ok") && col("sk") =!= col("osk"), "left_semi")
+        .join(lateOther,
+          late("ok") === lateOther("ok") && col("sk") =!= col("lsk"), "left_anti")
+      blamed
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    Some("""
+      WITH late AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+      sup AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem)
+      SELECT s_name, COUNT(*) AS numwait
+      FROM late l
+      JOIN supplier ON l.sk = s_suppkey
+      WHERE EXISTS (SELECT 1 FROM sup o WHERE o.ok = l.ok AND o.sk != l.sk)
+        AND NOT EXISTS (SELECT 1 FROM late x WHERE x.ok = l.ok AND x.sk != l.sk)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39)
+    q39, q40)
 }
