@@ -472,6 +472,46 @@ object Relational {
   // no range join, no per-row subquery. The oracle uses the identical
   // union+window definition (not DuckDB's native ASOF) so semantics match
   // tie-for-tie.
+  /** Generalized AS-OF join — the time-series enrichment operator Spark
+    * lacks natively: each left row is joined to the MOST RECENT right row
+    * with `rightTs` <= its `leftTs`, per `key` (null-extended when no
+    * right row precedes it). Union + running `last(ignoreNulls)` over ONE
+    * window sort: one shuffle on the key, O(n log n) per key partition,
+    * no per-row range probe — versus the naive interval-join spelling
+    * whose per-key work is quadratic. A right row AT the left row's exact
+    * timestamp is visible (sorts before it). Equal-`rightTs` right rows
+    * tie-break on `rightTieBreak` (latest wins) — pass it whenever the
+    * right side can carry duplicate timestamps per key, or the winner is
+    * partition-order-dependent. q21 is the oracle-checked instance.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String],
+      rightTieBreak: Option[String] = None): DataFrame = {
+    val pStruct = struct((rightTs +: payload).distinct.map(col): _*)
+    // tie keeps its NATIVE orderable type — casting to string would order
+    // numeric ids lexicographically ("10" < "2") and crown the wrong row
+    val tie = rightTieBreak.map(col).getOrElse(lit(0L))
+    val r = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__kind"), pStruct.as("__p"), tie.as("__tie"))
+    val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__kind"), lit(null).cast(r.schema("__p").dataType).as("__p"),
+      lit(null).cast(r.schema("__tie").dataType).as("__tie"),
+      struct(left.columns.map(col): _*).as("__l"))
+    val u = r.withColumn("__l", lit(null).cast(l.schema("__l").dataType))
+      .unionByName(l)
+    // __tie only orders rows WITHIN (ts, kind=0): left rows' null tie
+    // never competes with right rows (kind differs), and equal left rows
+    // all contribute null payload, so their mutual order is irrelevant
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__kind"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+      .select(col("__l.*") +:
+        (payload.map(c => col(s"__last.`$c`").as(s"asof_$c")) :+
+          col(s"__last.`$rightTs`").as("asof_ts")): _*)
+  }
+
   private val q21 = Q(
     "q21_asof_join",
     (s, d) => {

@@ -54,6 +54,24 @@ object EventsPipeline {
       .select(col("win.start").as("minute_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked streaming approximate-distinct per tumbling window
+    * (A27): distinct users per window via HLL++ — per-window state is a
+    * FIXED-SIZE sketch instead of an unbounded distinct-user set, the
+    * count-distinct shape that survives a 100 TB/day stream (exact
+    * streaming countDistinct isn't supported precisely because its state
+    * is unbounded). HLL register merges are max-per-register —
+    * commutative and associative — so the streamed estimate EQUALS the
+    * batch estimate on the same data regardless of micro-batch slicing
+    * (spec-pinned), and the watermark evicts closed windows' sketches.
+    */
+  def approxDistinctAgg(events: DataFrame, windowDur: String = "1 minute",
+      watermark: String = "2 minutes", rsd: Double = 0.01): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("win"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("win.start").as("window_start"), col("approx_users"))
+
   /** Watermarked SLIDING-window aggregation (A22): each event counts into
     * duration/slide overlapping windows (Expand + hash agg, incremental
     * under streaming — state is one row per open (window, type), evicted

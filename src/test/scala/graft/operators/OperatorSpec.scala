@@ -549,4 +549,24 @@ class OperatorSpec extends SparkSpec {
       }.toSet
     assert(inc == cross, s"missing=${cross -- inc} extra=${inc -- cross}")
   }
+  test("generalized asOfJoin reproduces the oracle-pinned q21 answer") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val got = Relational.asOfJoin(purchases, clicks, "user_id", "ts", "ts",
+        Seq("event_id"), rightTieBreak = Some("event_id"))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("asof_ts").as("last_click_ts"),
+        col("asof_event_id").as("last_click_id"))
+      .orderBy("user_id", "purchase_id").collect()
+    val exp = graft.SparkEntry.queries("q21_asof_join")(spark, sfDir)
+      .select("user_id", "purchase_id", "last_click_ts", "last_click_id")
+      .orderBy("user_id", "purchase_id").collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq == exp.toSeq)
+    // a purchase with no prior click is null-extended, not dropped
+    assert(got.length == purchases.count())
+  }
 }

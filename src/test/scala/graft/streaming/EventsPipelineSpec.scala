@@ -43,6 +43,31 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed approx-distinct equals the batch estimate regardless of micro-batch slicing") {
+    val batchEvents = Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-hllstream").toString
+    // several files => several micro-batches => windows assembled from
+    // partial sketches; HLL merges are order-independent so the result
+    // must still be bit-equal to the single-pass batch estimate
+    batchEvents.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventsPipeline.approxDistinctAgg(stream)
+      .writeStream.format("memory").queryName("hll_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream_test")
+        .orderBy("window_start").collect()
+      val batch = EventsPipeline.approxDistinctAgg(batchEvents)
+        .orderBy("window_start").collect()
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming sliding agg matches the batch answer and doubles event coverage") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[EventsPipeline.Event]
