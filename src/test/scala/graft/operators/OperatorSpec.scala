@@ -569,4 +569,20 @@ class OperatorSpec extends SparkSpec {
     // a purchase with no prior click is null-extended, not dropped
     assert(got.length == purchases.count())
   }
+  test("asOfJoin edge cases: at-or-before visibility, latest-tie wins, null-extension") {
+    val left = Seq((1L, 10L, "L10"), (1L, 5L, "L5"), (2L, 7L, "L7"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 1L, "at-ts-low"), (1L, 10L, 2L, "at-ts-high"),
+        (1L, 3L, 3L, "early"), (3L, 1L, 4L, "other-key"))
+      .toDF("k", "t", "seq", "v")
+    val got = Relational.asOfJoin(left, right, "k", "t", "t",
+        Seq("v"), rightTieBreak = Some("seq"))
+      .select("tag", "asof_v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // a right row AT the left timestamp is visible; among equal-ts right
+    // rows the larger tie-break wins (it sorts last in the running frame)
+    assert(got("L10") == "at-ts-high")
+    assert(got("L5") == "early")
+    assert(got("L7") == null) // no right row for key 2: null-extended, not dropped
+  }
 }
