@@ -491,8 +491,11 @@ object Relational {
     // tie keeps its NATIVE orderable type — casting to string would order
     // numeric ids lexicographically ("10" < "2") and crown the wrong row
     val tie = rightTieBreak.map(col).getOrElse(lit(0L))
-    val r = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
-      lit(0).as("__kind"), pStruct.as("__p"), tie.as("__tie"))
+    // a null rightTs satisfies no "rightTs <= leftTs" predicate — drop it
+    // here, or the nulls-first window order would crown it earliest match
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).as("__ts"),
+        lit(0).as("__kind"), pStruct.as("__p"), tie.as("__tie"))
     val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
       lit(1).as("__kind"), lit(null).cast(r.schema("__p").dataType).as("__p"),
       lit(null).cast(r.schema("__tie").dataType).as("__tie"),
@@ -512,25 +515,22 @@ object Relational {
           col(s"__last.`$rightTs`").as("asof_ts")): _*)
   }
 
+  // q21 runs THROUGH the generalized asOfJoin so the DuckDB oracle pins
+  // the shared implementation — not a parallel inline copy free to drift.
   private val q21 = Q(
     "q21_asof_join",
     (s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
+        .select(col("user_id"), col("ts"), col("event_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("kind"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.union(purchases)
-        .withColumn("last_click_ts",
-          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
-        .withColumn("last_click_id",
-          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      asOfJoin(purchases, clicks, "user_id", "ts", "ts",
+        Seq("event_id"), rightTieBreak = Some("event_id"))
         .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("ts").as("purchase_ts"), col("last_click_ts"), col("last_click_id"))
+          col("ts").as("purchase_ts"),
+          col("asof_ts").as("last_click_ts"),
+          col("asof_event_id").as("last_click_id"))
         .orderBy(col("user_id"), col("purchase_id"))
     },
     Some("""

@@ -226,7 +226,10 @@ object Demo {
       val got = spark.table("demo_verified_dedup")
         .select("earlier_id", "doc_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exp = graft.operators.Dedup.nearDupPairs(corpus)
+      // same projected frame as shingleSets above: a differing projection
+      // would give docMinhashStats a second analyzed plan and run the
+      // whole shingle/minhash pipeline twice
+      val exp = graft.operators.Dedup.nearDupPairs(corpus.select("doc_id", "text"))
         .select("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       check("streaming-verified-dedup", exp.nonEmpty && got == exp,

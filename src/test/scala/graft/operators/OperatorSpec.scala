@@ -549,25 +549,22 @@ class OperatorSpec extends SparkSpec {
       }.toSet
     assert(inc == cross, s"missing=${cross -- inc} extra=${inc -- cross}")
   }
-  test("generalized asOfJoin reproduces the oracle-pinned q21 answer") {
-    val ev = graft.Tables.events(spark, sfDir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select("user_id", "ts", "event_id")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select("user_id", "ts", "event_id")
-    val got = Relational.asOfJoin(purchases, clicks, "user_id", "ts", "ts",
-        Seq("event_id"), rightTieBreak = Some("event_id"))
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("asof_ts").as("last_click_ts"),
-        col("asof_event_id").as("last_click_id"))
-      .orderBy("user_id", "purchase_id").collect()
-    val exp = graft.SparkEntry.queries("q21_asof_join")(spark, sfDir)
-      .select("user_id", "purchase_id", "last_click_ts", "last_click_id")
-      .orderBy("user_id", "purchase_id").collect()
-    assert(got.nonEmpty)
-    assert(got.toSeq == exp.toSeq)
-    // a purchase with no prior click is null-extended, not dropped
-    assert(got.length == purchases.count())
+  test("asOfJoin null-extends every left row (none dropped) and ignores null-ts right rows") {
+    // q21 itself runs through asOfJoin, so the DuckDB oracle pins the
+    // main semantics; these are the degenerate inputs the oracle data
+    // can't produce
+    val left = Seq((1L, 5L, "L")).toDF("k", "t", "tag")
+    val right = Seq((1L, Option.empty[Long], 1L, "null-ts"),
+        (2L, Some(3L), 2L, "other-key"))
+      .toDF("k", "t", "seq", "v")
+    val rows = Relational.asOfJoin(left, right, "k", "t", "t",
+        Seq("v"), rightTieBreak = Some("seq")).collect()
+    // a null rightTs satisfies no rightTs <= leftTs predicate: the left
+    // row must survive null-extended, not pick up the null-ts payload
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("tag") == "L")
+    assert(rows.head.isNullAt(rows.head.fieldIndex("asof_v")),
+      s"null-ts right row leaked into the match: ${rows.head}")
   }
   test("asOfJoin edge cases: at-or-before visibility, latest-tie wins, null-extension") {
     val left = Seq((1L, 10L, "L10"), (1L, 5L, "L5"), (2L, 7L, "L7"))
