@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSignature, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
+import graft.functions.{CosineSimilarity, KMinValues, MinHashSignature, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
 
 /** Spark session extension: registers graft's custom Catalyst expressions
   * as SQL functions, so the whole similarity/dedup toolkit is reachable
@@ -14,6 +14,7 @@ import graft.functions.{CosineSimilarity, MinHashSignature, RandomHyperplaneBuck
   *   sorted_intersect_size(a, b)  — merge-walk |A ∩ B| of sorted arrays
   *   minhash_sig(h, k)            — AGG: k-perm minhash signature of hashes
   *   simhash64(h)                 — AGG: 64-bit simhash of token hashes
+  *   kmin_values(h, k)            — AGG: KMV theta sketch (k smallest distinct hashes)
   *
   * Enable with:
   *   SparkSession.builder().config("spark.sql.extensions", "graft.GraftExtensions")
@@ -57,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "simhash64", { children =>
       require(children.length == 1, "simhash64 expects exactly 1 argument")
       SimHash64(children.head).toAggregateExpression()
+    })
+    register(ext, "kmin_values", { children =>
+      require(children.length == 2, "kmin_values expects (hash, k)")
+      KMinValues(children.head, litInt(children(1), "kmin_values", "k"))
+        .toAggregateExpression()
     })
   }
 }

@@ -123,5 +123,49 @@ object Sketching {
         COUNT(*) AS n_lines
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5)
+  // I6 — KMV theta-sketch set overlap: shared distinct users between
+  // every event-type pair, from ONE bounded-state sketch per type (the
+  // custom KMinValues imperative aggregate, state = k longs) instead of
+  // a per-pair distinct-join. Theta-sketch estimation: values below
+  // theta = min(theta_a, theta_b) are a uniform rate-theta sample of
+  // each set, so shared ~= |common below theta| / theta — and BELOW
+  // capacity the sketch holds the whole distinct set, theta = 1, and the
+  // answer is EXACT, which is why this query is fully oracle-checkable
+  // at test scale (k=2048 > the 1.5k distinct users at sf0.1) while the
+  // estimator path is spec-bounded on constructed >k data. The pair
+  // enumeration cross-joins the 5-row per-type sketch frame (constant
+  // size — the data-volume work all happened in the sketch aggregate),
+  // and the interpreted filter/intersect HOFs touch only those 10 rows.
+  private val x6 = Relational.Q(
+    "x6_kmv_overlap",
+    (s, d) => {
+      val K = 2048
+      val sk = Tables.events(s, d)
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KMinValues(col("h"), K).as("sk"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+      def theta(c: org.apache.spark.sql.Column) =
+        when(size(c) >= K, element_at(c, K)).otherwise(lit(Long.MaxValue))
+      a.crossJoin(b).filter(col("type_a") < col("type_b"))
+        .withColumn("th", least(theta(col("sk_a")), theta(col("sk_b"))))
+        .withColumn("c", graft.functions.SortedIntersectSize(
+          filter(col("sk_a"), x => x < col("th")),
+          filter(col("sk_b"), x => x < col("th"))).cast("double"))
+        .withColumn("th_frac", when(col("th") === Long.MaxValue, lit(1.0))
+          .otherwise(col("th") / 1.8446744073709552e19 + 0.5))
+        .select(col("type_a"), col("type_b"),
+          round(col("c") / col("th_frac")).cast("long").as("shared_users"))
+        .filter(col("shared_users") > 0)
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""
+      WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        COUNT(*) AS shared_users
+      FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6)
 }

@@ -28,7 +28,9 @@ object PlanAudit {
       "t9_tfidf" ->
         "crossJoin(broadcast(<one-row nDocs frame>)) for the idf/df thresholds",
       "t11_surprisal" ->
-        "crossJoin(broadcast(<one-row total-tokens frame>)) for the unigram model")
+        "crossJoin(broadcast(<one-row total-tokens frame>)) for the unigram model",
+      "x6_kmv_overlap" ->
+        "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size)")
     // Iterative operators EXECUTE when their builder runs (label
     // propagation materializes per round), so "building the plan" would
     // run the whole algorithm and return only a scan of the checkpointed

@@ -48,6 +48,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(aggs.getSeq[Long](0).length == 16)
       // simhash of a fixed input set is deterministic and non-degenerate
       assert(aggs.getLong(1) != 0L)
+      // KMV: 3 distinct hashes at k=16 -> the sketch IS the sorted set
+      val kmv = spark.sql(
+        """SELECT kmin_values(h, 16) AS sk
+          |FROM VALUES (xxhash64('a')), (xxhash64('b')), (xxhash64('a')) AS t(h)""".stripMargin)
+        .head().getSeq[Long](0)
+      assert(kmv.length == 2 && kmv == kmv.sorted)
     } finally {
       // do NOT stop(): that would kill the shared SparkContext
       SparkSession.clearDefaultSession()

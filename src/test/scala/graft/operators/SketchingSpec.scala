@@ -74,4 +74,42 @@ class SketchingSpec extends SparkSpec {
       .head().getLong(0).toDouble
     assert(math.abs(est - single) / single < 0.01, s"union=$est single=$single")
   }
+  test("KMV sketch is exact below capacity and estimates overlap within 25% beyond it") {
+    import spark.implicits._
+    import graft.functions.{KMinValues, SortedIntersectSize}
+    // estimator regime: two 5000-distinct sets overlapping in 2500
+    // values, sketched at k=256 (sketches saturate, theta < 1)
+    val K = 256
+    val rows = ((0 until 5000).map(i => ("a", i.toLong)) ++
+      (2500 until 7500).map(i => ("b", i.toLong))).toDF("side", "v")
+    val sk = rows.select(col("side"), xxhash64(col("v")).as("h"))
+      .groupBy(col("side")).agg(KMinValues(col("h"), K).as("sk"))
+    val m = sk.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // bounded state: the array never exceeds k, and it is sorted ascending
+    assert(m.values.forall(s => s.length == K))
+    assert(m.values.forall(s => s == s.sorted))
+    val a = sk.filter(col("side") === "a").select(col("sk").as("sk_a"))
+    val b = sk.filter(col("side") === "b").select(col("sk").as("sk_b"))
+    def theta(c: org.apache.spark.sql.Column) =
+      when(size(c) >= K, element_at(c, K)).otherwise(lit(Long.MaxValue))
+    val est = a.crossJoin(b)
+      .withColumn("th", least(theta(col("sk_a")), theta(col("sk_b"))))
+      .withColumn("c", SortedIntersectSize(
+        filter(col("sk_a"), x => x < col("th")),
+        filter(col("sk_b"), x => x < col("th"))).cast("double"))
+      .select(col("c") / (col("th") / 1.8446744073709552e19 + 0.5))
+      .as[Double].head()
+    assert(math.abs(est - 2500.0) / 2500.0 < 0.25, s"KMV overlap estimate $est vs 2500")
+    // exact regime: the oracle-checked x6 answer equals exact distinct
+    // intersections on the real events table (sketches below capacity)
+    val x6 = graft.SparkEntry.queries("x6_kmv_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val u = Tables.events(spark, sf).select(col("event_type"), col("user_id")).distinct()
+    val exact = u.select(col("event_type").as("ta"), col("user_id"))
+      .join(u.select(col("event_type").as("tb"), col("user_id")), Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(x6.nonEmpty && x6 == exact)
+  }
 }
