@@ -248,5 +248,58 @@ object Pipeline {
       FROM documents ORDER BY doc_id"""
     })
 
-  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6)
+  // P7 — document chunking (RAG / embedding-prep): overlapping 64-token
+  // windows at stride 48. Each token expands MAP-SIDE to its <= 2 owning
+  // chunks (window/stride bound, not data-bound), then ONE (doc, chunk)
+  // hash aggregate emits the chunk row — no per-chunk array is ever
+  // materialized, so a chunk never outgrows an aggregation buffer. The
+  // chunk content is proven by an order-sensitive-but-commutative hash:
+  // BIT_XOR over position-salted md5-derived token hashes (xor is
+  // order-independent to AGGREGATE, the position salt makes the VALUE
+  // depend on token order) — cross-engine exact, no float involved.
+  private val p7 = Relational.Q(
+    "p7_chunk_documents",
+    (s, d) => {
+      import graft.functions.{HashFunctions => H}
+      val stride = 48
+      val win = 64
+      val words = Tables.spread(
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val c0 = floor(col("pos") / stride).cast("long")
+      words
+        .select(col("doc_id"), col("pos"), col("w"),
+          explode(array(c0, c0 - 1)).as("c"))
+        // chunk c owns pos iff c*stride <= pos < c*stride + win; the c0-1
+        // candidate exists exactly when this token still falls in its
+        // window (overlap region), and c >= 0 guards the first chunk
+        .filter(col("c") >= 0 &&
+          col("pos") >= col("c") * stride && col("pos") < col("c") * stride + win)
+        .select(col("doc_id"), col("c"),
+          H.md5Hash56(concat(col("w"), lit("#"),
+            (col("pos") - col("c") * stride).cast("string"))).as("th"))
+        .groupBy(col("doc_id"), col("c"))
+        .agg(count(lit(1)).as("n_tokens"), expr("bit_xor(th)").as("chunk_hash"))
+        .select(col("doc_id"), col("c").as("chunk_id"),
+          (col("c") * stride).as("start_pos"), col("n_tokens"), col("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      chunks AS (
+        SELECT doc_id, ws, unnest(generate_series(0, (len(ws) - 1) // 48)) AS c
+        FROM t),
+      h AS (
+        SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+          CAST(c * 48 AS BIGINT) AS start_pos,
+          ws[c*48+1 : c*48+64] AS cw
+        FROM chunks)
+      SELECT doc_id, chunk_id, start_pos,
+        CAST(len(cw) AS BIGINT) AS n_tokens,
+        list_reduce(list_transform(cw, (x, i) ->
+          ${graft.functions.HashFunctions.md5Hash56Sql("x || '#' || (i-1)")}),
+          (a, b) -> xor(a, b)) AS chunk_hash
+      FROM h ORDER BY doc_id, chunk_id"""))
+
+  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7)
 }
