@@ -172,7 +172,7 @@ case class KMinValues(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    extends TypedImperativeAggregate[KMinValues.Buffer]
     with ExpectsInputTypes {
 
   require(k >= 16 && k <= 65536)
@@ -183,50 +183,59 @@ case class KMinValues(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "kmin_values"
 
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
+  override def createAggregationBuffer(): KMinValues.Buffer =
+    new KMinValues.Buffer()
 
-  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
-    if (buf.size < k) { buf.add(v); () }
-    else if (v < buf.last()) {
-      if (buf.add(v)) buf.remove(buf.last())
+  private def add(buf: KMinValues.Buffer, v: Long): Unit = {
+    if (buf.set.size < k) {
+      buf.set.add(v)
+      if (buf.set.size == k) buf.threshold = buf.set.last()
+    } else if (v < buf.threshold) {
+      // saturated accept is rare once warm; the common reject path above
+      // this branch is an O(1) size read + ONE primitive compare against
+      // the cached threshold, never an O(log k) tree walk to set.last()
+      if (buf.set.add(v)) {
+        buf.set.remove(buf.set.last())
+        buf.threshold = buf.set.last()
+      }
     }
   }
 
-  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+  override def update(buf: KMinValues.Buffer, input: InternalRow): KMinValues.Buffer = {
     val v = child.eval(input)
     if (v != null) add(buf, v.asInstanceOf[Long])
     buf
   }
 
-  override def merge(a: java.util.TreeSet[java.lang.Long], b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = b.iterator()
+  override def merge(a: KMinValues.Buffer, b: KMinValues.Buffer): KMinValues.Buffer = {
+    val it = b.set.iterator()
     while (it.hasNext) add(a, it.next())
     a
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val out = new Array[Long](buf.size)
-    val it = buf.iterator()
+  override def eval(buf: KMinValues.Buffer): Any = {
+    val out = new Array[Long](buf.set.size)
+    val it = buf.set.iterator()
     var i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
+  override def serialize(buf: KMinValues.Buffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.set.size)
+    bb.putInt(buf.set.size)
+    val it = buf.set.iterator()
     while (it.hasNext) bb.putLong(it.next())
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+  override def deserialize(bytes: Array[Byte]): KMinValues.Buffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val s = new java.util.TreeSet[java.lang.Long]()
+    val s = new KMinValues.Buffer()
     var i = 0
-    while (i < n) { s.add(bb.getLong); i += 1 }
+    while (i < n) { s.set.add(bb.getLong); i += 1 }
+    if (s.set.size >= k) s.threshold = s.set.last()
     s
   }
 
@@ -239,6 +248,15 @@ case class KMinValues(
 }
 
 object KMinValues {
+  /** Sorted distinct values + a cached rejection threshold: Long.MaxValue
+    * until the sketch saturates at k, then always == set.last, so the
+    * per-row hot path never touches the tree.
+    */
+  final class Buffer {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var threshold: Long = Long.MaxValue
+  }
+
   def apply(h: Column, k: Int): Column =
     GraftColumnBridge.column(
       KMinValues(GraftColumnBridge.expression(h), k).toAggregateExpression())

@@ -136,27 +136,45 @@ object Sketching {
   // enumeration cross-joins the 5-row per-type sketch frame (constant
   // size — the data-volume work all happened in the sketch aggregate),
   // and the interpreted filter/intersect HOFs touch only those 10 rows.
+  /** Theta-sketch overlap estimate from two KMV arrays built at capacity
+    * `k`: values below theta = min(theta_a, theta_b) are a uniform
+    * rate-theta sample of each set, so |A∩B| ~= |common below theta| /
+    * theta. Below capacity theta is exactly 1.0 and the estimate is the
+    * exact intersection count. Shared by x6 and its estimator-regime spec
+    * so the spec exercises THIS expression, not a copy. The filter HOFs
+    * are interpreted — fine here, they only ever touch <= k-element
+    * arrays on a post-aggregate frame, never a per-row hot path.
+    */
+  def kmvOverlapEstimate(skA: org.apache.spark.sql.Column,
+      skB: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    def theta(c: org.apache.spark.sql.Column) =
+      when(size(c) >= k, element_at(c, k)).otherwise(lit(Long.MaxValue))
+    val th = least(theta(skA), theta(skB))
+    val common = graft.functions.SortedIntersectSize(
+      filter(skA, x => x < th), filter(skB, x => x < th)).cast("double")
+    val thFrac = when(th === Long.MaxValue, lit(1.0))
+      .otherwise(th / 1.8446744073709552e19 + 0.5)
+    common / thFrac
+  }
+
   private val x6 = Relational.Q(
     "x6_kmv_overlap",
     (s, d) => {
       val K = 2048
       val sk = Tables.events(s, d)
+        // the oracle's equi-join never matches NULL = NULL; an unguarded
+        // xxhash64(NULL) would hash to the seed and count as a shared
+        // "user" in every sketch
+        .filter(col("user_id").isNotNull)
         .select(col("event_type"), xxhash64(col("user_id")).as("h"))
         .groupBy(col("event_type"))
         .agg(graft.functions.KMinValues(col("h"), K).as("sk"))
       val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
       val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
-      def theta(c: org.apache.spark.sql.Column) =
-        when(size(c) >= K, element_at(c, K)).otherwise(lit(Long.MaxValue))
       a.crossJoin(b).filter(col("type_a") < col("type_b"))
-        .withColumn("th", least(theta(col("sk_a")), theta(col("sk_b"))))
-        .withColumn("c", graft.functions.SortedIntersectSize(
-          filter(col("sk_a"), x => x < col("th")),
-          filter(col("sk_b"), x => x < col("th"))).cast("double"))
-        .withColumn("th_frac", when(col("th") === Long.MaxValue, lit(1.0))
-          .otherwise(col("th") / 1.8446744073709552e19 + 0.5))
         .select(col("type_a"), col("type_b"),
-          round(col("c") / col("th_frac")).cast("long").as("shared_users"))
+          round(kmvOverlapEstimate(col("sk_a"), col("sk_b"), K))
+            .cast("long").as("shared_users"))
         .filter(col("shared_users") > 0)
         .orderBy(col("type_a"), col("type_b"))
     },

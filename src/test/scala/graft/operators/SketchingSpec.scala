@@ -76,7 +76,7 @@ class SketchingSpec extends SparkSpec {
   }
   test("KMV sketch is exact below capacity and estimates overlap within 25% beyond it") {
     import spark.implicits._
-    import graft.functions.{KMinValues, SortedIntersectSize}
+    import graft.functions.KMinValues
     // estimator regime: two 5000-distinct sets overlapping in 2500
     // values, sketched at k=256 (sketches saturate, theta < 1)
     val K = 256
@@ -90,14 +90,9 @@ class SketchingSpec extends SparkSpec {
     assert(m.values.forall(s => s == s.sorted))
     val a = sk.filter(col("side") === "a").select(col("sk").as("sk_a"))
     val b = sk.filter(col("side") === "b").select(col("sk").as("sk_b"))
-    def theta(c: org.apache.spark.sql.Column) =
-      when(size(c) >= K, element_at(c, K)).otherwise(lit(Long.MaxValue))
+    // the PRODUCTION estimator expression — not a re-spelling of it
     val est = a.crossJoin(b)
-      .withColumn("th", least(theta(col("sk_a")), theta(col("sk_b"))))
-      .withColumn("c", SortedIntersectSize(
-        filter(col("sk_a"), x => x < col("th")),
-        filter(col("sk_b"), x => x < col("th"))).cast("double"))
-      .select(col("c") / (col("th") / 1.8446744073709552e19 + 0.5))
+      .select(Sketching.kmvOverlapEstimate(col("sk_a"), col("sk_b"), K))
       .as[Double].head()
     assert(math.abs(est - 2500.0) / 2500.0 < 0.25, s"KMV overlap estimate $est vs 2500")
     // exact regime: the oracle-checked x6 answer equals exact distinct
