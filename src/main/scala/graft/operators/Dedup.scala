@@ -859,9 +859,28 @@ object Dedup {
     * verify arrays (no duplicate shingle pipeline).
     */
   def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
-      minJaccard: Double = 0.8): DataFrame = {
-    val ns = docMinhashStats(newDocs)
-    val cs = docMinhashStats(corpus)
+      minJaccard: Double = 0.8): DataFrame =
+    incrementalFromStats(docMinhashStats(newDocs), docMinhashStats(corpus), minJaccard)
+
+  /** Writes the per-doc minhash artifact (doc_id, sz, sig, sg) the
+    * incremental path reads — the written-once, probed-per-refresh
+    * deployment shape: a 100 TB corpus is sketched ONCE, and every
+    * arriving slice dedups against the parquet artifact instead of
+    * re-running the shingle pipeline over the corpus.
+    */
+  def writeMinhashArtifact(docs: DataFrame, path: String): Unit =
+    docMinhashStats(docs).write.mode("overwrite").parquet(path)
+
+  /** [[incrementalNearDups]] against a staged [[writeMinhashArtifact]]
+    * parquet instead of a recomputed corpus — only the NEW slice pays
+    * the shingle/minhash cost; the corpus side is a column-pruned scan.
+    */
+  def incrementalNearDupsFromArtifact(newDocs: DataFrame, artifact: DataFrame,
+      minJaccard: Double = 0.8): DataFrame =
+    incrementalFromStats(docMinhashStats(newDocs), artifact, minJaccard)
+
+  private def incrementalFromStats(ns: DataFrame, cs: DataFrame,
+      minJaccard: Double): DataFrame = {
     def bands(stats: DataFrame, as: String) = stats
       .select(col("doc_id").as(as), bandKeysExploded(col("sig")).as("band_key"))
     val cand = bands(ns, "new_id").join(bands(cs, "corpus_id"), Seq("band_key"))

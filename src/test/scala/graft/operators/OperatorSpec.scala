@@ -582,4 +582,19 @@ class OperatorSpec extends SparkSpec {
     assert(got("L5") == "early")
     assert(got("L7") == null) // no right row for key 2: null-extended, not dropped
   }
+  test("incremental dedup from a written minhash artifact equals the recomputed-corpus answer") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val newSlice = docs.filter(col("doc_id") % 10 === 0)
+    val staged = docs.filter(col("doc_id") % 10 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifact").toString
+    Dedup.writeMinhashArtifact(staged, dir)
+    val fromArtifact = Dedup.incrementalNearDupsFromArtifact(
+        newSlice, spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = Dedup.incrementalNearDups(newSlice, staged)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(recomputed.nonEmpty)
+    assert(fromArtifact == recomputed,
+      s"missing=${recomputed -- fromArtifact} extra=${fromArtifact -- recomputed}")
+  }
 }
