@@ -860,7 +860,7 @@ object Dedup {
     */
   def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
       minJaccard: Double = 0.8): DataFrame =
-    incrementalFromStats(docMinhashStats(newDocs), docMinhashStats(corpus), minJaccard)
+    incrementalNearDups0(docMinhashStats(newDocs), docMinhashStats(corpus), minJaccard)
 
   /** Writes the per-doc minhash artifact (doc_id, sz, sig, sg) the
     * incremental path reads — the written-once, probed-per-refresh
@@ -876,14 +876,41 @@ object Dedup {
     * the shingle/minhash cost; the corpus side is a column-pruned scan.
     */
   def incrementalNearDupsFromArtifact(newDocs: DataFrame, artifact: DataFrame,
-      minJaccard: Double = 0.8): DataFrame =
-    incrementalFromStats(docMinhashStats(newDocs), artifact, minJaccard)
+      minJaccard: Double = 0.8): DataFrame = {
+    val ns = docMinhashStats(newDocs)
+    incrementalFrom(ns, bandsOf(ns, "new_id"), artifact,
+      bandsOf(artifact, "corpus_id"), minJaccard)
+  }
 
-  private def incrementalFromStats(ns: DataFrame, cs: DataFrame,
-      minJaccard: Double): DataFrame = {
-    def bands(stats: DataFrame, as: String) = stats
-      .select(col("doc_id").as(as), bandKeysExploded(col("sig")).as("band_key"))
-    val cand = bands(ns, "new_id").join(bands(cs, "corpus_id"), Seq("band_key"))
+  /** Writes the PRE-EXPLODED (band_key, doc_id) index beside the stats
+    * artifact: the refresh probe then skips even the corpus-side band
+    * computation — at 100 TB, sort/bucket this by band_key on write so
+    * the candidate join is a co-located scan.
+    */
+  def writeBandIndex(docs: DataFrame, path: String): Unit =
+    bandsOf(docMinhashStats(docs), "doc_id")
+      .write.mode("overwrite").parquet(path)
+
+  /** The fully-staged refresh probe: stats AND band index both read from
+    * [[writeMinhashArtifact]] / [[writeBandIndex]] parquet.
+    */
+  def incrementalNearDupsFromArtifacts(newDocs: DataFrame, statsArtifact: DataFrame,
+      bandArtifact: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+    val ns = docMinhashStats(newDocs)
+    incrementalFrom(ns, bandsOf(ns, "new_id"), statsArtifact,
+      bandArtifact.select(col("doc_id").as("corpus_id"), col("band_key")), minJaccard)
+  }
+
+  private def incrementalNearDups0(ns: DataFrame, cs: DataFrame,
+      minJaccard: Double): DataFrame =
+    incrementalFrom(ns, bandsOf(ns, "new_id"), cs, bandsOf(cs, "corpus_id"), minJaccard)
+
+  private def bandsOf(stats: DataFrame, as: String): DataFrame = stats
+    .select(col("doc_id").as(as), bandKeysExploded(col("sig")).as("band_key"))
+
+  private def incrementalFrom(ns: DataFrame, nsBands: DataFrame, cs: DataFrame,
+      csBands: DataFrame, minJaccard: Double): DataFrame = {
+    val cand = nsBands.join(csBands, Seq("band_key"))
       .select(col("new_id"), col("corpus_id")).dropDuplicates("new_id", "corpus_id")
     val a = ns.select(col("doc_id").as("new_id"), col("sg").as("sg_a"))
     val b = cs.select(col("doc_id").as("corpus_id"), col("sg").as("sg_b"))

@@ -588,13 +588,21 @@ class OperatorSpec extends SparkSpec {
     val staged = docs.filter(col("doc_id") % 10 =!= 0)
     val dir = java.nio.file.Files.createTempDirectory("graft-artifact").toString
     Dedup.writeMinhashArtifact(staged, dir)
+    val bandDir = java.nio.file.Files.createTempDirectory("graft-bands").toString
+    Dedup.writeBandIndex(staged, bandDir)
     val fromArtifact = Dedup.incrementalNearDupsFromArtifact(
         newSlice, spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the fully-staged probe (stats AND pre-exploded band index from
+    // parquet) answers identically too
+    val fromBoth = Dedup.incrementalNearDupsFromArtifacts(
+        newSlice, spark.read.parquet(dir), spark.read.parquet(bandDir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val recomputed = Dedup.incrementalNearDups(newSlice, staged)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(recomputed.nonEmpty)
     assert(fromArtifact == recomputed,
       s"missing=${recomputed -- fromArtifact} extra=${fromArtifact -- recomputed}")
+    assert(fromBoth == recomputed)
   }
 }
