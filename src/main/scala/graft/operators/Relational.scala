@@ -499,7 +499,7 @@ object Relational {
     val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
       lit(1).as("__kind"), lit(null).cast(r.schema("__p").dataType).as("__p"),
       lit(null).cast(r.schema("__tie").dataType).as("__tie"),
-      struct(left.columns.map(col): _*).as("__l"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"))
     val u = r.withColumn("__l", lit(null).cast(l.schema("__l").dataType))
       .unionByName(l)
     // __tie only orders rows WITHIN (ts, kind=0): left rows' null tie

@@ -138,7 +138,7 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
     * immediately while the runnable keeps executing — `done` only counts
     * down when the runnable actually returns.
     */
-  private final case class Invocation(task: FutureTask[Unit], done: java.util.concurrent.CountDownLatch)
+  private final class Invocation(val task: FutureTask[Unit], val done: java.util.concurrent.CountDownLatch)
   @volatile private var inFlight: Invocation = null
 
   /** Push one item (reference `Receiver()`, nibbler.go:120-122). Throws
@@ -225,7 +225,7 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
       } finally done.countDown()
     })
     worker.execute(task)
-    inFlight = Invocation(task, done)
+    inFlight = new Invocation(task, done)
     val result =
       try {
         task.get(cfg.processingTimeout.toNanos, TimeUnit.NANOSECONDS)
