@@ -1153,8 +1153,48 @@ object Relational {
         AND NOT EXISTS (SELECT 1 FROM late x WHERE x.ok = l.ok AND x.sk != l.sk)
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
 
+  // B41 — date-spine gap filling: daily order counts per priority with
+  // every (day, priority) cell present, zeros where no order landed —
+  // the time-series densification every BI layer needs before charting
+  // or window math. The spine is generated from the data's own min/max
+  // span (sequence() over a ONE-ROW aggregate — calendar-bounded, not
+  // data-bounded) and cross-joined with the tiny priority dim; the only
+  // data-volume work is the (day, priority) count aggregate the spine
+  // left-joins. Integer-exact output.
+  private val q41 = Q(
+    "q41_daily_spine",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).as("day"),
+          col("o_orderpriority").as("priority"))
+      val spine = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val dims = o.select(col("priority")).distinct()
+      val counts = o.groupBy(col("day"), col("priority"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.crossJoin(dims)
+        .join(counts, Seq("day", "priority"), "left")
+        .select(col("day"), col("priority"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("day"), col("priority"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority AS priority
+        FROM orders),
+      span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM o),
+      spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span),
+      dims AS (SELECT DISTINCT priority FROM o),
+      counts AS (SELECT day, priority, COUNT(*) AS n_orders FROM o GROUP BY 1, 2)
+      SELECT s.day, d.priority, COALESCE(c.n_orders, 0) AS n_orders
+      FROM spine s CROSS JOIN dims d
+      LEFT JOIN counts c ON c.day = s.day AND c.priority = d.priority
+      ORDER BY s.day, d.priority"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40)
+    q39, q40, q41)
 }

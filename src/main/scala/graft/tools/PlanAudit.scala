@@ -30,7 +30,9 @@ object PlanAudit {
       "t11_surprisal" ->
         "crossJoin(broadcast(<one-row total-tokens frame>)) for the unigram model",
       "x6_kmv_overlap" ->
-        "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size)")
+        "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size)",
+      "q41_daily_spine" ->
+        "calendar spine x priority dim (calendar- and enum-bounded, not data-bounded)")
     // Iterative operators EXECUTE when their builder runs (label
     // propagation materializes per round), so "building the plan" would
     // run the whole algorithm and return only a scan of the checkpointed
