@@ -1193,8 +1193,38 @@ object Relational {
       LEFT JOIN counts c ON c.day = s.day AND c.priority = d.priority
       ORDER BY s.day, d.priority"""))
 
+  // B42 — semi-structured VARIANT (Spark 4's native JSON type): props
+  // parsed ONCE to variant, typed paths extracted with variant_get —
+  // the shredded-decode path that replaces q28's per-access string
+  // parsing (get_json_object re-parses the JSON for every extraction;
+  // variant parses once and binary-navigates). Output is integer-exact
+  // typed columns, so the DuckDB oracle (its own JSON reader) hashes
+  // identically even though the in-flight representations differ.
+  private val q42 = Q(
+    "q42_props_variant",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41)
+    q39, q40, q41, q42)
 }

@@ -76,6 +76,24 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new columns, old rows null-extend") {
+    // the long-lived-dataset shape: a column added mid-stream must not
+    // strand files written before it
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    val v1 = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    v1.write.mode("overwrite").parquet(s"$dir/p=1")
+    val v2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey").as("added_later"))
+    v2.write.mode("overwrite").parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.contains("added_later"))
+    assert(merged.count() == v1.count() + v2.count())
+    // old files' rows surface with the new column null, not dropped/errored
+    assert(merged.filter(col("p") === 1 && col("added_later").isNull).count() == v1.count())
+    assert(merged.filter(col("p") === 2 && col("added_later").isNotNull).count() == v2.count())
+  }
+
   test("orc round-trip preserves rows and pushes filters") {
     val dir = Files.createTempDirectory("graft-orc").toString
     val orders = Tables.orders(spark, sfDir)
