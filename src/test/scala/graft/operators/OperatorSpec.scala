@@ -605,4 +605,43 @@ class OperatorSpec extends SparkSpec {
       s"missing=${recomputed -- fromArtifact} extra=${fromArtifact -- recomputed}")
     assert(fromBoth == recomputed)
   }
+  test("weighted mix (p6) is stable under repartitioning and bounded by its weight") {
+    val out = graft.SparkEntry.queries("p6_weighted_mix")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    out.values.foreach { case (wpct, n) =>
+      assert(n == wpct / 100 || n == wpct / 100 + 1,
+        s"copy count $n outside [${wpct / 100}, ${wpct / 100 + 1}] for weight $wpct")
+    }
+    // the determinism contract: re-running the plan produces the SAME
+    // per-doc copy counts — the assignment is pure hash arithmetic over
+    // row values (no RNG/partition/task state for a retry to perturb)
+    val again = graft.SparkEntry.queries("p6_weighted_mix")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
+
+  test("chunking (p7) covers every token and lands chunk starts on the stride grid") {
+    val chunks = graft.SparkEntry.queries("p7_chunk_documents")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (_, chunkId, start, n) =>
+      assert(start == chunkId * 48, "chunk start off the stride grid")
+      assert(n >= 1 && n <= 64, s"chunk token count $n outside (0, window]")
+    }
+    // per doc: chunk ids are contiguous 0..(len-1)/48, and summing the
+    // UNIQUE stride-coverage (min(64, ...) overlaps aside) reaches the
+    // final token: the last chunk must contain the doc's last token
+    val byDoc = chunks.groupBy(_._1)
+    val lens = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, cs) =>
+      val ids = cs.map(_._2).sorted
+      assert(ids.sameElements(0L until ids.length), s"doc $doc chunk ids not contiguous")
+      val last = cs.maxBy(_._2)
+      // last chunk spans [start, start+n) and must reach the final token
+      assert(last._3 + last._4 == lens(doc),
+        s"doc $doc last chunk ends at ${last._3 + last._4}, len ${lens(doc)}")
+    }
+  }
 }
