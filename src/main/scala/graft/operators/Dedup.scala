@@ -882,20 +882,36 @@ object Dedup {
       bandsOf(artifact, "corpus_id"), minJaccard)
   }
 
-  /** Writes the PRE-EXPLODED (band_key, doc_id) index beside the stats
-    * artifact: the refresh probe then skips even the corpus-side band
-    * computation — at 100 TB, sort/bucket this by band_key on write so
-    * the candidate join is a co-located scan.
+  /** Writes the PRE-EXPLODED (band_key, doc_id) index DERIVED FROM the
+    * already-written stats artifact — the corpus is sketched once (by
+    * [[writeMinhashArtifact]]); this is a column-pruned (doc_id, sig)
+    * scan of that parquet, never a second shingle/minhash pass. At
+    * 100 TB, sort/bucket by band_key on write so the candidate join is
+    * a co-located scan.
     */
-  def writeBandIndex(docs: DataFrame, path: String): Unit =
-    bandsOf(docMinhashStats(docs), "doc_id")
-      .write.mode("overwrite").parquet(path)
+  def writeBandIndex(statsArtifact: DataFrame, path: String): Unit =
+    bandsOf(statsArtifact, "doc_id").write.mode("overwrite").parquet(path)
 
   /** The fully-staged refresh probe: stats AND band index both read from
     * [[writeMinhashArtifact]] / [[writeBandIndex]] parquet.
+    *
+    * `checkArtifacts` (default on) asserts the two artifacts describe the
+    * same doc population (one cheap count-distinct per side) — a stale
+    * band index would otherwise produce candidates whose stats rows are
+    * gone, and the inner verify join would SILENTLY drop those pairs:
+    * missed near-dups with no error, the worst failure mode a dedup
+    * pipeline has. Disable only when the caller guarantees co-publication.
     */
   def incrementalNearDupsFromArtifacts(newDocs: DataFrame, statsArtifact: DataFrame,
-      bandArtifact: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+      bandArtifact: DataFrame, minJaccard: Double = 0.8,
+      checkArtifacts: Boolean = true): DataFrame = {
+    if (checkArtifacts) {
+      val nStats = statsArtifact.select(col("doc_id")).distinct().count()
+      val nBands = bandArtifact.select(col("doc_id")).distinct().count()
+      require(nStats == nBands,
+        s"stats/band artifacts out of sync: $nStats vs $nBands distinct docs — " +
+          "re-publish both from the same corpus snapshot")
+    }
     val ns = docMinhashStats(newDocs)
     incrementalFrom(ns, bandsOf(ns, "new_id"), statsArtifact,
       bandArtifact.select(col("doc_id").as("corpus_id"), col("band_key")), minJaccard)

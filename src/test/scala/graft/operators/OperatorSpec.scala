@@ -589,7 +589,8 @@ class OperatorSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-artifact").toString
     Dedup.writeMinhashArtifact(staged, dir)
     val bandDir = java.nio.file.Files.createTempDirectory("graft-bands").toString
-    Dedup.writeBandIndex(staged, bandDir)
+    // band index derives from the WRITTEN stats artifact — one sketch pass
+    Dedup.writeBandIndex(spark.read.parquet(dir), bandDir)
     val fromArtifact = Dedup.incrementalNearDupsFromArtifact(
         newSlice, spark.read.parquet(dir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -612,21 +613,38 @@ class OperatorSpec extends SparkSpec {
       assert(n == wpct / 100 || n == wpct / 100 + 1,
         s"copy count $n outside [${wpct / 100}, ${wpct / 100 + 1}] for weight $wpct")
     }
-    // the determinism contract: re-running the plan produces the SAME
-    // per-doc copy counts — the assignment is pure hash arithmetic over
-    // row values (no RNG/partition/task state for a retry to perturb)
-    val again = graft.SparkEntry.queries("p6_weighted_mix")(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
-    assert(again == out)
+    // independent reference: recompute a sample of assignments OUTSIDE
+    // Spark from the md5 arithmetic alone — a partition- or RNG-dependent
+    // implementation cannot reproduce these
+    def md5h56(v: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(14), 16)
+    }
+    val srcOf = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.take(25).foreach { case (docId, (wpct, n)) =>
+      val w = md5h56(srcOf(docId)) % 200 + 50
+      assert(w == wpct, s"doc $docId: weight $wpct != reference $w")
+      val expected = w / 100 + (if (md5h56(docId.toString) % 100 < w % 100) 1 else 0)
+      assert(n == expected, s"doc $docId: copies $n != reference $expected")
+    }
   }
 
   test("chunking (p7) covers every token and lands chunk starts on the stride grid") {
     val chunks = graft.SparkEntry.queries("p7_chunk_documents")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(chunks.nonEmpty)
-    chunks.foreach { case (_, chunkId, start, n) =>
+    val lens0 = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.foreach { case (doc, chunkId, start, n) =>
       assert(start == chunkId * 48, "chunk start off the stride grid")
-      assert(n >= 1 && n <= 64, s"chunk token count $n outside (0, window]")
+      // EVERY chunk's extent is pinned, interior ones included — a token
+      // dropped from a middle chunk cannot hide behind the (0, 64] bound
+      assert(n == math.min(64L, lens0(doc) - start),
+        s"doc $doc chunk $chunkId carries $n tokens, expected ${math.min(64L, lens0(doc) - start)}")
     }
     // per doc: chunk ids are contiguous 0..(len-1)/48, and summing the
     // UNIQUE stride-coverage (min(64, ...) overlaps aside) reaches the
