@@ -37,6 +37,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of ATTEMPTED queries: lets a standalone comparator tell a
+    // filtered run (query absent -> skip) from a broken one (query
+    // attempted but no output dir -> FAIL) without relying on this
+    // process's exit code surviving to the comparator's caller.
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
     // nonzero exit on any per-query failure: a query that errors leaves
     // no output dir, and a downstream comparator must not be able to

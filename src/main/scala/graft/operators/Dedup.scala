@@ -174,20 +174,25 @@ object Dedup {
   private def nearDupPairsFrom(docStats: DataFrame, minJaccard: Double): DataFrame = {
       val banded = docStats.select(col("doc_id"),
         bandKeysExploded(col("sig")).as("band_key"))
-      // Band self-join: one (doc_id, band_key) long-pair frame broadcast —
-      // at bench scale this is KBs; at 100 TB the same join runs as a
-      // shuffle on band_key (drop the hint), still never a cross join.
+      // Band self-join as a plain equi-join on band_key — no broadcast
+      // hint: the banded frame is O(16 x corpus), so forcing it through
+      // the driver would hit the 8 GB broadcast ceiling (and driver OOM)
+      // long before 100 TB. At bench scale AQE broadcasts the small side
+      // on its own; at scale this is a shuffle on band_key, never a
+      // cross join.
       val cands = banded.select(col("doc_id").as("doc_a"), col("band_key"))
-        .join(broadcast(banded.select(col("doc_id").as("doc_b"), col("band_key"))), Seq("band_key"))
+        .join(banded.select(col("doc_id").as("doc_b"), col("band_key")), Seq("band_key"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates("doc_a", "doc_b")
       // Exact-Jaccard verify via the codegen merge-walk over the sorted
-      // per-doc gram-hash arrays (SURVEY H4). Only the SLIM candidate
-      // id-pair frame is broadcast; the gram arrays stream through the
-      // joins (never forced through a driver-side broadcast, whose 8 GB
-      // ceiling an unbounded pair x array payload would hit at scale)
-      val withA = broadcast(cands)
+      // per-doc gram-hash arrays (SURVEY H4). The candidate pair set is
+      // data-dependent (template-heavy corpora explode it), so it is NOT
+      // broadcast-hinted either: the verify runs as equi-joins on the
+      // pair ids — AQE broadcasts the slim pair side when it is actually
+      // small, and degrades to a shuffle when it is not. The gram arrays
+      // stream through the joins in both regimes.
+      val withA = cands
         .join(docStats.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"), col("sz").as("sz_a")),
           Seq("doc_a"))
       val pairs = withA
@@ -329,9 +334,12 @@ object Dedup {
         .agg(sort_array(collect_set(col("g"))).as("sg"))
         .withColumn("sz", size(col("sg")))
         .persist()
+      // meta is one slim row per corpus doc — corpus-linear, so no
+      // broadcast hint (a forced driver broadcast caps out at 8 GB long
+      // before 100 TB); AQE broadcasts it at bench scale on its own.
       val meta = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("len_bkt"))
-      val g = gAgg.join(broadcast(meta), Seq("doc_id"))
+      val g = gAgg.join(meta, Seq("doc_id"))
       val a = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_a"),
         col("sg").as("sg_a"), col("sz").as("sz_a"))
       val b = g.select(col("lang").as("lang_b"), col("len_bkt").as("len_bkt_b"),

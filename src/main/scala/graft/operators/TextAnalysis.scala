@@ -259,11 +259,13 @@ object TextAnalysis {
         .select("doc_a", "doc_b")
         .dropDuplicates("doc_a", "doc_b")
       // exact overlap on the discriminative sets via the codegen merge-walk
-      // (SortedIntersectSize). Only the SLIM id-pair frame is broadcast;
-      // the per-doc fingerprint arrays stream through the joins (AQE may
-      // still broadcast the small pair side at bench scale, but nothing
-      // forces unbounded array payloads through the driver at 100 TB)
-      val withA = broadcast(cands)
+      // (SortedIntersectSize). The candidate pair set is data-dependent
+      // (template-heavy corpora explode it), so it carries NO broadcast
+      // hint: AQE broadcasts it when it is actually small and falls back
+      // to a shuffle join when it is not — the per-doc fingerprint arrays
+      // stream through the joins in both regimes, and nothing forces an
+      // unbounded frame through the driver at 100 TB.
+      val withA = cands
         .join(docFps.select(col("doc_id").as("doc_a"), col("sfps").as("sfps_a"),
           col("n_fp").as("n_fp_a")), Seq("doc_a"))
       withA

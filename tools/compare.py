@@ -52,15 +52,19 @@ def main(sf_dir, out_dir, only=()):
             print(f"ERROR: no such oracle query: {unknown}")
             return 2
         oracles = {k: v for k, v in oracles.items() if k in set(only)}
+    # Verify writes a manifest of the queries it ATTEMPTED: an attempted
+    # query with no output dir is a Verify failure, not a filtered-out
+    # query, and must FAIL here even in an unfiltered standalone run
+    # (previously only Verify's own exit code caught this). A stale
+    # outDir from a pre-manifest Verify conservatively treats every
+    # oracle as attempted.
+    manifest_path = f"{out_dir}/manifest.json"
+    attempted = (set(json.load(open(manifest_path)))
+                 if os.path.exists(manifest_path) else set(oracles))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracles.items()):
-        # a filtered Verify run writes only the requested queries; absent
-        # output dirs are "not run" UNLESS the caller named the query
-        # explicitly — then the gap means Verify failed to produce it
-        # (Verify also exits nonzero itself in that case) and silence
-        # would turn a broken query into a green run.
         if not os.path.isdir(f"{out_dir}/{name}"):
-            if name in set(only):
+            if name in attempted or name in set(only):
                 print(f"FAIL {name}: no output dir (Verify did not produce it)")
                 n_fail += 1
             else:
