@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Num._
@@ -124,15 +125,43 @@ object Pipeline {
       SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
       FROM r WHERE rk <= 25 ORDER BY lang, rk"""))
 
+  /** Per-shard token-budget sequence packing — the SCALE spelling of P4,
+    * and the public packing API. Docs are sharded by the md5-derived hash
+    * of doc_id (deterministic, retry/repartition-stable, cross-engine
+    * computable), then packed within each shard by the same exclusive-
+    * cumsum integer arithmetic as P4: local_cum_before div budget. The
+    * window partitions by shard, so the sort never leaves a partition and
+    * no single-task global ORDER BY appears in the plan (P4's global
+    * window moves all data to one task — fine for the tiny-data oracle
+    * twin, fatal at 100 TB). Packing quality is identical: every pack
+    * still holds consecutive (by doc_id) docs of its shard on the budget
+    * grid. Returns the per-doc assignment (doc_id, nt, shard, pack_id);
+    * p8 aggregates it to pack stats and oracle-checks the whole path.
+    */
+  def packSequences(docs: DataFrame, tokenBudget: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    import graft.functions.{HashFunctions => H}
+    val wx = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"),
+        pmod(H.md5Hash56(col("doc_id").cast("string")), lit(shards.toLong)).as("shard"))
+      .withColumn("cb", coalesce(sum(col("nt")).over(wx), lit(0L)))
+      .withColumn("pack_id", expr(s"cb div $tokenBudget"))
+      .select(col("doc_id"), col("nt"), col("shard"), col("pack_id"))
+  }
+
   // P4 — token-budget sequence packing: assign docs, in deterministic
   // doc_id order, to fixed-budget training packs by EXCLUSIVE cumulative
   // token count — pack_id = cum_before div B. Contiguous packing: every
   // pack holds consecutive docs, integer math end to end so both engines
-  // agree bit-for-bit. The global ORDER BY window is the determinism
-  // contract at test scale; at 100 TB the same expression runs
-  // per-shard (partitionBy(shard) + local cumsum → pack_id = (shard,
-  // local bin)) — packing quality is identical, the sort never leaves a
-  // partition, and no single-task bottleneck appears.
+  // agree bit-for-bit. The global ORDER BY window is the tiny-data /
+  // oracle-twin spelling; the SHIPPED scale path is `packSequences`
+  // above (pack_id = (shard, local bin), exercised + oracle-checked by
+  // p8), whose partitioned window never forms a single-task sort.
   private val p4 = Relational.Q(
     "p4_pack_sequences",
     (s, d) => {
@@ -163,6 +192,39 @@ object Pipeline {
         CAST(SUM(nt) AS BIGINT) AS total_tokens,
         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       FROM c GROUP BY 1 ORDER BY pack_id"""))
+
+  // P8 — per-shard sequence packing (the packSequences API end to end):
+  // shard = md5-derived hash of doc_id mod 8, local exclusive cumsum,
+  // pack_id = (shard, local bin). Integer arithmetic throughout and a
+  // cross-engine hash, so the ENTIRE scale path — sharding, partitioned
+  // cumsum, binning, pack stats — is hash-checked against DuckDB.
+  private val p8 = Relational.Q(
+    "p8_pack_sequences_sharded",
+    (s, d) => {
+      packSequences(Tables.documents(s, d).select(col("doc_id"), col("text")),
+          tokenBudget = 2048L, shards = 8)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("pack_id"))
+    },
+    Some {
+      val docHash = graft.functions.HashFunctions.md5Hash56Sql("CAST(doc_id AS VARCHAR)")
+      s"""
+      WITH t AS (
+        SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS nt,
+          $docHash % 8 AS shard
+        FROM documents),
+      c AS (
+        SELECT doc_id, nt, shard,
+          COALESCE(SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM t)
+      SELECT shard, CAST(cb // 2048 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM c GROUP BY 1, 2 ORDER BY shard, pack_id"""
+    })
 
   // P5 — corpus card: the per-(lang, source) dataset summary a training
   // pipeline publishes with every corpus snapshot — doc/token volumes,
@@ -301,5 +363,5 @@ object Pipeline {
           (a, b) -> xor(a, b)) AS chunk_hash
       FROM h ORDER BY doc_id, chunk_id"""))
 
-  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7)
+  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8)
 }

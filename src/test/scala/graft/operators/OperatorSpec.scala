@@ -418,6 +418,52 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("sharded packing (packSequences/p8): partitioned window, per-shard invariants, determinism") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val B = 512L
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val assigned = Pipeline.packSequences(docs, tokenBudget = B, shards = 4)
+    // 1. SCALE-PATH PLAN: the cumsum window is partitioned by shard — no
+    //    empty-partition window (Spark's "moving all data to a single
+    //    partition" shape) anywhere in the plan
+    val wins = assigned.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected a Window node in the packing plan")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "packSequences must never plan an unpartitioned (single-task) window"))
+    val rows = assigned.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 2. every doc assigned exactly once
+    assert(rows.length == docs.count() && rows.map(_._1).distinct.length == rows.length)
+    // 3. per-shard invariants: consecutive pack ids from 0; within a
+    //    shard, packing is contiguous in doc_id order and each pack's
+    //    FIRST doc starts exactly in its budget window [k*B, (k+1)*B)
+    //    under the shard-local exclusive cumsum
+    rows.groupBy(_._3).foreach { case (shard, rs) =>
+      val byDoc = rs.sortBy(_._1)
+      assert(byDoc.map(_._4).distinct.sorted.sameElements(0L until (byDoc.map(_._4).max + 1)),
+        s"shard $shard pack ids must be consecutive from 0")
+      var cum = 0L
+      byDoc.foreach { case (docId, nt, _, packId) =>
+        assert(cum / B == packId,
+          s"doc $docId in shard $shard: cum-before $cum maps to pack ${cum / B}, got $packId")
+        cum += nt
+      }
+    }
+    // 4. determinism: assignment survives an adversarial repartition
+    val re = Pipeline.packSequences(docs.repartition(7), B, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(re.sortBy(_._1).sameElements(rows.sortBy(_._1)),
+      "pack assignment must be repartition-stable")
+    // 5. shards=1 degenerates to exactly P4's global packing
+    val oneShard = Pipeline.packSequences(docs, 2048L, shards = 1)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("pack_id")).collect().toSeq
+    val p4 = graft.SparkEntry.queries("p4_pack_sequences")(spark, sfDir).collect().toSeq
+    assert(oneShard == p4, "shards=1 must reproduce the global p4 packing")
+  }
+
   test("funnel (q35) stages are monotonically non-increasing and stage 1 covers all viewers") {
     val sf = "/root/testdata/sf0.01"
     val rows = graft.SparkEntry.queries("q35_funnel")(spark, sf)
