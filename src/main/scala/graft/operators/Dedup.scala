@@ -812,26 +812,78 @@ object Dedup {
     * floor((1-τ)·|A|)+1 SMALLEST shingle hashes (sg is already sorted)
     * against the full inverted index, and no qualifying pair can escape.
     * Candidates are slim id pairs deduped before any payload moves;
-    * exact verify via the codegen merge-walk. At 100 TB the df skew of
-    * index shingles is the knob: ubiquitous shingles fan out, so cap df
-    * on the INDEX side only after proving the cap keeps the prefix
-    * guarantee for the τ in use (not needed at test scale).
+    * exact verify via the codegen merge-walk.
+    *
+    * `indexDfCap` is the 100 TB knob: ubiquitous shingles fan candidates
+    * out (a boilerplate header appearing in 10M docs puts 10M entries
+    * under one index key), so with a cap D the inverted index keeps only
+    * shingles with df <= D — and the prefix guarantee is PRESERVED, not
+    * approximated, by re-aiming the probes:
+    *
+    *  - A containing pair (A ⊆τ B) means B misses at most
+    *    m = floor((1-τ)·|A|) of A's shingles. If A has at least m+1
+    *    shingles with df <= D, A probes its m+1 SMALLEST low-df shingle
+    *    hashes: by pigeonhole at least one probed shingle is in B, and
+    *    its df <= D means (h, B) IS in the capped index — recall 1.
+    *  - The residue — docs with FEWER than m+1 low-df shingles (near-
+    *    pure-boilerplate docs; a vanishing fraction of a real corpus) —
+    *    probes ALL its shingles against the full uncapped index, which
+    *    is trivially complete. The fanout the cap exists to kill is
+    *    bounded by the residue's size, not the corpus's.
+    *
+    * Both paths over-generate candidates only; the exact merge-walk
+    * verify makes the OUTPUT identical to the uncapped path (the spec
+    * pins capped == uncapped, and d10 runs the capped path against the
+    * exact all-pairs oracle).
     */
-  def containmentPairs(docs: DataFrame, minContainment: Double = 0.8): DataFrame = {
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.8,
+      indexDfCap: Option[Long] = None): DataFrame = {
     require(minContainment > 0.5 && minContainment <= 1.0,
       s"minContainment out of range: $minContainment")
+    // cap >= 1: a cap of 0 would empty the index, routing EVERY doc down
+    // the residue path — i.e. silently rebuilding the uncapped join
+    indexDfCap.foreach(d => require(d >= 1, s"indexDfCap must be >= 1, got $d"))
     val stats = shingleSets(docs)
     val withSz = stats.select(col("doc_id"), col("sg"), size(col("sg")).as("sz"))
+    // p = floor((1-τ)·n)+1 probes make the pigeonhole argument tick
     val probeLen = (floor(col("sz") * (1.0 - minContainment)) + 1).cast("int")
-    val probes = withSz
-      .select(col("doc_id").as("doc_a"), explode(slice(col("sg"), lit(1), probeLen)).as("h"))
-    val index = withSz.select(col("doc_id").as("doc_b"), explode(col("sg")).as("h"))
-    val cand = probes.join(index, Seq("h"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).dropDuplicates("doc_a", "doc_b")
+    val cand = indexDfCap match {
+      case None =>
+        val probes = withSz
+          .select(col("doc_id").as("doc_a"), explode(slice(col("sg"), lit(1), probeLen)).as("h"))
+        val index = withSz.select(col("doc_id").as("doc_b"), explode(col("sg")).as("h"))
+        probes.join(index, Seq("h"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+      case Some(cap) =>
+        val occ = stats.select(col("doc_id"), explode(col("sg")).as("h"))
+        val dfreq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        val occDf = occ.join(dfreq, Seq("h"))
+        // low_sg: the doc's df<=cap shingles in hash order (collect_list
+        // skips the nulls the when() leaves for high-df shingles); sz is
+        // the FULL shingle count — the missable-shingle bound is on |A|,
+        // not on the low-df subset
+        val perDoc = occDf.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(when(col("df") <= cap, col("h")))).as("low_sg"),
+            count(lit(1)).as("sz"))
+          .withColumn("p", (floor(col("sz") * (1.0 - minContainment)) + 1).cast("int"))
+        val index = occDf.filter(col("df") <= cap).select(col("doc_id").as("doc_b"), col("h"))
+        val mainProbes = perDoc.filter(size(col("low_sg")) >= col("p"))
+          .select(col("doc_id").as("doc_a"), explode(slice(col("low_sg"), lit(1), col("p"))).as("h"))
+        val mainCand = mainProbes.join(index, Seq("h"))
+        val residueProbes = perDoc.filter(size(col("low_sg")) < col("p"))
+          .select(col("doc_id").as("doc_a"))
+          .join(occ.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        val residueCand = residueProbes
+          .join(occ.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+        mainCand.unionByName(residueCand)
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+    }
+    val deduped = cand.dropDuplicates("doc_a", "doc_b")
     val a = stats.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"))
     val b = stats.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"))
-    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+    deduped.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("inter",
         graft.functions.SortedIntersectSize(col("sg_a"), col("sg_b")).cast("double"))
       .withColumn("c", col("inter") / size(col("sg_a")))
@@ -840,14 +892,21 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  // C10 — containment (quote/subset) detection. Oracle is the exact
-  // all-ordered-pairs answer over the same string shingles (the shared
-  // pairwiseSql fragment's toks/sh CTEs; its Jaccard `pairs` CTE goes
-  // unused here) — valid as ground truth because the prefix filter is
-  // exact, not probabilistic.
+  // C10 — containment (quote/subset) detection, run WITH the index df
+  // cap (the 100 TB configuration) so the driver's oracle pins the
+  // capped path itself. Oracle is the exact all-ordered-pairs answer
+  // over the same string shingles (the shared pairwiseSql fragment's
+  // toks/sh CTEs; its Jaccard `pairs` CTE goes unused here) — valid as
+  // ground truth because the capped prefix filter is exact (pigeonhole
+  // + residue), not probabilistic.
   private val d10 = Relational.Q(
     "d10_containment",
-    (s, d) => containmentPairs(Tables.documents(s, d), 0.8),
+    // cap 10: at sf0.1 this drops ~half the index occurrences (the
+    // corpus is template-heavy: 27k distinct shingles over 5000 docs)
+    // while routing only ~21 docs through the residue path — the oracle
+    // equality below is therefore exercising REAL pruning, not a
+    // vacuous cap above the max df
+    (s, d) => containmentPairs(Tables.documents(s, d), 0.8, indexDfCap = Some(10L)),
     Some(s"""
       WITH ${pairwiseSql("documents")}
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -581,6 +581,33 @@ class OperatorSpec extends SparkSpec {
     assert(Dedup.nearDupPairs(docs, 0.8).count() == 0)
   }
 
+  test("capped containment (d10) equals the uncapped answer — prefix guarantee survives the df cap") {
+    // real corpus: the capped index (plus residue routing) must reproduce
+    // the uncapped output EXACTLY — recall 1 by pigeonhole, output
+    // equality by the shared exact verify
+    val corpus = graft.Tables.documents(spark, sfDir)
+    val uncapped = Dedup.containmentPairs(corpus, 0.8).collect().toSeq
+    Seq(3L, 25L).foreach { cap =>
+      val capped = Dedup.containmentPairs(corpus, 0.8, indexDfCap = Some(cap)).collect().toSeq
+      assert(capped == uncapped, s"df cap $cap changed the containment answer")
+    }
+    // adversarial residue corpus: ten identical boilerplate-only docs —
+    // with cap 5 every shingle has df 10 > 5, so the capped index is
+    // EMPTY and only the residue path can find the (all-ordered-pairs)
+    // containment; losing it would be exactly the recall hole the
+    // residue routing exists to close
+    val boiler = (1L to 10L).map(i => (i, "lorem ipsum dolor sit amet consectetur"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(boiler, 0.8, indexDfCap = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (for { a <- 1L to 10L; b <- 1L to 10L if a != b } yield (a, b)).toSet,
+      "residue path must recover pairs whose every shingle is df-capped out of the index")
+    // cap 0 is rejected loudly rather than silently degenerating
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(boiler, 0.8, indexDfCap = Some(0L))
+    }
+  }
+
   test("incremental dedup (d11) equals the batch pairwise answer restricted to cross-slice pairs") {
     val docs = graft.Tables.documents(spark, sfDir)
     val inc = Dedup.incrementalNearDups(
