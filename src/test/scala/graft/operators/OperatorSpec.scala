@@ -200,9 +200,11 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = s4.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
-    // nProbe=4 of ~10 lists on weakly-clustered random vectors; on real
-    // clustered embeddings the same probe budget buys far higher recall
-    assert(recall >= 0.4, s"IVF recall $recall")
+    info(s"IVF recall vs brute force: $recall")
+    // k-means-trained centroids (16 lists, 3 Lloyd rounds), nProbe=4 —
+    // a 25% corpus scan; training lifts the floor from the sampled-
+    // centroid 0.4 to 0.7 even on these weakly-clustered vectors
+    assert(recall >= 0.7, s"IVF recall $recall < 0.7")
   }
 
   test("winnowing fingerprints rediscover the minhash near-duplicates") {
