@@ -549,14 +549,90 @@ object Dedup {
         prevSum = sum
         round += 1
       }
-      if (!converged)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge within $maxRounds rounds — " +
-            "component diameter beyond design range; use large-star/small-star")
+      // beyond-design-diameter fallback: hand the graph to the
+      // alternating-star algorithm instead of failing the job — same
+      // output contract, round count bounded by O(log^2 n) regardless of
+      // diameter (the pointer-jump cap assumes diameter <= 2^maxRounds)
+      if (!converged) return connectedComponentsStar(pairs)
       val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(wc).cast("long"))
         .orderBy(col("doc_id"))
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * arbitrary-diameter path behind [[connectedComponents]], which falls
+    * back here when its pointer-jump cap is exhausted. State is the EDGE
+    * set only (no per-node label frame): each round rewrites edges with
+    * two neighborhood-min aggregates + joins, all map-side-combinable,
+    * and converges to one star per component centered at the component's
+    * min node in O(log^2 n) rounds independent of diameter.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(N(u) ∪ {u});
+    *  - small-star(u), edges oriented child u > parent v: every parent
+    *    and u itself re-attach to m = min(N(u) ∪ {u}).
+    *
+    * Fixpoint = edge set stable across one full (large, small) round,
+    * probed by a single-row (count, order-independent BIT_XOR-of-hash)
+    * aggregate (xor, not sum: hash values span the full long range and
+    * an ANSI-mode sum overflows) — the same bounded-driver-action
+    * budget as the pointer-jump loop's sum(lbl) probe. Same output contract as
+    * [[connectedComponents]]: (doc_id, cluster_id = min member,
+    * cluster_size) for every node appearing in a pair.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 60): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .dropDuplicates("u", "v")
+      .localCheckpoint()
+    var prev = (-1L, -1L)
+    var converged = edges.isEmpty
+    val emptyDone = converged // no edges at all: fall through to the final select
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over the full (bidirectional) neighborhood
+      val nbr = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = nbr.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = nbr.join(mLarge, Seq("u"))
+        .filter(col("v") > col("u"))
+        // child v > u >= m: output stays (child, parent)-oriented
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .dropDuplicates("u", "v")
+      // small-star over the smaller-neighbor set (edges already child>parent)
+      val mSmall = afterLarge.groupBy(col("u"))
+        .agg(min(col("v")).as("m")) // all v < u, so min(N∪{u}) = min(v)
+      val afterSmall = afterLarge.join(mSmall, Seq("u"))
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .dropDuplicates("u", "v")
+      edges = afterSmall.localCheckpoint()
+      val probe = edges.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      val cur = (probe.getLong(0), probe.getLong(1))
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    if (!converged && !emptyDone)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxRounds rounds")
+    // fixpoint edges are (member, root) stars; roots appear only as v
+    val assign = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .dropDuplicates("doc_id", "cluster_id")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    assign
+      .withColumn("cluster_size", count(lit(1)).over(wc).cast("long"))
+      .orderBy(col("doc_id"))
   }
 
   private val d6 = Relational.Q(

@@ -280,6 +280,26 @@ class OperatorSpec extends SparkSpec {
     assert(sizes(5L) == 20 && sizes(101L) == 2)
   }
 
+  test("large-star/small-star converges on a 10k-node path and backs the pointer-jump cap") {
+    // a 10k-diameter path — the adversarial shape for label propagation
+    // (the pointer-jump design bound is diameter <= 2^maxRounds; the
+    // star alternation's round count is O(log^2 n) INDEPENDENT of
+    // diameter) — plus a second component that must stay separate
+    val chain = (1L until 10000L).map(i => (i, i + 1)) ++ Seq((50000L, 50001L))
+    val df = chain.toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsStar(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(star.length == 10002)
+    assert(star.filter(_._1 <= 10000L).forall(t => t._2 == 1L && t._3 == 10000L),
+      "every path node must land in component 1 with size 10000")
+    assert(star.filter(_._1 >= 50000L).forall(t => t._2 == 50000L && t._3 == 2L))
+    // the fallback wiring: a pointer-jump cap too small for the diameter
+    // must route through the star path and return the same answer, not throw
+    val viaFallback = Dedup.connectedComponents(df, maxRounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaFallback.sorted.sameElements(star.sorted))
+  }
+
   test("canonical selection (d7) keeps the best-quality member of each d6 cluster") {
     val sf = "/root/testdata/sf0.01"
     val clusters = graft.SparkEntry.queries("d6_dedup_clusters")(spark, sf).collect()
