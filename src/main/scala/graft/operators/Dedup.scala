@@ -1035,24 +1035,44 @@ object Dedup {
   def writeBandIndex(statsArtifact: DataFrame, path: String): Unit =
     bandsOf(statsArtifact, "doc_id").write.mode("overwrite").parquet(path)
 
+  /** [[writeBandIndex]] as a BUCKETED table on band_key (the G8 pattern
+    * applied to the refresh artifact): the staged side of every refresh
+    * probe then reads pre-partitioned — only the (small) arriving slice
+    * shuffles on band_key, the corpus-sized index never does. Pass
+    * `spark.table(table)` as the bandArtifact of
+    * [[incrementalNearDupsFromArtifacts]]; bucketing metadata rides the
+    * catalog, so the candidate equi-join plans with no Exchange on the
+    * staged side (spec-asserted).
+    */
+  def writeBandIndexBucketed(statsArtifact: DataFrame, table: String, buckets: Int): Unit =
+    ScaleUtils.writeBucketed(bandsOf(statsArtifact, "doc_id"), table, Seq("band_key"), buckets)
+
   /** The fully-staged refresh probe: stats AND band index both read from
     * [[writeMinhashArtifact]] / [[writeBandIndex]] parquet.
     *
     * `checkArtifacts` (default on) asserts the two artifacts describe the
-    * same doc population (one cheap count-distinct per side) — a stale
-    * band index would otherwise produce candidates whose stats rows are
-    * gone, and the inner verify join would SILENTLY drop those pairs:
-    * missed near-dups with no error, the worst failure mode a dedup
-    * pipeline has. Disable only when the caller guarantees co-publication.
+    * same doc POPULATION — count plus an order-independent BIT_XOR over
+    * per-doc id hashes (one cheap aggregate per side; a count-only guard
+    * passes when one doc was replaced by another, the exact worst case
+    * it documents) — because a stale band index would otherwise produce
+    * candidates whose stats rows are gone, and the inner verify join
+    * would SILENTLY drop those pairs: missed near-dups with no error,
+    * the worst failure mode a dedup pipeline has. Disable only when the
+    * caller guarantees co-publication.
     */
   def incrementalNearDupsFromArtifacts(newDocs: DataFrame, statsArtifact: DataFrame,
       bandArtifact: DataFrame, minJaccard: Double = 0.8,
       checkArtifacts: Boolean = true): DataFrame = {
     if (checkArtifacts) {
-      val nStats = statsArtifact.select(col("doc_id")).distinct().count()
-      val nBands = bandArtifact.select(col("doc_id")).distinct().count()
-      require(nStats == nBands,
-        s"stats/band artifacts out of sync: $nStats vs $nBands distinct docs — " +
+      def popCheck(df: DataFrame): (Long, Long) = {
+        val r = df.select(col("doc_id")).distinct()
+          .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id))")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val statsPop = popCheck(statsArtifact)
+      val bandPop = popCheck(bandArtifact)
+      require(statsPop == bandPop,
+        s"stats/band artifacts out of sync: (count, checksum) $statsPop vs $bandPop — " +
           "re-publish both from the same corpus snapshot")
     }
     val ns = docMinhashStats(newDocs)

@@ -700,6 +700,53 @@ class OperatorSpec extends SparkSpec {
     assert(fromArtifact == recomputed,
       s"missing=${recomputed -- fromArtifact} extra=${fromArtifact -- recomputed}")
     assert(fromBoth == recomputed)
+    // the sync guard must catch a band index whose doc POPULATION drifted
+    // even when the cardinality did not (one doc replaced by another) —
+    // a count-only guard is blind to exactly this
+    val drifted = spark.read.parquet(bandDir).withColumn("doc_id",
+      when(col("doc_id") === 1L, lit(-1L)).otherwise(col("doc_id")))
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupsFromArtifacts(newSlice, spark.read.parquet(dir), drifted)
+    }
+  }
+
+  test("bucketed band index: staged side of the refresh probe joins without an exchange") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val newSlice = docs.filter(col("doc_id") % 10 === 0)
+    val staged = docs.filter(col("doc_id") % 10 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifact-b").toString
+    Dedup.writeMinhashArtifact(staged, dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '/tmp/graft-warehouse'")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt.band_idx")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File("/tmp/graft-warehouse/band_idx"))
+    Dedup.writeBandIndexBucketed(spark.read.parquet(dir), "graft_bkt.band_idx", 4)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the exchange structure is visible in the plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bandTable = spark.table("graft_bkt.band_idx")
+      val probe = Dedup.incrementalNearDupsFromArtifacts(
+        newSlice, spark.read.parquet(dir), bandTable)
+      // the staged (bucketed) side must read pre-partitioned: only the
+      // arriving slice's bands shuffle on band_key — exactly one
+      // band_key exchange in the whole plan, and a bucketed scan
+      val plan = probe.queryExecution.executedPlan.toString
+      val nBandExchanges = "Exchange hashpartitioning\\(band_key".r
+        .findAllIn(plan).size
+      assert(plan.contains("Bucketed: true"),
+        s"band index scan is not bucketed:\n${plan.take(1200)}")
+      assert(nBandExchanges <= 1,
+        s"staged band side shuffled despite bucketing ($nBandExchanges band_key exchanges)")
+      // and the bucketed probe answers identically to the recomputed path
+      val got = probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val recomputed = Dedup.incrementalNearDups(newSlice, staged)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == recomputed)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
   test("weighted mix (p6) is stable under repartitioning and bounded by its weight") {
     val out = graft.SparkEntry.queries("p6_weighted_mix")(spark, sfDir).collect()
