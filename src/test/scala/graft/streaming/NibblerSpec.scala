@@ -37,6 +37,30 @@ class NibblerSpec extends SparkSpec {
     nib.stop()
   }
 
+  test("a full batch flushes promptly under a slow ticker — never waits for the tick") {
+    // The reference checks fullness ON ARRIVAL (nibbler.go:160-165); the
+    // Spark spelling must preserve that end-to-end: the query trigger is
+    // a <=50ms poll (Nibbler.start), NOT the ticker. With a ONE HOUR
+    // ticker, any ticker-coupling would stall this flush 3.5 orders of
+    // magnitude past the bound asserted here.
+    val flushed = new CountDownLatch(1)
+    @volatile var trigger: Trigger = null
+    val nib = Nibbler.start(spark, NibblerConfig[Int](
+      processor = (t, _) => { trigger = t; flushed.countDown() },
+      size = 5,
+      tickerDuration = 1.hour,
+      processingTimeout = 5.seconds))
+    try {
+      val t0 = System.nanoTime()
+      nib.pushAll(1 to 5)
+      assert(flushed.await(2, TimeUnit.SECONDS),
+        "full-batch flush did not arrive within 2s of the push under a 1h ticker")
+      val latencyMs = (System.nanoTime() - t0) / 1000000L
+      info(s"BatchFull flush latency: ${latencyMs}ms (ticker: 1h)")
+      assert(trigger == Trigger.BatchFull)
+    } finally nib.stop()
+  }
+
   test("a large arrival is split into size-capped BATCH_FULL slices") {
     val batches = new ConcurrentLinkedQueue[Seq[Int]]()
     val nib = Nibbler.start(spark, NibblerConfig[Int](
