@@ -175,7 +175,8 @@ case class KMinValues(
     extends TypedImperativeAggregate[KMinValues.Buffer]
     with ExpectsInputTypes {
 
-  require(k >= 16 && k <= 65536)
+  require(k >= 16 && k <= 65536,
+    s"kmin_values k must be in [16, 65536] (sketch state = k longs), got $k")
 
   override def inputTypes = Seq(LongType)
   override def children: Seq[Expression] = Seq(child)

@@ -487,6 +487,19 @@ object Relational {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String],
       rightTieBreak: Option[String] = None): DataFrame = {
+    // internal scaffolding + output names are reserved: an input frame
+    // already carrying one would fail obscurely (ambiguous reference) or
+    // silently misjoin; collide loudly instead
+    val internal = Set("__k", "__ts", "__kind", "__p", "__tie", "__l", "__last")
+    val reserved = (left.columns ++ right.columns).filter(internal).distinct
+    require(reserved.isEmpty,
+      s"asOfJoin reserves ${internal.toSeq.sorted.mkString(", ")} internally; " +
+        s"input columns ${reserved.mkString(", ")} collide — rename them first")
+    val outClash = left.columns.toSet
+      .intersect(payload.map(c => s"asof_$c").toSet + "asof_ts")
+    require(outClash.isEmpty,
+      s"asOfJoin output columns ${outClash.toSeq.sorted.mkString(", ")} collide with " +
+        "left columns — rename or drop them on the left side")
     val pStruct = struct((rightTs +: payload).distinct.map(col): _*)
     // tie keeps its NATIVE orderable type — casting to string would order
     // numeric ids lexicographically ("10" < "2") and crown the wrong row

@@ -144,11 +144,18 @@ object Sketching {
     * so the spec exercises THIS expression, not a copy. The filter HOFs
     * are interpreted — fine here, they only ever touch <= k-element
     * arrays on a post-aggregate frame, never a per-row hot path.
+    *
+    * `k` MUST be the capacity the sketches were built with: a KMinValues
+    * sketch is exactly k longs when saturated and fewer when not, so
+    * saturation is derived from the invariant `size(sketch) == k`.
+    * Passing a different k silently mis-detects saturation and skews
+    * theta (the sketch array does not carry its k) — keep the build and
+    * query k in one constant, as x6 does.
     */
   def kmvOverlapEstimate(skA: org.apache.spark.sql.Column,
       skB: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
     def theta(c: org.apache.spark.sql.Column) =
-      when(size(c) >= k, element_at(c, k)).otherwise(lit(Long.MaxValue))
+      when(size(c) === k, element_at(c, k)).otherwise(lit(Long.MaxValue))
     val th = least(theta(skA), theta(skB))
     val common = graft.functions.SortedIntersectSize(
       filter(skA, x => x < th), filter(skB, x => x < th)).cast("double")

@@ -677,6 +677,26 @@ class OperatorSpec extends SparkSpec {
     assert(got("L5") == "early")
     assert(got("L7") == null) // no right row for key 2: null-extended, not dropped
   }
+  test("asOfJoin rejects inputs colliding with its reserved or output column names") {
+    val left = Seq((1L, 5L, "x")).toDF("k", "t", "v")
+    val right = Seq((1L, 3L, "y")).toDF("k", "t", "v")
+    // an input frame already carrying an internal scaffolding name
+    intercept[IllegalArgumentException] {
+      Relational.asOfJoin(left.withColumnRenamed("v", "__ts"), right, "k", "t", "t", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Relational.asOfJoin(left, right.withColumnRenamed("v", "__tie"), "k", "t", "t", Seq("v"))
+    }
+    // a left column that the asof_* output would shadow
+    intercept[IllegalArgumentException] {
+      Relational.asOfJoin(left.withColumnRenamed("v", "asof_v"), right, "k", "t", "t", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Relational.asOfJoin(left.withColumnRenamed("v", "asof_ts"), right, "k", "t", "t", Seq("v"))
+    }
+    // clean inputs still pass
+    assert(Relational.asOfJoin(left, right, "k", "t", "t", Seq("v")).count() == 1)
+  }
   test("incremental dedup from a written minhash artifact equals the recomputed-corpus answer") {
     val docs = graft.Tables.documents(spark, sfDir)
     val newSlice = docs.filter(col("doc_id") % 10 === 0)
