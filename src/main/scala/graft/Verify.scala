@@ -12,16 +12,6 @@ object Verify {
       else SparkEntry.queries.view.filterKeys(only.toSet).toMap
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
-    var failed = List.empty[String]
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failed ::= name
-      }
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,15 +24,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Manifest of ATTEMPTED queries, written BEFORE the loop: it records
+    // intent, so a run killed mid-loop leaves a manifest that makes the
+    // comparator FAIL the unproduced queries — written after the loop, a
+    // dead run would leave the previous run's manifest and read as green.
+    // (It lets a standalone comparator tell a filtered run, query absent
+    // -> skip, from a broken one, attempted but no output dir -> FAIL,
+    // without relying on this process's exit code.)
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    var failed = List.empty[String]
+    selected.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+      }
+      spark.catalog.clearCache()
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Manifest of ATTEMPTED queries: lets a standalone comparator tell a
-    // filtered run (query absent -> skip) from a broken one (query
-    // attempted but no output dir -> FAIL) without relying on this
-    // process's exit code surviving to the comparator's caller.
-    Files.writeString(Paths.get(s"$outDir/manifest.json"),
-      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
     // nonzero exit on any per-query failure: a query that errors leaves
     // no output dir, and a downstream comparator must not be able to

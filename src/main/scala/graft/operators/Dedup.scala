@@ -552,8 +552,12 @@ object Dedup {
       // beyond-design-diameter fallback: hand the graph to the
       // alternating-star algorithm instead of failing the job — same
       // output contract, round count bounded by O(log^2 n) regardless of
-      // diameter (the pointer-jump cap assumes diameter <= 2^maxRounds)
-      if (!converged) return connectedComponentsStar(pairs)
+      // diameter (the pointer-jump cap assumes diameter <= 2^maxRounds).
+      // Free this loop's cached edge frame first: the star path builds
+      // its own edge state, and abandoned persist() blocks would pin
+      // storage for the rest of the session on every fallback.
+      if (!converged) { edges.unpersist(); return connectedComponentsStar(pairs) }
+      edges.unpersist() // final select reads only the checkpointed labels
       val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(wc).cast("long"))
@@ -617,7 +621,7 @@ object Dedup {
         .dropDuplicates("u", "v")
       edges = afterSmall.localCheckpoint()
       val probe = edges.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
-      val cur = (probe.getLong(0), probe.getLong(1))
+      val cur = (probe.getLong(0), if (probe.isNullAt(1)) 0L else probe.getLong(1))
       converged = cur == prev
       prev = cur
       round += 1
@@ -625,10 +629,19 @@ object Dedup {
     if (!converged && !emptyDone)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge within $maxRounds rounds")
-    // fixpoint edges are (member, root) stars; roots appear only as v
-    val assign = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    // fixpoint edges are (member, root) stars; roots appear only as v.
+    // Contract parity with the pointer-jump path: nodes appearing ONLY
+    // in self-pairs (u == v, filtered out of the edge set) must still
+    // come back as singleton components — union them in from the
+    // original pair frame's node set.
+    val fromEdges = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .dropDuplicates("doc_id", "cluster_id")
+    val allNodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val singletons = allNodes.join(fromEdges.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val assign = fromEdges.unionByName(singletons)
     val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     assign
       .withColumn("cluster_size", count(lit(1)).over(wc).cast("long"))

@@ -500,6 +500,14 @@ object Relational {
     require(outClash.isEmpty,
       s"asOfJoin output columns ${outClash.toSeq.sorted.mkString(", ")} collide with " +
         "left columns — rename or drop them on the left side")
+    // outputs must also be distinct AMONG THEMSELVES: duplicate payload
+    // names, or a payload column literally named "ts", would emit two
+    // asof_<c>/asof_ts columns and poison every downstream reference
+    require(payload.distinct == payload,
+      s"asOfJoin payload has duplicate columns: ${payload.mkString(", ")}")
+    require(!payload.contains("ts"),
+      "asOfJoin payload column 'ts' collides with the fixed asof_ts output — " +
+        "rename it on the right side")
     val pStruct = struct((rightTs +: payload).distinct.map(col): _*)
     // tie keeps its NATIVE orderable type — casting to string would order
     // numeric ids lexicographically ("10" < "2") and crown the wrong row

@@ -201,8 +201,8 @@ class OperatorSpec extends SparkSpec {
     val ivf = s4.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
     info(s"IVF recall vs brute force: $recall")
-    // k-means-trained centroids (16 lists, 3 Lloyd rounds), nProbe=4 —
-    // a 25% corpus scan; training lifts the floor from the sampled-
+    // k-means-trained centroids (10 lists, 6 Lloyd rounds), nProbe=4 —
+    // a 40% corpus scan; training lifts the floor from the sampled-
     // centroid 0.4 to 0.7 even on these weakly-clustered vectors
     assert(recall >= 0.7, s"IVF recall $recall < 0.7")
   }
@@ -298,6 +298,16 @@ class OperatorSpec extends SparkSpec {
     val viaFallback = Dedup.connectedComponents(df, maxRounds = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(viaFallback.sorted.sameElements(star.sorted))
+    // contract parity on self-pairs: a node appearing only as (n, n) is a
+    // singleton component in BOTH implementations (the star path's edge
+    // canonicalization drops self-loops, so the node must be unioned back)
+    val withSelf = Seq((1L, 2L), (7L, 7L)).toDF("doc_a", "doc_b")
+    val jump = Dedup.connectedComponents(withSelf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val starSelf = Dedup.connectedComponentsStar(withSelf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(jump.sameElements(starSelf), s"jump=${jump.toSeq} star=${starSelf.toSeq}")
+    assert(starSelf.contains((7L, 7L, 1L)), "self-pair-only node must survive as a singleton")
   }
 
   test("canonical selection (d7) keeps the best-quality member of each d6 cluster") {
@@ -693,6 +703,15 @@ class OperatorSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       Relational.asOfJoin(left.withColumnRenamed("v", "asof_ts"), right, "k", "t", "t", Seq("v"))
+    }
+    // outputs colliding among THEMSELVES: duplicate payload names, or a
+    // payload column named "ts" (its asof_ts would shadow the fixed
+    // rightTs output)
+    intercept[IllegalArgumentException] {
+      Relational.asOfJoin(left, right, "k", "t", "t", Seq("v", "v"))
+    }
+    intercept[IllegalArgumentException] {
+      Relational.asOfJoin(left, right.withColumnRenamed("v", "ts"), "k", "t", "t", Seq("ts"))
     }
     // clean inputs still pass
     assert(Relational.asOfJoin(left, right, "k", "t", "t", Seq("v")).count() == 1)
