@@ -517,5 +517,55 @@ object TextAnalysis {
       FROM toks t JOIN c USING (token), n
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11)
+  /** E12's core, parameterized for the spec's planted-PII corpus. The
+    * three patterns stay in the conservative regex subset Java and RE2
+    * match identically (no lookaround, no backrefs, left-to-right
+    * non-overlapping extraction): emails, dotted-quad IPs, then long
+    * digit runs — REDACTION ORDER MATTERS for the hash (IPs before digit
+    * runs so octet digits can't be re-matched), so both engines apply
+    * the same sequence.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val DigitRunPat = "\\b\\d{6,}\\b"
+
+  def piiScrub(docs: DataFrame): DataFrame = {
+    docs.select(col("doc_id"), col("text"),
+        // emails out first, then IPs: each count runs on the PREVIOUS
+        // stage's text so a redacted span can't be re-matched (an IP's
+        // octets must not resurface as digit runs)
+        regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+          Ipv4Pat, "<IP>").as("step2"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("step2"), lit(DigitRunPat), lit(0))).cast("long").as("n_digit_runs"),
+        md5(regexp_replace(col("step2"), DigitRunPat, "<NUM>")).as("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  // E12 — PII scrubbing (the redaction pass every public-web training
+  // corpus runs): per-doc email/IP/long-digit-run counts plus the md5 of
+  // the fully redacted text — the hash makes the oracle pin the ENTIRE
+  // redacted output byte-for-byte, not just the counts. Map-only single
+  // scan; patterns in the Java∩RE2 regex subset so both engines extract
+  // and replace identically.
+  private val t12 = Relational.Q(
+    "t12_pii_scrub",
+    (s, d) => piiScrub(Tables.documents(s, d)),
+    Some(s"""
+      WITH s AS (
+        SELECT doc_id, text,
+          regexp_replace(
+            regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
+          '$Ipv4Pat', '<IP>', 'g') AS step2
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(step2, '$DigitRunPat')) AS BIGINT) AS n_digit_runs,
+        md5(regexp_replace(step2, '$DigitRunPat', '<NUM>', 'g')) AS redacted_hash
+      FROM s ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12)
 }

@@ -207,6 +207,26 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall $recall < 0.7")
   }
 
+  test("PII scrub (t12) counts and redacts planted emails, IPs, and digit runs") {
+    val docs = Seq(
+      (1L, "contact bob@example.com or alice.smith+x@sub.domain.org today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255, order 1234567890"),
+      (3L, "clean text with short 123 and 12345 numbers"),
+      (4L, "mixed: a@b.co from 8.8.8.8 id 99999999")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 0 && out(1L)._3 == 0)
+    assert(out(2L)._1 == 0 && out(2L)._2 == 2 && out(2L)._3 == 1)
+    assert(out(3L) == ((0L, 0L, 0L, out(3L)._4))) // nothing to redact
+    assert(out(4L)._1 == 1 && out(4L)._2 == 1 && out(4L)._3 == 1)
+    // the hash pins the redacted BYTES, not just the counts — and an
+    // IP's octets must never resurface as digit runs (order contract)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(4L)._4 == md5hex("mixed: <EMAIL> from <IP> id <NUM>"))
+    assert(out(3L)._4 == md5hex("clean text with short 123 and 12345 numbers"))
+  }
+
   test("winnowing fingerprints rediscover the minhash near-duplicates") {
     val sf = "/root/testdata/sf0.01"
     val t7 = graft.SparkEntry.queries("t7_winnowing_fingerprints")(spark, sf)
