@@ -226,6 +226,46 @@ object Pipeline {
       FROM c GROUP BY 1, 2 ORDER BY shard, pack_id"""
     })
 
+  // P9 — pack MATERIALIZATION: the training sequences p8 lays out,
+  // actually assembled — per (shard, pack) every member doc concatenated
+  // in doc_id order with an EOS separator, pinned by md5 so the oracle
+  // checks the assembled BYTES (order included), not just membership.
+  // The aggregation buffer holds one pack's docs — bounded by the token
+  // BUDGET, not the corpus — and the sort_array(collect_list(struct))
+  // spelling makes the concatenation order deterministic regardless of
+  // partition arrival order (collect_list alone is not).
+  private val p9 = Relational.Q(
+    "p9_pack_materialize",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      packSequences(docs, tokenBudget = 2048L, shards = 8)
+        .join(docs, Seq("doc_id"))
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              e => e.getField("text")),
+            "<|eos|>")).as("content_hash"))
+        .orderBy(col("shard"), col("pack_id"))
+    },
+    Some {
+      val docHash = graft.functions.HashFunctions.md5Hash56Sql("CAST(doc_id AS VARCHAR)")
+      s"""
+      WITH t AS (
+        SELECT doc_id, text, len(string_split_regex(trim(text), '\\s+')) AS nt,
+          $docHash % 8 AS shard
+        FROM documents),
+      c AS (
+        SELECT doc_id, text, nt, shard,
+          COALESCE(SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM t)
+      SELECT shard, CAST(cb // 2048 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS content_hash
+      FROM c GROUP BY 1, 2 ORDER BY shard, pack_id"""
+    })
+
   // P5 — corpus card: the per-(lang, source) dataset summary a training
   // pipeline publishes with every corpus snapshot — doc/token volumes,
   // quality profile, and the quality-gate pass rate, in ONE scan + one
@@ -363,5 +403,5 @@ object Pipeline {
           (a, b) -> xor(a, b)) AS chunk_hash
       FROM h ORDER BY doc_id, chunk_id"""))
 
-  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8)
+  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9)
 }

@@ -567,5 +567,50 @@ object TextAnalysis {
         md5(regexp_replace(step2, '$DigitRunPat', '<NUM>', 'g')) AS redacted_hash
       FROM s ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12)
+  // E13 — bigram LM model build (the n-gram-LM side of corpus quality
+  // filtering: t11 consumes a unigram model, this PRODUCES the bigram
+  // table an LM filter trains on): conditional p(w2|w1) =
+  // c(w1,w2)/c(w1·), top-50 bigrams under a total (n desc, w1, w2)
+  // order. Bigrams are formed MAP-SIDE by zipping the token array with
+  // its own shift — no window, no per-doc sort, no shuffle before the
+  // count aggregate (which is map-side combinable); the conditioning
+  // denominator reuses the bigram aggregate (sum per w1) instead of
+  // re-tokenizing. Top-50 via orderBy.limit = TakeOrderedAndProject.
+  // Float discipline: ONE long/long IEEE division, r4-quantized.
+  def bigramLm(docs: DataFrame, topN: Int = 50): DataFrame = {
+    val toks = docs
+      .select(split(lower(trim(col("text"))), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pairs = toks.select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val uc = bc.groupBy(col("w1")).agg(sum(col("n")).as("cn"))
+    bc.join(uc, Seq("w1"))
+      .select(col("w1"), col("w2"), col("n"),
+        r4(col("n").cast("double") / col("cn").cast("double")).as("p_cond"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  private val t13 = Relational.Q(
+    "t13_bigram_lm",
+    (s, d) => bigramLm(Tables.documents(s, d)),
+    Some(s"""
+      WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM documents WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 2),
+      bg AS (
+        SELECT u['w1'] AS w1, u['w2'] AS w2 FROM (
+          SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]} FOR i IN range(1, len(tk))]) AS u
+          FROM t)),
+      bc AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+      uc AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS cn FROM bc GROUP BY 1)
+      SELECT b.w1, b.w2, b.n, ${r4Sql("CAST(b.n AS DOUBLE) / CAST(u.cn AS DOUBLE)")} AS p_cond
+      FROM bc b JOIN uc u USING (w1)
+      ORDER BY n DESC, w1, w2 LIMIT 50"""))
+
+  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13)
 }

@@ -227,6 +227,36 @@ class OperatorSpec extends SparkSpec {
     assert(out(3L)._4 == md5hex("clean text with short 123 and 12345 numbers"))
   }
 
+  test("bigram LM (t13) computes exact conditional counts on a planted corpus") {
+    val docs = Seq((1L, "a b a b a c"), (2L, "a b x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // doc1 bigrams: ab ba ab ba ac; doc2: ab bx → c(a·)=6? no: a-starting
+    // bigrams: ab×3, ac×1 → c(a·)=4; b-starting: ba×2, bx×1 → c(b·)=3
+    assert(out(("a", "b")) == ((3L, 0.75)))
+    assert(out(("a", "c")) == ((1L, 0.25)))
+    assert(out(("b", "a")) == ((2L, 0.6667)))
+    assert(out(("b", "x")) == ((1L, 0.3333)))
+    // per-w1 conditionals sum to ~1 over the full table
+    val byW1 = TextAnalysis.bigramLm(docs, topN = 1000).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(3)).sum)
+    byW1.foreach { case (w1, s) => assert(math.abs(s - 1.0) < 1e-3, s"$w1 sums to $s") }
+  }
+
+  test("pack materialization (p9) agrees with the p8 layout it assembles") {
+    val sf = "/root/testdata/sf0.01"
+    val p8 = graft.SparkEntry.queries("p8_pack_sequences_sharded")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val p9 = graft.SparkEntry.queries("p9_pack_materialize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(p9.keySet == p8.keySet, "p9 must materialize exactly p8's packs")
+    p9.foreach { case (k, (nDocs, tokens, hash)) =>
+      assert((nDocs, tokens) == p8(k), s"pack $k stats drifted from the p8 layout")
+      assert(hash.length == 32) // md5 hex of the assembled content
+    }
+  }
+
   test("winnowing fingerprints rediscover the minhash near-duplicates") {
     val sf = "/root/testdata/sf0.01"
     val t7 = graft.SparkEntry.queries("t7_winnowing_fingerprints")(spark, sf)
