@@ -932,7 +932,10 @@ object Dedup {
     // cap >= 1: a cap of 0 would empty the index, routing EVERY doc down
     // the residue path — i.e. silently rebuilding the uncapped join
     indexDfCap.foreach(d => require(d >= 1, s"indexDfCap must be >= 1, got $d"))
-    val stats = shingleSets(docs)
+    // persisted: candidate generation (up to 4 consumers in the capped
+    // branch) and both verify sides read this one frame — unpersisted,
+    // each consumer re-runs the whole shingle pipeline
+    val stats = shingleSets(docs).persist()
     val withSz = stats.select(col("doc_id"), col("sg"), size(col("sg")).as("sz"))
     // p = floor((1-τ)·n)+1 probes make the pigeonhole argument tick
     val probeLen = (floor(col("sz") * (1.0 - minContainment)) + 1).cast("int")
@@ -947,7 +950,8 @@ object Dedup {
       case Some(cap) =>
         val occ = stats.select(col("doc_id"), explode(col("sg")).as("h"))
         val dfreq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        val occDf = occ.join(dfreq, Seq("h"))
+        // shared by perDoc, the capped index, and both residue probes
+        val occDf = occ.join(dfreq, Seq("h")).persist()
         // low_sg: the doc's df<=cap shingles in hash order (collect_list
         // skips the nulls the when() leaves for high-df shingles); sz is
         // the FULL shingle count — the missable-shingle bound is on |A|,
@@ -962,9 +966,9 @@ object Dedup {
         val mainCand = mainProbes.join(index, Seq("h"))
         val residueProbes = perDoc.filter(size(col("low_sg")) < col("p"))
           .select(col("doc_id").as("doc_a"))
-          .join(occ.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+          .join(occDf.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
         val residueCand = residueProbes
-          .join(occ.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+          .join(occDf.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
         mainCand.unionByName(residueCand)
           .filter(col("doc_a") =!= col("doc_b"))
           .select(col("doc_a"), col("doc_b"))
