@@ -24,15 +24,24 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Manifest of ATTEMPTED queries, written BEFORE the loop: it records
-    // intent, so a run killed mid-loop leaves a manifest that makes the
-    // comparator FAIL the unproduced queries — written after the loop, a
-    // dead run would leave the previous run's manifest and read as green.
-    // (It lets a standalone comparator tell a filtered run, query absent
-    // -> skip, from a broken one, attempted but no output dir -> FAIL,
-    // without relying on this process's exit code.)
+    // Intent is recorded BEFORE the loop, in three parts, so a run
+    // killed mid-loop cannot read as green in a reused outDir:
+    // manifest.json names the attempted queries (comparator FAILs an
+    // attempted query with no output dir), each attempted query's STALE
+    // output dir from a previous run is deleted (otherwise the isdir
+    // check would pass on old parquet), and oracle_sql.json is written
+    // up front (otherwise the comparator would replay the previous
+    // run's SQL against the previous run's outputs).
     Files.writeString(Paths.get(s"$outDir/manifest.json"),
       selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    selected.keys.foreach(name => rmrf(new java.io.File(s"$outDir/$name")))
     var failed = List.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -43,9 +52,6 @@ object Verify {
       }
       spark.catalog.clearCache()
     }
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
     // nonzero exit on any per-query failure: a query that errors leaves
     // no output dir, and a downstream comparator must not be able to

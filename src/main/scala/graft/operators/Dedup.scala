@@ -587,11 +587,18 @@ object Dedup {
     * cluster_size) for every node appearing in a pair.
     */
   def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 60): DataFrame = {
-    var edges = pairs
+    // canonical orientation, SELF-LOOPS INCLUDED, materialized once: the
+    // edge rounds and the final node-set union both read this checkpoint
+    // — deriving the node set from `pairs` directly would re-run the
+    // caller's entire pair pipeline (LSH + verify in the d2 fallback
+    // case) a second time
+    val canon = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v"))
       .dropDuplicates("u", "v")
+      .localCheckpoint()
+    var edges = canon
+      .filter(col("u") =!= col("v"))
       .localCheckpoint()
     var prev = (-1L, -1L)
     var converged = edges.isEmpty
@@ -637,8 +644,8 @@ object Dedup {
     val fromEdges = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .dropDuplicates("doc_id", "cluster_id")
-    val allNodes = pairs.select(col("doc_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val allNodes = canon.select(col("u").as("doc_id"))
+      .unionByName(canon.select(col("v").as("doc_id"))).distinct()
     val singletons = allNodes.join(fromEdges.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     val assign = fromEdges.unionByName(singletons)

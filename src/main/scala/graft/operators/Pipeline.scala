@@ -231,9 +231,13 @@ object Pipeline {
   // in doc_id order with an EOS separator, pinned by md5 so the oracle
   // checks the assembled BYTES (order included), not just membership.
   // The aggregation buffer holds one pack's docs — bounded by the token
-  // BUDGET, not the corpus — and the sort_array(collect_list(struct))
-  // spelling makes the concatenation order deterministic regardless of
-  // partition arrival order (collect_list alone is not).
+  // budget PLUS the pack's largest single doc (exclusive-cumsum packs
+  // overflow by at most their last member, and one outsized doc owns a
+  // pack alone at its own size; cap doc length upstream with p1's gate
+  // if that bound matters), never by the corpus — and the
+  // sort_array(collect_list(struct)) spelling makes the concatenation
+  // order deterministic regardless of partition arrival order
+  // (collect_list alone is not).
   private val p9 = Relational.Q(
     "p9_pack_materialize",
     (s, d) => {

@@ -530,15 +530,17 @@ object TextAnalysis {
   val DigitRunPat = "\\b\\d{6,}\\b"
 
   def piiScrub(docs: DataFrame): DataFrame = {
+    // emails out first, then IPs, then digit runs: each COUNT runs on
+    // the previous stage's text — the stage its replace runs on — so
+    // the counts agree exactly with what the redacted_hash pins (an
+    // email-consumed IP is not counted, an IP's octets never resurface
+    // as digit runs)
     docs.select(col("doc_id"), col("text"),
-        // emails out first, then IPs: each count runs on the PREVIOUS
-        // stage's text so a redacted span can't be re-matched (an IP's
-        // octets must not resurface as digit runs)
-        regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
-          Ipv4Pat, "<IP>").as("step2"))
+        regexp_replace(col("text"), EmailPat, "<EMAIL>").as("step1"))
+      .withColumn("step2", regexp_replace(col("step1"), Ipv4Pat, "<IP>"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("step1"), lit(Ipv4Pat), lit(0))).cast("long").as("n_ips"),
         size(regexp_extract_all(col("step2"), lit(DigitRunPat), lit(0))).cast("long").as("n_digit_runs"),
         md5(regexp_replace(col("step2"), DigitRunPat, "<NUM>")).as("redacted_hash"))
       .orderBy(col("doc_id"))
@@ -554,18 +556,18 @@ object TextAnalysis {
     "t12_pii_scrub",
     (s, d) => piiScrub(Tables.documents(s, d)),
     Some(s"""
-      WITH s AS (
+      WITH s1 AS (
         SELECT doc_id, text,
-          regexp_replace(
-            regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
-          '$Ipv4Pat', '<IP>', 'g') AS step2
-        FROM documents)
+          regexp_replace(text, '$EmailPat', '<EMAIL>', 'g') AS step1
+        FROM documents),
+      s2 AS (
+        SELECT *, regexp_replace(step1, '$Ipv4Pat', '<IP>', 'g') AS step2 FROM s1)
       SELECT doc_id,
         CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_emails,
-        CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(step1, '$Ipv4Pat')) AS BIGINT) AS n_ips,
         CAST(len(regexp_extract_all(step2, '$DigitRunPat')) AS BIGINT) AS n_digit_runs,
         md5(regexp_replace(step2, '$DigitRunPat', '<NUM>', 'g')) AS redacted_hash
-      FROM s ORDER BY doc_id"""))
+      FROM s2 ORDER BY doc_id"""))
 
   // E13 — bigram LM model build (the n-gram-LM side of corpus quality
   // filtering: t11 consumes a unigram model, this PRODUCES the bigram

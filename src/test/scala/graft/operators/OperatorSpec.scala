@@ -216,6 +216,12 @@ class OperatorSpec extends SparkSpec {
     val out = TextAnalysis.piiScrub(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
     assert(out(1L)._1 == 2 && out(1L)._2 == 0 && out(1L)._3 == 0)
+    // counts agree with the REDACTED bytes, not the raw text: an IP
+    // swallowed whole by the email redaction is not double-counted
+    val swallowed = Seq((9L, "a@192.168.0.1.com")).toDF("doc_id", "text")
+    val sw = TextAnalysis.piiScrub(swallowed).collect().head
+    assert((sw.getLong(1), sw.getLong(2), sw.getLong(3)) == ((1L, 0L, 0L)),
+      s"email-consumed IP must not be counted: $sw")
     assert(out(2L)._1 == 0 && out(2L)._2 == 2 && out(2L)._3 == 1)
     assert(out(3L) == ((0L, 0L, 0L, out(3L)._4))) // nothing to redact
     assert(out(4L)._1 == 1 && out(4L)._2 == 1 && out(4L)._3 == 1)
