@@ -543,7 +543,9 @@ object TextAnalysis {
         size(regexp_extract_all(col("step1"), lit(Ipv4Pat), lit(0))).cast("long").as("n_ips"),
         size(regexp_extract_all(col("step2"), lit(DigitRunPat), lit(0))).cast("long").as("n_digit_runs"),
         md5(regexp_replace(col("step2"), DigitRunPat, "<NUM>")).as("redacted_hash"))
-      .orderBy(col("doc_id"))
+    // no terminal sort: the whole pipeline is stateless narrow column
+    // ops, so the SAME code runs on a streaming frame (A28's spec pins
+    // streamed == batch); t12 adds the deterministic ORDER BY itself
   }
 
   // E12 — PII scrubbing (the redaction pass every public-web training
@@ -554,7 +556,7 @@ object TextAnalysis {
   // and replace identically.
   private val t12 = Relational.Q(
     "t12_pii_scrub",
-    (s, d) => piiScrub(Tables.documents(s, d)),
+    (s, d) => piiScrub(Tables.documents(s, d)).orderBy(col("doc_id")),
     Some(s"""
       WITH s1 AS (
         SELECT doc_id, text,

@@ -214,6 +214,38 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PII scrub: the batch operator runs unchanged on a stream, output identical") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // stateless narrow ops — the literal batch operator attaches to a
+    // readStream frame with no twin code, no state store, no watermark
+    val docs = Seq(
+      (1L, "contact bob@example.com or alice.smith+x@sub.domain.org today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255, order 1234567890"),
+      (3L, "clean text with short 123 and 12345 numbers"),
+      (4L, "mixed: a@b.co from 8.8.8.8 id 99999999"))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.piiScrub(
+        src.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream_test")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: slicing must not affect a stateless map
+      src.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pii_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+      val batch = graft.operators.TextAnalysis.piiScrub(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming near-dup rediscovers the batch minhash pairs on the real corpus") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
