@@ -366,6 +366,38 @@ class OperatorSpec extends SparkSpec {
     assert(starSelf.contains((7L, 7L, 1L)), "self-pair-only node must survive as a singleton")
   }
 
+  test("both CC implementations match a union-find oracle on seeded random graphs") {
+    // deterministic seed — this is a fixed regression battery, not a
+    // flaky fuzzer; self-pairs and duplicate edges arise naturally
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 2 + rnd.nextInt(30)
+      val pairs = Seq.fill(rnd.nextInt(40))((1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+      val df = pairs.toDF("doc_a", "doc_b")
+      // union-find with larger-root-under-smaller-root linking: every
+      // component's root IS its min member
+      val parent = collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val comp = nodes.map(x => x -> find(x)).toMap
+      val expected = nodes.map(x =>
+        (x, comp(x), nodes.count(y => comp(y) == comp(x)).toLong)).toSet
+      Seq("pointer-jump" -> Dedup.connectedComponents(df),
+          "star" -> Dedup.connectedComponentsStar(df)).foreach { case (impl, out) =>
+        val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == expected,
+          s"$impl diverged on pairs=$pairs:\n got=$got\n exp=$expected")
+      }
+    }
+  }
+
   test("canonical selection (d7) keeps the best-quality member of each d6 cluster") {
     val sf = "/root/testdata/sf0.01"
     val clusters = graft.SparkEntry.queries("d6_dedup_clusters")(spark, sf).collect()
