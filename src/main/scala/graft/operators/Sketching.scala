@@ -192,5 +192,73 @@ object Sketching {
       FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6)
+  /** Theta-sketch UNION estimate from two KMV arrays built at capacity
+    * `k`: the union's sketch is the k smallest distinct values of the
+    * concatenated sketches (the defining KMV merge — associative and
+    * commutative, so sketches can be combined across shards/days before
+    * estimating). If the merged sketch saturates at k values its k-th
+    * value is the union's theta and |A∪B| ~= (k-1)/theta; below
+    * capacity the merge holds the whole distinct union and the count is
+    * EXACT. Same k contract as [[kmvOverlapEstimate]]. The array HOFs
+    * are interpreted but only ever touch <= 2k-element arrays on a
+    * post-aggregate frame.
+    */
+  def kmvUnionEstimate(skA: org.apache.spark.sql.Column,
+      skB: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    val merged = slice(array_sort(array_distinct(concat(skA, skB))), 1, k)
+    when(size(merged) === k,
+        lit((k - 1).toDouble) / (element_at(merged, k) / 1.8446744073709552e19 + 0.5))
+      .otherwise(size(merged).cast("double"))
+  }
+
+  // I7 — KMV union/difference algebra: the other half of x6's sketch
+  // story — per event-type pair, distinct |A∪B| via the KMV merge (the
+  // reason KMV is the production shape: per-shard/per-day sketches
+  // combine WITHOUT the raw data) and the exclusive counts |A\B| and
+  // |B\A| by inclusion-exclusion from the per-sketch sizes. Below
+  // capacity everything is exact (k=2048 > distinct users at test SFs),
+  // so the whole algebra is oracle-checked; the saturated regime is
+  // spec-bounded like x6's. The pair frame is the same constant-size
+  // post-aggregate cross join as x6.
+  private val x7 = Relational.Q(
+    "x7_kmv_union",
+    (s, d) => {
+      val K = 2048
+      val sk = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KMinValues(col("h"), K).as("sk"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+      a.crossJoin(b).filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          round(kmvUnionEstimate(col("sk_a"), col("sk_b"), K)).cast("long").as("union_users"),
+          size(col("sk_a")).cast("long").as("ca"),
+          size(col("sk_b")).cast("long").as("cb"))
+        // below capacity size(sk) IS the exact per-type distinct count,
+        // so the exclusive counts are integer-exact inclusion-exclusion
+        .select(col("type_a"), col("type_b"), col("union_users"),
+          (col("union_users") - col("cb")).as("only_a_users"),
+          (col("union_users") - col("ca")).as("only_b_users"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""
+      WITH u AS (SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+      t AS (SELECT DISTINCT event_type FROM u),
+      c AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+      un AS (
+        SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+          (SELECT COUNT(DISTINCT user_id) FROM u
+           WHERE event_type = ta.event_type OR event_type = tb.event_type) AS union_users
+        FROM t ta JOIN t tb ON ta.event_type < tb.event_type)
+      SELECT un.type_a, un.type_b, un.union_users,
+        un.union_users - cb.n AS only_a_users,
+        un.union_users - ca.n AS only_b_users
+      FROM un
+      JOIN c ca ON ca.event_type = un.type_a
+      JOIN c cb ON cb.event_type = un.type_b
+      ORDER BY type_a, type_b"""))
+
+  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7)
 }

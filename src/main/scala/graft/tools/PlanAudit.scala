@@ -31,6 +31,8 @@ object PlanAudit {
         "crossJoin(broadcast(<one-row total-tokens frame>)) for the unigram model",
       "x6_kmv_overlap" ->
         "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size)",
+      "x7_kmv_union" ->
+        "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size)",
       "q41_daily_spine" ->
         "calendar spine x priority dim (calendar- and enum-bounded, not data-bounded)")
     // Iterative operators EXECUTE when their builder runs (label

@@ -107,4 +107,34 @@ class SketchingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(x6.nonEmpty && x6 == exact)
   }
+
+  test("KMV union estimate is exact below capacity and within 25% beyond it") {
+    import spark.implicits._
+    import graft.functions.KMinValues
+    // same constructed sets as the overlap spec: |A∪B| = 7500, k=256
+    val K = 256
+    val rows = ((0 until 5000).map(i => ("a", i.toLong)) ++
+      (2500 until 7500).map(i => ("b", i.toLong))).toDF("side", "v")
+    val sk = rows.select(col("side"), xxhash64(col("v")).as("h"))
+      .groupBy(col("side")).agg(KMinValues(col("h"), K).as("sk"))
+    val a = sk.filter(col("side") === "a").select(col("sk").as("sk_a"))
+    val b = sk.filter(col("side") === "b").select(col("sk").as("sk_b"))
+    val est = a.crossJoin(b)
+      .select(Sketching.kmvUnionEstimate(col("sk_a"), col("sk_b"), K))
+      .as[Double].head()
+    assert(math.abs(est - 7500.0) / 7500.0 < 0.25, s"KMV union estimate $est vs 7500")
+    // exact regime: x7's oracle-checked inclusion-exclusion algebra
+    // reconciles with x6's overlap on the real events table:
+    // |A∪B| = |A∩B| + |A\B| + |B\A| - ... = only_a + only_b + shared
+    val x6 = graft.SparkEntry.queries("x6_kmv_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val x7 = graft.SparkEntry.queries("x7_kmv_union")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(x7.nonEmpty)
+    x7.foreach { case (pair, (un, onlyA, onlyB)) =>
+      assert(un == onlyA + onlyB + x6.getOrElse(pair, 0L),
+        s"$pair: union $un != only_a $onlyA + only_b $onlyB + shared ${x6.get(pair)}")
+    }
+  }
 }
