@@ -1244,8 +1244,44 @@ object Relational {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // B43 — reconciliation audit: the cross-frame consistency diff every
+  // pipeline migration / ingestion pipeline runs — a STORED total
+  // (o_totalprice) reconciled against the total DERIVED from the detail
+  // table, with the discrepancy ranked. All money math in exact decimal
+  // (three 2-dp factors multiply to 6 exact decimal places in both
+  // engines — no float accumulation anywhere before the final
+  // quantization), so the diff itself is hash-checkable. One shuffle on
+  // orderkey for the detail aggregate, broadcast-or-shuffle join to
+  // orders, TakeOrderedAndProject for the top-100 ranking.
+  private val q43 = Q(
+    "q43_reconcile_totals",
+    (s, d) => {
+      val one = lit(1).cast("decimal(12,2)")
+      val calc = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(round(sum(dec(col("l_extendedprice"))
+            * (one - dec(col("l_discount"))) * (one + dec(col("l_tax")))), 2)
+          .cast("double").as("lineitem_total"))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .join(calc, Seq("o_orderkey"))
+        .withColumn("delta", r2(col("o_totalprice") - col("lineitem_total")))
+        .orderBy(abs(col("delta")).desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT l_orderkey AS o_orderkey,
+          CAST(ROUND(SUM(${decSql("l_extendedprice")}
+            * (${decSql("1")} - ${decSql("l_discount")})
+            * (${decSql("1")} + ${decSql("l_tax")})), 2) AS DOUBLE) AS lineitem_total
+        FROM lineitem GROUP BY 1)
+      SELECT o.o_orderkey, o.o_totalprice, c.lineitem_total,
+        ${r2Sql("o.o_totalprice - c.lineitem_total")} AS delta
+      FROM orders o JOIN c USING (o_orderkey)
+      ORDER BY ABS(delta) DESC, o_orderkey LIMIT 100"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42)
+    q39, q40, q41, q42, q43)
 }
