@@ -14,7 +14,10 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // 3 runs by default so a single machine-load spike can't dominate
+    // min-of-N (round 4's phantom q01/q24/q31 "regressions" were one-run
+    // variance in a 2-run min)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.local()
     // View-backed queries read a memoized materialized artifact, which
     // would reduce their warm run to a checkpoint scan and hide any
@@ -30,12 +33,19 @@ object Bench {
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       rebuild.get(name).foreach(_.apply())
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // a crashing query must NOT report its time-to-fail as a legitimate
+      // timing: mark the run negative (min-of-N then keeps the marker, so
+      // the key is visibly broken in the JSON) and log to stderr
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators persist small signature frames; drop them so later
       // queries aren't taxed by leftover cached blocks
       spark.catalog.clearCache()
-      dt
+      if (ok) dt else -dt
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> (1 to math.max(1, runs)).map(_ => timeOnce(name, fn)).min

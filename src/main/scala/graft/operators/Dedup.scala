@@ -636,6 +636,24 @@ object Dedup {
     if (!converged && !emptyDone)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge within $maxRounds rounds")
+    // The (count, xor-of-hash) fixpoint probe has a ~2^-64 collision
+    // window: two DISTINCT consecutive edge sets with equal count and
+    // colliding xor would exit the loop early and emit silently wrong
+    // clusters. Before trusting the terminal set, validate it actually
+    // IS a star forest — every member u has exactly ONE root, and no
+    // node appears as both a member (u) and a root (v). Two cheap
+    // aggregates over the checkpointed final frame; throw on violation,
+    // mirroring the non-convergence throw.
+    if (!emptyDone) {
+      val multiRoot = !edges.groupBy(col("u"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).isEmpty
+      val chained = !edges.select(col("u"))
+        .join(edges.select(col("v").as("u")), Seq("u"), "left_semi").isEmpty
+      if (multiRoot || chained)
+        throw new IllegalStateException(
+          "connectedComponentsStar terminal edge set is not a star forest " +
+            s"(multiRoot=$multiRoot chained=$chained) — xor-probe fixpoint collision")
+    }
     // fixpoint edges are (member, root) stars; roots appear only as v.
     // Contract parity with the pointer-jump path: nodes appearing ONLY
     // in self-pairs (u == v, filtered out of the edge set) must still
@@ -1149,5 +1167,176 @@ object Dedup {
             / (len(n.sg) + len(c.sg) - len(list_intersect(n.sg, c.sg))) >= 0.8
       ORDER BY new_id, corpus_id"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11)
+  /** C12's core: EXACT cross-document repeated-span detection — the
+    * suffix-array-style pass (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better") that minhash cannot express and d9's
+    * fixed-width positional segments miss whenever a span straddles a
+    * segment boundary. Spark-native spelling: anchor + diagonal islands.
+    *
+    *  1. Every position i of every doc emits its `w`-token gram — the
+    *     anchor frame is slim (doc_id, pos, gram) rows, built map-side
+    *     from the token array (no window, no per-doc sort).
+    *  2. Cross-doc candidate anchors are ONE equi-join on the gram
+    *     (bucket-joined on the gram key — never all-pairs).
+    *  3. A shared span of L >= w tokens appears as L-w+1 CONSECUTIVE
+    *     anchors on one (doc_a, doc_b, pos_a - pos_b) diagonal, so
+    *     maximal spans fall out of gaps-and-islands: island id =
+    *     pos_a - row_number() over a window partitioned by
+    *     (doc_a, doc_b, diag) — partitions are bounded by a single
+    *     pair's anchor count (doc-length-bounded, never corpus-sized).
+    *
+    * Output: one row per MAXIMAL shared span of >= minSpan tokens
+    * (doc_a, doc_b, start_a, start_b, span_tokens), 1-based token
+    * positions. Exact by construction for the >= minSpan contract:
+    * every such span is fully anchored, its island is its exact extent,
+    * and anchors join on the raw gram STRING (no hash collisions).
+    *
+    * 100 TB notes: at scale the gram key would be xxhash64 with the
+    * string equality re-checked on the collapsed spans, and the anchor
+    * join's fanout is sum(df^2) over distinct grams — quadratic only in
+    * ubiquitous grams, which is why this pass runs AFTER d1 (exact dups)
+    * and d9 (boilerplate) have removed the df mass; the window never
+    * sees more rows per partition than one document pair's overlap.
+    */
+  /** Every-position `w`-token anchor grams (doc_id, pos, gram), 1-based
+    * positions, built map-side from the token array — the shared anchor
+    * frame of [[substringSpans]] (cross-doc) and [[selfRepeatSpans]]
+    * (within-doc).
+    */
+  private def wordPosGrams(docs: DataFrame, w: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= w)
+    // sequence() is guarded by the size filter above (sequence(1, 0)
+    // would generate a DESCENDING [1, 0] in Spark, not an empty array)
+    toks.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(tk) - ${w - 1}), i -> array_join(slice(tk, i, $w), ' '))"))
+        .as(Seq("i0", "g")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("g"))
+  }
+
+  def substringSpans(docs: DataFrame, w: Int = 8, minSpan: Int = 15): DataFrame = {
+    require(minSpan >= w, s"minSpan ($minSpan) must be >= anchor width ($w)")
+    val grams = wordPosGrams(docs, w)
+    val a = grams.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("g"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("g"))
+    val anchors = a.join(b, Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pos_a"))
+    anchors.withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("isl", col("pos_a") - row_number().over(wd))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + w - 1).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"), col("span_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
+  // C12 — exact-substring dedup: maximal cross-doc repeated spans of
+  // >= 15 tokens, anchored on 8-grams. The DuckDB oracle recomputes the
+  // same anchors/diagonal-islands relationally — independent engine,
+  // same exact math.
+  private val d12 = Relational.Q(
+    "d12_substring_dedup",
+    (s, d) => substringSpans(Tables.documents(s, d), 8, 15),
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      pos AS (
+        SELECT doc_id, unnest(range(1, CAST(len(t) AS BIGINT) - 6)) AS pos, t
+        FROM tk WHERE len(t) >= 8),
+      grams AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          array_to_string(t[pos:pos+7], ' ') AS g
+        FROM pos),
+      an AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.pos AS pos_a, b.pos AS pos_b
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a, pos_b,
+          pos_a - ROW_NUMBER() OVER (
+            PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS isl
+        FROM an)
+      SELECT doc_a, doc_b,
+        CAST(MIN(pos_a) AS BIGINT) AS start_a,
+        CAST(MIN(pos_b) AS BIGINT) AS start_b,
+        CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, isl
+      HAVING COUNT(*) + 7 >= 15
+      ORDER BY doc_a, doc_b, start_a, start_b"""))
+
+  /** C13's core: WITHIN-document repeated spans — [[substringSpans]]'s
+    * anchor/diagonal-island machinery applied to each doc against
+    * ITSELF (pos_a < pos_b): exact boundaries for internal repetition
+    * (looping/degenerate text — the artifact t10's distinct-ratio only
+    * signals statistically, located here to the token). A period-p loop
+    * yields exactly one MAXIMAL island per multiple-of-p shift that
+    * clears minSpan (the classic self-similarity diagonals; spec-pinned),
+    * never a pile of per-occurrence fragments.
+    * The anchor join adds doc_id to the gram key, so the
+    * blowup surface is per-DOC gram multiplicity only — corpus size
+    * never enters a join side.
+    */
+  def selfRepeatSpans(docs: DataFrame, w: Int = 4, minSpan: Int = 8): DataFrame = {
+    require(minSpan >= w, s"minSpan ($minSpan) must be >= anchor width ($w)")
+    val grams = wordPosGrams(docs, w)
+    val anchors = grams.select(col("doc_id"), col("pos").as("pos_a"), col("g"))
+      .join(grams.select(col("doc_id"), col("pos").as("pos_b"), col("g")), Seq("doc_id", "g"))
+      .filter(col("pos_a") < col("pos_b"))
+      .select(col("doc_id"), col("pos_a"), col("pos_b"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("diag")).orderBy(col("pos_a"))
+    anchors.withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("isl", col("pos_a") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("diag"), col("isl"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + w - 1).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("doc_id"), col("start_a"), col("start_b"), col("span_tokens"))
+      .orderBy(col("doc_id"), col("start_a"), col("start_b"))
+  }
+
+  // C13 — within-doc repeated spans. The query entry anchors on 2-grams
+  // at minSpan 4: the synthetic corpus is internally non-repetitive (0
+  // rows at the 4/8 production defaults — verified), so the finer anchor
+  // is what actually exercises the cross-engine path on this data; the
+  // planted-loop spec pins the semantics at the defaults. Same
+  // independent DuckDB twin as d12.
+  private val d13 = Relational.Q(
+    "d13_selfrepeat_spans",
+    (s, d) => selfRepeatSpans(Tables.documents(s, d), 2, 4),
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      pos AS (
+        SELECT doc_id, unnest(range(1, CAST(len(t) AS BIGINT))) AS pos, t
+        FROM tk WHERE len(t) >= 2),
+      grams AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          array_to_string(t[pos:pos+1], ' ') AS g
+        FROM pos),
+      an AS (
+        SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b
+        FROM grams a JOIN grams b
+          ON a.doc_id = b.doc_id AND a.g = b.g AND a.pos < b.pos),
+      isl AS (
+        SELECT doc_id, pos_a - pos_b AS diag, pos_a, pos_b,
+          pos_a - ROW_NUMBER() OVER (
+            PARTITION BY doc_id, pos_a - pos_b ORDER BY pos_a) AS isl
+        FROM an)
+      SELECT doc_id,
+        CAST(MIN(pos_a) AS BIGINT) AS start_a,
+        CAST(MIN(pos_b) AS BIGINT) AS start_b,
+        CAST(COUNT(*) + 1 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, diag, isl
+      HAVING COUNT(*) + 1 >= 4
+      ORDER BY doc_id, start_a, start_b"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13)
 }

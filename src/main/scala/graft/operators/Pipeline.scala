@@ -138,7 +138,17 @@ object Pipeline {
     * grid. Returns the per-doc assignment (doc_id, nt, shard, pack_id);
     * p8 aggregates it to pack stats and oracle-checks the whole path.
     */
-  def packSequences(docs: DataFrame, tokenBudget: Long, shards: Int): DataFrame = {
+  def packSequences(docs: DataFrame, tokenBudget: Long, shards: Int): DataFrame =
+    packSequences(docs, tokenBudget, shards,
+      size(split(trim(col("text")), "\\s+")).cast("long"))
+
+  /** [[packSequences]] with an INJECTABLE per-doc token counter, so pack
+    * budgets can be trainer-true: pass e.g. a real BPE count
+    * (`aggregate(transform(words, w -> size(BpeEncode(w, merges))), ...)`)
+    * instead of the whitespace estimate. Same sharding/binning arithmetic.
+    */
+  def packSequences(docs: DataFrame, tokenBudget: Long, shards: Int,
+      tokenCount: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
     require(shards > 0, s"shards must be positive, got $shards")
@@ -147,7 +157,7 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"),
+        tokenCount.cast("long").as("nt"),
         pmod(H.md5Hash56(col("doc_id").cast("string")), lit(shards.toLong)).as("shard"))
       .withColumn("cb", coalesce(sum(col("nt")).over(wx), lit(0L)))
       .withColumn("pack_id", expr(s"cb div $tokenBudget"))

@@ -205,11 +205,29 @@ object Sketching {
     */
   def kmvUnionEstimate(skA: org.apache.spark.sql.Column,
       skB: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    // When BOTH inputs are unsaturated each sketch holds its ENTIRE set,
+    // so the distinct union is fully available and must be returned
+    // exactly — even when it has >= k members (slicing to k and
+    // estimating would discard information we hold). Only when an input
+    // sketch saturated (lost members) does the theta estimator apply.
+    val exactUnion = size(array_distinct(concat(skA, skB)))
     val merged = slice(array_sort(array_distinct(concat(skA, skB))), 1, k)
-    when(size(merged) === k,
-        lit((k - 1).toDouble) / (element_at(merged, k) / 1.8446744073709552e19 + 0.5))
-      .otherwise(size(merged).cast("double"))
+    when(size(skA) < k && size(skB) < k, exactUnion.cast("double"))
+      .otherwise(when(size(merged) === k,
+          lit((k - 1).toDouble) / (element_at(merged, k) / 1.8446744073709552e19 + 0.5))
+        .otherwise(size(merged).cast("double")))
   }
+
+  /** Per-sketch distinct-count estimate: exact (= size) below capacity,
+    * the (k-1)/theta KMV estimator at saturation. The companion to
+    * [[kmvUnionEstimate]] for inclusion-exclusion arithmetic — using raw
+    * `size(sk)` for set cardinality silently floors at k once the sketch
+    * saturates, which turns exclusive counts into garbage.
+    */
+  def kmvCardinalityEstimate(sk: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    when(size(sk) === k,
+        lit((k - 1).toDouble) / (element_at(sk, k) / 1.8446744073709552e19 + 0.5))
+      .otherwise(size(sk).cast("double"))
 
   // I7 — KMV union/difference algebra: the other half of x6's sketch
   // story — per event-type pair, distinct |A∪B| via the KMV merge (the
@@ -234,10 +252,13 @@ object Sketching {
       a.crossJoin(b).filter(col("type_a") < col("type_b"))
         .select(col("type_a"), col("type_b"),
           round(kmvUnionEstimate(col("sk_a"), col("sk_b"), K)).cast("long").as("union_users"),
-          size(col("sk_a")).cast("long").as("ca"),
-          size(col("sk_b")).cast("long").as("cb"))
-        // below capacity size(sk) IS the exact per-type distinct count,
-        // so the exclusive counts are integer-exact inclusion-exclusion
+          round(kmvCardinalityEstimate(col("sk_a"), K)).cast("long").as("ca"),
+          round(kmvCardinalityEstimate(col("sk_b"), K)).cast("long").as("cb"))
+        // below capacity the cardinality estimate IS the exact per-type
+        // distinct count (it equals size(sk)), so the exclusive counts
+        // are integer-exact inclusion-exclusion; at saturation size(sk)
+        // would silently floor at k — the estimator keeps the exclusive
+        // counts meaningful (estimates, spec-bounded) in both regimes
         .select(col("type_a"), col("type_b"), col("union_users"),
           (col("union_users") - col("cb")).as("only_a_users"),
           (col("union_users") - col("ca")).as("only_b_users"))

@@ -483,9 +483,10 @@ object TextAnalysis {
   // CCNet/Gopher-style "LM quality" gate without an external LM):
   // template/boilerplate docs score low, rare-token-heavy docs score
   // high. Two hash aggregates over one tokenization; the token-count
-  // frame is vocabulary-sized (broadcast here; at 100 TB vocabularies it
-  // becomes the shuffle side of a hash join on token — same plan shape
-  // minus the hint). Float discipline: ln/avg are IEEE math both engines
+  // frame is vocabulary-sized — unbounded in the data, so it carries NO
+  // broadcast hint: AQE broadcasts it at bench scale, and at 100 TB it is
+  // the shuffle side of a hash join on token (the one-row total n is the
+  // only legitimate broadcast). Float discipline: ln/avg are IEEE math both
   // evaluate identically modulo summation order, and the r4 quantization
   // absorbs last-ulp reorder noise (the q22/t9 precedent).
   private val t11 = Relational.Q(
@@ -497,7 +498,7 @@ object TextAnalysis {
       // total tokens from the vocabulary-sized aggregate, NOT a third
       // scan+tokenize of the corpus (Catalyst doesn't share the subtree)
       val n = counts.agg(sum(col("c")).as("nt"))
-      toks.join(broadcast(counts), Seq("token"))
+      toks.join(counts, Seq("token"))
         .crossJoin(broadcast(n))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
@@ -616,5 +617,95 @@ object TextAnalysis {
       FROM bc b JOIN uc u USING (w1)
       ORDER BY n DESC, w1, w2 LIMIT 50"""))
 
-  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13)
+  /** Tiny hand-authored merges fixture: common English digraphs/pieces
+    * in priority order — a stand-in for a learned merges file (the
+    * operator takes ANY merges list; a production run injects the real
+    * tokenizer's ~50k-line table, still vocab-bounded).
+    */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "r", "e" -> "n", "a" -> "t",
+    "e" -> "s", "o" -> "u", "i" -> "t", "i" -> "s", "o" -> "f", "t" -> "o",
+    "c" -> "o", "l" -> "l", "a" -> "r", "s" -> "t", "u" -> "r", "m" -> "e",
+    "d" -> "e", "h" -> "i", "v" -> "e", "a" -> "l", "c" -> "e", "l" -> "e")
+
+  // E14 — REAL byte-pair encoding (vs t6's length/4 estimate): every
+  // word runs the actual greedy merge loop against the injectable merges
+  // table, inside whole-stage codegen (BpeEncode expression, merges as a
+  // reference object — a narrow map-side op; the only shuffle is the
+  // final per-doc partial-aggregate). No SQL oracle (the merge loop is
+  // not SQL-expressible); the spec pins encode == hand-computed
+  // references and the codegen/interpreted agreement.
+  private val t14 = Relational.Q(
+    "t14_bpe_encode",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .select(col("doc_id"),
+          size(graft.functions.BpeEncode(col("w"), DefaultMerges)).cast("long").as("nw"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("nw")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  /** E15's core: fastText/CCNet-style MODEL-BASED quality scoring — the
+    * learned-classifier stage of public corpus pipelines (vs E2's
+    * hand-crafted ratios). Features are hashed unigrams (md5-derived
+    * cross-engine bucket, `dim` buckets); the model is an injectable
+    * (bucket, integer weight) table — parameter-bounded by `dim`, so the
+    * join side broadcasts legitimately at any corpus size, exactly like
+    * a real exported linear model. Float discipline: the KEEP gate is
+    * pure integer arithmetic (sum of integer weights >= 0 — no float can
+    * flip it), and the logistic probability is r4-quantized payload
+    * (the t11 ln/avg precedent). One explode + one broadcast join + one
+    * map-side-combinable aggregate; no corpus-derived frame is hinted.
+    */
+  def qualityModelScore(docs: DataFrame, weights: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    import graft.functions.{HashFunctions => H}
+    docs.select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .withColumn("bucket", pmod(H.md5Hash56(col("t")), lit(dim.toLong)))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("score_sum"),
+        (col("score_sum") >= 0).as("keep"),
+        r4(lit(1.0) / (lit(1.0) +
+          exp(-col("score_sum").cast("double") / (lit(1000.0) * col("n_tokens"))))).as("prob"))
+      .orderBy(col("doc_id"))
+  }
+
+  // E15 — model-based quality filter. The fixture "model" derives its
+  // integer weights ARITHMETICALLY from the bucket id (Knuth
+  // multiplicative constant mod a prime, centered), so the DuckDB oracle
+  // can rebuild the identical weights table from range() and check the
+  // whole scoring path — hashing, join, gate, logistic — end to end. A
+  // production run passes a real exported model instead; same plan.
+  private val t15 = Relational.Q(
+    "t15_quality_model",
+    (s, d) => {
+      val dim = 4096
+      val weights = s.range(dim).select(col("id").as("bucket"),
+        ((col("id") * 2654435761L) % 1009L - 504L).as("w"))
+      qualityModelScore(Tables.documents(s, d), weights, dim)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents),
+      b AS (
+        SELECT doc_id, ${graft.functions.HashFunctions.md5Hash56Sql("t")} % 4096 AS bucket
+        FROM toks),
+      w AS (
+        SELECT range AS bucket, (range * 2654435761) % 1009 - 504 AS w
+        FROM range(4096)),
+      sc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w.w) AS BIGINT) AS score_sum
+        FROM b JOIN w USING (bucket) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, score_sum, score_sum >= 0 AS keep,
+        ${r4Sql("1.0 / (1.0 + exp(-CAST(score_sum AS DOUBLE) / (1000.0 * n_tokens)))")} AS prob
+      FROM sc ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15)
 }

@@ -104,4 +104,26 @@ object ExpressionProperties extends Properties("graft.functions") {
         Prop(math.abs(q - exact) < 0.1)
       }
     }
+
+  // t14's BPE encode: structural invariants on ARBITRARY words and
+  // merges lists (the hand-computed reference cases live in OperatorSpec)
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+  private val mergesGen: Gen[Seq[(String, String)]] =
+    Gen.listOf(Gen.zip(Gen.alphaLowerChar.map(_.toString), Gen.alphaLowerChar.map(_.toString)))
+      .map(_.take(20))
+
+  property("BPE symbols always concatenate back to the word") =
+    forAll(wordGen, mergesGen) { (w, m) =>
+      BpeEncode.encodeWord(w, BpeEncode.buildRanks(m)).mkString == w
+    }
+
+  property("BPE with empty merges is the code-point split; symbol count never exceeds it") =
+    forAll(wordGen, mergesGen) { (w, m) =>
+      val chars = BpeEncode.encodeWord(w, BpeEncode.buildRanks(Nil))
+      val merged = BpeEncode.encodeWord(w, BpeEncode.buildRanks(m))
+      chars.mkString == w && chars.forall(_.length == 1) &&
+        merged.length <= chars.length &&
+        (w.isEmpty || merged.nonEmpty)
+    }
 }

@@ -207,6 +207,127 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall $recall < 0.7")
   }
 
+  test("PQ ANN (s6): 64x-compressed ADC scan + exact rerank has recall >= 0.8 vs brute force") {
+    val sf = "/root/testdata/sf0.01"
+    val s6 = graft.SparkEntry.queries("s6_ann_pq_topk")(spark, sf).collect()
+    assert(s6.nonEmpty)
+    s6.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+    val s1Rows = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sf).collect()
+    val exact = s1Rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = s6.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    info(s"PQ recall vs brute force: $recall")
+    assert(recall >= 0.8, s"s6 PQ recall $recall < 0.8")
+    // rerank reports EXACT float cosines (same contract as s5)
+    val exactScores = s1Rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    s6.foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(2)))
+        .foreach(c => assert(r.getDouble(3) == c, s"rerank cosine != exact for $r"))
+    }
+    // the compression ratio the operator stands for: m=8 codebooks of
+    // k=16 centroids -> 4-bit codes, 8 x 4 bits = 4 bytes vs 256 float32
+    // bytes = 64x. Pinned via the codebook shape (m*k parameter-bounded
+    // rows, each a ds=8 subspace centroid).
+    val e = graft.Tables.embeddings(spark, sf)
+    val books = Similarity.trainCentroidsKeyed(Similarity.pqSubVectors(e, 8, 8), e, 16, iters = 1)
+    val shape = books.groupBy(col("sub")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(shape.keySet == (0 until 8).toSet, s"expected 8 subspace codebooks, got ${shape.keySet}")
+    assert(shape.values.forall(_ <= 16), s"codebooks exceed k=16: $shape")
+  }
+
+  test("BPE encode (t14): hand-computed references, overlap rule, rank priority") {
+    import graft.functions.BpeEncode
+    def enc(w: String, m: Seq[(String, String)]): Seq[String] =
+      BpeEncode.encodeWord(w, BpeEncode.buildRanks(m)).toSeq
+    // multi-round merge chain: h+e, l+l, he+ll, hell+o
+    val m1 = Seq("h" -> "e", "l" -> "l", "he" -> "ll", "hell" -> "o")
+    assert(enc("hello", m1) == Seq("hello"))
+    assert(enc("hell", m1) == Seq("hell"))
+    assert(enc("help", m1) == Seq("he", "l", "p"))
+    // left-to-right non-overlap inside runs
+    val aa = Seq("a" -> "a")
+    assert(enc("aaaa", aa) == Seq("aa", "aa"))
+    assert(enc("aaa", aa) == Seq("aa", "a"))
+    assert(enc("aaaaa", aa) == Seq("aa", "aa", "a"))
+    // RANK beats position: (b,c) outranks (a,b), so "abc" -> a + bc even
+    // though (a,b) occurs first in the word
+    assert(enc("abc", Seq("b" -> "c", "a" -> "b")) == Seq("a", "bc"))
+    assert(enc("abc", Seq("a" -> "b", "b" -> "c")) == Seq("ab", "c"))
+    // edges: empty word, no applicable merges
+    assert(enc("", m1).isEmpty)
+    assert(enc("xyz", m1) == Seq("x", "y", "z"))
+    // a merged symbol re-enters the pool: (a,a) then (aa,aa)
+    assert(enc("aaaa", Seq("a" -> "a", "aa" -> "aa")) == Seq("aaaa"))
+  }
+
+  test("BPE encode (t14): codegen path equals the interpreted reference over corpus words") {
+    import graft.functions.BpeEncode
+    val merges = TextAnalysis.DefaultMerges
+    val ranks = BpeEncode.buildRanks(merges)
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .distinct().limit(500)
+    val got = words.select(col("w"), BpeEncode(col("w"), merges).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+    assert(got.nonEmpty)
+    got.foreach { case (w, syms) =>
+      assert(syms == BpeEncode.encodeWord(w, ranks).toSeq, s"codegen mismatch for '$w'")
+      assert(syms.mkString == w, s"symbols don't reassemble '$w'")
+    }
+    // the t14 query itself: every doc's real BPE count is <= its
+    // code-point count and >= its word count (merges only shrink)
+    val t14 = graft.SparkEntry.queries("t14_bpe_encode")(spark, sfDir).collect()
+    assert(t14.nonEmpty)
+    t14.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"fewer tokens than words: $r"))
+  }
+
+  test("packSequences with an injected BPE token counter keeps the pack arithmetic exact") {
+    import graft.functions.BpeEncode
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val counted = docs.select(col("doc_id"),
+      aggregate(transform(split(lower(trim(col("text"))), "\\s+"),
+          w => size(BpeEncode(w, TextAnalysis.DefaultMerges)).cast("long")),
+        lit(0L), (a, x) => a + x).as("nt_bpe"))
+    val packed = Pipeline.packSequences(docs, 512L, 4,
+        aggregate(transform(split(lower(trim(col("text"))), "\\s+"),
+            w => size(BpeEncode(w, TextAnalysis.DefaultMerges)).cast("long")),
+          lit(0L), (a, x) => a + x))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // nt column IS the BPE count
+    val ntMap = counted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    packed.foreach { case (id, nt, _, _) => assert(nt == ntMap(id), s"nt mismatch for doc $id") }
+    // within each shard, pack_id re-derives from the exclusive cumsum
+    packed.groupBy(_._3).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, nt, _, packId) =>
+        assert(packId == cum / 512L, s"pack arithmetic broke at doc $id")
+        cum += nt
+      }
+    }
+  }
+
+  test("quality model (t15): injected weights drive the integer keep gate") {
+    import graft.functions.{HashFunctions => H}
+    val docs = Seq((1L, "good good good"), (2L, "bad bad"), (3L, "good bad"))
+      .toDF("doc_id", "text")
+    val dim = 64
+    val b = docs.sparkSession.range(1).select(
+      pmod(H.md5Hash56(lit("good")), lit(dim.toLong)).as("g"),
+      pmod(H.md5Hash56(lit("bad")), lit(dim.toLong)).as("b")).head()
+    val (gb, bb) = (b.getLong(0), b.getLong(1))
+    assert(gb != bb, "fixture premise: the two tokens must not collide at dim=64")
+    val weights = docs.sparkSession.range(dim).select(col("id").as("bucket"),
+      when(col("id") === gb, 1000L).when(col("id") === bb, -1000L).otherwise(0L).as("w"))
+    val out = TextAnalysis.qualityModelScore(docs, weights, dim).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3000L, true)))
+    assert(out(2L) == ((-2000L, false)))
+    assert(out(3L) == ((0L, true)), "score 0 keeps (gate is >= 0)")
+  }
+
   test("PII scrub (t12) counts and redacts planted emails, IPs, and digit runs") {
     val docs = Seq(
       (1L, "contact bob@example.com or alice.smith+x@sub.domain.org today"),
@@ -726,6 +847,60 @@ class OperatorSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.containmentPairs(boiler, 0.8, indexDfCap = Some(0L))
     }
+  }
+
+  test("substring spans (d12): planted span detected with exact boundaries at arbitrary offsets") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    // offsets differ (6 vs 3) and neither aligns to any fixed segment
+    // grid — the boundary-straddling case d9's positional segments miss
+    val docA = (1 to 5).map(i => s"a$i").mkString(" ") + " " + shared + " " +
+      (6 to 13).map(i => s"a$i").mkString(" ")
+    val docB = "b1 b2 " + shared + " " + (3 to 9).map(i => s"b$i").mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB), (3L, "entirely unrelated filler text about nothing shared"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ONE maximal span, not a pile of overlapping sub-spans
+    assert(out.toSeq == Seq((1L, 2L, 6L, 3L, 20L)), s"got ${out.mkString(",")}")
+  }
+
+  test("substring spans (d12): two disjoint spans come back as two islands; sub-minSpan spans are dropped") {
+    val s1 = (1 to 16).map(i => s"p$i").mkString(" ")
+    val s2 = (1 to 16).map(i => s"q$i").mkString(" ")
+    val short = (1 to 14).map(i => s"r$i").mkString(" ")
+    val docA = s1 + " a1 a2 a3 " + s2 + " a4 " + short
+    val docB = "b1 " + s2 + " b2 b3 " + s1 + " " + short + " b4"
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // s1 at A:1 B:20, s2 at A:20 B:2; the 14-token span is below minSpan=15
+    assert(out == Set((1L, 2L, 1L, 20L, 16L), (1L, 2L, 20L, 2L, 16L)), s"got ${out.mkString(",")}")
+    // lowering minSpan to the anchor width surfaces it with its exact length
+    val low = Dedup.substringSpans(docs, 8, 8).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(low.contains((37L, 36L, 14L)), s"got ${low.mkString(",")}")
+    // minSpan below the anchor width would silently miss spans — rejected
+    intercept[IllegalArgumentException] { Dedup.substringSpans(docs, 8, 7) }
+  }
+
+  test("self-repeat spans (d13): planted internal repetition located exactly; clean docs stay silent") {
+    val block = (1 to 10).map(i => s"r$i").mkString(" ")
+    val doc1 = "u1 u2 " + block + " u3 " + block + " u4"     // block at 3..12 and 14..23
+    val doc2 = (1 to 30).map(i => s"c$i").mkString(" ")       // no repetition
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val out = Dedup.selfRepeatSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L, 14L, 10L)), s"got ${out.mkString(",")}")
+    // a pure period-p loop yields ONE maximal island per multiple-of-p
+    // shift that clears minSpan — the exact self-similarity structure:
+    // the 20-token period-4 region matches itself at shifts 4, 8, 12
+    // (span 16, 12, 8), and shift 16 (span 4) falls under minSpan
+    val loop = Seq((3L, "pre1 pre2 " + Seq.fill(5)("x y z w").mkString(" ") + " post"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.selfRepeatSpans(loop).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSet == Set((3L, 7L, 16L), (3L, 11L, 12L), (3L, 15L, 8L)),
+      s"got ${spans.mkString(",")}")
   }
 
   test("incremental dedup (d11) equals the batch pairwise answer restricted to cross-slice pairs") {

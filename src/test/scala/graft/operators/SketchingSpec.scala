@@ -123,6 +123,29 @@ class SketchingSpec extends SparkSpec {
       .select(Sketching.kmvUnionEstimate(col("sk_a"), col("sk_b"), K))
       .as[Double].head()
     assert(math.abs(est - 7500.0) / 7500.0 < 0.25, s"KMV union estimate $est vs 7500")
+    // SATURATED exclusive counts stay meaningful: per-sketch cardinality
+    // comes from the (k-1)/theta estimator (raw size(sk) floors at k=256
+    // and would report only_a = 7500 - 256 instead of ~2500)
+    val exc = a.crossJoin(b).select(
+        (Sketching.kmvUnionEstimate(col("sk_a"), col("sk_b"), K)
+          - Sketching.kmvCardinalityEstimate(col("sk_b"), K)).as("only_a"),
+        (Sketching.kmvUnionEstimate(col("sk_a"), col("sk_b"), K)
+          - Sketching.kmvCardinalityEstimate(col("sk_a"), K)).as("only_b"))
+      .as[(Double, Double)].head()
+    assert(math.abs(exc._1 - 2500.0) / 2500.0 < 0.25, s"saturated only_a ${exc._1} vs 2500")
+    assert(math.abs(exc._2 - 2500.0) / 2500.0 < 0.25, s"saturated only_b ${exc._2} vs 2500")
+    // union exactness extends past k when BOTH inputs are unsaturated:
+    // two disjoint 200-member sets at k=256 hold their full sets, so the
+    // 400-member union must come back EXACT, not estimated
+    val small = ((0 until 200).map(i => ("a", i.toLong)) ++
+      (1000 until 1200).map(i => ("b", i.toLong))).toDF("side", "v")
+    val ssk = small.select(col("side"), xxhash64(col("v")).as("h"))
+      .groupBy(col("side")).agg(KMinValues(col("h"), K).as("sk"))
+    val exactUnion = ssk.filter(col("side") === "a").select(col("sk").as("sk_a"))
+      .crossJoin(ssk.filter(col("side") === "b").select(col("sk").as("sk_b")))
+      .select(Sketching.kmvUnionEstimate(col("sk_a"), col("sk_b"), K))
+      .as[Double].head()
+    assert(exactUnion == 400.0, s"unsaturated union must be exact 400, got $exactUnion")
     // exact regime: x7's oracle-checked inclusion-exclusion algebra
     // reconciles with x6's overlap on the real events table:
     // |A∪B| = |A∩B| + |A\B| + |B\A| - ... = only_a + only_b + shared

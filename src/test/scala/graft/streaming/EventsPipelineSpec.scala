@@ -214,6 +214,73 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup (A23) state stays bounded under adversarial band skew") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // adversarial skew: EVERY doc lands in the same single band with an
+    // identical signature — the worst case for per-band state. With
+    // maxPerBand=4 the FIFO must hold the member list at 4 regardless of
+    // how many docs arrive, and detection must degrade GRACEFULLY: a new
+    // arrival matches exactly the 4 most recent members, never the
+    // evicted ones, and never crashes or grows the vector.
+    val sig = Array.fill(8)(42L)
+    val cap = 4
+    val src = MemoryStream[EventsPipeline.BandedDoc]
+    val q = EventsPipeline.streamingNearDup(src.toDS(), minEstJaccard = 0.8, maxPerBand = cap)
+      .writeStream.format("memory").queryName("neardup_skew_test")
+      .outputMode("append").start()
+    try {
+      // 20 docs through ONE band across two micro-batches
+      src.addData((1L to 10L).map(i => EventsPipeline.BandedDoc(7L, i, sig)): _*)
+      q.processAllAvailable()
+      src.addData((11L to 20L).map(i => EventsPipeline.BandedDoc(7L, i, sig)): _*)
+      q.processAllAvailable()
+      // the probe: doc 21 arrives alone — its hits reveal the live state
+      src.addData(EventsPipeline.BandedDoc(7L, 21L, sig))
+      q.processAllAvailable()
+      val all = spark.table("neardup_skew_test")
+        .select("doc_id", "earlier_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val probeHits = all.filter(_._1 == 21L).map(_._2).toSet
+      assert(probeHits == Set(17L, 18L, 19L, 20L),
+        s"state not FIFO-bounded at $cap: doc 21 matched $probeHits")
+      // every doc ever matched at most `cap` earlier members
+      all.groupBy(_._1).foreach { case (id, hits) =>
+        assert(hits.length <= cap, s"doc $id matched ${hits.length} members > cap $cap")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming BPE token metering: the codegen expression runs unchanged on a stream") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ingestion token metering: real BPE counts per arriving doc — a
+    // stateless narrow projection (the merges table rides inside the
+    // expression), so the literal batch spelling attaches to a stream
+    // with no twin code, no state, no watermark (the A28 pattern)
+    def metered(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      aggregate(transform(split(lower(trim(col("text"))), "\\s+"),
+          w => size(graft.functions.BpeEncode(w, graft.operators.TextAnalysis.DefaultMerges)).cast("long")),
+        lit(0L), (a, x) => a + x).as("n_bpe_tokens"))
+    val docs = Seq((1L, "the thing is that these other ones linger"),
+      (2L, "and another arriving batch of text"), (3L, ""))
+    val src = MemoryStream[(Long, String)]
+    val q = metered(src.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bpe_meter_test")
+      .outputMode("append").start()
+    try {
+      src.addData(docs.take(1): _*); q.processAllAvailable()
+      src.addData(docs.drop(1): _*); q.processAllAvailable()
+      val streamed = spark.table("bpe_meter_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = metered(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(batch.forall(_._2 >= 0) && batch.exists(_._2 > 0))
+    } finally q.stop()
+  }
+
   test("streaming PII scrub: the batch operator runs unchanged on a stream, output identical") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

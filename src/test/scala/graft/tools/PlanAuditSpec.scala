@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The corpus-hint invariant, spec-pinned: PlanAudit.corpusBroadcastHints
+  * must trip on a DELIBERATE broadcast of a fact-table-rooted frame (so
+  * the guard is known-live, not vacuously green) and stay silent on the
+  * legitimate shapes — dim broadcasts and hint-free corpus joins.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  test("deliberate broadcast of a corpus-rooted frame trips the guard") {
+    val docs = Tables.documents(spark, sfDir)
+    // the exact anti-pattern removed in r4/r5: a corpus-derived
+    // (data-proportional) frame under an explicit broadcast hint
+    val bad = docs.join(
+      broadcast(docs.select(col("doc_id"), length(col("text")).as("len"))),
+      Seq("doc_id"))
+    val hits = PlanAudit.corpusBroadcastHints(bad)
+    assert(hits.nonEmpty, "guard failed to flag a corpus-rooted broadcast hint")
+    assert(hits.exists(_.contains("documents")))
+  }
+
+  test("fact-table leaves are recognized for every fact table") {
+    for ((frame, name) <- Seq(
+        (Tables.documents(spark, sfDir), "documents"),
+        (Tables.embeddings(spark, sfDir), "embeddings"),
+        (Tables.events(spark, sfDir), "events"),
+        (Tables.lineitem(spark, sfDir), "lineitem"),
+        (Tables.orders(spark, sfDir), "orders"))) {
+      val hinted = frame.join(broadcast(frame.limit(1)), frame.columns.take(1).toSeq)
+      assert(PlanAudit.corpusBroadcastHints(hinted).exists(_.contains(name)),
+        s"guard blind to fact table $name")
+    }
+  }
+
+  test("dim broadcasts and hint-free corpus joins do not trip the guard") {
+    val l = Tables.lineitem(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    // broadcasting dims is the CORRECT plan — must not be flagged
+    val dimJoin = l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+    assert(PlanAudit.corpusBroadcastHints(dimJoin).isEmpty)
+    // a hint-FREE corpus-corpus join (AQE's call at runtime) is clean too
+    val free = l.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+    assert(PlanAudit.corpusBroadcastHints(free).isEmpty)
+  }
+
+  test("the audited query surface carries no unadjudicated corpus hints") {
+    // every lazily-plannable SparkEntry query passes the guard or is in
+    // the allowlist with a boundedness argument — the whole-repo
+    // invariant, enforced here so a regression fails the suite, not
+    // just the out-of-band audit tool
+    val iterative = Set("d2_dedup_minhash_lsh", "d6_dedup_clusters", "d7_dedup_canonical",
+      "d11_incremental_dedup")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !iterative(name) =>
+        val hints = try PlanAudit.corpusBroadcastHints(fn(spark, sfDir)) catch {
+          case _: Throwable => Seq.empty // planning failures are OperatorSpec's dept
+        }
+        spark.catalog.clearCache()
+        (name, hints)
+    }.filter { case (name, hints) => hints.nonEmpty && !PlanAudit.allowedHints.contains(name) }
+    assert(offenders.isEmpty,
+      s"unadjudicated corpus-rooted hints: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
+  }
+}
