@@ -12,10 +12,14 @@ import graft.Tables
   * filters down, and run decode/feature-extraction per partition in
   * batch-shaped iterators (mapPartitions), never per-row driver calls.
   *
-  * The actual codec step is STUBBED (no image/audio libs in this
-  * environment): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything around it — schema, partitioning, iterator shape,
-  * typed output — is real and tested.
+  * The codec: [[ImageCodec]] is a REAL pure-JDK image decoder
+  * (PNG/JPEG/BMP/GIF via `javax.imageio`, headless-safe) for features,
+  * resample, and perceptual dHash; `decodeStub` remains the
+  * deterministic fallback for non-image/corrupt bytes (and the fixture
+  * for this repo's text-bytes corpus), so one operator survives a
+  * mixed/dirty 100 TB payload column. Audio/video codecs stay stubbed
+  * (no pure-JDK decoder exists); the injectable seams are their
+  * interface.
   */
 object Multimodal {
 

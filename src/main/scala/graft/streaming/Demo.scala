@@ -236,6 +236,49 @@ object Demo {
         s"pairs=${got.size}==${exp.size}")
     }
 
+    // 8. REAL multimodal decode (F2/F4/F6 with actual pixels): encoded
+    // PNGs flow through the batched-decode seam on executors and come
+    // back as real 8x8 pooled features; a resize re-encodes at the
+    // target dims; the perceptual dHash of a noise-perturbed re-encode
+    // stays inside m6's hamming<=3 band budget. Text payloads in the
+    // same column degrade to the declared stub — the mixed/dirty-column
+    // contract a 100 TB payload scan needs.
+    {
+      import spark.implicits._
+      def png(w: Int, h: Int)(v: (Int, Int) => Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val g = math.max(0, math.min(255, v(x, y)))
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        out.toByteArray
+      }
+      val imgs = (0 until 8).map(k =>
+        (k.toLong, png(128, 96)((x, y) => (x * (3 + k) + y * (7 + k)) % 256)))
+      val mixed = imgs ++ Seq((100L, "not an image".getBytes("UTF-8")))
+      val feats = graft.operators.Multimodal.extractFeaturesBatched(
+          mixed.toDF("doc_id", "payload"), batchSize = 4,
+          decoder = graft.operators.ImageCodec.batchFeaturesOrStub)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](2).length).toMap
+      val realOk = imgs.forall { case (id, _) => feats(id) == 64 } && feats(100L) == 8
+      val resized = graft.operators.ImageCodec.resizeImage(imgs.head._2, 64, 48)
+      val resizeOk = resized.exists { b =>
+        val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        back.getWidth == 64 && back.getHeight == 48
+      }
+      val noisy = png(128, 96)((x, y) => (x * 3 + y * 7) % 256 + ((x + y) % 3 - 1))
+      val dh = for {
+        a <- graft.operators.ImageCodec.dhashFromImage(imgs.head._2)
+        n <- graft.operators.ImageCodec.dhashFromImage(noisy)
+      } yield java.lang.Long.bitCount(a ^ n)
+      check("image-decode-real",
+        realOk && resizeOk && dh.exists(_ <= 3),
+        s"decoded=${imgs.size} mixedFallback=${feats(100L) == 8} resize64x48=$resizeOk dhashNoiseBits=${dh.getOrElse(-1)}")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }
