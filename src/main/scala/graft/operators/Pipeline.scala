@@ -417,5 +417,60 @@ object Pipeline {
           (a, b) -> xor(a, b)) AS chunk_hash
       FROM h ORDER BY doc_id, chunk_id"""))
 
-  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9)
+  /** P10's core: corpus SNAPSHOT DIFF — the release-diffing pass run
+    * before publishing a new corpus version: full-outer join of two
+    * (doc_id, content-hash) frames, per-doc status added / removed /
+    * changed. ONE shuffle on doc_id over slim hash rows (payload text
+    * never crosses the exchange — each side hashes at its own scan),
+    * which is the canonical 100 TB snapshot-compare shape; at scale both
+    * sides would be bucketed by doc_id for a zero-shuffle sort-merge.
+    */
+  def snapshotDiff(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    val a = snapA.select(col("doc_id"), md5(col("text")).as("h_a"))
+    val b = snapB.select(col("doc_id"), md5(col("text")).as("h_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"), col("status"))
+  }
+
+  // P10 — snapshot diff between the corpus and a deterministically
+  // derived "next release": 10% of docs dropped (doc_id % 10 = 0), docs
+  // at doc_id % 7 = 0 edited (re-crawled), docs at doc_id % 13 = 0
+  // duplicated under new ids (fresh crawl additions). Exact md5 compare,
+  // hash-checked cross-engine.
+  private val p10 = Relational.Q(
+    "p10_snapshot_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val nextRelease = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      snapshotDiff(docs, nextRelease)
+    },
+    Some("""
+      WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
+      b AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h_b
+        FROM documents WHERE doc_id % 10 != 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, md5(text) AS h_b
+        FROM documents WHERE doc_id % 13 = 0)
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        CASE WHEN a.h_a IS NULL THEN 'added'
+             WHEN b.h_b IS NULL THEN 'removed'
+             WHEN a.h_a != b.h_b THEN 'changed' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      WHERE (a.h_a IS NULL OR b.h_b IS NULL OR a.h_a != b.h_b)
+      ORDER BY doc_id, status"""))
+
+  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10)
 }

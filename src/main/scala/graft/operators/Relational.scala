@@ -1280,8 +1280,78 @@ object Relational {
       FROM orders o JOIN c USING (o_orderkey)
       ORDER BY ABS(delta) DESC, o_orderkey LIMIT 100"""))
 
+  // B44 — data-expectations audit (the dbt-test/Great-Expectations gate a
+  // production pipeline runs before publishing a snapshot): each
+  // expectation is one aggregate or anti-join over the raw tables —
+  // null-rate, referential orphans on BOTH fact edges, duplicate primary
+  // keys, domain-range violations — emitted as one small (expectation,
+  // violations, pass) frame. Anti-joins shuffle on the checked key (the
+  // canonical integrity-join shape); every count is integer-exact, so
+  // the whole audit is hash-checked cross-engine. On this generated
+  // dataset all gates PASS with 0 violations — the point is the CHECKS
+  // run distributed, not that the data is dirty.
+  private val q44 = Q(
+    "q44_data_expectations",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      // each check frame is a single-row global aggregate; sum() over an
+      // empty/all-false input yields null, hence the coalesce
+      def row(name: String, agged: org.apache.spark.sql.DataFrame) =
+        agged.select(lit(name).as("expectation"),
+          coalesce(col("v"), lit(0L)).cast("long").as("violations"))
+      val checks = Seq(
+        row("orders_custkey_not_null",
+          o.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v"))),
+        row("lineitem_orderkey_in_orders",
+          l.join(o.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("v"))),
+        row("orders_custkey_in_customer",
+          o.join(c.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+            .agg(count(lit(1)).as("v"))),
+        row("orders_orderkey_unique",
+          o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+            .agg(sum(when(col("n") > 1, col("n")).otherwise(0L)).as("v"))),
+        row("lineitem_quantity_positive",
+          l.agg(sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v"))),
+        row("lineitem_discount_in_unit_range",
+          l.agg(sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("v"))))
+      checks.reduce(_ unionByName _)
+        .select(col("expectation"), col("violations"),
+          (col("violations") === 0L).as("pass"))
+        .orderBy(col("expectation"))
+    },
+    Some("""
+      WITH checks AS (
+        SELECT 'orders_custkey_not_null' AS expectation,
+          CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_orderkey_in_orders',
+          CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'orders_custkey_in_customer',
+          CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'orders_orderkey_unique',
+          CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT)
+        FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        UNION ALL
+        SELECT 'lineitem_quantity_positive',
+          CAST(COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_discount_in_unit_range',
+          CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM lineitem)
+      SELECT expectation, violations, violations = 0 AS pass
+      FROM checks ORDER BY expectation"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q43)
+    q39, q40, q41, q42, q43, q44)
 }
