@@ -63,7 +63,10 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + (if (collides(k)) k else short(k)) + "\":" + cs2(v)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries carry NEGATIVE per-key markers — exclude them from
+    // the headline total so a crash can't read as a speedup (subtracting
+    // its time-to-fail); the negative key is the visible failure signal
+    val total = results.values.filter(_ >= 0).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val json =
       s"""{"metric":"total","value":${cs2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""

@@ -20,6 +20,25 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // in-memory stream decode only: ImageIO's default disk-backed stream
+  // cache writes temp files per decode — per-row temp IO on executors
+  ImageIO.setUseCache(false)
+
+  /** Deterministic gray PNG from a pixel function — the shared fixture
+    * generator for the decode specs and the Demo's image scenario (one
+    * definition, so both exercise identical payload bytes).
+    */
+  def encodeGrayPng(w: Int, h: Int)(v: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = math.max(0, math.min(255, v(x, y)))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Decode + resample to a `w` x `h` GRAYSCALE thumbnail in one
     * Graphics2D pass (bilinear), returning luma samples in [0, 1]
     * row-major — the primitive features/dHash build on. None when the

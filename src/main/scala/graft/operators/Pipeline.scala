@@ -426,13 +426,18 @@ object Pipeline {
     * sides would be bucketed by doc_id for a zero-shuffle sort-merge.
     */
   def snapshotDiff(snapA: DataFrame, snapB: DataFrame): DataFrame = {
-    val a = snapA.select(col("doc_id"), md5(col("text")).as("h_a"))
-    val b = snapB.select(col("doc_id"), md5(col("text")).as("h_b"))
+    // presence is decided by an explicit flag, NOT by hash nullness:
+    // md5(NULL text) is NULL, and reading that as "row absent" would
+    // misreport a present-but-null-text doc as added/removed. Content
+    // compare is null-safe (<=>) so (NULL, NULL) is unchanged and
+    // (NULL, "x") is changed.
+    val a = snapA.select(col("doc_id"), md5(col("text")).as("h_a"), lit(true).as("in_a"))
+    val b = snapB.select(col("doc_id"), md5(col("text")).as("h_b"), lit(true).as("in_b"))
     a.join(b, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("h_a").isNull, "added")
-          .when(col("h_b").isNull, "removed")
-          .when(col("h_a") =!= col("h_b"), "changed"))
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(!(col("h_a") <=> col("h_b")), "changed"))
       .filter(col("status").isNotNull)
       .select(col("doc_id"), col("status"))
       .orderBy(col("doc_id"), col("status"))
@@ -456,20 +461,21 @@ object Pipeline {
       snapshotDiff(docs, nextRelease)
     },
     Some("""
-      WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
+      WITH a AS (SELECT doc_id, md5(text) AS h_a, TRUE AS in_a FROM documents),
       b AS (
         SELECT doc_id,
-          md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h_b
+          md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h_b,
+          TRUE AS in_b
         FROM documents WHERE doc_id % 10 != 0
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, md5(text) AS h_b
+        SELECT doc_id + 1000000 AS doc_id, md5(text) AS h_b, TRUE AS in_b
         FROM documents WHERE doc_id % 13 = 0)
       SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-        CASE WHEN a.h_a IS NULL THEN 'added'
-             WHEN b.h_b IS NULL THEN 'removed'
-             WHEN a.h_a != b.h_b THEN 'changed' END AS status
+        CASE WHEN a.in_a IS NULL THEN 'added'
+             WHEN b.in_b IS NULL THEN 'removed'
+             WHEN a.h_a IS DISTINCT FROM b.h_b THEN 'changed' END AS status
       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-      WHERE (a.h_a IS NULL OR b.h_b IS NULL OR a.h_a != b.h_b)
+      WHERE a.in_a IS NULL OR b.in_b IS NULL OR a.h_a IS DISTINCT FROM b.h_b
       ORDER BY doc_id, status"""))
 
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10)

@@ -210,12 +210,14 @@ object Sketching {
     // exactly — even when it has >= k members (slicing to k and
     // estimating would discard information we hold). Only when an input
     // sketch saturated (lost members) does the theta estimator apply.
-    val exactUnion = size(array_distinct(concat(skA, skB)))
-    val merged = slice(array_sort(array_distinct(concat(skA, skB))), 1, k)
-    when(size(skA) < k && size(skB) < k, exactUnion.cast("double"))
-      .otherwise(when(size(merged) === k,
-          lit((k - 1).toDouble) / (element_at(merged, k) / 1.8446744073709552e19 + 0.5))
-        .otherwise(size(merged).cast("double")))
+    // One sorted-distinct union serves every branch (no separate slice:
+    // element_at(sorted, k) IS the merged sketch's theta when the union
+    // reaches k members).
+    val sorted = array_sort(array_distinct(concat(skA, skB)))
+    when(size(skA) < k && size(skB) < k, size(sorted).cast("double"))
+      .otherwise(when(size(sorted) >= k,
+          lit((k - 1).toDouble) / (element_at(sorted, k) / 1.8446744073709552e19 + 0.5))
+        .otherwise(size(sorted).cast("double")))
   }
 
   /** Per-sketch distinct-count estimate: exact (= size) below capacity,

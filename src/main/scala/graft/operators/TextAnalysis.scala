@@ -641,6 +641,10 @@ object TextAnalysis {
     (s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        // a blank/whitespace-only doc splits to [""]: the empty "word"
+        // would count as n_words=1 with 0 BPE symbols, violating the
+        // tokens >= words invariant — drop it before counting
+        .filter(col("w") =!= "")
         .select(col("doc_id"),
           size(graft.functions.BpeEncode(col("w"), DefaultMerges)).cast("long").as("nw"))
         .groupBy(col("doc_id"))

@@ -245,17 +245,7 @@ object Demo {
     // contract a 100 TB payload scan needs.
     {
       import spark.implicits._
-      def png(w: Int, h: Int)(v: (Int, Int) => Int): Array[Byte] = {
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        for (y <- 0 until h; x <- 0 until w) {
-          val g = math.max(0, math.min(255, v(x, y)))
-          img.setRGB(x, y, (g << 16) | (g << 8) | g)
-        }
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", out)
-        out.toByteArray
-      }
+      val png = graft.operators.ImageCodec.encodeGrayPng _
       val imgs = (0 until 8).map(k =>
         (k.toLong, png(128, 96)((x, y) => (x * (3 + k) + y * (7 + k)) % 256)))
       val mixed = imgs ++ Seq((100L, "not an image".getBytes("UTF-8")))

@@ -58,6 +58,24 @@ object PlanAudit {
     "x3_heavy_hitters" -> "hashed-bucket aggregate: width 1024 rows max (constant)",
     "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB")
 
+  // Iterative operators EXECUTE when their builder runs (label
+  // propagation materializes per round), so "building the plan" would
+  // run the whole algorithm and return only a scan of the checkpointed
+  // result — nothing to audit. ONE list, shared by the audit tool and
+  // PlanAuditSpec's whole-surface sweep, so the two can't drift.
+  val iterative = Map(
+    "d6_dedup_clusters" ->
+      "iterative label propagation; per-round shape == d2's audited joins",
+    "d7_dedup_canonical" ->
+      "consumes d6's materialized components; per-round shape == d2's audited joins")
+
+  // d2's queries() entry returns the eagerly materialized pair-graph
+  // view (a checkpointed-RDD scan — nothing to audit); audit the lazy
+  // pipeline it materializes instead.
+  val lazyTwin: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("d2_dedup_minhash_lsh" ->
+      ((s, d) => graft.operators.Dedup.nearDupPairs(graft.Tables.documents(s, d))))
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val spark = graft.GraftSession.local(8)
@@ -84,22 +102,6 @@ object PlanAudit {
         "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size)",
       "q41_daily_spine" ->
         "calendar spine x priority dim (calendar- and enum-bounded, not data-bounded)")
-    // Iterative operators EXECUTE when their builder runs (label
-    // propagation materializes per round), so "building the plan" would
-    // run the whole algorithm and return only a scan of the checkpointed
-    // result — nothing to audit. Their per-round join shape is the same
-    // pair-graph equi-join audited via d2.
-    val iterative = Map(
-      "d6_dedup_clusters" ->
-        "iterative label propagation; per-round shape == d2's audited joins",
-      "d7_dedup_canonical" ->
-        "consumes d6's materialized components; per-round shape == d2's audited joins")
-    // d2's queries() entry returns the eagerly materialized pair-graph
-    // view (a checkpointed-RDD scan — nothing to audit); audit the lazy
-    // pipeline it materializes instead.
-    val lazyTwin: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("d2_dedup_minhash_lsh" ->
-        ((s, d) => graft.operators.Dedup.nearDupPairs(graft.Tables.documents(s, d))))
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

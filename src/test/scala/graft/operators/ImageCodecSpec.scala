@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.awt.image.BufferedImage
-import java.io.ByteArrayOutputStream
 import javax.imageio.ImageIO
 
 import graft.SparkSpec
@@ -15,17 +13,10 @@ import org.apache.spark.sql.functions._
 class ImageCodecSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Deterministic PNG: pixel (x, y) gray value from `v`. */
-  private def png(w: Int, h: Int)(v: (Int, Int) => Int): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) {
-      val g = math.max(0, math.min(255, v(x, y)))
-      img.setRGB(x, y, (g << 16) | (g << 8) | g)
-    }
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
-    out.toByteArray
-  }
+  /** Deterministic PNG: pixel (x, y) gray value from `v` — the shared
+    * [[ImageCodec.encodeGrayPng]] fixture generator. */
+  private def png(w: Int, h: Int)(v: (Int, Int) => Int): Array[Byte] =
+    ImageCodec.encodeGrayPng(w, h)(v)
 
   private val imgA = png(144, 96)((x, y) => (x * 7 + y * 13 + (x / 9) * (y / 8) * 31) % 256)
   // "re-encode noise": tiny zero-mean per-pixel perturbation of imgA

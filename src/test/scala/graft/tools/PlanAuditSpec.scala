@@ -52,12 +52,13 @@ class PlanAuditSpec extends SparkSpec {
     // every lazily-plannable SparkEntry query passes the guard or is in
     // the allowlist with a boundedness argument — the whole-repo
     // invariant, enforced here so a regression fails the suite, not
-    // just the out-of-band audit tool
-    val iterative = Set("d2_dedup_minhash_lsh", "d6_dedup_clusters", "d7_dedup_canonical",
-      "d11_incremental_dedup")
+    // just the out-of-band audit tool. Exclusions come from PlanAudit's
+    // OWN shared lists (iterative algorithms execute at plan-build; d2
+    // audits via its lazy twin) so the tool and this sweep can't drift.
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
-      case (name, fn) if !iterative(name) =>
-        val hints = try PlanAudit.corpusBroadcastHints(fn(spark, sfDir)) catch {
+      case (name, fn) if !PlanAudit.iterative.contains(name) =>
+        val audited = PlanAudit.lazyTwin.getOrElse(name, fn)
+        val hints = try PlanAudit.corpusBroadcastHints(audited(spark, sfDir)) catch {
           case _: Throwable => Seq.empty // planning failures are OperatorSpec's dept
         }
         spark.catalog.clearCache()
