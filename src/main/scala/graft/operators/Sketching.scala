@@ -283,5 +283,43 @@ object Sketching {
       JOIN c cb ON cb.event_type = un.type_b
       ORDER BY type_a, type_b"""))
 
-  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7)
+  // I8 — KMV ROLL-UP: the store-sketches-once / merge-at-query-time
+  // pattern with the custom mergeable aggregate (x4 shows it with the
+  // built-in HLL; this is the same architecture with an EXACT oracle).
+  // Stage 1 builds one bounded sketch per (event_type, day) — the
+  // artifact a 100 TB pipeline materializes per partition/day. Stage 2
+  // answers "distinct users per type over all days" WITHOUT raw data:
+  // explode the retained values and re-aggregate KMinValues — correct
+  // because any value among the k smallest globally is among its own
+  // day's k smallest (pigeonhole), so the re-aggregated sketch is
+  // BIT-IDENTICAL to a single pass over the raw column (spec-pinned in
+  // the saturated regime). Below capacity the roll-up is exact, hence
+  // the COUNT(DISTINCT) oracle.
+  private val x8 = Relational.Q(
+    "x8_kmv_rollup",
+    (s, d) => {
+      val K = 2048
+      val daily = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          xxhash64(col("user_id")).as("h"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(graft.functions.KMinValues(col("h"), K).as("sk"))
+      daily
+        .select(col("event_type"), col("day"), explode(col("sk")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("day")).as("n_days"),
+          graft.functions.KMinValues(col("h"), K).as("sk"))
+        .select(col("event_type"), col("n_days"),
+          round(kmvCardinalityEstimate(col("sk"), K)).cast("long").as("distinct_users"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+        CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8)
 }

@@ -261,6 +261,10 @@ class OperatorSpec extends SparkSpec {
     assert(enc("xyz", m1) == Seq("x", "y", "z"))
     // a merged symbol re-enters the pool: (a,a) then (aa,aa)
     assert(enc("aaaa", Seq("a" -> "a", "aa" -> "aa")) == Seq("aaaa"))
+    // surrogate pairs stay whole symbols (code-point split, not chars) —
+    // and merges can target them like any other symbol
+    assert(enc("a😀b", Nil) == Seq("a", "😀", "b"))
+    assert(enc("a😀b", Seq("a" -> "😀")) == Seq("a😀", "b"))
   }
 
   test("BPE encode (t14): codegen path equals the interpreted reference over corpus words") {
@@ -881,6 +885,32 @@ class OperatorSpec extends SparkSpec {
     assert(low.contains((37L, 36L, 14L)), s"got ${low.mkString(",")}")
     // minSpan below the anchor width would silently miss spans — rejected
     intercept[IllegalArgumentException] { Dedup.substringSpans(docs, 8, 7) }
+  }
+
+  test("substring spans (d12): pathological uniform docs stay pair-bounded and exact") {
+    // worst case for the anchor join: two docs that are ONE long run of
+    // the same token — every anchor matches every anchor. The machinery
+    // must stay within the (pair, diagonal) partitioning (no blowup
+    // beyond the pair's own quadratic surface) and report the exact
+    // diagonal structure: for lengths (m, n) and width w, each shift s
+    // has overlap min(m, n - s + ...) — pinned here by total span count
+    // and the maximal diagonal
+    val docs = Seq((1L, Seq.fill(30)("a").mkString(" ")),
+      (2L, Seq.fill(40)("a").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs, 8, 15).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // diagonal d = start_a - start_b: overlap of a 30-run against a
+    // 40-run at every alignment; maximal spans of >= 15 tokens exist for
+    // alignments where the overlap window has >= 15 tokens. All spans
+    // start at pos 1 on one side (runs are uniform, islands start at the
+    // first anchor of each diagonal).
+    assert(out.nonEmpty)
+    // the full-overlap diagonal: the entire 30-token run matches inside
+    // the 40-token run at every offset 0..10 -> span 30 each
+    val full = out.filter(_._3 == 30L)
+    assert(full.length == 11, s"expected 11 full-overlap alignments, got ${full.length}")
+    // no span exceeds the shorter doc's run length
+    assert(out.forall(_._3 <= 30L))
   }
 
   test("self-repeat spans (d13): planted internal repetition located exactly; clean docs stay silent") {

@@ -146,6 +146,25 @@ class SketchingSpec extends SparkSpec {
       .select(Sketching.kmvUnionEstimate(col("sk_a"), col("sk_b"), K))
       .as[Double].head()
     assert(exactUnion == 400.0, s"unsaturated union must be exact 400, got $exactUnion")
+  }
+
+  test("KMV roll-up (x8): merged per-day sketches are bit-identical to one pass over raw values") {
+    import spark.implicits._
+    import graft.functions.KMinValues
+    // 9000 distinct values split over 3 "days" at k=256: every daily
+    // sketch saturates, yet re-aggregating the retained values must
+    // reproduce the single-pass sketch EXACTLY (any global top-k-min
+    // value is in its own day's top k — pigeonhole), which is why the
+    // roll-up answers are the same as never having partitioned at all
+    val K = 256
+    val rows = (0 until 9000).map(i => (s"day${i % 3}", i.toLong)).toDF("day", "v")
+      .select(col("day"), xxhash64(col("v")).as("h"))
+    val daily = rows.groupBy(col("day")).agg(KMinValues(col("h"), K).as("sk"))
+    val rolled = daily.select(explode(col("sk")).as("h"))
+      .agg(KMinValues(col("h"), K)).head().getSeq[Long](0)
+    val single = rows.agg(KMinValues(col("h"), K)).head().getSeq[Long](0)
+    assert(rolled == single, "roll-up sketch diverged from the single-pass sketch")
+    assert(rolled.length == K)
     // exact regime: x7's oracle-checked inclusion-exclusion algebra
     // reconciles with x6's overlap on the real events table:
     // |A∪B| = |A∩B| + |A\B| + |B\A| - ... = only_a + only_b + shared
