@@ -484,9 +484,21 @@ object Relational {
     * right side can carry duplicate timestamps per key, or the winner is
     * partition-order-dependent. q21 is the oracle-checked instance.
     */
+  /** `within`: optional TOLERANCE predicate `(leftTs, asofTs) => bool` —
+    * when supplied, a match older than the caller's bound is NULLED
+    * (the left row survives, contract parity with the no-match case:
+    * "most recent prior row, but only if recent enough" — attribution-
+    * window semantics). A predicate builder rather than a fixed delta
+    * keeps the operator generic over ts types AND lets the caller pick
+    * integer-exact arithmetic (e.g. unix_micros) so the gate can't flip
+    * on float rounding. Correct by construction: any OTHER prior right
+    * row is older still, so nulling (never re-matching) is the right
+    * semantics.
+    */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String],
-      rightTieBreak: Option[String] = None): DataFrame = {
+      rightTieBreak: Option[String] = None,
+      within: Option[(Column, Column) => Column] = None): DataFrame = {
     // internal scaffolding + output names are reserved: an input frame
     // already carrying one would fail obscurely (ambiguous reference) or
     // silently misjoin; collide loudly instead
@@ -529,11 +541,20 @@ object Relational {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__kind"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+    val base = u.withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__kind") === 1)
       .select(col("__l.*") +:
         (payload.map(c => col(s"__last.`$c`").as(s"asof_$c")) :+
           col(s"__last.`$rightTs`").as("asof_ts")): _*)
+    within match {
+      case None => base
+      case Some(pred) =>
+        val outCols = payload.map(c => s"asof_$c") :+ "asof_ts"
+        val ok = col("asof_ts").isNotNull && pred(col(leftTs), col("asof_ts"))
+        val keep = base.columns.filterNot(outCols.contains).toSeq
+        base.select(keep.map(col) ++
+          outCols.map(c => when(ok, col(c)).otherwise(lit(null)).as(c)): _*)
+    }
   }
 
   // q21 runs THROUGH the generalized asOfJoin so the DuckDB oracle pins
@@ -1280,6 +1301,53 @@ object Relational {
       FROM orders o JOIN c USING (o_orderkey)
       ORDER BY ABS(delta) DESC, o_orderkey LIMIT 100"""))
 
+  // B45 — as-of join with an ATTRIBUTION WINDOW: q21's as-of machinery
+  // plus the tolerance bound real attribution needs ("the purchase's
+  // last prior click, but only within 24 hours — else unattributed";
+  // ~34% of purchases attribute at this corpus's click gaps, so both
+  // branches of the gate are exercised). The gate is integer-exact
+  // microsecond arithmetic (unix_micros / epoch_us in the oracle), so
+  // the boundary can't flip on float rounding; rows outside the window
+  // keep the purchase with NULLed attribution, preserving the left-row
+  // count.
+  private val q45 = Q(
+    "q45_asof_tolerance",
+    (s, d) => {
+      val TolMicros = 24L * 3600L * 1000000L
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      asOfJoin(purchases, clicks, "user_id", "ts", "ts",
+        Seq("event_id"), rightTieBreak = Some("event_id"),
+        within = Some((l, r) => unix_micros(l) - unix_micros(r) <= lit(TolMicros)))
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"),
+          col("asof_ts").as("attrib_click_ts"),
+          col("asof_event_id").as("attrib_click_id"))
+        .orderBy(col("user_id"), col("purchase_id"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, ts, event_id, 0 AS kind FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, event_id, 1 AS kind FROM events WHERE event_type = 'purchase'),
+      w AS (
+        SELECT user_id, ts, event_id, kind,
+          last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER win AS last_click_ts,
+          last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER win AS last_click_id
+        FROM u
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        CASE WHEN epoch_us(ts) - epoch_us(last_click_ts) <= 86400000000
+             THEN last_click_ts END AS attrib_click_ts,
+        CASE WHEN epoch_us(ts) - epoch_us(last_click_ts) <= 86400000000
+             THEN last_click_id END AS attrib_click_id
+      FROM w WHERE kind = 1
+      ORDER BY user_id, purchase_id"""))
+
   // B44 — data-expectations audit (the dbt-test/Great-Expectations gate a
   // production pipeline runs before publishing a snapshot): each
   // expectation is one aggregate or anti-join over the raw tables —
@@ -1353,5 +1421,5 @@ object Relational {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q43, q44)
+    q39, q40, q41, q42, q43, q44, q45)
 }

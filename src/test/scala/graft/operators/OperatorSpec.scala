@@ -980,6 +980,25 @@ class OperatorSpec extends SparkSpec {
     assert(got("L5") == "early")
     assert(got("L7") == null) // no right row for key 2: null-extended, not dropped
   }
+  test("asOfJoin tolerance: out-of-window matches are NULLED, left rows survive") {
+    val left = Seq((1L, 100L, "p1"), (1L, 500L, "p2"), (2L, 50L, "p3"), (3L, 7L, "p4"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, 1L, "c1"), (1L, 100L, 2L, "c2"), (2L, 10L, 3L, "c3"))
+      .toDF("k", "t", "seq", "v")
+    val got = Relational.asOfJoin(left, right, "k", "t", "t", Seq("v"),
+        rightTieBreak = Some("seq"),
+        within = Some((l, r) => l - r <= lit(50L)))
+      .select("tag", "asof_v", "asof_ts").collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          (if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))))).toMap
+    assert(got.size == 4, "tolerance must never drop a left row")
+    assert(got("p1") == (("c2", 100L)), "in-window match (delta 0) must survive")
+    assert(got("p2") == ((null, null)),
+      "out-of-window match (delta 400 > 50) must null BOTH asof columns")
+    assert(got("p3") == (("c3", 10L)), "boundary delta 40 <= 50 stays matched")
+    assert(got("p4") == ((null, null)), "no-match baseline still null-extends")
+  }
   test("asOfJoin rejects inputs colliding with its reserved or output column names") {
     val left = Seq((1L, 5L, "x")).toDF("k", "t", "v")
     val right = Seq((1L, 3L, "y")).toDF("k", "t", "v")
