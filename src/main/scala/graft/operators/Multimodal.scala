@@ -280,9 +280,18 @@ object Multimodal {
     * risk — pre-group equal hashes and join representatives if a band
     * bucket grows past the partition budget.
     */
-  def dhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def dhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    dhashNearDupsFromHashes(
+      docs.select(col("doc_id"), dHash63(col("text")).as("h")), maxHamming)
+
+  /** The band join over PRECOMPUTED 63-bit perceptual hashes — the entry
+    * point for hashes from real decoded pixels
+    * ([[ImageCodec.dhashFromImage]] emits the identical bit layout), so
+    * image near-dup runs the same operator as the text-stub pipeline.
+    * Input: (doc_id, h).
+    */
+  def dhashNearDupsFromHashes(h: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x16 banding only guarantees recall for hamming <= 3")
-    val h = docs.select(col("doc_id"), dHash63(col("text")).as("h"))
     // band index rides along so equal 16-bit values in different lanes
     // don't collide into one bucket
     val withIdx = h.select(col("doc_id"), col("h"),

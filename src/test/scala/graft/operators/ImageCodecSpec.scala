@@ -58,6 +58,28 @@ class ImageCodecSpec extends SparkSpec {
     assert(far > 3, s"distinct images at hamming $far would collide as near-dups")
   }
 
+  test("real image near-dup: decoded dHashes run the SAME band join as m6 and find the noisy twins") {
+    // 6 distinct images, each with a noise-perturbed re-encode twin at
+    // id+100 — the twins MUST pair (hamming <= 3 by the dHash spec
+    // above, pigeonhole recall 1 through the 4x16 banding), distinct
+    // images must not
+    val base = (0 until 6).map(k =>
+      (k.toLong, png(144, 96)((x, y) => (x * (5 + 2 * k) + y * (11 + k) + (x / 12) * (y / 8) * (3 + k)) % 256)))
+    val twins = (0 until 6).map(k =>
+      (k + 100L, png(144, 96)((x, y) =>
+        (x * (5 + 2 * k) + y * (11 + k) + (x / 12) * (y / 8) * (3 + k)) % 256 + ((x + y) % 5 - 2))))
+    val hashes = (base ++ twins).map { case (id, bytes) =>
+      (id, ImageCodec.dhashFromImage(bytes).get)
+    }.toDF("doc_id", "h")
+    val pairs = Multimodal.dhashNearDupsFromHashes(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 6).map(k => (k.toLong, k + 100L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missed noisy-twin pairs: ${(expected -- pairs).mkString(",")}")
+    // no cross-image collisions: every found pair is a planted twin
+    assert(pairs.subsetOf(expected), s"false near-dups: ${(pairs -- expected).mkString(",")}")
+  }
+
   test("batched decode through Spark handles a mixed image/text payload column") {
     val rows = Seq(
       (1L, imgA), (2L, imgB),
