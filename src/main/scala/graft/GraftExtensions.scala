@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, KMinValues, MinHashSignature, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
+import graft.functions.{BpeEncode, CosineSimilarity, KMinValues, MinHashSignature, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
 
 /** Spark session extension: registers graft's custom Catalyst expressions
   * as SQL functions, so the whole similarity/dedup toolkit is reachable
@@ -15,6 +15,9 @@ import graft.functions.{CosineSimilarity, KMinValues, MinHashSignature, RandomHy
   *   minhash_sig(h, k)            — AGG: k-perm minhash signature of hashes
   *   simhash64(h)                 — AGG: 64-bit simhash of token hashes
   *   kmin_values(h, k)            — AGG: KMV theta sketch (k smallest distinct hashes)
+  *   bpe_encode(w, merges)        — greedy BPE symbols of a word; merges is a
+  *                                  literal array of 'left right' lines (the
+  *                                  public merges-file format), vocab-bounded
   *
   * Enable with:
   *   SparkSession.builder().config("spark.sql.extensions", "graft.GraftExtensions")
@@ -63,6 +66,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(children.length == 2, "kmin_values expects (hash, k)")
       KMinValues(children.head, litInt(children(1), "kmin_values", "k"))
         .toAggregateExpression()
+    })
+    register(ext, "bpe_encode", { children =>
+      require(children.length == 2,
+        "bpe_encode expects (word, merges: array of 'left right' strings)")
+      val m = children(1)
+      require(m.foldable,
+        "bpe_encode: merges must be a LITERAL array of 'left right' strings " +
+          "(the table is a model artifact, not per-row data)")
+      val lines = m.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"bpe_encode: merges must be an array of strings, got $other")
+      }
+      val merges = lines.map { line =>
+        val sp = line.split(" ", 2)
+        require(sp.length == 2 && sp(0).nonEmpty && sp(1).nonEmpty,
+          s"bpe_encode: merge line '$line' must be 'left right'")
+        (sp(0), sp(1))
+      }
+      BpeEncode(children.head, merges)
     })
   }
 }

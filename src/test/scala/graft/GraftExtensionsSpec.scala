@@ -54,6 +54,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |FROM VALUES (xxhash64('a')), (xxhash64('b')), (xxhash64('a')) AS t(h)""".stripMargin)
         .head().getSeq[Long](0)
       assert(kmv.length == 2 && kmv == kmv.sorted)
+      // real BPE from SQL: merges as a literal array of 'left right'
+      // lines (the public merges-file format), greedy loop inside the
+      // codegen expression
+      val bpe = spark.sql(
+        "SELECT bpe_encode('hello', array('h e', 'l l', 'he ll', 'hell o')) AS s")
+        .head().getSeq[String](0)
+      assert(bpe == Seq("hello"), s"got $bpe")
+      val bpePartial = spark.sql(
+        "SELECT bpe_encode('help', array('h e', 'l l')) AS s")
+        .head().getSeq[String](0)
+      assert(bpePartial == Seq("he", "l", "p"), s"got $bpePartial")
+      // non-literal merges are rejected loudly (the table is a model
+      // artifact, not per-row data)
+      val err = intercept[Exception] {
+        spark.sql("SELECT bpe_encode('x', array(CAST(rand() AS STRING))) AS s").head()
+      }
+      assert(err.getMessage.contains("LITERAL") || err.getMessage.contains("literal"),
+        s"unexpected error: ${err.getMessage}")
     } finally {
       // do NOT stop(): that would kill the shared SparkContext
       SparkSession.clearDefaultSession()
