@@ -1358,38 +1358,45 @@ object Relational {
   // the whole audit is hash-checked cross-engine. On this generated
   // dataset all gates PASS with 0 violations — the point is the CHECKS
   // run distributed, not that the data is dirty.
+  /** B44's core over ANY (lineitem, orders, customer)-shaped trio —
+    * factored out so the check logic is testable on planted DIRTY data
+    * (the real corpus passes every gate, which proves the checks run but
+    * not that they catch).
+    */
+  def dataExpectations(l: DataFrame, o: DataFrame, c: DataFrame): DataFrame = {
+    // each check frame is a single-row global aggregate; sum() over an
+    // empty/all-false input yields null, hence the coalesce
+    def row(name: String, agged: DataFrame) =
+      agged.select(lit(name).as("expectation"),
+        coalesce(col("v"), lit(0L)).cast("long").as("violations"))
+    val checks = Seq(
+      row("orders_custkey_not_null",
+        o.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v"))),
+      row("lineitem_orderkey_in_orders",
+        l.join(o.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("v"))),
+      // nulls are the not-null check's finding, not an orphan — exclude
+      // them here or one dirty row counts against two expectations
+      row("orders_custkey_in_customer",
+        o.filter(col("o_custkey").isNotNull)
+          .join(c.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("v"))),
+      row("orders_orderkey_unique",
+        o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+          .agg(sum(when(col("n") > 1, col("n")).otherwise(0L)).as("v"))),
+      row("lineitem_quantity_positive",
+        l.agg(sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v"))),
+      row("lineitem_discount_in_unit_range",
+        l.agg(sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("v"))))
+    checks.reduce(_ unionByName _)
+      .select(col("expectation"), col("violations"),
+        (col("violations") === 0L).as("pass"))
+      .orderBy(col("expectation"))
+  }
+
   private val q44 = Q(
     "q44_data_expectations",
-    (s, d) => {
-      val l = Tables.lineitem(s, d)
-      val o = Tables.orders(s, d)
-      val c = Tables.customer(s, d)
-      // each check frame is a single-row global aggregate; sum() over an
-      // empty/all-false input yields null, hence the coalesce
-      def row(name: String, agged: org.apache.spark.sql.DataFrame) =
-        agged.select(lit(name).as("expectation"),
-          coalesce(col("v"), lit(0L)).cast("long").as("violations"))
-      val checks = Seq(
-        row("orders_custkey_not_null",
-          o.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v"))),
-        row("lineitem_orderkey_in_orders",
-          l.join(o.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
-            .agg(count(lit(1)).as("v"))),
-        row("orders_custkey_in_customer",
-          o.join(c.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
-            .agg(count(lit(1)).as("v"))),
-        row("orders_orderkey_unique",
-          o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
-            .agg(sum(when(col("n") > 1, col("n")).otherwise(0L)).as("v"))),
-        row("lineitem_quantity_positive",
-          l.agg(sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v"))),
-        row("lineitem_discount_in_unit_range",
-          l.agg(sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("v"))))
-      checks.reduce(_ unionByName _)
-        .select(col("expectation"), col("violations"),
-          (col("violations") === 0L).as("pass"))
-        .orderBy(col("expectation"))
-    },
+    (s, d) => dataExpectations(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d)),
     Some("""
       WITH checks AS (
         SELECT 'orders_custkey_not_null' AS expectation,
@@ -1402,7 +1409,8 @@ object Relational {
         UNION ALL
         SELECT 'orders_custkey_in_customer',
           CAST(COUNT(*) AS BIGINT) FROM orders o
-        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
         UNION ALL
         SELECT 'orders_orderkey_unique',
           CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT)

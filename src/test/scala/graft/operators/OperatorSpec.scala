@@ -980,6 +980,50 @@ class OperatorSpec extends SparkSpec {
     assert(got("L5") == "early")
     assert(got("L7") == null) // no right row for key 2: null-extended, not dropped
   }
+  test("data expectations (q44) CATCH planted violations, not just pass clean data") {
+    // the corpus passes every gate; this pins that each check actually
+    // fires on its own dirt class with the exact violation count
+    val orders = Seq(
+      (1L, Option(10L)), (2L, Option(10L)), (2L, Option(11L)), // dup orderkey 2 (x2)
+      (3L, Option.empty[Long]),                                 // null custkey
+      (4L, Option(99L)))                                        // orphan custkey
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (1L, java.math.BigDecimal.valueOf(5), java.math.BigDecimal.valueOf(0.1)),
+      (7L, java.math.BigDecimal.valueOf(1), java.math.BigDecimal.valueOf(0.0)), // orphan orderkey
+      (2L, java.math.BigDecimal.valueOf(0), java.math.BigDecimal.valueOf(0.5)), // qty <= 0
+      (3L, java.math.BigDecimal.valueOf(2), java.math.BigDecimal.valueOf(1.5))) // discount > 1
+      .toDF("l_orderkey", "l_quantity", "l_discount")
+    val customer = Seq(Tuple1(10L), Tuple1(11L)).toDF("c_custkey")
+    val got = Relational.dataExpectations(lineitem, orders, customer).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got("orders_custkey_not_null") == ((1L, false)))
+    assert(got("lineitem_orderkey_in_orders") == ((1L, false)))
+    assert(got("orders_custkey_in_customer") == ((1L, false)), "null custkey is not an orphan; 99 is")
+    assert(got("orders_orderkey_unique") == ((2L, false)), "dup key counts BOTH rows")
+    assert(got("lineitem_quantity_positive") == ((1L, false)))
+    assert(got("lineitem_discount_in_unit_range") == ((1L, false)))
+  }
+
+  test("snapshot diff (p10) handles null text: presence by flag, null-safe content compare") {
+    val a = Seq((1L, Option("same")), (2L, Option.empty[String]), (3L, Option("old")),
+        (4L, Option.empty[String]), (5L, Option("gone")))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, Option("same")), (2L, Option.empty[String]), (3L, Option("new")),
+        (4L, Option("text appeared")), (6L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Pipeline.snapshotDiff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 unchanged, doc 2 present in both with NULL text on both
+    // sides: NOT added/removed/changed (the md5(NULL)-reads-as-absent
+    // bug this spec pins)
+    assert(!got.contains(1L) && !got.contains(2L), s"got $got")
+    assert(got(3L) == "changed")
+    assert(got(4L) == "changed", "null -> text is a content change, not an add")
+    assert(got(5L) == "removed")
+    assert(got(6L) == "added")
+  }
+
   test("asOfJoin tolerance: out-of-window matches are NULLED, left rows survive") {
     val left = Seq((1L, 100L, "p1"), (1L, 500L, "p2"), (2L, 50L, "p3"), (3L, 7L, "p4"))
       .toDF("k", "t", "tag")
