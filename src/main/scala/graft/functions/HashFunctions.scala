@@ -125,6 +125,20 @@ object HashFunctions {
   def md5Hash56Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 14))::BIGINT"
 
+  /** Row-local twin of [[md5Hash56]] for STREAMING paths (the
+    * wordGramHashesLocal convention): first 7 md5 bytes of the UTF-8
+    * string = first 14 hex chars, parsed as an unsigned value < 2^56.
+    * Spec-pinned bit-identical to the column expression.
+    */
+  def md5Hash56Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
   /** Combination band keys (multi-index-hashing style) for hamming <= k
     * blocking: split the `bits` hash bits into `parts` disjoint parts; a pair at
     * hamming <= parts - clean differs in at most parts - clean parts, so

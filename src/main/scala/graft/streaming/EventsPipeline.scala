@@ -362,6 +362,47 @@ object EventsPipeline {
     }
   }
 
+  final case class QualityFlag(doc_id: Long, n_tokens: Long, score_sum: Long, keep: Boolean)
+
+  /** Streaming quality-model gate (A30) — the streaming twin of batch
+    * t15 (`TextAnalysis.qualityModelScore`), for the "reject low-quality
+    * docs as they arrive" ingestion shape: the model is a DENSE
+    * per-bucket integer-weight array (dim = length — vocab-bounded, the
+    * exported-linear-model artifact), broadcast once; each arriving doc
+    * is scored row-locally with the bit-compatible md5 bucket twin
+    * ([[graft.functions.HashFunctions.md5Hash56Local]]) and the same
+    * integer keep gate. STATELESS — no shuffle, no state store, no
+    * watermark (the A24 pattern); spec pins streamed flags == batch
+    * t15's exactly. Null-text docs emit nothing, matching the batch
+    * explode's drop.
+    */
+  def qualityGateStream(docs: Dataset[(Long, String)],
+      weights: Array[Long]): Dataset[QualityFlag] = {
+    import docs.sparkSession.implicits._
+    require(weights.nonEmpty, "weights must be a dense per-bucket array")
+    val dim = weights.length
+    val bc = docs.sparkSession.sparkContext.broadcast(weights)
+    docs.flatMap { case (id, text) =>
+      if (text == null) None
+      else {
+        // the exact column-path tokenization twin (trim strips only ' ',
+        // locale-free lower, split keeps trailing empties) — the
+        // wordGramHashesLocal convention
+        val tk = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+          .trim().toLowerCase().toString.split("\\s+", -1)
+        var sum = 0L
+        var i = 0
+        while (i < tk.length) {
+          val b = java.lang.Math.floorMod(
+            graft.functions.HashFunctions.md5Hash56Local(tk(i)), dim.toLong).toInt
+          sum += bc.value(b)
+          i += 1
+        }
+        Some(QualityFlag(id, tk.length.toLong, sum, sum >= 0L))
+      }
+    }
+  }
+
   def streamingNearDup(
       banded: Dataset[BandedDoc],
       minEstJaccard: Double = 0.8,

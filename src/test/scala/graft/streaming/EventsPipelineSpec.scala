@@ -251,6 +251,44 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate (A30): row-local scoring equals batch t15 exactly") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.{HashFunctions => H}
+    // the row-local md5 bucket twin is bit-identical to the column path
+    // over real corpus tokens — the premise everything below rests on
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w")).distinct().limit(300)
+      .select(col("w"), H.md5Hash56(col("w")).as("h")).collect()
+    toks.foreach { r =>
+      assert(H.md5Hash56Local(r.getString(0)) == r.getLong(1),
+        s"md5Hash56Local diverges on '${r.getString(0)}'")
+    }
+    // t15's fixture model as the dense array the stream broadcasts
+    val dim = 4096
+    val weights = Array.tabulate(dim)(b => (b.toLong * 2654435761L) % 1009L - 504L)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).take(120)
+    val src = MemoryStream[(Long, String)]
+    val q = EventsPipeline.qualityGateStream(src.toDS(), weights)
+      .writeStream.format("memory").queryName("quality_gate_test")
+      .outputMode("append").start()
+    try {
+      src.addData(docs.take(60): _*); q.processAllAvailable()
+      src.addData(docs.drop(60): _*); q.processAllAvailable()
+      val streamed = spark.table("quality_gate_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+      val ids = docs.map(_._1).toSet
+      val batch = graft.SparkEntry.queries("t15_quality_model")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .filter(t => ids(t._1)).toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: extra=${streamed -- batch} missing=${batch -- streamed}")
+      assert(streamed.exists(_._4) || streamed.exists(!_._4)) // non-vacuous
+    } finally q.stop()
+  }
+
   test("streaming BPE token metering: the codegen expression runs unchanged on a stream") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
