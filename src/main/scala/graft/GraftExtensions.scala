@@ -76,14 +76,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(the table is a model artifact, not per-row data)")
       val lines = m.eval() match {
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-          (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+          (0 until a.numElements()).map { i =>
+            val u = a.getUTF8String(i)
+            require(u != null,
+              s"bpe_encode: merges must not contain NULL (element $i)")
+            u.toString
+          }
         case other => throw new IllegalArgumentException(
           s"bpe_encode: merges must be an array of strings, got $other")
       }
       val merges = lines.map { line =>
-        val sp = line.split(" ", 2)
+        // no limit: 'a b c' must be REJECTED, not parsed as ('a', 'b c')
+        // — symbols can't contain spaces, and buildRanks keys ranks by
+        // the space-joined pair, so a space inside a symbol is ambiguous
+        val sp = line.split(" ")
         require(sp.length == 2 && sp(0).nonEmpty && sp(1).nonEmpty,
-          s"bpe_encode: merge line '$line' must be 'left right'")
+          s"bpe_encode: merge line '$line' must be exactly 'left right'")
         (sp(0), sp(1))
       }
       BpeEncode(children.head, merges)

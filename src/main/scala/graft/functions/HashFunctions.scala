@@ -130,13 +130,38 @@ object HashFunctions {
     * string = first 14 hex chars, parsed as an unsigned value < 2^56.
     * Spec-pinned bit-identical to the column expression.
     */
+  // getInstance does a provider lookup + allocation — per-CALL cost that
+  // dominates a per-token scoring loop; digest(bytes) resets the
+  // instance, so a thread-local is safe to reuse indefinitely
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def md5Hash56Local(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = md5Digest.get()
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     v
+  }
+
+  /** Row-local twin of the column tokenization `split(lower(trim(text)),
+    * "\\s+")` for streaming paths — shared by every streamed==batch
+    * operator so the subtle semantics live in ONE place: UTF8String trim
+    * strips only ' ' (Java trim eats all chars <= U+0020), UTF8String
+    * lower is locale-independent (Java toLowerCase is
+    * default-locale-sensitive), and split uses limit -1 because Spark's
+    * split keeps trailing empty strings (Java's 1-arg split drops them).
+    * Null text returns no tokens — callers that must distinguish "null
+    * doc" from "doc with zero tokens" (e.g. to mirror a batch explode
+    * drop) check null BEFORE calling.
+    */
+  def tokensLocal(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .trim().toLowerCase().toString.split("\\s+", -1)
   }
 
   /** Combination band keys (multi-index-hashing style) for hamming <= k

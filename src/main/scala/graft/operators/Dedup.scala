@@ -140,14 +140,10 @@ object Dedup {
   def minhashBandedLocal(docId: Long, text: String): Seq[(Long, Long, Array[Long])] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
-    // Tokenize through UTF8String so the semantics are EXACTLY Spark's:
-    // trim strips only ' ' (Java trim eats all chars <= U+0020), lower is
-    // locale-independent (Java toLowerCase is default-locale-sensitive),
-    // and split keeps trailing empty strings (Spark's split uses limit
-    // -1; Java's 1-arg split drops them). A doc like "foo bar baz\n"
-    // otherwise tokenizes differently and every band key diverges.
-    if (text == null) return Nil // batch twin: split(null) -> no shingles
-    val tk = UTF8String.fromString(text).trim().toLowerCase().toString.split("\\s+", -1)
+    // Tokenization semantics live in HashFunctions.tokensLocal (the one
+    // shared column-path twin); a doc like "foo bar baz\n" otherwise
+    // tokenizes differently and every band key diverges.
+    val tk = graft.functions.HashFunctions.tokensLocal(text)
     if (tk.length < 3) return Nil
     val hashes = tk.sliding(3).map(_.mkString(" ")).toArray.distinct
       .map(s => XXH64.hashUTF8String(UTF8String.fromString(s), 42L))
@@ -785,10 +781,9 @@ object Dedup {
   def wordGramHashesLocal(text: String, n: Int): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
-    // null text: the batch twin's split(null) yields no gram rows — a
-    // null doc is clean, not a query-killing NPE
-    if (text == null) return Array.empty
-    val tk = UTF8String.fromString(text).trim().toLowerCase().toString.split("\\s+", -1)
+    // null text: tokensLocal yields no tokens — a null doc is clean,
+    // not a query-killing NPE (matches the batch twin's split(null))
+    val tk = graft.functions.HashFunctions.tokensLocal(text)
     if (tk.length < n) Array.empty
     else tk.sliding(n)
       .map(g => XXH64.hashUTF8String(UTF8String.fromString(g.mkString(" ")), 42L))

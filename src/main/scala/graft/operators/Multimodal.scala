@@ -359,5 +359,55 @@ object Multimodal {
       WHERE bit_count(xor(a.h, b.h)) <= 3
       ORDER BY doc_a, doc_b"""))
 
-  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6)
+  // F7 — REAL audio ingest: encode a deterministic PCM16 WAV payload per
+  // doc (integer triangle-ish waveform — no transcendental, so the
+  // expected samples are SQL-expressible), then DECODE it back through
+  // the real RIFF parser ([[AudioCodec.decodePcm16Wav]]) and aggregate
+  // energy stats from the PARSED samples. The DuckDB oracle computes the
+  // same stats directly from the waveform formula — a hash match proves
+  // the container round-trip (header layout, little-endian int16 frames,
+  // chunk walking) recovered every sample bit-exactly. All stats are
+  // integer (sum of squares, peak) — no float anywhere. Narrow map-side
+  // work per row; the only shuffle is the final orderBy.
+  private val m7 = Relational.Q(
+    "m7_audio_ingest",
+    (s, d) => {
+      import s.implicits._
+      val SR = 8000
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (160 + (id % 80)).toInt
+            val step = (997 + (id % 7)).toInt
+            val samples = Array.tabulate(n)(k => (((k * step) % 65536) - 32768).toShort)
+            val dec = AudioCodec.decodePcm16Wav(
+              AudioCodec.encodePcm16Wav(SR, 1, samples)).getOrElse(
+              sys.error(s"m7: round-trip decode failed for doc $id"))
+            // everything below derives from the PARSED bytes, not the
+            // formula — the oracle recomputes from the formula, so the
+            // hash check pins decode == encode sample for sample
+            var ss = 0L; var peak = 0L
+            dec.samples.foreach { v =>
+              ss += v.toLong * v; peak = math.max(peak, math.abs(v.toLong))
+            }
+            (id, dec.sampleRate, dec.channels, dec.samples.length.toLong, ss, peak)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_channels", "n_frames", "sum_sq", "peak")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, 160 + doc_id % 80 AS n, 997 + doc_id % 7 AS step
+        FROM documents),
+      s AS (
+        SELECT doc_id, n, ((k * step) % 65536) - 32768 AS v
+        FROM d, LATERAL (SELECT unnest(range(n)) AS k) u)
+      SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+        CAST(n AS BIGINT) AS n_frames,
+        CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        CAST(MAX(ABS(v)) AS BIGINT) AS peak
+      FROM s GROUP BY doc_id, n ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7)
 }

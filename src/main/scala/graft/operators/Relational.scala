@@ -1348,6 +1348,70 @@ object Relational {
       FROM w WHERE kind = 1
       ORDER BY user_id, purchase_id"""))
 
+  // B46 — SCD2 dimension build (gaps-and-islands): the warehouse pattern
+  // for deriving a slowly-changing-dimension HISTORY from a fact stream —
+  // per customer, collapse consecutive orders with the same priority into
+  // one validity span (version, effective_from, effective_to; open-ended
+  // current span). Change detection = null-safe lag compare; island id =
+  // running sum of change flags; effective_to = next island's
+  // effective_from. Every window is PARTITIONED by customer (no global
+  // sort anywhere), the island aggregate is map-side combinable, and the
+  // span frame is a tiny fraction of the fact table — the canonical
+  // scale-safe islands spelling. Deterministic: (o_orderdate, o_orderkey)
+  // is a total order within a customer in both engines.
+  /** B46's core over ANY orders-shaped frame — factored out so the
+    * islands logic is testable on planted change sequences (the
+    * dataExpectations convention).
+    */
+  def scd2Dimension(orders: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val flagged = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("chg",
+        when(lag(col("o_orderpriority"), 1).over(wOrd) <=> col("o_orderpriority"), 0L)
+          .otherwise(1L))
+      .withColumn("version",
+        sum(col("chg")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = flagged
+      .groupBy(col("o_custkey"), col("version"), col("o_orderpriority"))
+      .agg(to_date(min(col("o_orderdate"))).as("effective_from"),
+        count(lit(1)).as("n_orders"))
+    val wVer = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    spans
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(wVer))
+      .select(col("o_custkey").as("c_custkey"), col("version"),
+        col("o_orderpriority").as("priority"),
+        col("effective_from"), col("effective_to"), col("n_orders"))
+      .orderBy(col("c_custkey"), col("version"))
+  }
+
+  private val q46 = Q(
+    "q46_scd2_dimension",
+    (s, d) => scd2Dimension(Tables.orders(s, d)),
+    Some("""
+      WITH f AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+          CASE WHEN lag(o_orderpriority) OVER win IS NOT DISTINCT FROM o_orderpriority
+               THEN 0 ELSE 1 END AS chg
+        FROM orders
+        WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      v AS (
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        FROM f),
+      sp AS (
+        SELECT o_custkey AS c_custkey, version, o_orderpriority AS priority,
+          CAST(MIN(o_orderdate) AS DATE) AS effective_from,
+          CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM v GROUP BY 1, 2, 3)
+      SELECT c_custkey, version, priority, effective_from,
+        lead(effective_from) OVER (PARTITION BY c_custkey ORDER BY version) AS effective_to,
+        n_orders
+      FROM sp ORDER BY c_custkey, version"""))
+
   // B44 — data-expectations audit (the dbt-test/Great-Expectations gate a
   // production pipeline runs before publishing a snapshot): each
   // expectation is one aggregate or anti-join over the raw tables —
@@ -1372,11 +1436,15 @@ object Relational {
     val checks = Seq(
       row("orders_custkey_not_null",
         o.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v"))),
-      row("lineitem_orderkey_in_orders",
-        l.join(o.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
-          .agg(count(lit(1)).as("v"))),
+      row("lineitem_orderkey_not_null",
+        l.agg(sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v"))),
       // nulls are the not-null check's finding, not an orphan — exclude
-      // them here or one dirty row counts against two expectations
+      // them from BOTH orphan checks or one dirty row counts against two
+      // expectations
+      row("lineitem_orderkey_in_orders",
+        l.filter(col("l_orderkey").isNotNull)
+          .join(o.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("v"))),
       row("orders_custkey_in_customer",
         o.filter(col("o_custkey").isNotNull)
           .join(c.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
@@ -1403,9 +1471,14 @@ object Relational {
           CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
         FROM orders
         UNION ALL
+        SELECT 'lineitem_orderkey_not_null',
+          CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM lineitem
+        UNION ALL
         SELECT 'lineitem_orderkey_in_orders',
           CAST(COUNT(*) AS BIGINT) FROM lineitem l
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        WHERE l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         UNION ALL
         SELECT 'orders_custkey_in_customer',
           CAST(COUNT(*) AS BIGINT) FROM orders o
@@ -1429,5 +1502,5 @@ object Relational {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q43, q44, q45)
+    q39, q40, q41, q42, q43, q44, q45, q46)
 }

@@ -383,13 +383,9 @@ object EventsPipeline {
     val dim = weights.length
     val bc = docs.sparkSession.sparkContext.broadcast(weights)
     docs.flatMap { case (id, text) =>
-      if (text == null) None
+      if (text == null) None // batch twin: explode over split(null) drops the doc
       else {
-        // the exact column-path tokenization twin (trim strips only ' ',
-        // locale-free lower, split keeps trailing empties) — the
-        // wordGramHashesLocal convention
-        val tk = org.apache.spark.unsafe.types.UTF8String.fromString(text)
-          .trim().toLowerCase().toString.split("\\s+", -1)
+        val tk = graft.functions.HashFunctions.tokensLocal(text)
         var sum = 0L
         var i = 0
         while (i < tk.length) {

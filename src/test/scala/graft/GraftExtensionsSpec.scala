@@ -72,6 +72,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
       assert(err.getMessage.contains("LITERAL") || err.getMessage.contains("literal"),
         s"unexpected error: ${err.getMessage}")
+      // a NULL merges element is rejected with the loud message, not an
+      // opaque NPE during analysis
+      val errNull = intercept[Exception] {
+        spark.sql("SELECT bpe_encode('x', array('h e', CAST(NULL AS STRING))) AS s").head()
+      }
+      assert(errNull.getMessage.contains("NULL"), s"unexpected: ${errNull.getMessage}")
+      // 'a b c' is ambiguous (buildRanks keys by the space-joined pair:
+      // ('a','b c') and ('a b','c') collide) — reject, don't guess
+      val errMalformed = intercept[Exception] {
+        spark.sql("SELECT bpe_encode('x', array('a b c')) AS s").head()
+      }
+      assert(errMalformed.getMessage.contains("exactly 'left right'"),
+        s"unexpected: ${errMalformed.getMessage}")
     } finally {
       // do NOT stop(): that would kill the shared SparkContext
       SparkSession.clearDefaultSession()

@@ -989,16 +989,19 @@ class OperatorSpec extends SparkSpec {
       (4L, Option(99L)))                                        // orphan custkey
       .toDF("o_orderkey", "o_custkey")
     val lineitem = Seq(
-      (1L, java.math.BigDecimal.valueOf(5), java.math.BigDecimal.valueOf(0.1)),
-      (7L, java.math.BigDecimal.valueOf(1), java.math.BigDecimal.valueOf(0.0)), // orphan orderkey
-      (2L, java.math.BigDecimal.valueOf(0), java.math.BigDecimal.valueOf(0.5)), // qty <= 0
-      (3L, java.math.BigDecimal.valueOf(2), java.math.BigDecimal.valueOf(1.5))) // discount > 1
+      (Option(1L), java.math.BigDecimal.valueOf(5), java.math.BigDecimal.valueOf(0.1)),
+      (Option(7L), java.math.BigDecimal.valueOf(1), java.math.BigDecimal.valueOf(0.0)), // orphan orderkey
+      (Option(2L), java.math.BigDecimal.valueOf(0), java.math.BigDecimal.valueOf(0.5)), // qty <= 0
+      (Option(3L), java.math.BigDecimal.valueOf(2), java.math.BigDecimal.valueOf(1.5)), // discount > 1
+      (Option.empty[Long], java.math.BigDecimal.valueOf(3), java.math.BigDecimal.valueOf(0.2))) // null orderkey
       .toDF("l_orderkey", "l_quantity", "l_discount")
     val customer = Seq(Tuple1(10L), Tuple1(11L)).toDF("c_custkey")
     val got = Relational.dataExpectations(lineitem, orders, customer).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     assert(got("orders_custkey_not_null") == ((1L, false)))
-    assert(got("lineitem_orderkey_in_orders") == ((1L, false)))
+    assert(got("lineitem_orderkey_not_null") == ((1L, false)))
+    assert(got("lineitem_orderkey_in_orders") == ((1L, false)),
+      "null orderkey is the not-null check's finding, not an orphan")
     assert(got("orders_custkey_in_customer") == ((1L, false)), "null custkey is not an orphan; 99 is")
     assert(got("orders_orderkey_unique") == ((2L, false)), "dup key counts BOTH rows")
     assert(got("lineitem_quantity_positive") == ((1L, false)))
@@ -1198,5 +1201,104 @@ class OperatorSpec extends SparkSpec {
       assert(last._3 + last._4 == lens(doc),
         s"doc $doc last chunk ends at ${last._3 + last._4}, len ${lens(doc)}")
     }
+  }
+
+  test("perplexity filter (t16): exact integer surprisal on a hand-computed corpus") {
+    // model: c(a,b)=4 c(b,a)=2 c(b,x)=1; c(a.)=4 c(b.)=3
+    // bits: (a,b)=floor(log2(4/4))=0  (b,a)=floor(log2(3/2))=0  (b,x)=floor(log2(3/1))=1
+    val docs = Seq((1L, "a b a b a b"), (2L, "a b x")).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityFilter(docs, maxBitsNum = 0L, maxBitsDen = 1L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((5L, 0L, true)), s"got ${got(1L)}") // 3x(a,b) + 2x(b,a) = 0 bits
+    assert(got(2L) == ((2L, 1L, false)), s"got ${got(2L)}") // the 0-bit gate drops 1 bit
+  }
+
+  test("perplexity filter: power-of-two surprisal does NOT round down (the k0 branch)") {
+    // "z a z b z c z d": c(z,*)=1 each with c(z.)=4 -> floor(log2(4/1))
+    // must be EXACTLY 2 (k0 = bitlen(4)-bitlen(1) = 2, 1<<2 <= 4 holds);
+    // an off-by-one in the branch would emit 1 and total 4, not 8
+    val docs = Seq((1L, "z a z b z c z d")).toDF("doc_id", "text")
+    val r = TextAnalysis.perplexityFilter(docs).collect().head
+    assert(r.getLong(1) == 7L, s"n_bigrams ${r.getLong(1)}")
+    assert(r.getLong(2) == 8L, s"total_bits ${r.getLong(2)}: 4 z-bigrams x 2 bits + 3 returns x 0")
+  }
+
+  test("perplexity filter gate is non-degenerate on the real corpus") {
+    // the 4.33 bits/bigram default sits at the corpus median — a filter
+    // that keeps (or drops) everything proves nothing
+    val flags = TextAnalysis.perplexityFilter(graft.Tables.documents(spark, sfDir))
+      .select(col("keep")).collect().map(_.getBoolean(0))
+    val kept = flags.count(identity)
+    assert(kept > 0 && kept < flags.length,
+      s"degenerate gate: kept $kept of ${flags.length}")
+  }
+
+  test("SCD2 dimension build (q46): islands, versions, and the open current span") {
+    val orders = Seq(
+      // cust 1: P1,P1,P2,P1 -> three spans (P1 x2, P2, P1) — the same
+      // value RETURNING opens a NEW span (history, not a group-by)
+      (101L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "P1"),
+      (102L, 1L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), "P1"),
+      (103L, 1L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), "P2"),
+      (104L, 1L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), "P1"),
+      // cust 2: single order -> one open-ended span
+      (201L, 2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "P5"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val rows = Relational.scd2Dimension(orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDate(3).toString, Option(r.getDate(4)).map(_.toString), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.length == 4, s"expected 4 spans, got ${rows.mkString(";")}")
+    assert(rows(0) == ((1L, 1L, "P1", "2024-01-01", Some("2024-02-01"), 2L)))
+    assert(rows(1) == ((1L, 2L, "P2", "2024-02-01", Some("2024-03-01"), 1L)))
+    assert(rows(2) == ((1L, 3L, "P1", "2024-03-01", None, 1L)), "current span must be open-ended")
+    assert(rows(3) == ((2L, 1L, "P5", "2024-01-02", None, 1L)))
+  }
+
+  test("audio codec: PCM16 WAV round-trip is sample-exact, mono and stereo") {
+    val mono = Array.tabulate(240)(k => (((k * 999) % 65536) - 32768).toShort)
+    val d1 = AudioCodec.decodePcm16Wav(AudioCodec.encodePcm16Wav(8000, 1, mono)).get
+    assert(d1.sampleRate == 8000 && d1.channels == 1)
+    assert(d1.samples.sameElements(mono), "mono samples must round-trip bit-exactly")
+    // stereo: interleaved L/R frames survive as-is
+    val stereo = Array.tabulate(100)(k => (k * 321 - 16000).toShort)
+    val d2 = AudioCodec.decodePcm16Wav(AudioCodec.encodePcm16Wav(44100, 2, stereo)).get
+    assert(d2.sampleRate == 44100 && d2.channels == 2)
+    assert(d2.samples.sameElements(stereo))
+  }
+
+  test("audio codec: malformed payloads return None, never throw (dirty-corpus contract)") {
+    val good = AudioCodec.encodePcm16Wav(8000, 1, Array.tabulate(50)(_.toShort))
+    assert(AudioCodec.decodePcm16Wav(null).isEmpty)
+    assert(AudioCodec.decodePcm16Wav(Array.emptyByteArray).isEmpty)
+    assert(AudioCodec.decodePcm16Wav("not a wav at all, just text bytes padded to length 44+"
+      .getBytes("US-ASCII")).isEmpty)
+    assert(AudioCodec.decodePcm16Wav(good.take(30)).isEmpty, "truncated header")
+    assert(AudioCodec.decodePcm16Wav(good.dropRight(7)).isEmpty,
+      "data chunk shorter than declared length")
+    // non-PCM format code (3 = IEEE float) rejected
+    val floatFmt = good.clone(); floatFmt(20) = 3
+    assert(AudioCodec.decodePcm16Wav(floatFmt).isEmpty)
+    // 8-bit depth rejected (PCM16-only contract)
+    val eightBit = good.clone(); eightBit(34) = 8
+    assert(AudioCodec.decodePcm16Wav(eightBit).isEmpty)
+    // and the good payload still decodes after all that cloning
+    assert(AudioCodec.decodePcm16Wav(good).nonEmpty)
+  }
+
+  test("audio codec: chunk walker skips unknown and odd-length chunks (word alignment)") {
+    // hand-build: RIFF [JUNK(odd len 3 + pad)] [fmt ] [LIST] [data]
+    val samples = Array[Short](100, -200, 300, -400)
+    val base = AudioCodec.encodePcm16Wav(16000, 1, samples)
+    val fmtAndData = base.drop(12) // the fmt + data chunks as encoded
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0) // len 3 + pad
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val body = junk ++ list ++ fmtAndData
+    val riff = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte]((body.length + 4).toByte, ((body.length + 4) >> 8).toByte, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+    val dec = AudioCodec.decodePcm16Wav(riff)
+    assert(dec.nonEmpty, "walker must skip JUNK (odd, padded) and LIST chunks")
+    assert(dec.get.samples.sameElements(samples) && dec.get.sampleRate == 16000)
   }
 }

@@ -285,7 +285,12 @@ class EventsPipelineSpec extends SparkSpec {
         .filter(t => ids(t._1)).toSet
       assert(streamed == batch,
         s"stream/batch divergence: extra=${streamed -- batch} missing=${batch -- streamed}")
-      assert(streamed.exists(_._4) || streamed.exists(!_._4)) // non-vacuous
+      // non-vacuous: the fixture model must actually split the corpus —
+      // a degenerate always-keep/always-drop gate would make the
+      // stream==batch equality above prove nothing about the gate
+      assert(streamed.exists(_._4) && streamed.exists(!_._4),
+        s"gate is constant over ${streamed.size} docs: " +
+          s"kept=${streamed.count(_._4)}")
     } finally q.stop()
   }
 
