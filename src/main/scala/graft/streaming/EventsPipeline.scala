@@ -243,6 +243,98 @@ object EventsPipeline {
       .transformWithState(new SessionProcessor(ttl), TimeMode.None(), OutputMode.Update())
   }
 
+  final case class OrderRow(o_orderkey: Long, o_custkey: Long,
+      o_orderdate: Timestamp, o_orderpriority: String)
+
+  /** One streamed SCD2 span emission. `seq` is a per-customer emission
+    * counter: an open span is re-emitted (updated n_orders) as orders
+    * arrive and finally superseded by its CLOSE emission, so the
+    * current truth per (customer, version) is the max-seq row — the
+    * same latest-wins convention as any CDC-fed dimension table.
+    */
+  final case class ScdSpanUpdate(c_custkey: Long, version: Long,
+      priority: String, effective_from: java.sql.Date,
+      effective_to: Option[java.sql.Date], n_orders: Long, seq: Long)
+
+  private final case class ScdState(version: Long, priority: String,
+      fromDay: Int, nOrders: Long, seq: Long)
+
+  /** A31 — STREAMING SCD2 dimension maintenance: the stateful streaming
+    * twin of batch [[graft.operators.Relational.scd2Dimension]] (B46),
+    * the CDC-ingestion shape of the same islands semantics — the
+    * dimension history stays current as order events arrive instead of
+    * being rebuilt from the full fact table.
+    *
+    * State per customer = the OPEN span only (version, priority, first
+    * day, count) — O(1) per key regardless of history length; closed
+    * spans are emitted downstream and never revisited. A priority
+    * change CLOSES the open span (effective_to = the new span's first
+    * day, exactly the batch lead()) and opens the next version.
+    *
+    * Ordering contract: rows within a micro-batch are sorted by
+    * (event time, order key) — the batch total order; ACROSS
+    * micro-batches per-customer event-time monotonicity is the feed's
+    * contract (CDC commit order provides it). The spec pins streamed
+    * latest-per-version == the batch operator's spans exactly, across
+    * micro-batch slicings.
+    *
+    * Day arithmetic twin: epoch-day under UTC == batch `to_date` under
+    * the UTC session TZ (the q45/x8 cross-engine date convention).
+    */
+  class ScdProcessor extends StatefulProcessor[Long, OrderRow, ScdSpanUpdate] {
+    @transient private var state: ValueState[ScdState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ScdState](
+        "scd_open_span", Encoders.product[ScdState], TTLConfig.NONE)
+
+    private def utcDay(ts: Timestamp): Int =
+      math.floorDiv(ts.getTime, 86400000L).toInt
+
+    private def day(d: Int): java.sql.Date =
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
+
+    override def handleInputRows(cust: Long, rows: Iterator[OrderRow],
+        timers: TimerValues): Iterator[ScdSpanUpdate] = {
+      var st = if (state.exists()) state.get() else null
+      // seq advances on every EMISSION: a version's CLOSE always outranks
+      // its earlier open snapshots, so latest-per-version is the truth
+      var seq = if (st == null) 0L else st.seq
+      val out = scala.collection.mutable.ArrayBuffer.empty[ScdSpanUpdate]
+      rows.toSeq.sortBy(r => (r.o_orderdate.getTime, r.o_orderkey)).foreach { r =>
+        val d = utcDay(r.o_orderdate)
+        if (st == null) {
+          st = ScdState(1L, r.o_orderpriority, d, 1L, 0L)
+        } else if (r.o_orderpriority == st.priority) {
+          st = st.copy(nOrders = st.nOrders + 1)
+        } else {
+          seq += 1
+          out += ScdSpanUpdate(cust, st.version, st.priority,
+            day(st.fromDay), Some(day(d)), st.nOrders, seq)
+          st = ScdState(st.version + 1, r.o_orderpriority, d, 1L, 0L)
+        }
+      }
+      if (st != null) {
+        seq += 1
+        out += ScdSpanUpdate(cust, st.version, st.priority,
+          day(st.fromDay), None, st.nOrders, seq)
+        state.update(st.copy(seq = seq))
+      }
+      out.iterator
+    }
+  }
+
+  /** [[ScdProcessor]] wired onto an order stream — requires the RocksDB
+    * state store ([[RocksDBStateStore]]), like all transformWithState
+    * pipelines.
+    */
+  def scd2Stream(orders: Dataset[OrderRow]): Dataset[ScdSpanUpdate] = {
+    import orders.sparkSession.implicits._
+    orders
+      .groupByKey(_.o_custkey)
+      .transformWithState(new ScdProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   final case class BandedDoc(band_key: Long, doc_id: Long, sig: Array[Long])
 
   final case class NearDupHit(doc_id: Long, earlier_id: Long, est_jaccard: Double)

@@ -794,4 +794,61 @@ class EventsPipelineSpec extends SparkSpec {
       assert(counts.get(100L) == Some(1L), s"late event was counted: $counts")
     } finally q2.stop()
   }
+
+  test("streaming SCD2 maintenance (A31): latest-per-version equals the batch operator") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState runs only on the RocksDB provider
+    val saved = EventsPipeline.RocksDBStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    // real orders for a subset of customers, fed in event-time order
+    // (the CDC commit-order contract) across THREE micro-batch slicings
+    // chosen to split customers' histories mid-span
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .as[EventsPipeline.OrderRow]
+      .collect()
+      .filter(_.o_custkey % 37 == 0)
+      .sortBy(r => (r.o_orderdate.getTime, r.o_orderkey))
+    assert(orders.length > 30, s"need a real workload, got ${orders.length} orders")
+    val cut1 = orders.length / 3
+    val cut2 = 2 * orders.length / 3
+    val src = MemoryStream[EventsPipeline.OrderRow]
+    val q = EventsPipeline.scd2Stream(src.toDS())
+      .writeStream.format("memory").queryName("scd2_test")
+      .outputMode("update").start()
+    try {
+      src.addData(orders.take(cut1): _*); q.processAllAvailable()
+      src.addData(orders.slice(cut1, cut2): _*); q.processAllAvailable()
+      src.addData(orders.drop(cut2): _*); q.processAllAvailable()
+      // latest emission per (customer, version) is the span's truth
+      val streamed = spark.table("scd2_test")
+        .as[EventsPipeline.ScdSpanUpdate].collect()
+        .groupBy(u => (u.c_custkey, u.version))
+        .map { case (_, us) => us.maxBy(_.seq) }
+        .map(u => (u.c_custkey, u.version, u.priority,
+          u.effective_from.toString, u.effective_to.map(_.toString), u.n_orders))
+        .toSet
+      val custs = orders.map(_.o_custkey).toSet
+      import org.apache.spark.sql.functions.col
+      val batch = graft.operators.Relational
+        .scd2Dimension(Tables.orders(spark, sfDir))
+        .filter(col("c_custkey").isin(custs.toSeq: _*))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDate(3).toString, Option(r.getDate(4)).map(_.toString), r.getLong(5)))
+        .toSet
+      assert(streamed == batch,
+        s"stream/batch SCD2 divergence: extra=${streamed -- batch} missing=${batch -- streamed}")
+      // non-vacuous: real histories must contain BOTH closed and open spans
+      assert(streamed.exists(_._5.isDefined) && streamed.exists(_._5.isEmpty),
+        "corpus produced no closed (or no open) spans — the twin check proved nothing")
+    } finally {
+      q.stop()
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
 }
