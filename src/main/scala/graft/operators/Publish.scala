@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** G16 — WRITE-AUDIT-PUBLISH (WAP): the snapshot-publishing protocol a
+  * production pipeline wraps around every corpus release — write the
+  * candidate snapshot to an invisible staging location, run the
+  * data-expectations audit against the STAGED bytes (what readers would
+  * actually see, not the in-memory frame), and only then make it
+  * visible with an atomic pointer swap. A failed audit leaves the
+  * snapshot quarantined in staging; readers never observe it.
+  *
+  * Atomicity model (object-store realistic): visibility is a single
+  * `_LATEST` pointer file naming the current version directory,
+  * replaced via write-temp + rename — readers resolve the pointer then
+  * read an immutable version dir, so there is no window where a
+  * half-written snapshot is the current one. Version dirs are
+  * append-only (`v=<n>`), so a reader holding an old pointer keeps a
+  * consistent snapshot (time travel for free). A crash before the
+  * pointer swap leaves only staging garbage + an unreferenced version
+  * dir — both invisible, both safely re-runnable.
+  *
+  * At 100 TB the staged write is the same distributed parquet write the
+  * final table needs anyway (no extra data pass); the audit is whatever
+  * aggregate the caller supplies; the publish step moves ONE pointer
+  * file regardless of data size.
+  */
+object Publish {
+
+  final case class WapResult(published: Boolean, version: Option[Long],
+      path: Option[String], violations: Seq[(String, Long)])
+
+  /** Audit contract: a frame with (expectation: string, violations:
+    * long, pass: boolean) rows — [[Relational.dataExpectations]]'s
+    * shape. The snapshot publishes iff every row passes.
+    */
+  type Audit = DataFrame => DataFrame
+
+  /** Build an [[Audit]] from (name, bad-row condition) pairs — each
+    * check is one map-side-combinable aggregate counting rows where the
+    * condition holds (the [[Relational.dataExpectations]] row shape).
+    */
+  def columnAudit(checks: (String, org.apache.spark.sql.Column)*): Audit = { df =>
+    import org.apache.spark.sql.functions._
+    checks.map { case (name, bad) =>
+      df.agg(sum(when(bad, 1L).otherwise(0L)).as("v"))
+        .select(lit(name).as("expectation"),
+          coalesce(col("v"), lit(0L)).cast("long").as("violations"))
+    }.reduce(_ unionByName _)
+      .withColumn("pass", col("violations") === 0L)
+  }
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Current version number per the `_LATEST` pointer, if any. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val ptr = new Path(root, "_LATEST")
+    val f = fs(spark, ptr)
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      try {
+        val s = scala.io.Source.fromInputStream(in).mkString.trim
+        Some(s.stripPrefix("v=").toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Read the table THROUGH the pointer — the only sanctioned read path. */
+  def readPublished(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no published version under $root"))
+    spark.read.parquet(new Path(root, s"v=$v").toString)
+  }
+
+  /** Stage `df`, audit the staged bytes with `audit`, publish on a clean
+    * audit. `token` names the staging attempt (a retry supplies a fresh
+    * one; stale staging dirs are quarantine evidence, never read).
+    */
+  def writeAuditPublish(df: DataFrame, root: String, audit: Audit,
+      token: String): WapResult = {
+    val spark = df.sparkSession
+    val stage = new Path(root, s"_staging/$token")
+    val f = fs(spark, stage)
+    df.write.mode("errorifexists").parquet(stage.toString)
+
+    // audit what a reader would read: the staged files, not `df`
+    val staged = spark.read.parquet(stage.toString)
+    val report = audit(staged)
+      .select("expectation", "violations", "pass").collect()
+    val bad = report.filterNot(_.getBoolean(2))
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (bad.nonEmpty) return WapResult(published = false, None, None, bad)
+
+    val next = currentVersion(spark, root).getOrElse(0L) + 1L
+    val versionDir = new Path(root, s"v=$next")
+    require(f.rename(stage, versionDir),
+      s"rename $stage -> $versionDir failed (concurrent publish?)")
+    // pointer swap: write aside, then rename into place. The pointer is
+    // either absent or a COMPLETE version reference — the delete+rename
+    // gap can surface as "no published version" (callers retry), never
+    // as a torn or half-written pointer.
+    val tmp = new Path(root, s"_LATEST.tmp.$token")
+    val out = f.create(tmp, true)
+    try out.write(s"v=$next".getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(root, "_LATEST")
+    if (f.exists(ptr)) f.delete(ptr, false)
+    require(f.rename(tmp, ptr), s"pointer swap to v=$next failed")
+    WapResult(published = true, Some(next), Some(versionDir.toString), Nil)
+  }
+}

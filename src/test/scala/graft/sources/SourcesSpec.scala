@@ -153,4 +153,48 @@ class SourcesSpec extends SparkSpec {
       assert(seen.asScala.forall(_._1 == Trigger.Ticker))
     } finally q.stop()
   }
+
+  test("write-audit-publish (G16): dirty snapshots quarantine, clean ones version atomically") {
+    import spark.implicits._
+    import graft.operators.Publish
+    val root = Files.createTempDirectory("graft-wap").toString
+    val audit = Publish.columnAudit(
+      "doc_id_not_null" -> col("doc_id").isNull,
+      "text_not_empty" -> (col("text").isNull || length(col("text")) === 0))
+    // v0: nothing published yet — the read path must say so loudly
+    assert(Publish.currentVersion(spark, root).isEmpty)
+    intercept[Exception] { Publish.readPublished(spark, root) }
+
+    // dirty snapshot: planted null doc_id + empty text -> quarantined
+    val dirty = Seq((Option(1L), "ok"), (Option.empty[Long], "ok"), (Option(3L), ""))
+      .toDF("doc_id", "text")
+    val r1 = Publish.writeAuditPublish(dirty, root, audit, token = "attempt-1")
+    assert(!r1.published && r1.version.isEmpty)
+    assert(r1.violations.toSet == Set("doc_id_not_null" -> 1L, "text_not_empty" -> 1L))
+    assert(Publish.currentVersion(spark, root).isEmpty,
+      "a failed audit must not move the pointer")
+
+    // clean retry with a fresh token publishes v=1
+    val clean = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val r2 = Publish.writeAuditPublish(clean, root, audit, token = "attempt-2")
+    assert(r2.published && r2.version == Some(1L), s"got $r2")
+    assert(Publish.currentVersion(spark, root) == Some(1L))
+    assert(Publish.readPublished(spark, root).count() == 2)
+
+    // second release bumps to v=2 and repoints; v=1 stays readable
+    // (immutable version dirs = time travel for readers holding the
+    // old pointer)
+    val next = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val r3 = Publish.writeAuditPublish(next, root, audit, token = "attempt-3")
+    assert(r3.published && r3.version == Some(2L))
+    assert(Publish.readPublished(spark, root).count() == 3)
+    assert(spark.read.parquet(s"$root/v=1").count() == 2,
+      "published versions are immutable — the old snapshot must survive")
+
+    // ...and a dirty release AFTER a good one leaves the good one current
+    val r4 = Publish.writeAuditPublish(dirty, root, audit, token = "attempt-4")
+    assert(!r4.published)
+    assert(Publish.currentVersion(spark, root) == Some(2L))
+    assert(Publish.readPublished(spark, root).count() == 3)
+  }
 }
