@@ -269,6 +269,72 @@ object Demo {
         s"decoded=${imgs.size} mixedFallback=${feats(100L) == 8} resize64x48=$resizeOk dhashNoiseBits=${dh.getOrElse(-1)}")
     }
 
+    // 9. Write-audit-publish release gate (G16): the corpus-cleaning
+    // chain's output goes through the WAP protocol — a deliberately
+    // dirtied snapshot quarantines (pointer untouched), the clean one
+    // publishes, and readers see exactly the published version.
+    {
+      import org.apache.spark.sql.functions._
+      val root = Files.createTempDirectory("graft-demo-wap").toString
+      val cleaned = graft.Tables.documents(spark, sfDir)
+        .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.61)
+        .select(col("doc_id"), col("text"))
+      val audit = graft.operators.Publish.columnAudit(
+        "doc_id_not_null" -> col("doc_id").isNull,
+        "text_not_empty" -> (col("text").isNull || length(col("text")) === 0))
+      val dirty = cleaned.select(col("doc_id"), lit("").as("text"))
+      val r1 = graft.operators.Publish.writeAuditPublish(dirty, root, audit, "rel-1")
+      val quarantined = !r1.published &&
+        graft.operators.Publish.currentVersion(spark, root).isEmpty
+      val r2 = graft.operators.Publish.writeAuditPublish(cleaned, root, audit, "rel-2")
+      val nPub = graft.operators.Publish.readPublished(spark, root).count()
+      check("write-audit-publish",
+        quarantined && r2.published && r2.version.contains(1L) && nPub == cleaned.count(),
+        s"quarantined=$quarantined version=${r2.version.getOrElse(-1L)} rows=$nPub")
+    }
+
+    // 10. Streaming SCD2 maintenance (A31): order events arrive over
+    // three micro-batches; the maintained dimension (latest emission per
+    // customer+version) must equal the batch islands build exactly.
+    {
+      import spark.implicits._
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val orders = graft.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .as[EventsPipeline.OrderRow].collect()
+        .filter(_.o_custkey % 53 == 0)
+        .sortBy(r => (r.o_orderdate.getTime, r.o_orderkey))
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsPipeline.OrderRow]
+      val q = EventsPipeline.scd2Stream(src.toDS())
+        .writeStream.format("memory").queryName("demo_scd2")
+        .outputMode("update").start()
+      val streamed =
+        try {
+          val third = math.max(1, orders.length / 3)
+          orders.grouped(third).foreach { slice =>
+            src.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+          }
+          spark.table("demo_scd2").as[EventsPipeline.ScdSpanUpdate].collect()
+            .groupBy(u => (u.c_custkey, u.version))
+            .map { case (_, us) => us.maxBy(_.seq) }
+            .map(u => (u.c_custkey, u.version, u.priority,
+              u.effective_from.toString, u.effective_to.map(_.toString), u.n_orders))
+            .toSet
+        } finally q.stop()
+      val custs = orders.map(_.o_custkey).toSet
+      val batch = graft.operators.Relational
+        .scd2Dimension(graft.Tables.orders(spark, sfDir))
+        .filter(org.apache.spark.sql.functions.col("c_custkey").isin(custs.toSeq: _*))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDate(3).toString, Option(r.getDate(4)).map(_.toString), r.getLong(5)))
+        .toSet
+      check("streaming-scd2",
+        streamed == batch && streamed.nonEmpty,
+        s"spans=${streamed.size} batchSpans=${batch.size} equal=${streamed == batch}")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }
