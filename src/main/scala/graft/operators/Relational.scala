@@ -1359,6 +1359,58 @@ object Relational {
   // span frame is a tiny fraction of the fact table — the canonical
   // scale-safe islands spelling. Deterministic: (o_orderdate, o_orderkey)
   // is a total order within a customer in both engines.
+  // B47 — multi-touch attribution: the LINEAR-credit counterpart of
+  // q45's last-touch — every click of the same user within the 24 h
+  // window before a purchase shares the purchase's value equally. The
+  // join is the canonical event-time interval shape: equi on user_id
+  // (the shuffle key), time range as a join-level filter, touch count
+  // from a purchase-partitioned window. Float discipline: the ONLY
+  // division is one r4-quantized value/n per output row — no
+  // cross-row float accumulation anywhere (aggregating credited values
+  // would sum unlike denominators; consumers aggregate the DECIMAL
+  // value and integer n instead). Integer time gate: unix_micros ==
+  // epoch_us (the q45 convention).
+  private val q47 = Q(
+    "q47_multitouch_attribution",
+    (s, d) => {
+      val TolMicros = 24L * 3600L * 1000000L
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      val touches = purchases.join(clicks, Seq("user_id"))
+        .filter(unix_micros(col("click_ts")) <= unix_micros(col("purchase_ts")) &&
+          unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")) <= lit(TolMicros))
+      val wP = Window.partitionBy(col("purchase_id"))
+      touches
+        .withColumn("n_touches", count(lit(1)).over(wP))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("n_touches"),
+          r4(col("value") / col("n_touches")).as("credit"))
+        .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT user_id, ts AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+        FROM events WHERE event_type = 'purchase'),
+      t AS (
+        SELECT p.user_id, purchase_id, click_id, value
+        FROM p JOIN c USING (user_id)
+        WHERE epoch_us(click_ts) <= epoch_us(purchase_ts)
+          AND epoch_us(purchase_ts) - epoch_us(click_ts) <= 86400000000),
+      n AS (
+        SELECT *, CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches
+        FROM t)
+      SELECT user_id, purchase_id, click_id, n_touches,
+        ${r4Sql("value / n_touches")} AS credit
+      FROM n ORDER BY user_id, purchase_id, click_id"""))
+
   /** B46's core over ANY orders-shaped frame — factored out so the
     * islands logic is testable on planted change sequences (the
     * dataExpectations convention).
@@ -1502,5 +1554,5 @@ object Relational {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q43, q44, q45, q46)
+    q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }

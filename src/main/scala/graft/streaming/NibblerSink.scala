@@ -122,4 +122,55 @@ object NibblerSink {
     writer(ds, cfg, idempotent(tracker)(cfg.processor))
       .option("checkpointLocation", checkpointLocation)
       .start()
+
+  /** A32 — AUDITED exactly-once table sink: every micro-batch passes a
+    * data-expectations audit BEFORE its rows may touch the table; a
+    * failing batch is diverted IN FULL — rows plus a `_report` of its
+    * violation counts — to a quarantine area (the G16 write-audit-publish
+    * discipline applied at micro-batch granularity: the stream's clean
+    * prefix keeps publishing while bad batches wait for triage, instead
+    * of one poison batch stopping ingestion or, worse, landing).
+    *
+    * Exactly-once: batches write to per-batchId subdirs
+    * (`batch=<id>`, overwritten on replay — the at-least-once window is
+    * absorbed by overwrite, the [[BatchTracker]] marker commits after)
+    * and readers of the table root see `batch` as a provenance partition
+    * column. Audit verdicts are deterministic per batch, so a replayed
+    * batch routes identically.
+    */
+  def startAudited(df: Dataset[org.apache.spark.sql.Row],
+      cfg: Config[org.apache.spark.sql.Row],
+      audit: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      tableDir: String, quarantineDir: String,
+      tracker: BatchTracker, checkpointLocation: String): StreamingQuery = {
+    val route: (Trigger, Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (_, batch, batchId) => {
+        val report = audit(batch.toDF())
+          .select("expectation", "violations", "pass").collect()
+        val bad = report.filterNot(_.getBoolean(2))
+        if (bad.isEmpty) {
+          batch.toDF().write.mode("overwrite")
+            .parquet(s"$tableDir/batch=$batchId")
+        } else {
+          val qdir = s"$quarantineDir/batch=$batchId"
+          batch.toDF().write.mode("overwrite").parquet(qdir)
+          // underscore-prefixed => invisible to parquet readers of qdir
+          val reportPath = java.nio.file.Paths.get(qdir, "_report.txt")
+          val lines = bad.map(r => s"${r.getString(0)}\t${r.getLong(1)}")
+            .mkString("", "\n", "\n")
+          java.nio.file.Files.write(reportPath, lines.getBytes("UTF-8"))
+        }
+      }
+    // [[idempotent]] hides the batchId from its processor; the router
+    // needs it (subdir naming), so inline the same guard-then-commit
+    val guarded: (Trigger, Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (trigger, batch, batchId) =>
+        if (tracker.shouldProcess(batchId)) {
+          route(trigger, batch, batchId)
+          tracker.commit(batchId)
+        }
+    writer(df, cfg, guarded)
+      .option("checkpointLocation", checkpointLocation)
+      .start()
+  }
 }

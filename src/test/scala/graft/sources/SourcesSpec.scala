@@ -197,4 +197,47 @@ class SourcesSpec extends SparkSpec {
     assert(Publish.currentVersion(spark, root) == Some(2L))
     assert(Publish.readPublished(spark, root).count() == 3)
   }
+
+  test("audited streaming sink (A32): dirty micro-batches quarantine with a report, clean ones land") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("graft-audited-sink")
+    val (table, quarantine) = (s"$base/table", s"$base/quarantine")
+    val audit = graft.operators.Publish.columnAudit(
+      "text_not_empty" -> (col("text").isNull || length(col("text")) === 0))
+    val src = MemoryStream[(Long, String)]
+    val q = NibblerSink.startAudited(
+      src.toDS().toDF("doc_id", "text"),
+      NibblerSink.Config(processor = (_, _) => (), size = Long.MaxValue,
+        tickerDuration = 100.millis),
+      audit, table, quarantine,
+      new NibblerSink.BatchTracker(s"$base/marker"),
+      checkpointLocation = s"$base/ckpt")
+    try {
+      src.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
+      src.addData((3L, ""), (4L, "fine")); q.processAllAvailable() // poison batch
+      src.addData((5L, "gamma")); q.processAllAvailable()
+      val landed = spark.read.parquet(table)
+        .select("doc_id", "batch").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(landed.keySet == Set(1L, 2L, 5L),
+        s"table must hold exactly the clean batches' rows, got $landed")
+      assert(landed(1L) == landed(2L) && landed(1L) != landed(5L),
+        "batch provenance partition column must survive")
+      // the ENTIRE dirty batch quarantines (its clean row 4 included —
+      // triage is per batch, the G16 discipline), with the report beside
+      // it. Resolve the batch dir by listing: empty trigger firings can
+      // shift batchId numbering, which is irrelevant to the contract.
+      val qdirs = new java.io.File(quarantine).listFiles()
+        .filter(_.getName.startsWith("batch="))
+      assert(qdirs.length == 1, s"expected one quarantined batch: ${qdirs.mkString(",")}")
+      val qRows = spark.read.parquet(qdirs.head.toString)
+        .select("doc_id").as[Long].collect().toSet
+      assert(qRows == Set(3L, 4L), s"quarantined rows: $qRows")
+      val report = new String(java.nio.file.Files.readAllBytes(
+        qdirs.head.toPath.resolve("_report.txt")), "UTF-8")
+      assert(report.trim == "text_not_empty\t1", s"report: '$report'")
+    } finally q.stop()
+  }
 }
