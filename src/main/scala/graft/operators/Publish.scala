@@ -43,6 +43,8 @@ object Publish {
     */
   def columnAudit(checks: (String, org.apache.spark.sql.Column)*): Audit = { df =>
     import org.apache.spark.sql.functions._
+    require(checks.nonEmpty, "columnAudit needs at least one check — " +
+      "an empty audit would publish anything")
     checks.map { case (name, bad) =>
       df.agg(sum(when(bad, 1L).otherwise(0L)).as("v"))
         .select(lit(name).as("expectation"),
@@ -73,6 +75,43 @@ object Publish {
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"no published version under $root"))
     spark.read.parquet(new Path(root, s"v=$v").toString)
+  }
+
+  /** G17 — SMALL-FILE COMPACTION as a versioned publish: rewrite the
+    * current version's many small files into ~`targetBytes` files and
+    * publish the rewrite as the NEXT version via the same pointer swap —
+    * readers never see a half-compacted table, the old layout stays
+    * readable until the swap, and a crashed compaction leaves only an
+    * unreferenced version dir. The file count is computed from the
+    * CURRENT version's on-disk bytes (ceil(bytes/target), min 1);
+    * `repartition` redistributes rows evenly across exactly that many
+    * writers. The audit gate: compaction must be a pure LAYOUT change,
+    * so the staged rewrite is checked against the source row count
+    * before the pointer moves (a lost-row rewrite quarantines like any
+    * failed audit).
+    *
+    * At 100 TB this is the nightly table-maintenance job: streaming
+    * ingestion (A32) accretes per-micro-batch files; compaction folds
+    * them into scan-efficient sizes without ever blocking readers.
+    */
+  def compact(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): WapResult = {
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"nothing to compact: no published version under $root"))
+    val cur = new Path(root, s"v=$v")
+    val f = fs(spark, cur)
+    val bytes = f.getContentSummary(cur).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val src = spark.read.parquet(cur.toString)
+    val expected = src.count()
+    val audit: Audit = staged => {
+      import org.apache.spark.sql.functions._
+      staged.agg(count(lit(1)).as("n"))
+        .select(lit("row_count_preserved").as("expectation"),
+          (abs(col("n") - lit(expected))).cast("long").as("violations"),
+          (col("n") === lit(expected)).as("pass"))
+    }
+    writeAuditPublish(src.repartition(nFiles), root, audit, s"compact-v$v")
   }
 
   /** Stage `df`, audit the staged bytes with `audit`, publish on a clean

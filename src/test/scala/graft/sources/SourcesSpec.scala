@@ -198,6 +198,26 @@ class SourcesSpec extends SparkSpec {
     assert(Publish.readPublished(spark, root).count() == 3)
   }
 
+  test("compaction (G17): small files fold into the next version; readers and history survive") {
+    import spark.implicits._
+    import graft.operators.Publish
+    val root = Files.createTempDirectory("graft-compact").toString
+    val noAudit = Publish.columnAudit("doc_id_not_null" -> col("doc_id").isNull)
+    val df = (1L to 500L).map(i => (i, s"row $i")).toDF("doc_id", "text")
+    val r1 = Publish.writeAuditPublish(df.repartition(20), root, noAudit, "seed")
+    assert(r1.published && r1.version == Some(1L))
+    def partFiles(v: Long) = new java.io.File(s"$root/v=$v").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(partFiles(1L) == 20, s"seed layout should be 20 files, got ${partFiles(1L)}")
+    val rc = Publish.compact(spark, root, targetBytes = 1L << 40)
+    assert(rc.published && rc.version == Some(2L), s"got $rc")
+    assert(partFiles(2L) == 1, s"everything fits one target file, got ${partFiles(2L)}")
+    // same rows through the pointer; the pre-compaction layout survives
+    assert(Publish.readPublished(spark, root).as[(Long, String)].collect().toSet ==
+      df.as[(Long, String)].collect().toSet)
+    assert(partFiles(1L) == 20, "compaction must not touch the old version")
+  }
+
   test("audited streaming sink (A32): dirty micro-batches quarantine with a report, clean ones land") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
