@@ -1411,6 +1411,72 @@ object Relational {
         ${r4Sql("value / n_touches")} AS credit
       FROM n ORDER BY user_id, purchase_id, click_id"""))
 
+  // B48 — surrogate-key assignment (dimension key management): new
+  // natural keys get DENSE surrogate keys continuing after the current
+  // maximum — WITHOUT a global sort. The two-phase enumeration pattern:
+  // hash-route each new key to one of P=32 buckets (md5-derived so the
+  // oracle reproduces it), rank INSIDE each bucket (partitioned window),
+  // then add per-bucket offsets computed by a prefix sum over the
+  // 32-row bucket-count frame (the only "global" window — constant
+  // size, q39 precedent). sk = max_existing + offset(bucket) +
+  // local_rank covers max+1..max+N exactly once. The one-row max frame
+  // is a legitimate broadcast (parameter-bounded). All arithmetic
+  // integer — fully hash-checked cross-engine. The "existing" dimension
+  // is simulated deterministically (custkey % 3 != 0, sk = 2*custkey)
+  // so the oracle can rebuild it.
+  private val q48 = Q(
+    "q48_surrogate_keys",
+    (s, d) => {
+      val P = 32
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val existing = c.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), (col("c_custkey") * 2).as("sk"))
+      val maxSk = existing.agg(max(col("sk")).as("max_sk"))
+      val local = c.join(existing.select("c_custkey"), Seq("c_custkey"), "left_anti")
+        .withColumn("p", pmod(
+          graft.functions.HashFunctions.md5Hash56(col("c_custkey").cast("string")),
+          lit(P.toLong)))
+        .withColumn("lr", row_number().over(
+          Window.partitionBy(col("p")).orderBy(col("c_custkey"))).cast("long"))
+      val offsets = local.groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(
+          sum(col("n")).over(Window.orderBy(col("p"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("p"), col("off"))
+      val assigned = local.join(offsets, Seq("p"))
+        .crossJoin(broadcast(maxSk))
+        .select(col("c_custkey"),
+          (col("max_sk") + col("off") + col("lr")).as("sk"),
+          lit(true).as("is_new"))
+      existing.select(col("c_custkey"), col("sk"), lit(false).as("is_new"))
+        .unionByName(assigned)
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT c_custkey, c_custkey * 2 AS sk FROM customer WHERE c_custkey % 3 <> 0),
+      mx AS (SELECT MAX(sk) AS max_sk FROM e),
+      l AS (
+        SELECT c_custkey, p,
+          CAST(ROW_NUMBER() OVER (PARTITION BY p ORDER BY c_custkey) AS BIGINT) AS lr
+        FROM (
+          SELECT c_custkey,
+            ${graft.functions.HashFunctions.md5Hash56Sql("CAST(c_custkey AS VARCHAR)")} % 32 AS p
+          FROM customer WHERE c_custkey % 3 = 0)),
+      oo AS (
+        SELECT p, COALESCE(SUM(n) OVER (ORDER BY p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM (SELECT p, COUNT(*) AS n FROM l GROUP BY p)),
+      a AS (
+        -- CAST: SUM() OVER is HUGEINT in DuckDB -> float64 in the
+        -- comparator's dtype rendering (the q28 lesson)
+        SELECT l.c_custkey, CAST(mx.max_sk + oo.off + l.lr AS BIGINT) AS sk,
+          TRUE AS is_new
+        FROM l JOIN oo USING (p), mx)
+      SELECT c_custkey, sk, FALSE AS is_new FROM e
+      UNION ALL SELECT * FROM a
+      ORDER BY c_custkey"""))
+
   /** B46's core over ANY orders-shaped frame — factored out so the
     * islands logic is testable on planted change sequences (the
     * dataExpectations convention).
@@ -1554,5 +1620,5 @@ object Relational {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q43, q44, q45, q46, q47)
+    q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }
