@@ -409,5 +409,65 @@ object Multimodal {
         CAST(MAX(ABS(v)) AS BIGINT) AS peak
       FROM s GROUP BY doc_id, n ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7)
+  // F8 — REAL video-container ingest: per doc, mux deterministic frame
+  // payloads into a well-formed RIFF/AVI, walk it back through the real
+  // parser ([[VideoCodec.frames]]), and aggregate integer stats from
+  // the PARSED frames — frame count, total payload bytes, and a
+  // position-salted checksum (frame k, byte i weighted) that pins every
+  // parsed byte to its formula value, so the DuckDB oracle (which
+  // recomputes from the formula) proves the container round-trip
+  // byte-exactly. The ImageIO per-frame DECODE path
+  // ([[VideoCodec.decodeFrames]]) is spec'd on real PNG frames — lossy
+  // codecs would make pixel values engine-irreproducible, so the query
+  // pins the container layer and the spec pins the decode layer.
+  private val m8 = Relational.Q(
+    "m8_video_container",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (3 + (id % 4)).toInt
+            val frames = (0 until n).map { k =>
+              val len = (100 + ((id + k) % 50)).toInt
+              Array.tabulate[Byte](len)(i => ((i * 31 + k * 7 + id) % 251).toByte)
+            }
+            val dec = VideoCodec.frames(VideoCodec.encodeAvi(frames)).getOrElse(
+              sys.error(s"m8: container walk failed for doc $id"))
+            var total = 0L
+            var checksum = 0L
+            dec.zipWithIndex.foreach { case (fb, k) =>
+              total += fb.length
+              var i = 0
+              while (i < fb.length) {
+                checksum += (fb(i) & 0xff).toLong * (i + k * 1000 + 1)
+                i += 1
+              }
+            }
+            (id, dec.length, total, checksum)
+          }
+        }
+        .toDF("doc_id", "n_frames", "total_frame_bytes", "checksum")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, 3 + doc_id % 4 AS n FROM documents),
+      f AS (
+        SELECT doc_id, n, k, 100 + ((doc_id + k) % 50) AS len
+        FROM d, LATERAL (SELECT unnest(range(n)) AS k) u),
+      x AS (
+        SELECT doc_id, k, i, (i * 31 + k * 7 + doc_id) % 251 AS v
+        FROM f, LATERAL (SELECT unnest(range(len)) AS i) w)
+      SELECT d.doc_id,
+        CAST(d.n AS INTEGER) AS n_frames,
+        CAST(fb.total AS BIGINT) AS total_frame_bytes,
+        CAST(cs.checksum AS BIGINT) AS checksum
+      FROM d
+      JOIN (SELECT doc_id, SUM(len) AS total FROM f GROUP BY 1) fb USING (doc_id)
+      JOIN (SELECT doc_id, SUM(v * (i + k * 1000 + 1)) AS checksum FROM x GROUP BY 1) cs
+        USING (doc_id)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8)
 }

@@ -1286,6 +1286,65 @@ class OperatorSpec extends SparkSpec {
     assert(AudioCodec.decodePcm16Wav(good).nonEmpty)
   }
 
+  test("video codec: AVI round-trip preserves frames in order; real ImageIO decode per frame") {
+    val png = graft.operators.ImageCodec.encodeGrayPng _
+    // constant-gray frames: bilinear of a constant is constant, so mean
+    // pooled luma recovers each frame's identity — pinning stream ORDER
+    val levels = Seq(10, 80, 150, 220)
+    val frames = levels.map(g => png(16, 16)((_, _) => g))
+    val avi = VideoCodec.encodeAvi(frames)
+    val raw = VideoCodec.frames(avi).get
+    assert(raw.length == 4)
+    assert(raw.zip(frames).forall { case (a, b) => a.sameElements(b) },
+      "container payloads must round-trip byte-exactly")
+    val dec = VideoCodec.decodeFrames(avi).get
+    assert(dec.forall(_.nonEmpty), "every PNG frame must ImageIO-decode")
+    val means = dec.map(f => f.get.sum / f.get.length * 255f)
+    assert(means.zip(levels).forall { case (m, g) => math.abs(m - g) <= 2f },
+      s"decoded mean luma must track the encoded gray levels: $means vs $levels")
+    assert(means.sliding(2).forall(p => p(0) < p(1)), "frame order must survive the mux")
+    // mixed/dirty column: a non-image frame yields None IN PLACE, others decode
+    val mixed = VideoCodec.encodeAvi(Seq(frames.head, "not an image".getBytes("UTF-8"), frames.last))
+    val dm = VideoCodec.decodeFrames(mixed).get
+    assert(dm.map(_.nonEmpty) == Seq(true, false, true))
+    // odd-length payloads: the pad byte must not shift subsequent frames
+    val odd = VideoCodec.encodeAvi(Seq(Array[Byte](1, 2, 3), Array[Byte](9, 8, 7, 6)))
+    assert(VideoCodec.frames(odd).get.map(_.toSeq) == Seq(Seq[Byte](1, 2, 3), Seq[Byte](9, 8, 7, 6)))
+  }
+
+  test("video codec: malformed containers return None; junk chunks and nested LISTs are skipped") {
+    val fb = Array[Byte](5, 4, 3, 2, 1, 0)
+    val good = VideoCodec.encodeAvi(Seq(fb))
+    assert(VideoCodec.frames(null).isEmpty)
+    assert(VideoCodec.frames(Array.emptyByteArray).isEmpty)
+    assert(VideoCodec.frames("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
+    assert(VideoCodec.frames(good.dropRight(3)).isEmpty, "truncated data chunk")
+    // hand-build: RIFF('AVI ') [JUNK] [LIST('hdrl') with an inner chunk] [LIST('movi') frame]
+    import java.nio.{ByteBuffer, ByteOrder}
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](2, 0, 0, 0, 7, 7) // odd->pad? len 2 even
+    val inner = "avih".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4)
+    val hdrl = "LIST".getBytes("US-ASCII") ++ Array[Byte]((4 + inner.length).toByte, 0, 0, 0) ++
+      "hdrl".getBytes("US-ASCII") ++ inner
+    val dc = "00dc".getBytes("US-ASCII") ++ Array[Byte](6, 0, 0, 0) ++ fb
+    val movi = "LIST".getBytes("US-ASCII") ++ Array[Byte]((4 + dc.length).toByte, 0, 0, 0) ++
+      "movi".getBytes("US-ASCII") ++ dc
+    val body = junk ++ hdrl ++ movi
+    val buf = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body)
+    val got = VideoCodec.frames(buf.array())
+    assert(got.nonEmpty && got.get.length == 1 && got.get.head.sameElements(fb),
+      s"walker must skip JUNK and hdrl, find the movi frame: $got")
+    // a frame-id chunk OUTSIDE movi is metadata, not a frame
+    val strayDc = "00dc".getBytes("US-ASCII") ++ Array[Byte](6, 0, 0, 0) ++ Array[Byte](9, 9, 9, 9, 9, 9)
+    val body2 = strayDc ++ movi
+    val buf2 = ByteBuffer.allocate(12 + body2.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf2.put("RIFF".getBytes("US-ASCII")).putInt(4 + body2.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body2)
+    assert(VideoCodec.frames(buf2.array()).get.map(_.toSeq) == Seq(fb.toSeq),
+      "00dc outside LIST('movi') must not count as a frame")
+  }
+
   test("audio codec: chunk walker skips unknown and odd-length chunks (word alignment)") {
     // hand-build: RIFF [JUNK(odd len 3 + pad)] [fmt ] [LIST] [data]
     val samples = Array[Short](100, -200, 300, -400)
