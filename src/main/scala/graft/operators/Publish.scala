@@ -114,6 +114,32 @@ object Publish {
     writeAuditPublish(src.repartition(nFiles), root, audit, s"compact-v$v")
   }
 
+  /** Retention: delete published versions older than the `keepLast`
+    * most recent (time-travel horizon). The CURRENT version is always
+    * kept regardless of `keepLast`; staging and quarantine areas are
+    * untouched (they are triage evidence, cleaned by their own policy).
+    * Returns the versions deleted. Safe ordering: a version dir is only
+    * ever deleted AFTER the pointer has moved past it, so no reader
+    * resolving the current pointer can lose its snapshot — only readers
+    * time-traveling beyond the retention horizon do, which is the
+    * horizon's definition.
+    */
+  def expireVersions(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must retain at least the current version")
+    val cur = currentVersion(spark, root).getOrElse(return Nil)
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val versions = f.listStatus(rootPath).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .filter(_ <= cur) // an in-flight publish's dir is not ours to touch
+      .sorted
+    val expire = versions.dropRight(keepLast)
+    expire.foreach(v => f.delete(new Path(root, s"v=$v"), true))
+    expire
+  }
+
   /** Stage `df`, audit the staged bytes with `audit`, publish on a clean
     * audit. `token` names the staging attempt (a retry supplies a fresh
     * one; stale staging dirs are quarantine evidence, never read).

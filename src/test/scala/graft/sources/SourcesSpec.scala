@@ -216,6 +216,15 @@ class SourcesSpec extends SparkSpec {
     assert(Publish.readPublished(spark, root).as[(Long, String)].collect().toSet ==
       df.as[(Long, String)].collect().toSet)
     assert(partFiles(1L) == 20, "compaction must not touch the old version")
+
+    // retention: keepLast=1 expires v=1 but NEVER the current version
+    val expired = Publish.expireVersions(spark, root, keepLast = 1)
+    assert(expired == Seq(1L), s"expired $expired")
+    assert(!new java.io.File(s"$root/v=1").exists(), "v=1 must be gone")
+    assert(Publish.readPublished(spark, root).count() == 500,
+      "the current version must survive retention")
+    assert(Publish.expireVersions(spark, root, keepLast = 1).isEmpty,
+      "a second expiry pass has nothing to do")
   }
 
   test("audited streaming sink (A32): dirty micro-batches quarantine with a report, clean ones land") {
