@@ -50,37 +50,29 @@ object AudioCodec {
   def decodePcm16Wav(bytes: Array[Byte]): Option[Pcm16] = {
     if (bytes == null || bytes.length < 44) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    def tag(): String = {
-      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
-    }
     try {
-      if (tag() != "RIFF") return None
-      buf.getInt // declared RIFF size; data-chunk bounds are checked directly
-      if (tag() != "WAVE") return None
+      if (Riff.tag(buf) != "RIFF") return None
+      buf.getInt // declared RIFF size; chunk bounds are checked by the walker
+      if (Riff.tag(buf) != "WAVE") return None
       var fmt: Option[(Int, Int)] = None // (sampleRate, channels)
       var data: Option[(Int, Int)] = None // (offset, byteLen)
-      while (buf.remaining >= 8) {
-        val id = tag()
-        val len = buf.getInt
-        if (len < 0 || len > buf.remaining) return None
+      val ok = Riff.walk(buf, bytes.length) { (id, len) =>
         if (id == "fmt ") {
-          if (len < 16) return None
-          val p = buf.position()
-          val audioFormat = buf.getShort
-          val channels = buf.getShort.toInt
-          val sampleRate = buf.getInt
-          buf.getInt; buf.getShort // byte rate, block align
-          val bits = buf.getShort
-          if (audioFormat != 1 || bits != 16 || channels <= 0 || sampleRate <= 0) return None
-          fmt = Some((sampleRate, channels))
-          buf.position(p + len + (len & 1))
+          if (len < 16) false
+          else {
+            val audioFormat = buf.getShort
+            val channels = buf.getShort.toInt
+            val sampleRate = buf.getInt
+            buf.getInt; buf.getShort // byte rate, block align
+            val bits = buf.getShort
+            if (audioFormat != 1 || bits != 16 || channels <= 0 || sampleRate <= 0) false
+            else { fmt = Some((sampleRate, channels)); true }
+          }
         } else if (id == "data") {
-          data = Some((buf.position(), len))
-          buf.position(buf.position() + len + (len & 1))
-        } else {
-          buf.position(buf.position() + len + (len & 1))
-        }
+          data = Some((buf.position(), len)); true
+        } else true // unknown chunk: the walker skips it
       }
+      if (!ok) return None
       for ((sr, ch) <- fmt; (off, byteLen) <- data) yield {
         val n = byteLen / 2
         val out = new Array[Short](n)

@@ -45,12 +45,22 @@ object Publish {
     import org.apache.spark.sql.functions._
     require(checks.nonEmpty, "columnAudit needs at least one check — " +
       "an empty audit would publish anything")
-    checks.map { case (name, bad) =>
-      df.agg(sum(when(bad, 1L).otherwise(0L)).as("v"))
-        .select(lit(name).as("expectation"),
-          coalesce(col("v"), lit(0L)).cast("long").as("violations"))
-    }.reduce(_ unionByName _)
-      .withColumn("pass", col("violations") === 0L)
+    // ONE wide aggregate = one scan of the staged table (a per-check
+    // union of independent aggregates would re-read the full snapshot
+    // once per expectation — at 100 TB that is N extra table scans),
+    // then explode the single row into the (expectation, violations,
+    // pass) shape
+    val aggs = checks.zipWithIndex.map { case ((_, bad), i) =>
+      sum(when(bad, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val rows = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("expectation"),
+        coalesce(col(s"c$i"), lit(0L)).cast("long").as("violations"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("e"))
+      .select(col("e.expectation"), col("e.violations"),
+        (col("e.violations") === 0L).as("pass"))
   }
 
   private def fs(spark: SparkSession, p: Path) =
@@ -111,7 +121,11 @@ object Publish {
           (abs(col("n") - lit(expected))).cast("long").as("violations"),
           (col("n") === lit(expected)).as("pass"))
     }
-    writeAuditPublish(src.repartition(nFiles), root, audit, s"compact-v$v")
+    // expectedBase: a release landing mid-compaction must abort this
+    // publish loudly — publishing a rewrite of the OLD head would
+    // silently revert the release
+    writeAuditPublish(src.repartition(nFiles), root, audit, s"compact-v$v",
+      expectedBase = Some(v))
   }
 
   /** Retention: delete published versions older than the `keepLast`
@@ -144,11 +158,33 @@ object Publish {
     * audit. `token` names the staging attempt (a retry supplies a fresh
     * one; stale staging dirs are quarantine evidence, never read).
     */
+  /** Highest version present on disk OR named by the pointer — the
+    * orphan-aware successor base. A crash between the version-dir
+    * rename and the pointer swap leaves v=N on disk with the pointer
+    * still at N-1; computing next from the pointer alone would retry
+    * INTO the orphan (rename onto an existing dir: wedged on local FS,
+    * dir-nesting corruption under the HDFS rename contract). Orphans
+    * stay unreferenced garbage — never republished, never current.
+    */
+  private def maxVersionOnDisk(spark: SparkSession, root: String): Long = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val dirs =
+      if (!f.exists(rootPath)) Seq.empty
+      else f.listStatus(rootPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+    (currentVersion(spark, root).toSeq ++ dirs).foldLeft(0L)(math.max)
+  }
+
   def writeAuditPublish(df: DataFrame, root: String, audit: Audit,
-      token: String): WapResult = {
+      token: String, expectedBase: Option[Long] = None): WapResult = {
     val spark = df.sparkSession
     val stage = new Path(root, s"_staging/$token")
     val f = fs(spark, stage)
+    // the token names the ATTEMPT: re-running it replaces its own stale
+    // staging (a crashed or audit-failed prior run) instead of wedging
+    // on errorifexists — quarantine evidence lives until the retry
+    if (f.exists(stage)) f.delete(stage, true)
     df.write.mode("errorifexists").parquet(stage.toString)
 
     // audit what a reader would read: the staged files, not `df`
@@ -159,7 +195,17 @@ object Publish {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     if (bad.nonEmpty) return WapResult(published = false, None, None, bad)
 
-    val next = currentVersion(spark, root).getOrElse(0L) + 1L
+    // single-publisher protocol; the base check turns the lost-update
+    // race (a publish landing while this snapshot staged — e.g. a
+    // compaction about to revert it) from silent data loss into a loud
+    // abort, leaving only invisible staging behind
+    val cur = currentVersion(spark, root)
+    expectedBase.foreach { base =>
+      require(cur.getOrElse(0L) == base,
+        s"table moved during staging: expected base v=$base, " +
+          s"current is v=${cur.getOrElse(0L)} — re-run against the new head")
+    }
+    val next = maxVersionOnDisk(spark, root) + 1L
     val versionDir = new Path(root, s"v=$next")
     require(f.rename(stage, versionDir),
       s"rename $stage -> $versionDir failed (concurrent publish?)")

@@ -49,39 +49,29 @@ object VideoCodec {
   def frames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
     if (bytes == null || bytes.length < 12) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    def tag(): String = {
-      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
-    }
     try {
-      if (tag() != "RIFF") return None
+      if (Riff.tag(buf) != "RIFF") return None
       buf.getInt
-      if (tag() != "AVI ") return None
+      if (Riff.tag(buf) != "AVI ") return None
       val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-      // walk top-level chunks; descend only into LIST('movi')
-      def walk(limit: Int, inMovi: Boolean): Boolean = {
-        while (buf.position() < limit && limit - buf.position() >= 8) {
-          val id = tag()
-          val len = buf.getInt
-          if (len < 0 || len > limit - buf.position()) return false
+      // the shared walker handles alignment/bounds; this level only
+      // decides descent (LIST ranges) and collection (movi frames)
+      def level(limit: Int, inMovi: Boolean): Boolean =
+        Riff.walk(buf, limit) { (id, len) =>
           if (id == "LIST") {
             val listEnd = buf.position() + len
-            val kind = tag()
-            if (!walk(listEnd, inMovi || kind == "movi")) return false
-            buf.position(listEnd + (len & 1))
+            val kind = Riff.tag(buf)
+            level(listEnd, inMovi || kind == "movi")
           } else {
             if (inMovi && (id == "00dc" || id == "00db")) {
               val fb = new Array[Byte](len)
               buf.get(fb)
               out += fb
-            } else {
-              buf.position(buf.position() + len)
             }
-            buf.position(buf.position() + (len & 1))
+            true // non-frame chunk: the walker skips it
           }
         }
-        true
-      }
-      if (!walk(bytes.length, inMovi = false)) None else Some(out.toSeq)
+      if (!level(bytes.length, inMovi = false)) None else Some(out.toSeq)
     } catch { case _: Exception => None }
   }
 

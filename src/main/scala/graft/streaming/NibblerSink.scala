@@ -139,10 +139,11 @@ object NibblerSink {
     * batch routes identically.
     */
   def startAudited(df: Dataset[org.apache.spark.sql.Row],
-      cfg: Config[org.apache.spark.sql.Row],
       audit: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       tableDir: String, quarantineDir: String,
-      tracker: BatchTracker, checkpointLocation: String): StreamingQuery = {
+      tracker: BatchTracker, checkpointLocation: String,
+      tickerDuration: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(1, "min")): StreamingQuery = {
     val route: (Trigger, Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (_, batch, batchId) => {
         val report = audit(batch.toDF())
@@ -154,13 +155,29 @@ object NibblerSink {
         } else {
           val qdir = s"$quarantineDir/batch=$batchId"
           batch.toDF().write.mode("overwrite").parquet(qdir)
-          // underscore-prefixed => invisible to parquet readers of qdir
-          val reportPath = java.nio.file.Paths.get(qdir, "_report.txt")
-          val lines = bad.map(r => s"${r.getString(0)}\t${r.getLong(1)}")
-            .mkString("", "\n", "\n")
-          java.nio.file.Files.write(reportPath, lines.getBytes("UTF-8"))
+          // underscore-prefixed => invisible to parquet readers of qdir.
+          // Hadoop FS, not java.nio: quarantineDir is a Spark path (may
+          // be hdfs://, s3a://, ...) — a local-API write would throw
+          // AFTER the quarantine landed but BEFORE the marker commit,
+          // crash-looping the sink on exactly the poison batch it
+          // exists to absorb.
+          val reportPath = new org.apache.hadoop.fs.Path(qdir, "_report.txt")
+          val fs = reportPath.getFileSystem(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          val out = fs.create(reportPath, true)
+          try {
+            val lines = bad.map(r => s"${r.getString(0)}\t${r.getLong(1)}")
+              .mkString("", "\n", "\n")
+            out.write(lines.getBytes("UTF-8"))
+          } finally out.close()
         }
       }
+    // no user processor here — the router IS the sink (a Config whose
+    // processor is silently ignored would be a misleading surface); the
+    // ticker is the only knob that applies
+    val cfg = Config[org.apache.spark.sql.Row](
+      processor = (_, _) => (), size = Long.MaxValue,
+      tickerDuration = tickerDuration)
     // [[idempotent]] hides the batchId from its processor; the router
     // needs it (subdir naming), so inline the same guard-then-commit
     val guarded: (Trigger, Dataset[org.apache.spark.sql.Row], Long) => Unit =

@@ -174,9 +174,11 @@ class SourcesSpec extends SparkSpec {
     assert(Publish.currentVersion(spark, root).isEmpty,
       "a failed audit must not move the pointer")
 
-    // clean retry with a fresh token publishes v=1
+    // clean retry REUSING the failed attempt's token publishes v=1 —
+    // the token names the attempt, so its stale staging is replaced,
+    // never an errorifexists wedge (the crashed-compaction retry path)
     val clean = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
-    val r2 = Publish.writeAuditPublish(clean, root, audit, token = "attempt-2")
+    val r2 = Publish.writeAuditPublish(clean, root, audit, token = "attempt-1")
     assert(r2.published && r2.version == Some(1L), s"got $r2")
     assert(Publish.currentVersion(spark, root) == Some(1L))
     assert(Publish.readPublished(spark, root).count() == 2)
@@ -196,6 +198,23 @@ class SourcesSpec extends SparkSpec {
     assert(!r4.published)
     assert(Publish.currentVersion(spark, root) == Some(2L))
     assert(Publish.readPublished(spark, root).count() == 3)
+
+    // orphan version dir (a crash between the rename and the pointer
+    // swap): the next publish must allocate PAST it, never rename onto it
+    new java.io.File(s"$root/v=3").mkdirs()
+    val r5 = Publish.writeAuditPublish(next, root, audit, token = "attempt-5")
+    assert(r5.published && r5.version == Some(4L),
+      s"publish must skip the orphan v=3, got $r5")
+    assert(Publish.readPublished(spark, root).count() == 3)
+
+    // expectedBase: a publish staged against a superseded head aborts
+    // loudly instead of silently reverting the newer release
+    val stale = intercept[IllegalArgumentException] {
+      Publish.writeAuditPublish(clean, root, audit, token = "attempt-6",
+        expectedBase = Some(2L))
+    }
+    assert(stale.getMessage.contains("table moved"), stale.getMessage)
+    assert(Publish.currentVersion(spark, root) == Some(4L))
   }
 
   test("compaction (G17): small files fold into the next version; readers and history survive") {
@@ -238,11 +257,10 @@ class SourcesSpec extends SparkSpec {
     val src = MemoryStream[(Long, String)]
     val q = NibblerSink.startAudited(
       src.toDS().toDF("doc_id", "text"),
-      NibblerSink.Config(processor = (_, _) => (), size = Long.MaxValue,
-        tickerDuration = 100.millis),
       audit, table, quarantine,
       new NibblerSink.BatchTracker(s"$base/marker"),
-      checkpointLocation = s"$base/ckpt")
+      checkpointLocation = s"$base/ckpt",
+      tickerDuration = 100.millis)
     try {
       src.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
       src.addData((3L, ""), (4L, "fine")); q.processAllAvailable() // poison batch
