@@ -96,6 +96,8 @@ object PlanAudit {
         "crossJoin(broadcast(<one-row nDocs frame>)) for the idf/df thresholds",
       "t11_surprisal" ->
         "crossJoin(broadcast(<one-row total-tokens frame>)) for the unigram model",
+      "q48_surrogate_keys" ->
+        "crossJoin(broadcast(<one-row max-surrogate-key frame>)) for the key base",
       "x6_kmv_overlap" ->
         "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size)",
       "x7_kmv_union" ->
