@@ -1424,33 +1424,42 @@ object Relational {
   // integer — fully hash-checked cross-engine. The "existing" dimension
   // is simulated deterministically (custkey % 3 != 0, sk = 2*custkey)
   // so the oracle can rebuild it.
+  /** B48's core over ANY (existing dim, incoming keys) pair — factored
+    * out so the density/stability invariants are testable on arbitrary
+    * key sets. `existing` carries (c_custkey, sk); incoming keys already
+    * present keep their sk, new ones get dense keys after the max.
+    */
+  def surrogateKeys(existing: DataFrame, incoming: DataFrame,
+      buckets: Int = 32): DataFrame = {
+    val maxSk = existing.agg(coalesce(max(col("sk")), lit(0L)).as("max_sk"))
+    val local = incoming.join(existing.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .withColumn("p", pmod(
+        graft.functions.HashFunctions.md5Hash56(col("c_custkey").cast("string")),
+        lit(buckets.toLong)))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("c_custkey"))).cast("long"))
+    val offsets = local.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum(col("n")).over(Window.orderBy(col("p"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("p"), col("off"))
+    val assigned = local.join(offsets, Seq("p"))
+      .crossJoin(broadcast(maxSk))
+      .select(col("c_custkey"),
+        (col("max_sk") + col("off") + col("lr")).as("sk"),
+        lit(true).as("is_new"))
+    existing.select(col("c_custkey"), col("sk"), lit(false).as("is_new"))
+      .unionByName(assigned)
+      .orderBy(col("c_custkey"))
+  }
+
   private val q48 = Q(
     "q48_surrogate_keys",
     (s, d) => {
-      val P = 32
       val c = Tables.customer(s, d).select(col("c_custkey"))
       val existing = c.filter(col("c_custkey") % 3 =!= 0)
         .select(col("c_custkey"), (col("c_custkey") * 2).as("sk"))
-      val maxSk = existing.agg(max(col("sk")).as("max_sk"))
-      val local = c.join(existing.select("c_custkey"), Seq("c_custkey"), "left_anti")
-        .withColumn("p", pmod(
-          graft.functions.HashFunctions.md5Hash56(col("c_custkey").cast("string")),
-          lit(P.toLong)))
-        .withColumn("lr", row_number().over(
-          Window.partitionBy(col("p")).orderBy(col("c_custkey"))).cast("long"))
-      val offsets = local.groupBy(col("p")).agg(count(lit(1)).as("n"))
-        .withColumn("off", coalesce(
-          sum(col("n")).over(Window.orderBy(col("p"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("p"), col("off"))
-      val assigned = local.join(offsets, Seq("p"))
-        .crossJoin(broadcast(maxSk))
-        .select(col("c_custkey"),
-          (col("max_sk") + col("off") + col("lr")).as("sk"),
-          lit(true).as("is_new"))
-      existing.select(col("c_custkey"), col("sk"), lit(false).as("is_new"))
-        .unionByName(assigned)
-        .orderBy(col("c_custkey"))
+      surrogateKeys(existing, c)
     },
     Some(s"""
       WITH e AS (

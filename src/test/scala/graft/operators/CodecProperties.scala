@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the pure-JVM container codecs — no Spark
+  * session, hundreds of arbitrary payload lists per property. The
+  * deterministic fixture specs in OperatorSpec pin known layouts; these
+  * pin the ROUND-TRIP contract on arbitrary input: whatever the muxer
+  * writes, the walker recovers byte-for-byte, including empty frames,
+  * odd (pad-carrying) lengths, and arbitrary byte content.
+  */
+object CodecProperties extends Properties("graft.codecs") {
+
+  private val frameGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 300).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127)))
+      .map(_.map(_.toByte).toArray)
+
+  property("AVI mux/demux is identity on arbitrary frame lists") =
+    forAll(Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, frameGen))) { frames =>
+      val got = VideoCodec.frames(VideoCodec.encodeAvi(frames))
+      got.exists(g => g.length == frames.length &&
+        g.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    }
+
+  private val samplesGen: Gen[Array[Short]] =
+    Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt)))
+      .map(_.map(_.toShort).toArray)
+
+  property("WAV encode/decode is identity on arbitrary PCM16 samples") =
+    forAll(samplesGen, Gen.oneOf(8000, 16000, 44100, 48000)) { (samples, sr) =>
+      val got = AudioCodec.decodePcm16Wav(AudioCodec.encodePcm16Wav(sr, 1, samples))
+      got.exists(p => p.sampleRate == sr && p.channels == 1 &&
+        p.samples.sameElements(samples))
+    }
+
+  property("WAV stereo interleaving survives the container") =
+    forAll(samplesGen.suchThat(_.length % 2 == 0)) { samples =>
+      val got = AudioCodec.decodePcm16Wav(AudioCodec.encodePcm16Wav(22050, 2, samples))
+      got.exists(p => p.channels == 2 && p.samples.sameElements(samples))
+    }
+
+  property("truncating a WAV anywhere inside the data chunk yields None, never a throw") =
+    forAll(samplesGen.suchThat(_.length >= 4), Gen.chooseNum(1, 7)) { (samples, cut) =>
+      val whole = AudioCodec.encodePcm16Wav(8000, 1, samples)
+      AudioCodec.decodePcm16Wav(whole.dropRight(cut)).isEmpty
+    }
+}

@@ -1255,6 +1255,58 @@ class OperatorSpec extends SparkSpec {
     assert(rows(3) == ((2L, 1L, "P5", "2024-01-02", None, 1L)))
   }
 
+  test("surrogate keys (q48): dense coverage and stability on random key sets") {
+    val rnd = new scala.util.Random(48)
+    for (trial <- 1 to 5) {
+      val all = rnd.shuffle((1L to 400L).toList).take(120 + rnd.nextInt(150))
+      val (have, fresh) = all.partition(_ => rnd.nextBoolean())
+      val existing = have.map(k => (k, k * 7 + 3)).toDF("c_custkey", "sk")
+      val incoming = (fresh ++ have.take(have.length / 2)) // mixed old+new
+        .toDF("c_custkey")
+      val rows = Relational.surrogateKeys(existing, incoming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      // existing keys keep their sk and flag
+      val out = rows.map(t => t._1 -> ((t._2, t._3))).toMap
+      have.foreach(k => assert(out(k) == ((k * 7 + 3, false)), s"trial $trial key $k"))
+      // new keys: DENSE — exactly max+1..max+N, each once, all flagged new
+      val maxSk = if (have.isEmpty) 0L else have.map(_ * 7 + 3).max
+      val newSks = rows.filter(_._3).map(_._2).sorted
+      assert(newSks.sameElements((maxSk + 1) to (maxSk + fresh.length)),
+        s"trial $trial: new sks not dense after $maxSk: ${newSks.take(10).mkString(",")}...")
+      assert(rows.length == have.length + fresh.length,
+        s"trial $trial: already-known incoming keys must not duplicate rows")
+    }
+  }
+
+  test("SCD2 (q46): spans reconstruct random priority sequences exactly (run-length oracle)") {
+    val rnd = new scala.util.Random(46)
+    val orders = for {
+      cust <- (1L to 12L).toList
+      i <- 0 until (3 + rnd.nextInt(15))
+    } yield (cust * 1000 + i, cust,
+      java.sql.Timestamp.valueOf(f"2024-01-${1 + i}%02d 00:00:00"),
+      s"P${1 + rnd.nextInt(3)}")
+    val got = Relational.scd2Dimension(
+      orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5)))
+    // in-test oracle: run-length encoding of each customer's sequence
+    val expected = orders.groupBy(_._2).toSeq.flatMap { case (cust, os) =>
+      val seq = os.sortBy(o => (o._3.getTime, o._1)).map(_._4)
+      val runs = seq.foldLeft(List.empty[(String, Long)]) {
+        case ((p, n) :: tail, x) if p == x => (p, n + 1) :: tail
+        case (acc, x) => (x, 1L) :: acc
+      }.reverse
+      runs.zipWithIndex.map { case ((p, n), i) => (cust, i + 1L, p, n) }
+    }.toSet
+    assert(got.toSet == expected,
+      s"extra=${got.toSet -- expected} missing=${expected -- got.toSet}")
+    // versions are contiguous 1..K per customer
+    got.groupBy(_._1).foreach { case (cust, spans) =>
+      val vs = spans.map(_._2).sorted
+      assert(vs.sameElements(1L to vs.length), s"cust $cust versions $vs")
+    }
+  }
+
   test("audio codec: PCM16 WAV round-trip is sample-exact, mono and stereo") {
     val mono = Array.tabulate(240)(k => (((k * 999) % 65536) - 32768).toShort)
     val d1 = AudioCodec.decodePcm16Wav(AudioCodec.encodePcm16Wav(8000, 1, mono)).get
