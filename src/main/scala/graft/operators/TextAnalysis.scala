@@ -731,30 +731,76 @@ object TextAnalysis {
     * sort). Scoring the training corpus has no OOV by construction; a
     * held-out scorer would left-join and add-one-smooth the misses.
     */
-  def perplexityFilter(docs: DataFrame,
-      maxBitsNum: Long = 433L, maxBitsDen: Long = 100L): DataFrame = {
+  /** Per-doc (doc_id, w1, w2) bigram occurrences — t13's map-side
+    * shift-zip, shared by the model build and the scoring join.
+    */
+  private def docBigrams(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 2)
-    val pairs = toks.select(col("doc_id"), explode(zip_with(
+    toks.select(col("doc_id"), explode(zip_with(
         slice(col("tk"), lit(1), size(col("tk")) - 1),
         slice(col("tk"), lit(2), size(col("tk")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** The (w1, w2, n, bits) surprisal model over `pairs` — bits is the
+    * exact integer floor(log2(cn/n)) (see [[perplexityFilter]]).
+    * `topK` truncates to the K most frequent bigrams under the total
+    * (n desc, w1, w2) order — the BOUNDED model a streaming scorer can
+    * broadcast (A33); None keeps the full vocabulary²-sized table.
+    */
+  def bigramSurprisalModel(pairs: DataFrame, topK: Option[Int] = None): DataFrame = {
     val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
     val uc = bc.groupBy(col("w1")).agg(sum(col("n")).as("cn"))
-    val model = bc.join(uc, Seq("w1"))
+    val full = bc.join(uc, Seq("w1"))
       .withColumn("k0", length(bin(col("cn"))) - length(bin(col("n"))))
       .withColumn("bits",
         when(expr("shiftleft(n, k0)") <= col("cn"), col("k0"))
           .otherwise(col("k0") - 1).cast("long"))
-      .select(col("w1"), col("w2"), col("bits"))
-    pairs.join(model, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("n"), col("bits"))
+    topK.fold(full)(k =>
+      full.orderBy(col("n").desc, col("w1"), col("w2")).limit(k))
+  }
+
+  def perplexityFilter(docs: DataFrame,
+      maxBitsNum: Long = 433L, maxBitsDen: Long = 100L): DataFrame = {
+    val pairs = docBigrams(docs)
+    pairs.join(bigramSurprisalModel(pairs).drop("n"), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
       .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
         r4(col("total_bits").cast("double") / col("n_bigrams").cast("double"))
           .as("bits_per_bigram"),
+        (col("total_bits") * lit(maxBitsDen) <= lit(maxBitsNum) * col("n_bigrams"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The TRUNCATED-model batch scorer — A33's batch twin: scoring joins
+    * the top-K model (bounded!) with a LEFT join; an out-of-model (OOV)
+    * bigram costs a flat `oovBits` penalty. Every doc with >= 1 bigram
+    * scores (OOV bigrams still count), unlike [[perplexityFilter]]
+    * where the full model makes misses impossible.
+    */
+  /** Export the bounded model the streaming gate (A33) broadcasts:
+    * top-K (w1, w2) → bits. K caps the driver/broadcast footprint the
+    * way a real exported LM caps its vocabulary.
+    */
+  def exportBigramModel(docs: DataFrame, topK: Int): Map[(String, String), Long] =
+    bigramSurprisalModel(docBigrams(docs), Some(topK))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+
+  def perplexityFilterTopK(docs: DataFrame, topK: Int, oovBits: Long,
+      maxBitsNum: Long = 433L, maxBitsDen: Long = 100L): DataFrame = {
+    val pairs = docBigrams(docs)
+    val model = bigramSurprisalModel(pairs, Some(topK)).drop("n")
+    pairs.join(model, Seq("w1", "w2"), "left")
+      .select(col("doc_id"), coalesce(col("bits"), lit(oovBits)).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
         (col("total_bits") * lit(maxBitsDen) <= lit(maxBitsNum) * col("n_bigrams"))
           .as("keep"))
       .orderBy(col("doc_id"))

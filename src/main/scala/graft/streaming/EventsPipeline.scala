@@ -243,6 +243,46 @@ object EventsPipeline {
       .transformWithState(new SessionProcessor(ttl), TimeMode.None(), OutputMode.Update())
   }
 
+  final case class PerplexityFlag(doc_id: Long, n_bigrams: Long,
+      total_bits: Long, keep: Boolean)
+
+  /** A33 — streaming perplexity gate: the BOUNDED twin of batch E16.
+    * The full bigram model is vocabulary²-sized (why t16 has no direct
+    * streaming twin — an unbounded broadcast is the exact scale-killer
+    * the batch operator avoids by JOINING the model); the streaming
+    * spelling ships the top-K most frequent bigrams (K is a parameter,
+    * like a real exported LM's vocabulary cap) and charges out-of-model
+    * bigrams a flat `oovBits` penalty. Each arriving doc is scored
+    * row-locally over [[graft.functions.HashFunctions.tokensLocal]]
+    * (the shared column-path tokenization twin) — STATELESS, the A24
+    * pattern. Spec pins streamed flags == the batch truncated-model
+    * scorer ([[graft.operators.TextAnalysis.perplexityFilterTopK]])
+    * EXACTLY across micro-batch slicings.
+    */
+  def perplexityGateStream(docs: Dataset[(Long, String)],
+      model: Map[(String, String), Long], oovBits: Long,
+      maxBitsNum: Long = 433L, maxBitsDen: Long = 100L): Dataset[PerplexityFlag] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs.flatMap { case (id, text) =>
+      if (text == null) None // batch twin: split(null) -> no token array
+      else {
+        val tk = graft.functions.HashFunctions.tokensLocal(text)
+        if (tk.length < 2) None // batch twin: size(tk) >= 2 filter
+        else {
+          var i = 0
+          var total = 0L
+          while (i < tk.length - 1) {
+            total += bc.value.getOrElse((tk(i), tk(i + 1)), oovBits)
+            i += 1
+          }
+          val n = (tk.length - 1).toLong
+          Some(PerplexityFlag(id, n, total, total * maxBitsDen <= maxBitsNum * n))
+        }
+      }
+    }
+  }
+
   final case class OrderRow(o_orderkey: Long, o_custkey: Long,
       o_orderdate: Timestamp, o_orderpriority: String)
 

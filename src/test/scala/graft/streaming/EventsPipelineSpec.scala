@@ -795,6 +795,43 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming perplexity gate (A33): bounded top-K model equals the batch truncated scorer") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // 916 distinct bigrams at sf0.001: K=600 makes truncation BITE
+    // (real OOV traffic) while keeping template coverage high enough
+    // that the median gate still splits the corpus
+    val K = 600
+    val OOV = 6L
+    val docsDf = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val model = graft.operators.TextAnalysis.exportBigramModel(docsDf, K)
+    assert(model.size == K, s"model must be exactly the top-K cap, got ${model.size}")
+    val docs = docsDf.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).take(120)
+    val src = MemoryStream[(Long, String)]
+    val q = EventsPipeline.perplexityGateStream(src.toDS(), model, OOV)
+      .writeStream.format("memory").queryName("ppl_gate_test")
+      .outputMode("append").start()
+    try {
+      src.addData(docs.take(50): _*); q.processAllAvailable()
+      src.addData(docs.drop(50): _*); q.processAllAvailable()
+      val streamed = spark.table("ppl_gate_test")
+        .as[EventsPipeline.PerplexityFlag].collect()
+        .map(f => (f.doc_id, f.n_bigrams, f.total_bits, f.keep)).toSet
+      val ids = docs.map(_._1).toSet
+      val batch = graft.operators.TextAnalysis
+        .perplexityFilterTopK(docsDf, K, OOV)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .filter(t => ids(t._1)).toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: extra=${streamed -- batch} missing=${batch -- streamed}")
+      // non-vacuous: the truncated model must exercise BOTH the in-model
+      // and the OOV path, and both keep branches
+      assert(streamed.exists(_._4) && streamed.exists(!_._4),
+        s"gate constant: kept=${streamed.count(_._4)}/${streamed.size}")
+    } finally q.stop()
+  }
+
   test("streaming SCD2 maintenance (A31): latest-per-version equals the batch operator") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     // transformWithState runs only on the RocksDB provider
