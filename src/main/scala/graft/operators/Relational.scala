@@ -1432,7 +1432,10 @@ object Relational {
   def surrogateKeys(existing: DataFrame, incoming: DataFrame,
       buckets: Int = 32): DataFrame = {
     val maxSk = existing.agg(coalesce(max(col("sk")), lit(0L)).as("max_sk"))
-    val local = incoming.join(existing.select("c_custkey"), Seq("c_custkey"), "left_anti")
+    // distinct: an ingest batch repeating a new business key (two orders
+    // from one new customer) must mint ONE surrogate, not one per row
+    val local = incoming.select("c_custkey").distinct()
+      .join(existing.select("c_custkey"), Seq("c_custkey"), "left_anti")
       .withColumn("p", pmod(
         graft.functions.HashFunctions.md5Hash56(col("c_custkey").cast("string")),
         lit(buckets.toLong)))

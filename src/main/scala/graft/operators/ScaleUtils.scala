@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Cluster-scale utilities (SURVEY.md §5): the two levers that matter most
@@ -55,5 +55,43 @@ object ScaleUtils {
       explode(array((0 until salts).map(lit): _*)))
     saltedLeft.join(saltedRight, keys :+ "__graft_salt", joinType)
       .drop("__graft_salt")
+  }
+
+  /** Morton (Z-order) value of two non-negative int columns: the low
+    * `bits` bits of each, interleaved (x even positions, y odd) — a
+    * space-filling curve, so CONTIGUOUS z ranges cover compact (x, y)
+    * rectangles. Pure shifts/ors, codegen'd end to end.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** G18 — Z-ORDERED data layout (the OPTIMIZE ZORDER of table
+    * formats): write `df` as `files` parquet files range-partitioned
+    * and sorted by the Morton interleave of TWO filter columns, so
+    * every file's (min, max) footer rectangle is COMPACT in both
+    * dimensions — a predicate on EITHER column (or both) prunes most
+    * files at planning time from footer stats alone. A single-column
+    * sort gives perfect pruning on that column and none on the other;
+    * the curve trades a little of each for locality in both — the
+    * standard multi-dimensional clustering answer at 100 TB, where the
+    * scan you avoid is the whole game.
+    *
+    * Columns must be non-negative ints fitting in `bits` bits (rank or
+    * quantize upstream — a production wrapper would ntile to 2^bits).
+    * The range partitioner samples deterministic split points over z;
+    * sortWithinPartitions keeps row groups monotone in z so row-group
+    * stats prune WITHIN files too.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, colX: String, colY: String,
+      files: Int, bits: Int = 16): Unit = {
+    df.withColumn("__graft_z", zValue(col(colX), col(colY), bits))
+      .repartitionByRange(files, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(dir)
   }
 }

@@ -711,26 +711,6 @@ object TextAnalysis {
         ${r4Sql("1.0 / (1.0 + exp(-CAST(score_sum AS DOUBLE) / (1000.0 * n_tokens)))")} AS prob
       FROM sc ORDER BY doc_id"""))
 
-  /** E16's core: n-gram-LM perplexity filtering — the LM-scoring stage
-    * of public corpus pipelines (a la CCNet's KenLM pass): score every
-    * doc under the corpus bigram model and gate on mean surprisal.
-    * Float discipline: per-bigram surprisal is the EXACT integer
-    * `floor(log2(c(w1·)/c(w1,w2)))`, computed with bit lengths
-    * (`length(bin(x))`) plus ONE shift comparison — `k0 =
-    * bitlen(cn)-bitlen(n)` brackets the answer to {k0-1, k0} and
-    * `(n << k0) <= cn` resolves it — no transcendental anywhere, so the
-    * per-doc total is an integer sum (map-side combinable,
-    * accumulation-order-independent) and the keep gate is pure integer
-    * arithmetic (`total*den <= num*n_bigrams`). The only double is the
-    * display column: one r4-quantized long/long IEEE division.
-    *
-    * Scale: the model is vocabulary²-bounded — data-dependent, so NOT
-    * broadcast (the t11 unigram lesson); doc bigrams equi-join it on
-    * (w1, w2), shuffling slim (doc_id, w1, w2) rows only. Bigram
-    * formation is t13's map-side shift-zip (no window, no per-doc
-    * sort). Scoring the training corpus has no OOV by construction; a
-    * held-out scorer would left-join and add-one-smooth the misses.
-    */
   /** Per-doc (doc_id, w1, w2) bigram occurrences — t13's map-side
     * shift-zip, shared by the model build and the scoring join.
     */
@@ -764,6 +744,26 @@ object TextAnalysis {
       full.orderBy(col("n").desc, col("w1"), col("w2")).limit(k))
   }
 
+  /** E16's core: n-gram-LM perplexity filtering — the LM-scoring stage
+    * of public corpus pipelines (a la CCNet's KenLM pass): score every
+    * doc under the corpus bigram model and gate on mean surprisal.
+    * Float discipline: per-bigram surprisal is the EXACT integer
+    * `floor(log2(c(w1·)/c(w1,w2)))`, computed with bit lengths
+    * (`length(bin(x))`) plus ONE shift comparison — `k0 =
+    * bitlen(cn)-bitlen(n)` brackets the answer to {k0-1, k0} and
+    * `(n << k0) <= cn` resolves it — no transcendental anywhere, so the
+    * per-doc total is an integer sum (map-side combinable,
+    * accumulation-order-independent) and the keep gate is pure integer
+    * arithmetic (`total*den <= num*n_bigrams`). The only double is the
+    * display column: one r4-quantized long/long IEEE division.
+    *
+    * Scale: the model is vocabulary²-bounded — data-dependent, so NOT
+    * broadcast (the t11 unigram lesson); doc bigrams equi-join it on
+    * (w1, w2), shuffling slim (doc_id, w1, w2) rows only. Bigram
+    * formation is t13's map-side shift-zip (no window, no per-doc
+    * sort). Scoring the training corpus has no OOV by construction; a
+    * held-out scorer would left-join and add-one-smooth the misses.
+    */
   def perplexityFilter(docs: DataFrame,
       maxBitsNum: Long = 433L, maxBitsDen: Long = 100L): DataFrame = {
     val pairs = docBigrams(docs)
@@ -778,12 +778,6 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** The TRUNCATED-model batch scorer — A33's batch twin: scoring joins
-    * the top-K model (bounded!) with a LEFT join; an out-of-model (OOV)
-    * bigram costs a flat `oovBits` penalty. Every doc with >= 1 bigram
-    * scores (OOV bigrams still count), unlike [[perplexityFilter]]
-    * where the full model makes misses impossible.
-    */
   /** Export the bounded model the streaming gate (A33) broadcasts:
     * top-K (w1, w2) → bits. K caps the driver/broadcast footprint the
     * way a real exported LM caps its vocabulary.
@@ -792,6 +786,12 @@ object TextAnalysis {
     bigramSurprisalModel(docBigrams(docs), Some(topK))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
 
+  /** The TRUNCATED-model batch scorer — A33's batch twin: scoring joins
+    * the top-K model (bounded!) with a LEFT join; an out-of-model (OOV)
+    * bigram costs a flat `oovBits` penalty. Every doc with >= 1 bigram
+    * scores (OOV bigrams still count), unlike [[perplexityFilter]]
+    * where the full model makes misses impossible.
+    */
   def perplexityFilterTopK(docs: DataFrame, topK: Int, oovBits: Long,
       maxBitsNum: Long = 433L, maxBitsDen: Long = 100L): DataFrame = {
     val pairs = docBigrams(docs)

@@ -1261,7 +1261,10 @@ class OperatorSpec extends SparkSpec {
       val all = rnd.shuffle((1L to 400L).toList).take(120 + rnd.nextInt(150))
       val (have, fresh) = all.partition(_ => rnd.nextBoolean())
       val existing = have.map(k => (k, k * 7 + 3)).toDF("c_custkey", "sk")
-      val incoming = (fresh ++ have.take(have.length / 2)) // mixed old+new
+      // mixed old+new, WITH duplicates on both: a repeated new key must
+      // mint exactly one surrogate, a repeated known key none
+      val incoming = (fresh ++ have.take(have.length / 2) ++
+        fresh.take(fresh.length / 3) ++ have.take(5))
         .toDF("c_custkey")
       val rows = Relational.surrogateKeys(existing, incoming)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

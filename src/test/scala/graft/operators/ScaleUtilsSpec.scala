@@ -99,4 +99,43 @@ class ScaleUtilsSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("z-ordered layout (G18): per-file footer rectangles are compact in BOTH columns") {
+    import spark.implicits._
+    // a full 64x64 grid: the worst case for single-column clustering
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y)).toDF("x", "y")
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val xdir = java.nio.file.Files.createTempDirectory("graft-xsort").toString
+    ScaleUtils.writeZOrdered(grid, zdir, "x", "y", files = 16, bits = 6)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(xdir)
+    def fileSpans(dir: String): Seq[(Int, Int, Int, Int)] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+          (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+        }
+    val zSpans = fileSpans(zdir)
+    val xSpans = fileSpans(xdir)
+    assert(zSpans.size == 16 && xSpans.size == 16)
+    // z-order: 4096 z values / 16 files = 256-value ranges; a contiguous
+    // 256-run of the curve touches at most two 16x16 tiles in each axis
+    // (range split points need not align to tile boundaries)
+    zSpans.foreach { case (x0, x1, y0, y1) =>
+      assert(x1 - x0 <= 33 && y1 - y0 <= 33,
+        s"z file spans x[$x0,$x1] y[$y0,$y1] — not a compact rectangle")
+    }
+    // the x-sorted baseline is perfect on x but prunes NOTHING on y
+    assert(xSpans.forall { case (_, _, y0, y1) => y1 - y0 == 63 })
+    // planning-time pruning argument, concretely: a point predicate on y
+    // matches few z files but every x-sorted file
+    val yProbe = 37
+    val zHits = zSpans.count { case (_, _, y0, y1) => y0 <= yProbe && yProbe <= y1 }
+    val xHits = xSpans.count { case (_, _, y0, y1) => y0 <= yProbe && yProbe <= y1 }
+    assert(zHits <= 6, s"y=$yProbe should touch few z-ordered files, got $zHits/16")
+    assert(xHits == 16, "every x-sorted file contains every y")
+    // and the layout is lossless
+    assert(spark.read.parquet(zdir).count() == 4096)
+  }
 }
