@@ -1,0 +1,108 @@
+package graft.tools
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** G19 — query observability: a `QueryExecutionListener` that harvests
+  * the physical plan's SQL metrics (leaf output rows, files/bytes the
+  * planner touched, shuffle bytes written) per completed action — the
+  * numbers an operations dashboard tracks per pipeline stage at
+  * 100 TB, where "did this query scan one partition or the whole
+  * table" is the difference between a pruned plan and a full-table
+  * accident. Pull-based and in-memory: attach, run the workload,
+  * `drain()` the records (or `summarize` them as a DataFrame for the
+  * usual operator treatment).
+  *
+  * Semantics: numFiles/filesSize are LISTING-level — they reflect
+  * partition/file pruning decisions (the spec proves a partition
+  * filter shrinks both), not post-pruning column-chunk IO; per-task IO
+  * needs a `SparkListener` on task metrics, a heavier hammer than the
+  * per-query question usually warrants.
+  */
+object QueryMetrics {
+
+  final case class QueryRecord(name: String, durationNs: Long,
+      outputRows: Long, filesRead: Long, bytesRead: Long,
+      shuffleBytesWritten: Long)
+
+  final class Collector extends QueryExecutionListener {
+    private val buf = ArrayBuffer.empty[QueryRecord]
+
+    // AQE hides the real tree: AdaptiveSparkPlanExec exposes no
+    // children (its final plan lives in `executedPlan`) and each
+    // materialized stage wraps its subtree in a QueryStageExec whose
+    // `plan` is likewise not a child. A naive foreach sees one opaque
+    // node with zero metrics — unwrap both.
+    private def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+
+    // match on the metrics map KEYS ("numFiles", "filesSize",
+    // "shuffleBytesWritten") — stable identifiers, unlike the display
+    // descriptions
+    private def metricSum(
+        all: Seq[org.apache.spark.sql.execution.SparkPlan],
+        keys: Set[String]): Long = {
+      var total = 0L
+      all.foreach { node =>
+        node.metrics.foreach { case (k, m) =>
+          if (keys.contains(k)) total += math.max(0L, m.value)
+        }
+      }
+      total
+    }
+
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = synchronized {
+      val all = nodes(qe.executedPlan)
+      // leaf-only rows: every operator reports numOutputRows; summing
+      // the whole tree would count each row once per stage
+      val leafRows = all.filter(n => n.children.isEmpty &&
+          !n.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] &&
+          !n.isInstanceOf[org.apache.spark.sql.execution.adaptive.QueryStageExec])
+        .flatMap(_.metrics.get("numOutputRows"))
+        .map(m => math.max(0L, m.value)).sum
+      buf += QueryRecord(
+        name = funcName,
+        durationNs = durationNs,
+        outputRows = leafRows,
+        filesRead = metricSum(all, Set("numFiles")),
+        bytesRead = metricSum(all, Set("filesSize")),
+        shuffleBytesWritten = metricSum(all, Set("shuffleBytesWritten")))
+    }
+
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = ()
+
+    def drain(): Seq[QueryRecord] = synchronized {
+      val out = buf.toSeq
+      buf.clear()
+      out
+    }
+  }
+
+  /** Attach a fresh collector to the session. Caller detaches with
+    * `spark.listenerManager.unregister(c)` when done.
+    */
+  def attach(spark: SparkSession): Collector = {
+    val c = new Collector
+    spark.listenerManager.register(c)
+    c
+  }
+
+  /** The drained records as a DataFrame — observability data is just
+    * data; aggregate it with the same engine it observes.
+    */
+  def summarize(spark: SparkSession, records: Seq[QueryRecord]): DataFrame = {
+    import spark.implicits._
+    records.toDF()
+  }
+}
