@@ -105,4 +105,45 @@ object QueryMetrics {
     import spark.implicits._
     records.toDF()
   }
+
+  final case class BatchRecord(queryName: String, batchId: Long,
+      inputRows: Long, stateRows: Long, stateBytes: Long)
+
+  /** The STREAMING half of the observability surface: a
+    * `StreamingQueryListener` harvesting per-micro-batch progress —
+    * input rows and the state store's row/byte footprint summed across
+    * stateful operators. State size is THE number to watch on a
+    * 100 TB/day stream: a watermark that stops advancing shows up here
+    * as monotone state growth long before executors die.
+    */
+  final class StreamingCollector
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf = ArrayBuffer.empty[BatchRecord]
+
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+    override def onQueryProgress(event: QueryProgressEvent): Unit = synchronized {
+      val p = event.progress
+      buf += BatchRecord(
+        queryName = Option(p.name).getOrElse(""),
+        batchId = p.batchId,
+        inputRows = p.numInputRows,
+        stateRows = p.stateOperators.map(_.numRowsTotal).sum,
+        stateBytes = p.stateOperators.map(_.memoryUsedBytes).sum)
+    }
+
+    def drain(): Seq[BatchRecord] = synchronized {
+      val out = buf.toSeq
+      buf.clear()
+      out
+    }
+  }
+
+  def attachStreaming(spark: SparkSession): StreamingCollector = {
+    val c = new StreamingCollector
+    spark.streams.addListener(c)
+    c
+  }
 }

@@ -43,4 +43,36 @@ class QueryMetricsSpec extends SparkSpec {
       assert(summary == records.map(_.bytesRead).sum)
     } finally spark.listenerManager.unregister(c)
   }
+
+  test("streaming metrics: state footprint and input rows surface per micro-batch") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val c = QueryMetrics.attachStreaming(spark)
+    val src = MemoryStream[(Long, String)]
+    // a STATEFUL query (dropDuplicates keeps seen keys in the state
+    // store) so the state metrics are non-trivial
+    val q = src.toDS().toDF("id", "v").dropDuplicates("id")
+      .writeStream.format("memory").queryName("metrics_stream_test")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, "a"), (2L, "b"), (1L, "dup")); q.processAllAvailable()
+      src.addData((3L, "c")); q.processAllAvailable()
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      var records = Seq.empty[QueryMetrics.BatchRecord]
+      while (!records.exists(_.stateRows == 3) && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        records = records ++ c.drain()
+      }
+      val named = records.filter(_.queryName == "metrics_stream_test")
+      assert(named.nonEmpty, s"no progress records: $records")
+      assert(named.map(_.inputRows).sum == 4, s"input rows: $named")
+      // after both batches the dedup state holds exactly the 3 distinct keys
+      assert(named.exists(_.stateRows == 3), s"state rows never reached 3: $named")
+      assert(named.exists(_.stateBytes > 0), s"state bytes missing: $named")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(c)
+    }
+  }
 }
