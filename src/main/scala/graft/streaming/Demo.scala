@@ -335,6 +335,46 @@ object Demo {
         s"spans=${streamed.size} batchSpans=${batch.size} equal=${streamed == batch}")
     }
 
+    // 11. The ingest LIFECYCLE end to end (A32 -> G17): stream docs
+    // through the audited exactly-once sink (one poison micro-batch
+    // quarantines with its report), then compact the accreted
+    // per-batch files into the versioned table and read back exactly
+    // the clean rows.
+    {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val base = Files.createTempDirectory("graft-demo-lifecycle")
+      val (table, quarantine) = (s"$base/table", s"$base/quarantine")
+      val audit = graft.operators.Publish.columnAudit(
+        "text_not_empty" -> (col("text").isNull || length(col("text")) === 0))
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = NibblerSink.startAudited(
+        src.toDS().toDF("doc_id", "text"), audit, table, quarantine,
+        new NibblerSink.BatchTracker(s"$base/marker"), s"$base/ckpt",
+        tickerDuration = 100.millis)
+      try {
+        src.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
+        src.addData((3L, ""), (4L, "poisoned batch")); q.processAllAvailable()
+        src.addData((5L, "gamma"), (6L, "delta")); q.processAllAvailable()
+      } finally q.stop()
+      val landed = spark.read.parquet(table).select("doc_id").as[Long].collect().toSet
+      val quarantined = new java.io.File(quarantine).listFiles()
+        .count(_.getName.startsWith("batch="))
+      // fold the per-batch files into version 1 of the published table
+      val pubRoot = s"$base/published"
+      val seed = graft.operators.Publish.writeAuditPublish(
+        spark.read.parquet(table).select("doc_id", "text"), pubRoot, audit, "ingest")
+      val compacted = graft.operators.Publish.compact(spark, pubRoot, targetBytes = 1L << 40)
+      val served = graft.operators.Publish.readPublished(spark, pubRoot)
+        .select("doc_id").as[Long].collect().toSet
+      check("ingest-lifecycle",
+        landed == Set(1L, 2L, 5L, 6L) && quarantined == 1 &&
+          seed.published && compacted.published && compacted.version.contains(2L) &&
+          served == landed,
+        s"landed=${landed.toSeq.sorted.mkString(",")} quarantined=$quarantined " +
+          s"compactedV=${compacted.version.getOrElse(-1L)} served=${served.size}")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }
