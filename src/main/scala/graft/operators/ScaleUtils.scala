@@ -62,12 +62,17 @@ object ScaleUtils {
     * space-filling curve, so CONTIGUOUS z ranges cover compact (x, y)
     * rectangles. Pure shifts/ors, codegen'd end to end.
     */
-  def zValue(x: Column, y: Column, bits: Int): Column =
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    // 2*bits+1 must stay < 64: JVM long shifts mask the count to 6 bits,
+    // so an oversized `bits` would silently wrap into a garbage curve
+    require(bits >= 1 && bits <= 31,
+      s"zValue interleaves 2*bits bits into one long; bits must be in [1, 31], got $bits")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
+  }
 
   /** G18 — Z-ORDERED data layout (the OPTIMIZE ZORDER of table
     * formats): write `df` as `files` parquet files range-partitioned

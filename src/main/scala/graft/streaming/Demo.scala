@@ -357,16 +357,23 @@ object Demo {
         src.addData((3L, ""), (4L, "poisoned batch")); q.processAllAvailable()
         src.addData((5L, "gamma"), (6L, "delta")); q.processAllAvailable()
       } finally q.stop()
+      // every step guarded: a regression must print FAIL through the
+      // scenario protocol, not die on an NPE/sys.error before the line
       val landed = spark.read.parquet(table).select("doc_id").as[Long].collect().toSet
-      val quarantined = new java.io.File(quarantine).listFiles()
-        .count(_.getName.startsWith("batch="))
+      val quarantined = Option(new java.io.File(quarantine).listFiles())
+        .map(_.count(_.getName.startsWith("batch="))).getOrElse(0)
       // fold the per-batch files into version 1 of the published table
       val pubRoot = s"$base/published"
       val seed = graft.operators.Publish.writeAuditPublish(
         spark.read.parquet(table).select("doc_id", "text"), pubRoot, audit, "ingest")
-      val compacted = graft.operators.Publish.compact(spark, pubRoot, targetBytes = 1L << 40)
-      val served = graft.operators.Publish.readPublished(spark, pubRoot)
-        .select("doc_id").as[Long].collect().toSet
+      val compacted =
+        if (seed.published) graft.operators.Publish.compact(spark, pubRoot, targetBytes = 1L << 40)
+        else graft.operators.Publish.WapResult(published = false, None, None, Nil)
+      val served =
+        if (compacted.published)
+          graft.operators.Publish.readPublished(spark, pubRoot)
+            .select("doc_id").as[Long].collect().toSet
+        else Set.empty[Long]
       check("ingest-lifecycle",
         landed == Set(1L, 2L, 5L, 6L) && quarantined == 1 &&
           seed.published && compacted.published && compacted.version.contains(2L) &&

@@ -34,49 +34,54 @@ object QueryMetrics {
     // AQE hides the real tree: AdaptiveSparkPlanExec exposes no
     // children (its final plan lives in `executedPlan`) and each
     // materialized stage wraps its subtree in a QueryStageExec whose
-    // `plan` is likewise not a child. A naive foreach sees one opaque
-    // node with zero metrics — unwrap both.
+    // `plan` is likewise not a child. Expression SUBQUERIES (scalar/IN
+    // subqueries, DPP, runtime bloom-filter builds) hang off
+    // `subqueries`, not `children` — a walk that skips them
+    // under-reports IO exactly on the pruned queries this tool exists
+    // to observe. (A reused subquery contributes once per reference —
+    // planner-touched semantics, matching the listing-level contract.)
     private def nodes(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a +: nodes(a.executedPlan)
+        a +: (nodes(a.executedPlan) ++ a.subqueries.flatMap(nodes))
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        q +: nodes(q.plan)
-      case other => other +: other.children.flatMap(nodes)
-    }
-
-    // match on the metrics map KEYS ("numFiles", "filesSize",
-    // "shuffleBytesWritten") — stable identifiers, unlike the display
-    // descriptions
-    private def metricSum(
-        all: Seq[org.apache.spark.sql.execution.SparkPlan],
-        keys: Set[String]): Long = {
-      var total = 0L
-      all.foreach { node =>
-        node.metrics.foreach { case (k, m) =>
-          if (keys.contains(k)) total += math.max(0L, m.value)
-        }
-      }
-      total
+        q +: (nodes(q.plan) ++ q.subqueries.flatMap(nodes))
+      case other => other +: (other.children ++ other.subqueries).flatMap(nodes)
     }
 
     override def onSuccess(funcName: String, qe: QueryExecution,
         durationNs: Long): Unit = synchronized {
-      val all = nodes(qe.executedPlan)
-      // leaf-only rows: every operator reports numOutputRows; summing
-      // the whole tree would count each row once per stage
-      val leafRows = all.filter(n => n.children.isEmpty &&
-          !n.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] &&
-          !n.isInstanceOf[org.apache.spark.sql.execution.adaptive.QueryStageExec])
-        .flatMap(_.metrics.get("numOutputRows"))
-        .map(m => math.max(0L, m.value)).sum
+      // one pass over the node list; metric map KEYS ("numFiles",
+      // "filesSize", "shuffleBytesWritten") are stable identifiers,
+      // unlike the display descriptions. Leaf-only rows: every operator
+      // reports numOutputRows; summing the whole tree would count each
+      // row once per stage.
+      var leafRows = 0L
+      var files = 0L
+      var bytes = 0L
+      var shuffle = 0L
+      nodes(qe.executedPlan).foreach { n =>
+        val isWrapper =
+          n.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.adaptive.QueryStageExec]
+        n.metrics.foreach { case (k, m) =>
+          val v = math.max(0L, m.value)
+          k match {
+            case "numOutputRows" if n.children.isEmpty && !isWrapper => leafRows += v
+            case "numFiles" => files += v
+            case "filesSize" => bytes += v
+            case "shuffleBytesWritten" => shuffle += v
+            case _ => ()
+          }
+        }
+      }
       buf += QueryRecord(
         name = funcName,
         durationNs = durationNs,
         outputRows = leafRows,
-        filesRead = metricSum(all, Set("numFiles")),
-        bytesRead = metricSum(all, Set("filesSize")),
-        shuffleBytesWritten = metricSum(all, Set("shuffleBytesWritten")))
+        filesRead = files,
+        bytesRead = bytes,
+        shuffleBytesWritten = shuffle)
     }
 
     override def onFailure(funcName: String, qe: QueryExecution,

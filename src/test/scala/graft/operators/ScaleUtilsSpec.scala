@@ -109,31 +109,38 @@ class ScaleUtilsSpec extends SparkSpec {
     ScaleUtils.writeZOrdered(grid, zdir, "x", "y", files = 16, bits = 6)
     grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
       .write.mode("overwrite").parquet(xdir)
-    def fileSpans(dir: String): Seq[(Int, Int, Int, Int)] =
+    def fileStats(dir: String): Seq[(Int, Int, Int, Int, Long, Long)] =
       new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
         .map { f =>
           val r = spark.read.parquet(f.toString)
-            .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
-          (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+            .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")),
+              countDistinct(floor(col("x") / 16)), countDistinct(floor(col("y") / 16)))
+            .head()
+          (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))
         }
-    val zSpans = fileSpans(zdir)
-    val xSpans = fileSpans(xdir)
-    assert(zSpans.size == 16 && xSpans.size == 16)
-    // z-order: 4096 z values / 16 files = 256-value ranges; a contiguous
-    // 256-run of the curve touches at most two 16x16 tiles in each axis
-    // (range split points need not align to tile boundaries)
-    zSpans.foreach { case (x0, x1, y0, y1) =>
-      assert(x1 - x0 <= 33 && y1 - y0 <= 33,
-        s"z file spans x[$x0,$x1] y[$y0,$y1] — not a compact rectangle")
+    val zStats = fileStats(zdir)
+    val xStats = fileStats(xdir)
+    assert(zStats.size == 16 && xStats.size == 16)
+    // The alignment-ROBUST invariant: tiles are aligned 256-z blocks
+    // (16x16 squares), and a contiguous z range of ~256 values
+    // intersects at most 3 aligned blocks wherever the sampled range
+    // splits land — so each file touches <= 3 of the 4 bands in EACH
+    // axis. (A raw min-max span bound would be wrong: consecutive
+    // Morton tiles across the midpoint are spatially far apart, so the
+    // straddling file can legitimately span all of x.)
+    zStats.foreach { case (x0, x1, y0, y1, xBands, yBands) =>
+      assert(xBands <= 3 && yBands <= 3,
+        s"z file x[$x0,$x1] y[$y0,$y1] touches $xBands x-bands / $yBands y-bands")
     }
     // the x-sorted baseline is perfect on x but prunes NOTHING on y
-    assert(xSpans.forall { case (_, _, y0, y1) => y1 - y0 == 63 })
+    assert(xStats.forall { case (_, _, y0, y1, _, yBands) => y1 - y0 == 63 && yBands == 4 })
     // planning-time pruning argument, concretely: a point predicate on y
-    // matches few z files but every x-sorted file
+    // matches few z files but every x-sorted file. Bound 8: the 4 tiles
+    // of y-band 2 live in <= 4 ranges plus <= 4 straddling neighbours.
     val yProbe = 37
-    val zHits = zSpans.count { case (_, _, y0, y1) => y0 <= yProbe && yProbe <= y1 }
-    val xHits = xSpans.count { case (_, _, y0, y1) => y0 <= yProbe && yProbe <= y1 }
-    assert(zHits <= 6, s"y=$yProbe should touch few z-ordered files, got $zHits/16")
+    val zHits = zStats.count { case (_, _, y0, y1, _, _) => y0 <= yProbe && yProbe <= y1 }
+    val xHits = xStats.count { case (_, _, y0, y1, _, _) => y0 <= yProbe && yProbe <= y1 }
+    assert(zHits <= 8, s"y=$yProbe should touch few z-ordered files, got $zHits/16")
     assert(xHits == 16, "every x-sorted file contains every y")
     // and the layout is lossless
     assert(spark.read.parquet(zdir).count() == 4096)
