@@ -248,20 +248,26 @@ object Pipeline {
   // sort_array(collect_list(struct)) spelling makes the concatenation
   // order deterministic regardless of partition arrival order
   // (collect_list alone is not).
+  /** P9's core (shared with P11's manifest): the materialized
+    * per-(shard, pack) frame — member count, token total, md5 of the
+    * assembled bytes.
+    */
+  def materializePacks(docs: DataFrame, tokenBudget: Long = 2048L,
+      shards: Int = 8): DataFrame = {
+    packSequences(docs, tokenBudget, shards)
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            e => e.getField("text")),
+          "<|eos|>")).as("content_hash"))
+  }
+
   private val p9 = Relational.Q(
     "p9_pack_materialize",
-    (s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      packSequences(docs, tokenBudget = 2048L, shards = 8)
-        .join(docs, Seq("doc_id"))
-        .groupBy(col("shard"), col("pack_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
-          md5(array_join(
-            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
-              e => e.getField("text")),
-            "<|eos|>")).as("content_hash"))
-        .orderBy(col("shard"), col("pack_id"))
-    },
+    (s, d) => materializePacks(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .orderBy(col("shard"), col("pack_id")),
     Some {
       val docHash = graft.functions.HashFunctions.md5Hash56Sql("CAST(doc_id AS VARCHAR)")
       s"""
@@ -478,5 +484,51 @@ object Pipeline {
       WHERE a.in_a IS NULL OR b.in_b IS NULL OR a.h_a IS DISTINCT FROM b.h_b
       ORDER BY doc_id, status"""))
 
-  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10)
+  // P11 — training-SHARD MANIFEST: the verifiable hand-off artifact a
+  // trainer consumes — per shard, the pack count, doc/token volumes,
+  // and a shard fingerprint (md5 over the pack content-hashes in
+  // pack_id order), so the receiving side can verify every shard
+  // end-to-end without re-reading the corpus: recompute any pack's
+  // content_hash from its bytes, then the fingerprint from the hashes.
+  // One more map-side-combinable aggregate over P9's frame; the
+  // fingerprint's struct-sorted collect is bounded by packs-per-shard.
+  private val p11 = Relational.Q(
+    "p11_shard_manifest",
+    (s, d) => {
+      materializePacks(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("total_tokens")).as("total_tokens"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("pack_id"), col("content_hash")))),
+              e => e.getField("content_hash")),
+            "|")).as("shard_fingerprint"))
+        .orderBy(col("shard"))
+    },
+    Some {
+      val docHash = graft.functions.HashFunctions.md5Hash56Sql("CAST(doc_id AS VARCHAR)")
+      s"""
+      WITH t AS (
+        SELECT doc_id, text, len(string_split_regex(trim(text), '\\s+')) AS nt,
+          $docHash % 8 AS shard
+        FROM documents),
+      c AS (
+        SELECT doc_id, text, nt, shard,
+          COALESCE(SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM t),
+      p AS (
+        SELECT shard, CAST(cb // 2048 AS BIGINT) AS pack_id, COUNT(*) AS nd,
+          CAST(SUM(nt) AS BIGINT) AS tt,
+          md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS content_hash
+        FROM c GROUP BY 1, 2)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_packs,
+        CAST(SUM(nd) AS BIGINT) AS n_docs,
+        CAST(SUM(tt) AS BIGINT) AS total_tokens,
+        md5(string_agg(content_hash, '|' ORDER BY pack_id)) AS shard_fingerprint
+      FROM p GROUP BY shard ORDER BY shard"""
+    })
+
+  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11)
 }
