@@ -1223,6 +1223,32 @@ class OperatorSpec extends SparkSpec {
     assert(r.getLong(2) == 8L, s"total_bits ${r.getLong(2)}: 4 z-bigrams x 2 bits + 3 returns x 0")
   }
 
+  test("t13/t16 cross-operator consistency: surprisal bits bracket the conditional probability") {
+    // two independent spellings of the same model must agree: t13's
+    // p_cond = n/cn (r4-quantized double) and t16's integer bits =
+    // floor(log2(cn/n)) satisfy 2^-(bits+1) < n/cn <= 2^-bits — on the
+    // REAL corpus, for every top-50 bigram, joining purely by (w1, w2)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val lm = TextAnalysis.bigramLm(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val bits = TextAnalysis.bigramSurprisalModel(
+        docs.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
+              " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(lm.nonEmpty)
+    lm.foreach { case (bg, p) =>
+      val b = bits(bg)
+      // p is r4-quantized: compare with a half-ulp (5e-5) slack
+      assert(p <= math.pow(2.0, -b.toDouble) + 5e-5 &&
+        p > math.pow(2.0, -(b + 1).toDouble) - 5e-5,
+        s"bigram $bg: p_cond=$p outside (2^-${b + 1}, 2^-$b]")
+    }
+  }
+
   test("perplexity filter gate is non-degenerate on the real corpus") {
     // the 4.33 bits/bigram default sits at the corpus median — a filter
     // that keeps (or drops) everything proves nothing
