@@ -266,7 +266,11 @@ object Pipeline {
 
   private val p9 = Relational.Q(
     "p9_pack_materialize",
-    (s, d) => materializePacks(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    // constants EXPLICIT at the call site: the oracle SQL below
+    // hardcodes 2048/8, so a default-argument retune must not be able
+    // to desync them silently
+    (s, d) => materializePacks(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        tokenBudget = 2048L, shards = 8)
       .orderBy(col("shard"), col("pack_id")),
     Some {
       val docHash = graft.functions.HashFunctions.md5Hash56Sql("CAST(doc_id AS VARCHAR)")
@@ -495,7 +499,8 @@ object Pipeline {
   private val p11 = Relational.Q(
     "p11_shard_manifest",
     (s, d) => {
-      materializePacks(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      materializePacks(Tables.documents(s, d).select(col("doc_id"), col("text")),
+          tokenBudget = 2048L, shards = 8) // explicit: oracle hardcodes these
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_packs"),
           sum(col("n_docs")).as("n_docs"),

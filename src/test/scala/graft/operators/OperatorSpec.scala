@@ -1223,6 +1223,29 @@ class OperatorSpec extends SparkSpec {
     assert(r.getLong(2) == 8L, s"total_bits ${r.getLong(2)}: 4 z-bigrams x 2 bits + 3 returns x 0")
   }
 
+  test("p11 manifest is a faithful roll-up of p9's packs, fingerprint recomputable") {
+    // the trainer-facing contract SURVEY advertises: given p9's pack
+    // hashes, anyone can recompute the shard fingerprint — pin it by
+    // doing exactly that, independent of both engines' SQL
+    val p9 = graft.SparkEntry.queries("p9_pack_materialize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val p11 = graft.SparkEntry.queries("p11_shard_manifest")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(p9.nonEmpty && p11.nonEmpty)
+    p9.groupBy(_._1).foreach { case (shard, packs) =>
+      val (nPacks, nDocs, totTokens, fp) = p11(shard)
+      assert(nPacks == packs.length && nDocs == packs.map(_._3).sum &&
+        totTokens == packs.map(_._4).sum, s"shard $shard volumes")
+      val joined = packs.sortBy(_._2).map(_._5).mkString("|")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(fp == md, s"shard $shard fingerprint not recomputable from pack hashes")
+    }
+    assert(p11.keySet == p9.map(_._1).toSet, "manifest must cover every shard")
+  }
+
   test("t13/t16 cross-operator consistency: surprisal bits bracket the conditional probability") {
     // two independent spellings of the same model must agree: t13's
     // p_cond = n/cn (r4-quantized double) and t16's integer bits =
@@ -1231,14 +1254,10 @@ class OperatorSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, sfDir)
     val lm = TextAnalysis.bigramLm(docs)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
-    val bits = TextAnalysis.bigramSurprisalModel(
-        docs.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
-              " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
-          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // exportBigramModel's top-50 uses the SAME total (n desc, w1, w2)
+    // order over the same counts as bigramLm's limit(50), so the key
+    // sets coincide exactly — no need to rebuild bigrams here
+    val bits = TextAnalysis.exportBigramModel(docs, topK = 50)
     assert(lm.nonEmpty)
     lm.foreach { case (bg, p) =>
       val b = bits(bg)
