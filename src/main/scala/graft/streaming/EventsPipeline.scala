@@ -296,9 +296,6 @@ object EventsPipeline {
       priority: String, effective_from: java.sql.Date,
       effective_to: Option[java.sql.Date], n_orders: Long, seq: Long)
 
-  private final case class ScdState(version: Long, priority: String,
-      fromDay: Int, nOrders: Long, seq: Long)
-
   /** A31 — STREAMING SCD2 dimension maintenance: the stateful streaming
     * twin of batch [[graft.operators.Relational.scd2Dimension]] (B46),
     * the CDC-ingestion shape of the same islands semantics — the
@@ -569,3 +566,16 @@ object EventsPipeline {
       }
   }
 }
+
+/** A31's per-customer state: the OPEN SCD2 span only. TOP-LEVEL and
+  * non-private by necessity, not style: Spark's encoder generates Java
+  * (Janino) that constructs and reads this class by name, and a private
+  * object-nested case class made every state read/write fall back to the
+  * interpreted projection path ("Expr codegen error ... candidates:
+  * public long EventsPipeline$ScdState.version()" in the round-5 suite
+  * log) — tests passed, but a 100 TB/day CDC stream would pay the
+  * interpreter on every state touch. EventsPipelineSpec asserts the
+  * fallback warning is gone.
+  */
+final case class ScdState(version: Long, priority: String,
+    fromDay: Int, nOrders: Long, seq: Long)

@@ -838,6 +838,26 @@ class EventsPipelineSpec extends SparkSpec {
     val saved = EventsPipeline.RocksDBStateStore.keys
       .map(k => k -> spark.conf.getOption(k)).toMap
     EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    // Round-5 regression guard: the (then private, nested) ScdState case
+    // class made every state read/write fall back to the INTERPRETED
+    // projection ("Expr codegen error ... falling back to interpreter
+    // mode" x10 in the suite log) — tests passed but a production CDC
+    // stream would pay the interpreter per state touch. Capture WARNs
+    // for the duration of the streaming run and assert the fallback is
+    // gone, so a re-nesting can't slip back in silently.
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val logCtx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val rootCfg = logCtx.getConfiguration.getRootLogger
+    val capture = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-codegen-capture", null, null, false,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage)
+    }
+    capture.start()
+    rootCfg.addAppender(capture, org.apache.logging.log4j.Level.WARN, null)
+    logCtx.updateLoggers()
     // real orders for a subset of customers, fed in event-time order
     // (the CDC commit-order contract) across THREE micro-batch slicings
     // chosen to split customers' histories mid-span
@@ -880,8 +900,21 @@ class EventsPipelineSpec extends SparkSpec {
       // non-vacuous: real histories must contain BOTH closed and open spans
       assert(streamed.exists(_._5.isDefined) && streamed.exists(_._5.isEmpty),
         "corpus produced no closed (or no open) spans — the twin check proved nothing")
+      // probe WARN proves the appender is actually wired (a capture that
+      // silently attached to nothing would pass the no-fallback assert)
+      org.apache.logging.log4j.LogManager.getLogger(getClass)
+        .warn("graft-capture-probe")
+      assert(captured.toArray(Array.empty[String]).exists(_.contains("graft-capture-probe")),
+        "log-capture appender saw nothing — the no-fallback assertion is vacuous")
+      val fallbacks = captured.toArray(Array.empty[String]).filter(m =>
+        m.contains("Expr codegen error") || m.contains("falling back to interpreter"))
+      assert(fallbacks.isEmpty,
+        s"state encoder fell back to interpreted projection:\n${fallbacks.take(3).mkString("\n")}")
     } finally {
       q.stop()
+      rootCfg.removeAppender("graft-codegen-capture")
+      logCtx.updateLoggers()
+      capture.stop()
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)
