@@ -457,7 +457,12 @@ object Pipeline {
   // derived "next release": 10% of docs dropped (doc_id % 10 = 0), docs
   // at doc_id % 7 = 0 edited (re-crawled), docs at doc_id % 13 = 0
   // duplicated under new ids (fresh crawl additions). Exact md5 compare,
-  // hash-checked cross-engine.
+  // hash-checked cross-engine. The synthetic fresh-crawl ids live in the
+  // strictly NEGATIVE space (-doc_id - 1): provably disjoint from the
+  // real (non-negative) id space at EVERY corpus size — a fixed +1e6
+  // offset would collide with real ids once the corpus reaches 1M docs,
+  // and since both engines share the formula the oracle could never
+  // catch it (round-5 ADVICE).
   private val p10 = Relational.Q(
     "p10_snapshot_diff",
     (s, d) => {
@@ -467,7 +472,7 @@ object Pipeline {
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
             .otherwise(col("text")).as("text"))
         .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
       snapshotDiff(docs, nextRelease)
     },
     Some("""
@@ -478,7 +483,7 @@ object Pipeline {
           TRUE AS in_b
         FROM documents WHERE doc_id % 10 != 0
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, md5(text) AS h_b, TRUE AS in_b
+        SELECT -doc_id - 1 AS doc_id, md5(text) AS h_b, TRUE AS in_b
         FROM documents WHERE doc_id % 13 = 0)
       SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
         CASE WHEN a.in_a IS NULL THEN 'added'

@@ -225,6 +225,19 @@ object Sketching {
     * [[kmvUnionEstimate]] for inclusion-exclusion arithmetic — using raw
     * `size(sk)` for set cardinality silently floors at k once the sketch
     * saturates, which turns exclusive counts into garbage.
+    *
+    * Boundary regime (round-5 ADVICE, documented by design): a sketch at
+    * size == k is INDISTINGUISHABLE from a saturated one — the aggregate
+    * discarded nothing iff the input had <= k distinct values, and the
+    * retained array alone cannot witness which happened (a saturation
+    * flag would have to travel in the sketch struct and survive merges).
+    * The estimator therefore treats size == k as saturated: a set of
+    * EXACTLY k distinct members estimates as (k-1)/theta rather than
+    * returning k. That one-point regime is still inside the estimator's
+    * ~1/sqrt(k-2) relative-error envelope (the k-th smallest hash IS
+    * theta), so nothing downstream needs the distinction; callers that
+    * need integer exactness AT k must size k strictly above their
+    * cardinality bound — the x6/x7/x8 contract.
     */
   def kmvCardinalityEstimate(sk: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     when(size(sk) === k,
@@ -294,7 +307,13 @@ object Sketching {
   // day's k smallest (pigeonhole), so the re-aggregated sketch is
   // BIT-IDENTICAL to a single pass over the raw column (spec-pinned in
   // the saturated regime). Below capacity the roll-up is exact, hence
-  // the COUNT(DISTINCT) oracle.
+  // the COUNT(DISTINCT) oracle. CAPACITY CONTRACT (round-5 ADVICE): the
+  // exact oracle holds only while every event_type stays below K=2048
+  // distinct users — above it the estimator regime begins and the check
+  // would fail BY DESIGN, not by bug. SketchingSpec gates the assumption
+  // (asserts per-type cardinality < K on the test corpus, with headroom),
+  // so testdata outgrowing the capacity fails loudly in the suite rather
+  // than cryptically in the driver gate.
   private val x8 = Relational.Q(
     "x8_kmv_rollup",
     (s, d) => {

@@ -839,6 +839,108 @@ object TextAnalysis {
         total_bits * 100 <= 433 * n_bigrams AS keep
       FROM sc ORDER BY doc_id"""))
 
+  /** E17's core: BPE tokenizer TRAINING — learn the merges table from the
+    * corpus (the public Sennrich et al. 2016 algorithm: repeatedly count
+    * adjacent symbol pairs over the word-frequency vocabulary, fuse the
+    * most frequent pair, K bounded rounds). This is the operator that
+    * produces the model artifact [[graft.functions.BpeEncode]] (t14) and
+    * the pack budgets (p4/p8/p9) consume — the natural completion of the
+    * tokenize/pack pipeline: train on the cleaned corpus, then encode
+    * with the learned table.
+    *
+    * Scale shape (the d6/k-means iterative-op discipline): the corpus is
+    * touched ONCE — a map-side-combinable word-count aggregate; every
+    * training round then runs on the VOCABULARY frame (distinct words +
+    * counts — never re-reads the corpus, never leaves the cluster):
+    *   - pair counts: one explode of adjacent symbol pairs weighted by
+    *     word count + one map-side-combinable sum;
+    *   - best pair: ONE TakeOrderedAndProject(1) driver probe per round
+    *     (count desc, then (a,b) lexicographic — fully deterministic);
+    *   - apply: a narrow higher-order-function fold over each word's
+    *     symbols (left-to-right non-overlapping fusion), re-checkpointed
+    *     so lineage doesn't stack across rounds (the trainCentroids
+    *     precedent).
+    * The returned merges list is bounded by the numMerges PARAMETER, so
+    * it feeds BpeEncode's reference-object slot legitimately at any
+    * corpus size. Training stops early when no pair reaches minPairCount
+    * (Sennrich's frequency threshold).
+    */
+  def bpeTrainMerges(docs: DataFrame, numMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    // corpus -> (count, symbol sequence) per DISTINCT word, one shuffle;
+    // split("") is per code point (Java zero-width regex split never
+    // lands inside a surrogate pair), matching BpeEncode.encodeWord's
+    // symbol granularity; the empty trailing fragment split may emit is
+    // dropped (words are non-empty, so "" is never a real symbol)
+    var vocab = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("n"), array_remove(split(col("w"), ""), "").as("syms"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = merges.size >= numMerges
+    while (!done) {
+      val best = vocab.filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      best.headOption.filter(_.getLong(2) >= minPairCount) match {
+        case None => done = true
+        case Some(r) =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          merges += ((a, b))
+          vocab = vocab
+            .select(col("n"), fusePair(col("syms"), a, b).as("syms"))
+            .localCheckpoint(false)
+          done = merges.size >= numMerges
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Left-to-right non-overlapping fusion of adjacent (a,b) into a+b — the
+    * training-side "apply one merge" as a fold: fuse when the running
+    * tail is `a` and the next symbol is `b`. Exactly the greedy
+    * left-to-right rule (a just-fused a+b can never immediately re-fuse
+    * as `a`, since a+b != a for non-empty b — so "aaa" under (a,a)
+    * becomes ["aa","a"], matching BpeEncode's overlap rule).
+    * try_element_at keeps the empty-accumulator probe null-safe under
+    * ANSI; CaseWhen only evaluates the fuse branch when the condition
+    * holds, so slice's size-1 length is never negative.
+    */
+  private def fusePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(try_element_at(acc, lit(-1)) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  // E17 — BPE tokenizer training: the learned merges table as a query
+  // result (rank = merge priority, the merges-file line order). The
+  // iterative data-dependent selection is not SQL-expressible (recursive
+  // CTEs cannot aggregate per level), so no DuckDB oracle — the spec
+  // pins the learned table against the hand-computed Sennrich worked
+  // example and re-encodes t14 under a learned table.
+  private val t17 = Relational.Q(
+    "t17_bpe_train",
+    (s, d) => {
+      import s.implicits._
+      bpeTrainMerges(Tables.documents(s, d), numMerges = 16)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "left", "right")
+        .orderBy(col("rank"))
+    },
+    None)
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
-    t11, t12, t13, t14, t15, t16)
+    t11, t12, t13, t14, t15, t16, t17)
 }

@@ -72,6 +72,33 @@ object EventsPipeline {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .select(col("win.start").as("window_start"), col("approx_users"))
 
+  /** A34 — STREAMING KMV sketch roll-up: batch x8's twin, closing the
+    * sketch pack's streaming story. [[graft.functions.KMinValues]] is
+    * the aggregation inside a watermarked windowed agg (the A27 pattern
+    * with the custom mergeable aggregate): per micro-batch the partial
+    * buffers update, across micro-batches the state-store buffer MERGES
+    * — and the KMV merge (keep the k smallest distinct) is commutative
+    * and associative, so the emitted sketch is BIT-IDENTICAL to the
+    * batch sketch over the same rows regardless of micro-batch slicing
+    * (spec-pinned, the pigeonhole argument x8's oracle proves for the
+    * batch roll-up). State per open (window, type) is k longs — bounded
+    * by the PARAMETER — and the watermark evicts closed windows, so the
+    * shape survives a 100 TB/day stream. The emitted sketch column is
+    * the per-window artifact a downstream x8-style roll-up merges
+    * without raw data; distinct_users applies the same estimator as
+    * batch ([[graft.operators.Sketching.kmvCardinalityEstimate]]).
+    */
+  def kmvWindowedAgg(events: DataFrame, k: Int = 2048,
+      windowDur: String = "1 minute", watermark: String = "2 minutes"): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("win"), col("event_type"))
+      .agg(graft.functions.KMinValues(xxhash64(col("user_id")), k).as("sk"))
+      .select(col("win.start").as("window_start"), col("event_type"), col("sk"),
+        round(graft.operators.Sketching.kmvCardinalityEstimate(col("sk"), k))
+          .cast("long").as("distinct_users"))
+
   /** Watermarked SLIDING-window aggregation (A22): each event counts into
     * duration/slide overlapping windows (Expand + hash agg, incremental
     * under streaming — state is one row per open (window, type), evicted

@@ -58,6 +58,38 @@ object PlanAudit {
     "x3_heavy_hitters" -> "hashed-bucket aggregate: width 1024 rows max (constant)",
     "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB")
 
+  /** The global-window invariant, mechanized like the hint guard: every
+    * logical Window (or WindowGroupLimit) with an EMPTY partition spec.
+    * An unpartitioned window funnels the whole frame through ONE task —
+    * the classic silent scale-killer — so any instance must either be
+    * partitioned or carry a boundedness argument in
+    * [[allowedGlobalWindows]]. Detection is on the optimized LOGICAL
+    * plan (no AQE wrapper to unwrap, and rank-limit rewrites haven't
+    * hidden the window yet); expression subqueries are swept too.
+    */
+  def globalWindows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window, WindowGroupLimit}
+    val root = df.queryExecution.optimizedPlan
+    (root +: root.subqueriesAll).flatMap(_.collect {
+      case w: Window if w.partitionSpec.isEmpty =>
+        s"unpartitioned Window [${w.windowExpressions.map(_.name).mkString(",")}]"
+      case w: WindowGroupLimit if w.partitionSpec.isEmpty =>
+        "unpartitioned WindowGroupLimit"
+    })
+  }
+
+  // Unpartitioned windows over frames bounded by something OTHER than
+  // the data size — each an adjudicated exception with its boundedness
+  // argument (the round-5 VERDICT's benign list, now mechanical).
+  // Anything not listed here that trips globalWindows is a scale bug.
+  val allowedGlobalWindows = Map(
+    "p4_pack_sequences" ->
+      "declared single-shard oracle twin of p8 (the scale path IS p8's sharded window)",
+    "q39_revenue_share" ->
+      "25-row post-aggregate frame (nation-enum-bounded)",
+    "q48_surrogate_keys" ->
+      "32-row bucket prefix-sum frame (bucket-parameter-bounded)")
+
   // Iterative operators EXECUTE when their builder runs (label
   // propagation materializes per round), so "building the plan" would
   // run the whole algorithm and return only a scan of the checkpointed
@@ -117,15 +149,20 @@ object PlanAudit {
         val exch = plan.linesIterator.count(_.contains("Exchange"))
         val hints = corpusBroadcastHints(df)
         val badHint = hints.nonEmpty && !allowedHints.contains(name)
+        val gw = globalWindows(df)
+        val badGw = gw.nonEmpty && !allowedGlobalWindows.contains(name)
         val note =
-          if (cart > 0 || (bnlj > 0 && !allowed.contains(name)) || badHint) {
+          if (cart > 0 || (bnlj > 0 && !allowed.contains(name)) || badHint || badGw) {
             flagged += 1
-            if (badHint) s"  <== inspect [CORPUS HINT: ${hints.mkString("; ")}]" else "  <== inspect"
+            if (badHint) s"  <== inspect [CORPUS HINT: ${hints.mkString("; ")}]"
+            else if (badGw) s"  <== inspect [GLOBAL WINDOW: ${gw.mkString("; ")}]"
+            else "  <== inspect"
           }
           else if (bnlj > 0) s"  [allowed: ${allowed(name)}]"
           else if (hints.nonEmpty) s"  [hint allowed: ${allowedHints(name)}]"
+          else if (gw.nonEmpty) s"  [window allowed: ${allowedGlobalWindows(name)}]"
           else ""
-        println(f"[audit] $name%-28s exchanges=$exch%2d bnlj=$bnlj cartesian=$cart hints=${hints.size}$note")
+        println(f"[audit] $name%-28s exchanges=$exch%2d bnlj=$bnlj cartesian=$cart hints=${hints.size} gwin=${gw.size}$note")
         }
       } catch {
         case e: Throwable => println(s"[audit] $name FAILED to plan: ${e.getMessage}")

@@ -288,6 +288,58 @@ class OperatorSpec extends SparkSpec {
     t14.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"fewer tokens than words: $r"))
   }
 
+  test("BPE train (t17): learned merges equal the hand-computed Sennrich worked example") {
+    import spark.implicits._
+    import graft.functions.BpeEncode
+    // the paper's worked vocabulary (no end-of-word marker, matching
+    // BpeEncode's symbol granularity): low x5, lower x2, newest x6,
+    // widest x3 — hand-run of the algorithm with the (count desc, pair
+    // lexicographic) tie-break gives this exact merge order, to
+    // exhaustion at minPairCount=2
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).toDF("text")
+    val expected = Seq(
+      "e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w", "e" -> "w",
+      "ew" -> "est", "n" -> "ewest", "d" -> "est", "i" -> "dest",
+      "w" -> "idest", "e" -> "r", "low" -> "er")
+    val learned = TextAnalysis.bpeTrainMerges(corpus, numMerges = 50)
+    assert(learned == expected, s"learned $learned")
+    // numMerges truncates the SAME sequence (prefix property)
+    assert(TextAnalysis.bpeTrainMerges(corpus, numMerges = 8) == expected.take(8))
+    // Sennrich's frequency threshold: at minPairCount=3 the count-2
+    // merges (e,r)/(low,er) never happen — training stops at 10
+    assert(TextAnalysis.bpeTrainMerges(corpus, 50, minPairCount = 3) == expected.take(10))
+    // the learned table drives t14's encoder: training vocab words
+    // collapse to single symbols; the unseen "lowest" segments into the
+    // learned subwords low + est (the classic generalization example)
+    val ranks = BpeEncode.buildRanks(learned)
+    Seq("low", "lower", "newest", "widest").foreach { w =>
+      assert(BpeEncode.encodeWord(w, ranks).toSeq == Seq(w), s"vocab word $w not fused")
+    }
+    assert(BpeEncode.encodeWord("lowest", ranks).toSeq == Seq("low", "est"))
+  }
+
+  test("BPE train (t17): query entry learns a real table from the corpus") {
+    val t17 = graft.SparkEntry.queries("t17_bpe_train")(spark, sfDir).collect()
+    assert(t17.length == 16, s"expected 16 merges, got ${t17.length}")
+    assert(t17.map(_.getLong(0)).toSeq == (0L until 16L), "ranks not dense 0..15")
+    t17.foreach { r =>
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty, s"empty symbol in $r")
+    }
+    // merges-file validity: every side of merge i is a single code point
+    // or the fusion of some EARLIER merge — the structural property a
+    // merges file must satisfy to be loadable (symbols can only exist if
+    // built), checked incrementally over the learned order
+    val merges = t17.map(r => r.getString(1) -> r.getString(2)).toSeq
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      val built = merges.take(i).map { case (x, y) => x + y }.toSet
+      Seq(a, b).foreach { s =>
+        assert(s.codePointCount(0, s.length) == 1 || built(s),
+          s"merge $i side '$s' is neither a code point nor an earlier fusion")
+      }
+    }
+  }
+
   test("packSequences with an injected BPE token counter keeps the pack arithmetic exact") {
     import graft.functions.BpeEncode
     val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))

@@ -179,4 +179,27 @@ class SketchingSpec extends SparkSpec {
         s"$pair: union $un != only_a $onlyA + only_b $onlyB + shared ${x6.get(pair)}")
     }
   }
+
+  test("x6/x7/x8 capacity contract: every event_type stays below K=2048 distinct users") {
+    // the exact COUNT(DISTINCT) oracles for the KMV pack hold ONLY while
+    // per-type cardinality is under the sketch capacity (above it the
+    // estimator regime begins and the driver check would fail BY DESIGN,
+    // not by bug — round-5 ADVICE). Gate the assumption at the LARGEST
+    // scale the oracle gate runs (sf0.1, currently 1500/2048 = 73% of
+    // capacity) so testdata growth fails this suite loudly instead of
+    // the driver gate cryptically.
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val perType = graft.Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      assert(perType.nonEmpty)
+      perType.foreach { case (t, n) =>
+        assert(n < 2048, s"$dir event_type '$t' has $n distinct users — at/over " +
+          "the K=2048 sketch capacity: x6/x7/x8 leave the exact-oracle regime. " +
+          "Grow K (and this gate) to restore integer exactness")
+      }
+    }
+  }
 }

@@ -68,6 +68,42 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV roll-up (A34): sketches are bit-equal to batch regardless of micro-batch slicing") {
+    // sf0.01 events (150 distinct users per type) with a window wide
+    // enough that per-(window,type) cardinality exceeds k=16 (the
+    // aggregate's floor): buffers SATURATE, so the cross-micro-batch
+    // state merge actually exercises the keep-k-smallest rule (an
+    // unsaturated run would pass vacuously); 4 files => 4 micro-batches
+    // => every open window's state merges partial sketches from
+    // different batches
+    val batchEvents = Tables.events(spark, "/root/testdata/sf0.01")
+    val dir = Files.createTempDirectory("graft-kmvstream").toString
+    val K = 16
+    batchEvents.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventsPipeline.kmvWindowedAgg(stream, k = K, windowDur = "30 days")
+      .writeStream.format("memory").queryName("kmv_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream_test")
+        .orderBy("window_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getSeq[Long](2).toSeq, r.getLong(3)))
+      val batch = EventsPipeline.kmvWindowedAgg(batchEvents, k = K, windowDur = "30 days")
+        .orderBy("window_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getSeq[Long](2).toSeq, r.getLong(3)))
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq,
+        "streamed KMV sketches diverged from the single-pass batch sketches")
+      // non-vacuous: the saturated regime was actually reached
+      assert(streamed.exists(_._3.length == K),
+        s"no sketch saturated at k=$K — the merge rule was never exercised")
+    } finally q.stop()
+  }
+
   test("streaming sliding agg matches the batch answer and doubles event coverage") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[EventsPipeline.Event]

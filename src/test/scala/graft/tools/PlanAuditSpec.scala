@@ -48,6 +48,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(PlanAudit.corpusBroadcastHints(free).isEmpty)
   }
 
+  test("deliberate global window trips the guard; partitioned windows don't") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = Tables.documents(spark, sfDir)
+    // the anti-pattern: a corpus-wide rank with NO partitioning — every
+    // row through one task
+    val bad = docs.withColumn("rk", row_number().over(W.orderBy(col("doc_id"))))
+    val hits = PlanAudit.globalWindows(bad)
+    assert(hits.nonEmpty, "guard failed to flag an unpartitioned window")
+    assert(hits.exists(_.contains("rk")))
+    // the corrected shape is silent
+    val good = docs.withColumn("rk",
+      row_number().over(W.partitionBy(col("source")).orderBy(col("doc_id"))))
+    assert(PlanAudit.globalWindows(good).isEmpty)
+    // rank-limit shape: an unpartitioned top-k via WindowGroupLimit
+    // (filter on rank) must also trip, whichever node survives
+    // optimization
+    val topk = bad.filter(col("rk") <= 10)
+    assert(PlanAudit.globalWindows(topk).nonEmpty,
+      "guard blind to the filtered (WindowGroupLimit) global-rank shape")
+  }
+
+  test("the audited query surface carries no unadjudicated global windows") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !PlanAudit.iterative.contains(name) =>
+        val audited = PlanAudit.lazyTwin.getOrElse(name, fn)
+        val gw = try PlanAudit.globalWindows(audited(spark, sfDir)) catch {
+          case _: Throwable => Seq.empty // planning failures are OperatorSpec's dept
+        }
+        spark.catalog.clearCache()
+        (name, gw)
+    }.filter { case (name, gw) => gw.nonEmpty && !PlanAudit.allowedGlobalWindows.contains(name) }
+    assert(offenders.isEmpty,
+      s"unadjudicated global windows: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
+  }
+
   test("the audited query surface carries no unadjudicated corpus hints") {
     // every lazily-plannable SparkEntry query passes the guard or is in
     // the allowlist with a boundedness argument — the whole-repo
