@@ -382,6 +382,31 @@ object Demo {
           s"compactedV=${compacted.version.getOrElse(-1L)} served=${served.size}")
     }
 
+    // 12. The versioned ANN-index lifecycle (s7): build + WAP-publish
+    // the PQ index once, query it many times from the published bytes —
+    // top-k from the artifact must match top-k from an in-session
+    // build of the same books/codes (the artifact IS the index).
+    {
+      import org.apache.spark.sql.functions._
+      val root = Files.createTempDirectory("graft-demo-pqindex").toString
+      val e = graft.Tables.spread(graft.Tables.embeddings(spark, sfDir))
+      val (br, cr) = graft.operators.Similarity.publishPqIndex(e, root, "demo-build")
+      val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+      val top =
+        if (br.published && cr.published)
+          graft.operators.Similarity.pqTopKFromIndex(spark, root, e, queries, k = 3, refine = 30)
+            .collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      val perQueryOk = top.nonEmpty && top.groupBy(_.getLong(0)).forall {
+        case (_, rows) => rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length)
+      }
+      check("ann-index-lifecycle",
+        br.published && cr.published && br.version.contains(1L) &&
+          cr.version.contains(1L) && perQueryOk,
+        s"booksV=${br.version.getOrElse(-1L)} codesV=${cr.version.getOrElse(-1L)} " +
+          s"queries=${top.map(_.getLong(0)).distinct.length} rows=${top.length}")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -238,6 +238,65 @@ class OperatorSpec extends SparkSpec {
     assert(shape.values.forall(_ <= 16), s"codebooks exceed k=16: $shape")
   }
 
+  test("PQ index lifecycle (s7): WAP publish, artifact bit-exact, zero staged-side exchange, recall holds") {
+    val sf = "/root/testdata/sf0.01"
+    val root = java.nio.file.Files.createTempDirectory("graft-pqindex").toString
+    val e = graft.Tables.spread(graft.Tables.embeddings(spark, sf)).persist()
+    val (br, cr) = Similarity.publishPqIndex(e, root, "build-1")
+    assert(br.published && cr.published, s"publish failed: $br / $cr")
+    assert(br.version.contains(1L) && cr.version.contains(1L))
+    val (books, codes) = Similarity.readPqIndex(spark, root)
+    // books structure: all 8 subspaces, dense cids from 0, 8-dim centroids
+    val bRows = books.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    assert(bRows.map(_._1).toSet == (0 until 8).toSet)
+    assert(bRows.forall(_._3.length == 8))
+    bRows.groupBy(_._1).foreach { case (sub, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (0 until rs.length), s"sub $sub cids not dense")
+    }
+    // stored codes are BIT-EXACT: re-encode the corpus under the
+    // PUBLISHED books (encoding is deterministic; training is not) and
+    // compare row for row
+    val recomputed = Similarity.encodePq(Similarity.pqSubVectors(e, 8, 8), books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val stored = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(stored.nonEmpty && stored == recomputed,
+      "published codes diverge from a re-encode under the published books")
+    // the query path moves NOTHING corpus-proportional through a
+    // shuffle: scan -> literal-codebook reconstruct (narrow) ->
+    // broadcast-join queries -> score. Only broadcast exchanges allowed.
+    // (queries come from a plain read: Tables.spread's round-robin
+    // repartition would show up as an Exchange inside the broadcast
+    // subtree and muddy the zero-shuffle assertion)
+    val queries = graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+    val scored = Similarity.pqScoreFromIndex(spark, root, queries)
+    val shuffles = scored.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("BroadcastExchange")).toSeq
+    assert(shuffles.isEmpty, s"staged-side shuffle in the ADC scan plan:\n${shuffles.mkString("\n")}")
+    // end-to-end recall from the PUBLISHED index matches the s6 floor
+    val top = Similarity.pqTopKFromIndex(spark, root, e, queries, k = 5, refine = 150)
+      .collect()
+    top.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+    val exact = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = top.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    info(s"published-index PQ recall vs brute force: $recall")
+    assert(recall >= 0.8, s"s7 recall $recall < 0.8")
+    // rebuild publishes the NEXT version; readers re-resolve atomically
+    val (br2, cr2) = Similarity.publishPqIndex(e, root, "build-2")
+    assert(br2.version.contains(2L) && cr2.version.contains(2L))
+    // torn index (books moved without codes — the crash window between
+    // the two publishes) must refuse loudly, the d11 artifact-sync rule
+    val passAudit: graft.operators.Publish.Audit = df =>
+      graft.operators.Publish.columnAudit("never" -> lit(false))(df)
+    graft.operators.Publish.writeAuditPublish(books, s"$root/books", passAudit, "tear")
+    val torn = intercept[IllegalArgumentException] { Similarity.readPqIndex(spark, root) }
+    assert(torn.getMessage.contains("torn"))
+    e.unpersist()
+  }
+
   test("BPE encode (t14): hand-computed references, overlap rule, rank priority") {
     import graft.functions.BpeEncode
     def enc(w: String, m: Seq[(String, String)]): Seq[String] =
