@@ -1333,5 +1333,86 @@ object Dedup {
       HAVING COUNT(*) + 1 >= 4
       ORDER BY doc_id, start_a, start_b"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13)
+  /** C14's core: URL/DOMAIN-level corpus governance — the RefinedWeb /
+    * CCNet acquisition-stage gates that run BEFORE content dedup, over
+    * provenance alone:
+    *
+    *  1. hash-based URL dedup: one survivor per md5-56 URL hash (the
+    *     canonical min doc_id) — at 100 TB the dedup key is the 8-byte
+    *     hash, never the URL string, and the survivor choice is one
+    *     map-side-combinable min per hash;
+    *  2. domain blocklist: the policy list is parameter-bounded (a
+    *     curated file, not data), so it rides a broadcast ANTI join;
+    *  3. per-domain share cap: no domain may exceed `maxSharePermille`
+    *     of the SURVIVING corpus — rank within domain (deterministic:
+    *     doc_id order) against an integer gate
+    *     `rank * 1000 <= maxSharePermille * total` (BIGINT both sides,
+    *     no float share can flip a keep). The total is a one-row
+    *     post-dedup aggregate riding the t9/q48 crossJoin(broadcast)
+    *     shape; the rank window is domain-partitioned, never global.
+    *
+    * Docs frame contract: (doc_id, url, domain) non-null. Output: the
+    * governed survivors (doc_id, domain, url).
+    */
+  def domainGovernance(docs: DataFrame, blocklist: Seq[String],
+      maxSharePermille: Int): DataFrame = {
+    require(maxSharePermille >= 1 && maxSharePermille <= 1000,
+      s"maxSharePermille must be in [1, 1000], got $maxSharePermille")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val deduped = docs
+      .select(col("doc_id"), col("url"), col("domain"), H.md5Hash56(col("url")).as("uh"))
+      .groupBy(col("uh"))
+      .agg(min_by(struct(col("doc_id"), col("domain"), col("url")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.domain").as("domain"), col("r.url").as("url"))
+    val allowed = deduped.join(broadcast(blocklist.toDF("domain")), Seq("domain"), "left_anti")
+    val total = allowed.agg(count(lit(1)).as("n_total"))
+    val wDom = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+    allowed
+      .withColumn("domain_rank", row_number().over(wDom).cast("long"))
+      .crossJoin(broadcast(total))
+      .filter(col("domain_rank") * 1000L <= lit(maxSharePermille.toLong) * col("n_total"))
+      .select(col("doc_id"), col("domain"), col("url"))
+      .orderBy(col("doc_id"))
+  }
+
+  // C14 — the governance gates over the real corpus: domain = source,
+  // URL = a deterministic per-source page path (doc_id mod 200, so each
+  // domain serves the same 10 pages over and over — the re-crawl shape
+  // URL dedup exists for, and both engines derive it identically);
+  // blocklist bans three sources; the 40 permille cap bites every
+  // surviving domain (20 uniform domains sit at 50 permille before
+  // governance). All three stages are integer-exact, hence the full
+  // rows+schema+hash oracle.
+  private val d14 = Relational.Q(
+    "d14_domain_governance",
+    (s, d) => domainGovernance(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("source"), lit("/p"), (col("doc_id") % 200L).cast("string")).as("url"),
+          col("source").as("domain")),
+      blocklist = Seq("src3", "src7", "src13"),
+      maxSharePermille = 40),
+    Some(s"""
+      WITH u AS (
+        SELECT doc_id, source AS domain,
+          source || '/p' || CAST(doc_id % 200 AS VARCHAR) AS url
+        FROM documents),
+      dd AS (
+        SELECT doc_id, domain, url FROM (
+          SELECT doc_id, domain, url, ROW_NUMBER() OVER (
+            PARTITION BY ${H.md5Hash56Sql("url")} ORDER BY doc_id) AS rn
+          FROM u) WHERE rn = 1),
+      al AS (
+        SELECT * FROM dd WHERE domain NOT IN ('src3', 'src7', 'src13')),
+      t AS (SELECT COUNT(*) AS n_total FROM al)
+      SELECT doc_id, domain, url FROM (
+        SELECT doc_id, domain, url, ROW_NUMBER() OVER (
+          PARTITION BY domain ORDER BY doc_id) AS domain_rank
+        FROM al), t
+      WHERE domain_rank * 1000 <= 40 * n_total
+      ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14)
 }

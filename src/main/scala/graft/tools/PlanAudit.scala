@@ -56,7 +56,8 @@ object PlanAudit {
     "t9_tfidf" -> "one-row nDocs aggregate",
     "t11_surprisal" -> "one-row total-tokens aggregate",
     "x3_heavy_hitters" -> "hashed-bucket aggregate: width 1024 rows max (constant)",
-    "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB")
+    "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB",
+    "d14_domain_governance" -> "one-row post-dedup total aggregate (the t9/q48 shape)")
 
   /** The global-window invariant, mechanized like the hint guard: every
     * logical Window (or WindowGroupLimit) with an EMPTY partition spec.
@@ -135,7 +136,9 @@ object PlanAudit {
       "x7_kmv_union" ->
         "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size)",
       "q41_daily_spine" ->
-        "calendar spine x priority dim (calendar- and enum-bounded, not data-bounded)")
+        "calendar spine x priority dim (calendar- and enum-bounded, not data-bounded)",
+      "d14_domain_governance" ->
+        "crossJoin(broadcast(<one-row post-dedup total frame>)) for the share gate")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

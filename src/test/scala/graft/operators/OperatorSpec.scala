@@ -297,6 +297,32 @@ class OperatorSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("domain governance (d14): planted skew — URL dedup canonical, blocklist total, hot domain capped") {
+    import spark.implicits._
+    // planted acquisition corpus: a HOT domain holding 80 of 102 raw
+    // docs but crawling only 10 distinct pages (the re-crawl shape),
+    // four tail domains of 5 unique pages each, and a banned domain
+    val docs = ((0 until 80).map(i => (i.toLong, s"hot/p${i % 10}", "hot")) ++
+      (0 until 20).map(i => (100L + i, s"d${i % 4}/p$i", s"d${i % 4}")) ++
+      Seq((500L, "banned/x", "banned"), (501L, "banned/y", "banned")))
+      .toDF("doc_id", "url", "domain")
+    val out = Dedup.domainGovernance(docs, Seq("banned"), maxSharePermille = 200)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // hand-computed: URL dedup keeps the canonical MIN doc_id per page
+    // (hot -> ids 0..9, tail -> all 20, banned -> 2); blocklist removes
+    // banned entirely; post-governance total N = 30, so the 200-permille
+    // cap keeps rank*1000 <= 6000 -> 6 docs max per domain: hot is
+    // clipped 10 -> 6 (ids 0..5) while every tail domain (5 docs) fits
+    val expected =
+      (0 until 6).map(i => (i.toLong, "hot", s"hot/p$i")) ++
+      (0 until 20).map(i => (100L + i, s"d${i % 4}", s"d${i % 4}/p$i"))
+    assert(out.toSeq == expected.sortBy(_._1), s"got ${out.toSeq}")
+    // the cap is relative to the SURVIVING corpus: hot's share is now
+    // 6/26 (23%), down from 78% raw — the skew actually got governed
+    assert(out.count(_._2 == "hot") == 6)
+    assert(!out.exists(_._2 == "banned"))
+  }
+
   test("BPE encode (t14): hand-computed references, overlap rule, rank priority") {
     import graft.functions.BpeEncode
     def enc(w: String, m: Seq[(String, String)]): Seq[String] =
