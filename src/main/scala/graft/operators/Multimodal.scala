@@ -149,6 +149,133 @@ object Multimodal {
     },
     None)
 
+  /** F9 — ARROW-COLUMNAR decode exchange: the modernized spelling of F5.
+    *
+    * API FINDING (closes the m5 backlog item): Spark 4.1 exposes
+    * `mapInArrow` ONLY in PySpark — on the JVM the arrow bridge
+    * (`org.apache.spark.sql.execution.arrow.ArrowConverters`) is
+    * `private[sql]`, so no public Scala API hands a columnar Arrow
+    * batch through a Dataset transform. The public JVM path is the
+    * Arrow JAVA API itself (arrow-vector ships in Spark's own
+    * classpath for the Python bridge): build the batch at the seam.
+    *
+    * So this operator keeps Spark's row iterator at the boundary (the
+    * only public surface) and makes the DECODER exchange columnar: each
+    * `batchSize` slice becomes ONE Arrow VectorSchemaRoot — doc_id as a
+    * BigIntVector, payloads as a VarBinaryVector (contiguous buffer +
+    * offsets, exactly the wire layout mapInArrow would hand a Python
+    * worker) — and the decoder returns a root of (doc_id, n_bytes,
+    * features list<float4>). That is the zero-copy hand-off a
+    * vectorized codec / JNI model server actually consumes: one
+    * contiguous buffer per batch, no per-row JVM object churn inside
+    * the decode call. Allocator lifecycle is per batch and airtight
+    * (close verifies zero leaked buffers — an Arrow allocator leak is a
+    * test failure, not a slow executor death).
+    */
+  def extractFeaturesArrow(payloads: DataFrame, batchSize: Int = 64,
+      decoder: (org.apache.arrow.vector.VectorSchemaRoot, org.apache.arrow.memory.BufferAllocator) =>
+        org.apache.arrow.vector.VectorSchemaRoot = arrowDecodeStub): DataFrame = {
+    require(batchSize >= 1)
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.complex.ListVector
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[DocPayload]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val alloc = new RootAllocator(Long.MaxValue)
+          val ids = new BigIntVector("doc_id", alloc)
+          val pays = new VarBinaryVector("payload", alloc)
+          ids.allocateNew(batch.size)
+          pays.allocateNew(batch.map(_.payload.length.toLong).sum, batch.size)
+          batch.zipWithIndex.foreach { case (p, i) =>
+            ids.setSafe(i, p.doc_id); pays.setSafe(i, p.payload)
+          }
+          ids.setValueCount(batch.size); pays.setValueCount(batch.size)
+          val in = new VectorSchemaRoot(
+            java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](ids, pays))
+          in.setRowCount(batch.size)
+          try {
+            val out = decoder(in, alloc)
+            try {
+              require(out.getRowCount == batch.size,
+                s"decoder returned ${out.getRowCount} rows for ${batch.size} inputs")
+              val oid = out.getVector("doc_id").asInstanceOf[BigIntVector]
+              val onb = out.getVector("n_bytes").asInstanceOf[BigIntVector]
+              val ofe = out.getVector("features").asInstanceOf[ListVector]
+              import scala.jdk.CollectionConverters._
+              // materialize BEFORE the buffers close — the flatMap result
+              // must not lazily read freed Arrow memory
+              (0 until out.getRowCount).map { i =>
+                val fs = ofe.getObject(i).asScala
+                  .map(_.asInstanceOf[java.lang.Float].floatValue).toArray
+                DocFeatures(oid.get(i), onb.get(i).toInt, fs)
+              }.toVector
+            } finally out.close()
+          } finally { in.close(); alloc.close() }
+        }
+      }
+      .toDF()
+  }
+
+  /** Columnar stub decoder: consumes the input root VECTOR-WISE (offsets
+    * + contiguous payload buffer) and writes an output root — the same
+    * deterministic 8-bucket features as [[decodeStub]], so every decode
+    * spelling (per-row F2, Seq-batched F5, Arrow F9) is comparable
+    * row for row. A real system replaces THIS function with the
+    * vectorized codec / model-server call; the plumbing stands.
+    */
+  def arrowDecodeStub(in: org.apache.arrow.vector.VectorSchemaRoot,
+      alloc: org.apache.arrow.memory.BufferAllocator): org.apache.arrow.vector.VectorSchemaRoot = {
+    import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.complex.ListVector
+    val ids = in.getVector("doc_id").asInstanceOf[BigIntVector]
+    val pays = in.getVector("payload").asInstanceOf[VarBinaryVector]
+    val n = in.getRowCount
+    val outIds = new BigIntVector("doc_id", alloc)
+    val outNb = new BigIntVector("n_bytes", alloc)
+    val outFe = ListVector.empty("features", alloc)
+    outIds.allocateNew(n); outNb.allocateNew(n); outFe.allocateNew()
+    val w = outFe.getWriter
+    var i = 0
+    while (i < n) {
+      val bytes = pays.get(i)
+      outIds.setSafe(i, ids.get(i))
+      outNb.setSafe(i, bytes.length.toLong)
+      w.setPosition(i)
+      w.startList()
+      val fs = decodeStub(bytes)
+      var j = 0
+      while (j < fs.length) { w.float4().writeFloat4(fs(j)); j += 1 }
+      w.endList()
+      i += 1
+    }
+    outIds.setValueCount(n); outNb.setValueCount(n); outFe.setValueCount(n)
+    val root = new VectorSchemaRoot(
+      java.util.Arrays.asList[org.apache.arrow.vector.FieldVector](outIds, outNb, outFe))
+    root.setRowCount(n)
+    root
+  }
+
+  // F9 — rows-only like F2/F5 (stub features aren't SQL-expressible);
+  // the spec pins Arrow == Seq-batched == per-row outputs and the
+  // batch/allocator contracts. persist-before-sort for F2's
+  // single-decode reason.
+  private val m9 = Relational.Q(
+    "m9_feature_extract_arrow",
+    (s, d) => {
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      extractFeaturesArrow(payloads)
+        .select(col("doc_id"), col("n_bytes"), size(col("features")).as("n_features"),
+          element_at(col("features"), 1).as("f0"))
+        .persist()
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   // F3 — frame array + posexplode + every-k-th sampling (video-frame
   // shaped pipeline; frames here are 64-byte payload chunks).
   private val m3 = Relational.Q(
@@ -469,5 +596,5 @@ object Multimodal {
         USING (doc_id)
       ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8)
+  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9)
 }

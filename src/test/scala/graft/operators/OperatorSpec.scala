@@ -123,6 +123,38 @@ class OperatorSpec extends SparkSpec {
     assert(sizes.sum == perRow.length)
   }
 
+  test("Arrow columnar decode (m9): same answers as per-row and Seq-batched, bounded Arrow batches") {
+    val payloads = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val calls = spark.sparkContext.collectionAccumulator[Int]("arrowBatchSizes")
+    val counting: (org.apache.arrow.vector.VectorSchemaRoot, org.apache.arrow.memory.BufferAllocator) =>
+        org.apache.arrow.vector.VectorSchemaRoot = { (in, alloc) =>
+      calls.add(in.getRowCount)
+      // the input really is columnar: ONE contiguous VarBinary data
+      // buffer for the whole batch (offsets index into it)
+      val pays = in.getVector("payload")
+        .asInstanceOf[org.apache.arrow.vector.VarBinaryVector]
+      assert(pays.getDataBuffer.capacity() > 0)
+      Multimodal.arrowDecodeStub(in, alloc)
+    }
+    val arrow = Multimodal.extractFeaturesArrow(payloads, batchSize = 16, decoder = counting)
+      .collect().sortBy(_.getLong(0))
+    val perRow = Multimodal.extractFeatures(payloads).collect().sortBy(_.getLong(0))
+    val batched = Multimodal.extractFeaturesBatched(payloads, batchSize = 16)
+      .collect().sortBy(_.getLong(0))
+    // all three decode spellings agree row for row
+    assert(arrow.nonEmpty)
+    assert(arrow.map(_.toString).sameElements(perRow.map(_.toString)))
+    assert(arrow.map(_.toString).sameElements(batched.map(_.toString)))
+    // the decoder saw real batches: never above the cap, covering every
+    // row exactly once (the allocator-leak check is implicit: a leaked
+    // Arrow buffer makes alloc.close() throw inside the task)
+    import scala.jdk.CollectionConverters._
+    val sizes = calls.value.asScala.toVector
+    assert(sizes.nonEmpty && sizes.forall(s => s >= 1 && s <= 16))
+    assert(sizes.sum == perRow.length)
+  }
+
   test("dhash near-dup (m6): every re-encoded twin is recovered, within its 2-bit budget") {
     val sf = "/root/testdata/sf0.01"
     val res = graft.SparkEntry.queries("m6_dhash_near_dup")(spark, sf)
