@@ -923,6 +923,62 @@ object TextAnalysis {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(s))))
 
+  /** E17's artifact lifecycle — the tokenizer as a VERSIONED MODEL: the
+    * learned merges publish through G16's write-audit-publish like any
+    * corpus snapshot (s7's discipline for the ANN index), so the
+    * trainer-facing pipeline is train -> publish -> every consumer
+    * (t14 encode, p4/p8/p9 pack budgets) reads ONE immutable version by
+    * pointer. The audit runs on the STAGED bytes and pins the
+    * merges-file contract a loader depends on: dense ranks from 0,
+    * non-empty sides, and STRUCTURAL REACHABILITY — every side longer
+    * than one code point must be the fusion of some EARLIER merge (a
+    * table violating that can't have come from a training run and
+    * cannot drive an encoder; the exact check the spec runs against
+    * t17's output, here enforced at the publish gate).
+    */
+  def publishBpeMerges(spark: SparkSession, merges: Seq[(String, String)],
+      root: String, token: String): Publish.WapResult = {
+    import spark.implicits._
+    val df = merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "left", "right")
+    val audit: Publish.Audit = staged => {
+      val fusions = staged.select(col("rank").as("f_rank"),
+        concat(col("left"), col("right")).as("s"))
+      val sides = staged.select(col("rank"), explode(array(col("left"), col("right"))).as("s"))
+      val unreachable = sides
+        .filter(size(array_remove(split(col("s"), ""), "")) > 1)
+        .join(fusions, fusions("s") === sides("s") && col("f_rank") < col("rank"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("sides_reachable_from_earlier_merges").as("expectation"),
+          col("violations").cast("long").as("violations"),
+          (col("violations") === 0L).as("pass"))
+      Publish.columnAudit(
+        "sides_nonempty" -> (length(col("left")) === 0 || length(col("right")) === 0),
+        "rank_nonnegative" -> (col("rank") < 0))(staged)
+        .unionByName(staged.agg(count(lit(1)).as("n"),
+            coalesce(max(col("rank")), lit(-1L)).as("mx"),
+            countDistinct(col("rank")).as("nd"))
+          .select(lit("ranks_dense_from_zero").as("expectation"),
+            (abs(col("mx") - (col("n") - 1L)) + abs(col("nd") - col("n")))
+              .cast("long").as("violations"),
+            (col("mx") === col("n") - 1L && col("nd") === col("n")).as("pass")))
+        .unionByName(unreachable)
+    }
+    Publish.writeAuditPublish(df, root, audit, token)
+  }
+
+  /** Read the published tokenizer — rank-ordered, parameter-bounded
+    * (numMerges rows), straight into [[graft.functions.BpeEncode]]'s
+    * merges slot.
+    */
+  def readBpeMerges(spark: SparkSession, root: String): Seq[(String, String)] =
+    Publish.readPublished(spark, root)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+
   // E17 — BPE tokenizer training: the learned merges table as a query
   // result (rank = merge priority, the merges-file line order). The
   // iterative data-dependent selection is not SQL-expressible (recursive

@@ -436,6 +436,34 @@ class OperatorSpec extends SparkSpec {
     assert(BpeEncode.encodeWord("lowest", ranks).toSeq == Seq("low", "est"))
   }
 
+  test("BPE tokenizer artifact (t17): WAP publish round-trips, malformed tables quarantine") {
+    import spark.implicits._
+    import graft.functions.BpeEncode
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).toDF("text")
+    val learned = TextAnalysis.bpeTrainMerges(corpus, numMerges = 50)
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-artifact").toString
+    val r = TextAnalysis.publishBpeMerges(spark, learned, root, "train-1")
+    assert(r.published && r.version.contains(1L), s"publish failed: $r")
+    // round-trip: the published model IS the learned model, and the
+    // encoder drives off the read-back artifact identically
+    val back = TextAnalysis.readBpeMerges(spark, root)
+    assert(back == learned)
+    assert(BpeEncode.encodeWord("lowest", BpeEncode.buildRanks(back)).toSeq == Seq("low", "est"))
+    // a malformed table (reversed order: later fusions referenced before
+    // they exist) fails the structural audit and QUARANTINES — readers
+    // keep serving version 1
+    val r2 = TextAnalysis.publishBpeMerges(spark, learned.reverse, root, "train-2")
+    assert(!r2.published, "reversed merges table must not publish")
+    assert(r2.violations.exists(_._1 == "sides_reachable_from_earlier_merges"),
+      s"expected reachability violation, got ${r2.violations}")
+    assert(TextAnalysis.readBpeMerges(spark, root) == learned)
+    // retraining publishes the next version atomically
+    val r3 = TextAnalysis.publishBpeMerges(spark, learned.take(8), root, "train-3")
+    assert(r3.published && r3.version.contains(2L))
+    assert(TextAnalysis.readBpeMerges(spark, root) == learned.take(8))
+  }
+
   test("BPE train (t17): query entry learns a real table from the corpus") {
     val t17 = graft.SparkEntry.queries("t17_bpe_train")(spark, sfDir).collect()
     assert(t17.length == 16, s"expected 16 merges, got ${t17.length}")
