@@ -906,6 +906,81 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** The PRODUCTION-VOCAB scale path for BPE training. A real tokenizer
+    * learns ~30k-50k merges; [[bpeTrainMerges]]' one-distributed-round-
+    * per-merge shape is right for bounded K but wrong for 50k rounds
+    * (50k tiny jobs of driver latency). The standard public answer
+    * (Sennrich's reference, HF tokenizers): the corpus collapses to a
+    * WORD-FREQUENCY DICT first, and training runs on the dict. So:
+    * ONE distributed map-side-combinable word-count pass, a
+    * frequency-TRUNCATED vocabulary via TakeOrderedAndProject
+    * (`vocabCap` rows — count desc, word asc, fully deterministic;
+    * the dropped tail is the long tail of junk/rare words that
+    * contributes only low-count pairs), then the merge loop runs
+    * DRIVER-LOCAL on the parameter-bounded dict — zero cluster
+    * round-trips per merge. Same algorithm, same tie-breaks: on any
+    * corpus where the cap doesn't bite, spec-pinned EQUAL to
+    * [[bpeTrainMerges]].
+    */
+  def bpeTrainMergesLocal(docs: DataFrame, numMerges: Int, vocabCap: Int = 100000,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(vocabCap >= 1, s"vocabCap must be >= 1, got $vocabCap")
+    val top = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(vocabCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var vocab: Array[(Array[String], Long)] = top.map { case (w, n) =>
+      val cps = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        cps += new String(Character.toChars(cp)); i += Character.charCount(cp)
+      }
+      (cps.toArray, n)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = merges.size >= numMerges
+    while (!done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      // (count desc, a asc, b asc) — bpeTrainMerges' exact tie-break
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, (k, c)) =>
+          if (acc.forall { case (bk, bc) =>
+            c > bc || (c == bc && (k._1 < bk._1 || (k._1 == bk._1 && k._2 < bk._2)))
+          }) Some((k, c)) else acc
+      }
+      best.filter(_._2 >= minPairCount) match {
+        case None => done = true
+        case Some(((a, b), _)) =>
+          merges += ((a, b))
+          vocab = vocab.map { case (syms, n) =>
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
+          done = merges.size >= numMerges
+      }
+    }
+    merges.toSeq
+  }
+
   /** Left-to-right non-overlapping fusion of adjacent (a,b) into a+b — the
     * training-side "apply one merge" as a fold: fuse when the running
     * tail is `a` and the next symbol is `b`. Exactly the greedy

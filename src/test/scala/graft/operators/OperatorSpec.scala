@@ -421,6 +421,9 @@ class OperatorSpec extends SparkSpec {
       "w" -> "idest", "e" -> "r", "low" -> "er")
     val learned = TextAnalysis.bpeTrainMerges(corpus, numMerges = 50)
     assert(learned == expected, s"learned $learned")
+    // the production-vocab scale path (one word-count pass + driver-local
+    // training on the bounded dict) learns the identical sequence
+    assert(TextAnalysis.bpeTrainMergesLocal(corpus, numMerges = 50) == expected)
     // numMerges truncates the SAME sequence (prefix property)
     assert(TextAnalysis.bpeTrainMerges(corpus, numMerges = 8) == expected.take(8))
     // Sennrich's frequency threshold: at minPairCount=3 the count-2
@@ -434,6 +437,70 @@ class OperatorSpec extends SparkSpec {
       assert(BpeEncode.encodeWord(w, ranks).toSeq == Seq(w), s"vocab word $w not fused")
     }
     assert(BpeEncode.encodeWord("lowest", ranks).toSeq == Seq("low", "est"))
+  }
+
+  test("BPE train (t17): Spark training equals an independent local reference on random corpora") {
+    import spark.implicits._
+    // straight-line local implementation of the same public algorithm
+    // (word counts -> repeat: count adjacent pairs, fuse the (count
+    // desc, pair lexicographic) best), kept deliberately naive so the
+    // distributed spelling is checked against something with no shared
+    // code or shared mistakes
+    def localTrain(words: Seq[String], numMerges: Int, minCount: Long): Seq[(String, String)] = {
+      var vocab: Map[Seq[String], Long] = words.filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .map { case (w, n) =>
+          val cps = new scala.collection.mutable.ArrayBuffer[String]
+          var i = 0
+          while (i < w.length) {
+            val cp = w.codePointAt(i)
+            cps += new String(Character.toChars(cp)); i += Character.charCount(cp)
+          }
+          (cps.toSeq, n)
+        }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var go = true
+      while (go && out.size < numMerges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, n) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+          }
+        }
+        val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        best.filter(_._2 >= minCount) match {
+          case None => go = false
+          case Some(((a, b), _)) =>
+            out += ((a, b))
+            vocab = vocab.groupBy { case (syms, _) =>
+              val fused = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                  fused += a + b; i += 2
+                } else { fused += syms(i); i += 1 }
+              }
+              fused.toSeq
+            }.view.mapValues(_.values.sum).toMap
+        }
+      }
+      out.toSeq
+    }
+    val rng = new scala.util.Random(20260813L)
+    (1 to 5).foreach { trial =>
+      // small random corpora over a tiny alphabet maximize pair ties,
+      // stressing exactly the tie-break determinism
+      val words = Seq.fill(30)(Seq.fill(2 + rng.nextInt(5))(
+        ('a' + rng.nextInt(4)).toChar).mkString)
+      val sparkMerges = TextAnalysis.bpeTrainMerges(words.toDF("text"), numMerges = 8)
+      val localMerges = localTrain(words, numMerges = 8, minCount = 2L)
+      assert(sparkMerges == localMerges,
+        s"trial $trial: spark $sparkMerges != local $localMerges for corpus $words")
+      // the scale path agrees too (uncapped vocab: same algorithm, same
+      // tie-breaks, different execution substrate)
+      assert(TextAnalysis.bpeTrainMergesLocal(words.toDF("text"), numMerges = 8) == localMerges,
+        s"trial $trial: scale-path training diverged")
+    }
   }
 
   test("BPE tokenizer artifact (t17): WAP publish round-trips, malformed tables quarantine") {
@@ -471,6 +538,11 @@ class OperatorSpec extends SparkSpec {
     t17.foreach { r =>
       assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty, s"empty symbol in $r")
     }
+    // the scale path learns the IDENTICAL table on the real corpus
+    val viaDict = TextAnalysis.bpeTrainMergesLocal(
+      graft.Tables.documents(spark, sfDir), numMerges = 16)
+    assert(t17.map(r => r.getString(1) -> r.getString(2)).toSeq == viaDict,
+      "distributed-rounds and word-dict training paths diverged on the real corpus")
     // merges-file validity: every side of merge i is a single code point
     // or the fusion of some EARLIER merge — the structural property a
     // merges file must satisfy to be loadable (symbols can only exist if
