@@ -102,9 +102,13 @@ object Bench {
     // the headline total so a crash can't read as a speedup (subtracting
     // its time-to-fail); the negative key is the visible failure signal
     val total = results.map(_._2).filter(_ >= 0).sum
+    // all-runs-failed queries surface TWICE: their negative per-key marker
+    // AND a headline "failed" count, so a reader of the one-line JSON (or a
+    // cross-round diff of totals) cannot miss that the total excludes them
+    val nFailed = results.count(_._2 < 0)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val json =
-      s"""{"metric":"total","value":${cs2(total)},"unit":"sec","queries":$qs,"hv":$hv,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${cs2(total)},"unit":"sec","failed":$nFailed,"queries":$qs,"hv":$hv,"sf":"$sfName"}"""
     // stdout is the primary channel — print BEFORE the file writes, which
     // may fail (bad path) and must not discard the whole run's result
     println(json)

@@ -18,14 +18,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as LONG and truncate to micros (matches
-    * DuckDB's ns->us cast, which also truncates toward zero).
+  /** events.parquet has shipped with two ts physical types across testdata
+    * vintages: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * accepts as LONG via the legacy nanosAsLong flag) and plain
+    * timestamp[us]. Branch on the RESOLVED read schema so both produce the
+    * same TIMESTAMP column: nanos-as-long truncates to micros (matching
+    * DuckDB's ns->us cast, toward zero); a micros timestamp passes through,
+    * with TIMESTAMP_NTZ cast to TIMESTAMP (micros-identical — the session
+    * timezone is pinned to UTC in GraftSession/SparkSpec).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

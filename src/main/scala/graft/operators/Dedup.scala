@@ -1414,5 +1414,86 @@ object Dedup {
       WHERE domain_rank * 1000 <= 40 * n_total
       ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14)
+  /** C15's core: boilerplate REMOVAL — d9 flags documents dominated by
+    * corpus-repeated segments; this operator REWRITES them, the Dolma /
+    * CCNet duplicated-paragraph-removal stage re-expressed for
+    * newline-free text. Same positional-segment machinery as d9 (the
+    * codegen slot aggregate, no collect_list ordering hazard), then:
+    * full `w`-word segments occurring in >= `minDf` distinct documents
+    * are dropped; surviving segments plus the trailing partial segment
+    * (which never participates in df — it is position-truncated, not
+    * content) reassemble in segment order via ONE
+    * sort_array-of-structs per doc — deterministic because the segment
+    * index is unique within a doc.
+    *
+    * 100 TB: the df frame is (hash, count) — never text; the rebuild
+    * shuffles each doc's surviving segment texts once, keyed by doc_id
+    * (the same volume the corpus scan already moved); nothing is
+    * all-pairs and nothing collects. Output: (doc_id, clean_text,
+    * n_removed) for every input doc.
+    */
+  def boilerplateScrub(docs: DataFrame, w: Int, minDf: Int): DataFrame = {
+    require(w >= 2, s"segment width must be >= 2, got $w")
+    val base = docs.select(col("doc_id"), col("text"))
+    val words = Tables.spread(base)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val slots = (0 until w).map(i =>
+      max(when(col("pos") % w === i, col("w"))).as(s"w$i"))
+    // concat_ws skips the NULL slots of the trailing partial segment, so
+    // one aggregate rebuilds full segments and the tail alike
+    val segs = words
+      .groupBy(col("doc_id"), floor(col("pos") / w).cast("long").as("seg"))
+      .agg(slots.head, (slots.tail :+ count(lit(1)).as("nw")): _*)
+      .select(col("doc_id"), col("seg"), col("nw"),
+        concat_ws(" ", (0 until w).map(i => col(s"w$i")): _*).as("txt"))
+      .persist()
+    val dfm = segs.filter(col("nw") === w)
+      .select(md5(col("txt")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ndocs"))
+    val flagged = segs.filter(col("nw") === w)
+      .withColumn("h", md5(col("txt")))
+      .join(dfm, Seq("h"))
+      .select(col("doc_id"), col("seg"), col("txt"),
+        (col("ndocs") >= minDf).as("bp"))
+      .unionByName(segs.filter(col("nw") < w)
+        .select(col("doc_id"), col("seg"), col("txt"), lit(false).as("bp")))
+    flagged.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("bp"), struct(col("seg"), col("txt"))))),
+          s => s.getField("txt")), " ").as("clean_text"),
+        sum(when(col("bp"), 1L).otherwise(0L)).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  // C15 — boilerplate scrub: d9's detector turned into the rewrite the
+  // cleaning pipeline actually applies. Full rows+schema+hash oracle:
+  // segment text (not just counts) must survive two independent
+  // reassembly spellings bit-identically.
+  private val d15 = Relational.Q(
+    "d15_boilerplate_scrub",
+    (s, d) => boilerplateScrub(Tables.documents(s, d), 3, 3),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      segs AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS seg,
+          array_to_string(words[(i-1)*3+1 : (i-1)*3+3], ' ') AS txt
+        FROM t, UNNEST(generate_series(1, len(words) // 3)) AS g(i)),
+      sdf AS (
+        SELECT md5(txt) AS h, COUNT(DISTINCT doc_id) AS ndocs
+        FROM segs GROUP BY 1),
+      flagged AS (
+        SELECT doc_id, seg, txt, (ndocs >= 3) AS bp
+        FROM segs JOIN sdf ON md5(txt) = h
+        UNION ALL
+        SELECT doc_id, CAST(len(words) // 3 + 1 AS BIGINT) AS seg,
+          array_to_string(words[len(words) // 3 * 3 + 1 : len(words)], ' ') AS txt,
+          false AS bp
+        FROM t WHERE len(words) % 3 != 0)
+      SELECT doc_id,
+        COALESCE(string_agg(CASE WHEN NOT bp THEN txt END, ' ' ORDER BY seg), '') AS clean_text,
+        CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.{HashFunctions => H}
 import Num._
 
 /** Composite corpus-cleaning pipeline (the engine's headline use case):
@@ -540,5 +541,70 @@ object Pipeline {
       FROM p GROUP BY shard ORDER BY shard"""
     })
 
-  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11)
+  /** P12's core: language-TEMPERATURE sampling — the multilingual
+    * rebalancing stage (mT5/XLM-R style, public): sample languages
+    * proportional to `n_l^alpha` with alpha = 0.5, flattening the head
+    * so high-resource languages stop drowning the tail. Exactness
+    * discipline: the only float op is ONE correctly-rounded IEEE
+    * `sqrt(bigint-as-double)` per language — `floor(sqrt(n))` equals the
+    * integer square root for any count below 2^52, so the per-language
+    * weight is a BIGINT both engines agree on bit-for-bit; the weight
+    * total, the `budget·w_l div W` target, and the keep gate are then
+    * pure integer arithmetic (no float sum whose accumulation order
+    * could flip a floor).
+    *
+    * Scale shape: language stats are a GROUP-BY over the corpus (tiny
+    * result, langs are bounded), targets ride a broadcast back onto the
+    * scan, and the per-doc keep is a language-partitioned row_number
+    * over the deterministic (md5-56(doc_id), doc_id) order — the same
+    * per-key rank-vs-integer-gate shape as d14's share cap, never a
+    * global sort, stable under retries because nothing samples from RNG
+    * state.
+    */
+  def temperatureSample(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val stats = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val wTotal = stats.agg(sum(col("w")).as("w_total"))
+    val targets = stats.crossJoin(broadcast(wTotal))
+      .select(col("lang"), expr(s"(w * $budget) div w_total").as("target"))
+    val rk = Window.partitionBy(col("lang"))
+      .orderBy(H.md5Hash56(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("lang_rank", row_number().over(rk).cast("long"))
+      .join(broadcast(targets), Seq("lang"))
+      .filter(col("lang_rank") <= col("target"))
+      .select(col("doc_id"), col("lang"), col("source"), col("lang_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  // P12 — temperature sampling at a 200-doc budget: en (39% of the
+  // corpus) flattens to ~28% of the sample while the tail languages
+  // rise — the rebalancing visible in the oracle-checked output itself.
+  private val p12 = Relational.Q(
+    "p12_temperature_sample",
+    (s, d) => temperatureSample(Tables.documents(s, d), budget = 200L),
+    Some {
+      val docHash = graft.functions.HashFunctions.md5Hash56Sql("CAST(doc_id AS VARCHAR)")
+      s"""
+      WITH st AS (
+        SELECT lang, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+        FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM st),
+      tgt AS (SELECT lang, (w * 200) // w_total AS target FROM st, tot),
+      r AS (
+        SELECT doc_id, lang, source,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY $docHash, doc_id) AS BIGINT) AS lang_rank
+        FROM documents)
+      SELECT doc_id, lang, source, lang_rank
+      FROM r JOIN tgt USING (lang)
+      WHERE lang_rank <= target
+      ORDER BY doc_id"""
+    })
+
+  val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
+    p11, p12)
 }

@@ -138,7 +138,8 @@ object Publish {
     * time-traveling beyond the retention horizon do, which is the
     * horizon's definition.
     */
-  def expireVersions(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
+  def expireVersions(spark: SparkSession, root: String, keepLast: Int,
+      referenced: Set[Long] = Set.empty): Seq[Long] = {
     require(keepLast >= 1, "keepLast must retain at least the current version")
     val cur = currentVersion(spark, root).getOrElse(return Nil)
     val rootPath = new Path(root)
@@ -149,9 +150,40 @@ object Publish {
       .map(_.stripPrefix("v=").toLong)
       .filter(_ <= cur) // an in-flight publish's dir is not ours to touch
       .sorted
-    val expire = versions.dropRight(keepLast)
+    // a version pinned by a downstream artifact's lineage outlives the
+    // horizon: deleting it would break that artifact's re-verification
+    // path (G20) — TTL applies only to UNREFERENCED history
+    val expire = versions.dropRight(keepLast).filterNot(referenced)
     expire.foreach(v => f.delete(new Path(root, s"v=$v"), true))
     expire
+  }
+
+  /** G20 — MANIFEST-DRIVEN retention sweep: the nightly TTL job across a
+    * family of WAP tables, where "old" is not sufficient to delete — a
+    * published downstream artifact (a trained model's lineage record, a
+    * shard manifest, an ANN index built against corpus v=N) PINS the
+    * exact versions it was derived from, and deleting a pinned version
+    * silently breaks the artifact's re-verification path. The manifest
+    * is (root, version) rows naming every version still referenced;
+    * each root then expires versions that are simultaneously (a) past
+    * the keepLast horizon, (b) unreferenced, and (c) not current.
+    * Returns the (root, version) pairs actually deleted.
+    *
+    * The manifest collect is bounded by the count of PUBLISHED ARTIFACTS
+    * (lineage rows), not data — the audit-report convention. At 100 TB
+    * the sweep's cost is directory listings plus deletes; no table is
+    * scanned.
+    */
+  def retentionSweep(spark: SparkSession, roots: Seq[String],
+      manifest: DataFrame, keepLast: Int): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val refs = manifest.select(col("root"), col("version")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    roots.flatMap { root =>
+      expireVersions(spark, root, keepLast, refs.getOrElse(root, Set.empty))
+        .map(root -> _)
+    }
   }
 
   /** Stage `df`, audit the staged bytes with `audit`, publish on a clean

@@ -340,5 +340,86 @@ object Sketching {
       FROM events WHERE user_id IS NOT NULL
       GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8)
+  /** I9's core: COUNT-MIN SKETCH cells over a key column — the
+    * fixed-memory frequency summary (Cormode & Muthukrishnan 2005) that
+    * answers point-frequency queries with one-sided error (estimate >=
+    * truth, over by at most N/width w.h.p. per depth). The sketch IS a
+    * DataFrame aggregation: each occurrence lands in `depth` cells
+    * (cell_i = md5-56(i:key) mod width), ONE (dep, cell) hash aggregate
+    * counts them — map-side combinable, and MERGEABLE BY CONSTRUCTION
+    * because CMS is linear: per-shard/per-day sketches sum cell-wise to
+    * exactly the single-pass sketch (no pigeonhole argument even needed;
+    * SketchingSpec pins it). Result is depth×width rows regardless of
+    * input size — the artifact a 100 TB pipeline stores per partition.
+    */
+  def countMinCells(keys: org.apache.spark.sql.DataFrame, depth: Int,
+      width: Int): org.apache.spark.sql.DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape: $depth x $width")
+    import graft.functions.{HashFunctions => H}
+    keys
+      .select(col("k"), explode(array((0 until depth).map(lit): _*)).as("dep"))
+      .select(col("dep"),
+        pmod(H.md5Hash56(concat(col("dep").cast("string"), lit(":"), col("k"))),
+          lit(width.toLong)).as("cell"))
+      .groupBy(col("dep"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  // I9 — CMS point queries vs exact truth: sketch the corpus token
+  // stream (4 x 512 cells), then estimate the 20 most frequent tokens'
+  // counts as min-over-depths and print them NEXT TO the exact counts —
+  // the one-sided error (cms_est >= exact_n) is visible per row and the
+  // whole thing is integer arithmetic, so the oracle is a full
+  // rows+schema+hash check (DuckDB rebuilds the same sketch from the
+  // same hashes). The probe join broadcasts the parameter-bounded cell
+  // frame (<= depth*width rows); nothing corpus-sized crosses it.
+  private val x9 = Relational.Q(
+    "x9_countmin_freq",
+    (s, d) => {
+      import graft.functions.{HashFunctions => H}
+      val depth = 4
+      val width = 512
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("k"))
+        .persist() // feeds BOTH the sketch build and the exact probe counts
+      val cells = countMinCells(toks, depth, width)
+      val probes = toks.groupBy(col("k")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("k")).limit(20)
+      probes
+        .select(col("k"), col("exact_n"),
+          explode(array((0 until depth).map(lit): _*)).as("dep"))
+        .withColumn("cell",
+          pmod(H.md5Hash56(concat(col("dep").cast("string"), lit(":"), col("k"))),
+            lit(width.toLong)))
+        .join(broadcast(cells), Seq("dep", "cell"))
+        .groupBy(col("k"), col("exact_n"))
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("k").as("token"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overcount"))
+        .orderBy(col("token"))
+    },
+    Some {
+      val h = graft.functions.HashFunctions.md5Hash56Sql("(dep || ':' || k)")
+      s"""
+      WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS k
+        FROM documents),
+      cells AS (
+        SELECT dep, $h % 512 AS cell, COUNT(*) AS c
+        FROM toks, UNNEST([0, 1, 2, 3]) AS u(dep) GROUP BY 1, 2),
+      probes AS (
+        SELECT k, COUNT(*) AS exact_n FROM toks GROUP BY k
+        ORDER BY exact_n DESC, k LIMIT 20),
+      pc AS (
+        SELECT k, exact_n, dep, $h % 512 AS cell
+        FROM probes, UNNEST([0, 1, 2, 3]) AS u(dep))
+      SELECT pc.k AS token, pc.exact_n,
+        CAST(MIN(cells.c) AS BIGINT) AS cms_est,
+        CAST(MIN(cells.c) - pc.exact_n AS BIGINT) AS overcount
+      FROM pc JOIN cells USING (dep, cell)
+      GROUP BY pc.k, pc.exact_n
+      ORDER BY token"""
+    })
+
+  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9)
 }

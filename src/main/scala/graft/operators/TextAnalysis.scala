@@ -1072,6 +1072,98 @@ object TextAnalysis {
     },
     None)
 
+  /** E18's core: the Gopher document-quality rules (Rae et al. 2021,
+    * Table A1 — the rule set public pipelines like Dolma/RefinedWeb run
+    * verbatim), as one narrow codegen'd scan. Every gate is PURE INTEGER
+    * arithmetic — ratios become cross-multiplications (`3·n ≤ chars ≤
+    * 10·n` instead of `3 ≤ chars/n ≤ 10`) so no float can flip a keep
+    * decision and the DuckDB twin is bit-exact. The two line-shape rules
+    * (bullet-start / ellipsis-end fractions) are inapplicable to this
+    * corpus (single-line documents — TESTDATA.md) and are deliberately
+    * not spelled; the remaining five are the complete word-shape subset:
+    *   - word count within [minWords, maxWords];
+    *   - mean word length within [3, 10] chars;
+    *   - symbol-to-word ratio ≤ 1/10 (hash marks + ellipses);
+    *   - ≥ 80% of words contain an alphabetic character;
+    *   - ≥ `minRequired` distinct words from the required lexicon —
+    *     Gopher's English list (the/be/to/of/and/that/have/with) by
+    *     default, parametrized because the rule is language-specific:
+    *     a multilingual pipeline swaps the lexicon per language bucket
+    *     (the CCNet per-language-model discipline), which is also what
+    *     the corpus query entry does for this synthetic vocabulary.
+    * 100 TB: one whole-stage-codegen'd projection over (doc_id, text),
+    * no shuffle, full column pruning — the cheapest gate in the pipeline
+    * and the first one a real corpus build runs.
+    */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      requiredWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minRequired: Int = 2): DataFrame = {
+    require(requiredWords.nonEmpty && minRequired >= 1
+      && minRequired <= requiredWords.length,
+      s"bad required-word rule: $minRequired of ${requiredWords.length}")
+    val tk = split(trim(col("text")), "\\s+")
+    val required = array(requiredWords.map(lit): _*)
+    docs
+      .select(col("doc_id"),
+        size(tk).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace"),
+        (size(regexp_extract_all(col("text"), lit("#"), lit(0)))
+          + size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0))))
+          .cast("long").as("n_symbols"),
+        size(filter(tk, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
+        size(array_intersect(array_distinct(split(lower(trim(col("text"))), "\\s+")),
+          required)).cast("long").as("n_required"))
+      .withColumn("g_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("g_mean_word_len",
+        col("n_nonspace") >= lit(3L) * col("n_words")
+          && col("n_nonspace") <= lit(10L) * col("n_words"))
+      .withColumn("g_symbol_ratio", lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("g_alpha_words",
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("g_required_words", col("n_required") >= minRequired.toLong)
+      .withColumn("keep",
+        col("g_word_count") && col("g_mean_word_len") && col("g_symbol_ratio")
+          && col("g_alpha_words") && col("g_required_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  // E18 — Gopher quality rules (integer-exact; full DuckDB oracle). The
+  // required lexicon is adapted to this corpus's synthetic vocabulary
+  // ("the"/"a" are its only function words) — the per-language-bucket
+  // swap the operator's doc describes; every other gate runs Gopher's
+  // published thresholds verbatim.
+  private val t18 = Relational.Q(
+    "t18_gopher_rules",
+    (s, d) => gopherRules(Tables.documents(s, d),
+      requiredWords = Seq("the", "a"), minRequired = 2),
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+          CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
+          CAST(len(regexp_extract_all(text, '#'))
+             + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                               w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+          CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                   ['the','a'])) AS BIGINT) AS n_required
+        FROM documents)
+      SELECT doc_id, n_words, n_nonspace, n_symbols, n_alpha_words, n_required,
+        (n_words >= 50 AND n_words <= 100000) AS g_word_count,
+        (n_nonspace >= 3 * n_words AND n_nonspace <= 10 * n_words) AS g_mean_word_len,
+        (10 * n_symbols <= n_words) AS g_symbol_ratio,
+        (5 * n_alpha_words >= 4 * n_words) AS g_alpha_words,
+        (n_required >= 2) AS g_required_words,
+        ((n_words >= 50 AND n_words <= 100000)
+          AND (n_nonspace >= 3 * n_words AND n_nonspace <= 10 * n_words)
+          AND (10 * n_symbols <= n_words)
+          AND (5 * n_alpha_words >= 4 * n_words)
+          AND (n_required >= 2)) AS keep
+      FROM base ORDER BY doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
-    t11, t12, t13, t14, t15, t16, t17)
+    t11, t12, t13, t14, t15, t16, t17, t18)
 }

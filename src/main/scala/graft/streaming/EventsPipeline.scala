@@ -99,6 +99,39 @@ object EventsPipeline {
         round(graft.operators.Sketching.kmvCardinalityEstimate(col("sk"), k))
           .cast("long").as("distinct_users"))
 
+  /** A35 — STREAMING corpus card: batch p5's incremental twin, the
+    * per-ingest-window dataset summary a continuously-ingesting corpus
+    * publishes instead of re-scanning itself. Same shape discipline as
+    * A27/A34: every aggregate is commutative/associative (count, sum,
+    * min, max — the quality average is the SUM OF INTEGER-QUANTIZED
+    * scores exactly like p5, so no float accumulation order exists to
+    * diverge), hence the streamed card is bit-equal to the batch card
+    * over the same rows regardless of micro-batch slicing (spec-pinned).
+    * State per open (window, lang, source) is one fixed-width buffer;
+    * the watermark evicts closed windows. The doc stream must carry an
+    * ingest `ts` column — event time for a corpus is arrival time.
+    */
+  def corpusCardStream(docs: DataFrame, windowDur: String = "1 minute",
+      watermark: String = "2 minutes", qualityMin: Double = 0.61): DataFrame = {
+    import graft.operators.Num.{r2, r4}
+    val q = graft.operators.TextAnalysis.qualityScore(col("text"))
+    docs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("win"), col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_tokens"),
+        sum(floor(q * 10000.0 + 0.5).cast("long")).as("qsum"),
+        sum(when(q >= qualityMin, 1L).otherwise(0L)).as("n_quality_pass"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("win.start").as("window_start"), col("lang"), col("source"),
+        col("n_docs"), col("total_tokens"),
+        r2(col("total_tokens") / col("n_docs")).as("avg_tokens"),
+        r4(col("qsum") / (col("n_docs") * 10000.0)).as("avg_quality"),
+        col("n_quality_pass"), col("min_chars"), col("max_chars"))
+  }
+
   /** Watermarked SLIDING-window aggregation (A22): each event counts into
     * duration/slide overlapping windows (Expand + hash agg, incremental
     * under streaming — state is one row per open (window, type), evicted

@@ -1729,4 +1729,105 @@ class OperatorSpec extends SparkSpec {
     assert(dec.nonEmpty, "walker must skip JUNK (odd, padded) and LIST chunks")
     assert(dec.get.samples.sameElements(samples) && dec.get.sampleRate == 16000)
   }
+
+  test("gopher rules (t18): each planted defect flips exactly its own gate") {
+    // 60 in-range words that pass every gate, as a base to mutate
+    val good = (0 until 60).map(i => s"word${i % 9}").mkString(" ") // len 5-6, has no required words yet
+    val goodReq = "the and " + (0 until 58).map(i => s"word${i % 9}").mkString(" ")
+    val docs = Seq(
+      (0L, goodReq),                                          // all gates pass
+      (1L, "the and " + (0 until 10).map(_ => "word").mkString(" ")), // too few words
+      (2L, "the and " + (0 until 58).map(_ => "xy").mkString(" ")),   // mean word len < 3
+      (3L, "the and " + (0 until 58).map(_ => "extraordinarily").mkString(" ")), // mean len > 10
+      (4L, "the and " + (0 until 29).map(_ => "### word...").mkString(" ")),     // symbol-heavy
+      (5L, "the and " + (0 until 58).map(_ => "12345").mkString(" ")), // digits, not alpha
+      (6L, good)                                              // no required words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, minWords = 50L, maxWords = 100000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+          r.getBoolean(10), r.getBoolean(11))).toMap
+    //                    (words, meanlen, symbol, alpha, required, keep)
+    assert(out(0L) == ((true, true, true, true, true, true)))
+    assert(out(1L)._1 == false && out(1L)._6 == false)
+    assert(out(2L)._2 == false && out(2L)._6 == false)
+    assert(out(3L)._2 == false && out(3L)._6 == false)
+    assert(out(4L)._3 == false && out(4L)._6 == false)
+    assert(out(5L)._4 == false && out(5L)._6 == false)
+    assert(out(6L)._5 == false && out(6L)._6 == false)
+    // the gates that are NOT the planted defect stay green (defects are
+    // isolated — one rule per doc), except doc 5 whose digit words also
+    // hold mean length in range by construction
+    assert(out(1L)._5 && out(2L)._1 && out(3L)._1 && out(4L)._5 && out(5L)._1)
+  }
+
+  test("gopher rules (t18) are non-degenerate on the real corpus") {
+    // corpus-adapted required lexicon (same as the query entry): the
+    // synthetic vocabulary has only two function words
+    val out = TextAnalysis.gopherRules(graft.Tables.documents(spark, sfDir),
+      requiredWords = Seq("the", "a"), minRequired = 2)
+    val n = out.count()
+    val kept = out.filter(col("keep")).count()
+    assert(kept > 0 && kept < n,
+      s"gates should discriminate on the corpus: kept $kept of $n")
+  }
+
+  test("boilerplate scrub (d15): planted shared segment removed, tail and unique text kept") {
+    // segment width 3, minDf 3: "copy right footer" plants in three docs
+    // at different positions; doc 3 is untouched; doc 4 is ALL boilerplate
+    val docs = Seq(
+      (0L, "copy right footer alpha beta gamma x"),   // bp at seg 0, tail "x"
+      (1L, "alpha beta gamma copy right footer"),     // bp at seg 1 — aligned
+      (2L, "copy right footer delta epsilon zeta"),
+      (3L, "delta epsilon zeta eta theta"),           // unique, partial tail kept
+      (4L, "copy right footer")                       // scrubbed to empty
+    ).toDF("doc_id", "text")
+    val byId = Dedup.boilerplateScrub(docs, 3, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(byId(0L) == (("alpha beta gamma x", 1L)))
+    assert(byId(1L) == (("alpha beta gamma", 1L)))
+    assert(byId(2L) == (("delta epsilon zeta", 1L)))
+    // "alpha beta gamma" appears as a FULL segment in docs 0 and 1 only
+    // (df 2 < 3) so it survives; doc 3's 2-word tail never enters df
+    assert(byId(3L) == (("delta epsilon zeta eta theta", 0L)))
+    assert(byId(4L) == (("", 1L)))
+  }
+
+  test("boilerplate scrub (d15) agrees with d9's detector on what is boilerplate") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val scrub = Dedup.boilerplateScrub(docs, 3, 3)
+      .select(col("doc_id"), col("n_removed"))
+    val detect = Dedup.boilerplateSegments(docs, 3, 3)
+      .select(col("doc_id"), col("n_boilerplate"))
+    val diff = scrub.join(detect, Seq("doc_id"))
+      .filter(col("n_removed") =!= col("n_boilerplate")).count()
+    assert(diff == 0, "d15 must remove exactly the segments d9 counts")
+  }
+
+  test("temperature sample (p12): head flattened, targets exact, deterministic") {
+    import org.apache.spark.sql.{functions => F}
+    // planted skew: 900 docs of lang "big", 100 of "small"
+    val docs = ((0 until 900).map(i => (i.toLong, "big", "s")) ++
+      (0 until 100).map(i => (1000L + i, "small", "s"))).toDF("doc_id", "lang", "source")
+    val out = Pipeline.temperatureSample(docs, budget = 100L)
+    val byLang = out.groupBy("lang").agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w = floor(sqrt(900)) = 30, floor(sqrt(100)) = 10, W = 40:
+    // targets are 100*30/40 = 75 and 100*10/40 = 25 exactly
+    assert(byLang == Map("big" -> 75L, "small" -> 25L), s"got $byLang")
+    // raw share 90% -> sampled share 75%: the head actually flattened
+    // toward sqrt proportions; and the sample is deterministic
+    val again = Pipeline.temperatureSample(docs, budget = 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.collect().map(_.getLong(0)).toSet == again)
+  }
+
+  test("temperature sample (p12) never exceeds its budget and keeps per-lang rank order") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = Pipeline.temperatureSample(docs, budget = 200L).collect()
+    assert(out.length <= 200, s"budget overrun: ${out.length}")
+    // every language present in the corpus with >= 1 target appears
+    val langs = out.map(_.getString(1)).distinct
+    assert(langs.length >= 2, "sampling must span languages")
+  }
 }

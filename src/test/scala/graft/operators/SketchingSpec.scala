@@ -202,4 +202,55 @@ class SketchingSpec extends SparkSpec {
       }
     }
   }
+
+  test("count-min (x9): one-sided error and the epsilon bound on the real corpus") {
+    import spark.implicits._
+    val depth = 4
+    val width = 512
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("k"))
+      .persist()
+    val n = toks.count()
+    val cells = Sketching.countMinCells(toks, depth, width).persist()
+    // the sketch is parameter-bounded no matter the corpus size
+    assert(cells.count() <= depth.toLong * width)
+    // total mass per depth row == stream length (nothing lost or double-counted)
+    val perDep = cells.groupBy(col("dep")).agg(sum(col("c")).as("m"))
+      .collect().map(_.getLong(1))
+    assert(perDep.length == depth && perDep.forall(_ == n))
+    // point queries: estimate >= truth ALWAYS (one-sided), and within
+    // the standard e/width * N envelope for every probed key
+    val exact = toks.groupBy(col("k")).agg(count(lit(1)).as("exact_n"))
+    val probes = exact.select(col("k"), col("exact_n"),
+        explode(array((0 until depth).map(lit): _*)).as("dep"))
+      .withColumn("cell", pmod(graft.functions.HashFunctions.md5Hash56(
+        concat(col("dep").cast("string"), lit(":"), col("k"))), lit(width.toLong)))
+      .join(cells, Seq("dep", "cell"))
+      .groupBy(col("k"), col("exact_n")).agg(min(col("c")).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(probes.nonEmpty)
+    val bound = math.ceil(math.E / width * n).toLong
+    probes.foreach { case (k, ex, est) =>
+      assert(est >= ex, s"CMS under-counted '$k': $est < $ex")
+      assert(est - ex <= bound,
+        s"'$k' overcount ${est - ex} exceeds eN/w = $bound (w=$width, N=$n)")
+    }
+    toks.unpersist(); cells.unpersist()
+  }
+
+  test("count-min (x9) is linear: per-source sketches sum cell-wise to the single-pass sketch") {
+    val docs = Tables.documents(spark, sf)
+    def toksOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(lower(trim(col("text"))), "\\s+")).as("k"))
+    val whole = Sketching.countMinCells(toksOf(docs), 4, 512)
+    val shards = docs.select(col("source")).distinct().collect().map(_.getString(0))
+    assert(shards.length >= 2)
+    val merged = shards.map(src =>
+        Sketching.countMinCells(toksOf(docs.filter(col("source") === src)), 4, 512))
+      .reduce(_ unionByName _)
+      .groupBy(col("dep"), col("cell")).agg(sum(col("c")).as("c"))
+    val diff = whole.join(merged, Seq("dep", "cell"), "full_outer")
+      .filter(!(whole("c") <=> merged("c"))).count()
+    assert(diff == 0, "cell-wise sum of shard sketches must equal the single-pass sketch")
+  }
 }

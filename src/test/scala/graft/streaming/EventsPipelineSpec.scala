@@ -104,6 +104,38 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus card (A35) is bit-equal to batch regardless of micro-batch slicing") {
+    // documents with a deterministic ingest ts spreading the corpus over
+    // ~9 one-minute windows; 4 files => 4 micro-batches => every open
+    // (window, lang, source) card merges partial buffers across batches
+    val base = 1700000000000000L // micros
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", timestamp_micros(lit(base) + col("doc_id") * 1000000L))
+    val dir = Files.createTempDirectory("graft-cardstream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventsPipeline.corpusCardStream(stream)
+      .writeStream.format("memory").queryName("card_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val key = Seq("window_start", "lang", "source")
+      val streamed = spark.table("card_stream_test")
+        .orderBy(key.head, key.tail: _*).collect()
+      val batch = EventsPipeline.corpusCardStream(docs)
+        .orderBy(key.head, key.tail: _*).collect()
+      assert(streamed.nonEmpty)
+      assert(streamed.length > spark.table("card_stream_test")
+        .select("lang", "source").distinct().count(),
+        "ts must spread the corpus over multiple windows — single-window would merge trivially")
+      assert(streamed.toSeq == batch.toSeq,
+        "streamed corpus card diverged from the batch card")
+    } finally q.stop()
+  }
+
   test("streaming sliding agg matches the batch answer and doubles event coverage") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[EventsPipeline.Event]
