@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BpeEncode, CosineSimilarity, KMinValues, MinHashSignature, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
+import graft.functions.{BpeEncode, CosineSimilarity, CountMinSketch, KMinValues, MinHashSignature, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
 
 /** Spark session extension: registers graft's custom Catalyst expressions
   * as SQL functions, so the whole similarity/dedup toolkit is reachable
@@ -15,6 +15,8 @@ import graft.functions.{BpeEncode, CosineSimilarity, KMinValues, MinHashSignatur
   *   minhash_sig(h, k)            — AGG: k-perm minhash signature of hashes
   *   simhash64(h)                 — AGG: 64-bit simhash of token hashes
   *   kmin_values(h, k)            — AGG: KMV theta sketch (k smallest distinct hashes)
+  *   count_min(key, depth, width) — AGG: count-min sketch cells (row-major
+  *                                  depth x width array; mergeable by linearity)
   *   bpe_encode(w, merges)        — greedy BPE symbols of a word; merges is a
   *                                  literal array of 'left right' lines (the
   *                                  public merges-file format), vocab-bounded
@@ -65,6 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "kmin_values", { children =>
       require(children.length == 2, "kmin_values expects (hash, k)")
       KMinValues(children.head, litInt(children(1), "kmin_values", "k"))
+        .toAggregateExpression()
+    })
+    register(ext, "count_min", { children =>
+      require(children.length == 3, "count_min expects (key, depth, width)")
+      CountMinSketch(children.head,
+        litInt(children(1), "count_min", "depth"),
+        litInt(children(2), "count_min", "width"))
         .toAggregateExpression()
     })
     register(ext, "bpe_encode", { children =>

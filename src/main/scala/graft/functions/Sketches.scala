@@ -262,3 +262,89 @@ object KMinValues {
     GraftColumnBridge.column(
       KMinValues(GraftColumnBridge.expression(h), k).toAggregateExpression())
 }
+
+/** COUNT-MIN SKETCH of a string-key stream in ONE pass (SURVEY I9b —
+  * Cormode & Muthukrishnan 2005): the fixed `depth*width` long buffer IS
+  * the aggregation state; each input key increments its `depth` cells
+  * (cell_d = md5-56("d:key") mod width — [[HashFunctions.md5Hash56Local]],
+  * the spec-pinned row-local twin of the column hash, so the cells are
+  * BIT-COMPATIBLE with [[graft.operators.Sketching.countMinCells]]'s
+  * relational spelling and with the DuckDB oracle that rebuilds them).
+  * Merge is element-wise sum — CMS is linear — so partial (map-side)
+  * sketches combine to exactly the single-pass sketch, which is what
+  * makes this a per-shard/per-day artifact a 100 TB pipeline stores and
+  * rolls up without raw data. vs the relational spelling: no xdepth row
+  * expansion and no (dep, cell) shuffle — the only bytes crossing the
+  * wire are the constant-size buffers themselves.
+  *
+  * Output: the flattened row-major cells array (index = dep*width+cell),
+  * the storable artifact; point estimates are min-over-depths reads.
+  */
+case class CountMinSketch(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
+
+  require(depth >= 1 && depth <= 16 && width >= 2 && width <= (1 << 20)
+    && depth.toLong * width <= (1 << 22),
+    s"count_min shape out of range: $depth x $width (state = depth*width longs)")
+
+  override def inputTypes = Seq(StringType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "count_min"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.toString
+      var d = 0
+      while (d < depth) {
+        val cell = (HashFunctions.md5Hash56Local(d.toString + ":" + key) % width).toInt
+        buf(d * width + cell) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(depth * width)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CountMinSketch =
+    copy(child = newChildren.head)
+}
+
+object CountMinSketch {
+  def apply(key: Column, depth: Int, width: Int): Column =
+    GraftColumnBridge.column(
+      CountMinSketch(GraftColumnBridge.expression(key), depth, width)
+        .toAggregateExpression())
+}

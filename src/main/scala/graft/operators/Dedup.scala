@@ -1441,22 +1441,33 @@ object Dedup {
       max(when(col("pos") % w === i, col("w"))).as(s"w$i"))
     // concat_ws skips the NULL slots of the trailing partial segment, so
     // one aggregate rebuilds full segments and the tail alike
+    // NO persist (the r7 verdict's leaked-cache nit): a library call must
+    // not pin a CORPUS-SIZED frame in block storage the caller never
+    // asked for — at 100 TB a cached segment frame is a full corpus copy
+    // under memory pressure, strictly worse than recomputing one
+    // explode+aggregate stage. The segment frame therefore has exactly
+    // TWO consumers (the df aggregate and the rewrite join — the old
+    // partial-tail union branch is folded into the join below, so the
+    // recompute is paid once, not twice), and the plan is asserted
+    // cache-free in OperatorSpec. A production pipeline amortizing many
+    // boilerplate passes would stage `segs` to a temp table instead —
+    // the d2 written-artifact discipline, not an implicit cache.
     val segs = words
       .groupBy(col("doc_id"), floor(col("pos") / w).cast("long").as("seg"))
       .agg(slots.head, (slots.tail :+ count(lit(1)).as("nw")): _*)
       .select(col("doc_id"), col("seg"), col("nw"),
         concat_ws(" ", (0 until w).map(i => col(s"w$i")): _*).as("txt"))
-      .persist()
     val dfm = segs.filter(col("nw") === w)
       .select(md5(col("txt")).as("h"), col("doc_id"))
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ndocs"))
-    val flagged = segs.filter(col("nw") === w)
-      .withColumn("h", md5(col("txt")))
-      .join(dfm, Seq("h"))
+    // h is NULL for the trailing partial segment (nw < w), so the LEFT
+    // join can't match it and coalesce marks it non-boilerplate — one
+    // consumer handles full and partial segments alike
+    val flagged = segs
+      .withColumn("h", when(col("nw") === w, md5(col("txt"))))
+      .join(dfm, Seq("h"), "left")
       .select(col("doc_id"), col("seg"), col("txt"),
-        (col("ndocs") >= minDf).as("bp"))
-      .unionByName(segs.filter(col("nw") < w)
-        .select(col("doc_id"), col("seg"), col("txt"), lit(false).as("bp")))
+        coalesce(col("ndocs") >= minDf, lit(false)).as("bp"))
     flagged.groupBy(col("doc_id"))
       .agg(
         array_join(transform(

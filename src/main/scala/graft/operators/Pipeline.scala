@@ -555,25 +555,52 @@ object Pipeline {
     *
     * Scale shape: language stats are a GROUP-BY over the corpus (tiny
     * result, langs are bounded), targets ride a broadcast back onto the
-    * scan, and the per-doc keep is a language-partitioned row_number
-    * over the deterministic (md5-56(doc_id), doc_id) order — the same
-    * per-key rank-vs-integer-gate shape as d14's share cap, never a
-    * global sort, stable under retries because nothing samples from RNG
+    * scan, and the per-doc keep is the q48 TWO-PHASE enumeration —
+    * never a per-language corpus sort. `lang` is enum-bounded (five
+    * values, `en` ~41% of the corpus), so a plain
+    * `row_number().over(partitionBy(lang))` would funnel ~41 TB of a
+    * 100 TB corpus through ONE task; instead docs are routed to
+    * `buckets` sub-partitions of their language by the HIGH BITS of the
+    * 56-bit doc hash (`h div 2^56/buckets` — a monotone PREFIX of the
+    * sort key, unlike q48's `% 32`, because here the rank decides which
+    * docs survive: ordering by (bucket, h, doc_id) is provably the
+    * ordering by (h, doc_id), so the two-phase rank EQUALS the global
+    * per-language rank bit-for-bit and the oracle's flat ROW_NUMBER
+    * reproduces it for ANY bucket count). Rank inside (lang, bucket),
+    * add per-(lang, bucket) prefix-sum offsets (a |langs| x buckets-row
+    * frame — constant-size window, the q39/q48 class), keep
+    * `lang_rank <= target`. Deterministic (md5-56(doc_id), doc_id)
+    * order — stable under retries because nothing samples from RNG
     * state.
     */
-  def temperatureSample(docs: DataFrame, budget: Long): DataFrame = {
+  def temperatureSample(docs: DataFrame, budget: Long,
+      buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      s"buckets must be a power of two (hash-prefix routing), got $buckets")
+    val shift = 56 - Integer.numberOfTrailingZeros(buckets) // h div 2^56/buckets
     val stats = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n"))
       .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
     val wTotal = stats.agg(sum(col("w")).as("w_total"))
     val targets = stats.crossJoin(broadcast(wTotal))
       .select(col("lang"), expr(s"(w * $budget) div w_total").as("target"))
-    val rk = Window.partitionBy(col("lang"))
-      .orderBy(H.md5Hash56(col("doc_id").cast("string")), col("doc_id"))
-    docs.select(col("doc_id"), col("lang"), col("source"))
-      .withColumn("lang_rank", row_number().over(rk).cast("long"))
+    val hashed = docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("h", H.md5Hash56(col("doc_id").cast("string")))
+      .withColumn("b", shiftright(col("h"), shift))
+    val offsets = hashed.groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum(col("n")).over(Window.partitionBy(col("lang")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("b"), col("off"))
+    hashed
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("lang"), col("b"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .join(broadcast(offsets), Seq("lang", "b"))
+      .withColumn("lang_rank", col("off") + col("lr"))
       .join(broadcast(targets), Seq("lang"))
       .filter(col("lang_rank") <= col("target"))
       .select(col("doc_id"), col("lang"), col("source"), col("lang_rank"))

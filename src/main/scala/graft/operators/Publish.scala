@@ -173,15 +173,26 @@ object Publish {
     * (lineage rows), not data — the audit-report convention. At 100 TB
     * the sweep's cost is directory listings plus deletes; no table is
     * scanned.
+    *
+    * Pin matching is by CANONICAL path (FileSystem.makeQualified on both
+    * the manifest's `root` values and the `roots` argument), never raw
+    * string equality: a trailing slash or relative-vs-absolute spelling
+    * difference would otherwise silently drop every pin for that root
+    * and delete referenced versions — the exact failure this function
+    * exists to prevent. Returned pairs keep the caller's spelling.
     */
   def retentionSweep(spark: SparkSession, roots: Seq[String],
       manifest: DataFrame, keepLast: Int): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.col
+    def canon(r: String): String = {
+      val p = new Path(r)
+      fs(spark, p).makeQualified(p).toString
+    }
     val refs = manifest.select(col("root"), col("version")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (canon(r.getString(0)), r.getLong(1)))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
     roots.flatMap { root =>
-      expireVersions(spark, root, keepLast, refs.getOrElse(root, Set.empty))
+      expireVersions(spark, root, keepLast, refs.getOrElse(canon(root), Set.empty))
         .map(root -> _)
     }
   }

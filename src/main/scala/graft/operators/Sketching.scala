@@ -421,5 +421,41 @@ object Sketching {
       ORDER BY token"""
     })
 
-  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9)
+  // I9b — the SAME sketch as x9's relational cells, built by the ONE-pass
+  // bounded imperative aggregate (functions.CountMinSketch, the H3/KMV
+  // pattern): no xdepth row expansion, no (dep, cell) shuffle — the only
+  // bytes leaving a partition are the constant depth*width-long partial
+  // buffers, merged by linearity. The flattened array unrolls to (dep,
+  // cell, c) rows for the oracle, which rebuilds the identical cells in
+  // DuckDB from the same md5-56 hashes — agg == relational is also
+  // spec-pinned frame-exact (SketchingSpec).
+  private val x10 = Relational.Q(
+    "x10_countmin_agg",
+    (s, d) => {
+      val depth = 4
+      val width = 512
+      Tables.spread(Tables.documents(s, d))
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("k"))
+        .agg(graft.functions.CountMinSketch(col("k"), depth, width).as("sk"))
+        .select(posexplode(col("sk")).as(Seq("i", "c")))
+        .select(expr(s"CAST(i DIV $width AS BIGINT)").as("dep"),
+          pmod(col("i"), lit(width)).cast("long").as("cell"), col("c"))
+        .filter(col("c") > 0)
+        .orderBy(col("dep"), col("cell"))
+    },
+    Some {
+      val h = graft.functions.HashFunctions.md5Hash56Sql("(dep || ':' || k)")
+      s"""
+      WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS k
+        FROM documents),
+      cells AS (
+        SELECT dep, $h % 512 AS cell, COUNT(*) AS c
+        FROM toks, UNNEST([0, 1, 2, 3]) AS u(dep) GROUP BY 1, 2)
+      SELECT CAST(dep AS BIGINT) AS dep, CAST(cell AS BIGINT) AS cell,
+        CAST(c AS BIGINT) AS c
+      FROM cells ORDER BY dep, cell"""
+    })
+
+  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10)
 }

@@ -1091,9 +1091,16 @@ object TextAnalysis {
     *     a multilingual pipeline swaps the lexicon per language bucket
     *     (the CCNet per-language-model discipline), which is also what
     *     the corpus query entry does for this synthetic vocabulary.
-    * 100 TB: one whole-stage-codegen'd projection over (doc_id, text),
-    * no shuffle, full column pruning — the cheapest gate in the pipeline
-    * and the first one a real corpus build runs.
+    * 100 TB: one whole-stage-codegen'd projection over (doc_id, text) —
+    * every expression here compiles (split / regexp_extract_all /
+    * array_intersect); the alpha-word gate is deliberately spelled as
+    * `n_words - |tokens with NO alphabetic char|` via one regex count
+    * (boundary-asserted `[^A-Za-z\s]+` runs) instead of an interpreted
+    * `filter(tk, _.rlike(...))` higher-order function, the round-1 perf
+    * lesson — no shuffle, full column pruning — the cheapest gate in the
+    * pipeline and the first one a real corpus build runs. Null text is
+    * coalesced to '' up front so Spark's `size(split(null)) = -1` legacy
+    * can't silently fail every gate while the SQL twin propagates NULL.
     */
   def gopherRules(docs: DataFrame, minWords: Long = 50L,
       maxWords: Long = 100000L,
@@ -1103,17 +1110,26 @@ object TextAnalysis {
     require(requiredWords.nonEmpty && minRequired >= 1
       && minRequired <= requiredWords.length,
       s"bad required-word rule: $minRequired of ${requiredWords.length}")
-    val tk = split(trim(col("text")), "\\s+")
+    val txt = coalesce(col("text"), lit(""))
+    val t = trim(txt)
+    val tk = split(t, "\\s+")
     val required = array(requiredWords.map(lit): _*)
+    // tokens with no alphabetic char = maximal [^A-Za-z\s]+ runs bounded
+    // by start/whitespace/end (lookarounds so delimiters aren't consumed);
+    // empty text guards the split-of-empty [""] token, which the regex
+    // (one-or-more) can't see but the subtraction must not miscount
+    val noAlphaWords = size(regexp_extract_all(t,
+      lit("(?:^|(?<=\\s))[^A-Za-z\\s]+(?=\\s|$)"), lit(0))).cast("long")
     docs
       .select(col("doc_id"),
         size(tk).cast("long").as("n_words"),
-        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace"),
-        (size(regexp_extract_all(col("text"), lit("#"), lit(0)))
-          + size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0))))
+        length(regexp_replace(txt, "\\s", "")).cast("long").as("n_nonspace"),
+        (size(regexp_extract_all(txt, lit("#"), lit(0)))
+          + size(regexp_extract_all(txt, lit("\\.\\.\\."), lit(0))))
           .cast("long").as("n_symbols"),
-        size(filter(tk, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
-        size(array_intersect(array_distinct(split(lower(trim(col("text"))), "\\s+")),
+        when(t === "", lit(0L))
+          .otherwise(size(tk).cast("long") - noAlphaWords).as("n_alpha_words"),
+        size(array_intersect(array_distinct(split(lower(t), "\\s+")),
           required)).cast("long").as("n_required"))
       .withColumn("g_word_count",
         col("n_words") >= minWords && col("n_words") <= maxWords)
@@ -1127,7 +1143,10 @@ object TextAnalysis {
       .withColumn("keep",
         col("g_word_count") && col("g_mean_word_len") && col("g_symbol_ratio")
           && col("g_alpha_words") && col("g_required_words"))
-      .orderBy(col("doc_id"))
+    // no orderBy here (the piiScrub convention): the operator stays a
+    // stateless narrow projection, so it attaches UNCHANGED to a
+    // streaming frame (A36) — the t18 query entry adds the
+    // deterministic sort the oracle compare wants
   }
 
   // E18 — Gopher quality rules (integer-exact; full DuckDB oracle). The
@@ -1138,9 +1157,13 @@ object TextAnalysis {
   private val t18 = Relational.Q(
     "t18_gopher_rules",
     (s, d) => gopherRules(Tables.documents(s, d),
-      requiredWords = Seq("the", "a"), minRequired = 2),
+      requiredWords = Seq("the", "a"), minRequired = 2).orderBy(col("doc_id")),
     Some("""
-      WITH base AS (
+      WITH src AS (
+        -- null-guard mirrors the operator's coalesce (Spark legacy
+        -- size(split(null)) = -1 vs SQL NULL propagation)
+        SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+      base AS (
         SELECT doc_id,
           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
           CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
@@ -1150,7 +1173,7 @@ object TextAnalysis {
                                w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
           CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
                    ['the','a'])) AS BIGINT) AS n_required
-        FROM documents)
+        FROM src)
       SELECT doc_id, n_words, n_nonspace, n_symbols, n_alpha_words, n_required,
         (n_words >= 50 AND n_words <= 100000) AS g_word_count,
         (n_nonspace >= 3 * n_words AND n_nonspace <= 10 * n_words) AS g_mean_word_len,

@@ -57,7 +57,9 @@ object PlanAudit {
     "t11_surprisal" -> "one-row total-tokens aggregate",
     "x3_heavy_hitters" -> "hashed-bucket aggregate: width 1024 rows max (constant)",
     "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB",
-    "d14_domain_governance" -> "one-row post-dedup total aggregate (the t9/q48 shape)")
+    "d14_domain_governance" -> "one-row post-dedup total aggregate (the t9/q48 shape)",
+    "p12_temperature_sample" -> "one-row w_total + <=|langs|-row targets + |langs| x buckets-row offsets (enum- and parameter-bounded)",
+    "x9_countmin_freq" -> "CMS cell frame: depth x width = 4 x 512 = 2048 rows max (parameter-bounded)")
 
   /** The global-window invariant, mechanized like the hint guard: every
     * logical Window (or WindowGroupLimit) with an EMPTY partition spec.
@@ -138,7 +140,9 @@ object PlanAudit {
       "q41_daily_spine" ->
         "calendar spine x priority dim (calendar- and enum-bounded, not data-bounded)",
       "d14_domain_governance" ->
-        "crossJoin(broadcast(<one-row post-dedup total frame>)) for the share gate")
+        "crossJoin(broadcast(<one-row post-dedup total frame>)) for the share gate",
+      "p12_temperature_sample" ->
+        "crossJoin(broadcast(<one-row w_total frame>)) for the integer targets")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

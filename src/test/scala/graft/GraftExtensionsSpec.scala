@@ -54,6 +54,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |FROM VALUES (xxhash64('a')), (xxhash64('b')), (xxhash64('a')) AS t(h)""".stripMargin)
         .head().getSeq[Long](0)
       assert(kmv.length == 2 && kmv == kmv.sorted)
+      // count_min: flattened depth x width cells; 'a' counted twice means
+      // every one of its depth cells holds >= 2 (one-sided), and total
+      // mass per depth row == stream length 3
+      val cms = spark.sql(
+        """SELECT count_min(k, 2, 8) AS sk
+          |FROM VALUES ('a'), ('b'), ('a') AS t(k)""".stripMargin)
+        .head().getSeq[Long](0)
+      assert(cms.length == 16 && cms.grouped(8).forall(_.sum == 3L),
+        s"got $cms")
+      val cmsEst = (0 until 2).map { d =>
+        val cell = (graft.functions.HashFunctions.md5Hash56Local(d + ":a") % 8).toInt
+        cms(d * 8 + cell)
+      }.min
+      assert(cmsEst >= 2L, s"point estimate for 'a' must be >= its true count, got $cmsEst")
       // real BPE from SQL: merges as a literal array of 'left right'
       // lines (the public merges-file format), greedy loop inside the
       // codegen expression

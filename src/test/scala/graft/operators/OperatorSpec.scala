@@ -1793,6 +1793,25 @@ class OperatorSpec extends SparkSpec {
     assert(byId(4L) == (("", 1L)))
   }
 
+  test("boilerplate scrub (d15) pins no cache and pays the segment recompute at most twice") {
+    // the r7 verdict's leaked segs.persist() is gone: the plan carries no
+    // InMemoryRelation and the session cache stays empty after a library
+    // call; the segment aggregate appears at most twice (df side +
+    // rewrite side — the old three-way union branch is folded into the
+    // left join), so dropping the cache didn't silently triple the
+    // heaviest stage either
+    spark.catalog.clearCache()
+    val df = Dedup.boilerplateScrub(graft.Tables.documents(spark, sfDir), 3, 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryRelation"),
+      s"d15 must not cache implicitly, plan:\n$plan")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "building the d15 plan must not leave cached frames behind")
+    val segAggs = plan.linesIterator.count(l =>
+      l.contains("partial_max(CASE WHEN") && l.contains("% 3"))
+    assert(segAggs <= 2, s"segment aggregate recomputed $segAggs times, expected <= 2")
+  }
+
   test("boilerplate scrub (d15) agrees with d9's detector on what is boilerplate") {
     val docs = graft.Tables.documents(spark, sfDir)
     val scrub = Dedup.boilerplateScrub(docs, 3, 3)

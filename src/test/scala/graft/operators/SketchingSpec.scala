@@ -229,13 +229,49 @@ class SketchingSpec extends SparkSpec {
       .groupBy(col("k"), col("exact_n")).agg(min(col("c")).as("est"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(probes.nonEmpty)
+    // one-sided error is STRUCTURAL (a cell only ever over-counts) — so
+    // est >= exact stays universal; the eN/w envelope is PROBABILISTIC
+    // (per key: P[exceed] <= e^-depth ~ 1.8% at depth 4 by Markov+min),
+    // so a regenerated or larger-vocabulary corpus can legitimately push
+    // a few keys past it. Assert the bound on a high QUANTILE of probes
+    // (95% leaves ~3x margin over the expected 1.8% exceedance) instead
+    // of every key.
     val bound = math.ceil(math.E / width * n).toLong
     probes.foreach { case (k, ex, est) =>
       assert(est >= ex, s"CMS under-counted '$k': $est < $ex")
-      assert(est - ex <= bound,
-        s"'$k' overcount ${est - ex} exceeds eN/w = $bound (w=$width, N=$n)")
     }
+    val within = probes.count { case (_, ex, est) => est - ex <= bound }
+    assert(within.toDouble >= 0.95 * probes.length,
+      s"only $within/${probes.length} probes within eN/w = $bound (w=$width, N=$n) — " +
+        "expected >= 95% (per-key exceedance prob ~ e^-depth)")
     toks.unpersist(); cells.unpersist()
+  }
+
+  test("count-min aggregate (I9b/x10): one-pass agg cells == relational cells, merge-path exercised, SQL-registered") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("k"))
+      // many input partitions force real partial-buffer merges — the
+      // linearity path, not just one update loop
+      .repartition(8)
+    val rel = Sketching.countMinCells(toks, 4, 512)
+      .select(col("dep").cast("long").as("dep"), col("cell"), col("c").as("rc"))
+    val agg = toks.agg(graft.functions.CountMinSketch(col("k"), 4, 512).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("i", "c")))
+      .select(expr("CAST(i DIV 512 AS BIGINT)").as("dep"),
+        pmod(col("i"), lit(512)).cast("long").as("cell"), col("c").as("ac"))
+      .filter(col("ac") > 0)
+    val diff = rel.join(agg, Seq("dep", "cell"), "full_outer")
+      .filter(!(col("rc") <=> col("ac"))).count()
+    assert(diff == 0,
+      "imperative count_min cells must equal the relational spelling bit-for-bit")
+    // the storable-artifact invariants: fixed shape, nothing lost —
+    // every token lands in exactly one cell per depth row
+    // (SQL registration is covered in GraftExtensionsSpec, whose session
+    // carries the extensions)
+    val direct = toks.agg(graft.functions.CountMinSketch(col("k"), 4, 512))
+      .collect().head.getSeq[Long](0)
+    assert(direct.length == 4 * 512 && direct.sum == toks.count() * 4,
+      "every token lands in exactly one cell per depth row")
   }
 
   test("count-min (x9) is linear: per-source sketches sum cell-wise to the single-pass sketch") {

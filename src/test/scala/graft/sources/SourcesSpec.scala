@@ -246,6 +246,47 @@ class SourcesSpec extends SparkSpec {
       "a second expiry pass has nothing to do")
   }
 
+  test("retention sweep (G20): manifest pins survive the horizon, unreferenced history expires") {
+    import spark.implicits._
+    import graft.operators.Publish
+    val base = Files.createTempDirectory("graft-sweep").toString
+    val (rootA, rootB) = (s"$base/tableA", s"$base/tableB")
+    val noAudit = Publish.columnAudit("doc_id_not_null" -> col("doc_id").isNull)
+    def release(root: String, n: Int): Unit = (1 to n).foreach { i =>
+      val r = Publish.writeAuditPublish(
+        Seq((i.toLong, s"rel $i")).toDF("doc_id", "text"), root, noAudit, s"rel-$i")
+      assert(r.published && r.version == Some(i.toLong))
+    }
+    release(rootA, 4) // history v1..v3 under current v4
+    release(rootB, 3) // history v1..v2 under current v3
+    def versions(root: String) = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .sorted.toSeq
+    // the pin uses a TRAILING-SLASH spelling of rootA: matching must be
+    // canonical-path, not string equality (a downstream artifact records
+    // whatever spelling its writer used) — the ADVICE failure mode
+    val manifest = Seq((s"$rootA/", 1L)).toDF("root", "version")
+    val swept = Publish.retentionSweep(spark, Seq(rootA, rootB), manifest, keepLast = 1)
+    // exact deletions: A keeps pinned v1 + current v4; B (absent from the
+    // manifest) expires its whole pre-horizon history
+    assert(swept == Seq(rootA -> 2L, rootA -> 3L, rootB -> 1L, rootB -> 2L),
+      s"swept $swept")
+    assert(versions(rootA) == Seq(1L, 4L),
+      s"pinned v1 and current v4 must survive on A, got ${versions(rootA)}")
+    assert(versions(rootB) == Seq(3L),
+      s"only current v3 survives on B, got ${versions(rootB)}")
+    assert(Publish.readPublished(spark, rootA).count() == 1)
+    assert(Publish.readPublished(spark, rootB).count() == 1)
+    // idempotent: nothing left past the horizon that isn't pinned
+    assert(Publish.retentionSweep(spark, Seq(rootA, rootB), manifest, keepLast = 1).isEmpty)
+    // dropping the pin releases v1 on the NEXT sweep — TTL applies the
+    // moment a version becomes unreferenced, never before
+    val unpinned = Publish.retentionSweep(spark, Seq(rootA, rootB),
+      manifest.limit(0), keepLast = 1)
+    assert(unpinned == Seq(rootA -> 1L), s"got $unpinned")
+    assert(versions(rootA) == Seq(4L))
+  }
+
   test("audited streaming sink (A32): dirty micro-batches quarantine with a report, clean ones land") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

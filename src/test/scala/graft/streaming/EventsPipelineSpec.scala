@@ -424,6 +424,40 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Gopher gate (A36): the batch rules run unchanged on a stream, flags identical") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the A28 attach pattern: gopherRules is a stateless narrow codegen
+    // projection, so the LITERAL batch operator gates arriving docs with
+    // no twin code, no state store, no watermark — slicing can't matter
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.gopherRules(
+        src.toDS().toDF("doc_id", "text"),
+        requiredWords = Seq("the", "a"), minRequired = 2)
+      .writeStream.format("memory").queryName("gopher_stream_test")
+      .outputMode("append").start()
+    try {
+      corpus.grouped(math.max(1, corpus.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9), r.getBoolean(10), r.getBoolean(11))
+      val streamed = spark.table("gopher_stream_test").collect().map(key).toSet
+      val batch = graft.operators.TextAnalysis.gopherRules(
+          corpus.toSeq.toDF("doc_id", "text"),
+          requiredWords = Seq("the", "a"), minRequired = 2)
+        .collect().map(key).toSet
+      assert(streamed == batch, "streamed Gopher flags must equal batch exactly")
+      assert(batch.exists(_._12) && batch.exists(!_._12),
+        "both keep branches should be live on the corpus")
+    } finally q.stop()
+  }
+
   test("streaming near-dup rediscovers the batch minhash pairs on the real corpus") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
