@@ -96,22 +96,19 @@ object Pipeline {
 
   // P3 — deterministic stratified sample: exactly S docs per language,
   // chosen by hash order (md5-derived key, doc_id tie-break) — a
-  // reproducible evaluation subset per stratum. The window sorts within
-  // each stratum only; at 100 TB prefer the map-only rate-based variant
-  // (filter hash < threshold, no sort) unless exact per-stratum counts
-  // are required.
+  // reproducible evaluation subset per stratum. The rank is the shared
+  // two-phase langHashRank (no enum-partitioned corpus-wide sort — the
+  // r8 upgrade from the old documented "prefer rate-based at 100 TB"
+  // caveat: exact per-stratum counts are now ALSO the scale path); the
+  // oracle's flat per-language ROW_NUMBER reproduces it bit-for-bit by
+  // the hash-prefix monotonicity argument.
   private val p3 = Relational.Q(
     "p3_stratified_sample",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val S = 25
-      val wl = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          graft.functions.HashFunctions.md5Hash56(col("doc_id").cast("string")).as("hk"))
-        .withColumn("rk", row_number().over(wl).cast("long"))
-        .filter(col("rk") <= S)
-        .select(col("doc_id"), col("lang"), col("rk"))
+      langHashRank(Tables.documents(s, d))
+        .filter(col("lang_rank") <= S)
+        .select(col("doc_id"), col("lang"), col("lang_rank").as("rk"))
         .orderBy(col("lang"), col("rk"))
     },
     Some(s"""
@@ -573,20 +570,28 @@ object Pipeline {
     * order — stable under retries because nothing samples from RNG
     * state.
     */
-  def temperatureSample(docs: DataFrame, budget: Long,
+  /** Exact per-language rank in deterministic (md5-56(doc_id), doc_id)
+    * order WITHOUT an enum-partitioned corpus-wide sort — the shared
+    * two-phase core of p3 (stratified sample) and p12/p13 (language
+    * sampling). `lang` is enum-bounded, so a plain
+    * `row_number().over(partitionBy(lang))` funnels a whole language
+    * through ONE task; instead docs route to `buckets` sub-partitions by
+    * the HIGH BITS of the 56-bit doc hash (a monotone PREFIX of the sort
+    * key — ordering by (bucket, h, doc_id) is provably the ordering by
+    * (h, doc_id), so the two-phase rank EQUALS the global per-language
+    * rank bit-for-bit at ANY bucket count and a flat ROW_NUMBER oracle
+    * reproduces it), rank inside (lang, bucket), and add per-(lang,
+    * bucket) prefix-sum offsets (a |langs| x buckets-row frame — its
+    * prefix-sum window and the offsets broadcast are both constant-size,
+    * adjudicated in PlanAudit). Carries `carry` columns through.
+    */
+  def langHashRank(docs: DataFrame, carry: Seq[String] = Nil,
       buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(budget >= 1, s"budget must be >= 1, got $budget")
     require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
       s"buckets must be a power of two (hash-prefix routing), got $buckets")
     val shift = 56 - Integer.numberOfTrailingZeros(buckets) // h div 2^56/buckets
-    val stats = docs.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
-    val wTotal = stats.agg(sum(col("w")).as("w_total"))
-    val targets = stats.crossJoin(broadcast(wTotal))
-      .select(col("lang"), expr(s"(w * $budget) div w_total").as("target"))
-    val hashed = docs.select(col("doc_id"), col("lang"), col("source"))
+    val hashed = docs.select((Seq("doc_id", "lang") ++ carry).map(col): _*)
       .withColumn("h", H.md5Hash56(col("doc_id").cast("string")))
       .withColumn("b", shiftright(col("h"), shift))
     val offsets = hashed.groupBy(col("lang"), col("b"))
@@ -601,6 +606,19 @@ object Pipeline {
           .orderBy(col("h"), col("doc_id"))).cast("long"))
       .join(broadcast(offsets), Seq("lang", "b"))
       .withColumn("lang_rank", col("off") + col("lr"))
+      .drop("h", "b", "off", "lr")
+  }
+
+  def temperatureSample(docs: DataFrame, budget: Long,
+      buckets: Int = 32): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val stats = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val wTotal = stats.agg(sum(col("w")).as("w_total"))
+    val targets = stats.crossJoin(broadcast(wTotal))
+      .select(col("lang"), expr(s"(w * $budget) div w_total").as("target"))
+    langHashRank(docs, carry = Seq("source"), buckets = buckets)
       .join(broadcast(targets), Seq("lang"))
       .filter(col("lang_rank") <= col("target"))
       .select(col("doc_id"), col("lang"), col("source"), col("lang_rank"))
@@ -632,6 +650,164 @@ object Pipeline {
       ORDER BY doc_id"""
     })
 
+  /** P13's core: UNIMAX language sampling (Chung et al. 2023, public —
+    * the budget-driven successor to P12's temperature heuristic):
+    * languages are allocated a uniform share of the budget, EXCEPT that
+    * no language may repeat more than `maxEpochs` times — process
+    * languages from smallest corpus to largest, give each
+    * `min(n_l * maxEpochs, remaining div langs_left)`, and fold what the
+    * capped tail languages could not use back into the head's shares.
+    * Head languages never drown the tail (uniform shares), tail
+    * languages never over-repeat (the epoch cap) — the two failure
+    * modes temperature sampling trades off, solved exactly.
+    *
+    * Exactness: the greedy runs over the |langs|-row stats frame on the
+    * driver (enum-bounded collect — the x3/audit-report convention) in
+    * pure integer arithmetic; the oracle replays it as a DuckDB
+    * RECURSIVE CTE, so the whole allocation is cross-engine
+    * hash-checked. The per-doc keep is the shared two-phase
+    * [[langHashRank]]; an allocation above one epoch emits the SAME
+    * deterministic hash-order prefix again with `epoch` incremented
+    * (docs repeat whole epochs first, then the rank-prefix partial
+    * epoch — UniMax's "repeat the corpus, cap the repeats").
+    *
+    * Scale: stats aggregate (tiny), driver loop over <=|langs| rows,
+    * broadcast targets (a LOCAL frame — no corpus lineage), two-phase
+    * rank (no enum-partitioned sort), and the epoch explode expands each
+    * kept doc at most `maxEpochs` x. Output: (doc_id, lang, source,
+    * lang_rank, epoch), one row per (doc, epoch) occurrence.
+    */
+  def unimaxSample(docs: DataFrame, budget: Long, maxEpochs: Int = 1,
+      buckets: Int = 32): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, n) => (n, l) } // smallest corpus first, name tie-break
+    var remaining = budget
+    var left = stats.length
+    val targets = stats.map { case (l, n) =>
+      val alloc = math.min(n * maxEpochs, remaining / left)
+      remaining -= alloc
+      left -= 1
+      (l, n, alloc)
+    }.toSeq
+    val tgt = targets.toDF("lang", "n", "alloc")
+      // whole epochs + a hash-order partial epoch prefix
+      .select(col("lang"), col("alloc"),
+        expr("alloc div n").as("full_epochs"),
+        expr("alloc % n").as("part_len"))
+    langHashRank(docs, carry = Seq("source"), buckets = buckets)
+      .join(broadcast(tgt), Seq("lang"))
+      .withColumn("n_occ",
+        col("full_epochs") + when(col("lang_rank") <= col("part_len"), 1L).otherwise(0L))
+      .filter(col("n_occ") >= 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("lang_rank"),
+        explode(sequence(lit(0L), col("n_occ") - 1L)).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  // P13 — UniMax at budget 700 docs over a ~500-doc corpus with a 2-epoch
+  // cap: small languages hit the epoch cap (their docs appear twice),
+  // the largest language absorbs the folded-back remainder as a partial
+  // epoch — both allocation branches live in the oracle-checked output.
+  private val p13 = Relational.Q(
+    "p13_unimax_sample",
+    (s, d) => unimaxSample(Tables.documents(s, d), budget = 700L, maxEpochs = 2),
+    Some {
+      val docHash = graft.functions.HashFunctions.md5Hash56Sql("CAST(doc_id AS VARCHAR)")
+      s"""
+      WITH RECURSIVE st AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+      ordered AS (
+        SELECT lang, n, CAST(ROW_NUMBER() OVER (ORDER BY n, lang) AS BIGINT) AS i
+        FROM st),
+      nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM st),
+      alloc AS (
+        SELECT CAST(0 AS BIGINT) AS i, CAST(700 AS BIGINT) AS remaining,
+               CAST(NULL AS VARCHAR) AS lang, CAST(0 AS BIGINT) AS n,
+               CAST(0 AS BIGINT) AS a
+        UNION ALL
+        SELECT o.i,
+               rem.remaining - LEAST(o.n * 2, rem.remaining // (nl.k - rem.i)),
+               o.lang, o.n,
+               LEAST(o.n * 2, rem.remaining // (nl.k - rem.i))
+        FROM alloc rem, nl, ordered o WHERE o.i = rem.i + 1),
+      tgt AS (
+        SELECT lang, a // n AS full_epochs, a % n AS part_len
+        FROM alloc WHERE i > 0),
+      r AS (
+        SELECT doc_id, lang, source,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY $docHash, doc_id) AS BIGINT) AS lang_rank
+        FROM documents),
+      occ AS (
+        SELECT doc_id, lang, source, lang_rank,
+          full_epochs + CASE WHEN lang_rank <= part_len THEN 1 ELSE 0 END AS n_occ
+        FROM r JOIN tgt USING (lang))
+      SELECT doc_id, lang, source, lang_rank, CAST(e AS BIGINT) AS epoch
+      FROM occ, UNNEST(generate_series(0, n_occ - 1)) AS u(e)
+      WHERE n_occ >= 1
+      ORDER BY doc_id, epoch"""
+    })
+
+  /** P14's core: DETERMINISTIC EPOCH SHUFFLE — the global training-order
+    * permutation every epoch needs, WITHOUT a global sort and without RNG
+    * state. The permutation key is md5-56("epoch:doc_id") (a fresh
+    * pseudorandom order per epoch, identical in DuckDB, stable under
+    * retries/repartitioning — `orderBy(rand())` can promise none of
+    * that); the POSITION is the q48 two-phase enumeration over
+    * hash-PREFIX buckets: route by the key's high bits (monotone prefix
+    * — ordering by (bucket, key, doc_id) IS the ordering by (key,
+    * doc_id)), rank within each bucket, add per-bucket prefix-sum
+    * offsets (a `buckets`-row frame, the q48 constant-size class). The
+    * result is provably the same positions a flat
+    * `ROW_NUMBER() OVER (ORDER BY key, doc_id)` assigns — the oracle
+    * pins exactly that — with the largest per-task sort being ~n/buckets
+    * rows instead of n.
+    *
+    * 100 TB: a trainer materializes (doc_id, pos) per epoch and range-
+    * reads by pos; each epoch is one scan + one bucket-keyed shuffle.
+    */
+  def epochShuffle(docs: DataFrame, epoch: Long,
+      buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      s"buckets must be a power of two (hash-prefix routing), got $buckets")
+    val shift = 56 - Integer.numberOfTrailingZeros(buckets)
+    val hashed = docs.select(col("doc_id"))
+      .withColumn("h", H.md5Hash56(concat(lit(s"$epoch:"), col("doc_id").cast("string"))))
+      .withColumn("b", shiftright(col("h"), shift))
+    val offsets = hashed.groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum(col("n")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("off"))
+    hashed
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .join(broadcast(offsets), Seq("b"))
+      .select(col("doc_id"), (col("off") + col("lr")).as("pos"))
+  }
+
+  // P14 — epoch-1 shuffle of the documents table: (doc_id, pos) is a
+  // permutation (oracle = the flat global ROW_NUMBER over the same key,
+  // so the hash match proves the two-phase positions exactly).
+  private val p14 = Relational.Q(
+    "p14_epoch_shuffle",
+    (s, d) => epochShuffle(Tables.documents(s, d), epoch = 1L)
+      .orderBy(col("doc_id")),
+    Some {
+      val h = graft.functions.HashFunctions.md5Hash56Sql("('1:' || CAST(doc_id AS VARCHAR))")
+      s"""
+      SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (ORDER BY $h, doc_id) AS BIGINT) AS pos
+      FROM documents ORDER BY doc_id"""
+    })
+
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
-    p11, p12)
+    p11, p12, p13, p14)
 }

@@ -58,7 +58,10 @@ object PlanAudit {
     "x3_heavy_hitters" -> "hashed-bucket aggregate: width 1024 rows max (constant)",
     "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB",
     "d14_domain_governance" -> "one-row post-dedup total aggregate (the t9/q48 shape)",
+    "p3_stratified_sample" -> "|langs| x buckets-row two-phase offsets frame (enum- and parameter-bounded)",
     "p12_temperature_sample" -> "one-row w_total + <=|langs|-row targets + |langs| x buckets-row offsets (enum- and parameter-bounded)",
+    "p13_unimax_sample" -> "|langs|-row local targets frame + |langs| x buckets-row two-phase offsets (enum- and parameter-bounded)",
+    "p14_epoch_shuffle" -> "buckets-row two-phase offsets frame (parameter-bounded)",
     "x9_countmin_freq" -> "CMS cell frame: depth x width = 4 x 512 = 2048 rows max (parameter-bounded)")
 
   /** The global-window invariant, mechanized like the hint guard: every
@@ -91,7 +94,58 @@ object PlanAudit {
     "q39_revenue_share" ->
       "25-row post-aggregate frame (nation-enum-bounded)",
     "q48_surrogate_keys" ->
-      "32-row bucket prefix-sum frame (bucket-parameter-bounded)")
+      "32-row bucket prefix-sum frame (bucket-parameter-bounded)",
+    "p14_epoch_shuffle" ->
+      "buckets-row prefix-sum frame (bucket-parameter-bounded, the q48 class)")
+
+  /** Columns whose cardinality does NOT grow with the data — the keys a
+    * window must never partition by ALONE over a data-proportional frame:
+    * at 100 TB, `partitionBy(lang)` funnels a whole language (~41 TB for
+    * `en` here) through ONE task's sort, and the plain global-window
+    * guard is blind to it because the partition spec is non-empty (the
+    * r7 verdict's note, now mechanical). `source`/domain is deliberately
+    * absent: domain cardinality grows with the corpus (the d14 share-cap
+    * argument). Composite specs that ALSO carry a growing key (e.g.
+    * (lang, bucket)) are fine — the bucket bounds the per-task frame.
+    */
+  val enumBoundedCols = Set("lang", "event_type", "o_orderpriority",
+    "o_orderstatus", "l_returnflag", "l_linestatus", "l_shipmode",
+    "c_mktsegment", "n_name", "r_name")
+
+  /** Every logical Window (or WindowGroupLimit) whose partition spec
+    * references ONLY enum-bounded columns — each must be adjudicated in
+    * [[allowedEnumWindows]] with a frame-size argument or re-spelled via
+    * the two-phase bucket enumeration (q48/p12/p3).
+    */
+  def enumWindows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window, WindowGroupLimit}
+    def refs(spec: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      spec.flatMap(_.references.toSeq).map(_.name.toLowerCase)
+    def bad(spec: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+      val r = refs(spec)
+      r.nonEmpty && r.forall(enumBoundedCols.contains)
+    }
+    val root = df.queryExecution.optimizedPlan
+    (root +: root.subqueriesAll).flatMap(_.collect {
+      case w: Window if bad(w.partitionSpec) =>
+        s"window partitioned only by enum-bounded [${refs(w.partitionSpec).distinct.mkString(",")}]"
+      case w: WindowGroupLimit if bad(w.partitionSpec) =>
+        s"WindowGroupLimit partitioned only by enum-bounded [${refs(w.partitionSpec).distinct.mkString(",")}]"
+    })
+  }
+
+  // Enum-partitioned windows over frames bounded by something OTHER than
+  // the data size — adjudicated with the frame-size argument. Anything
+  // else that trips enumWindows is the p12-class scale bug.
+  val allowedEnumWindows = Map(
+    "q25_ranking_zoo" ->
+      "ranking zoo runs on a <=300-row frame (c_custkey <= 300 pushed below the window)",
+    "p3_stratified_sample" ->
+      "prefix-sum over the |langs| x buckets-row two-phase offsets frame (constant-size)",
+    "p12_temperature_sample" ->
+      "prefix-sum over the |langs| x buckets-row two-phase offsets frame (constant-size)",
+    "p13_unimax_sample" ->
+      "prefix-sum over the |langs| x buckets-row two-phase offsets frame (constant-size)")
 
   // Iterative operators EXECUTE when their builder runs (label
   // propagation materializes per round), so "building the plan" would
@@ -158,18 +212,22 @@ object PlanAudit {
         val badHint = hints.nonEmpty && !allowedHints.contains(name)
         val gw = globalWindows(df)
         val badGw = gw.nonEmpty && !allowedGlobalWindows.contains(name)
+        val ew = enumWindows(df)
+        val badEw = ew.nonEmpty && !allowedEnumWindows.contains(name)
         val note =
-          if (cart > 0 || (bnlj > 0 && !allowed.contains(name)) || badHint || badGw) {
+          if (cart > 0 || (bnlj > 0 && !allowed.contains(name)) || badHint || badGw || badEw) {
             flagged += 1
             if (badHint) s"  <== inspect [CORPUS HINT: ${hints.mkString("; ")}]"
             else if (badGw) s"  <== inspect [GLOBAL WINDOW: ${gw.mkString("; ")}]"
+            else if (badEw) s"  <== inspect [ENUM WINDOW: ${ew.mkString("; ")}]"
             else "  <== inspect"
           }
           else if (bnlj > 0) s"  [allowed: ${allowed(name)}]"
           else if (hints.nonEmpty) s"  [hint allowed: ${allowedHints(name)}]"
           else if (gw.nonEmpty) s"  [window allowed: ${allowedGlobalWindows(name)}]"
+          else if (ew.nonEmpty) s"  [enum window allowed: ${allowedEnumWindows(name)}]"
           else ""
-        println(f"[audit] $name%-28s exchanges=$exch%2d bnlj=$bnlj cartesian=$cart hints=${hints.size} gwin=${gw.size}$note")
+        println(f"[audit] $name%-28s exchanges=$exch%2d bnlj=$bnlj cartesian=$cart hints=${hints.size} gwin=${gw.size} ewin=${ew.size}$note")
         }
       } catch {
         case e: Throwable => println(s"[audit] $name FAILED to plan: ${e.getMessage}")

@@ -1849,4 +1849,70 @@ class OperatorSpec extends SparkSpec {
     val langs = out.map(_.getString(1)).distinct
     assert(langs.length >= 2, "sampling must span languages")
   }
+
+  test("unimax sample (p13): uniform shares, epoch cap bites, leftover folds to the head") {
+    import org.apache.spark.sql.{functions => F}
+    // planted: tiny 10-doc lang, mid 50-doc lang, big 940-doc lang
+    val docs = ((0 until 10).map(i => (i.toLong, "tiny", "s")) ++
+      (0 until 50).map(i => (100L + i, "mid", "s")) ++
+      (0 until 940).map(i => (1000L + i, "big", "s"))).toDF("doc_id", "lang", "source")
+    // budget 300, cap 2 epochs; greedy smallest-first:
+    //   tiny: min(10*2, 300 div 3 = 100) = 20  (CAP bites; docs repeat)
+    //   mid:  min(50*2, 280 div 2 = 140) = 100 (cap bites: 2 full epochs)
+    //   big:  min(940*2, 180 div 1) = 180      (share-bound partial epoch)
+    val out = Pipeline.unimaxSample(docs, budget = 300L, maxEpochs = 2)
+    val occ = out.groupBy("lang").agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(occ == Map("tiny" -> 20L, "mid" -> 100L, "big" -> 180L), s"got $occ")
+    // tiny and mid hit the epoch cap: every doc appears exactly twice
+    val tinyEpochs = out.filter(F.col("lang") === "tiny")
+      .groupBy("doc_id").agg(F.count(F.lit(1)).as("k"))
+      .collect().map(_.getLong(1)).toSet
+    assert(tinyEpochs == Set(2L), "capped language must repeat whole epochs")
+    // big's partial epoch is the hash-order rank prefix: epoch 1 rows are
+    // exactly lang_rank <= 180 - 0... big alloc 180 < 940 -> full=0,
+    // part=180: each kept doc appears once, ranks 1..180
+    val bigRanks = out.filter(F.col("lang") === "big")
+      .select("lang_rank").collect().map(_.getLong(0)).sorted
+    assert(bigRanks.length == 180 && bigRanks.head == 1L && bigRanks.last == 180L)
+    // total == budget exactly (integer allocation, nothing lost)
+    assert(out.count() == 300L)
+    // determinism
+    val again = Pipeline.unimaxSample(docs, budget = 300L, maxEpochs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(4))).toSet == again)
+  }
+
+  test("unimax sample (p13) with a budget beyond the corpus allocates every doc") {
+    import org.apache.spark.sql.{functions => F}
+    val docs = ((0 until 30).map(i => (i.toLong, "a", "s")) ++
+      (0 until 70).map(i => (100L + i, "b", "s"))).toDF("doc_id", "lang", "source")
+    // budget 500 > 100 docs at cap 1: every doc sampled exactly once
+    val out = Pipeline.unimaxSample(docs, budget = 500L, maxEpochs = 1)
+    assert(out.count() == 100L)
+    assert(out.groupBy("doc_id").agg(F.count(F.lit(1)).as("k"))
+      .filter(F.col("k") =!= 1L).count() == 0)
+  }
+
+  test("epoch shuffle (p14): positions are a permutation, epochs differ, reruns agree") {
+    import org.apache.spark.sql.{functions => F}
+    val docs = graft.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val e1 = Pipeline.epochShuffle(docs, epoch = 1L)
+    // a permutation: n distinct positions covering exactly 1..n
+    val stats = e1.agg(F.countDistinct(F.col("pos")).as("d"),
+      F.min(F.col("pos")).as("lo"), F.max(F.col("pos")).as("hi")).collect().head
+    assert(stats.getLong(0) == n && stats.getLong(1) == 1L && stats.getLong(2) == n,
+      s"not a permutation: $stats over $n docs")
+    // a different epoch is a genuinely different order (some doc moves)
+    val e2 = Pipeline.epochShuffle(docs, epoch = 2L)
+    val moved = e1.withColumnRenamed("pos", "p1")
+      .join(e2.withColumnRenamed("pos", "p2"), Seq("doc_id"))
+      .filter(F.col("p1") =!= F.col("p2")).count()
+    assert(moved > 0, "epoch 2 must reshuffle relative to epoch 1")
+    // deterministic across reruns (no RNG state anywhere)
+    val again = Pipeline.epochShuffle(docs, epoch = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == again)
+  }
 }

@@ -69,6 +69,43 @@ class PlanAuditSpec extends SparkSpec {
       "guard blind to the filtered (WindowGroupLimit) global-rank shape")
   }
 
+  test("deliberate enum-partitioned window trips the guard; bucketed and growing-key windows don't") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = Tables.documents(spark, sfDir)
+    // the p12-class anti-pattern: a corpus-wide rank partitioned ONLY by
+    // an enum-bounded key — one task sorts a whole language
+    val bad = docs.withColumn("rk",
+      row_number().over(W.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(PlanAudit.enumWindows(bad).nonEmpty,
+      "guard failed to flag a lang-only window")
+    // the two-phase spelling adds a bucket key -> per-task frame bounded
+    val bucketed = docs
+      .withColumn("b", pmod(col("doc_id"), lit(32L)))
+      .withColumn("rk", row_number().over(
+        W.partitionBy(col("lang"), col("b")).orderBy(col("doc_id"))))
+    assert(PlanAudit.enumWindows(bucketed).isEmpty,
+      "a (lang, bucket) spec must not be flagged")
+    // a data-growing partition key is the normal healthy shape
+    val growing = docs.withColumn("rk",
+      row_number().over(W.partitionBy(col("source")).orderBy(col("doc_id"))))
+    assert(PlanAudit.enumWindows(growing).isEmpty,
+      "domain-partitioned windows are d14's adjudicated-growing shape")
+  }
+
+  test("the audited query surface carries no unadjudicated enum-partitioned windows") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !PlanAudit.iterative.contains(name) =>
+        val audited = PlanAudit.lazyTwin.getOrElse(name, fn)
+        val ew = try PlanAudit.enumWindows(audited(spark, sfDir)) catch {
+          case _: Throwable => Seq.empty // planning failures are OperatorSpec's dept
+        }
+        spark.catalog.clearCache()
+        (name, ew)
+    }.filter { case (name, ew) => ew.nonEmpty && !PlanAudit.allowedEnumWindows.contains(name) }
+    assert(offenders.isEmpty,
+      s"unadjudicated enum-partitioned windows: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
+  }
+
   test("the audited query surface carries no unadjudicated global windows") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !PlanAudit.iterative.contains(name) =>
