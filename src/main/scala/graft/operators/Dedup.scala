@@ -865,10 +865,12 @@ object Dedup {
       .filter(col("nw") === w) // trailing partial segment dropped
       .select(col("doc_id"),
         md5(concat_ws(" ", (0 until w).map(i => col(s"w$i")): _*)).as("h"))
-      // BOTH the df aggregate and the join back read this frame — persist
-      // so the explode+aggregate pipeline runs once (the d3 pattern), not
-      // twice-unless-ReusedExchange-happens-to-fire
-      .persist()
+    // NO persist (the d15 library-hygiene contract, applied for
+    // consistency): both the df aggregate and the join back recompute
+    // this slim (doc_id, h) pipeline — paying one extra explode+aggregate
+    // beats pinning a corpus-sized frame in block storage the caller
+    // never asked for; a multi-pass pipeline stages it to parquet (the
+    // d2 written-artifact discipline) instead
     val df = segs.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ndocs"))
     val perDoc = segs.join(df, Seq("h"))
       .groupBy(col("doc_id"))
@@ -1506,5 +1508,48 @@ object Dedup {
         CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
       FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15)
+  /** C16's core: FUZZY benchmark decontamination — the near-duplicate
+    * half of eval-set hygiene (the GPT-3 appendix-style companion to
+    * d8's EXACT shared-n-gram check): a corpus doc is flagged when some
+    * benchmark doc is a whole-document near-duplicate (word-3-shingle
+    * Jaccard >= `minJaccard`), which catches lightly-reworded eval
+    * leakage that exact 8-gram matching misses once every gram has one
+    * token changed. Machinery is d11's two-sided incremental LSH probe
+    * verbatim (bench side = the "corpus", corpus side = the "arriving
+    * slice"): band equi-join candidates, slim id pairs, merge-walk EXACT
+    * Jaccard verify — so at the d2-verified 0.8 threshold the flag set
+    * is exact, and the DuckDB oracle recomputes it from the shared
+    * pairwise CTE. At 100 TB the bench side is a separate tiny table
+    * sketched once (writeMinhashArtifact), and only cross-side band
+    * collisions generate candidates.
+    */
+  def fuzzyDecontaminate(docs: DataFrame, isBench: Column,
+      minJaccard: Double = 0.8): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val hits = incrementalNearDups(base.filter(!isBench), base.filter(isBench), minJaccard)
+      .select(col("new_id").as("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    base.filter(!isBench).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("fuzzy_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  // C16 — fuzzy decontamination against the same synthetic benchmark
+  // slice d8 uses (doc_id % 20 == 0), at the d2-verified 0.8 threshold.
+  private val d16 = Relational.Q(
+    "d16_fuzzy_decontaminate",
+    (s, d) => fuzzyDecontaminate(Tables.documents(s, d), col("doc_id") % 20 === 0),
+    Some(s"""
+      WITH ${pairwiseSql("documents")},
+      hits AS (
+        SELECT DISTINCT CASE WHEN doc_a % 20 = 0 THEN doc_b ELSE doc_a END AS doc_id
+        FROM pairs
+        WHERE j >= 0.8 AND ((doc_a % 20 = 0) <> (doc_b % 20 = 0)))
+      SELECT d.doc_id, (h.doc_id IS NOT NULL) AS fuzzy_contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 20 <> 0
+      ORDER BY d.doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16)
 }

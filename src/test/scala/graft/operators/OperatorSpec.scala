@@ -1823,6 +1823,25 @@ class OperatorSpec extends SparkSpec {
     assert(diff == 0, "d15 must remove exactly the segments d9 counts")
   }
 
+  test("fuzzy decontamination (d16): reworded benchmark leak flagged, clean doc not") {
+    import org.apache.spark.sql.{functions => F}
+    val benchText = (0 until 50).map(i => s"tok$i").mkString(" ")
+    // one token reworded mid-doc: exact 8-gram matching loses every gram
+    // window that crosses the edit, but whole-doc shingle Jaccard stays
+    // 45/51 ~ 0.88 >= 0.8 — exactly the leakage class d8 under-catches
+    val reworded = ((0 until 50).map(i => if (i == 25) "CHANGED" else s"tok$i")).mkString(" ")
+    val clean = (0 until 50).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (0L, benchText),  // bench (doc_id % 20 == 0)
+      (21L, reworded),  // corpus: fuzzy leak
+      (22L, clean),     // corpus: clean
+      (23L, benchText)  // corpus: verbatim leak (j = 1)
+    ).toDF("doc_id", "text")
+    val out = Dedup.fuzzyDecontaminate(docs, F.col("doc_id") % 20 === 0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(21L -> true, 22L -> false, 23L -> true), s"got $out")
+  }
+
   test("temperature sample (p12): head flattened, targets exact, deterministic") {
     import org.apache.spark.sql.{functions => F}
     // planted skew: 900 docs of lang "big", 100 of "small"
