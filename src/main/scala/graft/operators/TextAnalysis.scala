@@ -1187,6 +1187,120 @@ object TextAnalysis {
           AND (n_required >= 2)) AS keep
       FROM base ORDER BY doc_id"""))
 
+  /** E19's core: the C4 cleaning rules (Raffel et al. 2020, §2.2 — the
+    * other canonical public filter set next to t18's Gopher rules, run
+    * by C4/mC4 and their descendants). Two levels, both local to the
+    * document — no corpus-wide state anywhere:
+    *   - LINE gates (C4 drops offending lines, keeps the page): at
+    *     least `minLineWords` words; ends in terminal punctuation
+    *     (`.!?"'` — optional, because a punctuation-free corpus would
+    *     scrub everything; same per-corpus adaptation as t18's
+    *     required lexicon); no "javascript" mention.
+    *   - DOCUMENT gates (C4 drops the whole page): "lorem ipsum"
+    *     placeholder text; curly brace `{` (code leak); any word from
+    *     the bad-word `blocklist` (word-level exact match, the
+    *     "List of Dirty, Naughty …" stand-in — parametrized, the list
+    *     itself is policy, not engineering); boilerplate policy
+    *     phrases ("terms of use" / "privacy policy" / "cookie
+    *     policy" / "uses cookies"); and fewer than `minKeptLines`
+    *     surviving lines.
+    * Kept lines reassemble in original order with `\n`.
+    *
+    * Spelling: a single narrow projection per doc. The per-line gates
+    * run inside one `filter(lines, …)` higher-order function —
+    * interpreted, not codegen'd (the round-1 lesson), and chosen
+    * DELIBERATELY here: unlike d15 (whose segment df needs a corpus
+    * join) every gate is a pure per-line predicate, so the HOF keeps
+    * the operator shuffle-free, stateless and streaming-attachable
+    * (A37), where the codegen alternative (posexplode → per-line
+    * projection → groupBy reassembly) buys back interpreter overhead
+    * at the price of a full shuffle of the corpus text. At 100 TB the
+    * shuffle loses by orders of magnitude; the HOF cost is linear CPU
+    * on data that is read once and never exchanged. Full column
+    * pruning applies (only doc_id, text read).
+    */
+  def c4Filters(docs: DataFrame, minLineWords: Int = 3,
+      requireTerminalPunct: Boolean = true,
+      blocklist: Seq[String] = Seq.empty,
+      minKeptLines: Int = 1): DataFrame = {
+    require(minLineWords >= 1 && minKeptLines >= 0,
+      s"bad C4 thresholds: minLineWords=$minLineWords minKeptLines=$minKeptLines")
+    val txt = coalesce(col("text"), lit(""))
+    val lower_ = lower(txt)
+    val lines = split(txt, "\n")
+    def wordCount(l: Column): Column =
+      when(trim(l) === "", lit(0))
+        .otherwise(size(split(trim(l), "\\s+")))
+    def lineOk(l: Column): Column = {
+      val base = wordCount(l) >= minLineWords &&
+        !lower(l).rlike("javascript")
+      if (requireTerminalPunct) base && l.rlike("[.!?\"']\\s*$") else base
+    }
+    val kept = filter(lines, lineOk _)
+    val blockHit =
+      if (blocklist.isEmpty) lit(false)
+      else size(array_intersect(
+        array_distinct(split(lower(trim(txt)), "\\s+")),
+        array(blocklist.map(w => lit(w.toLowerCase)): _*))) > 0
+    docs
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws("\n", kept).as("kept_text"),
+        lower_.contains("lorem ipsum").as("d_lorem"),
+        txt.contains("{").as("d_brace"),
+        blockHit.as("d_blocklist"),
+        lower_.rlike("terms of use|privacy policy|cookie policy|uses cookies")
+          .as("d_policy"))
+      .withColumn("keep",
+        !col("d_lorem") && !col("d_brace") && !col("d_blocklist")
+          && !col("d_policy") && col("n_kept") >= minKeptLines.toLong)
+    // no orderBy (the t18/piiScrub convention): stateless narrow, so the
+    // literal operator attaches to a streaming frame (A37); the query
+    // entry adds the deterministic sort for the oracle compare
+  }
+
+  // E19 — C4 cleaning rules (full DuckDB oracle, hash-checks the
+  // REASSEMBLED text). Corpus adaptation (the documented per-corpus
+  // knobs): terminal punctuation off (the synthetic corpus has none),
+  // line threshold 25 words (C4's 3 would fire nowhere on 10–99-word
+  // single-line docs; 25 keeps both branches live — 75/500 docs
+  // scrubbed at sf0.01), blocklist = the corpus's one rare token
+  // ("dup", df 25/500) as the bad-word stand-in.
+  private val t19 = Relational.Q(
+    "t19_c4_filters",
+    (s, d) => c4Filters(Tables.documents(s, d), minLineWords = 25,
+      requireTerminalPunct = false, blocklist = Seq("dup"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH src AS (
+        SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+      base AS (
+        SELECT doc_id, text,
+          string_split(text, chr(10)) AS lines,
+          list_filter(string_split(text, chr(10)), l ->
+            (CASE WHEN trim(l) = '' THEN 0
+                  ELSE len(string_split_regex(trim(l), '\s+')) END) >= 25
+            AND NOT regexp_matches(lower(l), 'javascript')) AS kept
+        FROM src)
+      SELECT doc_id,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(kept) AS BIGINT) AS n_kept,
+        -- concat_ws never yields NULL; DuckDB's array_to_string of an
+        -- empty list does — align the engines
+        COALESCE(array_to_string(kept, chr(10)), '') AS kept_text,
+        contains(lower(text), 'lorem ipsum') AS d_lorem,
+        contains(text, '{') AS d_brace,
+        len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+            ['dup'])) > 0 AS d_blocklist,
+        regexp_matches(lower(text), 'terms of use|privacy policy|cookie policy|uses cookies') AS d_policy,
+        (NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{')
+          AND NOT (len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), ['dup'])) > 0)
+          AND NOT regexp_matches(lower(text), 'terms of use|privacy policy|cookie policy|uses cookies')
+          AND len(kept) >= 1) AS keep
+      FROM base ORDER BY doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19)
 }

@@ -1772,6 +1772,58 @@ class OperatorSpec extends SparkSpec {
       s"gates should discriminate on the corpus: kept $kept of $n")
   }
 
+  test("c4 filters (t19): each planted defect flips exactly its own gate") {
+    val goodLine = (0 until 6).map(i => s"word$i").mkString(" ") + " end."
+    val doc = (0 until 4).map(_ => goodLine).mkString("\n")
+    val docs = Seq(
+      (0L, doc),                                       // clean multi-line page
+      (1L, doc + "\nshort line."),                     // 2-word line scrubbed, page kept
+      (2L, doc + "\nenable javascript to view this."), // javascript line scrubbed
+      (3L, goodLine + "\nno terminal punct here at all\n" + goodLine), // mid line dropped
+      (4L, doc + "\nLorem Ipsum dolor sit amet etc."), // whole page dropped
+      (5L, doc.replace("word3", "{word3")),            // brace -> page dropped
+      (6L, doc + "\nthis site uses cookies to track you."), // policy page dropped
+      (7L, doc.replace("word2", "badword")),           // blocklisted word
+      (8L, "tiny.\nalso tiny.")                        // all lines scrubbed -> n_kept 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filters(docs, minLineWords = 3,
+        requireTerminalPunct = true, blocklist = Seq("BadWord"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    assert(out(0L) == ((4L, 4L, doc, false, false, false, false, true)))
+    assert(out(1L)._2 == 4L && out(1L)._3 == doc && out(1L)._8,
+      "short line is scrubbed but the page survives")
+    assert(out(2L)._2 == 4L && out(2L)._3 == doc && out(2L)._8,
+      "javascript line is scrubbed but the page survives")
+    assert(out(3L)._1 == 3L && out(3L)._2 == 2L
+      && out(3L)._3 == goodLine + "\n" + goodLine,
+      "unterminated middle line dropped, order of survivors preserved")
+    assert(out(4L)._4 && !out(4L)._8, "lorem ipsum drops the page")
+    assert(out(5L)._5 && !out(5L)._8, "curly brace drops the page")
+    assert(out(7L)._6 && !out(7L)._8, "blocklist match is case-insensitive")
+    assert(out(6L)._7 && !out(6L)._8, "policy phrase drops the page")
+    assert(out(8L)._2 == 0L && out(8L)._3 == "" && !out(8L)._8,
+      "a page with zero surviving lines is dropped")
+    // defects are isolated: the pages that died to a DOC gate still kept
+    // their lines; the pages that lost a line tripped no doc gate
+    assert(!out(1L)._4 && !out(1L)._5 && !out(1L)._6 && !out(1L)._7)
+    assert(out(4L)._2 > 0 && out(5L)._2 > 0 && out(6L)._2 > 0)
+  }
+
+  test("c4 filters (t19) are non-degenerate on the real corpus") {
+    // corpus-adapted knobs (same as the query entry; rationale in the
+    // operator doc): punctuation off, 25-word line floor, "dup" blocklist
+    val out = TextAnalysis.c4Filters(graft.Tables.documents(spark, sfDir),
+      minLineWords = 25, requireTerminalPunct = false, blocklist = Seq("dup"))
+    val n = out.count()
+    val kept = out.filter(col("keep")).count()
+    val blocked = out.filter(col("d_blocklist")).count()
+    assert(kept > 0 && kept < n,
+      s"C4 gates should discriminate on the corpus: kept $kept of $n")
+    assert(blocked > 0, "the blocklist gate should be live on the corpus")
+  }
+
   test("boilerplate scrub (d15): planted shared segment removed, tail and unique text kept") {
     // segment width 3, minDf 3: "copy right footer" plants in three docs
     // at different positions; doc 3 is untouched; doc 4 is ALL boilerplate

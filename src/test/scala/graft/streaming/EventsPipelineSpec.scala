@@ -458,6 +458,40 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming C4 gate (A37): the batch rules run unchanged on a stream, decisions identical") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // same A28 attach pattern as A36: c4Filters is a stateless narrow
+    // per-doc projection (every gate is doc-local), so the LITERAL batch
+    // operator scrubs arriving docs — slicing can't matter
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.c4Filters(
+        src.toDS().toDF("doc_id", "text"),
+        minLineWords = 25, requireTerminalPunct = false, blocklist = Seq("dup"))
+      .writeStream.format("memory").queryName("c4_stream_test")
+      .outputMode("append").start()
+    try {
+      corpus.grouped(math.max(1, corpus.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+          r.getBoolean(8))
+      val streamed = spark.table("c4_stream_test").collect().map(key).toSet
+      val batch = graft.operators.TextAnalysis.c4Filters(
+          corpus.toSeq.toDF("doc_id", "text"),
+          minLineWords = 25, requireTerminalPunct = false, blocklist = Seq("dup"))
+        .collect().map(key).toSet
+      assert(streamed == batch, "streamed C4 decisions must equal batch exactly")
+      assert(batch.exists(_._9) && batch.exists(!_._9),
+        "both keep branches should be live on the corpus")
+    } finally q.stop()
+  }
+
   test("streaming near-dup rediscovers the batch minhash pairs on the real corpus") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
