@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BpeEncode, CosineSimilarity, CountMinSketch, KMinValues, MinHashSignature, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
+import graft.functions.{BloomBits, BpeEncode, CosineSimilarity, CountMinSketch, KMinValues, MinHashSignature, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
 
 /** Spark session extension: registers graft's custom Catalyst expressions
   * as SQL functions, so the whole similarity/dedup toolkit is reachable
@@ -17,6 +17,8 @@ import graft.functions.{BpeEncode, CosineSimilarity, CountMinSketch, KMinValues,
   *   kmin_values(h, k)            — AGG: KMV theta sketch (k smallest distinct hashes)
   *   count_min(key, depth, width) — AGG: count-min sketch cells (row-major
   *                                  depth x width array; mergeable by linearity)
+  *   bloom_bits(h, mBits, kHashes) — AGG: bloom-filter bitmap of a hash
+  *                                  column (mBits/64 longs; mergeable by OR)
   *   bpe_encode(w, merges)        — greedy BPE symbols of a word; merges is a
   *                                  literal array of 'left right' lines (the
   *                                  public merges-file format), vocab-bounded
@@ -74,6 +76,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CountMinSketch(children.head,
         litInt(children(1), "count_min", "depth"),
         litInt(children(2), "count_min", "width"))
+        .toAggregateExpression()
+    })
+    register(ext, "bloom_bits", { children =>
+      require(children.length == 3, "bloom_bits expects (hash, mBits, kHashes)")
+      BloomBits(children.head,
+        litInt(children(1), "bloom_bits", "mBits"),
+        litInt(children(2), "bloom_bits", "kHashes"))
         .toAggregateExpression()
     })
     register(ext, "bpe_encode", { children =>

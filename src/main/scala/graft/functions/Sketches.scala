@@ -348,3 +348,90 @@ object CountMinSketch {
       CountMinSketch(GraftColumnBridge.expression(key), depth, width)
         .toAggregateExpression())
 }
+
+/** BLOOM FILTER over a 64-bit-hash column in ONE pass (SURVEY I10 —
+  * Bloom 1970): the fixed `mBits`-bit bitmap IS the aggregation state
+  * (`mBits/64` longs); each input hash sets its `kHashes` positions
+  * (pos_i = md5-56("i:hash") mod mBits — [[HashFunctions.md5Hash56Local]],
+  * so a DuckDB oracle and a relational probe recompute the SAME
+  * positions from the same hash values). Merge is bitwise OR — set
+  * union is a bloom homomorphism, bloom(A ∪ B) = bloom(A) | bloom(B) —
+  * so partial (map-side) bitmaps combine to exactly the single-pass
+  * bitmap, and per-shard/per-day bitmaps roll up without raw data.
+  * Membership has NO false negatives by construction; false positives
+  * at rate ~(1 - e^(-kn/m))^k, sized by the MEMBER set (for the
+  * decontamination use: the tiny benchmark suite), never the corpus.
+  *
+  * Output: the bitmap as mBits/64 row-major longs (bit b of the filter
+  * = bit (b mod 64) of word (b div 64)) — the broadcastable artifact a
+  * probe tests with k shift-and-mask expressions per key.
+  */
+case class BloomBits(
+    child: Expression,
+    mBits: Int,
+    kHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
+
+  require(mBits >= 64 && mBits <= (1 << 24) && mBits % 64 == 0,
+    s"bloom_bits mBits must be a multiple of 64 in [64, 2^24], got $mBits")
+  require(kHashes >= 1 && kHashes <= 16,
+    s"bloom_bits kHashes must be in [1, 16], got $kHashes")
+
+  override def inputTypes = Seq(LongType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bloom_bits"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](mBits / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < kHashes) {
+        val pos = (HashFunctions.md5Hash56Local(i.toString + ":" + h) % mBits).toInt
+        buf(pos >>> 6) |= 1L << (pos & 63)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(mBits / 64)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBits =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBits =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BloomBits =
+    copy(child = newChildren.head)
+}
+
+object BloomBits {
+  def apply(h: Column, mBits: Int, kHashes: Int): Column =
+    GraftColumnBridge.column(
+      BloomBits(GraftColumnBridge.expression(h), mBits, kHashes)
+        .toAggregateExpression())
+}

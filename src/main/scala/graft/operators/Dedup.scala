@@ -757,7 +757,8 @@ object Dedup {
     * — d8's building block, also the batch twin of the streaming
     * decontamination operator's row-local gram hashing.
     */
-  def wordGramHashes(docs: DataFrame, n: Int): DataFrame = {
+  def wordGramHashes(docs: DataFrame, n: Int,
+      hasher: Column => Column = c => xxhash64(c)): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.spread(docs.select(col("doc_id"), col("text")))
         .select(col("doc_id"), posexplode(H.tokens(col("text"))).as(Seq("pos", "tok")))
@@ -767,7 +768,7 @@ object Dedup {
         .select((Seq(col("doc_id"), col("tok")) ++ leads): _*)
         .filter(col(s"t${n - 1}").isNotNull) // n-1 leads over ONE window sort
         .select(col("doc_id"),
-          xxhash64(concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)).as("g"))
+          hasher(concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)).as("g"))
         .dropDuplicates("doc_id", "g")
   }
 

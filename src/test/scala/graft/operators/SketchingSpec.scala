@@ -289,4 +289,68 @@ class SketchingSpec extends SparkSpec {
       .filter(!(whole("c") <=> merged("c"))).count()
     assert(diff == 0, "cell-wise sum of shard sketches must equal the single-pass sketch")
   }
+
+  test("bloom decontamination (I10/x11): planted leak caught, clean and short docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),             // the benchmark doc
+      (1L, "x y a b c d e f g h"),             // shares ONE 8-gram with it
+      (2L, "p q r s t u v w m n"),             // clean, gram-bearing
+      (3L, "one two")                          // < 8 tokens: no grams at all
+    ).toDF("doc_id", "text")
+    val out = Sketching.bloomDecontaminate(docs, col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(out(1L)._2 == 1L && out(1L)._3 && out(1L)._4,
+      "the planted shared 8-gram must be found by bloom AND exact")
+    assert(out(2L) == ((0L, 0L, false, false)) && out(3L) == ((0L, 0L, false, false)))
+    // no false negatives, visible per row: every exact hit is a bloom hit
+    out.values.foreach { case (nb, ns, _, _) => assert(nb >= ns) }
+  }
+
+  test("bloom decontamination (x11) rediscovers d8's exact contamination on the real corpus") {
+    // same gram semantics, different hash families (md5-56 vs xxhash64),
+    // different machinery (bitmap prefilter vs broadcast gram set) — the
+    // contaminated sets and shared-gram counts must agree exactly, and
+    // the bloom prefilter must never pass fewer docs than truth
+    val isBench = col("doc_id") % 20 === 0
+    val x11 = Sketching.bloomDecontaminate(Tables.documents(spark, sf), isBench)
+      .select(col("doc_id"), col("n_shared_grams"), col("n_bloom_grams"))
+    val d8 = Dedup.decontaminate(Tables.documents(spark, sf), isBench)
+      .select(col("doc_id"), col("n_shared_grams").as("d8_n"))
+    val joined = x11.join(d8, Seq("doc_id"), "full_outer").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3),
+        s"doc ${r.getLong(0)}: x11 exact ${r.getLong(1)} != d8 ${r.getLong(3)}")
+      assert(r.getLong(2) >= r.getLong(1), "bloom candidates must cover truth")
+    }
+    val contaminated = joined.count(_.getLong(1) > 0)
+    assert(contaminated > 0, "the corpus benchmark slice should contaminate some docs")
+    // FPR envelope (probabilistic per gram ~(1-e^(-kn/m))^k ~ 3e-12 at
+    // this load; quantile-style bound, the CMS-spec lesson — loose
+    // enough to survive a regenerated corpus): candidate docs that turn
+    // out clean stay under 1% of the corpus
+    val falsePos = joined.count(r => r.getLong(2) > 0 && r.getLong(1) == 0)
+    assert(falsePos <= joined.length / 100,
+      s"bloom false-positive docs out of envelope: $falsePos of ${joined.length}")
+  }
+
+  test("bloom bitmap (I10) merges by OR: per-shard bitmaps OR to the single-pass bitmap") {
+    import graft.functions.{BloomBits, HashFunctions => H}
+    val docs = Tables.documents(spark, sf)
+    def gramsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.wordGramHashes(df, 8, H.md5Hash56)
+    def bitsOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      gramsOf(df).agg(BloomBits(col("g"), 1 << 18, 8))
+        .collect().head.getSeq[Long](0).toArray
+    val whole = bitsOf(docs.repartition(8)) // force real partial merges
+    val shards = docs.select(col("source")).distinct().collect().map(_.getString(0))
+    assert(shards.length >= 2)
+    val merged = shards.map(src => bitsOf(docs.filter(col("source") === src)))
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x | y })
+    assert(whole.sameElements(merged),
+      "OR of per-shard bitmaps must equal the single-pass bitmap bit-for-bit")
+    assert(whole.map(java.lang.Long.bitCount).sum > 0, "bitmap must be non-trivial")
+  }
 }
