@@ -808,6 +808,94 @@ object Pipeline {
       FROM documents ORDER BY doc_id"""
     })
 
+  /** P15's core: CURRICULUM ORDERING — the easy-to-hard training order
+    * (Bengio et al. 2009; as sequence-length warmup the published LLM
+    * stabilizer, Li et al. 2022): docs are staged by a DETERMINISTIC
+    * LOCAL difficulty rule (word count under ascending `stageBounds`
+    * thresholds — no corpus-wide quantile pass), and the global training
+    * position orders stages first, with docs WITHIN a stage in
+    * pseudorandom md5-56 hash order (strict score-sorted order is bad
+    * for SGD; staged-then-shuffled is the published compromise).
+    *
+    * The position is the q48/p14 two-phase enumeration, never a global
+    * sort: route by (stage, high-bits-of-hash) — a monotone PREFIX of
+    * the sort key (stage, h, doc_id), so ordering by (stage, bucket, h,
+    * doc_id) IS ordering by (stage, h, doc_id) and the two-phase
+    * positions provably equal the flat global ROW_NUMBER the oracle
+    * computes, at ANY bucket count (spec pins buckets=4 == buckets=1024
+    * bit-for-bit). Rank within (stage, bucket), add per-(stage, bucket)
+    * prefix-sum offsets — a stages x buckets-row constant-size frame
+    * (its global window and broadcast are PlanAudit-adjudicated).
+    *
+    * 100 TB: one scan + one bucket-keyed shuffle; largest per-task sort
+    * ~n/buckets rows. The trainer materializes (doc_id, pos) and
+    * range-reads by pos, exactly the p14 contract, with `stage`
+    * carried so a warmup schedule can cut over per stage.
+    */
+  def curriculumOrder(docs: DataFrame, stageBounds: Seq[Long] = Seq(40L, 70L),
+      buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stageBounds.nonEmpty && stageBounds == stageBounds.sorted
+      && stageBounds.distinct == stageBounds,
+      s"stageBounds must be strictly ascending, got $stageBounds")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      s"buckets must be a power of two (hash-prefix routing), got $buckets")
+    val shift = 56 - Integer.numberOfTrailingZeros(buckets)
+    val txt = coalesce(col("text"), lit(""))
+    val nWords = when(trim(txt) === "", lit(0L))
+      .otherwise(size(split(trim(txt), "\\s+")).cast("long"))
+    // smallest bound OUTERMOST so each doc lands in its first matching
+    // stage (a foldLeft would shadow stage 0 behind later bounds)
+    val stage = stageBounds.zipWithIndex
+      .foldRight(lit(stageBounds.length.toLong)) { case ((bound, i), els) =>
+        when(col("n_words") < bound, i.toLong).otherwise(els)
+      }
+    val hashed = docs.select(col("doc_id"), col("lang"), nWords.as("n_words"))
+      .withColumn("stage", stage)
+      .withColumn("h", H.md5Hash56(col("doc_id").cast("string")))
+      .withColumn("b", shiftright(col("h"), shift))
+    val offsets = hashed.groupBy(col("stage"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum(col("n")).over(Window.orderBy(col("stage"), col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stage"), col("b"), col("off"))
+    hashed
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("stage"), col("b"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .join(broadcast(offsets), Seq("stage", "b"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("stage"),
+        (col("off") + col("lr")).as("pos"))
+  }
+
+  // P15 — length-warmup curriculum over the documents table (stages at
+  // <40 / <70 / rest words — all three live on the corpus): the oracle's
+  // flat ROW_NUMBER over (stage, hash, doc_id) pins the two-phase
+  // positions exactly.
+  private val p15 = Relational.Q(
+    "p15_curriculum_order",
+    (s, d) => curriculumOrder(Tables.documents(s, d))
+      .orderBy(col("doc_id")),
+    Some {
+      val h = graft.functions.HashFunctions.md5Hash56Sql("CAST(doc_id AS VARCHAR)")
+      s"""
+      WITH w AS (
+        SELECT doc_id, lang,
+          CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+               ELSE len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) END AS n_words
+        FROM documents),
+      st AS (
+        SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+          CAST(CASE WHEN n_words < 40 THEN 0
+                    WHEN n_words < 70 THEN 1
+                    ELSE 2 END AS BIGINT) AS stage
+        FROM w)
+      SELECT doc_id, lang, n_words, stage,
+        CAST(ROW_NUMBER() OVER (ORDER BY stage, $h, doc_id) AS BIGINT) AS pos
+      FROM st ORDER BY doc_id"""
+    })
+
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
-    p11, p12, p13, p14)
+    p11, p12, p13, p14, p15)
 }

@@ -63,7 +63,8 @@ object PlanAudit {
     "p13_unimax_sample" -> "|langs|-row local targets frame + |langs| x buckets-row two-phase offsets (enum- and parameter-bounded)",
     "p14_epoch_shuffle" -> "buckets-row two-phase offsets frame (parameter-bounded)",
     "x9_countmin_freq" -> "CMS cell frame: depth x width = 4 x 512 = 2048 rows max (parameter-bounded)",
-    "x11_bloom_decontaminate" -> "one-row mBits/64-long bloom bitmap (parameter-bounded) + benchmark-slice distinct-gram frame (d8's class: bounded by the eval suite, a separate tiny table at 100 TB)")
+    "x11_bloom_decontaminate" -> "one-row mBits/64-long bloom bitmap (parameter-bounded) + benchmark-slice distinct-gram frame (d8's class: bounded by the eval suite, a separate tiny table at 100 TB)",
+    "p15_curriculum_order" -> "stages x buckets-row two-phase offsets frame (parameter-bounded)")
 
   /** The global-window invariant, mechanized like the hint guard: every
     * logical Window (or WindowGroupLimit) with an EMPTY partition spec.
@@ -97,7 +98,9 @@ object PlanAudit {
     "q48_surrogate_keys" ->
       "32-row bucket prefix-sum frame (bucket-parameter-bounded)",
     "p14_epoch_shuffle" ->
-      "buckets-row prefix-sum frame (bucket-parameter-bounded, the q48 class)")
+      "buckets-row prefix-sum frame (bucket-parameter-bounded, the q48 class)",
+    "p15_curriculum_order" ->
+      "stages x buckets-row prefix-sum frame (parameter-bounded, the q48 class)")
 
   /** Columns whose cardinality does NOT grow with the data — the keys a
     * window must never partition by ALONE over a data-proportional frame:

@@ -1986,4 +1986,43 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(e1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == again)
   }
+
+  test("curriculum order (p15): stage blocks strictly ordered, within-stage shuffled, permutation") {
+    import spark.implicits._
+    // 4 short (stage 0), 4 medium (stage 1), 4 long (stage 2) docs,
+    // interleaved by doc_id so stage order != id order
+    val docs = (0 until 12).map { i =>
+      val words = i % 3 match {
+        case 0 => 10; case 1 => 50; case 2 => 90
+      }
+      (i.toLong, (0 until words).map(j => s"w$j").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val out = Pipeline.curriculumOrder(docs, stageBounds = Seq(40L, 70L), buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 12)
+    assert(out.forall { case (id, nw, st, _) =>
+      st == (if (nw < 40) 0L else if (nw < 70) 1L else 2L) })
+    // positions are a permutation of 1..12 and every stage-s position
+    // precedes every stage-(s+1) position — the curriculum invariant
+    assert(out.map(_._4).sorted.toSeq == (1L to 12L).toSeq)
+    val maxByStage = out.groupBy(_._3).view.mapValues(_.map(_._4).max).toMap
+    val minByStage = out.groupBy(_._3).view.mapValues(_.map(_._4).min).toMap
+    assert(maxByStage(0L) < minByStage(1L) && maxByStage(1L) < minByStage(2L))
+    // within a stage the order is hash order, not insertion order
+    val stage0ByPos = out.filter(_._3 == 0L).sortBy(_._4).map(_._1).toSeq
+    assert(stage0ByPos != stage0ByPos.sorted,
+      "within-stage order should be the pseudorandom hash order")
+  }
+
+  test("curriculum order (p15): two-phase positions are bucket-count invariant on the real corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    def posOf(buckets: Int) =
+      Pipeline.curriculumOrder(docs, buckets = buckets)
+        .select(col("doc_id"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the monotone-prefix routing argument, exercised: any bucket count
+    // yields the SAME flat (stage, hash, doc_id) enumeration
+    assert(posOf(4) == posOf(1024),
+      "two-phase positions must equal the flat enumeration at any bucket count")
+  }
 }
