@@ -1552,5 +1552,84 @@ object Dedup {
       WHERE d.doc_id % 20 <> 0
       ORDER BY d.doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16)
+  /** C17's core: SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540) — cluster the embedding space, then drop any
+    * vector that has a near-identical (cosine >= tau) smaller-id
+    * neighbor *within its cluster*. Cross-cluster near-dups are out of
+    * scope BY DESIGN — that approximation is the whole point of the
+    * method (it bounds the pairwise work per cluster), and the paper
+    * accepts it for the same reason.
+    *
+    * Determinism: the paper clusters with k-means; this spelling uses
+    * axis-aligned sign buckets (bit j = [embedding[dim_j] >= 0]) so the
+    * cluster assignment is a pure per-row projection both engines
+    * compute identically — no trained state, no RNG — and the whole
+    * operator is oracle-checkable end to end. The canonical-survivor
+    * policy is min-id dominance (the d1/d7 convention): a vector is
+    * dropped iff SOME smaller-id same-bucket vector sits within tau,
+    * whether or not that dominator itself survives — a local, exact
+    * rule (greedy-sequential SemDeDup would make survival depend on the
+    * full removal history; this one is order-free and parallel).
+    *
+    * Scale (100 TB): one shuffle keyed by bucket; within-bucket
+    * pairwise is O(sum b_i^2), so `signBits` must grow with the corpus
+    * (buckets = 2^signBits) exactly as the paper's k grows with n; in
+    * production the cluster id comes from the trained IVF centroids
+    * (s4/D7 path — assignment is still a narrow projection against a
+    * broadcast k-row codebook) and this operator is unchanged from
+    * `bucket` on. The dominance aggregate is a slim (id, bucket) frame —
+    * embeddings never leave the pair join.
+    */
+  def semDeDup(emb: DataFrame, signBits: Int = 4, tau: Double = 0.4): DataFrame = {
+    require(signBits >= 1 && signBits <= 20, s"signBits in [1,20], got $signBits")
+    val bucket = (0 until signBits).map(j =>
+      when(element_at(col("embedding"), j + 1) >= 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val b = Tables.spread(emb.select(col("vec_id"), col("embedding")))
+      .withColumn("bucket", bucket)
+    val left = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val right = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val dominated = left.join(right, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(CosF(col("va"), col("vb")) >= tau)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    b.join(dominated.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("dup"), lit(false)).as("dropped"))
+      .orderBy(col("vec_id"))
+  }
+
+  // C17 — semantic dedup over the embeddings table: 16 sign buckets,
+  // tau = 0.4 (d5's verified threshold). The oracle replays the exact
+  // same bucket arithmetic and cosine with DuckDB list folds (the d5
+  // cross-engine float contract), so bucket assignment, the dominance
+  // rule, and the survivor set are all hash-checked.
+  private val d17 = Relational.Q(
+    "d17_semdedup",
+    (s, d) => semDeDup(Tables.embeddings(s, d), signBits = 4, tau = 0.4),
+    Some("""
+      WITH b AS (
+        SELECT vec_id, embedding,
+          CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings),
+      dom AS (
+        SELECT DISTINCT x.vec_id
+        FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+        WHERE list_reduce(list_transform(list_zip(a.embedding, x.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (m, n) -> m + n)
+          / sqrt(
+              list_reduce(list_transform(a.embedding,
+                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (m, n) -> m + n)
+              * list_reduce(list_transform(x.embedding,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (m, n) -> m + n))
+          >= 0.4)
+      SELECT b.vec_id, b.bucket, (dom.vec_id IS NOT NULL) AS dropped
+      FROM b LEFT JOIN dom ON b.vec_id = dom.vec_id
+      ORDER BY b.vec_id"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17)
 }

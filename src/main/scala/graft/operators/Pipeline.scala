@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{HashFunctions => H}
@@ -896,6 +896,159 @@ object Pipeline {
       FROM st ORDER BY doc_id"""
     })
 
+  /** P16's core: DSIR-style data selection (Xie et al. 2023, NeurIPS —
+    * "Data Selection for Language Models via Importance Resampling"),
+    * deterministic spelling. Words hash into `nBuckets` feature buckets
+    * (md5-56, the cross-engine x9/x11 hash); the target slice and the
+    * raw corpus each get a per-bucket count; a raw doc is scored by how
+    * its tokens' buckets weigh target vs raw.
+    *
+    * Float discipline (the t16 lesson): the KEEP decision never rides
+    * on a float. Each bucket votes sign(ct*rn - cr*tn) — the UNSMOOTHED
+    * likelihood-ratio sign, cross-multiplied in DECIMAL(38,0) so it is
+    * exact at any corpus size (1e13-token counts square to ~1e26, well
+    * inside 38 digits; DuckDB's HUGEINT sums match exactly). A doc is
+    * kept iff its tokens' votes sum positive — pure integers, immune to
+    * summation order. The add-1-smoothed mean log-ratio `score` (the
+    * paper's actual importance weight, where smoothing IS needed to
+    * avoid ln 0) is carried r4-rounded for ranking/diagnostics only
+    * (the t11 ln contract). Why not vote on the smoothed ratio: +1 on
+    * both counts tilts every high-frequency bucket against the smaller
+    * corpus (the target), degenerating the gate to "drop everything" —
+    * the unsmoothed sign is unbiased for a target drawn from the
+    * corpus.
+    *
+    * Scale (100 TB): tokenize once; ONE nBuckets-row count aggregate
+    * (map-side combinable); totals from that frame (not a rescan); the
+    * vote/log-ratio frame joins back broadcast (parameter-bounded — see
+    * PlanAudit.allowedHints); one doc_id-keyed aggregate. No window, no
+    * corpus-side broadcast, no collect.
+    */
+  def dsirSample(docs: DataFrame, isTarget: Column,
+      nBuckets: Int = 256): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val tb = Tables.spread(docs.select(col("doc_id"), col("lang"),
+        isTarget.as("tgt"), col("text")))
+      .select(col("doc_id"), col("lang"), col("tgt"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .select(col("doc_id"), col("lang"), col("tgt"),
+        pmod(H.md5Hash56(col("token")), lit(nBuckets.toLong)).as("bucket"))
+    val sgn = dsirBucketWeights(tb, nBuckets)
+    tb.filter(!col("tgt"))
+      .join(broadcast(sgn), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("s")).as("votes"),
+        r4(avg(col("lw"))).as("score"))
+      .withColumn("kept", col("votes") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The nBuckets-row (bucket, s, lw) weight frame from a
+    * (tgt, bucket) token frame — P16's trained state, shared by the
+    * batch operator and [[dsirVoteModel]] (the A38 streaming gate).
+    */
+  private def dsirBucketWeights(tb: DataFrame, nBuckets: Int): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cnt = tb.groupBy(col("bucket")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+    val tot = cnt.agg(sum(col("ct")).as("tn"), sum(col("cr")).as("rn"))
+    cnt.crossJoin(broadcast(tot)).select(
+      col("bucket"),
+      when(col("ct").cast(d38) * col("rn").cast(d38) >
+           col("cr").cast(d38) * col("tn").cast(d38), 1L)
+        .when(col("ct").cast(d38) * col("rn").cast(d38) <
+              col("cr").cast(d38) * col("tn").cast(d38), -1L)
+        .otherwise(0L).as("s"),
+      ((log((col("ct") + 1).cast("double")) - log((col("tn") + nBuckets).cast("double")))
+        - (log((col("cr") + 1).cast("double")) - log((col("rn") + nBuckets).cast("double"))))
+        .as("lw"))
+  }
+
+  // P16 — DSIR selection against the benchmark-slice target (the
+  // d8/d16/x11 doc_id % 20 convention): a random-slice target makes the
+  // vote an unbiased typicality test, so both keep branches are live at
+  // every SF. Everything except the display score is integer-exact.
+  private val p16 = Relational.Q(
+    "p16_dsir_sample",
+    (s, d) => dsirSample(Tables.documents(s, d), col("doc_id") % 20 === 0),
+    Some {
+      val h = graft.functions.HashFunctions.md5Hash56Sql("token")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, lang, doc_id % 20 = 0 AS tgt,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents),
+      tb AS (
+        SELECT doc_id, lang, tgt, $h % 256 AS bucket FROM toks),
+      cnt AS (
+        SELECT bucket,
+          SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+          SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+        FROM tb GROUP BY bucket),
+      tot AS (SELECT SUM(ct) AS tn, SUM(cr) AS rn FROM cnt),
+      sgn AS (
+        SELECT bucket,
+          CAST(CASE WHEN ct * rn > cr * tn THEN 1
+                    WHEN ct * rn < cr * tn THEN -1 ELSE 0 END AS BIGINT) AS s,
+          (ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(tn + 256 AS DOUBLE)))
+            - (ln(CAST(cr + 1 AS DOUBLE)) - ln(CAST(rn + 256 AS DOUBLE))) AS lw
+        FROM cnt, tot),
+      sc AS (
+        SELECT t.doc_id, t.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(g.s) AS BIGINT) AS votes, ${r4Sql("AVG(g.lw)")} AS score
+        FROM tb t JOIN sgn g USING (bucket)
+        WHERE NOT t.tgt GROUP BY t.doc_id, t.lang)
+      SELECT doc_id, lang, n_tokens, votes, score, votes > 0 AS kept
+      FROM sc ORDER BY doc_id"""
+    })
+
+  /** A38's trained state: the per-bucket vote signs, collected to a
+    * <= nBuckets-entry map (parameter-bounded — the A33 top-K-model /
+    * x3 convention). Train in batch, gate the stream.
+    */
+  def dsirVoteModel(docs: DataFrame, isTarget: Column,
+      nBuckets: Int = 256): Map[Long, Int] = {
+    val tb = docs.select(isTarget.as("tgt"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .select(col("tgt"),
+        pmod(H.md5Hash56(col("token")), lit(nBuckets.toLong)).as("bucket"))
+    dsirBucketWeights(tb, nBuckets)
+      .select(col("bucket"), col("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+  }
+
+  /** A38: the DSIR gate as a stateless narrow projection over any
+    * (doc_id, text) frame, batch or stream (the A28 attach pattern) —
+    * scoring is row-local against the driver-trained vote model
+    * (tokensLocal + md5Hash56Local are the spec-pinned twins of the
+    * batch tokenize/hash), and the gate is all-integer, so streamed
+    * votes equal the batch operator's bit-for-bit. Buckets absent from
+    * the model (never seen in training) contribute 0 — a doc of
+    * entirely-new vocabulary scores 0 votes and is dropped, the
+    * conservative default for a selection gate. Null text gates to
+    * (0, 0, false); callers mirroring the batch operator's
+    * explode-drops-null contract filter nulls first.
+    */
+  def dsirGate(df: DataFrame, model: Map[Long, Int],
+      nBuckets: Int = 256): DataFrame = {
+    val nb = nBuckets.toLong
+    val scoreUdf = udf { text: String =>
+      val tk = H.tokensLocal(text)
+      var votes = 0L
+      var i = 0
+      while (i < tk.length) {
+        votes += model.getOrElse(H.md5Hash56Local(tk(i)) % nb, 0)
+        i += 1
+      }
+      (tk.length.toLong, votes, votes > 0)
+    }
+    df.withColumn("g", scoreUdf(col("text")))
+      .select(col("doc_id"), col("g._1").as("n_tokens"),
+        col("g._2").as("votes"), col("g._3").as("kept"))
+  }
+
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
-    p11, p12, p13, p14, p15)
+    p11, p12, p13, p14, p15, p16)
 }

@@ -64,7 +64,8 @@ object PlanAudit {
     "p14_epoch_shuffle" -> "buckets-row two-phase offsets frame (parameter-bounded)",
     "x9_countmin_freq" -> "CMS cell frame: depth x width = 4 x 512 = 2048 rows max (parameter-bounded)",
     "x11_bloom_decontaminate" -> "one-row mBits/64-long bloom bitmap (parameter-bounded) + benchmark-slice distinct-gram frame (d8's class: bounded by the eval suite, a separate tiny table at 100 TB)",
-    "p15_curriculum_order" -> "stages x buckets-row two-phase offsets frame (parameter-bounded)")
+    "p15_curriculum_order" -> "stages x buckets-row two-phase offsets frame (parameter-bounded)",
+    "p16_dsir_sample" -> "one-row token totals + nBuckets(=256)-row vote/log-ratio frame (parameter-bounded — the x3/x9 class)")
 
   /** The global-window invariant, mechanized like the hint guard: every
     * logical Window (or WindowGroupLimit) with an EMPTY partition spec.
@@ -200,7 +201,9 @@ object PlanAudit {
       "d14_domain_governance" ->
         "crossJoin(broadcast(<one-row post-dedup total frame>)) for the share gate",
       "p12_temperature_sample" ->
-        "crossJoin(broadcast(<one-row w_total frame>)) for the integer targets")
+        "crossJoin(broadcast(<one-row w_total frame>)) for the integer targets",
+      "p16_dsir_sample" ->
+        "crossJoin(broadcast(<one-row token-totals frame>)) for the bucket votes")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

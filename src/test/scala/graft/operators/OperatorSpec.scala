@@ -2025,4 +2025,87 @@ class OperatorSpec extends SparkSpec {
     assert(posOf(4) == posOf(1024),
       "two-phase positions must equal the flat enumeration at any bucket count")
   }
+
+  test("semdedup (d17): same-bucket near-dups drop to the min id, cross-bucket pairs survive") {
+    import spark.implicits._
+    def v(fs: Double*) = fs.map(_.toFloat).toArray
+    val emb = Seq(
+      // bucket 15 (all four lead dims >= 0): v1 keeps, v2 and v6 are both
+      // dominated by v1 — v6 stays dropped even though its other
+      // dominator v2 is itself dropped (min-id dominance is order-free,
+      // not greedy-sequential)
+      (1L, v(1, 1, 1, 1, 0, 0, 0, 0)),
+      (2L, v(1, 1, 1, 1, 0.01, 0, 0, 0)),
+      (6L, v(1, 1, 1, 1, 0, 0.01, 0, 0)),
+      // bucket 14 (dim 1 negative), no near neighbor there: keeps
+      (3L, v(-1, 1, 1, 1, 0, 0, 0, 0)),
+      // cos(v4, v5) ~ 1 but the sign of dim 1 splits them across
+      // buckets: BOTH keep — the documented SemDeDup approximation
+      // (cross-cluster near-dups are out of scope by design)
+      (4L, v(0.001, 1, 1, 1, 5, 5, 5, 5)),
+      (5L, v(-0.001, 1, 1, 1, 5, 5, 5, 5)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(emb, signBits = 4, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val dropped = out.filter(_._3).map(_._1).toSet
+    assert(dropped == Set(2L, 6L), s"dropped=$dropped")
+    val buckets = out.map(t => t._1 -> t._2).toMap
+    assert(buckets(4L) == 15L && buckets(5L) == 14L,
+      "the planted twin pair must straddle the sign boundary")
+    // the high-cos cross-bucket pair really is a near-dup the operator
+    // deliberately spares — pin the approximation, don't just assert it
+    val pair = Seq((v(0.001, 1, 1, 1, 5, 5, 5, 5), v(-0.001, 1, 1, 1, 5, 5, 5, 5)))
+      .toDF("a", "b").select(CosineSimilarity(col("a"), col("b"))).as[Double].head()
+    assert(pair >= 0.4, s"planted cross-bucket pair should sit above tau, cos=$pair")
+  }
+
+  test("semdedup (d17): nontrivial and deterministic on the real embeddings") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val out = Dedup.semDeDup(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == e.count().toInt, "one row per vector")
+    assert(Dedup.semDeDup(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      == out.toSeq, "deterministic across runs")
+  }
+
+  test("dsir (p16): target-like docs keep, foreign-vocabulary docs drop, votes exact") {
+    import spark.implicits._
+    // targets (doc_id % 20 == 0) all share one small vocabulary; raw doc
+    // 1 reuses it, raw doc 2 is entirely foreign. Counts: tn = 15 target
+    // tokens, rn = 6 raw tokens; every target-vocab bucket votes +1
+    // (ct*rn > cr*tn), every foreign bucket votes -1 (ct = 0) — so doc 1
+    // scores +3 and doc 2 scores -3 EXACTLY unless md5 buckets collide,
+    // which the planted assert would surface, not mask
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha beta", "en"),
+      (20L, "alpha beta gamma alpha beta", "en"),
+      (40L, "alpha beta gamma alpha beta", "en"),
+      (1L, "alpha beta gamma", "en"),
+      (2L, "zulu yankee xray", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Pipeline.dsirSample(docs, col("doc_id") % 20 === 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5)))
+    assert(out.toSeq == Seq((1L, 3L, 3L, true), (2L, 3L, -3L, false)),
+      s"got ${out.toSeq}")
+  }
+
+  test("dsir (p16): both keep branches live on the real corpus; gate twin is bit-identical") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val isTarget = col("doc_id") % 20 === 0
+    val batch = Pipeline.dsirSample(docs, isTarget)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5)))
+    assert(batch.exists(_._4) && batch.exists(!_._4),
+      "the vote gate must split the real corpus, not degenerate")
+    // A38's row-local scorer reproduces the relational votes exactly on
+    // the same raw slice — all-integer, so bit-equality is the right bar
+    val model = Pipeline.dsirVoteModel(docs, isTarget)
+    val gated = Pipeline.dsirGate(docs.filter(!isTarget), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(gated.toSeq == batch.toSeq.sortBy(_._1),
+      "dsirGate must equal the batch operator's (n_tokens, votes, kept) exactly")
+  }
 }

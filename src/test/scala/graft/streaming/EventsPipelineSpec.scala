@@ -1057,4 +1057,40 @@ class EventsPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming DSIR gate (A38): batch-trained vote model gates the stream bit-identically") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // DSIR's selection state is corpus-global (the bucket vote signs),
+    // so unlike A36/A37 the batch operator cannot attach as-is — the
+    // A33 pattern applies instead: train the parameter-bounded model in
+    // batch, then gate arriving docs with the row-local integer scorer.
+    // All-integer votes make bit-equality the right bar.
+    val docs = Tables.documents(spark, sfDir)
+    val isTarget = col("doc_id") % 20 === 0
+    val model = graft.operators.Pipeline.dsirVoteModel(docs, isTarget)
+    val raw = docs.filter(!isTarget).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.operators.Pipeline.dsirGate(
+        src.toDS().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("dsir_stream_test")
+      .outputMode("append").start()
+    try {
+      raw.grouped(math.max(1, raw.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("dsir_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+      val batch = graft.operators.Pipeline.dsirSample(docs, isTarget)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5))).toSet
+      assert(streamed == batch,
+        "streamed DSIR votes must equal the batch operator exactly")
+      assert(batch.exists(_._4) && batch.exists(!_._4),
+        "both keep branches should be live on the corpus")
+    } finally q.stop()
+  }
 }
