@@ -1631,5 +1631,72 @@ object Dedup {
       FROM b LEFT JOIN dom ON b.vec_id = dom.vec_id
       ORDER BY b.vec_id"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17)
+  /** C18 / A39's core: INCREMENTAL semantic dedup — probe arriving
+    * vectors against a published corpus (the d11 arriving-slice
+    * convention, lifted to d17's semantic space): an arrival matches
+    * when some corpus vector in the SAME sign bucket sits within
+    * cosine >= tau. Emits the match PAIRS (vec_id, dup_of, cosine) —
+    * callers anti-join arrivals on vec_id to keep the novel ones; the
+    * pair frame (not a boolean flag) is what makes the operator
+    * append-mode streamable AS IS: bucket assignment is a narrow
+    * per-row projection on both sides, the bucket equi-join is a
+    * stream-static join, and no per-key state or watermark is needed —
+    * the A39 spec pins streamed pairs == batch across slicings.
+    *
+    * Scale: the corpus side stays a (bucket, id, vec) frame shuffled
+    * once by bucket (or bucket-partitioned at publish time — then the
+    * probe is map-side); per-arrival work is |bucket| cosines, bounded
+    * by growing signBits with the corpus (the d17 scale note).
+    */
+  def semDeDupProbe(arrivals: DataFrame, corpus: DataFrame,
+      signBits: Int = 4, tau: Double = 0.4): DataFrame = {
+    require(signBits >= 1 && signBits <= 20, s"signBits in [1,20], got $signBits")
+    def bucketed(df: DataFrame, id: String, v: String) = {
+      val bucket = (0 until signBits).map(j =>
+        when(element_at(col("embedding"), j + 1) >= 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+      df.select(col("vec_id").as(id), col("embedding").as(v),
+        bucket.as("bucket"))
+    }
+    bucketed(arrivals, "vec_id", "va")
+      .join(bucketed(corpus, "dup_of", "vb"), Seq("bucket"))
+      .withColumn("cos", CosF(col("va"), col("vb")))
+      .filter(col("cos") >= tau)
+      .select(col("vec_id"), col("dup_of"), col("bucket"), r4(col("cos")).as("cosine"))
+  }
+
+  // C18 — the odd-id half of the embeddings table arrives against the
+  // published even-id half: every cross-half same-bucket pair at
+  // cos >= 0.4, oracle-checked with the d17/d5 DuckDB list-fold cosine.
+  private val d18 = Relational.Q(
+    "d18_semdedup_probe",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      semDeDupProbe(e.filter(col("vec_id") % 2 === 1),
+          e.filter(col("vec_id") % 2 === 0))
+        .orderBy(col("vec_id"), col("dup_of"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding,
+          CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings),
+      p AS (
+        SELECT a.vec_id, c.vec_id AS dup_of, a.bucket,
+          list_reduce(list_transform(list_zip(a.embedding, c.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (m, n) -> m + n)
+          / sqrt(
+              list_reduce(list_transform(a.embedding,
+                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (m, n) -> m + n)
+              * list_reduce(list_transform(c.embedding,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (m, n) -> m + n)) AS cos
+        FROM b a JOIN b c ON a.bucket = c.bucket
+          AND a.vec_id % 2 = 1 AND c.vec_id % 2 = 0)
+      SELECT vec_id, dup_of, bucket, ${r4Sql("cos")} AS cosine
+      FROM p WHERE cos >= 0.4 ORDER BY vec_id, dup_of"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18)
 }

@@ -586,26 +586,35 @@ object Pipeline {
     * adjudicated in PlanAudit). Carries `carry` columns through.
     */
   def langHashRank(docs: DataFrame, carry: Seq[String] = Nil,
+      buckets: Int = 32): DataFrame =
+    keyHashRank(docs, "lang", carry, buckets)
+
+  /** [[langHashRank]] generalized to ANY bounded-cardinality partition
+    * key (p18 ranks within embedding-sign clusters) — the key's
+    * cardinality bounds the offsets frame, the bucket count bounds the
+    * per-task sort, and the rank column is named `<key>_rank`.
+    */
+  def keyHashRank(docs: DataFrame, key: String, carry: Seq[String] = Nil,
       buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
       s"buckets must be a power of two (hash-prefix routing), got $buckets")
     val shift = 56 - Integer.numberOfTrailingZeros(buckets) // h div 2^56/buckets
-    val hashed = docs.select((Seq("doc_id", "lang") ++ carry).map(col): _*)
+    val hashed = docs.select((Seq("doc_id", key) ++ carry).map(col): _*)
       .withColumn("h", H.md5Hash56(col("doc_id").cast("string")))
       .withColumn("b", shiftright(col("h"), shift))
-    val offsets = hashed.groupBy(col("lang"), col("b"))
+    val offsets = hashed.groupBy(col(key), col("b"))
       .agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(
-        sum(col("n")).over(Window.partitionBy(col("lang")).orderBy(col("b"))
+        sum(col("n")).over(Window.partitionBy(col(key)).orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("lang"), col("b"), col("off"))
+      .select(col(key), col("b"), col("off"))
     hashed
       .withColumn("lr", row_number().over(
-        Window.partitionBy(col("lang"), col("b"))
+        Window.partitionBy(col(key), col("b"))
           .orderBy(col("h"), col("doc_id"))).cast("long"))
-      .join(broadcast(offsets), Seq("lang", "b"))
-      .withColumn("lang_rank", col("off") + col("lr"))
+      .join(broadcast(offsets), Seq(key, "b"))
+      .withColumn(s"${key}_rank", col("off") + col("lr"))
       .drop("h", "b", "off", "lr")
   }
 
@@ -1049,6 +1058,243 @@ object Pipeline {
         col("g._2").as("votes"), col("g._3").as("kept"))
   }
 
+  /** P17's core: size-proportional SYSTEMATIC sampling (probability-
+    * proportional-to-size without replacement — Madow 1949, the classic
+    * survey-sampling design; as corpus subsampling it picks documents
+    * with probability ∝ weight, e.g. chars or tokens, so the SAMPLE's
+    * token budget tracks the corpus mix). Docs are laid on a line in
+    * deterministic md5-56 hash order (the p14 shuffle — systematic
+    * sampling requires a randomized order to dodge periodicity, and the
+    * hash IS that order, replayably); each doc occupies its weight in
+    * length; the k equally-spaced picks select whichever doc spans them:
+    * doc i is picked iff floor(cum_i*k/W) > floor((cum_i-w_i)*k/W).
+    *
+    * All-integer: the boundary test cross-multiplies in DECIMAL(38,0)
+    * (cum ~ 1e14 chars x k ~ 1e9 picks ~ 1e23, inside 38 digits; DuckDB
+    * runs the same `//` on HUGEINT), so selection never rides on a
+    * float. Picks exactly k docs unless some single doc outweighs W/k
+    * (it then absorbs multiple picks but is emitted once, with its
+    * `picks` count carrying the multiplicity — the standard PPS
+    * certainty-unit caveat, visible in the output rather than hidden).
+    *
+    * Scale: the weighted running sum is the q48/p14 two-phase
+    * enumeration — per-bucket weight totals (buckets-row frame, prefix-
+    * summed in one constant-size window) + a within-bucket running sum
+    * partitioned by the hash-prefix bucket. Routing by the HIGH bits of
+    * h makes (b, h, doc_id) order equal (h, doc_id) order, so the
+    * two-phase cum provably equals the flat prefix sum at ANY bucket
+    * count — no task ever sorts more than ~W/buckets of the corpus.
+    */
+  def weightedSystematicSample(docs: DataFrame, weight: Column, k: Long,
+      buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      s"buckets must be a power of two (hash-prefix routing), got $buckets")
+    val shift = 56 - Integer.numberOfTrailingZeros(buckets)
+    val hashed = docs.select(col("doc_id"), col("lang"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("h", H.md5Hash56(concat(lit("ws:"), col("doc_id").cast("string"))))
+      .withColumn("b", shiftright(col("h"), shift))
+    val offsets = hashed.groupBy(col("b")).agg(sum(col("w")).as("bw"))
+      .withColumn("off", coalesce(
+        sum(col("bw")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("off"))
+    val wTotal = hashed.agg(sum(col("w")).as("w_total"))
+    hashed
+      .withColumn("cw", sum(col("w")).over(
+        Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))))
+      .join(broadcast(offsets), Seq("b"))
+      .crossJoin(broadcast(wTotal))
+      .withColumn("cum", col("off") + col("cw"))
+      .withColumn("hi", expr(s"(CAST(cum AS DECIMAL(38,0)) * $k) div CAST(w_total AS DECIMAL(38,0))"))
+      .withColumn("lo", expr(s"(CAST(cum - w AS DECIMAL(38,0)) * $k) div CAST(w_total AS DECIMAL(38,0))"))
+      .filter(col("hi") > col("lo"))
+      .select(col("doc_id"), col("lang"), col("w"), col("cum"),
+        (col("hi") - col("lo")).as("picks"))
+      .orderBy(col("doc_id"))
+  }
+
+  // P17 — PPS systematic sample of 100 docs weighted by n_chars: the
+  // oracle's flat SUM OVER (ORDER BY hash, doc_id) prefix sum pins the
+  // two-phase cum AND the integer pick boundaries exactly.
+  private val p17 = Relational.Q(
+    "p17_weighted_sample",
+    (s, d) => weightedSystematicSample(Tables.documents(s, d),
+      col("n_chars"), k = 100L),
+    Some {
+      val h = graft.functions.HashFunctions.md5Hash56Sql("('ws:' || CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH hd AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w, $h AS h
+        FROM documents WHERE n_chars > 0),
+      c AS (
+        SELECT doc_id, lang, w,
+          SUM(w) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hd),
+      t AS (SELECT SUM(w) AS wt FROM hd)
+      SELECT doc_id, lang, w, CAST(cum AS BIGINT) AS cum,
+        CAST((cum * 100) // wt - ((cum - w) * 100) // wt AS BIGINT) AS picks
+      FROM c, t
+      WHERE (cum * 100) // wt > ((cum - w) * 100) // wt
+      ORDER BY doc_id"""
+    })
+
+  /** P18's core: D4-style diversified selection (Tirumala et al. 2023,
+    * arXiv:2308.12284 — "D4: Improving LLM Pretraining via Document
+    * De-Duplication and Diversification", the published recipe of
+    * SemDeDup followed by cluster-balanced sampling). Stage 1 = d17's
+    * deterministic SemDeDup (sign-bucket clusters, min-id cosine
+    * dominance). Stage 2 re-balances the SURVIVORS across those same
+    * semantic clusters with p12's sqrt-temperature integer arithmetic —
+    * head clusters flatten, tail clusters keep share — selecting
+    * `cluster_rank <= target` in deterministic hash order.
+    *
+    * Exactness: the cluster targets are p12's integer spelling
+    * (floor(sqrt(n)) is exact below 2^52; `(w * budget) div w_total`
+    * pure integer), and the per-cluster rank is [[keyHashRank]] —
+    * two-phase hash-prefix enumeration, so the oracle's flat
+    * ROW_NUMBER reproduces it at any bucket count. No RNG anywhere.
+    *
+    * Scale (100 TB): d17's one bucket-keyed shuffle + slim dominance
+    * frame; survivors join embeddings-to-docs on doc_id (id-keyed
+    * shuffle, co-partitioned with the corpus at scale); stats/targets/
+    * offsets are all 2^signBits- or parameter-bounded broadcasts
+    * (PlanAudit-adjudicated); ranks never funnel a cluster through one
+    * task. Production: cluster ids from the trained IVF centroids (the
+    * d17 note) — stages unchanged.
+    */
+  def d4Diversify(docs: DataFrame, emb: DataFrame, budget: Long,
+      signBits: Int = 4, tau: Double = 0.4, buckets: Int = 32): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val sd = Dedup.semDeDup(emb, signBits, tau)
+    val survivors = docs.select(col("doc_id"), col("lang"))
+      .join(sd.filter(!col("dropped"))
+        .select(col("vec_id").as("doc_id"), col("bucket").as("cluster")),
+        Seq("doc_id"))
+    val stats = survivors.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val wTotal = stats.agg(sum(col("w")).as("w_total"))
+    val targets = stats.crossJoin(broadcast(wTotal))
+      .select(col("cluster"), expr(s"(w * $budget) div w_total").as("target"))
+    keyHashRank(survivors, "cluster", carry = Seq("lang"), buckets = buckets)
+      .join(broadcast(targets), Seq("cluster"))
+      .filter(col("cluster_rank") <= col("target"))
+      .select(col("doc_id"), col("lang"), col("cluster"), col("cluster_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  // P18 — D4 over the embedded corpus at a 200-doc budget: the oracle
+  // replays semdedup (d17's SQL), the sqrt-temperature targets (p12's),
+  // and the flat per-cluster ROW_NUMBER that the two-phase rank
+  // provably equals.
+  private val p18 = Relational.Q(
+    "p18_d4_diversify",
+    (s, d) => d4Diversify(Tables.documents(s, d), Tables.embeddings(s, d),
+      budget = 200L),
+    Some {
+      val docHash = graft.functions.HashFunctions.md5Hash56Sql("CAST(doc_id AS VARCHAR)")
+      s"""
+      WITH b AS (
+        SELECT vec_id, embedding,
+          CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT) AS cluster
+        FROM embeddings),
+      dom AS (
+        SELECT DISTINCT x.vec_id
+        FROM b a JOIN b x ON a.cluster = x.cluster AND a.vec_id < x.vec_id
+        WHERE list_reduce(list_transform(list_zip(a.embedding, x.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (m, n) -> m + n)
+          / sqrt(
+              list_reduce(list_transform(a.embedding,
+                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (m, n) -> m + n)
+              * list_reduce(list_transform(x.embedding,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (m, n) -> m + n))
+          >= 0.4),
+      surv AS (
+        SELECT d.doc_id, d.lang, b.cluster
+        FROM documents d JOIN b ON d.doc_id = b.vec_id
+        WHERE b.vec_id NOT IN (SELECT vec_id FROM dom)),
+      st AS (
+        SELECT cluster, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+        FROM surv GROUP BY cluster),
+      tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM st),
+      tgt AS (SELECT cluster, (w * 200) // w_total AS target FROM st, tot),
+      r AS (
+        SELECT doc_id, lang, cluster,
+          CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+            ORDER BY $docHash, doc_id) AS BIGINT) AS cluster_rank
+        FROM surv)
+      SELECT doc_id, lang, cluster, cluster_rank
+      FROM r JOIN tgt USING (cluster)
+      WHERE cluster_rank <= target
+      ORDER BY doc_id"""
+    })
+
+  /** P19's core: LEAKAGE-SAFE train/val split — p2's deterministic hash
+    * split with the split unit lifted from the document to its near-dup
+    * CLUSTER, so two near-duplicates can never straddle the boundary
+    * (the classic eval-leakage failure: a val doc's near-twin in train
+    * inflates every metric; splitting by doc hash GUARANTEES some
+    * straddles once near-dups exist). Docs carrying no cluster split as
+    * their own singleton group; the side is
+    * md5-56("split:" + group) mod 100 < valPct — deterministic,
+    * retry-stable, and identical for every member of a cluster by
+    * construction.
+    *
+    * Scale: one id-keyed left join against the cluster assignment (d6's
+    * materialized view — built once, shared with d7) + a narrow hash
+    * projection. No window, no new shuffle class.
+    */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+      valPct: Int = 20): DataFrame = {
+    require(valPct >= 1 && valPct <= 99, s"valPct in [1,99], got $valPct")
+    docs.select(col("doc_id"), col("lang"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("split_group", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(H.md5Hash56(concat(lit("split:"), col("split_group").cast("string"))),
+          lit(100L)) < valPct, "val").otherwise("train"))
+      .select(col("doc_id"), col("lang"), col("split_group"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  // P19 — leakage-safe split over the real corpus and d6's cluster view:
+  // the oracle rebuilds the clusters with the shared recursive-CTE CC
+  // and replays the same group-hash side assignment.
+  private val p19 = Relational.Q(
+    "p19_leakage_safe_split",
+    (s, d) => leakageSafeSplit(Tables.documents(s, d),
+      Dedup.nearDupClustersView(s, d)),
+    Some {
+      val h = graft.functions.HashFunctions.md5Hash56Sql("('split:' || CAST(grp AS VARCHAR))")
+      s"""
+      WITH RECURSIVE ${Dedup.pairwiseSql("documents")},
+      pr AS (SELECT doc_a, doc_b FROM pairs WHERE j >= 0.8),
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pr
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pr),
+      reach(node, lbl) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+      comp AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+      g AS (
+        SELECT d.doc_id, d.lang,
+          COALESCE(c.cluster_id, d.doc_id) AS grp
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      SELECT doc_id, lang, grp AS split_group,
+        CASE WHEN $h % 100 < 20 THEN 'val' ELSE 'train' END AS split
+      FROM g ORDER BY doc_id"""
+    })
+
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
-    p11, p12, p13, p14, p15, p16)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19)
 }

@@ -65,7 +65,9 @@ object PlanAudit {
     "x9_countmin_freq" -> "CMS cell frame: depth x width = 4 x 512 = 2048 rows max (parameter-bounded)",
     "x11_bloom_decontaminate" -> "one-row mBits/64-long bloom bitmap (parameter-bounded) + benchmark-slice distinct-gram frame (d8's class: bounded by the eval suite, a separate tiny table at 100 TB)",
     "p15_curriculum_order" -> "stages x buckets-row two-phase offsets frame (parameter-bounded)",
-    "p16_dsir_sample" -> "one-row token totals + nBuckets(=256)-row vote/log-ratio frame (parameter-bounded — the x3/x9 class)")
+    "p16_dsir_sample" -> "one-row token totals + nBuckets(=256)-row vote/log-ratio frame (parameter-bounded — the x3/x9 class)",
+    "p17_weighted_sample" -> "one-row w_total + buckets-row weighted-offsets frame (parameter-bounded — the p14 class)",
+    "p18_d4_diversify" -> "one-row w_total + 2^signBits-row targets + 2^signBits x buckets-row offsets (parameter-bounded — the p12 class)")
 
   /** The global-window invariant, mechanized like the hint guard: every
     * logical Window (or WindowGroupLimit) with an EMPTY partition spec.
@@ -101,7 +103,9 @@ object PlanAudit {
     "p14_epoch_shuffle" ->
       "buckets-row prefix-sum frame (bucket-parameter-bounded, the q48 class)",
     "p15_curriculum_order" ->
-      "stages x buckets-row prefix-sum frame (parameter-bounded, the q48 class)")
+      "stages x buckets-row prefix-sum frame (parameter-bounded, the q48 class)",
+    "p17_weighted_sample" ->
+      "buckets-row weighted prefix-sum frame (bucket-parameter-bounded, the q48 class)")
 
   /** Columns whose cardinality does NOT grow with the data — the keys a
     * window must never partition by ALONE over a data-proportional frame:
@@ -161,7 +165,9 @@ object PlanAudit {
     "d6_dedup_clusters" ->
       "iterative label propagation; per-round shape == d2's audited joins",
     "d7_dedup_canonical" ->
-      "consumes d6's materialized components; per-round shape == d2's audited joins")
+      "consumes d6's materialized components; per-round shape == d2's audited joins",
+    "p19_leakage_safe_split" ->
+      "consumes d6's materialized components; own shape = one id-keyed join + narrow hash projection")
 
   // d2's queries() entry returns the eagerly materialized pair-graph
   // view (a checkpointed-RDD scan — nothing to audit); audit the lazy
@@ -203,7 +209,11 @@ object PlanAudit {
       "p12_temperature_sample" ->
         "crossJoin(broadcast(<one-row w_total frame>)) for the integer targets",
       "p16_dsir_sample" ->
-        "crossJoin(broadcast(<one-row token-totals frame>)) for the bucket votes")
+        "crossJoin(broadcast(<one-row token-totals frame>)) for the bucket votes",
+      "p17_weighted_sample" ->
+        "crossJoin(broadcast(<one-row w_total frame>)) for the pick boundaries",
+      "p18_d4_diversify" ->
+        "crossJoin(broadcast(<one-row w_total frame>)) for the integer targets")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -2108,4 +2108,190 @@ class OperatorSpec extends SparkSpec {
     assert(gated.toSeq == batch.toSeq.sortBy(_._1),
       "dsirGate must equal the batch operator's (n_tokens, votes, kept) exactly")
   }
+
+  test("semdedup (d17): matches a brute-force in-test reference on seeded random embeddings") {
+    import spark.implicits._
+    // bit-replicates CosineSimilarity's arithmetic shape (interleaved
+    // adds, final dot/sqrt(na*nb)) so the comparison is exact, not eps
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val rnd = new scala.util.Random(1717)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(40)
+      val base = (0 until n).map { i =>
+        (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+      }
+      // plant a few true near-dups so the drop branch is always live
+      val planted = (0 until 5).map { j =>
+        val (srcId, v) = base(rnd.nextInt(n))
+        val twin = v.clone(); twin(7) = twin(7) + 0.001f
+        ((n + j).toLong, twin)
+      }
+      val emb = (base ++ planted).toDF("vec_id", "embedding")
+      val got = Dedup.semDeDup(emb, signBits = 3, tau = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      val all = (base ++ planted)
+      def bucket(v: Array[Float]) =
+        (0 until 3).map(j => if (v(j) >= 0) 1L << j else 0L).sum
+      val expected = all.sortBy(_._1).map { case (id, v) =>
+        val bk = bucket(v)
+        val dropped = all.exists { case (oid, ov) =>
+          oid < id && bucket(ov) == bk && cosLocal(ov, v) >= 0.4 }
+        (id, bk, dropped)
+      }
+      assert(got == expected, s"trial $trial: semdedup != brute-force reference")
+      assert(expected.exists(_._3), s"trial $trial: drop branch not live")
+    }
+  }
+
+  test("dsir (p16): matches an all-integer in-test reference on seeded random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1616)
+    val vocabA = (0 until 30).map(i => s"va$i")
+    val vocabB = (0 until 30).map(i => s"vb$i")
+    for (trial <- 1 to 3) {
+      val docs = (0 until (40 + rnd.nextInt(40))).map { i =>
+        val vocab = if (rnd.nextBoolean()) vocabA else vocabB
+        val words = (0 until 5 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        (i.toLong, words.mkString(" "), "en")
+      }
+      val df = docs.toDF("doc_id", "text", "lang")
+      val got = Pipeline.dsirSample(df, col("doc_id") % 5 === 0, nBuckets = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5))).toSeq
+      // local replay with the spec-pinned row-local hash twins + BigInt
+      // cross-multiplication — exact, so equality is the bar
+      val toks = docs.map { case (id, t, _) =>
+        (id, id % 5 == 0, graft.functions.HashFunctions.tokensLocal(t)
+          .map(w => graft.functions.HashFunctions.md5Hash56Local(w) % 64)) }
+      val ct = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      val cr = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      toks.foreach { case (_, tgt, bs) =>
+        bs.foreach(b => if (tgt) ct(b) += 1 else cr(b) += 1) }
+      val (tn, rn) = (ct.values.sum, cr.values.sum)
+      def sign(b: Long): Long = {
+        val l = BigInt(ct(b)) * rn; val r = BigInt(cr(b)) * tn
+        if (l > r) 1L else if (l < r) -1L else 0L
+      }
+      val expected = toks.filter(!_._2).map { case (id, _, bs) =>
+        (id, bs.length.toLong, bs.map(sign).sum, bs.map(sign).sum > 0) }
+      assert(got == expected.sortBy(_._1), s"trial $trial: dsir != integer reference")
+    }
+  }
+
+  test("weighted sample (p17): heavy doc absorbs multiple picks; total picks == k; reference-exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1515)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(30)
+      val docs = (0 until n).map { i =>
+        // one certainty unit (~ a third of total mass) per trial
+        val w = if (i == 7) 2000L else 1L + rnd.nextInt(100)
+        (i.toLong, "en", w)
+      }
+      val df = docs.map { case (id, l, w) => (id, l, w) }.toDF("doc_id", "lang", "n_chars")
+      val k = 5L + rnd.nextInt(20)
+      val got = Pipeline.weightedSystematicSample(df, col("n_chars"), k, buckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      // local replay: flat prefix sum in hash order, BigInt boundaries
+      val ordered = docs.map { case (id, _, w) =>
+        (graft.functions.HashFunctions.md5Hash56Local(s"ws:$id"), id, w) }.sorted
+      val wTotal = docs.map(_._3).sum
+      var cum = 0L
+      val expected = ordered.flatMap { case (_, id, w) =>
+        val lo = BigInt(cum) * k / wTotal
+        cum += w
+        val hi = BigInt(cum) * k / wTotal
+        if (hi > lo) Some((id, w, cum, (hi - lo).toLong)) else None
+      }.sortBy(_._1)
+      assert(got == expected, s"trial $trial: p17 != prefix-sum reference")
+      assert(got.map(_._4).sum == k, s"trial $trial: picks must sum to k=$k")
+      assert(got.exists(_._4 > 1),
+        s"trial $trial: the planted heavy doc should absorb multiple picks")
+    }
+  }
+
+  test("d4 diversify (p18): selection equals an integer local replay over the semdedup survivors") {
+    // stage 1 (semdedup) is already brute-force-verified by the d17
+    // specs; this replays stage 2 — sqrt-temperature targets + hash-order
+    // prefix per cluster — locally in exact integers from the survivor
+    // frame, so the whole selection is pinned end to end
+    val docs = graft.Tables.documents(spark, sfDir)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val budget = 120L
+    val got = Pipeline.d4Diversify(docs, emb, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    val survivors = Dedup.semDeDup(emb)
+      .filter(!col("dropped")).select(col("vec_id"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = survivors.groupBy(_._2)
+    val w = byCluster.view.mapValues(s => math.sqrt(s.size.toDouble).toLong).toMap
+    val wTotal = w.values.sum
+    val expected = byCluster.toSeq.flatMap { case (c, members) =>
+      val target = w(c) * budget / wTotal
+      members.map { case (id, _) =>
+        (id, graft.functions.HashFunctions.md5Hash56Local(id.toString)) }
+        .sortBy { case (id, h) => (h, id) }
+        .take(target.toInt)
+        .zipWithIndex.map { case ((id, _), i) => (id, c, (i + 1).toLong) }
+    }.sortBy(_._1)
+    assert(got == expected, "p18 selection must equal the local integer replay")
+    assert(got.nonEmpty && got.length <= budget, s"selected ${got.length} of budget $budget")
+    // diversification is live: more than one cluster contributes
+    assert(got.map(_._2).distinct.length > 1, "multiple clusters must contribute")
+  }
+
+  test("leakage-safe split (p19): no near-dup pair straddles; cluster side beats the naive doc side") {
+    import spark.implicits._
+    def side(group: Long): String =
+      if (graft.functions.HashFunctions.md5Hash56Local(s"split:$group") % 100 < 20) "val" else "train"
+    // find a planted pair whose NAIVE per-doc sides differ — the exact
+    // case a doc-hash split leaks — then cluster them and require one side
+    val a = (0L until 200L).find(i => side(i) == "val").get
+    val b = (0L until 200L).find(i => i != a && side(i) == "train" && i > a).get
+    val docs = Seq((a, "same text", "en"), (b, "same text", "en"), (150L, "loner", "de"))
+      .toDF("doc_id", "text", "lang")
+    val clusters = Dedup.connectedComponents(
+      Seq((a, b)).toDF("doc_a", "doc_b"))
+    val out = Pipeline.leakageSafeSplit(docs, clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toList
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(a) == byId(b), "clustered near-dups must land on ONE side")
+    assert(byId(a)._1 == math.min(a, b), "group = cluster id = min member")
+    assert(byId(150L) == ((150L, side(150L))), "singletons split by their own id")
+    assert(side(a) != side(b), "the planted pair must be a genuine naive-split straddle")
+  }
+
+  test("leakage-safe split (p19): zero straddled near-dup pairs on the real corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val split = Pipeline.leakageSafeSplit(docs,
+      Dedup.nearDupClustersView(spark, sfDir))
+    val pairs = Dedup.nearDupPairsView(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val straddles = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddles == 0, s"$straddles near-dup pairs straddle the split")
+    assert(pairs.count() > 0, "non-vacuous: the corpus must have near-dup pairs")
+    val sides = split.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.getOrElse("val", 0L) > 0 && sides.getOrElse("train", 0L) > 0,
+      "both sides must be populated")
+  }
+
+  test("weighted sample (p17): two-phase cum is bucket-count invariant on the real corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    def sample(buckets: Int) =
+      Pipeline.weightedSystematicSample(docs, col("n_chars"), k = 100L, buckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(sample(4) == sample(1024),
+      "two-phase weighted prefix sums must equal the flat sum at any bucket count")
+    assert(sample(4).map(_._4).sum == 100L, "picks must sum to k on the real corpus")
+  }
 }

@@ -1093,4 +1093,39 @@ class EventsPipelineSpec extends SparkSpec {
         "both keep branches should be live on the corpus")
     } finally q.stop()
   }
+
+  test("streaming semantic dedup probe (A39): stream-static pairs equal the batch probe exactly") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // semDeDupProbe is bucket-narrow on the arrival side + a
+    // stream-static equi-join on the published corpus — no state, no
+    // watermark, so the LITERAL batch operator attaches (the A28
+    // pattern, lifted to d17's semantic space)
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+    val arrivals = e.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = graft.operators.Dedup.semDeDupProbe(
+        src.toDS().toDF("vec_id", "embedding"), corpus)
+      .writeStream.format("memory").queryName("semdedup_stream_test")
+      .outputMode("append").start()
+    try {
+      arrivals.grouped(math.max(1, arrivals.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("semdedup_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.operators.Dedup.semDeDupProbe(
+          e.filter(col("vec_id") % 2 === 1), corpus)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch,
+        "streamed semantic-dedup pairs must equal the batch probe exactly")
+      assert(batch.nonEmpty, "the probe must find pairs on the real corpus (non-vacuous)")
+    } finally q.stop()
+  }
 }
