@@ -1580,13 +1580,23 @@ object Dedup {
     * `bucket` on. The dominance aggregate is a slim (id, bucket) frame —
     * embeddings never leave the pair join.
     */
-  def semDeDup(emb: DataFrame, signBits: Int = 4, tau: Double = 0.4): DataFrame = {
+  /** The d17/d18/p18 shared cluster assignment — bit j of the bucket is
+    * [embedding[dim_j] >= 0]. ONE definition, because the incremental
+    * probe's "streamed pairs == batch" contract (A39) and p18's reuse of
+    * d17's clusters all require bit-identical bucket ids; a change here
+    * (e.g. the anticipated trained-IVF-centroid assignment) reaches
+    * every consumer or none.
+    */
+  def signBucket(signBits: Int): Column = {
     require(signBits >= 1 && signBits <= 20, s"signBits in [1,20], got $signBits")
-    val bucket = (0 until signBits).map(j =>
+    (0 until signBits).map(j =>
       when(element_at(col("embedding"), j + 1) >= 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
+  }
+
+  def semDeDup(emb: DataFrame, signBits: Int = 4, tau: Double = 0.4): DataFrame = {
     val b = Tables.spread(emb.select(col("vec_id"), col("embedding")))
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", signBucket(signBits))
     val left = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
     val right = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
     val dominated = left.join(right, Seq("bucket"))
@@ -1650,14 +1660,9 @@ object Dedup {
     */
   def semDeDupProbe(arrivals: DataFrame, corpus: DataFrame,
       signBits: Int = 4, tau: Double = 0.4): DataFrame = {
-    require(signBits >= 1 && signBits <= 20, s"signBits in [1,20], got $signBits")
-    def bucketed(df: DataFrame, id: String, v: String) = {
-      val bucket = (0 until signBits).map(j =>
-        when(element_at(col("embedding"), j + 1) >= 0, lit(1L << j)).otherwise(0L))
-        .reduce(_ + _)
+    def bucketed(df: DataFrame, id: String, v: String) =
       df.select(col("vec_id").as(id), col("embedding").as(v),
-        bucket.as("bucket"))
-    }
+        signBucket(signBits).as("bucket"))
     bucketed(arrivals, "vec_id", "va")
       .join(bucketed(corpus, "dup_of", "vb"), Seq("bucket"))
       .withColumn("cos", CosF(col("va"), col("vb")))

@@ -589,46 +589,88 @@ object Pipeline {
       buckets: Int = 32): DataFrame =
     keyHashRank(docs, "lang", carry, buckets)
 
+  /** THE two-phase hash-prefix enumeration core — the one
+    * implementation behind keyHashRank (p3/p12/p13/p18's per-key
+    * ranks), epochShuffle (p14), curriculumOrder (p15), and
+    * weightedSystematicSample (p17), extracted by the r8 review after
+    * four hand-kept copies of the same invariant accumulated in this
+    * file. Adds `h` = md5-56(hashSeed + doc_id) and `cum` = the running
+    * sum of `value` in ((orderPrefix, h, doc_id)) order — restarting
+    * per `partitionKeys` (per-language ranks), accumulating globally
+    * across `orderPrefix` (curriculum stages) — computed as per-bucket
+    * totals (bucket = HIGH BITS of h, a monotone prefix of the sort
+    * key, so two-phase == flat at ANY bucket count), one constant-size
+    * prefix-sum window over the offsets frame, and a within-bucket
+    * running sum. `value` = lit(1) makes `cum` a rank; a weight column
+    * makes it a weighted prefix sum. No task ever sorts more than
+    * ~1/buckets of a partition; the offsets frame/broadcast are
+    * |keys| x buckets rows (PlanAudit-adjudicated per consumer).
+    */
+  private def hashPrefixCum(df: DataFrame, partitionKeys: Seq[String],
+      orderPrefix: Seq[String], value: Column, hashSeed: String,
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      s"buckets must be a power of two (hash-prefix routing), got $buckets")
+    val shift = 56 - Integer.numberOfTrailingZeros(buckets) // h div 2^56/buckets
+    val hashed = df
+      .withColumn("h", H.md5Hash56(concat(lit(hashSeed), col("doc_id").cast("string"))))
+      .withColumn("b", shiftright(col("h"), shift))
+    val grpCols = partitionKeys ++ orderPrefix :+ "b"
+    val ordCols = (orderPrefix :+ "b").map(col)
+    val offBase =
+      if (partitionKeys.isEmpty) Window.orderBy(ordCols: _*)
+      else Window.partitionBy(partitionKeys.map(col): _*).orderBy(ordCols: _*)
+    val offsets = hashed.groupBy(grpCols.map(col): _*)
+      .agg(sum(value).as("bn"))
+      .withColumn("off", coalesce(
+        sum(col("bn")).over(offBase.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select((grpCols :+ "off").map(col): _*)
+    hashed
+      .withColumn("cw", sum(value).over(
+        Window.partitionBy(grpCols.map(col): _*)
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), grpCols)
+      .withColumn("cum", col("off") + col("cw"))
+      .drop("b", "cw", "off")
+  }
+
   /** [[langHashRank]] generalized to ANY bounded-cardinality partition
     * key (p18 ranks within embedding-sign clusters) — the key's
     * cardinality bounds the offsets frame, the bucket count bounds the
     * per-task sort, and the rank column is named `<key>_rank`.
     */
   def keyHashRank(docs: DataFrame, key: String, carry: Seq[String] = Nil,
-      buckets: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
-      s"buckets must be a power of two (hash-prefix routing), got $buckets")
-    val shift = 56 - Integer.numberOfTrailingZeros(buckets) // h div 2^56/buckets
-    val hashed = docs.select((Seq("doc_id", key) ++ carry).map(col): _*)
-      .withColumn("h", H.md5Hash56(col("doc_id").cast("string")))
-      .withColumn("b", shiftright(col("h"), shift))
-    val offsets = hashed.groupBy(col(key), col("b"))
+      buckets: Int = 32): DataFrame =
+    hashPrefixCum(docs.select((Seq("doc_id", key) ++ carry).map(col): _*),
+      Seq(key), Nil, lit(1L), "", buckets)
+      .withColumnRenamed("cum", s"${key}_rank")
+      .drop("h")
+
+  /** The p12/p18 shared sqrt-temperature allocation: per-key integer
+    * targets `(floor(sqrt(n)) * budget) div sum(floor(sqrt(n)))` — ONE
+    * definition so the exact-integer arithmetic both oracles pin can't
+    * diverge between the language (p12) and semantic-cluster (p18)
+    * spellings. floor(sqrt) is exact below 2^52 (sqrt is correctly
+    * rounded IEEE in both engines); everything after is pure integer.
+    */
+  private def sqrtTemperatureTargets(items: DataFrame, key: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val stats = items.groupBy(col(key))
       .agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(
-        sum(col("n")).over(Window.partitionBy(col(key)).orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(key), col("b"), col("off"))
-    hashed
-      .withColumn("lr", row_number().over(
-        Window.partitionBy(col(key), col("b"))
-          .orderBy(col("h"), col("doc_id"))).cast("long"))
-      .join(broadcast(offsets), Seq(key, "b"))
-      .withColumn(s"${key}_rank", col("off") + col("lr"))
-      .drop("h", "b", "off", "lr")
+      .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val wTotal = stats.agg(sum(col("w")).as("w_total"))
+    stats.crossJoin(broadcast(wTotal))
+      .select(col(key), expr(s"(w * $budget) div w_total").as("target"))
   }
 
   def temperatureSample(docs: DataFrame, budget: Long,
       buckets: Int = 32): DataFrame = {
-    require(budget >= 1, s"budget must be >= 1, got $budget")
-    val stats = docs.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
-    val wTotal = stats.agg(sum(col("w")).as("w_total"))
-    val targets = stats.crossJoin(broadcast(wTotal))
-      .select(col("lang"), expr(s"(w * $budget) div w_total").as("target"))
     langHashRank(docs, carry = Seq("source"), buckets = buckets)
-      .join(broadcast(targets), Seq("lang"))
+      .join(broadcast(sqrtTemperatureTargets(docs, "lang", budget)), Seq("lang"))
       .filter(col("lang_rank") <= col("target"))
       .select(col("doc_id"), col("lang"), col("source"), col("lang_rank"))
       .orderBy(col("doc_id"))
@@ -782,24 +824,10 @@ object Pipeline {
     */
   def epochShuffle(docs: DataFrame, epoch: Long,
       buckets: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
-    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
-      s"buckets must be a power of two (hash-prefix routing), got $buckets")
-    val shift = 56 - Integer.numberOfTrailingZeros(buckets)
-    val hashed = docs.select(col("doc_id"))
-      .withColumn("h", H.md5Hash56(concat(lit(s"$epoch:"), col("doc_id").cast("string"))))
-      .withColumn("b", shiftright(col("h"), shift))
-    val offsets = hashed.groupBy(col("b")).agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(
-        sum(col("n")).over(Window.orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("b"), col("off"))
-    hashed
-      .withColumn("lr", row_number().over(
-        Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))).cast("long"))
-      .join(broadcast(offsets), Seq("b"))
-      .select(col("doc_id"), (col("off") + col("lr")).as("pos"))
+    hashPrefixCum(docs.select(col("doc_id")), Nil, Nil, lit(1L),
+        s"$epoch:", buckets)
+      .select(col("doc_id"), col("cum").as("pos"))
   }
 
   // P14 — epoch-1 shuffle of the documents table: (doc_id, pos) is a
@@ -843,13 +871,9 @@ object Pipeline {
     */
   def curriculumOrder(docs: DataFrame, stageBounds: Seq[Long] = Seq(40L, 70L),
       buckets: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(stageBounds.nonEmpty && stageBounds == stageBounds.sorted
       && stageBounds.distinct == stageBounds,
       s"stageBounds must be strictly ascending, got $stageBounds")
-    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
-      s"buckets must be a power of two (hash-prefix routing), got $buckets")
-    val shift = 56 - Integer.numberOfTrailingZeros(buckets)
     val txt = coalesce(col("text"), lit(""))
     val nWords = when(trim(txt) === "", lit(0L))
       .otherwise(size(split(trim(txt), "\\s+")).cast("long"))
@@ -859,23 +883,13 @@ object Pipeline {
       .foldRight(lit(stageBounds.length.toLong)) { case ((bound, i), els) =>
         when(col("n_words") < bound, i.toLong).otherwise(els)
       }
-    val hashed = docs.select(col("doc_id"), col("lang"), nWords.as("n_words"))
+    val staged = docs.select(col("doc_id"), col("lang"), nWords.as("n_words"))
       .withColumn("stage", stage)
-      .withColumn("h", H.md5Hash56(col("doc_id").cast("string")))
-      .withColumn("b", shiftright(col("h"), shift))
-    val offsets = hashed.groupBy(col("stage"), col("b"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(
-        sum(col("n")).over(Window.orderBy(col("stage"), col("b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("stage"), col("b"), col("off"))
-    hashed
-      .withColumn("lr", row_number().over(
-        Window.partitionBy(col("stage"), col("b"))
-          .orderBy(col("h"), col("doc_id"))).cast("long"))
-      .join(broadcast(offsets), Seq("stage", "b"))
+    // stages in the ORDER prefix (not the partition): positions
+    // accumulate globally across stages — the curriculum invariant
+    hashPrefixCum(staged, Nil, Seq("stage"), lit(1L), "", buckets)
       .select(col("doc_id"), col("lang"), col("n_words"), col("stage"),
-        (col("off") + col("lr")).as("pos"))
+        col("cum").as("pos"))
   }
 
   // P15 — length-warmup curriculum over the documents table (stages at
@@ -1087,27 +1101,12 @@ object Pipeline {
     */
   def weightedSystematicSample(docs: DataFrame, weight: Column, k: Long,
       buckets: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
-    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
-      s"buckets must be a power of two (hash-prefix routing), got $buckets")
-    val shift = 56 - Integer.numberOfTrailingZeros(buckets)
-    val hashed = docs.select(col("doc_id"), col("lang"), weight.cast("long").as("w"))
+    val base = docs.select(col("doc_id"), col("lang"), weight.cast("long").as("w"))
       .filter(col("w") > 0)
-      .withColumn("h", H.md5Hash56(concat(lit("ws:"), col("doc_id").cast("string"))))
-      .withColumn("b", shiftright(col("h"), shift))
-    val offsets = hashed.groupBy(col("b")).agg(sum(col("w")).as("bw"))
-      .withColumn("off", coalesce(
-        sum(col("bw")).over(Window.orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("b"), col("off"))
-    val wTotal = hashed.agg(sum(col("w")).as("w_total"))
-    hashed
-      .withColumn("cw", sum(col("w")).over(
-        Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))))
-      .join(broadcast(offsets), Seq("b"))
+    val wTotal = base.agg(sum(col("w")).as("w_total"))
+    hashPrefixCum(base, Nil, Nil, col("w"), "ws:", buckets)
       .crossJoin(broadcast(wTotal))
-      .withColumn("cum", col("off") + col("cw"))
       .withColumn("hi", expr(s"(CAST(cum AS DECIMAL(38,0)) * $k) div CAST(w_total AS DECIMAL(38,0))"))
       .withColumn("lo", expr(s"(CAST(cum - w AS DECIMAL(38,0)) * $k) div CAST(w_total AS DECIMAL(38,0))"))
       .filter(col("hi") > col("lo"))
@@ -1168,20 +1167,13 @@ object Pipeline {
     */
   def d4Diversify(docs: DataFrame, emb: DataFrame, budget: Long,
       signBits: Int = 4, tau: Double = 0.4, buckets: Int = 32): DataFrame = {
-    require(budget >= 1, s"budget must be >= 1, got $budget")
     val sd = Dedup.semDeDup(emb, signBits, tau)
     val survivors = docs.select(col("doc_id"), col("lang"))
       .join(sd.filter(!col("dropped"))
         .select(col("vec_id").as("doc_id"), col("bucket").as("cluster")),
         Seq("doc_id"))
-    val stats = survivors.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
-    val wTotal = stats.agg(sum(col("w")).as("w_total"))
-    val targets = stats.crossJoin(broadcast(wTotal))
-      .select(col("cluster"), expr(s"(w * $budget) div w_total").as("target"))
     keyHashRank(survivors, "cluster", carry = Seq("lang"), buckets = buckets)
-      .join(broadcast(targets), Seq("cluster"))
+      .join(broadcast(sqrtTemperatureTargets(survivors, "cluster", budget)), Seq("cluster"))
       .filter(col("cluster_rank") <= col("target"))
       .select(col("doc_id"), col("lang"), col("cluster"), col("cluster_rank"))
       .orderBy(col("doc_id"))

@@ -479,7 +479,13 @@ object Sketching {
     * Scale shape: corpus side is one narrow projection per gram (k
     * codegen'd bit tests against a one-row broadcast) + one slim
     * per-doc count agg; only candidate docs (the contaminated few plus
-    * an FPR-sized sliver) reach the exact join.
+    * an FPR-sized sliver) reach the exact join. The corpus gram
+    * pipeline is DELIBERATELY recomputed for the exact-verify pass
+    * (the d9/d15 no-persist library contract: paying the tokenize +
+    * gram window twice beats pinning a corpus-sized frame in block
+    * storage the caller never asked for); a multi-pass production
+    * pipeline stages the gram frame to parquet once (the d2
+    * written-artifact discipline) and feeds both passes from the scan.
     */
   def bloomDecontaminate(docs: org.apache.spark.sql.DataFrame,
       isBench: org.apache.spark.sql.Column, n: Int = 8,

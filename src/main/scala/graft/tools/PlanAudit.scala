@@ -176,12 +176,13 @@ object PlanAudit {
     Map("d2_dedup_minhash_lsh" ->
       ((s, d) => graft.operators.Dedup.nearDupPairs(graft.Tables.documents(s, d))))
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
-    val spark = graft.GraftSession.local(8)
-    // Queries whose nested-loop join is a CONSTANT-size broadcast by
-    // design (never grows with the corpus) — the legitimate BNLJ shape.
-    val allowed = Map(
+  // Queries whose nested-loop join is a CONSTANT-size broadcast by
+  // design (never grows with the corpus) — the legitimate BNLJ shape.
+  // Object-level (not local to main) so PlanAuditSpec's whole-surface
+  // BNLJ sweep shares it — the r8 review found x11 adjudicated in
+  // allowedHints but missing here, a drift class the shared list +
+  // sweep now makes impossible.
+  val allowedBnlj = Map(
       "s1_ann_bruteforce_topk" ->
         "corpus scanned once against the broadcast fixed-size query set (theta join)",
       "s4_ann_ivf_topk" ->
@@ -213,7 +214,14 @@ object PlanAudit {
       "p17_weighted_sample" ->
         "crossJoin(broadcast(<one-row w_total frame>)) for the pick boundaries",
       "p18_d4_diversify" ->
-        "crossJoin(broadcast(<one-row w_total frame>)) for the integer targets")
+        "crossJoin(broadcast(<one-row w_total frame>)) for the integer targets",
+      "x11_bloom_decontaminate" ->
+        "crossJoin(broadcast(<one-row bloom-bitmap frame>)) + the benchmark-gram broadcast (both parameter-/eval-suite-bounded, the allowedHints adjudication)")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val spark = graft.GraftSession.local(8)
+    val allowed = allowedBnlj
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

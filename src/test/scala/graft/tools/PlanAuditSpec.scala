@@ -139,4 +139,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unadjudicated corpus-rooted hints: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
   }
+
+  test("the audited query surface carries no unadjudicated nested-loop or cartesian joins") {
+    // the BNLJ half of the audit tool's contract, previously enforced
+    // only by running the out-of-band tool — the r8 review caught x11
+    // adjudicated in allowedHints but missing from the BNLJ list, a
+    // standing tool false-alarm this sweep turns into a suite failure.
+    // Physical plans (executedPlan), because BNLJ is a strategy choice
+    // the logical plan doesn't show.
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !PlanAudit.iterative.contains(name) =>
+        val audited = PlanAudit.lazyTwin.getOrElse(name, fn)
+        val plan = try audited(spark, sfDir).queryExecution.executedPlan.toString
+          catch { case _: Throwable => "" } // planning failures are OperatorSpec's dept
+        spark.catalog.clearCache()
+        val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+        val cart = plan.linesIterator.count(_.contains("CartesianProduct"))
+        (name, bnlj, cart)
+    }.filter { case (name, bnlj, cart) =>
+      cart > 0 || (bnlj > 0 && !PlanAudit.allowedBnlj.contains(name)) }
+    assert(offenders.isEmpty,
+      s"unadjudicated BNLJ/cartesian joins: ${offenders.map(o => s"${o._1}(bnlj=${o._2},cart=${o._3})").mkString("; ")}")
+  }
 }
