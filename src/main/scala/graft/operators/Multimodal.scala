@@ -439,6 +439,51 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** F10 / A40's core: INCREMENTAL perceptual near-dup — arriving media
+    * hashes probe a published corpus hash frame (the d18 pair-frame
+    * convention in dHash space): match = some shared 16-bit band
+    * (pigeonhole recall 1 at hamming <= 3) AND hamming <= maxHamming.
+    * Both inputs are (doc_id, h) frames, so the same operator serves the
+    * text-stub pipeline and real decoded pixels
+    * ([[ImageCodec.dhashFromImage]] emits the identical bit layout).
+    *
+    * Streamability is DESIGNED IN: where [[dhashNearDupsFromHashes]]
+    * dedups multi-band matches with `.distinct()` (an aggregation —
+    * needs a watermark on a stream), the probe keeps only the LEFTMOST
+    * matching band (any later-band match where an earlier band also
+    * matches is dropped by a pure filter over the hash bits), so each
+    * near pair emits exactly once through narrow projections + one
+    * stream-static band equi-join — no state, no watermark (A39's
+    * contract, for images).
+    *
+    * Scale: corpus side is band-exploded once (4 rows/hash) and can be
+    * band-partitioned at publish time; per-arrival work is 4 bucket
+    * probes; identical-hash clusters are the skew risk (the m6 note) —
+    * pre-group equal corpus hashes and probe representatives.
+    */
+  def dhashProbe(arrivals: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding only guarantees recall for hamming <= 3")
+    def band(c: Column, j: Int): Column =
+      shiftright(c, j * 16).bitwiseAND(lit(0xffffL))
+    def banded(df: DataFrame, id: String, hn: String) =
+      df.select(col("doc_id").as(id), col("h").as(hn))
+        .select(col(id), col(hn),
+          posexplode(array((0 until 4).map(b => band(col(hn), b)): _*))
+            .as(Seq("band_idx", "band_val")))
+    banded(arrivals, "doc_id", "h_a")
+      .join(banded(corpus, "dup_of", "h_b"), Seq("band_idx", "band_val"))
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      // leftmost-band dedup: drop this match if ANY earlier band also
+      // matches — pure bit arithmetic, so no distinct/aggregation
+      .filter((0 until 3).map(j =>
+        !(col("band_idx") > j && band(col("h_a"), j) === band(col("h_b"), j)))
+        .reduce(_ && _))
+      .select(col("doc_id"), col("dup_of"), col("hamming"))
+  }
+
   // F6 — perceptual near-dup over payloads plus their "re-encoded"
   // variants: each payload of length >= 72 gets a twin with one byte
   // perturbed in place (the stub analog of JPEG re-encode noise — tiny
@@ -596,5 +641,50 @@ object Multimodal {
         USING (doc_id)
       ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9)
+  // F10 — the perceptual probe: m6's "re-encoded" twins arrive against
+  // the published base-corpus hashes. Oracle = the exact cross pairwise
+  // (no banding, no leftmost dedup), so the hash compare proves BOTH the
+  // band recall-1 claim and that leftmost-band dedup emits each pair
+  // exactly once.
+  private val m10 = Relational.Q(
+    "m10_dhash_probe",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val twins = base.filter(length(col("text")) >= 72)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text").substr(lit(1), lit(35)), lit("Z"),
+            col("text").substr(lit(37), length(col("text")))).as("text"))
+      dhashProbe(
+          twins.select(col("doc_id"), dHash63(col("text")).as("h")),
+          base.select(col("doc_id"), dHash63(col("text")).as("h")))
+        .orderBy(col("doc_id"), col("dup_of"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text, FALSE AS arriving FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id,
+          substr(text, 1, 35) || 'Z' || substr(text, 37) AS text, TRUE AS arriving
+        FROM documents WHERE length(text) >= 72),
+      s AS (
+        SELECT doc_id, arriving, p,
+          ord(substr(text, CAST((p * (length(text) - 1)) // 71 AS INTEGER) + 1, 1)) AS g
+        FROM corpus, UNNEST(range(0, 72)) AS t(p)),
+      bits AS (
+        SELECT doc_id, arriving, p, (p // 9) * 8 + (p % 9) AS bit,
+          CASE WHEN lead(g) OVER (PARTITION BY doc_id ORDER BY p) > g
+               THEN 1 ELSE 0 END AS v
+        FROM s),
+      h AS (
+        SELECT doc_id, arriving,
+          CAST(SUM(CASE WHEN v = 1 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS h
+        FROM bits WHERE p % 9 < 8 AND (p // 9) * 8 + (p % 9) <= 62
+        GROUP BY doc_id, arriving)
+      SELECT a.doc_id AS doc_id, c.doc_id AS dup_of,
+        CAST(bit_count(xor(a.h, c.h)) AS BIGINT) AS hamming
+      FROM h a JOIN h c ON a.arriving AND NOT c.arriving
+      WHERE bit_count(xor(a.h, c.h)) <= 3
+      ORDER BY a.doc_id, dup_of"""))
+
+  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10)
 }

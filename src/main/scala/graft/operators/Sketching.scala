@@ -577,5 +577,79 @@ object Sketching {
       WHERE d.doc_id % 20 != 0 ORDER BY d.doc_id"""
     })
 
-  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11)
+  /** I11 / x12's core: MERGEABLE fixed-bin histogram quantiles — the
+    * exact-reproducible counterpart to x2's approx_percentile and x4's
+    * DataSketches HLL: per-group counts over fixed integer value bins
+    * (bin = cents div binCents, money decimal-exact first, so binning
+    * never rides on a float), quantile q read off the cumulative bin
+    * counts as the SMALLEST bin whose running count reaches
+    * ceil(q% of n) — all integer comparisons (cum*100 >= n*q). The
+    * estimate is the bin UPPER EDGE, so error is one-sided and bounded
+    * by binCents BY CONSTRUCTION, and — unlike a randomized KLL/REQ
+    * sketch — two runs, any shard split, and the DuckDB oracle all
+    * produce bit-identical answers.
+    *
+    * Mergeability (the x4/x8 store-once pattern): a histogram is a
+    * (group, bin, count) frame; shard histograms merge by bin-wise SUM
+    * — spec-pinned bit-equal to the single pass. Scale: ONE map-side-
+    * combinable (group, bin) aggregate over the corpus; the cumulative
+    * window runs on the HISTOGRAM frame (bins <= value-range/binCents,
+    * parameter-bounded, never data-proportional — the PlanAudit
+    * enum-window adjudication), so no corpus row ever enters a window.
+    */
+  def histogramQuantiles(rows: org.apache.spark.sql.DataFrame, group: String,
+      cents: org.apache.spark.sql.Column, binCents: Long,
+      quantilePcts: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binCents >= 1, s"binCents must be >= 1, got $binCents")
+    require(quantilePcts.nonEmpty && quantilePcts.forall(q => q >= 1 && q <= 100),
+      s"quantile percents must be in [1,100], got $quantilePcts")
+    val hist = rows.select(col(group), cents.as("cents"))
+      .withColumn("bin", expr(s"cents div $binCents"))
+      .groupBy(col(group), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col(group)).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col(group))))
+    val aggs = quantilePcts.map(q =>
+      min(when(col("cum") * 100 >= col("n") * q, col("bin")))
+        .as(s"b$q")) :+ max(col("n")).as("n_rows")
+    cum.groupBy(col(group))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col(group) +: quantilePcts.map(q =>
+          ((col(s"b$q") + 1) * binCents - 1).as(s"p${q}_up_cents")) :+ col("n_rows")): _*)
+      .orderBy(col(group))
+  }
+
+  // I11 — histogram quantiles of line prices per return flag at a
+  // 100-unit bin: the oracle replays the identical integer binning,
+  // running counts, and threshold picks, so the sketch's determinism
+  // claim is cross-engine, not just cross-run.
+  private val x12 = Relational.Q(
+    "x12_histogram_quantiles",
+    (s, d) => histogramQuantiles(Tables.lineitem(s, d), "l_returnflag",
+      (Num.dec(col("l_extendedprice")) * 100).cast("long"),
+      binCents = 10000L, quantilePcts = Seq(50, 90, 99)),
+    Some(s"""
+      WITH b AS (
+        SELECT l_returnflag,
+          CAST(${Num.decSql("l_extendedprice")} * 100 AS BIGINT) // 10000 AS bin,
+          COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+      cw AS (
+        SELECT l_returnflag, bin, c,
+          SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(c) OVER (PARTITION BY l_returnflag) AS n
+        FROM b)
+      SELECT l_returnflag,
+        CAST((MIN(CASE WHEN cum * 100 >= n * 50 THEN bin END) + 1) * 10000 - 1 AS BIGINT) AS p50_up_cents,
+        CAST((MIN(CASE WHEN cum * 100 >= n * 90 THEN bin END) + 1) * 10000 - 1 AS BIGINT) AS p90_up_cents,
+        CAST((MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END) + 1) * 10000 - 1 AS BIGINT) AS p99_up_cents,
+        CAST(MAX(n) AS BIGINT) AS n_rows
+      FROM cw GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12)
 }

@@ -154,7 +154,9 @@ object PlanAudit {
     "p12_temperature_sample" ->
       "prefix-sum over the |langs| x buckets-row two-phase offsets frame (constant-size)",
     "p13_unimax_sample" ->
-      "prefix-sum over the |langs| x buckets-row two-phase offsets frame (constant-size)")
+      "prefix-sum over the |langs| x buckets-row two-phase offsets frame (constant-size)",
+    "x12_histogram_quantiles" ->
+      "cumulative window over the HISTOGRAM frame: bins <= value-range/binCents rows per flag (parameter-bounded, never data-proportional)")
 
   // Iterative operators EXECUTE when their builder runs (label
   // propagation materializes per round), so "building the plan" would

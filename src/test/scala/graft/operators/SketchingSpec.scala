@@ -353,4 +353,35 @@ class SketchingSpec extends SparkSpec {
       "OR of per-shard bitmaps must equal the single-pass bitmap bit-for-bit")
     assert(whole.map(java.lang.Long.bitCount).sum > 0, "bitmap must be non-trivial")
   }
+
+  test("histogram quantiles (x12): shard merge is exact and the one-sided bin bound holds") {
+    val binCents = 10000L
+    val li = Tables.lineitem(spark, sfDir)
+    val cents = (graft.operators.Num.dec(col("l_extendedprice")) * 100).cast("long")
+    def quantiles(rows: org.apache.spark.sql.DataFrame) =
+      Sketching.histogramQuantiles(rows, "l_returnflag", cents, binCents, Seq(50, 90, 99))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val whole = quantiles(li)
+    // mergeability: histogram counts ADD, so the quantiles from a union
+    // of disjoint shards equal the single pass bit-for-bit (the x4/x8
+    // store-per-shard, merge-at-query pattern, here with ZERO error)
+    val shards = (0 until 3).map(i => li.filter(col("l_orderkey") % 3 === i))
+    assert(quantiles(shards.reduce(_ unionByName _)) == whole,
+      "merged-shard quantiles must equal the single pass exactly")
+    // one-sided error: the picked upper edge sits at or above the exact
+    // ceil(q%*n)-th value and within binCents of it — the construction's
+    // whole claim, checked against a local exact sort
+    val exactByFlag = li.select(col("l_returnflag"), cents.as("c")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    for ((flag, (p50, p90, p99, n)) <- whole) {
+      val vs = exactByFlag(flag)
+      assert(n == vs.length)
+      for ((q, up) <- Seq((50, p50), (90, p90), (99, p99))) {
+        val kth = vs(((n * q + 99) / 100).toInt - 1) // ceil(q% * n), 1-indexed
+        assert(kth <= up && up - kth < binCents,
+          s"$flag p$q: exact $kth vs upper edge $up (bin $binCents)")
+      }
+    }
+  }
 }

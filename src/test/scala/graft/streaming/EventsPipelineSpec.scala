@@ -1128,4 +1128,43 @@ class EventsPipelineSpec extends SparkSpec {
       assert(batch.nonEmpty, "the probe must find pairs on the real corpus (non-vacuous)")
     } finally q.stop()
   }
+
+  test("streaming perceptual dedup probe (A40): arriving dHashes match the batch probe exactly") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // dhashProbe was built streamable: leftmost-band dedup instead of
+    // distinct(), so the match pipeline is narrow projections + one
+    // stream-static band join — the literal batch operator attaches
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpusHashes = base.select(col("doc_id"),
+      graft.operators.Multimodal.dHash63(col("text")).as("h"))
+    val twins = base.filter(length(col("text")) >= 72)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text").substr(lit(1), lit(35)), lit("Z"),
+          col("text").substr(lit(37), length(col("text")))).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val src = MemoryStream[(Long, String)]
+    val arriving = src.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.Multimodal.dHash63(col("text")).as("h"))
+    val q = graft.operators.Multimodal.dhashProbe(arriving, corpusHashes)
+      .writeStream.format("memory").queryName("dhash_stream_test")
+      .outputMode("append").start()
+    try {
+      twins.grouped(math.max(1, twins.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("dhash_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Multimodal.dhashProbe(
+          twins.toSeq.toDF("doc_id", "text")
+            .select(col("doc_id"), graft.operators.Multimodal.dHash63(col("text")).as("h")),
+          corpusHashes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        "streamed perceptual-dedup pairs must equal the batch probe exactly")
+      assert(batch.nonEmpty, "the probe must find pairs on the real corpus (non-vacuous)")
+    } finally q.stop()
+  }
 }
