@@ -1301,6 +1301,172 @@ object TextAnalysis {
           AND len(kept) >= 1) AS keep
       FROM base ORDER BY doc_id"""))
 
+  /** Per-doc (doc_id, w1, w2, w3) trigram occurrences — t13's map-side
+    * shift-zip extended one slot (two nested zip_withs over three
+    * slices; no window, no per-doc sort, no shuffle before the count
+    * aggregate).
+    */
+  private def docTrigrams(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+    toks.select(col("doc_id"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 2),
+        zip_with(
+          slice(col("tk"), lit(2), size(col("tk")) - 2),
+          slice(col("tk"), lit(3), size(col("tk")) - 2),
+          (b, c) => struct(b.as("w2"), c.as("w3"))),
+        (a, bc) => struct(a.as("w1"),
+          bc.getField("w2").as("w2"), bc.getField("w3").as("w3")))).as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"),
+        col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+  }
+
+  /** E20's core: Stupid Backoff trigram LM scoring (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — THE published
+    * web-scale LM: score-only, no normalization, designed exactly for
+    * the distributed count-frame setting this engine lives in). Per
+    * trigram position the score is
+    *   S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)           if the trigram is seen
+    *                 = a * c(w2w3)/c(w2)            else if the bigram is
+    *                 = a^2 * (c(w3)+1)/(N+V)        else (add-one unigram,
+    *                                                 so OOV w3 is defined)
+    * with Brants' a = 0.4. Counts come from a HELD-OUT model corpus
+    * (`train`), never the scored docs themselves — scoring the training
+    * corpus would make every trigram a hit and the backoff dead code.
+    *
+    * Float discipline (the t16 integer-surprisal spelling, extended to
+    * backoff): a = 0.4 = 2/5 exactly, so the per-position surprisal
+    * ratio 1/S = (den * 5^k) / (num * 2^k) is a ratio of LONGS for
+    * backoff depth k in {0,1,2}, and `bits = floor(log2(1/S))` comes
+    * from bit lengths plus ONE shift comparison — no transcendental
+    * anywhere. Per-doc totals are integer sums (map-side combinable,
+    * accumulation-order-independent); the keep gate is pure integer
+    * cross-multiplication; the only double is the r4-quantized display
+    * ratio. 1/S >= 1 at every level (num <= den per branch, and
+    * 4*(c+1) <= 25*(N+V) at the unigram floor), so bits >= 0 and the
+    * shift never sees a negative distance.
+    *
+    * Scale: the corpus is touched once per side; all three count frames
+    * are map-side-combinable aggregates, VOCABULARY^n-bounded but
+    * data-dependent — so they are NEVER broadcast (the t11/t16 lesson):
+    * scoring equi-joins them on their n-gram keys, shuffling slim
+    * (doc_id, w1, w2, w3) rows. The only broadcast is the one-row
+    * (N, V) totals frame (adjudicated, the t9/t11 class).
+    */
+  def stupidBackoffScore(train: DataFrame, score: DataFrame,
+      maxBitsNum: Long = 500L, maxBitsDen: Long = 100L): DataFrame = {
+    val c3 = docTrigrams(train)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("n3"))
+    val c2 = docBigrams(train)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    val c1 = train
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n1"))
+    val tot = c1.agg(sum(col("n1")).as("n_total"), count(lit(1)).as("v_size"))
+    val j = docTrigrams(score)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.withColumnRenamed("n2", "n12"), Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("n2").as("n23")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("w").as("w2"), col("n1").as("n2u")), Seq("w2"), "left")
+      .join(c1.select(col("w").as("w3"), col("n1").as("n3u")), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+    val sb = j.select(col("doc_id"),
+        when(col("n3").isNotNull, lit(0))
+          .when(col("n23").isNotNull, lit(1)).otherwise(lit(2)).as("lvl"),
+        when(col("n3").isNotNull, col("n12"))
+          .when(col("n23").isNotNull, col("n2u") * lit(5L))
+          .otherwise((col("n_total") + col("v_size")) * lit(25L)).as("a"),
+        when(col("n3").isNotNull, col("n3"))
+          .when(col("n23").isNotNull, col("n23") * lit(2L))
+          .otherwise((coalesce(col("n3u"), lit(0L)) + lit(1L)) * lit(4L)).as("b"))
+      .withColumn("k0", length(bin(col("a"))) - length(bin(col("b"))))
+      .withColumn("bits",
+        when(expr("shiftleft(b, k0)") <= col("a"), col("k0"))
+          .otherwise(col("k0") - 1).cast("long"))
+    sb.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_bi_backoffs"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_uni_backoffs"),
+        sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_positions"), col("n_tri_hits"),
+        col("n_bi_backoffs"), col("n_uni_backoffs"), col("total_bits"),
+        r4(col("total_bits").cast("double") / col("n_positions").cast("double"))
+          .as("bits_per_pos"),
+        (col("total_bits") * lit(maxBitsDen) <= lit(maxBitsNum) * col("n_positions"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // E20 — Stupid Backoff scoring over the parity held-out split: even
+  // doc_ids train the count frames, odd doc_ids are scored (the
+  // deterministic stand-in for CCNet's score-with-a-reference-corpus
+  // setup; production passes any reference corpus as `train`).
+  private val t20 = Relational.Q(
+    "t20_stupid_backoff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      stupidBackoffScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM documents),
+      tr AS (SELECT tk FROM docs WHERE doc_id % 2 = 0),
+      tri AS (SELECT u['w1'] AS w1, u['w2'] AS w2, u['w3'] AS w3 FROM (
+        SELECT unnest([{'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]}
+                       FOR i IN range(1, len(tk)-1)]) AS u
+        FROM tr WHERE len(tk) >= 3)),
+      bi AS (SELECT u['w1'] AS w1, u['w2'] AS w2 FROM (
+        SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]} FOR i IN range(1, len(tk))]) AS u
+        FROM tr WHERE len(tk) >= 2)),
+      uni AS (SELECT unnest(tk) AS w FROM tr),
+      c3 AS (SELECT w1, w2, w3, COUNT(*) AS n3 FROM tri GROUP BY 1, 2, 3),
+      c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bi GROUP BY 1, 2),
+      c1 AS (SELECT w, COUNT(*) AS n1 FROM uni GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS n_total, COUNT(*) AS v_size FROM c1),
+      pos AS (SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2, u['w3'] AS w3 FROM (
+        SELECT doc_id, unnest([{'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]}
+                               FOR i IN range(1, len(tk)-1)]) AS u
+        FROM docs WHERE doc_id % 2 = 1 AND len(tk) >= 3)),
+      j AS (SELECT p.doc_id,
+          CASE WHEN c3.n3 IS NOT NULL THEN 0
+               WHEN c23.n2 IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+          CASE WHEN c3.n3 IS NOT NULL THEN c12.n2
+               WHEN c23.n2 IS NOT NULL THEN cu2.n1 * 5
+               ELSE (t.n_total + t.v_size) * 25 END AS a,
+          CASE WHEN c3.n3 IS NOT NULL THEN c3.n3
+               WHEN c23.n2 IS NOT NULL THEN c23.n2 * 2
+               ELSE (COALESCE(cu3.n1, 0) + 1) * 4 END AS b
+        FROM pos p
+        LEFT JOIN c3 ON p.w1 = c3.w1 AND p.w2 = c3.w2 AND p.w3 = c3.w3
+        LEFT JOIN c2 c12 ON p.w1 = c12.w1 AND p.w2 = c12.w2
+        LEFT JOIN c2 c23 ON p.w2 = c23.w1 AND p.w3 = c23.w2
+        LEFT JOIN c1 cu2 ON p.w2 = cu2.w
+        LEFT JOIN c1 cu3 ON p.w3 = cu3.w
+        CROSS JOIN tot t),
+      sb AS (SELECT doc_id, lvl,
+          CASE WHEN (b << (length(bin(a)) - length(bin(b)))) <= a
+               THEN length(bin(a)) - length(bin(b))
+               ELSE length(bin(a)) - length(bin(b)) - 1 END AS bits
+        FROM j),
+      sc AS (SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_positions,
+          CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+          CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_backoffs,
+          CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoffs,
+          CAST(SUM(bits) AS BIGINT) AS total_bits
+        FROM sb GROUP BY doc_id)
+      SELECT doc_id, n_positions, n_tri_hits, n_bi_backoffs, n_uni_backoffs,
+        total_bits,
+        ${r4Sql("CAST(total_bits AS DOUBLE) / CAST(n_positions AS DOUBLE)")} AS bits_per_pos,
+        total_bits * 100 <= 500 * n_positions AS keep
+      FROM sc ORDER BY doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
 }

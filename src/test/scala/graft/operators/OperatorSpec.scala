@@ -2294,4 +2294,48 @@ class OperatorSpec extends SparkSpec {
       "two-phase weighted prefix sums must equal the flat sum at any bucket count")
     assert(sample(4).map(_._4).sum == 100L, "picks must sum to k on the real corpus")
   }
+
+  test("stupid backoff (t20) matches the hand-computed worked example at every level") {
+    // train: "a b c a b c" -> c3: (a,b,c)=2 (b,c,a)=1 (c,a,b)=1;
+    // c2: (a,b)=2 (b,c)=2 (c,a)=1; c1: a=b=c=2; N=6, V=3
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c d"),   // tri hit bits 0; uni backoff (b,c,d): 225/4 -> 5
+      (3L, "b c a b"),   // tri hits: log2(2/1)->1, log2(1/1)->0
+      (5L, "x y z x y"), // 3 all-OOV uni backoffs: 5 bits each
+      (7L, "c b c a"))   // bi backoff (c,b,c): 10/4 -> 1; tri hit (b,c,a): 1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoffScore(train, score)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getBoolean(7)))).toMap
+    //                 (n_pos, tri, bi, uni, total_bits, bpp, keep)
+    assert(out(1L) == ((2L, 1L, 0L, 1L, 5L, 2.5, true)))
+    assert(out(3L) == ((2L, 2L, 0L, 0L, 1L, 0.5, true)))
+    assert(out(5L) == ((3L, 0L, 0L, 3L, 15L, 5.0, true)),
+      "all-OOV doc sits exactly on the keep boundary: 15*100 == 500*3")
+    assert(out(7L) == ((2L, 1L, 1L, 0L, 2L, 1.0, true)))
+  }
+
+  test("stupid backoff (t20): scoring the train corpus itself makes backoff dead code") {
+    // the degeneracy the held-out parity split exists to avoid: every
+    // trigram of the training corpus is a trigram HIT by construction
+    val docs = Seq((0L, "a b c a b c"), (2L, "b c a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoffScore(docs, docs).collect()
+    assert(out.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L),
+      "self-scoring must produce zero backoffs — the split is load-bearing")
+  }
+
+  test("stupid backoff (t20): all three levels live and the gate discriminates on the real corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = TextAnalysis.stupidBackoffScore(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    val agg = out.agg(sum("n_tri_hits"), sum("n_bi_backoffs"),
+      sum("n_uni_backoffs"), count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L)))
+      .collect()(0)
+    assert(agg.getLong(0) > 0 && agg.getLong(1) > 0 && agg.getLong(2) > 0,
+      s"every backoff level should fire on the held-out half: $agg")
+    assert(agg.getLong(4) > 0 && agg.getLong(4) < agg.getLong(3),
+      s"keep gate should discriminate: kept ${agg.getLong(4)} of ${agg.getLong(3)}")
+  }
 }
