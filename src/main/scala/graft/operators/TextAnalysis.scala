@@ -1467,6 +1467,123 @@ object TextAnalysis {
         total_bits * 100 <= 500 * n_positions AS keep
       FROM sc ORDER BY doc_id"""))
 
+  /** E21's core: Okapi BM25 top-k retrieval (Robertson et al., TREC-3;
+    * the idf spelling is the non-negative ln(1 + (N-df+0.5)/(df+0.5))
+    * variant) — the ranked-retrieval operator a training-data pipeline
+    * uses for targeted data selection and contamination triage (find
+    * the corpus docs closest to an eval query). `queries` is an
+    * INJECTABLE parameter-bounded (query_id, terms) set — like the ANN
+    * query sets, it broadcasts legitimately at any corpus size.
+    *
+    * Plan shape: ONE tokenize pass builds the postings (doc, term, tf);
+    * doc lengths, term dfs, and the one-row (N, total-token) frame all
+    * derive from it (map-side-combinable aggregates). Scoring joins the
+    * tiny query-term frame to the postings FIRST (broadcast equi-join —
+    * the selective step: only matching terms survive), then equi-joins
+    * df (term-keyed shuffle; vocab-bounded but data-dependent, so never
+    * broadcast) and doc length (doc-keyed shuffle). Top-k per query is
+    * rank <= K under Window.partitionBy(query_id), which Spark rewrites
+    * to WindowGroupLimit with a PER-PARTITION partial limit — no
+    * query's full candidate list ever funnels through one task before
+    * the limit.
+    *
+    * Float discipline: per-(term, doc) weights are r4-quantized BEFORE
+    * summing (killing cross-engine ln/division last-ulp drift at each
+    * term), and the per-doc sum folds the quantized weights in a
+    * DETERMINISTIC order — sort_array over (term, w) structs, then a
+    * left fold — so both engines add the same doubles in the same
+    * order and the ranking key is bit-identical (the d15 reassembly
+    * discipline applied to floats). Ties break by doc_id.
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    import s.implicits._
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "queries must be non-empty (query_id, terms) pairs")
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val idf = log(lit(1.0) +
+      ((col("n_docs").cast("double") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = col("n_tokens").cast("double") / col("n_docs").cast("double")
+    val w = r4(idf * ((col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))))
+    val perDoc = tf.join(broadcast(qt), Seq("term"))
+      .join(dfT, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .select(col("query_id"), col("doc_id"), col("term"), w.as("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sort_array(collect_list(struct(col("term"), col("w")))).as("tw"))
+      .select(col("query_id"), col("doc_id"), col("n_terms_hit"),
+        aggregate(col("tw"), lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("n_terms_hit"), r4(col("score")).as("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** t21's fixture query set: corpus-adapted mixes of the one rare term
+    * ("dup", df≈25/500 — high idf) and common terms (df≈380+ — idf near
+    * ln(1+~0.3)), so the ranking exercises the idf contrast, multi-term
+    * accumulation, and the length normalization.
+    */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup", "key"),
+    1L -> Seq("window", "join", "merge"),
+    2L -> Seq("slow", "fast"),
+    3L -> Seq("the", "dup", "scan"))
+
+  // E21 — BM25 ranked retrieval over the fixture query set.
+  private val t21 = Relational.Q(
+    "t21_bm25_topk",
+    (s, d) => bm25TopK(Tables.documents(s, d), Bm25Queries),
+    Some {
+      val qvals = Bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_tokens FROM dl),
+      qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+             FROM (VALUES $qvals) AS q(query_id, term)),
+      m AS (SELECT qt.query_id, tf.doc_id, tf.term,
+          ${r4Sql("""ln(1.0 + ((CAST(t.n_docs AS DOUBLE) - df.df) + 0.5) / (df.df + 0.5))
+            * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                / (CAST(t.n_tokens AS DOUBLE) / CAST(t.n_docs AS DOUBLE))))))""")} AS w
+        FROM tf
+        JOIN qt ON tf.term = qt.term
+        JOIN dft df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN tot t),
+      pd AS (SELECT query_id, doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+          list_reduce(list_prepend(0.0, list_transform(
+            list_sort(list({'term': term, 'w': w})), x -> x['w'])),
+            (a, b) -> a + b) AS score
+        FROM m GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, n_terms_hit, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM pd)
+      SELECT query_id, rnk, doc_id, n_terms_hit, ${r4Sql("score")} AS score
+      FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+    })
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
 }

@@ -56,6 +56,7 @@ object PlanAudit {
     "t9_tfidf" -> "one-row nDocs aggregate",
     "t11_surprisal" -> "one-row total-tokens aggregate",
     "t20_stupid_backoff" -> "one-row (N,V) train-totals aggregate (the t11 class)",
+    "t21_bm25_topk" -> "parameter-bounded query-term frame + one-row (N, total-tokens) aggregate",
     "x3_heavy_hitters" -> "hashed-bucket aggregate: width 1024 rows max (constant)",
     "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB",
     "d14_domain_governance" -> "one-row post-dedup total aggregate (the t9/q48 shape)",
@@ -202,6 +203,8 @@ object PlanAudit {
         "crossJoin(broadcast(<one-row total-tokens frame>)) for the unigram model",
       "t20_stupid_backoff" ->
         "crossJoin(broadcast(<one-row (N,V) train-totals frame>)) for the unigram floor",
+      "t21_bm25_topk" ->
+        "crossJoin(broadcast(<one-row (N, total-tokens) frame>)) for idf/avgdl",
       "q48_surrogate_keys" ->
         "crossJoin(broadcast(<one-row max-surrogate-key frame>)) for the key base",
       "x6_kmv_overlap" ->

@@ -2338,4 +2338,64 @@ class OperatorSpec extends SparkSpec {
     assert(agg.getLong(4) > 0 && agg.getLong(4) < agg.getLong(3),
       s"keep gate should discriminate: kept ${agg.getLong(4)} of ${agg.getLong(3)}")
   }
+
+  test("bm25 (t21) matches an independently computed reference on a hand fixture") {
+    val corpus = Map(
+      0L -> Seq("apple", "banana", "banana"),
+      1L -> Seq("apple", "cherry"),
+      2L -> Seq("cherry", "cherry", "cherry", "banana"),
+      3L -> Seq("date", "fig", "grape"))
+    val docs = corpus.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val queries = Seq(0L -> Seq("banana"), 1L -> Seq("apple", "cherry"))
+    val out = TextAnalysis.bm25TopK(docs, queries)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // independent reference: same formula in plain Scala, same fold order
+    def r4d(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val nDocs = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum / nDocs
+    def dfOf(t: String) = corpus.values.count(_.contains(t)).toDouble
+    def wOf(t: String, d: Long): Option[Double] = {
+      val tf = corpus(d).count(_ == t).toDouble
+      if (tf == 0) None
+      else {
+        val idf = math.log(1.0 + ((nDocs - dfOf(t)) + 0.5) / (dfOf(t) + 0.5))
+        Some(r4d(idf * ((tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * (corpus(d).size.toDouble / avgdl))))))
+      }
+    }
+    val expected = queries.flatMap { case (q, ts) =>
+      corpus.keys.toSeq.sorted.flatMap { d =>
+        val ws = ts.sorted.flatMap(t => wOf(t, d)) // sorted-term fold order
+        if (ws.isEmpty) None
+        else Some((q, d, ws.size.toLong, r4d(ws.foldLeft(0.0)(_ + _))))
+      }.sortBy { case (_, d, _, sc) => (-sc, d) }
+        .zipWithIndex.map { case ((qq, d, nh, sc), i) => (qq, i + 1L) -> ((d, nh, sc)) }
+    }.toMap
+    assert(out == expected, s"got $out\nexpected $expected")
+  }
+
+  test("bm25 (t21): rare-term idf dominates and ranks are dense per query on the real corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = TextAnalysis.bm25TopK(docs, TextAnalysis.Bm25Queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    // ranks dense from 1, scores non-increasing within each query
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"query $q ranks must be dense from 1")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true },
+        s"query $q scores must be non-increasing by rank")
+    }
+    // query 0 mixes 'dup' (rare, high idf) with 'key' (ubiquitous): the
+    // top hit must be a 'dup' doc — idf ln(2.98) vs ln(1.34) dominates
+    val top0 = out.filter(r => r._1 == 0L && r._2 == 1L).head._3
+    val txt = docs.filter(col("doc_id") === top0).select("text")
+      .collect()(0).getString(0)
+    assert(txt.split("\\s+").contains("dup"),
+      s"query 0's top doc $top0 should contain the rare term 'dup'")
+  }
 }
