@@ -686,5 +686,145 @@ object Multimodal {
       WHERE bit_count(xor(a.h, c.h)) <= 3
       ORDER BY a.doc_id, dup_of"""))
 
-  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10)
+  /** F11's core: AUDIO perceptual fingerprint — the Haitsma & Kalker
+    * (2002) bit derivation (sign of the band-energy difference's
+    * time-and-band delta) over integer AMDF band features (average
+    * magnitude difference function, the classic FFT-free spectral
+    * proxy: the lag-L absolute-difference sum is small where the signal
+    * has period ~L, so increasing lags sweep high→low frequency bands).
+    * A production system swaps the AMDF energies for FFT bin energies
+    * at this one seam; the bit derivation, packing, and banded join are
+    * unchanged.
+    *
+    * Layout: 17 frames x 64 samples; bands b=0..4 are lags 1..5;
+    * E(b,t) = sum |s[k]-s[k-lag]| within frame t (integer);
+    * bit((t-1)*4+b) = 1 iff (E(b,t)-E(b+1,t)) - (E(b,t-1)-E(b+1,t-1))
+    * > 0, packed little-endian into bits 0..62 (bit 63 dropped —
+    * the m6 sign-safety convention). All integer arithmetic, so the
+    * fingerprint is bit-reproducible across engines and the robustness
+    * class is PROVABLE, not statistical: DC offset cancels inside the
+    * differences, and exact volume scaling multiplies every E by the
+    * same factor, preserving every sign — the two invariances the HK
+    * fingerprint is designed around (re-recorded / re-leveled audio).
+    */
+  def audioFingerprint(samples: Array[Short]): Long = {
+    val F = 17; val L = 64; val B = 5
+    require(samples.length >= F * L, s"need ${F * L} samples, got ${samples.length}")
+    val e = Array.ofDim[Long](F, B)
+    var t = 0
+    while (t < F) {
+      var b = 0
+      while (b < B) {
+        val lag = b + 1
+        var k = lag; var acc = 0L
+        while (k < L) {
+          acc += math.abs(samples(t * L + k) - samples(t * L + k - lag)); k += 1
+        }
+        e(t)(b) = acc; b += 1
+      }
+      t += 1
+    }
+    var h = 0L
+    t = 1
+    while (t < F) {
+      var b = 0
+      while (b < 4) {
+        val idx = (t - 1) * 4 + b
+        if (idx <= 62) {
+          val dv = (e(t)(b) - e(t)(b + 1)) - (e(t - 1)(b) - e(t - 1)(b + 1))
+          if (dv > 0) h |= 1L << idx
+        }
+        b += 1
+      }
+      t += 1
+    }
+    h
+  }
+
+  // F11 — audio near-dup by perceptual fingerprint: per doc a
+  // deterministic EVEN-sample waveform (two incommensurate sawtooths;
+  // even so the half-volume twin halves exactly) is encoded to WAV,
+  // decoded back through the REAL RIFF parser (the m7 codec seam — the
+  // fingerprint runs on PARSED samples, so a header/endianness bug
+  // breaks the hash match), fingerprinted, and fed to the SAME 4x16-bit
+  // band join as image dHash (m6). Every fifth doc plants two
+  // provably-invariant twins — half volume and +24 DC offset — which
+  // the fingerprint maps to hamming 0; the full unbanded pairwise
+  // oracle recomputes fingerprints from the waveform formula, so the
+  // hash match proves codec round-trip, AMDF/bit arithmetic, band
+  // recall, and the invariance claims in one compare.
+  private val m11 = Relational.Q(
+    "m11_audio_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      val SR = 8000
+      val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val s1 = (257 + id % 97).toInt
+            val s2 = (101 + id % 89).toInt
+            val base = Array.tabulate(1088)(k =>
+              (2 * (((k * s1) % 16384) - 8192 + ((k * s2) % 8192) - 4096)).toShort)
+            def fp(xs: Array[Short]): Long = {
+              val dec = AudioCodec.decodePcm16Wav(
+                AudioCodec.encodePcm16Wav(SR, 1, xs)).getOrElse(
+                sys.error(s"m11: round-trip decode failed for audio $id"))
+              audioFingerprint(dec.samples)
+            }
+            val out = Seq(id -> fp(base))
+            if (id % 5 == 0)
+              out ++ Seq(
+                (id + 10000000L) -> fp(base.map(v => (v / 2).toShort)),
+                (id + 20000000L) -> fp(base.map(v => (v + 24).toShort)))
+            else out
+          }
+        }.toDF("doc_id", "h")
+      dhashNearDupsFromHashes(hashes)
+    },
+    Some("""
+      WITH d0 AS (
+        SELECT doc_id, 257 + doc_id % 97 AS s1, 101 + doc_id % 89 AS s2
+        FROM documents),
+      v AS (
+        SELECT doc_id AS audio_id, s1, s2, 0 AS kind FROM d0
+        UNION ALL
+        SELECT doc_id + 10000000, s1, s2, 1 FROM d0 WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 20000000, s1, s2, 2 FROM d0 WHERE doc_id % 5 = 0),
+      sv AS (
+        SELECT audio_id, k, k // 64 AS t,
+          CASE kind
+            WHEN 0 THEN 2*(((k*s1) % 16384) - 8192 + ((k*s2) % 8192) - 4096)
+            WHEN 1 THEN (2*(((k*s1) % 16384) - 8192 + ((k*s2) % 8192) - 4096)) // 2
+            ELSE 2*(((k*s1) % 16384) - 8192 + ((k*s2) % 8192) - 4096) + 24 END AS smp
+        FROM v, LATERAL (SELECT unnest(range(1088)) AS k) u),
+      e AS (
+        SELECT a.audio_id, a.t, lg.lag, CAST(SUM(ABS(a.smp - p.smp)) AS BIGINT) AS en
+        FROM sv a
+        JOIN (SELECT unnest(range(1, 6)) AS lag) lg ON (a.k % 64) >= lg.lag
+        JOIN sv p ON p.audio_id = a.audio_id AND p.k = a.k - lg.lag
+        GROUP BY 1, 2, 3),
+      dd AS (
+        SELECT e1.audio_id, e1.t, e1.lag - 1 AS b, e1.en - e2.en AS dv
+        FROM e e1
+        JOIN e e2 ON e2.audio_id = e1.audio_id AND e2.t = e1.t AND e2.lag = e1.lag + 1
+        WHERE e1.lag <= 4),
+      bits AS (
+        SELECT c.audio_id, (c.t - 1) * 4 + c.b AS bit,
+          CASE WHEN c.dv - p.dv > 0 THEN 1 ELSE 0 END AS vb
+        FROM dd c
+        JOIN dd p ON p.audio_id = c.audio_id AND p.t = c.t - 1 AND p.b = c.b
+        WHERE c.t >= 1),
+      h AS (
+        SELECT audio_id,
+          CAST(SUM(CASE WHEN vb = 1 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS h
+        FROM bits WHERE bit <= 62 GROUP BY 1)
+      SELECT a.audio_id AS doc_a, b.audio_id AS doc_b,
+        CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      FROM h a JOIN h b ON a.audio_id < b.audio_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+      ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10,
+    m11)
 }

@@ -1629,8 +1629,106 @@ object Relational {
       SELECT expectation, violations, violations = 0 AS pass
       FROM checks ORDER BY expectation"""))
 
+  // B49 — CDC MERGE apply (the lakehouse MERGE INTO / CDC-compaction
+  // pattern q46's SCD2 history is the other half of): a multi-op change
+  // log (upserts and deletes with per-key sequence numbers) lands on a
+  // snapshot. Two-stage, both scale-shaped:
+  //   1. COMPACTION — latest op per key via ONE map-side-combinable
+  //      max_by(struct(...), seq) aggregate (never a window: no per-key
+  //      sort, partial aggregation absorbs high-churn keys);
+  //   2. APPLY — snapshot FULL OUTER JOIN compacted ops on the key:
+  //      unmatched snapshot rows pass through (version 0), 'U' rows
+  //      take the op's values whether matched (update) or not (insert),
+  //      'D' rows drop the key.
+  // The fixture log derives deterministically from the snapshot (keys
+  // %7 update at seq 1, %21 re-update at seq 2, %13 delete at seq 3 —
+  // so latest-wins is exercised across op types, incl. update-then-
+  // delete at %91; %1000=1 inserts land on fresh keys). Money math in
+  // DECIMAL(12,2) end to end (the q01 discipline).
+  private val q49 = Q(
+    "q49_cdc_merge",
+    (s, d) => {
+      val dec2 = (c: Column) => c.cast(DecimalType(12, 2))
+      val snapSrc = Tables.orders(s, d)
+      def ops(pred: Column, seq: Long, op: String, key: Column,
+          status: Column, price: Column) =
+        snapSrc.filter(pred).select(key.as("key"), lit(seq).as("seq"),
+          lit(op).as("op"), col("o_custkey").as("custkey"),
+          status.as("status"), price.as("price"))
+      val k = col("o_orderkey")
+      val upd1 = ops(k % 7 === 0, 1L, "U", k, col("o_orderstatus"),
+        round(dec2(col("o_totalprice")) * dec2(lit("1.10")), 2).cast(DoubleType))
+      val upd2 = ops(k % 21 === 0, 2L, "U", k, col("o_orderstatus"),
+        round(dec2(col("o_totalprice")) + dec2(lit("5.00")), 2).cast(DoubleType))
+      val del = ops(k % 13 === 0, 3L, "D", k,
+        lit(null).cast("string"), lit(null).cast("double"))
+      val ins = ops(k % 1000 === 1, 1L, "U", k + lit(10000000L), lit("N"),
+        round(dec2(col("o_totalprice")), 2).cast(DoubleType))
+      val latest = upd1.unionByName(upd2).unionByName(del).unionByName(ins)
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("op"), col("custkey"), col("status"),
+            col("price")), col("seq")).as("w"),
+          max(col("seq")).as("version"))
+        .select(col("key"), col("w.op").as("op"),
+          col("w.custkey").as("n_custkey"), col("w.status").as("n_status"),
+          col("w.price").as("n_price"), col("version"))
+      snapSrc
+        .select(col("o_orderkey").as("key"), col("o_custkey"),
+          col("o_orderstatus"),
+          round(dec2(col("o_totalprice")), 2).cast(DoubleType).as("o_totalprice"))
+        .join(latest, Seq("key"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(col("key").as("o_orderkey"),
+          when(col("op") === "U", col("n_custkey"))
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(col("op") === "U", col("n_status"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("op") === "U", col("n_price"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("op") === "U", col("version")).otherwise(lit(0L)).as("version"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH cdc AS (
+        SELECT o_orderkey AS key, 1 AS seq, 'U' AS op, o_custkey AS custkey,
+          o_orderstatus AS status,
+          CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.10 AS DECIMAL(12,2)), 2) AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', o_custkey, o_orderstatus,
+          CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) + CAST(5.00 AS DECIMAL(12,2)), 2) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 21 = 0
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', NULL, NULL, NULL
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 1, 'U', o_custkey, 'N',
+          CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 1000 = 1),
+      latest AS (
+        SELECT key, arg_max(op, seq) AS op, arg_max(custkey, seq) AS n_custkey,
+          arg_max(status, seq) AS n_status, arg_max(price, seq) AS n_price,
+          CAST(MAX(seq) AS BIGINT) AS version
+        FROM cdc GROUP BY key),
+      snap AS (
+        SELECT o_orderkey AS key, o_custkey, o_orderstatus,
+          CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS o_totalprice
+        FROM orders),
+      m AS (
+        SELECT COALESCE(s.key, l.key) AS o_orderkey,
+          s.o_custkey, s.o_orderstatus, s.o_totalprice,
+          l.op, l.n_custkey, l.n_status, l.n_price, l.version
+        FROM snap s FULL OUTER JOIN latest l ON s.key = l.key)
+      SELECT o_orderkey,
+        CASE WHEN op = 'U' THEN n_custkey ELSE o_custkey END AS o_custkey,
+        CASE WHEN op = 'U' THEN n_status ELSE o_orderstatus END AS o_orderstatus,
+        CASE WHEN op = 'U' THEN n_price ELSE o_totalprice END AS o_totalprice,
+        CAST(CASE WHEN op = 'U' THEN version ELSE 0 END AS BIGINT) AS version
+      FROM m WHERE COALESCE(op, '') <> 'D'
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }

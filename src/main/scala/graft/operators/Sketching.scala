@@ -651,5 +651,26 @@ object Sketching {
         CAST(MAX(n) AS BIGINT) AS n_rows
       FROM cw GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12)
+  // I11 — Frequent Directions matrix sketch over the embedding table
+  // (see [[FrequentDirections]]): the deterministic mergeable
+  // covariance compression behind one-pass distributed PCA. The entry
+  // surfaces each sketch row's norm (the shrunk singular values) —
+  // norm-descending, r4 display. Rows-only (the sketch is
+  // engine-specific; the SPECTRAL guarantees are what the spec pins:
+  // PSD undershoot, the ||A||_F^2/l bound, exact low-rank recovery,
+  // and shard-merge preservation). EXECUTES at build (per-partition
+  // fold + driver merge) — the d6 iterative class for PlanAudit.
+  private val x13 = Relational.Q(
+    "x13_frequent_directions",
+    (s, d) => {
+      import s.implicits._
+      val rows = FrequentDirections.sketch(Tables.embeddings(s, d), 16, 64)
+      rows.zipWithIndex.map { case (r, i) =>
+        (i.toLong, math.floor(math.sqrt(r.map(x => x * x).sum) * 10000.0 + 0.5) / 10000.0)
+      }.toSeq.toDF("row_idx", "row_norm")
+    },
+    None)
+
+  val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12,
+    x13)
 }

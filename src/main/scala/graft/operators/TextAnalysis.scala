@@ -1584,6 +1584,70 @@ object TextAnalysis {
       FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
     })
 
+  /** t22's fixture blocklist: mixes a rare token, multi-word phrases
+    * (substring patterns cross token boundaries — the thing a
+    * tokenize-and-join blocklist like t19's cannot see), and a
+    * single-character pattern (matches inside words, exercising the
+    * every-position semantics).
+    */
+  val ScanPatterns: Seq[String] = Seq("dup", "agg row", "slow fast", "a")
+
+  // E22 — one-pass multi-pattern scan (H8's query surface): per doc,
+  // count EVERY occurrence of every blocklist pattern — overlapping
+  // occurrences and nested patterns included — in one Aho-Corasick walk
+  // inside whole-stage codegen ([[graft.functions.MultiPatternCounts]]).
+  // The per-doc reductions over the |patterns|-length counts array are
+  // interpreted HOFs on a 4-element array — post-scan, parameter-
+  // bounded, never the hot path. The DuckDB oracle recomputes each
+  // pattern's count as the number of STARTING POSITIONS whose substring
+  // equals the pattern (the exact overlapping-count semantics), so the
+  // hash match proves automaton construction, fail links, and
+  // flattened-output counting against a definitionally-correct spelling.
+  /** E22's core: one-pass multi-pattern scan — a STATELESS narrow
+    * codegen projection (one [[graft.functions.MultiPatternCounts]]
+    * walk + parameter-bounded array reductions), so the LITERAL batch
+    * operator attaches to a stream unchanged (A41, the A36/A37 class:
+    * no state store, no watermark, slicing can't matter).
+    */
+  def multiPatternScan(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    import graft.functions.MultiPatternCounts
+    docs
+      .select(col("doc_id"),
+        MultiPatternCounts(lower(trim(col("text"))), patterns).as("pc"))
+      .select(col("doc_id"),
+        aggregate(col("pc"), lit(0L), (a, x) => a + x).as("n_matches"),
+        size(filter(col("pc"), x => x > 0)).cast("long").as("n_patterns_hit"),
+        element_at(col("pc"), 1).as("n_dup"),
+        element_at(col("pc"), 2).as("n_agg_row"))
+  }
+
+  private val t22 = Relational.Q(
+    "t22_multipattern_scan",
+    (s, d) => multiPatternScan(Tables.documents(s, d), ScanPatterns)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH pat AS (
+        SELECT * FROM (VALUES (1, 'dup'), (2, 'agg row'), (3, 'slow fast'), (4, 'a'))
+          AS p(pi, p)),
+      d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      m AS (
+        SELECT d.doc_id, pat.pi, COUNT(*) AS c
+        FROM d, pat,
+          LATERAL (SELECT unnest(range(1, len(d.t) - len(pat.p) + 2)) AS pos) u
+        WHERE substr(d.t, CAST(u.pos AS INTEGER), len(pat.p)) = pat.p
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_matches,
+          CAST(COUNT(*) AS BIGINT) AS n_patterns_hit,
+          CAST(COALESCE(SUM(CASE WHEN pi = 1 THEN c END), 0) AS BIGINT) AS n_dup,
+          CAST(COALESCE(SUM(CASE WHEN pi = 2 THEN c END), 0) AS BIGINT) AS n_agg_row
+        FROM m GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(a.n_matches, 0) AS n_matches,
+        COALESCE(a.n_patterns_hit, 0) AS n_patterns_hit,
+        COALESCE(a.n_dup, 0) AS n_dup,
+        COALESCE(a.n_agg_row, 0) AS n_agg_row
+      FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
 }

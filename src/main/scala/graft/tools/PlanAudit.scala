@@ -51,6 +51,7 @@ object PlanAudit {
     "s2_ann_lsh_topk" -> "probe-key + query-vector frames: vec_id < NQueries (parameter-bounded)",
     "s4_ann_ivf_topk" -> "k-row trained centroid frame + parameter-bounded query set",
     "s5_ann_quantized_topk" -> "query set: vec_id < NQueries (parameter-bounded)",
+    "s7_mips_topk" -> "query set: vec_id < NQueries (parameter-bounded — the s1 class)",
     "s6_ann_pq_topk" -> "m x k-row PQ codebook frames + parameter-bounded query set",
     "t7_winnowing_fingerprints" -> "one-row nDocs aggregate",
     "t9_tfidf" -> "one-row nDocs aggregate",
@@ -171,7 +172,9 @@ object PlanAudit {
     "d7_dedup_canonical" ->
       "consumes d6's materialized components; per-round shape == d2's audited joins",
     "p19_leakage_safe_split" ->
-      "consumes d6's materialized components; own shape = one id-keyed join + narrow hash projection")
+      "consumes d6's materialized components; own shape = one id-keyed join + narrow hash projection",
+    "x13_frequent_directions" ->
+      "per-partition FD fold + driver merge execute at build; driver touches only numPartitions x l sketch rows")
 
   // d2's queries() entry returns the eagerly materialized pair-graph
   // view (a checkpointed-RDD scan — nothing to audit); audit the lazy
@@ -193,6 +196,8 @@ object PlanAudit {
         "corpus x broadcast constant-size centroid sample (IVF assignment/probing)",
       "s5_ann_quantized_topk" ->
         "int8 corpus scanned once against the broadcast fixed-size query set (theta join)",
+      "s7_mips_topk" ->
+        "corpus scanned once against the broadcast fixed-size query set (theta join, the s1 shape)",
       "s6_ann_pq_topk" ->
         "reconstructed corpus scanned once against the broadcast fixed-size query set (theta join)",
       "t7_winnowing_fingerprints" ->

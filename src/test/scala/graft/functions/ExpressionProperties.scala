@@ -126,4 +126,31 @@ object ExpressionProperties extends Properties("graft.functions") {
         merged.length <= chars.length &&
         (w.isEmpty || merged.nonEmpty)
     }
+
+  // small alphabet so overlaps, shared prefixes, and suffix-nested
+  // patterns actually occur in random cases
+  private val abGen: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b'))).map(_.mkString)
+  private val patsGen: Gen[Seq[String]] =
+    Gen.chooseNum(1, 6).flatMap(k => Gen.listOfN(k,
+      Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')))
+        .map(_.mkString)))
+
+  property("Aho-Corasick counts == brute-force position scan, every pattern, overlaps included") =
+    forAll(abGen, patsGen) { (t, pats) =>
+      val got = AcAutomaton
+        .countsToArrayData(t, AcAutomaton.build(pats), pats.size).toLongArray().toSeq
+      val brute = pats.map(p =>
+        (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong)
+      got == brute
+    }
+
+  property("Aho-Corasick is one automaton pass: counts are independent of pattern-list order") =
+    forAll(abGen, patsGen) { (t, pats) =>
+      val fwd = AcAutomaton
+        .countsToArrayData(t, AcAutomaton.build(pats), pats.size).toLongArray().toSeq
+      val rev = AcAutomaton
+        .countsToArrayData(t, AcAutomaton.build(pats.reverse), pats.size).toLongArray().toSeq
+      fwd == rev.reverse
+    }
 }

@@ -2398,4 +2398,158 @@ class OperatorSpec extends SparkSpec {
     assert(txt.split("\\s+").contains("dup"),
       s"query 0's top doc $top0 should contain the rare term 'dup'")
   }
+
+  test("MIPS (s7): the norm-augmentation reduction ranks exactly like the inner product") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val viaDot = graft.SparkEntry.queries("s7_mips_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaAug = Similarity.mipsAugmentedTopK(e, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaDot.nonEmpty)
+    assert(viaAug == viaDot,
+      "augmented-cosine top-k must equal inner-product top-k — the Bachrach reduction")
+    // the metric matters — pinned on a planted fixture (the corpus
+    // embeddings are near-constant norm, where MIPS == cosine by math):
+    // a long 45-degree vector beats a short well-aligned one on inner
+    // product while losing on cosine, and the augmented path must rank
+    // it first
+    val fix = Seq(
+      (0L, Array(1f, 0f)),    // the query
+      (1L, Array(0.9f, 0.1f)), // aligned, short: cosine winner
+      (2L, Array(5f, 5f)))     // 45 degrees, long: MIPS winner
+      .toDF("vec_id", "embedding")
+    val mips = Similarity.mipsAugmentedTopK(fix, 1, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(mips == Seq((1L, 2L), (2L, 1L)),
+      s"the long vector must win MIPS through the augmented path: $mips")
+  }
+
+  test("multi-pattern scan (t22): overlaps, nested patterns, and suffix links count exactly") {
+    import graft.functions.{AcAutomaton, MultiPatternCounts}
+    def counts(text: String, pats: Seq[String]): Seq[Long] =
+      AcAutomaton.countsToArrayData(text, AcAutomaton.build(pats), pats.size)
+        .toLongArray().toSeq
+    // overlapping occurrences all count: "aa" starts at 3 positions of "aaaa"
+    assert(counts("aaaa", Seq("aa")) == Seq(3L))
+    assert(counts("aaaa", Seq("a", "aa", "aaa")) == Seq(4L, 3L, 2L))
+    // nested patterns: a match of "abc" is ALSO a match of its suffixes
+    // (the dictionary-suffix-link semantics a regex alternation misses)
+    assert(counts("xabcx", Seq("abc", "bc", "c")) == Seq(1L, 1L, 1L))
+    // patterns sharing prefixes in the trie stay independent
+    assert(counts("ababab", Seq("ab", "aba", "bab")) == Seq(3L, 2L, 2L))
+    // no match -> zeros; empty text -> zeros
+    assert(counts("zzz", Seq("ab", "q")) == Seq(0L, 0L))
+    assert(counts("", Seq("ab")) == Seq(0L))
+    // fail links across pattern boundaries: scanning "aab" against
+    // {"aab", "ab"} must find both via the fallback transition
+    assert(counts("aab", Seq("aab", "ab")) == Seq(1L, 1L))
+    val df = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val viaSpark = df.select(MultiPatternCounts(col("text"), Seq("a", "aa")).as("pc"))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSpark == Seq(4L, 3L), "Spark column path agrees with the direct walk")
+  }
+
+  test("multi-pattern scan (t22): codegen equals a brute-force position scan over the corpus") {
+    import graft.functions.MultiPatternCounts
+    val pats = TextAnalysis.ScanPatterns
+    val got = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"),
+        MultiPatternCounts(lower(trim(col("text"))), pats).as("pc"))
+      .collect().map(r => (r.getString(1), r.getSeq[Long](2).toSeq))
+    assert(got.nonEmpty)
+    got.foreach { case (t, pc) =>
+      val brute = pats.map(p =>
+        (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong)
+      assert(pc == brute, s"automaton mismatch on corpus text (len ${t.length})")
+    }
+  }
+
+  test("cdc merge (q49): update, latest-wins, delete-wins, insert, and untouched all land") {
+    val out = graft.SparkEntry.queries("q49_cdc_merge")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))).toMap
+    val snap = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    snap.foreach { case (k, (ck, st, price)) =>
+      val p2 = BigDecimal(price).setScale(2, HALF_UP)
+      if (k % 13 == 0)
+        assert(!out.contains(k), s"deleted key $k must be gone (delete wins over any update)")
+      else if (k % 21 == 0)
+        assert(out(k) == ((ck, st, (p2 + 5).setScale(2, HALF_UP).toDouble, 2L)),
+          s"seq-2 re-update must win over seq-1 for $k")
+      else if (k % 7 == 0)
+        assert(out(k) == ((ck, st, (p2 * BigDecimal("1.10")).setScale(2, HALF_UP).toDouble, 1L)),
+          s"seq-1 update must apply for $k")
+      else
+        assert(out(k) == ((ck, st, p2.toDouble, 0L)), s"untouched key $k passes through")
+      if (k % 1000 == 1)
+        assert(out(k + 10000000L) == ((ck, "N", p2.toDouble, 1L)),
+          s"insert for $k lands on the fresh key")
+    }
+    val expectedRows = snap.count { case (k, _) => k % 13 != 0 } +
+      snap.count { case (k, _) => k % 1000 == 1 }
+    assert(out.size == expectedRows, "row count = survivors + inserts, exactly")
+  }
+
+  test("audio fingerprint (m11): DC-offset and exact-volume invariance are bit-exact") {
+    // the two Haitsma-Kalker robustness classes, provable here because
+    // the features are integer AMDF sums: offsets cancel inside the
+    // differences; exact scaling multiplies every energy by the same
+    // factor, preserving every sign
+    val base = Array.tabulate(1088)(k =>
+      (2 * (((k * 307) % 16384) - 8192 + ((k * 113) % 8192) - 4096)).toShort)
+    val h0 = Multimodal.audioFingerprint(base)
+    val hOffset = Multimodal.audioFingerprint(base.map(v => (v + 24).toShort))
+    val hHalf = Multimodal.audioFingerprint(base.map(v => (v / 2).toShort))
+    assert(hOffset == h0, "DC offset must not change a single bit")
+    assert(hHalf == h0, "exact half volume must not change a single bit")
+    // exact doubling (no truncation, no overflow): scales every AMDF
+    // energy by 2, preserving every sign delta
+    val quiet = base.map(v => (v / 4).toShort)
+    val loud = quiet.map(v => (v * 2).toShort)
+    assert(Multimodal.audioFingerprint(loud) == Multimodal.audioFingerprint(quiet),
+      "exact volume doubling must not change a single bit")
+    // polarity flip: |(-a)-(-b)| == |a-b|, so AMDF is negation-invariant
+    // (a polarity-inverted re-recording is the same audio)
+    assert(Multimodal.audioFingerprint(base.map(v => (-v).toShort)) == h0,
+      "polarity inversion must not change a single bit")
+  }
+
+  test("audio fingerprint (m11): single-frame corruption is bounded by bit locality; different audio is far") {
+    val base = Array.tabulate(1088)(k =>
+      (2 * (((k * 307) % 16384) - 8192 + ((k * 113) % 8192) - 4096)).toShort)
+    val h0 = Multimodal.audioFingerprint(base)
+    // corrupting ONE 64-sample frame can only move bits of the two
+    // transitions that touch it: frame t feeds bits (t-1)*4+b and
+    // t*4+b for b=0..3 — at most 8 bits by construction
+    val corrupted = base.clone()
+    (8 * 64 until 9 * 64).foreach(i => corrupted(i) = 0)
+    val hc = Multimodal.audioFingerprint(corrupted)
+    val d = java.lang.Long.bitCount(h0 ^ hc)
+    assert(d <= 8, s"single-frame corruption must stay within its 8-bit locality, got $d")
+    assert(d > 0, "inverting a whole frame should move at least one bit")
+    // a genuinely different waveform lands far
+    val other = Array.tabulate(1088)(k =>
+      (2 * (((k * 331) % 16384) - 8192 + ((k * 127) % 8192) - 4096)).toShort)
+    val far = java.lang.Long.bitCount(h0 ^ Multimodal.audioFingerprint(other))
+    assert(far > 3, s"different audio must not pass the near-dup gate, got $far")
+  }
+
+  test("audio near-dup (m11): every planted twin pair is recovered at hamming 0 through the codec seam") {
+    val res = graft.SparkEntry.queries("m11_audio_fingerprint")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val planted = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).filter(_ % 5 == 0)
+    planted.foreach { id =>
+      assert(res.get((id, id + 10000000L)).contains(0L),
+        s"half-volume twin of $id must be found at hamming 0")
+      assert(res.get((id, id + 20000000L)).contains(0L),
+        s"DC-offset twin of $id must be found at hamming 0")
+      assert(res.get((id + 10000000L, id + 20000000L)).contains(0L),
+        s"the two twins of $id are mutual dups")
+    }
+  }
 }

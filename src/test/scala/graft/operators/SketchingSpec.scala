@@ -384,4 +384,75 @@ class SketchingSpec extends SparkSpec {
       }
     }
   }
+
+  private def gram(rows: Array[Array[Double]], d: Int): breeze.linalg.DenseMatrix[Double] = {
+    val m = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    rows.foreach { r =>
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { m(i, j) += r(i) * r(j); j += 1 }
+        i += 1
+      }
+    }
+    m
+  }
+
+  test("frequent directions (x13): PSD undershoot and the ||A||_F^2/l spectral bound on the real corpus") {
+    import graft.operators.FrequentDirections
+    val l = 16; val d = 64
+    val e = Tables.embeddings(spark, sfDir)
+    val a = e.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val b = FrequentDirections.sketch(e, l, d)
+    assert(b.length <= l, s"sketch must hold at most $l rows, got ${b.length}")
+    val frobA2 = a.map(_.map(x => x * x).sum).sum
+    val diff = gram(a, d) - gram(b, d)
+    val ev = breeze.linalg.eigSym(diff).eigenvalues
+    val lmin = breeze.linalg.min(ev); val lmax = breeze.linalg.max(ev)
+    assert(lmin >= -1e-6 * frobA2,
+      s"B'B must never overshoot A'A (PSD undershoot), got lambda_min $lmin")
+    assert(lmax <= frobA2 / l,
+      s"spectral error $lmax must sit within ||A||_F^2/l = ${frobA2 / l}")
+  }
+
+  test("frequent directions (x13): shard sketches MERGE within the same spectral bound") {
+    import graft.operators.FrequentDirections
+    val l = 16; val d = 64
+    val a = Tables.embeddings(spark, sfDir).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val frobA2 = a.map(_.map(x => x * x).sum).sum
+    // 4 shards sketched independently, then FD-merged (the GLPW merge)
+    val shards = a.grouped((a.length + 3) / 4).toSeq
+    val merged = new FrequentDirections.Accumulator(l, d)
+    shards.foreach { sh =>
+      val acc = new FrequentDirections.Accumulator(l, d)
+      sh.foreach(acc.insert)
+      acc.result().foreach(merged.insert)
+    }
+    val diff = gram(a, d) - gram(merged.result(), d)
+    val ev = breeze.linalg.eigSym(diff).eigenvalues
+    assert(breeze.linalg.min(ev) >= -1e-6 * frobA2, "merge must keep the PSD undershoot")
+    assert(breeze.linalg.max(ev) <= frobA2 / l,
+      "merging shard sketches must preserve the ||A||_F^2/l guarantee")
+  }
+
+  test("frequent directions (x13): a stream from a low-rank subspace is captured EXACTLY") {
+    import graft.operators.FrequentDirections
+    val l = 16; val d = 64
+    // 500 rows spanning a rank-3 subspace: every shrink sees sigma_l = 0,
+    // so FD never loses energy and B'B == A'A to numerical precision
+    val basis = Array.tabulate(3, d)((b, j) => math.sin(1.0 + b * 7 + j * 0.37))
+    val a = Array.tabulate(500) { i =>
+      val c = Array(1.0 + i % 5, 2.0 - i % 3, (i % 7) * 0.5)
+      Array.tabulate(d)(j => c(0) * basis(0)(j) + c(1) * basis(1)(j) + c(2) * basis(2)(j))
+    }
+    val acc = new FrequentDirections.Accumulator(l, d)
+    a.foreach(acc.insert)
+    val frobA2 = a.map(_.map(x => x * x).sum).sum
+    val diff = gram(a, d) - gram(acc.result(), d)
+    val ev = breeze.linalg.eigSym(diff).eigenvalues
+    assert(ev.toArray.map(math.abs).max <= 1e-6 * frobA2,
+      "below-capacity rank means zero shrink: the sketch is exact")
+  }
 }

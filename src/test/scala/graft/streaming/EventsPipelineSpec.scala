@@ -492,6 +492,37 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming blocklist scan (A41): the Aho-Corasick gate runs unchanged on a stream, counts identical") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the A36/A37 attach pattern: multiPatternScan is a stateless narrow
+    // codegen projection (one automaton walk per doc + parameter-bounded
+    // array reductions), so the LITERAL batch operator gates arriving
+    // docs — no twin code, no state store, no watermark
+    val pats = graft.operators.TextAnalysis.ScanPatterns
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.multiPatternScan(
+        src.toDS().toDF("doc_id", "text"), pats)
+      .writeStream.format("memory").queryName("mps_stream_test")
+      .outputMode("append").start()
+    try {
+      corpus.grouped(math.max(1, corpus.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val streamed = spark.table("mps_stream_test").collect().map(key).toSet
+      val batch = graft.operators.TextAnalysis.multiPatternScan(
+          corpus.toSeq.toDF("doc_id", "text"), pats)
+        .collect().map(key).toSet
+      assert(streamed == batch, "streamed pattern counts must equal batch exactly")
+      assert(batch.exists(_._2 > 0), "the blocklist should be live on the corpus")
+    } finally q.stop()
+  }
+
   test("streaming near-dup rediscovers the batch minhash pairs on the real corpus") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
