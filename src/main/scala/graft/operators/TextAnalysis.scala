@@ -1648,6 +1648,108 @@ object TextAnalysis {
         COALESCE(a.n_agg_row, 0) AS n_agg_row
       FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""))
 
+  /** E23's core: Unicode canonicalization — NFC-normalize the text and
+    * report what changed, so byte-level dedup/hash stages downstream
+    * see one spelling per document ([[graft.functions.NfcNormalize]],
+    * a narrow codegen projection). Stateless and doc-local: attaches
+    * to a stream unchanged (the A36/A37 class).
+    */
+  def unicodeNormalize(docs: DataFrame): DataFrame = {
+    import graft.functions.NfcNormalize
+    docs.select(col("doc_id"), NfcNormalize(col("text")).as("norm"), col("text"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len_in"),
+        length(col("norm")).cast("long").as("len_norm"),
+        (col("text") =!= col("norm")).as("changed"),
+        md5(col("norm")).as("norm_hash"))
+  }
+
+  // E23 — NFC normalization over a deterministically-derived DIRTY
+  // corpus: the checked-in text is clean ASCII (normalization would be
+  // a no-op and the oracle would prove nothing), so the query plants
+  // decomposed sequences first — docs % 3 == 0 get every 'e' replaced
+  // by 'e' + COMBINING ACUTE (U+0301), % 3 == 1 every 'o' by 'o' +
+  // COMBINING DIAERESIS (U+0308), % 3 == 2 stay clean (the identity
+  // class) — then normalizes. The DuckDB oracle rebuilds the same dirty
+  // text and runs utf8proc's nfc_normalize, so the hash match pins
+  // JDK-vs-utf8proc NFC byte equality, the composed lengths, and the
+  // changed flags across all three classes.
+  private val t23 = Relational.Q(
+    "t23_unicode_normalize",
+    (s, d) => {
+      val dirty = when(col("doc_id") % 3 === 0,
+          regexp_replace(col("text"), "e", "e\u0301"))
+        .when(col("doc_id") % 3 === 1,
+          regexp_replace(col("text"), "o", "o\u0308"))
+        .otherwise(col("text"))
+      unicodeNormalize(Tables.documents(s, d).select(col("doc_id"), dirty.as("text")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN replace(text, 'e', 'e' || chr(769))
+            WHEN 1 THEN replace(text, 'o', 'o' || chr(776))
+            ELSE text END AS dirty
+        FROM documents),
+      n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS norm FROM d)
+      SELECT doc_id,
+        CAST(length(dirty) AS BIGINT) AS len_in,
+        CAST(length(norm) AS BIGINT) AS len_norm,
+        dirty <> norm AS changed,
+        md5(norm) AS norm_hash
+      FROM n ORDER BY doc_id"""))
+
+  /** E24's core: zlib compression-ratio quality signal — text that
+    * deflates far below natural-language entropy is repetitive
+    * boilerplate/spam (the one-scalar sibling of t10's exact
+    * repetition ratios and d13's span detector: cheaper, catches
+    * long-range repetition n-gram windows miss). Per doc: deflate the
+    * UTF-8 bytes (JDK Deflater level 6, ONE deflater per partition,
+    * reset per row — allocation-bounded hot loop, narrow map-side) and
+    * gate on deflated/raw >= minRatio as a pure integer
+    * cross-multiplication. Deterministic for a fixed zlib build, but
+    * not SQL-engine-reproducible — rows-only entry; the spec pins
+    * planted repetitive vs natural docs, both gate branches, and
+    * run-to-run determinism.
+    */
+  def compressionRatio(docs: DataFrame,
+      minRatioNum: Long = 25L, minRatioDen: Long = 100L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit(""))).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        val rows = it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length.toLong, out)
+        }
+        rows ++ { deflater.end(); Iterator.empty }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflated")
+      .select(col("doc_id"), col("n_bytes"), col("n_deflated"),
+        r4(col("n_deflated").cast("double") /
+          greatest(col("n_bytes"), lit(1L)).cast("double")).as("ratio"),
+        (col("n_deflated") * lit(minRatioDen) >= lit(minRatioNum) * col("n_bytes"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // E24 — compression-ratio junk gate (rows-only: no SQL-engine
+  // deflate). Corpus ratios sit in [0.39, 1.13]; the 0.25 gate is the
+  // junk line — planted loop-spam deflates to ~0.02 (spec).
+  private val t24 = Relational.Q(
+    "t24_compression_ratio",
+    (s, d) => compressionRatio(Tables.documents(s, d)),
+    None)
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }

@@ -145,6 +145,26 @@ object ExpressionProperties extends Properties("graft.functions") {
       got == brute
     }
 
+  private val unicodeGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.const("\u0301"), // combining acute
+      Gen.const("\u00e9"), // precomposed e-acute
+      Gen.const("\u030a"), // combining ring
+      Gen.const("\u00e5"), // precomposed a-ring
+      Gen.const(" "),
+      Gen.const("\ud83d\ude00") /* surrogate pair */))
+      .map(_.take(20).mkString) // token-level truncation: never split a surrogate pair
+
+  property("NFC normalize is idempotent and agrees with the JDK reference") =
+    forAll(unicodeGen) { s =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val once = NfcNormalize.normalize(UTF8String.fromString(s)).toString
+      val twice = NfcNormalize.normalize(UTF8String.fromString(once)).toString
+      once == twice &&
+        once == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+
   property("Aho-Corasick is one automaton pass: counts are independent of pattern-list order") =
     forAll(abGen, patsGen) { (t, pats) =>
       val fwd = AcAutomaton

@@ -2399,6 +2399,50 @@ class OperatorSpec extends SparkSpec {
       s"query 0's top doc $top0 should contain the rare term 'dup'")
   }
 
+  test("unicode normalize (t23): composition, pass-through, and the changed flags are exact") {
+    import graft.functions.NfcNormalize
+    val decomposed = "cafe\u0301"   // e + COMBINING ACUTE
+    val composed = "caf\u00e9"      // precomposed e-acute
+    val ringDecomp = "a\u030ab"     // a + COMBINING RING + b
+    val ringComp = "\u00e5b"        // a-ring + b
+    val rows = Seq(
+      (0L, decomposed), (1L, composed), (2L, ringDecomp), (3L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), NfcNormalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == composed, "decomposed sequence must compose")
+    assert(out(1L) == composed, "already-NFC text is untouched")
+    assert(out(2L) == ringComp, "a + combining ring composes to a-ring")
+    assert(out(3L) == "plain ascii", "ASCII is a no-op (fast path)")
+    // the operator's report columns on the same fixture
+    val rep = TextAnalysis.unicodeNormalize(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rep(0L) == ((5L, 4L, true)), "composition shortens and flags")
+    assert(rep(1L) == ((4L, 4L, false)) && rep(3L)._3 == false,
+      "already-normalized docs pass through unflagged")
+  }
+
+  test("compression ratio (t24): loop-spam is dropped, natural text survives, runs are deterministic") {
+    val docs = Seq(
+      (0L, "spam ham " * 200),                       // loop spam: ratio ~0.02
+      (1L, (0 until 200).map(i => s"w${i * 37 % 997}x${i * 61 % 991}").mkString(" ")),
+      (2L, ""))                                      // empty: 0 bytes, keep
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(!out(0L)._4 && out(0L)._3 < 0.1, s"loop spam must fail the gate: ${out(0L)}")
+    assert(out(1L)._4 && out(1L)._3 > 0.25, s"high-variety text must pass: ${out(1L)}")
+    assert(out(2L) == ((0L, out(2L)._2, out(2L)._3, true)), "empty doc keeps (0 >= 0)")
+    val again = TextAnalysis.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(again == out, "deflate sizes must be run-to-run deterministic")
+    // the clean corpus sits entirely above the junk line
+    val corpus = TextAnalysis.compressionRatio(graft.Tables.documents(spark, sfDir))
+    assert(corpus.filter(!col("keep")).count() == 0,
+      "nothing in the clean corpus should read as loop spam")
+    assert(corpus.count() > 0)
+  }
+
   test("MIPS (s7): the norm-augmentation reduction ranks exactly like the inner product") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val viaDot = graft.SparkEntry.queries("s7_mips_topk")(spark, sfDir)
