@@ -1703,5 +1703,47 @@ object Dedup {
       SELECT vec_id, dup_of, bucket, ${r4Sql("cos")} AS cosine
       FROM p WHERE cos >= 0.4 ORDER BY vec_id, dup_of"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18)
+  // C19 — CANONICALIZED exact dedup: d1 composed with E23's NFC
+  // normalization, closing the hole raw byte-hash dedup has on Unicode
+  // text — "café" spelled precomposed and as 'e'+COMBINING ACUTE are
+  // the same document with different bytes, so raw md5 keeps both. The
+  // query derives the two spellings per doc (composed variant at
+  // doc_id, decomposed at doc_id+10M — deterministic, both normalize
+  // to identical bytes), then groups by md5(NFC(text)): every cluster
+  // must contain exactly the 2 spellings, and the n_raw_hashes column
+  // witnesses that RAW hashing would have missed every one of them.
+  // One narrow codegen'd normalize + one hash aggregate — d1's scale
+  // shape unchanged.
+  private val d19 = Relational.Q(
+    "d19_normalized_dedup",
+    (s, d) => {
+      import graft.functions.NfcNormalize
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val composed = base.select(col("doc_id"),
+        regexp_replace(col("text"), "e", "\u00e9").as("text"))
+      val decomposed = base.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "e", "e\u0301").as("text"))
+      composed.unionByName(decomposed)
+        .select(col("doc_id"), md5(col("text")).as("raw_hash"),
+          md5(NfcNormalize(col("text"))).as("norm_hash"))
+        .groupBy(col("norm_hash"))
+        .agg(min(col("doc_id")).as("canon_doc_id"),
+          count(lit(1)).as("n_members"),
+          countDistinct(col("raw_hash")).as("n_raw_hashes"))
+        .select(col("canon_doc_id"), col("n_members"), col("n_raw_hashes"))
+        .orderBy(col("canon_doc_id"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, replace(text, 'e', chr(233)) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, replace(text, 'e', 'e' || chr(769)) FROM documents),
+      h AS (
+        SELECT doc_id, md5(text) AS raw_hash, md5(nfc_normalize(text)) AS norm_hash
+        FROM corpus)
+      SELECT MIN(doc_id) AS canon_doc_id, COUNT(*) AS n_members,
+        CAST(COUNT(DISTINCT raw_hash) AS BIGINT) AS n_raw_hashes
+      FROM h GROUP BY norm_hash ORDER BY canon_doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19)
 }

@@ -264,4 +264,44 @@ object Publish {
     require(f.rename(tmp, ptr), s"pointer swap to v=$next failed")
     WapResult(published = true, Some(next), Some(versionDir.toString), Nil)
   }
+
+  /** G21 — ORPHAN GC: the lifecycle piece between WAP (G16) and version
+    * retention (G19/G20). Crashed or audit-failed attempts leave two
+    * invisible residue classes under a table root — `_staging/<token>`
+    * dirs (staged-but-never-published snapshots; at 100 TB these hold
+    * full-size parquet) and `_LATEST.tmp.<token>` files (pointer swaps
+    * that died between create and rename). Neither is ever read by the
+    * protocol, so they are pure storage leakage; this sweep deletes
+    * those older than `graceMs` (the grace window protects IN-FLIGHT
+    * attempts: a publisher mid-audit owns a young staging dir).
+    *
+    * Safety envelope: only the two residue classes are candidates —
+    * `v=*` version dirs (live data, owned by expireVersions/
+    * retentionSweep's pin-aware policy) and the `_LATEST` pointer are
+    * never touched, so the sweep composes with retention instead of
+    * racing it. Driver-side file-listing only (dir count, not data
+    * size); idempotent; returns what it deleted.
+    */
+  def gcOrphans(spark: SparkSession, root: String,
+      graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    if (!f.exists(rootPath)) return Nil
+    val cutoff = System.currentTimeMillis() - graceMs
+    val tmpPtrs = f.listStatus(rootPath).toSeq
+      .filter(s => s.getPath.getName.startsWith("_LATEST.tmp.")
+        && s.getModificationTime <= cutoff)
+      .map(_.getPath)
+    val stagingRoot = new Path(root, "_staging")
+    val staged =
+      if (!f.exists(stagingRoot)) Seq.empty
+      else f.listStatus(stagingRoot).toSeq
+        .filter(_.getModificationTime <= cutoff)
+        .map(_.getPath)
+    (tmpPtrs ++ staged).map { p =>
+      f.delete(p, true)
+      p.toString
+    }
+  }
 }

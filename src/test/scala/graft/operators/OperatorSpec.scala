@@ -2422,6 +2422,17 @@ class OperatorSpec extends SparkSpec {
       "already-normalized docs pass through unflagged")
   }
 
+  test("normalized dedup (d19): spellings collapse under NFC that raw hashing keeps apart") {
+    val out = graft.SparkEntry.queries("d19_normalized_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(out.forall(_._2 >= 2), "every doc pairs with its other spelling at minimum")
+    assert(out.map(_._2).sum == 2 * nDocs, "clusters partition the doubled corpus exactly")
+    assert(out.exists(_._3 == 2),
+      "some cluster must hold two DISTINCT raw hashes — the miss raw dedup would make")
+    assert(out.forall(_._3 <= 2), "at most the two spellings per doc text")
+  }
+
   test("compression ratio (t24): loop-spam is dropped, natural text survives, runs are deterministic") {
     val docs = Seq(
       (0L, "spam ham " * 200),                       // loop spam: ratio ~0.02

@@ -328,4 +328,39 @@ class SourcesSpec extends SparkSpec {
       assert(report.trim == "text_not_empty\t1", s"report: '$report'")
     } finally q.stop()
   }
+
+  test("orphan GC (G21): crash residue is swept, live versions and in-flight attempts survive") {
+    import spark.implicits._
+    import graft.operators.Publish
+    val root = Files.createTempDirectory("graft-gc").toString
+    val audit = Publish.columnAudit("doc_id_not_null" -> col("doc_id").isNull)
+    // a published version + its pointer: the protected surface
+    val clean = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    assert(Publish.writeAuditPublish(clean, root, audit, token = "good").published)
+    // residue class 1: an audit-failed staging dir (quarantine evidence)
+    val dirty = Seq((Option.empty[Long], "x")).toDF("doc_id", "text")
+    assert(!Publish.writeAuditPublish(dirty, root, audit, token = "crashed").published)
+    assert(new java.io.File(s"$root/_staging/crashed").isDirectory)
+    // residue class 2: a pointer swap that died between create and rename
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_LATEST.tmp.dead"), "v=9")
+
+    // a LONG grace protects everything (the in-flight-attempt contract)
+    assert(Publish.gcOrphans(spark, root, graceMs = 3600L * 1000).isEmpty,
+      "young residue inside the grace window must survive")
+
+    // grace 0 sweeps exactly the two residue classes
+    val deleted = Publish.gcOrphans(spark, root, graceMs = 0L)
+    assert(deleted.size == 2, s"expected staging + tmp pointer, got $deleted")
+    assert(!new java.io.File(s"$root/_staging/crashed").exists())
+    assert(!new java.io.File(s"$root/_LATEST.tmp.dead").exists())
+    // the live surface is untouched and the table still reads
+    assert(Publish.currentVersion(spark, root) == Some(1L))
+    assert(Publish.readPublished(spark, root).count() == 2)
+    // idempotent
+    assert(Publish.gcOrphans(spark, root, graceMs = 0L).isEmpty)
+    // and the next publish over the swept root works normally
+    assert(Publish.writeAuditPublish(clean, root, audit, token = "after").published)
+    assert(Publish.currentVersion(spark, root) == Some(2L))
+  }
 }
