@@ -825,6 +825,70 @@ object Multimodal {
       WHERE bit_count(xor(a.h, b.h)) <= 3
       ORDER BY doc_a, doc_b"""))
 
+  // F12 — video SCENE-CHANGE detection on PARSED frames: the shot-
+  // boundary stage of a video-curation pipeline (sample one frame per
+  // scene instead of one per N — m3's sampler upgraded from blind
+  // striding to content cuts). Detector: sum of absolute byte
+  // differences between adjacent frames (the classic pixel-difference
+  // shot detector), integer end to end; a cut is diff > 8*frameLen.
+  // The fixture mux gives each doc 16 fixed-length frames in scenes of
+  // (3 + id%3): within a scene adjacent frames differ by exactly 1 per
+  // byte (diff = 128), across scenes the base pattern jumps (diff >=
+  // ~12900) — an engineered >100x separation, so the threshold is not
+  // a tuned constant. Frames round-trip the REAL AVI walker (the m8
+  // seam): the oracle recomputes from the formula, so the hash match
+  // pins container parse + diff arithmetic + cut decisions together.
+  private val m12 = Relational.Q(
+    "m12_scene_changes",
+    (s, d) => {
+      import s.implicits._
+      val F = 16; val L = 128
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val slen = (3 + id % 3).toInt
+            val frames = (0 until F).map { k =>
+              Array.tabulate[Byte](L)(i =>
+                (((i * 37 + (k / slen) * 101 + id * 13) % 251) + (k % slen)).toByte)
+            }
+            val dec = VideoCodec.frames(VideoCodec.encodeAvi(frames)).getOrElse(
+              sys.error(s"m12: container walk failed for doc $id"))
+            var cuts = 0L
+            var total = 0L
+            var k = 1
+            while (k < dec.length) {
+              var diff = 0L
+              var i = 0
+              while (i < L) {
+                diff += math.abs((dec(k)(i) & 0xff) - (dec(k - 1)(i) & 0xff)); i += 1
+              }
+              total += diff
+              if (diff > 8L * L) cuts += 1
+              k += 1
+            }
+            (id, dec.length, cuts, total)
+          }
+        }
+        .toDF("doc_id", "n_frames", "n_scene_changes", "total_diff")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, 3 + doc_id % 3 AS slen FROM documents),
+      x AS (
+        SELECT doc_id, slen, k, i,
+          ((i * 37 + (k // slen) * 101 + doc_id * 13) % 251) + (k % slen) AS v
+        FROM d,
+          LATERAL (SELECT unnest(range(16)) AS k) u,
+          LATERAL (SELECT unnest(range(128)) AS i) w),
+      df AS (
+        SELECT a.doc_id, a.k, CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS diff
+        FROM x a JOIN x b ON b.doc_id = a.doc_id AND b.i = a.i AND b.k = a.k - 1
+        GROUP BY 1, 2)
+      SELECT doc_id, CAST(16 AS INTEGER) AS n_frames,
+        CAST(SUM(CASE WHEN diff > 8 * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_scene_changes,
+        CAST(SUM(diff) AS BIGINT) AS total_diff
+      FROM df GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10,
-    m11)
+    m11, m12)
 }

@@ -2422,6 +2422,28 @@ class OperatorSpec extends SparkSpec {
       "already-normalized docs pass through unflagged")
   }
 
+  test("scene changes (m12): cuts land exactly at scene boundaries with >100x separation") {
+    val out = graft.SparkEntry.queries("m12_scene_changes")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, (nf, cuts)) =>
+      val slen = (3 + id % 3).toInt
+      val expected = (1 until 16).count(_ % slen == 0).toLong
+      assert(nf == 16 && cuts == expected,
+        s"doc $id (scene len $slen): expected $expected cuts, got $cuts")
+    }
+    // the separation claim, measured directly on one doc's frames
+    val id = out.keys.min
+    val slen = (3 + id % 3).toInt
+    def frame(k: Int) = Array.tabulate(128)(i =>
+      ((i * 37 + (k / slen) * 101 + id * 13) % 251) + (k % slen))
+    val diffs = (1 until 16).map(k =>
+      (k, frame(k).zip(frame(k - 1)).map { case (a, b) => math.abs(a - b) }.sum))
+    val (boundary, within) = diffs.partition(_._1 % slen == 0)
+    assert(within.map(_._2).max * 100 < boundary.map(_._2).min,
+      "cut threshold sits in a >100x gap — not a tuned constant")
+  }
+
   test("normalized dedup (d19): spellings collapse under NFC that raw hashing keeps apart") {
     val out = graft.SparkEntry.queries("d19_normalized_dedup")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
