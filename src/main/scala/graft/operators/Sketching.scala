@@ -671,6 +671,50 @@ object Sketching {
     },
     None)
 
+  // I12 — AMS F2 sketch (Alon, Matias & Szegedy 1996): estimate the
+  // SECOND MOMENT F2 = sum_i f_i^2 of the token-frequency vector — the
+  // self-join size, the quantity an optimizer wants before it picks a
+  // join strategy — from M=9 counters, each a random +-1 projection
+  // Z_j = sum_i s_j(i)*f_i with E[Z_j^2] = F2 and the estimate the
+  // median of the Z_j^2. Like x9's CMS the sketch is LINEAR (shard
+  // sketches ADD — the mergeability spec), and the signs are
+  // md5-derived, so every Z_j is an exact integer both engines agree
+  // on: FULL oracle even though the operator is an approximation.
+  // Scale shape: one corpus pass builds the vocab frame (map-side
+  // combinable); the xM sign expansion explodes the VOCAB, never the
+  // corpus; Z sums are map-side combinable; state is M longs.
+  private val x14 = Relational.Q(
+    "x14_ams_f2",
+    (s, d) => {
+      import graft.functions.{HashFunctions => H}
+      val M = 9
+      val tf = Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      tf.select(col("tok"), col("f"),
+          explode(sequence(lit(1), lit(M))).as("j"))
+        .select(col("j").cast("long").as("j"),
+          (when(pmod(H.md5Hash56(
+              concat(lit("ams"), col("j").cast("string"), lit("|"), col("tok"))), lit(2L)) === 0,
+            lit(1L)).otherwise(lit(-1L)) * col("f")).as("contrib"))
+        .groupBy(col("j")).agg(sum(col("contrib")).as("z"))
+        .select(col("j"), col("z"), (col("z") * col("z")).as("z2"))
+        .orderBy(col("j"))
+    },
+    Some(s"""
+      WITH tf AS (
+        SELECT tok, COUNT(*) AS f FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents)
+        GROUP BY tok),
+      e AS (
+        SELECT u.j,
+          CASE WHEN ${graft.functions.HashFunctions.md5Hash56Sql("'ams' || u.j || '|' || tok")} % 2 = 0
+               THEN f ELSE -f END AS contrib
+        FROM tf, LATERAL (SELECT unnest(range(1, 10)) AS j) u),
+      zs AS (SELECT j, CAST(SUM(contrib) AS BIGINT) AS z FROM e GROUP BY j)
+      SELECT j, z, z * z AS z2 FROM zs ORDER BY j"""))
+
   val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12,
-    x13)
+    x13, x14)
 }

@@ -455,4 +455,38 @@ class SketchingSpec extends SparkSpec {
     assert(ev.toArray.map(math.abs).max <= 1e-6 * frobA2,
       "below-capacity rank means zero shrink: the sketch is exact")
   }
+
+  test("AMS F2 (x14): the median-of-squares estimate brackets the exact self-join size") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("x14_ams_f2")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 9 && out.map(_._1).toSeq == (1L to 9L))
+    val exactF2 = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy("tok").count().select(sum(col("count") * col("count")))
+      .collect()(0).getLong(0)
+    val med = out.map(_._3).sorted.apply(4) // median of 9
+    assert(med >= exactF2 / 3 && med <= 3 * exactF2,
+      s"AMS median $med must bracket exact F2 $exactF2 within 3x")
+  }
+
+  test("AMS F2 (x14): the sketch is LINEAR — shard sketches add to the single pass") {
+    import graft.functions.{HashFunctions => H}
+    def zs(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      docs.select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        .select(col("tok"), col("f"), explode(sequence(lit(1), lit(9))).as("j"))
+        .select(col("j").cast("long").as("j"),
+          (when(pmod(H.md5Hash56(
+              concat(lit("ams"), col("j").cast("string"), lit("|"), col("tok"))), lit(2L)) === 0,
+            lit(1L)).otherwise(lit(-1L)) * col("f")).as("c"))
+        .groupBy("j").agg(sum(col("c")).as("z"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sfDir)
+    val whole = zs(docs)
+    val a = zs(docs.filter(col("doc_id") % 2 === 0))
+    val b = zs(docs.filter(col("doc_id") % 2 === 1))
+    assert((1L to 9L).forall(j => whole(j) == a(j) + b(j)),
+      "Z_j counters must add cell-wise across shards — the mergeability contract")
+  }
 }
