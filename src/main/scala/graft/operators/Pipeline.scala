@@ -1287,6 +1287,57 @@ object Pipeline {
       FROM g ORDER BY doc_id"""
     })
 
+  // P20 — QUALITY-weighted selection: the stage public pipelines run
+  // after scoring — sample docs with probability proportional to the
+  // learned quality score, not to size (the quality-classifier
+  // selection recipe). Pure composition of two verified cores: t15's
+  // model score (integer Σw per doc, parameter-bounded model broadcast)
+  // becomes the PPS weight feeding p17's all-integer systematic
+  // sampler; non-positive scores weight 0 and drop out — the sampler
+  // IS the keep gate. Every stage keeps its own scale shape (t15: one
+  // explode + broadcast join + map-side agg; p17: two-phase bucket
+  // prefix sums, no corpus-wide sort).
+  private val p20 = Relational.Q(
+    "p20_quality_weighted_sample",
+    (s, d) => {
+      val dim = 4096
+      val model = s.range(dim).select(col("id").as("bucket"),
+        ((col("id") * 2654435761L) % 1009L - 504L).as("w"))
+      val scored = TextAnalysis.qualityModelScore(Tables.documents(s, d), model, dim)
+        .select(col("doc_id"), col("score_sum"))
+      val withW = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"))
+      weightedSystematicSample(withW, greatest(col("score_sum"), lit(0L)), k = 100L)
+    },
+    Some {
+      val hb = graft.functions.HashFunctions.md5Hash56Sql("t")
+      val h = graft.functions.HashFunctions.md5Hash56Sql("('ws:' || CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents),
+      b AS (SELECT doc_id, $hb % 4096 AS bucket FROM toks),
+      w AS (SELECT range AS bucket, (range * 2654435761) % 1009 - 504 AS w
+            FROM range(4096)),
+      sc AS (SELECT doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+             FROM b JOIN w USING (bucket) GROUP BY doc_id),
+      hd AS (
+        SELECT d.doc_id, d.lang, GREATEST(sc.score, 0) AS w, $h AS h
+        FROM documents d JOIN sc USING (doc_id)
+        WHERE GREATEST(sc.score, 0) > 0),
+      c AS (
+        SELECT doc_id, lang, w,
+          SUM(w) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hd),
+      t AS (SELECT SUM(w) AS wt FROM hd)
+      SELECT doc_id, lang, w, CAST(cum AS BIGINT) AS cum,
+        CAST((cum * 100) // wt - ((cum - w) * 100) // wt AS BIGINT) AS picks
+      FROM c, t
+      WHERE (cum * 100) // wt > ((cum - w) * 100) // wt
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18, p19)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20)
 }

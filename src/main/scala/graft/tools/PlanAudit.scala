@@ -70,6 +70,7 @@ object PlanAudit {
     "p15_curriculum_order" -> "stages x buckets-row two-phase offsets frame (parameter-bounded)",
     "p16_dsir_sample" -> "one-row token totals + nBuckets(=256)-row vote/log-ratio frame (parameter-bounded — the x3/x9 class)",
     "p17_weighted_sample" -> "one-row w_total + buckets-row weighted-offsets frame (parameter-bounded — the p14 class)",
+    "p20_quality_weighted_sample" -> "one-row w_total + buckets-row offsets + dim(=4096)-row model frame (parameter-bounded — the p17/t15 classes)",
     "p18_d4_diversify" -> "one-row w_total + 2^signBits-row targets + 2^signBits x buckets-row offsets (parameter-bounded — the p12 class)")
 
   /** The global-window invariant, mechanized like the hint guard: every
@@ -108,7 +109,9 @@ object PlanAudit {
     "p15_curriculum_order" ->
       "stages x buckets-row prefix-sum frame (parameter-bounded, the q48 class)",
     "p17_weighted_sample" ->
-      "buckets-row weighted prefix-sum frame (bucket-parameter-bounded, the q48 class)")
+      "buckets-row weighted prefix-sum frame (bucket-parameter-bounded, the q48 class)",
+    "p20_quality_weighted_sample" ->
+      "buckets-row weighted prefix-sum frame (bucket-parameter-bounded, the p17 class)")
 
   /** Columns whose cardinality does NOT grow with the data — the keys a
     * window must never partition by ALONE over a data-proportional frame:
@@ -226,6 +229,8 @@ object PlanAudit {
         "crossJoin(broadcast(<one-row token-totals frame>)) for the bucket votes",
       "p17_weighted_sample" ->
         "crossJoin(broadcast(<one-row w_total frame>)) for the pick boundaries",
+      "p20_quality_weighted_sample" ->
+        "crossJoin(broadcast(<one-row w_total frame>)) for the pick boundaries (the p17 shape)",
       "p18_d4_diversify" ->
         "crossJoin(broadcast(<one-row w_total frame>)) for the integer targets",
       "x11_bloom_decontaminate" ->

@@ -2422,6 +2422,23 @@ class OperatorSpec extends SparkSpec {
       "already-normalized docs pass through unflagged")
   }
 
+  test("quality-weighted sample (p20): picks sum to k, and every pick passed the quality gate") {
+    val out = graft.SparkEntry.queries("p20_quality_weighted_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(out.map(_._3).sum == 100L, "PPS picks must sum to k exactly")
+    assert(out.forall(_._2 > 0), "weight 0 docs (score <= 0) can never be sampled")
+    // composition honesty: every sampled doc is a t15 keep=true doc
+    val dim = 4096
+    val model = spark.range(dim).select(col("id").as("bucket"),
+      ((col("id") * 2654435761L) % 1009L - 504L).as("w"))
+    val kept = TextAnalysis.qualityModelScore(
+        graft.Tables.documents(spark, sfDir), model, dim)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => kept.contains(r._1)),
+      "the sampler IS the keep gate: only positive-score docs appear")
+  }
+
   test("scene changes (m12): cuts land exactly at scene boundaries with >100x separation") {
     val out = graft.SparkEntry.queries("m12_scene_changes")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
