@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BloomBits, BpeEncode, CosineSimilarity, CountMinSketch, KMinValues, MinHashSignature, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
+import graft.functions.{BloomBits, BpeEncode, CosineSimilarity, CountMinSketch, KMinValues, MinHashSignature, MultiPatternCounts, NfcNormalize, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
 
 /** Spark session extension: registers graft's custom Catalyst expressions
   * as SQL functions, so the whole similarity/dedup toolkit is reachable
@@ -22,6 +22,9 @@ import graft.functions.{BloomBits, BpeEncode, CosineSimilarity, CountMinSketch, 
   *   bpe_encode(w, merges)        — greedy BPE symbols of a word; merges is a
   *                                  literal array of 'left right' lines (the
   *                                  public merges-file format), vocab-bounded
+  *   multi_pattern_counts(t, ps)  — one-pass Aho-Corasick per-pattern counts;
+  *                                  ps is a literal array (blocklist-bounded)
+  *   nfc_normalize(t)             — Unicode NFC canonical composition
   *
   * Enable with:
   *   SparkSession.builder().config("spark.sql.extensions", "graft.GraftExtensions")
@@ -84,6 +87,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         litInt(children(1), "bloom_bits", "mBits"),
         litInt(children(2), "bloom_bits", "kHashes"))
         .toAggregateExpression()
+    })
+    register(ext, "nfc_normalize", { children =>
+      require(children.length == 1, "nfc_normalize expects exactly 1 argument")
+      NfcNormalize(children.head)
+    })
+    register(ext, "multi_pattern_counts", { children =>
+      require(children.length == 2,
+        "multi_pattern_counts expects (text, patterns: array of strings)")
+      val m = children(1)
+      require(m.foldable,
+        "multi_pattern_counts: patterns must be a LITERAL array of strings " +
+          "(the blocklist is a model artifact, not per-row data)")
+      val pats = m.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map { i =>
+            val u = a.getUTF8String(i)
+            require(u != null,
+              s"multi_pattern_counts: patterns must not contain NULL (element $i)")
+            u.toString
+          }
+        case other => throw new IllegalArgumentException(
+          s"multi_pattern_counts: patterns must be an array of strings, got $other")
+      }
+      MultiPatternCounts(children.head, pats)
     })
     register(ext, "bpe_encode", { children =>
       require(children.length == 2,

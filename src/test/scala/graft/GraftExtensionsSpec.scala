@@ -111,6 +111,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
       assert(errMalformed.getMessage.contains("exactly 'left right'"),
         s"unexpected: ${errMalformed.getMessage}")
+      // Aho-Corasick from SQL: overlapping + suffix-nested counts
+      val mpc = spark.sql(
+        "SELECT multi_pattern_counts('aaaa', array('a', 'aa')) AS c")
+        .head().getSeq[Long](0)
+      assert(mpc == Seq(4L, 3L), s"got $mpc")
+      val errPat = intercept[Exception] {
+        spark.sql("SELECT multi_pattern_counts('x', array(CAST(rand() AS STRING))) AS c").head()
+      }
+      assert(errPat.getMessage.contains("LITERAL"), s"unexpected: ${errPat.getMessage}")
+      // NFC from SQL: decomposed e + combining acute composes
+      val nfc = spark.sql("SELECT nfc_normalize('cafe\u0301') AS n").head().getString(0)
+      assert(nfc == "caf\u00e9", s"got $nfc")
     } finally {
       // do NOT stop(): that would kill the shared SparkContext
       SparkSession.clearDefaultSession()
