@@ -99,4 +99,38 @@ object ScaleUtils {
       .drop("__graft_z")
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** G22 — STATS MANIFEST (the Iceberg/Delta data-skipping layer above
+    * parquet footers): per-file (min, max, rows) for a filter column,
+    * built with ONE distributed scan at WRITE/publish time and stored
+    * as a tiny table. Parquet already prunes row groups from footers,
+    * but at 100 TB the planner must OPEN every footer first — a million
+    * small reads per query; a manifest answers "which files can match"
+    * from file-count-bounded metadata instead. Build once per publish
+    * (the WAP audit pass can piggyback), read many.
+    */
+  def buildStatsManifest(df: DataFrame, statCol: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+
+  /** Range read with manifest-driven FILE skipping: keep only files
+    * whose [min_v, max_v] intersects [lo, hi], then scan just those.
+    * The manifest collect is file-count-bounded (the audit-report
+    * class), never data-proportional; the residual in-file filter
+    * still pushes down to row groups, so skipping composes with —
+    * never replaces — footer pruning. Returns (files kept, frame).
+    */
+  def readSkipping(spark: SparkSession, manifest: DataFrame, statCol: String,
+      lo: Long, hi: Long): (Seq[String], DataFrame) = {
+    require(lo <= hi, s"empty range: [$lo, $hi]")
+    val files = manifest
+      .filter(!(col("max_v") < lo || col("min_v") > hi))
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+    val frame =
+      if (files.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(files: _*)
+        .filter(col(statCol) >= lo && col(statCol) <= hi)
+    (files, frame)
+  }
 }

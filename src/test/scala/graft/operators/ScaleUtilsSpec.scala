@@ -145,4 +145,28 @@ class ScaleUtilsSpec extends SparkSpec {
     // and the layout is lossless
     assert(spark.read.parquet(zdir).count() == 4096)
   }
+
+  test("stats manifest (G22): range reads skip files, lose nothing, and compose with pushdown") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    // 4096 rows range-partitioned into 16 files sorted by key: each
+    // file owns a contiguous ~256-key slice
+    val rows = (0 until 4096).map(i => (i.toLong, s"payload-$i")).toDF("key", "payload")
+    rows.repartitionByRange(16, col("key")).sortWithinPartitions(col("key"))
+      .write.mode("overwrite").parquet(dir)
+    val manifest = ScaleUtils.buildStatsManifest(spark.read.parquet(dir), "key")
+    assert(manifest.count() == 16, "one manifest row per file")
+    assert(manifest.agg(sum(col("n_rows"))).head().getLong(0) == 4096L)
+    // a narrow range touches few files and returns exactly the filter answer
+    val (files, frame) = ScaleUtils.readSkipping(spark, manifest, "key", 1000L, 1100L)
+    assert(files.size <= 3, s"101-key range should touch <= 3 of 16 files, got ${files.size}")
+    val got = frame.select("key").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (1000L to 1100L).toSeq, "skipping must lose nothing")
+    // boundary keys are INCLUSIVE on both ends
+    val (_, edge) = ScaleUtils.readSkipping(spark, manifest, "key", 4095L, 4095L)
+    assert(edge.count() == 1L)
+    // a disjoint range opens zero files
+    val (none, empty) = ScaleUtils.readSkipping(spark, manifest, "key", 10000L, 20000L)
+    assert(none.isEmpty && empty.count() == 0L)
+  }
 }
