@@ -1727,8 +1727,88 @@ object Relational {
       FROM m WHERE COALESCE(op, '') <> 'D'
       ORDER BY o_orderkey"""))
 
+  // B50 — GAP-FILL + forward-fill interpolation (q41's spine taken to
+  // its consumer: a regular per-entity time series from irregular
+  // events, the shape feature stores and forecasting inputs need): per
+  // customer (custkey < 1000 keeps the demo frame bounded; the plan is
+  // identical unbounded), a monthly spine over the global order span,
+  // LEFT-joined monthly revenue, then
+  //   - filled_revenue: last known value carried forward (last(_,
+  //     ignoreNulls) over an entity-partitioned running frame — the
+  //     window key GROWS with the data, never enum-bounded),
+  //   - months_since_order: age of that value in months.
+  // Money stays DECIMAL(12,2)-exact through the fill (missing months
+  // carry the exact last value, not a re-rounded copy). DuckDB twin
+  // uses LAST_VALUE IGNORE NULLS over the same frame.
+  private val q50 = Q(
+    "q50_gap_fill",
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_custkey") < 1000)
+        .select(col("o_custkey").as("custkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+          col("o_totalprice"))
+      val span = Tables.orders(s, d)
+        .agg(date_trunc("month", min(col("o_orderdate"))).cast("date").as("m0"),
+          date_trunc("month", max(col("o_orderdate"))).cast("date").as("m1"))
+      val spine = span
+        .select(explode(expr("sequence(m0, m1, interval 1 month)")).as("month"))
+      val rev = o.groupBy(col("custkey"), col("month"))
+        .agg(money(col("o_totalprice")).as("revenue"))
+      val custs = o.select(col("custkey")).distinct()
+      val w = Window.partitionBy(col("custkey")).orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      custs.crossJoin(spine)
+        .join(rev, Seq("custkey", "month"), "left")
+        .withColumn("filled_revenue", last(col("revenue"), ignoreNulls = true).over(w))
+        .withColumn("last_month", last(
+          when(col("revenue").isNotNull, col("month")), ignoreNulls = true).over(w))
+        .select(col("custkey"), col("month"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"),
+          coalesce(col("filled_revenue"), lit(0.0)).as("filled_revenue"),
+          coalesce(months_between(col("month"), col("last_month")).cast("long"),
+            lit(-1L)).as("months_since_order"))
+        .orderBy(col("custkey"), col("month"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey AS custkey,
+          CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+          o_totalprice
+        FROM orders WHERE o_custkey < 1000),
+      span AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m0,
+          CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS m1
+        FROM orders),
+      spine AS (
+        SELECT CAST(unnest(generate_series(m0, m1, INTERVAL 1 MONTH)) AS DATE) AS month
+        FROM span),
+      rev AS (
+        SELECT custkey, month,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        FROM o GROUP BY 1, 2),
+      custs AS (SELECT DISTINCT custkey FROM o),
+      grid AS (
+        SELECT c.custkey, s.month, r.revenue
+        FROM custs c CROSS JOIN spine s
+        LEFT JOIN rev r ON r.custkey = c.custkey AND r.month = s.month),
+      f AS (
+        SELECT custkey, month, revenue,
+          LAST_VALUE(revenue IGNORE NULLS) OVER (
+            PARTITION BY custkey ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_revenue,
+          LAST_VALUE(CASE WHEN revenue IS NOT NULL THEN month END IGNORE NULLS) OVER (
+            PARTITION BY custkey ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_month
+        FROM grid)
+      SELECT custkey, month,
+        COALESCE(revenue, 0.0) AS revenue,
+        COALESCE(filled_revenue, 0.0) AS filled_revenue,
+        COALESCE(CAST(date_diff('month', last_month, month) AS BIGINT), -1)
+          AS months_since_order
+      FROM f ORDER BY custkey, month"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 }

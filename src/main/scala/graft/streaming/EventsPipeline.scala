@@ -432,6 +432,61 @@ object EventsPipeline {
       .transformWithState(new ScdProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class CdcOp(key: Long, seq: Long, op: String,
+      custkey: Long, status: String, price: Double)
+
+  final case class CdcRowUpdate(key: Long, version: Long, deleted: Boolean,
+      custkey: Long, status: String, price: Double, emit_seq: Long)
+
+  /** A42 — STREAMING CDC materialization: batch q49's compaction+apply
+    * as continuous MATERIALIZED-VIEW MAINTENANCE — arriving change-log
+    * ops (upserts/deletes with per-key sequence numbers) keep a
+    * latest-row view current instead of re-compacting the full log.
+    *
+    * State per key = the LATEST op only (O(1) regardless of churn — the
+    * q49 max_by, incrementalized). Each batch emits one update row per
+    * touched key carrying the current materialized values (deletes emit
+    * a tombstone); downstream latest-per-key by emit_seq IS the view —
+    * the same latest-wins convention as A31's span updates. Late or
+    * duplicate ops with seq <= the stored seq are ignored (idempotent
+    * replay, the CDC at-least-once contract).
+    */
+  class CdcProcessor extends StatefulProcessor[Long, CdcOp, CdcRowUpdate] {
+    @transient private var state: ValueState[CdcMatState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CdcMatState](
+        "cdc_latest_op", Encoders.product[CdcMatState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcOp],
+        timers: TimerValues): Iterator[CdcRowUpdate] = {
+      var st = if (state.exists()) state.get() else null
+      var changed = false
+      rows.toSeq.sortBy(_.seq).foreach { r =>
+        if (st == null || r.seq > st.seq) {
+          st = CdcMatState(r.seq, r.op, r.custkey, r.status, r.price,
+            if (st == null) 0L else st.emitSeq)
+          changed = true
+        }
+      }
+      if (changed) {
+        val next = st.copy(emitSeq = st.emitSeq + 1)
+        state.update(next)
+        Iterator.single(CdcRowUpdate(key, next.seq, next.op == "D",
+          next.custkey, next.status, next.price, next.emitSeq))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[CdcProcessor]] wired onto a change-log stream — RocksDB state
+    * store required, like all transformWithState pipelines.
+    */
+  def cdcApplyStream(ops: Dataset[CdcOp]): Dataset[CdcRowUpdate] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.key)
+      .transformWithState(new CdcProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   final case class BandedDoc(band_key: Long, doc_id: Long, sig: Array[Long])
 
   final case class NearDupHit(doc_id: Long, earlier_id: Long, est_jaccard: Double)
@@ -639,3 +694,10 @@ object EventsPipeline {
   */
 final case class ScdState(version: Long, priority: String,
     fromDay: Int, nOrders: Long, seq: Long)
+
+/** A42's per-key state: the latest CDC op (the q49 max_by,
+  * incrementalized) plus the emission counter. TOP-LEVEL for the same
+  * encoder-codegen reason as [[ScdState]].
+  */
+final case class CdcMatState(seq: Long, op: String, custkey: Long,
+    status: String, price: Double, emitSeq: Long)

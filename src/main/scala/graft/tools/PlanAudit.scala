@@ -221,6 +221,8 @@ object PlanAudit {
         "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size)",
       "q41_daily_spine" ->
         "calendar spine x priority dim (calendar- and enum-bounded, not data-bounded)",
+      "q50_gap_fill" ->
+        "entity frame x calendar-bounded month spine (the q41 class — the product IS the gap-filled output grain)",
       "d14_domain_governance" ->
         "crossJoin(broadcast(<one-row post-dedup total frame>)) for the share gate",
       "p12_temperature_sample" ->

@@ -2422,6 +2422,32 @@ class OperatorSpec extends SparkSpec {
       "already-normalized docs pass through unflagged")
   }
 
+  test("gap fill (q50): forward-fill carries the last value, ages correctly, and leads stay empty") {
+    val rows = graft.SparkEntry.queries("q50_gap_fill")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (ck, months) =>
+      val ordered = months.sortBy(_._2)
+      var lastVal = 0.0
+      var lastAge = -1L
+      var seen = false
+      ordered.foreach { case (_, m, rev, filled, age) =>
+        if (rev != 0.0) { seen = true; lastVal = rev; lastAge = 0L }
+        else if (seen) lastAge += 1
+        if (!seen) {
+          assert(filled == 0.0 && age == -1L,
+            s"cust $ck $m: months before the first order must be empty")
+        } else {
+          assert(filled == lastVal, s"cust $ck $m: fill must carry the last value")
+          assert(age == lastAge, s"cust $ck $m: months_since_order must age by 1")
+        }
+      }
+      assert(seen, s"cust $ck appears only if it has at least one order")
+    }
+    // the fill is genuinely exercised: some month somewhere is filled from the past
+    assert(rows.exists(r => r._3 == 0.0 && r._4 > 0.0), "gaps exist and are filled")
+  }
+
   test("quality-weighted sample (p20): picks sum to k, and every pick passed the quality gate") {
     val out = graft.SparkEntry.queries("p20_quality_weighted_sample")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))

@@ -999,6 +999,67 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC materialization (A42): latest-per-key view equals the batch MERGE apply") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventsPipeline.{cdcApplyStream, CdcOp}
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val saved = EventsPipeline.RocksDBStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    // q49's fixture change log, fed seq-ordered (the CDC commit-order
+    // contract) across three micro-batch slicings
+    val snap = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    def p2(x: Double) = BigDecimal(x).setScale(2, HALF_UP)
+    val ops = (snap.filter(_._1 % 7 == 0).map { case (k, ck, st, p) =>
+        CdcOp(k, 1L, "U", ck, st,
+          (p2(p) * BigDecimal("1.10")).setScale(2, HALF_UP).toDouble) } ++
+      snap.filter(_._1 % 1000 == 1).map { case (k, ck, _, p) =>
+        CdcOp(k + 10000000L, 1L, "U", ck, "N", p2(p).toDouble) } ++
+      snap.filter(_._1 % 21 == 0).map { case (k, ck, st, p) =>
+        CdcOp(k, 2L, "U", ck, st, (p2(p) + 5).setScale(2, HALF_UP).toDouble) } ++
+      snap.filter(_._1 % 13 == 0).map { case (k, _, _, _) =>
+        CdcOp(k, 3L, "D", 0L, "", 0.0) }).sortBy(_.seq)
+    val src = MemoryStream[CdcOp]
+    val q = cdcApplyStream(src.toDS())
+      .writeStream.format("memory").queryName("cdc_mat_test")
+      .outputMode("append").start()
+    try {
+      ops.grouped(math.max(1, ops.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val view = spark.table("cdc_mat_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+          r.getString(4), r.getDouble(5), r.getLong(6)))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._7) }
+      val batch = graft.SparkEntry.queries("q49_cdc_merge")(spark, sfDir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))).toMap
+      val touched = ops.map(_.key).toSet
+      assert(touched.nonEmpty && view.keySet == touched,
+        "one materialized row per touched key, no extras")
+      touched.foreach { k =>
+        val (_, ver, deleted, ck, st, pr, _) = view(k)
+        if (k % 13 == 0 && k < 10000000L) {
+          assert(deleted && ver == 3L, s"key $k must materialize as a tombstone")
+          assert(!batch.contains(k), s"batch must have dropped deleted key $k")
+        } else {
+          assert(!deleted && batch(k) == ((ck, st, pr, ver)),
+            s"key $k: view ($ck,$st,$pr,$ver) != batch ${batch(k)}")
+        }
+      }
+    } finally {
+      q.stop()
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("streaming SCD2 maintenance (A31): latest-per-version equals the batch operator") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     // transformWithState runs only on the RocksDB provider
