@@ -1750,6 +1750,132 @@ object TextAnalysis {
     (s, d) => compressionRatio(Tables.documents(s, d)),
     None)
 
+  /** E25's core: Reciprocal Rank Fusion (Cormack, Clarke & Buettcher
+    * 2009 — the standard score-free hybrid-retrieval combiner): fuse
+    * two rankings of the same corpus by summing 1/(k + rank), k = 60.
+    * Rank-based, so a lexical scorer and a vector scorer fuse without
+    * any score calibration. Float discipline: each source's reciprocal
+    * is r4-quantized BEFORE the two-term fixed-order sum (lexical +
+    * semantic), so the fused key is bit-identical cross-engine; ties
+    * break by doc_id. Inputs are (query_id, rnk, doc_id) frames —
+    * rank-K-bounded per query, so the fusion join is never
+    * data-proportional.
+    */
+  def rrfFuse(lexical: DataFrame, semantic: DataFrame,
+      k: Int = 60, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def recip(df: DataFrame, as: String) =
+      df.select(col("query_id"), col("doc_id"),
+        r4(lit(1.0) / (lit(k.toDouble) + col("rnk"))).as(as))
+    val fused = recip(lexical, "s_lex")
+      .join(recip(semantic, "s_sem"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("s_lex"), lit(0.0)) + coalesce(col("s_sem"), lit(0.0)))
+          .as("fused"),
+        col("s_lex").isNotNull.as("in_lexical"),
+        col("s_sem").isNotNull.as("in_semantic"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("fused").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        r4(col("fused")).as("fused"), col("in_lexical"), col("in_semantic"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // E25 — HYBRID retrieval: "docs like this example AND matching these
+  // terms" — each fixture query carries the t21 term set AND an example
+  // document's embedding (documents and embeddings share the id space,
+  // the d17 convention). Lexical leg = BM25 top-20; semantic leg =
+  // exact cosine top-20 for the example vector (the s1 shape, self
+  // excluded); RRF fuses the two rank lists. Scale: both legs are
+  // already-audited plans; the fusion joins two K-bounded-per-query
+  // frames. The oracle recomposes all three stages in SQL, so the hash
+  // match pins both legs AND the fusion arithmetic.
+  private val t25 = Relational.Q(
+    "t25_hybrid_rrf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.{CosineSimilarity => CosF}
+      val legK = 20
+      val lex = bm25TopK(Tables.documents(s, d), Bm25Queries, topK = legK)
+        .select(col("query_id"), col("rnk"), col("doc_id"))
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < Bm25Queries.length)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = Tables.spread(
+          e.select(col("vec_id").as("doc_id"), col("embedding").as("cv")))
+        .join(broadcast(q), col("doc_id") =!= col("query_id"))
+        .withColumn("cos", CosF(col("qv"), col("cv")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("doc_id"))
+      val sem = scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= legK)
+        .select(col("query_id"), col("rnk"), col("doc_id"))
+      rrfFuse(lex, sem)
+    },
+    Some {
+      val qvals = Bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_tokens FROM dl),
+      qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+             FROM (VALUES $qvals) AS q(query_id, term)),
+      m AS (SELECT qt.query_id, tf.doc_id, tf.term,
+          ${r4Sql("""ln(1.0 + ((CAST(t.n_docs AS DOUBLE) - df.df) + 0.5) / (df.df + 0.5))
+            * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                / (CAST(t.n_tokens AS DOUBLE) / CAST(t.n_docs AS DOUBLE))))))""")} AS w
+        FROM tf
+        JOIN qt ON tf.term = qt.term
+        JOIN dft df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN tot t),
+      pd AS (SELECT query_id, doc_id,
+          list_reduce(list_prepend(0.0, list_transform(
+            list_sort(list({'term': term, 'w': w})), x -> x['w'])),
+            (a, b) -> a + b) AS score
+        FROM m GROUP BY 1, 2),
+      lex AS (SELECT query_id, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM pd QUALIFY rnk <= 20),
+      qv AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings
+             WHERE vec_id < ${Bm25Queries.length}),
+      cs AS (SELECT qv.query_id, c.vec_id AS doc_id,
+          list_reduce(list_transform(list_zip(qv.v, c.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+          / sqrt(
+              list_reduce(list_transform(qv.v,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)
+              * list_reduce(list_transform(c.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS cos
+        FROM qv JOIN embeddings c ON c.vec_id <> qv.query_id),
+      sem AS (SELECT query_id, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk
+        FROM cs QUALIFY rnk <= 20),
+      fused AS (
+        SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+          COALESCE(l.doc_id, s.doc_id) AS doc_id,
+          COALESCE(${r4Sql("1.0 / (60.0 + l.rnk)")}, 0.0)
+            + COALESCE(${r4Sql("1.0 / (60.0 + s.rnk)")}, 0.0) AS fused,
+          l.rnk IS NOT NULL AS in_lexical,
+          s.rnk IS NOT NULL AS in_semantic
+        FROM lex l FULL OUTER JOIN sem s
+          ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+      r AS (SELECT query_id, doc_id, fused, in_lexical, in_semantic,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY fused DESC, doc_id) AS rnk
+        FROM fused)
+      SELECT query_id, rnk, doc_id, ${r4Sql("fused")} AS fused,
+        in_lexical, in_semantic
+      FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+    })
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
+    t25)
 }

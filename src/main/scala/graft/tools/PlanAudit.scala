@@ -58,6 +58,7 @@ object PlanAudit {
     "t11_surprisal" -> "one-row total-tokens aggregate",
     "t20_stupid_backoff" -> "one-row (N,V) train-totals aggregate (the t11 class)",
     "t21_bm25_topk" -> "parameter-bounded query-term frame + one-row (N, total-tokens) aggregate",
+    "t25_hybrid_rrf" -> "t21's bounded frames + the s1-class parameter-bounded example-vector set",
     "x3_heavy_hitters" -> "hashed-bucket aggregate: width 1024 rows max (constant)",
     "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB",
     "d14_domain_governance" -> "one-row post-dedup total aggregate (the t9/q48 shape)",
@@ -213,6 +214,8 @@ object PlanAudit {
         "crossJoin(broadcast(<one-row (N,V) train-totals frame>)) for the unigram floor",
       "t21_bm25_topk" ->
         "crossJoin(broadcast(<one-row (N, total-tokens) frame>)) for idf/avgdl",
+      "t25_hybrid_rrf" ->
+        "corpus scanned once against the broadcast example-vector set (the s1 theta join) inside the semantic leg",
       "q48_surrogate_keys" ->
         "crossJoin(broadcast(<one-row max-surrogate-key frame>)) for the key base",
       "x6_kmv_overlap" ->

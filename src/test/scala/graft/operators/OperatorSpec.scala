@@ -2422,6 +2422,29 @@ class OperatorSpec extends SparkSpec {
       "already-normalized docs pass through unflagged")
   }
 
+  test("hybrid RRF (t25): fusion arithmetic matches the hand example; both legs contribute") {
+    // lex ranks A then B; sem ranks B then C. B appears in both legs:
+    // 1/62 + 1/61 (r4'd each) beats A's 1/61 beats C's 1/62.
+    val lex = Seq((0L, 1L, 100L), (0L, 2L, 200L)).toDF("query_id", "rnk", "doc_id")
+    val sem = Seq((0L, 1L, 200L), (0L, 2L, 300L)).toDF("query_id", "rnk", "doc_id")
+    val fused = TextAnalysis.rrfFuse(lex, sem).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4), r.getBoolean(5)))
+    assert(fused.toSeq == Seq(
+      (1L, 200L, 0.0325, true, true),   // both legs
+      (2L, 100L, 0.0164, true, false),  // lexical only
+      (3L, 300L, 0.0161, false, true)), // semantic only
+      s"got ${fused.toSeq}")
+    // the real query: ranks dense, and both legs actually contribute
+    val out = graft.SparkEntry.queries("t25_hybrid_rrf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4), r.getBoolean(5)))
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq,
+        s"query $q fused ranks must be dense")
+    }
+    assert(out.exists(_._3) && out.exists(_._4),
+      "both retrieval legs should surface docs in the fused top-k")
+  }
+
   test("gap fill (q50): forward-fill carries the last value, ages correctly, and leads stay empty") {
     val rows = graft.SparkEntry.queries("q50_gap_fill")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3), r.getLong(4)))
