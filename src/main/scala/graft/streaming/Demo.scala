@@ -407,6 +407,46 @@ object Demo {
           s"queries=${top.map(_.getLong(0)).distinct.length} rows=${top.length}")
     }
 
+    // 13. Streaming CDC materialization (A42): a change log streams in
+    // across micro-batches; the latest-per-key view must equal the
+    // batch MERGE apply of the same log — update, latest-wins
+    // re-update, delete tombstone, and insert all land.
+    {
+      import spark.implicits._
+      import graft.streaming.EventsPipeline.{cdcApplyStream, CdcOp}
+      EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+      val src = MemoryStream[CdcOp]
+      val q = cdcApplyStream(src.toDS())
+        .writeStream.format("memory").queryName("demo_cdc")
+        .outputMode("append").start()
+      try {
+        src.addData(
+          CdcOp(1L, 1L, "U", 10L, "O", 100.0),  // insert key 1
+          CdcOp(2L, 1L, "U", 20L, "O", 200.0))  // insert key 2
+        q.processAllAvailable()
+        src.addData(
+          CdcOp(1L, 2L, "U", 10L, "F", 150.0),  // re-update key 1
+          CdcOp(2L, 2L, "D", 0L, "", 0.0),      // delete key 2
+          CdcOp(3L, 1L, "U", 30L, "O", 300.0))  // insert key 3
+        q.processAllAvailable()
+        src.addData(CdcOp(1L, 1L, "U", 99L, "X", 1.0)) // LATE seq: ignored
+        q.processAllAvailable()
+      } finally q.stop()
+      val view = spark.table("demo_cdc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+          r.getString(4), r.getDouble(5), r.getLong(6)))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._7) }
+      val ok = view.get(1L).exists(v => !v._3 && v._2 == 2L && v._4 == 10L
+          && v._5 == "F" && v._6 == 150.0) &&
+        view.get(2L).exists(v => v._3 && v._2 == 2L) &&
+        view.get(3L).exists(v => !v._3 && v._6 == 300.0) &&
+        view.size == 3
+      check("streaming-cdc-materialization", ok,
+        s"keys=${view.keys.toSeq.sorted.mkString(",")} " +
+          s"k1=${view.get(1L).map(v => s"${v._5}/${v._6}/v${v._2}").getOrElse("-")} " +
+          s"k2del=${view.get(2L).exists(_._3)}")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }
