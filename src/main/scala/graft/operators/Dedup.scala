@@ -454,25 +454,44 @@ object Dedup {
   // distributed exact all-pairs shape (no BroadcastNestedLoopJoin, no
   // driver-held corpus; at 1000 executors pick B ~ 45 for ~1000 buckets).
   // The sub-quadratic approximate path at scale remains Similarity.s3.
+  /** The shared triangle-replication side-builder (d5's machinery,
+    * factored out so d17's within-bucket pairwise reuses it verbatim):
+    * adds (`grpAs`, k1, k2) to a frame keyed by `idCol` — the row's
+    * group g = id mod B, replicated to the B buckets
+    * {(min(g,j), max(g,j)) : j < B}. An equi-join of two such frames on
+    * k1/k2 (plus any coarser keys) meets every unordered pair in at
+    * least one bucket; [[trianglePairFilter]] keeps exactly one
+    * occurrence. B-fold input replication buys B(B+1)/2-way spread of
+    * the inherent n²/2 pair work — no task ever sees more than
+    * (n/B)-sized sides.
+    */
+  def triangleSide(df: DataFrame, idCol: String, grpAs: String, B: Int): DataFrame =
+    df.withColumn(grpAs, pmod(col(idCol), lit(B)))
+      .select(df.columns.map(col) :+ col(grpAs) :+
+        explode(array((0 until B).map(j =>
+          struct(least(col(grpAs), lit(j)).as("k1"),
+            greatest(col(grpAs), lit(j)).as("k2"))): _*)).as("bk"): _*)
+      .select(df.columns.map(col) :+ col(grpAs) :+
+        col("bk.k1").as("k1") :+ col("bk.k2").as("k2"): _*)
+
+  /** Same-group pairs appear in every bucket containing g — keep only
+    * the diagonal occurrence; cross-group pairs meet exactly once.
+    */
+  def trianglePairFilter(ga: String, gb: String): Column =
+    col(ga) =!= col(gb) || (col("k1") === col(ga) && col("k2") === col(ga))
+
   private val d5 = Relational.Q(
     "d5_dedup_embedding",
     (s, d) => {
       val B = 8
       val e = Tables.embeddings(s, d)
-      def sides(id: String, v: String, g: String) =
-        Tables.spread(e.select(col("vec_id").as(id), col("embedding").as(v)))
-          .withColumn(g, pmod(col(id), lit(B)))
-          .select(col(id), col(v), col(g),
-            explode(array((0 until B).map(j =>
-              struct(least(col(g), lit(j)).as("k1"), greatest(col(g), lit(j)).as("k2"))): _*)).as("bk"))
-          .select(col(id), col(v), col(g), col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+      def sides(id: String, v: String, g: String) = triangleSide(
+        Tables.spread(e.select(col("vec_id").as(id), col("embedding").as(v))), id, g, B)
       val a = sides("id_a", "va", "ga")
       val b = sides("id_b", "vb", "gb")
       a.join(b, Seq("k1", "k2"))
         .filter(col("id_a") < col("id_b"))
-        // same-group pairs appear in every bucket containing g — keep only
-        // the diagonal occurrence; cross-group pairs meet exactly once
-        .filter(col("ga") =!= col("gb") || (col("k1") === col("ga") && col("k2") === col("ga")))
+        .filter(trianglePairFilter("ga", "gb"))
         .withColumn("cos", CosF(col("va"), col("vb")))
         .filter(col("cos") >= 0.4)
         .select(col("id_a"), col("id_b"), r4(col("cos")).as("cosine"))
@@ -1571,14 +1590,16 @@ object Dedup {
     * rule (greedy-sequential SemDeDup would make survival depend on the
     * full removal history; this one is order-free and parallel).
     *
-    * Scale (100 TB): one shuffle keyed by bucket; within-bucket
-    * pairwise is O(sum b_i^2), so `signBits` must grow with the corpus
-    * (buckets = 2^signBits) exactly as the paper's k grows with n; in
-    * production the cluster id comes from the trained IVF centroids
-    * (s4/D7 path — assignment is still a narrow projection against a
-    * broadcast k-row codebook) and this operator is unchanged from
-    * `bucket` on. The dominance aggregate is a slim (id, bucket) frame —
-    * embeddings never leave the pair join.
+    * Scale (100 TB): one shuffle keyed by (bucket, k1, k2) — the
+    * within-bucket pairwise is triangle-partitioned (see the semDeDup
+    * scaladoc), so no bucket funnels its b² pairs through one task;
+    * total pair work is still O(sum b_i^2), so `signBits` must grow
+    * with the corpus (buckets = 2^signBits) exactly as the paper's k
+    * grows with n; in production the cluster id comes from the trained
+    * IVF centroids (s4/D7 path — assignment is still a narrow
+    * projection against a broadcast k-row codebook) and this operator
+    * is unchanged from `bucket` on. The dominance aggregate is a slim
+    * (id, bucket) frame — embeddings never leave the pair join.
     */
   /** The d17/d18/p18 shared cluster assignment — bit j of the bucket is
     * [embedding[dim_j] >= 0]. ONE definition, because the incremental
@@ -1594,13 +1615,29 @@ object Dedup {
       .reduce(_ + _)
   }
 
-  def semDeDup(emb: DataFrame, signBits: Int = 4, tau: Double = 0.4): DataFrame = {
+  /** Within-bucket pairwise runs TRIANGLE-PARTITIONED (d5's shared
+    * [[triangleSide]] machinery, applied inside each sign bucket): the
+    * join key is (bucket, k1, k2), so a bucket's inherent b² cosine
+    * pairs spread over B(B+1)/2 tasks instead of funneling through the
+    * one task that owns the bucket key — with fixed signBits a 100×
+    * corpus puts ~n/2^signBits vectors in EVERY bucket, and the
+    * unpartitioned spelling is O(n²/2^signBits) work on a handful of
+    * tasks. B-fold replication is the price; per-task pair work is
+    * bounded by (b/B)² per (bucket, k1, k2) cell. Semantics are
+    * IDENTICAL (every unordered same-bucket pair meets exactly once),
+    * so the full DuckDB oracle is unchanged.
+    */
+  def semDeDup(emb: DataFrame, signBits: Int = 4, tau: Double = 0.4,
+      triangleB: Int = 8): DataFrame = {
     val b = Tables.spread(emb.select(col("vec_id"), col("embedding")))
       .withColumn("bucket", signBucket(signBits))
-    val left = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
-    val right = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
-    val dominated = left.join(right, Seq("bucket"))
+    def side(id: String, v: String, g: String) = triangleSide(
+      b.select(col("bucket"), col("vec_id").as(id), col("embedding").as(v)),
+      id, g, triangleB)
+    val dominated = side("id_a", "va", "ga")
+      .join(side("id_b", "vb", "gb"), Seq("bucket", "k1", "k2"))
       .filter(col("id_a") < col("id_b"))
+      .filter(trianglePairFilter("ga", "gb"))
       .filter(CosF(col("va"), col("vb")) >= tau)
       .select(col("id_b").as("vec_id"))
       .distinct()
@@ -1653,18 +1690,30 @@ object Dedup {
     * stream-static join, and no per-key state or watermark is needed —
     * the A39 spec pins streamed pairs == batch across slicings.
     *
-    * Scale: the corpus side stays a (bucket, id, vec) frame shuffled
-    * once by bucket (or bucket-partitioned at publish time — then the
-    * probe is map-side); per-arrival work is |bucket| cosines, bounded
-    * by growing signBits with the corpus (the d17 scale note).
+    * Scale: the corpus side stays a (bucket, salt, id, vec) frame
+    * shuffled once by (bucket, salt) — salted saltB ways so a bucket's
+    * probe work spreads over saltB tasks (or bucket+salt-partitioned at
+    * publish time — then the probe is map-side); per-arrival work is
+    * |bucket| cosines total, bounded by growing signBits with the
+    * corpus (the d17 scale note).
     */
   def semDeDupProbe(arrivals: DataFrame, corpus: DataFrame,
-      signBits: Int = 4, tau: Double = 0.4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, v: String) =
-      df.select(col("vec_id").as(id), col("embedding").as(v),
-        signBucket(signBits).as("bucket"))
-    bucketed(arrivals, "vec_id", "va")
-      .join(bucketed(corpus, "dup_of", "vb"), Seq("bucket"))
+      signBits: Int = 4, tau: Double = 0.4, saltB: Int = 8): DataFrame = {
+    // the bipartite twin of semDeDup's triangle fix: the corpus side is
+    // SALTED by id mod saltB and each arrival probes all saltB
+    // sub-buckets, so a bucket's |arrivals| x |corpus_bucket| cosine
+    // work spreads over saltB tasks instead of the one task owning the
+    // bucket key (with fixed signBits, corpus buckets grow as n/2^bits).
+    // The arrival-side explode is a narrow per-row projection — the
+    // join stays a stream-static equi-join, so A39's append-mode
+    // streaming spelling (and its streamed == batch pin) is unchanged.
+    val c = corpus.select(col("vec_id").as("dup_of"), col("embedding").as("vb"),
+        signBucket(signBits).as("bucket"),
+        pmod(col("vec_id"), lit(saltB)).as("salt"))
+    val a = arrivals.select(col("vec_id"), col("embedding").as("va"),
+        signBucket(signBits).as("bucket"),
+        explode(array((0 until saltB).map(j => lit(j).cast("long")): _*)).as("salt"))
+    a.join(c, Seq("bucket", "salt"))
       .withColumn("cos", CosF(col("va"), col("vb")))
       .filter(col("cos") >= tau)
       .select(col("vec_id"), col("dup_of"), col("bucket"), r4(col("cos")).as("cosine"))

@@ -294,14 +294,27 @@ object Publish {
         && s.getModificationTime <= cutoff)
       .map(_.getPath)
     val stagingRoot = new Path(root, "_staging")
+    // liveness = the NEWEST status anywhere under the token dir, not the
+    // top-level dir mtime: on HDFS-like filesystems a directory's mtime
+    // does not advance while files land in nested subdirectories, so a
+    // legitimate publish whose audit+write outlives graceMs would look
+    // idle and get swept mid-flight, failing its rename
+    def newestMtime(p: Path): Long = {
+      val st = f.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else {
+        val kids = f.listStatus(p)
+        if (kids.isEmpty) st.getModificationTime
+        else math.max(st.getModificationTime, kids.map(k => newestMtime(k.getPath)).max)
+      }
+    }
     val staged =
       if (!f.exists(stagingRoot)) Seq.empty
       else f.listStatus(stagingRoot).toSeq
-        .filter(_.getModificationTime <= cutoff)
+        .filter(s => newestMtime(s.getPath) <= cutoff)
         .map(_.getPath)
-    (tmpPtrs ++ staged).map { p =>
-      f.delete(p, true)
-      p.toString
-    }
+    // report only paths ACTUALLY removed — a false delete (permissions,
+    // concurrent rename) must not be misreported as swept
+    (tmpPtrs ++ staged).filter(p => f.delete(p, true)).map(_.toString)
   }
 }

@@ -128,9 +128,22 @@ object ScaleUtils {
       .filter(!(col("max_v") < lo || col("min_v") > hi))
       .select("file").collect().map(_.getString(0)).toSeq.sorted
     val frame =
-      if (files.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(files: _*)
-        .filter(col(statCol) >= lo && col(statCol) <= hi)
+      if (files.nonEmpty)
+        spark.read.parquet(files: _*)
+          .filter(col(statCol) >= lo && col(statCol) <= hi)
+      else {
+        // the empty-range path must carry the REAL table schema (a
+        // zero-column emptyDataFrame breaks any caller that selects
+        // statCol or unions with a non-empty read): one footer read of
+        // any manifest file — file-count-bounded, never data
+        manifest.select("file").limit(1).collect().headOption match {
+          case Some(row) =>
+            val schema = spark.read.parquet(row.getString(0)).schema
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          case None => spark.emptyDataFrame
+        }
+      }
     (files, frame)
   }
 }

@@ -1551,7 +1551,8 @@ object TextAnalysis {
     (s, d) => bm25TopK(Tables.documents(s, d), Bm25Queries),
     Some {
       val qvals = Bm25Queries
-        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+        .flatMap { case (q, ts) =>
+          ts.map(t => s"($q, '${t.replace("'", "''")}')") }.mkString(", ")
       s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
@@ -1721,8 +1722,13 @@ object TextAnalysis {
     docs.select(col("doc_id"), coalesce(col("text"), lit(""))).as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // release native zlib state when the TASK ends, not when the
+        // iterator drains: a limit/take/early abort never reaches the
+        // end of the iterator, and finalization is the only other out
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
-        val rows = it.map { case (id, text) =>
+        it.map { case (id, text) =>
           val in = text.getBytes("UTF-8")
           deflater.reset()
           deflater.setInput(in)
@@ -1731,7 +1737,6 @@ object TextAnalysis {
           while (!deflater.finished()) out += deflater.deflate(buf)
           (id, in.length.toLong, out)
         }
-        rows ++ { deflater.end(); Iterator.empty }
       }
       .toDF("doc_id", "n_bytes", "n_deflated")
       .select(col("doc_id"), col("n_bytes"), col("n_deflated"),
@@ -1816,7 +1821,8 @@ object TextAnalysis {
     },
     Some {
       val qvals = Bm25Queries
-        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+        .flatMap { case (q, ts) =>
+          ts.map(t => s"($q, '${t.replace("'", "''")}')") }.mkString(", ")
       s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term

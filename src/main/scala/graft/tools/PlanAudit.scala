@@ -165,6 +165,72 @@ object PlanAudit {
     "x12_histogram_quantiles" ->
       "cumulative window over the HISTOGRAM frame: bins <= value-range/binCents rows per flag (parameter-bounded, never data-proportional)")
 
+  /** The d17-class guard, mechanized like the hint/window guards: every
+    * join whose BOTH inputs carry an ArrayType column AND whose two
+    * sides scan the SAME fact table — the payload-through-pairwise
+    * shape (the r8 verdict's one scale-killer: d17's within-bucket
+    * pairwise carried the full embedding on both sides of a
+    * fixed-16-key join). Arrays on both sides of a self-join mean
+    * data-proportional payload bytes cross the exchange twice, so the
+    * join key must provably spread the pair work — triangle
+    * replication (d5/d17), salting (d18), an id-equi candidate fetch
+    * (s3), or a parameter-bounded broadcast side (s1-class). Each
+    * instance is adjudicated in [[allowedArrayPairJoins]] with its
+    * partitioning argument; anything else that trips is the d17-class
+    * scale bug.
+    */
+  def arrayPairJoins(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.ArrayType
+    val root = df.queryExecution.optimizedPlan
+    (root +: root.subqueriesAll).flatMap { p =>
+      p.collect { case j: Join => j }.flatMap { j =>
+        val la = j.left.output.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+        val ra = j.right.output.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+        val shared = j.left.collectLeaves().flatMap(factTableOf).toSet
+          .intersect(j.right.collectLeaves().flatMap(factTableOf).toSet)
+        if (la.nonEmpty && ra.nonEmpty && shared.nonEmpty)
+          Seq(s"self-join on '${shared.mkString(",")}' carries arrays on both sides " +
+            s"[${la.distinct.mkString(",")} | ${ra.distinct.mkString(",")}]")
+        else Nil
+      }
+    }
+  }
+
+  // Self-joins carrying array payloads on both sides whose join key
+  // provably spreads the pair work — each an adjudicated exception with
+  // its partitioning argument. Anything not listed here that trips
+  // arrayPairJoins is the d17-class scale bug.
+  val allowedArrayPairJoins: Map[String, String] = Map(
+    "d5_dedup_embedding" ->
+      "triangle-partitioned: join key (k1,k2) spreads the n²/2 pairs over B(B+1)/2 tasks, B-fold replication",
+    "d17_semdedup" ->
+      "triangle-partitioned WITHIN each sign bucket: join key (bucket,k1,k2) — no bucket funnels its b² pairs through one task (the r8 fix)",
+    "d18_semdedup_probe" ->
+      "salted bipartite probe: join key (bucket,salt) spreads each bucket's probe work over saltB tasks; arrival-side explode stays stream-narrow",
+    "p18_d4_diversify" ->
+      "composes d17's triangle-partitioned pairwise (same (bucket,k1,k2) key; instances are plan reuses of the one join)",
+    "d3_dedup_ngram_jaccard" ->
+      "gram arrays meet on an id-EQUI candidate fetch: slim deduped (id,id) pairs drive the join — one row per side per candidate, never pairwise",
+    "s1_ann_bruteforce_topk" ->
+      "corpus scanned once against the broadcast parameter-bounded query-vector set (the allowedBnlj theta join)",
+    "s2_ann_lsh_topk" ->
+      "exact-scoring join against the broadcast parameter-bounded query-vector set; candidates are slim id pairs",
+    "s3_similarity_join" ->
+      "vectors fetched by id-EQUI joins driven by slim deduped candidate pairs (the d3 class)",
+    "s4_ann_ivf_topk" ->
+      "probed-list scan against the query-bounded probe frame (nProbe lists per query; queries parameter-bounded)",
+    "s6_ann_pq_topk" ->
+      "ADC scan + refine fetch against the broadcast parameter-bounded query set; refine fetch is id-equi on rank-bounded survivors",
+    "s7_mips_topk" ->
+      "corpus scanned once against the broadcast parameter-bounded query-vector set (the s1 class)",
+    "t25_hybrid_rrf" ->
+      "the s1-class semantic leg: broadcast parameter-bounded example-vector set",
+    "x6_kmv_overlap" ->
+      "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size, the allowedBnlj argument)",
+    "x7_kmv_union" ->
+      "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size, the allowedBnlj argument)")
+
   // Iterative operators EXECUTE when their builder runs (label
   // propagation materializes per round), so "building the plan" would
   // run the whole algorithm and return only a scan of the checkpointed
@@ -262,20 +328,24 @@ object PlanAudit {
         val badGw = gw.nonEmpty && !allowedGlobalWindows.contains(name)
         val ew = enumWindows(df)
         val badEw = ew.nonEmpty && !allowedEnumWindows.contains(name)
+        val apj = arrayPairJoins(df)
+        val badApj = apj.nonEmpty && !allowedArrayPairJoins.contains(name)
         val note =
-          if (cart > 0 || (bnlj > 0 && !allowed.contains(name)) || badHint || badGw || badEw) {
+          if (cart > 0 || (bnlj > 0 && !allowed.contains(name)) || badHint || badGw || badEw || badApj) {
             flagged += 1
             if (badHint) s"  <== inspect [CORPUS HINT: ${hints.mkString("; ")}]"
             else if (badGw) s"  <== inspect [GLOBAL WINDOW: ${gw.mkString("; ")}]"
             else if (badEw) s"  <== inspect [ENUM WINDOW: ${ew.mkString("; ")}]"
+            else if (badApj) s"  <== inspect [ARRAY PAIR JOIN: ${apj.mkString("; ")}]"
             else "  <== inspect"
           }
           else if (bnlj > 0) s"  [allowed: ${allowed(name)}]"
           else if (hints.nonEmpty) s"  [hint allowed: ${allowedHints(name)}]"
           else if (gw.nonEmpty) s"  [window allowed: ${allowedGlobalWindows(name)}]"
           else if (ew.nonEmpty) s"  [enum window allowed: ${allowedEnumWindows(name)}]"
+          else if (apj.nonEmpty) s"  [array pair join allowed: ${allowedArrayPairJoins(name)}]"
           else ""
-        println(f"[audit] $name%-28s exchanges=$exch%2d bnlj=$bnlj cartesian=$cart hints=${hints.size} gwin=${gw.size} ewin=${ew.size}$note")
+        println(f"[audit] $name%-28s exchanges=$exch%2d bnlj=$bnlj cartesian=$cart hints=${hints.size} gwin=${gw.size} ewin=${ew.size} apj=${apj.size}$note")
         }
       } catch {
         case e: Throwable => println(s"[audit] $name FAILED to plan: ${e.getMessage}")

@@ -140,6 +140,41 @@ class PlanAuditSpec extends SparkSpec {
       s"unadjudicated corpus-rooted hints: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
   }
 
+  test("deliberate both-sides-array self-join trips the payload guard; slim and cross-table joins don't") {
+    val e = Tables.embeddings(spark, sfDir)
+    // the d17-class anti-pattern: a fact self-join re-shuffling the full
+    // embedding payload on BOTH sides
+    val bad = e.select(col("vec_id").as("a"), col("embedding").as("va"), pmod(col("vec_id"), lit(16L)).as("k"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb"), pmod(col("vec_id"), lit(16L)).as("k")), Seq("k"))
+    assert(PlanAudit.arrayPairJoins(bad).nonEmpty,
+      "guard failed to flag a both-sides-array fact self-join")
+    // a slim candidate join (ids only) is the healthy dedup shape
+    val slim = e.select(col("vec_id").as("a"), pmod(col("vec_id"), lit(16L)).as("k"))
+      .join(e.select(col("vec_id").as("b"), pmod(col("vec_id"), lit(16L)).as("k")), Seq("k"))
+    assert(PlanAudit.arrayPairJoins(slim).isEmpty,
+      "a slim id-pair self-join must not be flagged")
+    // arrays meeting across DIFFERENT tables are not the pairwise shape
+    val cross = e.select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks")), Seq("doc_id"))
+    assert(PlanAudit.arrayPairJoins(cross).isEmpty,
+      "a cross-table array join must not be flagged")
+  }
+
+  test("the audited query surface carries no unadjudicated both-sides-array self-joins") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !PlanAudit.iterative.contains(name) =>
+        val audited = PlanAudit.lazyTwin.getOrElse(name, fn)
+        val apj = try PlanAudit.arrayPairJoins(audited(spark, sfDir)) catch {
+          case _: Throwable => Seq.empty // planning failures are OperatorSpec's dept
+        }
+        spark.catalog.clearCache()
+        (name, apj)
+    }.filter { case (name, apj) => apj.nonEmpty && !PlanAudit.allowedArrayPairJoins.contains(name) }
+    assert(offenders.isEmpty,
+      s"unadjudicated array pair joins: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
+  }
+
   test("the audited query surface carries no unadjudicated nested-loop or cartesian joins") {
     // the BNLJ half of the audit tool's contract, previously enforced
     // only by running the out-of-band tool — the r8 review caught x11
