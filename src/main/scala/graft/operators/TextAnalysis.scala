@@ -866,8 +866,40 @@ object TextAnalysis {
     * (Sennrich's frequency threshold).
     */
   def bpeTrainMerges(docs: DataFrame, numMerges: Int,
-      minPairCount: Long = 2L): Seq[(String, String)] = {
+      minPairCount: Long = 2L): Seq[(String, String)] =
+    bpeTrainMergesBatched(docs, numMerges, batchR = 1, minPairCount)._1
+
+  /** [[bpeTrainMerges]]' driver-round cost, batched (the r8 verdict's
+    * cost nit): the sequential spelling pays one distributed
+    * count-and-probe round PER MERGE — right for bounded K, but a
+    * public ~50k-merge vocab would be 50k Spark jobs of driver
+    * latency. The classic fix (the multi-merge round every fast BPE
+    * trainer ships): per round, take the top `batchR` candidate pairs
+    * that are mutually NON-CONFLICTING and apply them all in ONE
+    * vocabulary rewrite. Two pairs conflict when they share any symbol
+    * or one's fusion string is a side of the other ({a,b,a+b}
+    * intersects) — disjoint pairs have provably independent counts
+    * (fusing (a,b) only perturbs adjacencies that touch a or b), so
+    * each accepted pair's count is exactly what sequential Sennrich
+    * would have seen had no higher-priority interacting pair existed.
+    * Batched selection CAN deviate from sequential (after fusing
+    * (a,b), a brand-new pair involving "ab" may out-count this round's
+    * #2 — sequential would take it first), which is why the batch is a
+    * separate, documented trainer: at batchR=1 it IS sequential
+    * Sennrich (spec-pinned equal, same (count desc, a, b) tie-break,
+    * same threshold stop), and at batchR=R it runs ~R× fewer rounds
+    * (spec-measured at the fixture). The greedy accept always takes
+    * the top candidate, so every round makes progress and rank order
+    * within a round preserves the count order — sides still reference
+    * only strictly-earlier-rank fusions (the publish audit's
+    * reachability contract holds for any batchR).
+    *
+    * Returns (merges, distributed rounds run).
+    */
+  def bpeTrainMergesBatched(docs: DataFrame, numMerges: Int, batchR: Int,
+      minPairCount: Long = 2L): (Seq[(String, String)], Int) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(batchR >= 1, s"batchR must be >= 1, got $batchR")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     // corpus -> (count, symbol sequence) per DISTINCT word, one shuffle;
     // split("") is per code point (Java zero-width regex split never
@@ -881,29 +913,46 @@ object TextAnalysis {
       .select(col("n"), array_remove(split(col("w"), ""), "").as("syms"))
       .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
     var done = merges.size >= numMerges
     while (!done) {
-      val best = vocab.filter(size(col("syms")) >= 2)
+      // one distributed aggregate per ROUND; the candidate collect is
+      // bounded by 4*batchR rows (TakeOrderedAndProject — a heap merge,
+      // never a global sort), enough headroom to find batchR disjoint
+      // pairs in the common case without a second probe
+      val cand = vocab.filter(size(col("syms")) >= 2)
         .select(col("n"), explode(zip_with(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
           slice(col("syms"), lit(2), size(col("syms")) - 1),
           (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("n")).as("cnt"))
+        .filter(col("cnt") >= minPairCount)
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      best.headOption.filter(_.getLong(2) >= minPairCount) match {
-        case None => done = true
-        case Some(r) =>
+        .limit(math.max(4 * batchR, 4)).collect()
+      rounds += 1 // every distributed probe counts, including the final empty one
+      if (cand.isEmpty) done = true
+      else {
+        val room = math.min(batchR, numMerges - merges.size)
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val used = scala.collection.mutable.HashSet.empty[String]
+        cand.iterator.takeWhile(_ => accepted.size < room).foreach { r =>
           val (a, b) = (r.getString(0), r.getString(1))
-          merges += ((a, b))
-          vocab = vocab
-            .select(col("n"), fusePair(col("syms"), a, b).as("syms"))
-            .localCheckpoint(false)
-          done = merges.size >= numMerges
+          val keys = Seq(a, b, a + b)
+          if (accepted.size < room && keys.forall(k => !used.contains(k))) {
+            accepted += ((a, b)); used ++= keys
+          }
+        }
+        merges ++= accepted
+        vocab = vocab
+          .select(col("n"), accepted.foldLeft(col("syms")) {
+            case (c, (a, b)) => fusePair(c, a, b)
+          }.as("syms"))
+          .localCheckpoint(false)
+        done = merges.size >= numMerges
       }
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 
   /** The PRODUCTION-VOCAB scale path for BPE training. A real tokenizer

@@ -439,6 +439,44 @@ class OperatorSpec extends SparkSpec {
     assert(BpeEncode.encodeWord("lowest", ranks).toSeq == Seq("low", "est"))
   }
 
+  test("BPE train (t17): batched top-R rounds cut driver round-trips; batchR=1 IS sequential Sennrich") {
+    import spark.implicits._
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).toDF("text")
+    val expected = Seq(
+      "e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w", "e" -> "w",
+      "ew" -> "est", "n" -> "ewest", "d" -> "est", "i" -> "dest",
+      "w" -> "idest", "e" -> "r", "low" -> "er")
+    // batchR=1 IS the sequential trainer: identical merges (the Sennrich
+    // worked example), one distributed probe per merge + the final empty
+    // probe that detects exhaustion
+    val (seq1, rounds1) = TextAnalysis.bpeTrainMergesBatched(corpus, 50, batchR = 1)
+    assert(seq1 == expected)
+    assert(rounds1 == expected.size + 1, s"R=1 rounds $rounds1")
+    // batchR=4 learns a complete table in ~4x fewer distributed rounds —
+    // the measured drop the production-vocab path banks on
+    val (batched, rounds4) = TextAnalysis.bpeTrainMergesBatched(corpus, 50, batchR = 4)
+    assert(rounds4 < rounds1 / 2,
+      s"batched rounds $rounds4 not a real cut vs sequential $rounds1")
+    assert(batched.size >= expected.size - 2, s"batched table too small: $batched")
+    assert(batched.distinct == batched, s"batched table repeats a merge: $batched")
+    // the within-round conflict rule preserves the merges-file
+    // reachability contract for ANY batchR: every multi-codepoint side is
+    // the fusion of some STRICTLY EARLIER merge — the publish audit's
+    // loader invariant
+    val fusions = batched.map { case (a, b) => a + b }
+    batched.zipWithIndex.foreach { case ((a, b), i) =>
+      Seq(a, b).filter(s => s.codePointCount(0, s.length) > 1).foreach { side =>
+        assert(fusions.take(i).contains(side),
+          s"side '$side' of merge $i not reachable from earlier merges")
+      }
+    }
+    // numMerges caps the batched path mid-round too
+    val (capped, _) = TextAnalysis.bpeTrainMergesBatched(corpus, 5, batchR = 4)
+    assert(capped.size == 5)
+    assert(capped == batched.take(5), "cap must truncate the same batched sequence")
+  }
+
   test("BPE train (t17): Spark training equals an independent local reference on random corpora") {
     import spark.implicits._
     // straight-line local implementation of the same public algorithm
