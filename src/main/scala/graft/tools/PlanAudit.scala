@@ -53,6 +53,7 @@ object PlanAudit {
     "s5_ann_quantized_topk" -> "query set: vec_id < NQueries (parameter-bounded)",
     "s7_mips_topk" -> "query set: vec_id < NQueries (parameter-bounded — the s1 class)",
     "s6_ann_pq_topk" -> "m x k-row PQ codebook frames + parameter-bounded query set",
+    "s8_ann_ivfpq_topk" -> "kIvf-row centroid frame, m x kc-row codebooks, query x nProbe probe frame (all parameter-bounded — the s4/s6 classes)",
     "t7_winnowing_fingerprints" -> "one-row nDocs aggregate",
     "t9_tfidf" -> "one-row nDocs aggregate",
     "t11_surprisal" -> "one-row total-tokens aggregate",
@@ -222,6 +223,8 @@ object PlanAudit {
       "probed-list scan against the query-bounded probe frame (nProbe lists per query; queries parameter-bounded)",
     "s6_ann_pq_topk" ->
       "ADC scan + refine fetch against the broadcast parameter-bounded query set; refine fetch is id-equi on rank-bounded survivors",
+    "s8_ann_ivfpq_topk" ->
+      "ADC scan joins the broadcast query x nProbe probe frame on list_id; refine fetch is id-equi on rank-bounded survivors (the s6 class)",
     "s7_mips_topk" ->
       "corpus scanned once against the broadcast parameter-bounded query-vector set (the s1 class)",
     "t25_hybrid_rrf" ->
@@ -270,6 +273,8 @@ object PlanAudit {
         "corpus scanned once against the broadcast fixed-size query set (theta join, the s1 shape)",
       "s6_ann_pq_topk" ->
         "reconstructed corpus scanned once against the broadcast fixed-size query set (theta join)",
+      "s8_ann_ivfpq_topk" ->
+        "corpus x broadcast constant-size centroid/codebook frames (IVF assignment + PQ encode + probing — the s4/s6 classes)",
       "t7_winnowing_fingerprints" ->
         "crossJoin(broadcast(<one-row nDocs frame>)) for the relational threshold",
       "t9_tfidf" ->
