@@ -447,6 +447,93 @@ object Demo {
           s"k2del=${view.get(2L).exists(_._3)}")
     }
 
+    // 14. Streaming ingest STRESS (r9): the full sf0.1 documents corpus
+    // pushed through the C4 (A37) -> decontamination (A24) -> quality
+    // model (A30) -> Gopher (A36) gate chain in ONE streaming query with
+    // a RocksDB-backed stateful exactly-once admission tail; per-batch
+    // rows and state bytes harvested via the G19 StreamingCollector.
+    // Gate order: C4 scrub first (it REASSEMBLES kept_text, so text
+    // flows on), then the A24/A30 row-local cores — the exact
+    // spec-pinned twins, inlined so (doc_id, text) survives the filter —
+    // then the literal Gopher batch operator whose flags feed the
+    // stateful tail. PASS = streamed admissions equal the batch replay
+    // of the same chain, multiple micro-batches ran, and the state store
+    // reports nonzero rows AND bytes.
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val stressDir0 = "/root/testdata/sf0.1"
+      val stressDir = if (new java.io.File(stressDir0).isDirectory) stressDir0 else sfDir
+      val docs = graft.Tables.documents(spark, stressDir).select("doc_id", "text")
+      val dir = Files.createTempDirectory("graft-demo-stress").toString
+      docs.repartition(8).write.mode("overwrite").parquet(dir)
+
+      // batch-staged gate state (the production shape: stage once,
+      // broadcast to the ingest) — the d8 benchmark slice + the t15
+      // arithmetic integer-weight model
+      val benchGrams = graft.operators.Dedup
+        .wordGramHashes(docs.filter(col("doc_id") % 20 === 0), 8)
+        .select("g").collect().map(_.getLong(0)).toSet
+      val sortedGrams = benchGrams.toArray
+      java.util.Arrays.sort(sortedGrams)
+      val dim = 4096
+      val weights = Array.tabulate(dim)(b => (b.toLong * 2654435761L) % 1009L - 504L)
+      val bcG = spark.sparkContext.broadcast(sortedGrams)
+      val bcW = spark.sparkContext.broadcast(weights)
+      // A24 + A30 row-local cores (the decontaminateStream /
+      // qualityGateStream bodies, spec-pinned == batch), fused into one
+      // text-preserving admission predicate
+      def rowGate(idText: (Long, String)): Boolean = {
+        val text = idText._2
+        val clean = graft.operators.Dedup.wordGramHashesLocal(text, 8)
+          .forall(g => java.util.Arrays.binarySearch(bcG.value, g) < 0)
+        clean && {
+          val tk = graft.functions.HashFunctions.tokensLocal(text)
+          var sum = 0L
+          var i = 0
+          while (i < tk.length) {
+            val b = java.lang.Math.floorMod(
+              graft.functions.HashFunctions.md5Hash56Local(tk(i)), dim.toLong).toInt
+            sum += bcW.value(b)
+            i += 1
+          }
+          sum >= 0L
+        }
+      }
+      def chain(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val scrubbed = graft.operators.TextAnalysis.c4Filters(df,
+            minLineWords = 25, requireTerminalPunct = false, blocklist = Seq("dup"))
+          .filter(col("keep"))
+          .select(col("doc_id"), col("kept_text").as("text"))
+        val admitted = scrubbed.as[(Long, String)].filter(rowGate _)
+        graft.operators.TextAnalysis.gopherRules(admitted.toDF("doc_id", "text"),
+            requiredWords = Seq("the", "a"), minRequired = 2)
+          .filter(col("keep"))
+          .select(col("doc_id"))
+      }
+      EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+      val collector = graft.tools.QueryMetrics.attachStreaming(spark)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "2").parquet(dir)
+      val q = chain(stream)
+        .dropDuplicates("doc_id") // stateful exactly-once admission
+        .writeStream.format("memory").queryName("demo_ingest_stress")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("demo_ingest_stress").as[Long].collect().toSet
+      val batch = chain(spark.read.parquet(dir)).as[Long].collect().toSet
+      val records = collector.drain().filter(_.queryName == "demo_ingest_stress")
+      val stateRows = if (records.isEmpty) 0L else records.map(_.stateRows).max
+      val stateBytes = if (records.isEmpty) 0L else records.map(_.stateBytes).max
+      spark.streams.removeListener(collector)
+      check("streaming-ingest-stress",
+        streamed.nonEmpty && streamed == batch && records.size >= 2 &&
+          stateRows > 0 && stateBytes > 0,
+        s"admitted=${streamed.size}/${docs.count()} batches=${records.size} " +
+          s"stateRows=$stateRows stateBytes=$stateBytes corpus=$stressDir")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }
