@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BloomBits, BpeEncode, CosineSimilarity, CountMinSketch, KMinValues, MinHashSignature, MultiPatternCounts, NfcNormalize, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
+import graft.functions.{BloomBits, BpeEncode, CosineSimilarity, CountMinSketch, HllRegisters, KMinValues, MinHashSignature, MultiPatternCounts, NfcNormalize, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
 
 /** Spark session extension: registers graft's custom Catalyst expressions
   * as SQL functions, so the whole similarity/dedup toolkit is reachable
@@ -19,6 +19,9 @@ import graft.functions.{BloomBits, BpeEncode, CosineSimilarity, CountMinSketch, 
   *                                  depth x width array; mergeable by linearity)
   *   bloom_bits(h, mBits, kHashes) — AGG: bloom-filter bitmap of a hash
   *                                  column (mBits/64 longs; mergeable by OR)
+  *   hll_registers(key, p)        — AGG: HyperLogLog max-rho registers over
+  *                                  md5-56 (2^p longs; mergeable by MAX;
+  *                                  exactly replayable cross-engine)
   *   bpe_encode(w, merges)        — greedy BPE symbols of a word; merges is a
   *                                  literal array of 'left right' lines (the
   *                                  public merges-file format), vocab-bounded
@@ -86,6 +89,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BloomBits(children.head,
         litInt(children(1), "bloom_bits", "mBits"),
         litInt(children(2), "bloom_bits", "kHashes"))
+        .toAggregateExpression()
+    })
+    register(ext, "hll_registers", { children =>
+      require(children.length == 2, "hll_registers expects (key, p)")
+      HllRegisters(children.head, litInt(children(1), "hll_registers", "p"))
         .toAggregateExpression()
     })
     register(ext, "nfc_normalize", { children =>

@@ -435,3 +435,113 @@ object BloomBits {
       BloomBits(GraftColumnBridge.expression(h), mBits, kHashes)
         .toAggregateExpression())
 }
+
+/** HYPERLOGLOG register sketch over a STRING key in ONE pass (SURVEY
+  * I14 — Flajolet, Fusy, Gandouet & Meunier 2007, "HyperLogLog: the
+  * analysis of a near-optimal cardinality estimation algorithm"): the
+  * 2^p max-rho registers ARE the aggregation state (2^p longs), built
+  * from the engine-portable md5-56 hash — so unlike the built-in
+  * approx_count_distinct (x1) and the DataSketches HLL (x4), whose
+  * randomized internals only admit error-bound specs, THIS sketch is
+  * fully oracle-checkable: a DuckDB query rebuilds bit-identical
+  * registers from the same md5 arithmetic.
+  *
+  * Geometry (all pure integer, both engines): h = md5-56(key) in
+  * [0, 2^56); register index = h mod m; w = h div m in [0, 2^(56-p));
+  * rho = (56-p) - bitlength(w) + 1, with w == 0 -> (56-p)+1 (the "all
+  * zeros" maximum); register = MAX rho over its keys. Merge =
+  * element-wise MAX — the HLL homomorphism: registers(A ∪ B) =
+  * max(registers(A), registers(B)), so per-shard/per-day sketches roll
+  * up to EXACTLY the single-pass registers (the x8/x11 mergeability
+  * story with a max instead of a sum/OR).
+  *
+  * The estimator stays exact-arithmetic until one final division: with
+  * rho <= (56-p)+1, Z = sum 2^-rho is an INTEGER in units of
+  * 2^-((56-p)+1) (z_int = sum 2^((56-p)+1 - rho) <= m * 2^((56-p)+1),
+  * within long range for p >= 2), and est = alpha_m * m^2 / Z is one
+  * IEEE division of exact-integer-valued doubles — deterministic and
+  * bit-identical cross-engine when both sides share the same literal
+  * constant. The small-range linear-counting correction (m * ln(m/V))
+  * is deliberately NOT applied inside the operator: ln is engine-
+  * dependent in the last ulp; callers get v_zero and apply it outside
+  * the oracle-checked frame.
+  */
+case class HllRegisters(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
+
+  require(p >= 4 && p <= 14, s"hll p must be in [4, 14], got $p")
+  private val m = 1 << p
+  private val wBits = 56 - p
+
+  override def inputTypes = Seq(StringType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hll_registers"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](m)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = HashFunctions.md5Hash56Local(v.toString)
+      val idx = (h % m).toInt
+      val w = h / m
+      val rho =
+        if (w == 0L) wBits + 1
+        else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+      if (rho > buf(idx)) buf(idx) = rho.toLong
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(m)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllRegisters =
+    copy(child = newChildren.head)
+}
+
+object HllRegisters {
+  def apply(key: Column, p: Int): Column =
+    GraftColumnBridge.column(
+      HllRegisters(GraftColumnBridge.expression(key), p)
+        .toAggregateExpression())
+
+  /** The bias-corrected raw-estimator constant alpha_m (Flajolet 2007,
+    * Fig. 3) — computed ONCE here and interpolated as the SAME literal
+    * into both the Spark column and the oracle SQL, so the one floating
+    * division both engines perform starts from identical bits.
+    */
+  def alphaM(p: Int): Double = {
+    val m = 1 << p
+    if (m == 16) 0.673
+    else if (m == 32) 0.697
+    else if (m == 64) 0.709
+    else 0.7213 / (1.0 + 1.079 / m)
+  }
+}

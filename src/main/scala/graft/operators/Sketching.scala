@@ -715,6 +715,76 @@ object Sketching {
       zs AS (SELECT j, CAST(SUM(contrib) AS BIGINT) AS z FROM e GROUP BY j)
       SELECT j, z, z * z AS z2 FROM zs ORDER BY j"""))
 
+  // I14 — own HYPERLOGLOG distinct as a ONE-PASS mergeable imperative
+  // aggregate with an EXACT cross-engine oracle (functions.HllRegisters,
+  // Flajolet et al. 2007; SQL-registered `hll_registers(key, p)`): the
+  // 2^p max-rho register array IS the aggregation state, built from
+  // md5-56 — so where x1 (built-in HLL++) and x4 (DataSketches) are
+  // rows-only with error-bound specs, THIS operator's registers,
+  // zero-register count, and integer Z all hash-check against a DuckDB
+  // replay of the same arithmetic. The estimator stays exact-integer
+  // until ONE IEEE division (z_int = sum 2^(48-rho) fits a long; the
+  // alpha*m^2*2^48 constant is interpolated as the SAME literal into
+  // both engines), so even the float estimate is bit-identical.
+  // Linear-counting correction deliberately lives OUTSIDE the
+  // oracle-checked frame (ln is engine-dependent in the last ulp) —
+  // v_zero is emitted so callers can apply it.
+  // Scale: one map-side-combinable agg, constant 2^p-long state per
+  // group, merge = element-wise max (per-shard/per-day sketches roll up
+  // without raw data — the x8 story for distinct counts).
+  // Geometry: p=7 (m=128 registers) keeps every group in the RAW-
+  // estimator regime (n >= 2.5m needs ~320 distinct; per-flag orderkeys
+  // are 1.1k/11k/110k across SFs) — the regime where the published
+  // 1.04/sqrt(m) analysis applies and no linear-counting ln is needed.
+  private val x15 = Relational.Q(
+    "x15_hll_distinct",
+    (s, d) => {
+      val P = 7
+      val C = graft.functions.HllRegisters.alphaM(P) *
+        (1L << P).toDouble * (1L << P).toDouble * math.pow(2.0, 57 - P)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.HllRegisters(col("l_orderkey").cast("string"), P).as("regs"))
+        .select(col("l_returnflag"),
+          expr("aggregate(regs, 0L, (acc, r) -> acc + IF(r = 0L, 1L, 0L))").as("v_zero"),
+          expr(s"aggregate(regs, 0L, (acc, r) -> acc + shiftleft(1L, cast(${57 - P} - r AS int)))").as("z_int"))
+        .select(col("l_returnflag"), col("v_zero"), col("z_int"),
+          r4(lit(C) / col("z_int").cast("double")).as("est_distinct"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some {
+      val P = 7
+      val m = 1 << P
+      val top = 57 - P
+      val C = graft.functions.HllRegisters.alphaM(P) *
+        m.toDouble * m.toDouble * math.pow(2.0, top)
+      val h = graft.functions.HashFunctions.md5Hash56Sql("CAST(l_orderkey AS VARCHAR)")
+      s"""
+      WITH h AS (
+        SELECT DISTINCT l_returnflag, $h AS h FROM lineitem),
+      rr AS (
+        SELECT l_returnflag, CAST(h % $m AS BIGINT) AS idx,
+          MAX(CASE WHEN h // $m = 0 THEN $top
+              ELSE $top - length(bin(h // $m)) END) AS rho
+        FROM h GROUP BY 1, 2),
+      grid AS (
+        SELECT fl.l_returnflag, g.idx
+        FROM (SELECT DISTINCT l_returnflag FROM lineitem) fl
+        CROSS JOIN (SELECT unnest(range(0, $m)) AS idx) g),
+      regs AS (
+        SELECT grid.l_returnflag, COALESCE(rr.rho, 0) AS rho
+        FROM grid LEFT JOIN rr
+          ON grid.l_returnflag = rr.l_returnflag AND grid.idx = rr.idx),
+      agg AS (
+        SELECT l_returnflag,
+          CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+          CAST(SUM(CAST(1 AS BIGINT) << CAST($top - rho AS INTEGER)) AS BIGINT) AS z_int
+        FROM regs GROUP BY 1)
+      SELECT l_returnflag, v_zero, z_int,
+        ${r4Sql(s"$C / CAST(z_int AS DOUBLE)")} AS est_distinct
+      FROM agg ORDER BY l_returnflag"""
+    })
+
   val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12,
-    x13, x14)
+    x13, x14, x15)
 }

@@ -1930,7 +1930,79 @@ object TextAnalysis {
       FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
     })
 
+  /** E26's core: PMI-ranked bigram COLLOCATIONS (Church & Hanks 1990,
+    * "Word Association Norms, Mutual Information, and Lexicography" —
+    * the classic corpus-analysis operator: which word pairs co-occur
+    * far above chance). Probabilities are over the bigram event space
+    * (p(w1,·), p(·,w2), p(w1,w2) from one bigram aggregate — no second
+    * tokenize), and the ranking is ln-FREE: for a fixed corpus,
+    * PMI = ln(N·c12 / (c1·c2)) is strictly increasing in the LIFT
+    * ratio N·c12/(c1·c2), whose numerator and denominator are exact
+    * integers below 2^53 — so the sort key is ONE deterministic IEEE
+    * division both engines compute bit-identically, with no
+    * transcendental inside the oracle-checked frame (the t16
+    * integer-surprisal discipline; callers wanting nats apply ln
+    * outside). `minCount` guards PMI's classic low-frequency
+    * pathology (hapax pairs maxing the ratio).
+    *
+    * Scale: bigrams form MAP-SIDE (t13's zip-with-shift — no window,
+    * no per-doc sort); ONE (w1,w2) hash aggregate feeds the marginals
+    * (two more map-side-combinable sums) and the one-row total
+    * (broadcast, the t9/t11 class); top-k via orderBy.limit =
+    * TakeOrderedAndProject (a per-partition heap merge, never a global
+    * sort or window).
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 30): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad PMI params: $minCount/$topK")
+    val toks = docs
+      .select(split(lower(trim(col("text"))), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pairs = toks.select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val left = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val right = bc.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val tot = bc.agg(sum(col("c12")).as("nb"))
+    bc.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("c12") >= minCount)
+      .withColumn("lift_raw",
+        (col("c12") * col("nb")).cast("double") / (col("c1") * col("c2")).cast("double"))
+      .orderBy(col("lift_raw").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        r4(col("lift_raw")).as("lift"))
+  }
+
+  // E26 — PMI collocations over the corpus, FULL oracle (exact integer
+  // counts; the lift sort key is bit-identical cross-engine).
+  private val t26 = Relational.Q(
+    "t26_pmi_collocations",
+    (s, d) => pmiCollocations(Tables.documents(s, d)),
+    Some(s"""
+      WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM documents WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 2),
+      bg AS (
+        SELECT u['w1'] AS w1, u['w2'] AS w2 FROM (
+          SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]} FOR i IN range(1, len(tk))]) AS u
+          FROM t)),
+      bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+      r AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bc GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM bc),
+      cand AS (
+        SELECT b.w1, b.w2, b.c12, l.c1, r.c2,
+          CAST(b.c12 * t.nb AS DOUBLE) / CAST(l.c1 * r.c2 AS DOUBLE) AS lift_raw
+        FROM bc b JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot t
+        WHERE b.c12 >= 5)
+      SELECT w1, w2, c12, c1, c2, ${r4Sql("lift_raw")} AS lift
+      FROM cand ORDER BY lift_raw DESC, w1, w2 LIMIT 30"""))
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25)
+    t25, t26)
 }

@@ -59,6 +59,7 @@ object PlanAudit {
     "t11_surprisal" -> "one-row total-tokens aggregate",
     "t20_stupid_backoff" -> "one-row (N,V) train-totals aggregate (the t11 class)",
     "t21_bm25_topk" -> "parameter-bounded query-term frame + one-row (N, total-tokens) aggregate",
+    "t26_pmi_collocations" -> "one-row total-bigrams aggregate (the t9/t11 class)",
     "t25_hybrid_rrf" -> "t21's bounded frames + the s1-class parameter-bounded example-vector set",
     "x3_heavy_hitters" -> "hashed-bucket aggregate: width 1024 rows max (constant)",
     "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB",
@@ -285,6 +286,8 @@ object PlanAudit {
         "crossJoin(broadcast(<one-row (N,V) train-totals frame>)) for the unigram floor",
       "t21_bm25_topk" ->
         "crossJoin(broadcast(<one-row (N, total-tokens) frame>)) for idf/avgdl",
+      "t26_pmi_collocations" ->
+        "crossJoin(broadcast(<one-row total-bigrams frame>)) for the lift ratio",
       "t25_hybrid_rrf" ->
         "corpus scanned once against the broadcast example-vector set (the s1 theta join) inside the semantic leg",
       "q48_surrogate_keys" ->

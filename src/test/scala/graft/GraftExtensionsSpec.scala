@@ -71,6 +71,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // bloom_bits: a member hash has ALL k positions set (no false
       // negatives); an absent hash here misses at least one (checked
       // against the tiny filter's actual bits)
+      // hll_registers: max-rho registers from md5-56 — two distinct keys
+      // set at most two registers; a repeat changes nothing (max is
+      // idempotent), and every register value is a legal rho in [0, 48]
+      val hll = spark.sql(
+        """SELECT hll_registers(k, 9) AS regs
+          |FROM VALUES ('a'), ('b'), ('a') AS t(k)""".stripMargin)
+        .head().getSeq[Long](0)
+      assert(hll.length == 512 && hll.count(_ > 0L) == 2
+        && hll.forall(r => r >= 0L && r <= 48L), s"bad hll registers")
       val bloom = spark.sql(
         """SELECT bloom_bits(h, 256, 4) AS bits
           |FROM VALUES (42L), (7L) AS t(h)""".stripMargin)

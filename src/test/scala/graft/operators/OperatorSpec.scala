@@ -509,6 +509,34 @@ class OperatorSpec extends SparkSpec {
     assert(BpeEncode.encodeWord("lowest", ranks).toSeq == Seq("low", "est"))
   }
 
+  test("PMI collocations (t26): a planted collocation outranks common pairs; minCount guards hapax pairs") {
+    import spark.implicits._
+    // "zig zag" always co-occur (8x); "the cat"/"the dog" share the
+    // common "the" (diluted marginals); "rare gem" appears once (hapax -
+    // maximal lift but must be filtered by minCount)
+    val docs = (Seq.fill(8)("zig zag the cat") ++ Seq.fill(8)("the dog ran off") ++
+      Seq("rare gem")).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 2L, topK = 6).collect()
+    val byPair = out.map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    // the perfect collocations (c12 = c1 = c2 = 8) tie at the max lift
+    // N*8/64; pairs touching the shared "the" (c1 = 16) score half that
+    assert(byPair.contains(("zig", "zag")), s"missing planted pair in $byPair")
+    assert(byPair.contains(("dog", "ran")))
+    assert(byPair(("zig", "zag")) == byPair(("dog", "ran")), "perfect pairs must tie")
+    assert(byPair.get(("the", "cat")).forall(_ < byPair(("zig", "zag"))),
+      "marginal-diluted pair must rank below the perfect collocations")
+    assert(!byPair.keys.exists(_._1 == "rare"),
+      "hapax pair must be filtered by minCount")
+    // planted counts: c12 = 8 for the perfect pair
+    assert(out.find(r => r.getString(0) == "zig").get.getLong(2) == 8L)
+    // every emitted lift is positive and r4-quantized
+    out.foreach { r =>
+      val lift = r.getDouble(5)
+      assert(lift > 0.0 && lift == math.floor(lift * 1e4 + 0.5) / 1e4)
+    }
+  }
+
   test("BPE train (t17): batched top-R rounds cut driver round-trips; batchR=1 IS sequential Sennrich") {
     import spark.implicits._
     val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
