@@ -165,8 +165,15 @@ class ScaleUtilsSpec extends SparkSpec {
     // boundary keys are INCLUSIVE on both ends
     val (_, edge) = ScaleUtils.readSkipping(spark, manifest, "key", 4095L, 4095L)
     assert(edge.count() == 1L)
-    // a disjoint range opens zero files
+    // a disjoint range opens zero files — and the empty frame carries
+    // the REAL table schema (the r9 ADVICE fix: a zero-column
+    // emptyDataFrame broke any caller selecting statCol or unioning
+    // with a non-empty read)
     val (none, empty) = ScaleUtils.readSkipping(spark, manifest, "key", 10000L, 20000L)
     assert(none.isEmpty && empty.count() == 0L)
+    assert(empty.schema == frame.schema,
+      s"empty-range schema ${empty.schema} != read schema ${frame.schema}")
+    assert(empty.select(col("key")).unionByName(frame.select(col("key"))).count() == 101L,
+      "empty-range frame must union with a real read")
   }
 }

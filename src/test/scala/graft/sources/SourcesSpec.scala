@@ -363,4 +363,34 @@ class SourcesSpec extends SparkSpec {
     assert(Publish.writeAuditPublish(clean, root, audit, token = "after").published)
     assert(Publish.currentVersion(spark, root) == Some(2L))
   }
+
+  test("orphan GC (G21): liveness follows the NEWEST nested file, not the top-level dir mtime") {
+    import spark.implicits._
+    import graft.operators.Publish
+    val root = Files.createTempDirectory("graft-gc-live").toString
+    // a staging dir whose TOP-LEVEL mtime is old, but whose nested
+    // write is fresh — the slow-audit in-flight shape the r9 ADVICE
+    // flagged: on HDFS-like filesystems the parent mtime does not
+    // advance while files land in subdirectories, so a dir-mtime
+    // cutoff would sweep a live publish mid-flight
+    val staged = new java.io.File(s"$root/_staging/slow/part")
+    assert(staged.mkdirs())
+    java.nio.file.Files.writeString(staged.toPath.resolve("data.parquet"), "fresh")
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    assert(new java.io.File(s"$root/_staging/slow").setLastModified(old))
+    assert(new java.io.File(s"$root/_staging").setLastModified(old))
+    // a 1-hour grace: the nested file is seconds old, so the attempt is
+    // LIVE and must survive even though the dir looks 48h stale
+    assert(Publish.gcOrphans(spark, root, graceMs = 3600L * 1000).isEmpty,
+      "staging with a fresh nested file must be treated as in-flight")
+    assert(staged.exists())
+    // once everything under the token dir is old too, it sweeps; the
+    // returned list reports only paths ACTUALLY removed
+    new java.io.File(s"$root/_staging/slow/part/data.parquet").setLastModified(old)
+    staged.setLastModified(old)
+    new java.io.File(s"$root/_staging/slow").setLastModified(old)
+    val swept = Publish.gcOrphans(spark, root, graceMs = 3600L * 1000)
+    assert(swept.size == 1 && swept.head.endsWith("_staging/slow"))
+    assert(!new java.io.File(s"$root/_staging/slow").exists())
+  }
 }
