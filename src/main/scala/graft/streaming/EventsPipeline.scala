@@ -99,6 +99,35 @@ object EventsPipeline {
         round(graft.operators.Sketching.kmvCardinalityEstimate(col("sk"), k))
           .cast("long").as("distinct_users"))
 
+  /** A43 — STREAMING windowed distinct via the exactly-replayable HLL
+    * registers (batch x15's twin; the A34 pattern with
+    * [[graft.functions.HllRegisters]] as the aggregate): where A26's
+    * built-in approx_count_distinct admits only estimate-level checks,
+    * the md5-56 register array is DETERMINISTIC given the rows, and the
+    * register merge (element-wise max) is commutative/associative/
+    * idempotent — so the emitted per-window sketch is BIT-IDENTICAL to
+    * the batch sketch over the same rows regardless of micro-batch
+    * slicing (spec-pinned), and per-window sketches keep max-merging
+    * downstream without raw data (the x15 roll-up). State per open
+    * (window, type) is 2^p longs — parameter-bounded; the watermark
+    * evicts closed windows. The estimate column applies x15's exact
+    * one-division estimator with the same interpolated constant.
+    */
+  def hllWindowedDistinct(events: DataFrame, p: Int = 7,
+      windowDur: String = "1 minute", watermark: String = "2 minutes"): DataFrame = {
+    val c = graft.functions.HllRegisters.alphaM(p) *
+      (1L << p).toDouble * (1L << p).toDouble * math.pow(2.0, 57 - p)
+    events
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("win"), col("event_type"))
+      .agg(graft.functions.HllRegisters(col("user_id").cast("string"), p).as("regs"))
+      .select(col("win.start").as("window_start"), col("event_type"), col("regs"),
+        round(lit(c) / expr(
+          s"aggregate(regs, 0L, (acc, r) -> acc + shiftleft(1L, cast(${57 - p} - r AS int)))")
+          .cast("double")).cast("long").as("distinct_users"))
+  }
+
   /** A35 — STREAMING corpus card: batch p5's incremental twin, the
     * per-ingest-window dataset summary a continuously-ingesting corpus
     * publishes instead of re-scanning itself. Same shape discipline as
