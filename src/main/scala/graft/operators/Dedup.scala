@@ -1628,9 +1628,46 @@ object Dedup {
     * so the full DuckDB oracle is unchanged.
     */
   def semDeDup(emb: DataFrame, signBits: Int = 4, tau: Double = 0.4,
+      triangleB: Int = 8): DataFrame =
+    semDeDupWithClusters(
+      Tables.spread(emb.select(col("vec_id"), col("embedding")))
+        .withColumn("bucket", signBucket(signBits)),
+      tau, triangleB)
+
+  /** The paper's ACTUAL clustering path (Abbas 2023 runs k-means):
+    * cluster ids from s4's trained spherical-k-means assignment — a
+    * narrow projection against the broadcast kClusters-row centroid
+    * frame — feed the SAME dominance core, so cluster count grows with
+    * the corpus instead of being fixed by signBits. Training is
+    * float-mean nondeterministic (the s4 class), so this spelling is
+    * spec-checked against an in-test brute-force dominance reference
+    * over its OWN emitted clusters rather than oracle-checked; d17's
+    * sign-bucket instance remains the deterministic cross-engine
+    * witness that the shared core is exact.
+    */
+  def semDeDupIvf(emb: DataFrame, kClusters: Int = 16, iters: Int = 4,
+      tau: Double = 0.4, triangleB: Int = 8): DataFrame = {
+    val e = Tables.spread(emb.select(col("vec_id"), col("embedding")))
+    val cent = Similarity.trainCentroids(e, kClusters, iters)
+    val assigned = e.join(broadcast(cent), lit(true))
+      .withColumn("ccos", coalesce(CosF(col("embedding"), col("centv")), lit(-2.0)))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), (-col("centroid_id")).as("tie"))).as("bucket"),
+        first(col("embedding")).as("embedding"))
+    semDeDupWithClusters(assigned.select(col("vec_id"), col("embedding"), col("bucket")),
+      tau, triangleB)
+  }
+
+  /** The shared SemDeDup dominance core over CALLER-SUPPLIED clusters:
+    * input is (vec_id, embedding, bucket); a vector drops iff some
+    * smaller-id same-bucket vector sits within tau. Both cluster
+    * spellings (deterministic sign buckets, trained IVF centroids) feed
+    * this one implementation, so the triangle partitioning and the
+    * min-id dominance rule cannot drift between them.
+    */
+  def semDeDupWithClusters(b: DataFrame, tau: Double = 0.4,
       triangleB: Int = 8): DataFrame = {
-    val b = Tables.spread(emb.select(col("vec_id"), col("embedding")))
-      .withColumn("bucket", signBucket(signBits))
     def side(id: String, v: String, g: String) = triangleSide(
       b.select(col("bucket"), col("vec_id").as(id), col("embedding").as(v)),
       id, g, triangleB)

@@ -2162,6 +2162,43 @@ class OperatorSpec extends SparkSpec {
       "two-phase positions must equal the flat enumeration at any bucket count")
   }
 
+  test("semdedup IVF path (d17/s4): trained-centroid clusters feed the same dominance core exactly") {
+    // the paper's k-means spelling: cluster ids from trained IVF
+    // centroids. Training is float-nondeterministic, so the check is an
+    // in-test brute-force dominance reference computed over the
+    // operator's OWN emitted clusters — proving the shared core applies
+    // the min-id cosine rule exactly whatever the cluster source
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val out = Dedup.semDeDupIvf(e, kClusters = 8, iters = 2, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == e.count())
+    // clusters are non-degenerate: more than one cluster in use
+    assert(out.map(_._2).distinct.length > 1, "IVF clustering collapsed to one cluster")
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val byBucket = out.groupBy(_._2)
+    val expectDropped = out.map { case (id, bucket, _) =>
+      id -> byBucket(bucket).exists { case (other, _, _) =>
+        other < id && cos(vecs(other), vecs(id)) >= 0.4 }
+    }.toMap
+    out.foreach { case (id, _, dropped) =>
+      assert(dropped == expectDropped(id),
+        s"dominance mismatch for vec $id: got $dropped")
+    }
+    // non-vacuous on the real corpus: both branches live
+    assert(out.exists(_._3) && out.exists(!_._3))
+  }
+
   test("semdedup (d17): same-bucket near-dups drop to the min id, cross-bucket pairs survive") {
     import spark.implicits._
     def v(fs: Double*) = fs.map(_.toFloat).toArray
