@@ -1807,8 +1807,52 @@ object Relational {
           AS months_since_order
       FROM f ORDER BY custkey, month"""))
 
+  /** B51's core: INCREMENTAL AGGREGATE MAINTENANCE (the materialized-
+    * view delta-merge every warehouse runs nightly): an existing
+    * aggregate artifact absorbs an append-only delta by MERGING partial
+    * aggregates — count/sum are linear, so
+    * agg(base ∪ delta) == agg(base) ⊕ agg(delta) exactly — instead of
+    * rescanning the base. At 100 TB the base aggregate is a stored
+    * k-row artifact (the D7/WAP shape) and the nightly cost is
+    * O(|delta| + |keys|), not O(|base|); here both halves compute
+    * in-query so the driver can hash-check the merged frame against a
+    * full recompute — which is precisely the IVM correctness theorem.
+    * Money stays DECIMAL(12,2) through the partial sums and the merge
+    * (decimal addition is associative/exact), rounding only at the
+    * emitted edge (the Num discipline). The full-outer join keeps keys
+    * that exist only in one side — a delta introducing a brand-new key
+    * must surface, not silently drop.
+    */
+  def incrementalAgg(orders: DataFrame, cutoff: String): DataFrame = {
+    def partial(df: DataFrame) = df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("rev"))
+    val base = partial(orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp")))
+    val delta = partial(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp")))
+    base.select(col("o_orderpriority"), col("n").as("n_base"), col("rev").as("rev_base"))
+      .join(delta.select(col("o_orderpriority"), col("n").as("n_delta"), col("rev").as("rev_delta")),
+        Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L))).as("n_orders"),
+        coalesce(col("n_delta"), lit(0L)).as("n_from_delta"),
+        round(coalesce(col("rev_base"), dec(lit(0))) + coalesce(col("rev_delta"), dec(lit(0))), 2)
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // B51 — incremental aggregate maintenance: the merged frame must
+  // hash-equal a from-scratch recompute (the IVM theorem, driver-checked).
+  private val q51 = Q(
+    "q51_incremental_agg",
+    (s, d) => incrementalAgg(Tables.orders(s, d), "2000-01-01"),
+    Some(s"""
+      SELECT o_orderpriority,
+        COUNT(*) AS n_orders,
+        COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2000-01-01') AS n_from_delta,
+        ${moneySql("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 }

@@ -509,6 +509,22 @@ class OperatorSpec extends SparkSpec {
     assert(BpeEncode.encodeWord("lowest", ranks).toSeq == Seq("low", "est"))
   }
 
+  test("incremental agg (q51): a delta-only key surfaces through the full-outer merge") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("1999-06-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2000-06-01 00:00:00")
+    val orders = Seq(
+      ("1-URGENT", ts0, 10.50), ("1-URGENT", ts1, 5.25),
+      ("9-NEW", ts1, 2.00) // this key exists ONLY in the delta
+    ).toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val out = Relational.incrementalAgg(orders, "2000-01-01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("1-URGENT", 2L, 1L, 15.75),
+      ("9-NEW", 1L, 1L, 2.0)),
+      s"got ${out.toSeq}")
+  }
+
   test("PMI collocations (t26): a planted collocation outranks common pairs; minCount guards hapax pairs") {
     import spark.implicits._
     // "zig zag" always co-occur (8x); "the cat"/"the dog" share the
