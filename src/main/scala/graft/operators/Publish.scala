@@ -87,6 +87,29 @@ object Publish {
     spark.read.parquet(new Path(root, s"v=$v").toString)
   }
 
+  /** G23 — TIME TRAVEL: read a specific published version (the
+    * `VERSION AS OF` of table formats). Versions are immutable dirs and
+    * the pointer swap never rewrites them, so any version still inside
+    * the retention horizon reads exactly as it was published —
+    * reproducing yesterday's training run, diffing releases (p10's
+    * input shape), or pinning a derived artifact to its source. Reading
+    * an expired or never-published version fails LOUDLY with the
+    * available range rather than returning an empty frame (an absent
+    * dir must not masquerade as an empty table).
+    */
+  def readPublishedAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val dir = new Path(root, s"v=$version")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) {
+      val have = Option(f.globStatus(new Path(root, "v=*"))).getOrElse(Array.empty)
+        .map(_.getPath.getName.stripPrefix("v=")).flatMap(_.toLongOption).sorted
+      sys.error(s"version $version not on disk under $root " +
+        s"(available: ${if (have.isEmpty) "none" else have.mkString(",")}) — " +
+        "expired by retention or never published")
+    }
+    spark.read.parquet(dir.toString)
+  }
+
   /** G17 — SMALL-FILE COMPACTION as a versioned publish: rewrite the
     * current version's many small files into ~`targetBytes` files and
     * publish the rewrite as the NEXT version via the same pointer swap —

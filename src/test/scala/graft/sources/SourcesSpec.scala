@@ -364,6 +364,30 @@ class SourcesSpec extends SparkSpec {
     assert(Publish.currentVersion(spark, root) == Some(2L))
   }
 
+  test("time travel (G23): any retained version reads as published; expired versions fail loudly") {
+    import spark.implicits._
+    import graft.operators.Publish
+    val root = Files.createTempDirectory("graft-timetravel").toString
+    val audit = Publish.columnAudit("doc_id_not_null" -> col("doc_id").isNull)
+    assert(Publish.writeAuditPublish(
+      Seq((1L, "v1")).toDF("doc_id", "text"), root, audit, "t1").published)
+    assert(Publish.writeAuditPublish(
+      Seq((1L, "v2"), (2L, "v2")).toDF("doc_id", "text"), root, audit, "t2").published)
+    // the pointer serves v2; time travel still reads v1 exactly
+    assert(Publish.readPublished(spark, root).count() == 2)
+    val v1 = Publish.readPublishedAt(spark, root, 1L).collect()
+    assert(v1.length == 1 && v1.head.getString(1) == "v1")
+    assert(Publish.readPublishedAt(spark, root, 2L).count() == 2)
+    // a never-published version fails loudly, naming the available range
+    val err = intercept[RuntimeException](Publish.readPublishedAt(spark, root, 9L))
+    assert(err.getMessage.contains("9") && err.getMessage.contains("1,2"))
+    // after retention expires v1, time travel to it fails loudly too
+    Publish.expireVersions(spark, root, keepLast = 1)
+    val gone = intercept[RuntimeException](Publish.readPublishedAt(spark, root, 1L))
+    assert(gone.getMessage.contains("expired") || gone.getMessage.contains("available: 2"))
+    assert(Publish.readPublishedAt(spark, root, 2L).count() == 2)
+  }
+
   test("orphan GC (G21): liveness follows the NEWEST nested file, not the top-level dir mtime") {
     import spark.implicits._
     import graft.operators.Publish
