@@ -2002,7 +2002,118 @@ object TextAnalysis {
       SELECT w1, w2, c12, c1, c2, ${r4Sql("lift_raw")} AS lift
       FROM cand ORDER BY lift_raw DESC, w1, w2 LIMIT 30"""))
 
+  /** E27's core: TEXTRANK keyword scoring (Mihalcea & Tarau 2004,
+    * "TextRank: Bringing Order into Texts" — the classic unsupervised
+    * keyword extractor): PageRank over the word co-occurrence graph.
+    * Graph: adjacent-token pairs (t13's map-side zip-with-shift),
+    * symmetrized (w(a,b) = c(a,b) + c(b,a), self-loops dropped), each
+    * undirected edge expanded to both directions. Iteration (the
+    * paper's eq. 1, damping d = 0.85, unit start, fixed `iters`
+    * rounds): WS(v) = (1-d) + d * sum over in-neighbors u of
+    * (w(u,v) / outsum(u)) * WS(u).
+    *
+    * Float discipline — the novel part: PageRank is float-ITERATIVE,
+    * which normally kills cross-engine replay because aggregation
+    * order is nondeterministic. Here every per-node contribution sum
+    * folds in SORTED in-neighbor order (array_sort over (src, contrib)
+    * structs, then a left fold seeded at 0.0 — the t21 BM25 contract),
+    * edge weights and out-sums are exact integers, and the per-edge
+    * expression ((w/outsum) * score) is one fixed multiplication
+    * chain — so every iteration's scores are bit-identical in Spark
+    * and DuckDB and the whole operator is FULLY oracle-checkable, the
+    * first float-iterative one in the pack.
+    *
+    * Scale: the graph is VOCABULARY-proportional, never corpus-
+    * proportional (the x14 vocab-explosion argument); per iteration
+    * one src-keyed join + one dst-keyed aggregate with degree-bounded
+    * collect_lists; `iters` is a fixed small constant so the lazy plan
+    * nests iters joins — no checkpointing, no driver round-trips.
+    * Top-k via orderBy.limit = TakeOrderedAndProject.
+    */
+  def textRank(docs: DataFrame, iters: Int = 3, topK: Int = 30): DataFrame = {
+    require(iters >= 1 && iters <= 6, s"iters in [1,6] (lazy plan nests them), got $iters")
+    val toks = docs
+      .select(split(lower(trim(col("text"))), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bg = toks.select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val und = bg
+      .select(least(col("w1"), col("w2")).as("a"), greatest(col("w1"), col("w2")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .persist()
+    val outs = edges.groupBy(col("src")).agg(sum(col("w")).as("outsum"))
+    val withOut = edges.join(outs, Seq("src"))
+    var scores = edges.select(col("src").as("token")).distinct()
+      .withColumn("score", lit(1.0))
+    (0 until iters).foreach { _ =>
+      scores = withOut
+        .join(scores.select(col("token").as("src"), col("score").as("s")), Seq("src"))
+        .withColumn("c",
+          (col("w").cast("double") / col("outsum").cast("double")) * col("s"))
+        .groupBy(col("dst"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src").as("s"), col("c").as("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("contrib"))
+        .select(col("dst").as("token"),
+          (lit(0.15) + lit(0.85) * col("contrib")).as("score"))
+    }
+    val deg = edges.groupBy(col("src").as("token")).agg(count(lit(1)).as("n_neighbors"))
+    scores.join(deg, Seq("token"))
+      .orderBy(col("score").desc, col("token"))
+      .limit(topK)
+      .select(col("token"), col("n_neighbors"), r4(col("score")).as("score"))
+  }
+
+  // E27 — TextRank keywords, FULL oracle: DuckDB replays all three
+  // iterations with the same sorted-fold float contract.
+  private val t27 = Relational.Q(
+    "t27_textrank",
+    (s, d) => textRank(Tables.documents(s, d)),
+    Some {
+      def iterSql(prev: String, out: String) = s"""
+      $out AS (
+        SELECT e.dst AS token,
+          0.15 + 0.85 * list_reduce(list_prepend(0.0, list_transform(
+            list_sort(list({'s': e.src,
+              'c': (CAST(e.w AS DOUBLE) / CAST(o.outsum AS DOUBLE)) * p.score})),
+            x -> x['c'])), (acc, v) -> acc + v) AS score
+        FROM edges e JOIN outs o ON e.src = o.src
+        JOIN $prev p ON p.token = e.src
+        GROUP BY e.dst)"""
+      s"""
+      WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM documents WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 2),
+      bg AS (
+        SELECT u['w1'] AS w1, u['w2'] AS w2 FROM (
+          SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]} FOR i IN range(1, len(tk))]) AS u
+          FROM t)
+        WHERE u['w1'] <> u['w2']),
+      und AS (
+        SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, COUNT(*) AS w
+        FROM bg GROUP BY 1, 2),
+      edges AS (
+        SELECT a AS src, b AS dst, w FROM und
+        UNION ALL
+        SELECT b AS src, a AS dst, w FROM und),
+      outs AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outsum FROM edges GROUP BY 1),
+      s0 AS (SELECT DISTINCT src AS token, CAST(1.0 AS DOUBLE) AS score FROM edges),
+      ${iterSql("s0", "s1")},
+      ${iterSql("s1", "s2")},
+      ${iterSql("s2", "s3")},
+      deg AS (SELECT src AS token, COUNT(*) AS n_neighbors FROM edges GROUP BY 1)
+      SELECT s3.token, deg.n_neighbors, ${r4Sql("s3.score")} AS score
+      FROM s3 JOIN deg USING (token)
+      ORDER BY s3.score DESC, s3.token LIMIT 30"""
+    })
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26)
+    t25, t26, t27)
 }

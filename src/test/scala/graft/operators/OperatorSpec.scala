@@ -525,6 +525,22 @@ class OperatorSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("TextRank (t27): the hub of a star graph outranks its leaves; leaves tie by symmetry") {
+    import spark.implicits._
+    val docs = Seq("hub leaf1", "hub leaf2", "hub leaf3")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.textRank(docs, iters = 3, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 4)
+    assert(out.head._1 == "hub" && out.head._2 == 3L, s"got ${out.toSeq}")
+    val leaves = out.tail
+    assert(leaves.forall(_._2 == 1L))
+    // symmetric leaves converge to identical scores; damping floors at 0.15
+    assert(leaves.map(_._3).distinct.length == 1, s"leaf scores diverged: ${leaves.toSeq}")
+    assert(out.forall(_._3 > 0.15))
+    assert(out.head._3 > leaves.head._3 * 2, "hub must clearly outrank leaves")
+  }
+
   test("PMI collocations (t26): a planted collocation outranks common pairs; minCount guards hapax pairs") {
     import spark.implicits._
     // "zig zag" always co-occur (8x); "the cat"/"the dog" share the
