@@ -2113,7 +2113,120 @@ object TextAnalysis {
       ORDER BY s3.score DESC, s3.token LIMIT 30"""
     })
 
+  /** E28's core: NAIVE-BAYES QUALITY-MODEL TRAINING — the trainer that
+    * produces E15's integer-weight artifact, completing the
+    * train → score → stream story the way t17 completed t14's encoder.
+    * The public recipe (CCNet/fastText quality classifiers: positives =
+    * a curated reference slice, negatives = the raw crawl) reduced to
+    * its count-only Naive-Bayes core, with the per-bucket log-odds
+    * quantized to an EXACT INTEGER via t16's bit-length floor-log2 —
+    * training is two map-side-combinable aggregates and the learned
+    * table hash-checks in DuckDB end to end (no transcendental, no
+    * float gradient, no accumulation-order hazard anywhere).
+    *
+    * Per hashed-unigram bucket b (t15's md5 convention; Laplace +1,
+    * V = dim): odds = ((pos_b+1)·(negTok+V)) / ((neg_b+1)·(posTok+V));
+    * w_b = sign · floor(log2(max(num,den)/min(num,den))) — positive
+    * when the bucket leans positive-class, 0 when the evidence is
+    * under one doubling. Magnitudes stay far below 2^53 and the
+    * floor-log2 is k0 = bitlen(hi) − bitlen(lo) resolved by ONE shift
+    * comparison (the t16 pattern). The emitted (bucket, w) projection
+    * IS a valid [[qualityModelScore]] / qualityGateStream model
+    * (spec-wired), so the whole loop — train here, score in batch,
+    * gate the stream — runs on one artifact.
+    *
+    * Scale: one token explode + ONE (bucket, class) count aggregate
+    * (map-side combinable); the grid/totals are dim- and one-row-
+    * bounded broadcasts (the t9/t11 class); output is exactly `dim`
+    * rows — the exported-linear-model artifact shape.
+    */
+  def nbTrainQualityWeights(labeled: DataFrame, dim: Int = 1024): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    import graft.functions.{HashFunctions => H}
+    val spark = labeled.sparkSession
+    val toks = labeled
+      .select(col("pos"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .withColumn("bucket", pmod(H.md5Hash56(col("t")), lit(dim.toLong)))
+    val counts = toks.groupBy(col("bucket"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+    val tot = counts.agg(
+      coalesce(sum(col("n_pos")), lit(0L)).as("post"),
+      coalesce(sum(col("n_neg")), lit(0L)).as("negt"))
+    spark.range(dim).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", (col("n_pos") + 1L) * (col("negt") + dim.toLong))
+      .withColumn("den", (col("n_neg") + 1L) * (col("post") + dim.toLong))
+      .withColumn("hi", greatest(col("num"), col("den")))
+      .withColumn("lo", least(col("num"), col("den")))
+      .withColumn("k0", length(bin(col("hi"))) - length(bin(col("lo"))))
+      .withColumn("mag",
+        when(expr("shiftleft(lo, k0)") <= col("hi"), col("k0"))
+          .otherwise(col("k0") - 1).cast("long"))
+      .withColumn("w",
+        when(col("num") === col("den"), lit(0L))
+          .otherwise(when(col("num") > col("den"), col("mag")).otherwise(-col("mag"))))
+      .select(col("bucket"), col("n_pos"), col("n_neg"), col("w"))
+      .orderBy(col("bucket"))
+  }
+
+  /** t28's fixture labeling — the CCNet shape verbatim: positives are a
+    * curated reference slice (two sources stand in for "Wikipedia"),
+    * negatives are the rest of the crawl.
+    */
+  val NbPositiveSources: Seq[String] = Seq("src0", "src1")
+
+  // E28 — NB quality-model training, FULL oracle (pure integer
+  // counts + bit-length log-odds replayed in DuckDB).
+  private val t28 = Relational.Q(
+    "t28_nb_train",
+    (s, d) => nbTrainQualityWeights(
+      Tables.documents(s, d).select(col("doc_id"), col("text"),
+        col("source").isin(NbPositiveSources: _*).as("pos")),
+      dim = 1024),
+    Some {
+      val h = graft.functions.HashFunctions.md5Hash56Sql("t")
+      val srcs = NbPositiveSources.map(x => s"'$x'").mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT source IN ($srcs) AS pos,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents),
+      counts AS (
+        SELECT $h % 1024 AS bucket,
+          CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        FROM toks GROUP BY 1),
+      tot AS (
+        SELECT COALESCE(CAST(SUM(n_pos) AS BIGINT), 0) AS post,
+          COALESCE(CAST(SUM(n_neg) AS BIGINT), 0) AS negt
+        FROM counts),
+      grid AS (SELECT unnest(range(0, 1024)) AS bucket),
+      j AS (
+        SELECT g.bucket,
+          COALESCE(c.n_pos, 0) AS n_pos, COALESCE(c.n_neg, 0) AS n_neg,
+          (COALESCE(c.n_pos, 0) + 1) * (t.negt + 1024) AS num,
+          (COALESCE(c.n_neg, 0) + 1) * (t.post + 1024) AS den
+        FROM grid g LEFT JOIN counts c ON g.bucket = c.bucket CROSS JOIN tot t),
+      m AS (
+        SELECT bucket, n_pos, n_neg, num, den,
+          greatest(num, den) AS hi, least(num, den) AS lo,
+          CASE WHEN (least(num, den) << (length(bin(greatest(num, den))) - length(bin(least(num, den)))))
+                    <= greatest(num, den)
+               THEN length(bin(greatest(num, den))) - length(bin(least(num, den)))
+               ELSE length(bin(greatest(num, den))) - length(bin(least(num, den))) - 1 END AS mag
+        FROM j)
+      SELECT CAST(bucket AS BIGINT) AS bucket, n_pos, n_neg,
+        CAST(CASE WHEN num = den THEN 0
+             WHEN num > den THEN mag ELSE -mag END AS BIGINT) AS w
+      FROM m ORDER BY bucket"""
+    })
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27)
+    t25, t26, t27, t28)
 }

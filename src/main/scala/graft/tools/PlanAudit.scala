@@ -60,6 +60,7 @@ object PlanAudit {
     "t20_stupid_backoff" -> "one-row (N,V) train-totals aggregate (the t11 class)",
     "t21_bm25_topk" -> "parameter-bounded query-term frame + one-row (N, total-tokens) aggregate",
     "t26_pmi_collocations" -> "one-row total-bigrams aggregate (the t9/t11 class)",
+    "t28_nb_train" -> "one-row class-token-totals aggregate (the t9/t11 class)",
     "t25_hybrid_rrf" -> "t21's bounded frames + the s1-class parameter-bounded example-vector set",
     "x3_heavy_hitters" -> "hashed-bucket aggregate: width 1024 rows max (constant)",
     "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB",
@@ -288,6 +289,8 @@ object PlanAudit {
         "crossJoin(broadcast(<one-row (N, total-tokens) frame>)) for idf/avgdl",
       "t26_pmi_collocations" ->
         "crossJoin(broadcast(<one-row total-bigrams frame>)) for the lift ratio",
+      "t28_nb_train" ->
+        "crossJoin(broadcast(<one-row class-totals frame>)) onto the dim-bounded bucket grid",
       "t25_hybrid_rrf" ->
         "corpus scanned once against the broadcast example-vector set (the s1 theta join) inside the semantic leg",
       "q48_surrogate_keys" ->

@@ -525,6 +525,61 @@ class OperatorSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("NB train (t28): the learned model separates planted classes and drives the t15 scorer and A30 stream gate") {
+    import spark.implicits._
+    // planted signal: positives talk about quality topics, negatives are
+    // spam — with shared filler so only the discriminative tokens carry
+    // weight. (The synthetic corpus's sources share one vocabulary
+    // distribution, so the REAL-corpus check is the oracle's arithmetic
+    // replay; usefulness needs actual lexical signal, planted here.)
+    val pos = Seq.fill(20)("the quick analysis shows careful rigorous methods")
+    val neg = Seq.fill(20)("the cheap spam offer buy now casino jackpot")
+    val labeled = (pos.map((_, true)) ++ neg.map((_, false)))
+      .zipWithIndex.map { case ((t, p0), i) => (i.toLong, t, p0) }
+      .toDF("doc_id", "text", "pos")
+    val model = TextAnalysis.nbTrainQualityWeights(labeled, dim = 1024)
+    val rows = model.collect()
+    assert(rows.length == 1024)
+    assert(rows.exists(_.getLong(3) > 0L) && rows.exists(_.getLong(3) < 0L),
+      "planted signal must learn both positive and negative weights")
+    // discriminative tokens carry the sign they should
+    import graft.functions.HashFunctions
+    def wOf(tok: String): Long =
+      rows(java.lang.Math.floorMod(HashFunctions.md5Hash56Local(tok), 1024L).toInt).getLong(3)
+    assert(wOf("rigorous") > 0L, "positive-class token must learn a positive weight")
+    assert(wOf("casino") < 0L, "negative-class token must learn a negative weight")
+    assert(wOf("the") == 0L, "shared filler must learn ~0 weight")
+    // the learned (bucket, w) frame IS a t15 model: scoring the training
+    // docs separates the classes completely
+    val docs = labeled.select(col("doc_id"), col("text"))
+    val scored = TextAnalysis.qualityModelScore(docs,
+      model.select(col("bucket"), col("w")), 1024).collect()
+    val posIds = labeled.filter(col("pos")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val (p, n) = scored.partition(r => posIds.contains(r.getLong(0)))
+    assert(p.nonEmpty && n.nonEmpty)
+    assert(p.map(_.getLong(2)).min > n.map(_.getLong(2)).max,
+      "NB model failed to separate planted classes")
+    // the SAME artifact drives the A30 streaming gate (dense export):
+    // row-local scores equal the relational scorer's doc for doc
+    val dense = Array.fill(1024)(0L)
+    rows.foreach(r => dense(r.getLong(0).toInt) = r.getLong(3))
+    val viaGate = graft.streaming.EventsPipeline.qualityGateStream(
+      docs.as[(Long, String)], dense)
+      .collect().map(f => f.doc_id -> f.score_sum).toMap
+    scored.foreach { r =>
+      assert(viaGate(r.getLong(0)) == r.getLong(2),
+        s"stream-gate score != batch scorer for doc ${r.getLong(0)}")
+    }
+    // and the real-corpus run stays structurally sane (the oracle covers
+    // its arithmetic): exactly dim rows, every weight a small integer
+    val real = TextAnalysis.nbTrainQualityWeights(
+      graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+        col("source").isin(TextAnalysis.NbPositiveSources: _*).as("pos")),
+      dim = 1024).collect()
+    assert(real.length == 1024 && real.forall(r => math.abs(r.getLong(3)) <= 60L))
+  }
+
   test("TextRank (t27): the hub of a star graph outranks its leaves; leaves tie by symmetry") {
     import spark.implicits._
     val docs = Seq("hub leaf1", "hub leaf2", "hub leaf3")
