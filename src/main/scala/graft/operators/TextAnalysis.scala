@@ -2180,6 +2180,40 @@ object TextAnalysis {
     */
   val NbPositiveSources: Seq[String] = Seq("src0", "src1")
 
+  /** E28's artifact lifecycle — the learned quality model as a
+    * VERSIONED MODEL (the publishBpeMerges discipline): the (bucket,
+    * n_pos, n_neg, w) table publishes through G16's write-audit-publish
+    * so train → publish → every consumer (t15 batch scoring, the A30
+    * stream gate) reads ONE immutable version by pointer. The audit
+    * pins the loader contract on the STAGED bytes: buckets dense
+    * 0..dim-1 exactly once (a sparse or duplicated table would silently
+    * zero/double features), and |w| within the log-odds envelope (a
+    * count column swapped into the weight slot — thousands, not
+    * bit-lengths — quarantines instead of publishing).
+    */
+  def publishQualityModel(spark: SparkSession, model: DataFrame, dim: Int,
+      root: String, token: String): Publish.WapResult = {
+    val audit: Publish.Audit = staged =>
+      Publish.columnAudit(
+        "bucket_in_range" -> (col("bucket") < 0 || col("bucket") >= dim.toLong),
+        "weight_in_envelope" -> (abs(col("w")) > 62L),
+        "counts_nonnegative" -> (col("n_pos") < 0 || col("n_neg") < 0))(staged)
+        .unionByName(staged
+          .agg(count(lit(1)).as("n"), countDistinct(col("bucket")).as("nd"))
+          .select(lit("buckets_dense_exactly_once").as("expectation"),
+            (abs(col("n") - dim.toLong) + abs(col("nd") - dim.toLong))
+              .cast("long").as("violations"),
+            (col("n") === dim.toLong && col("nd") === dim.toLong).as("pass")))
+    Publish.writeAuditPublish(model, root, audit, token)
+  }
+
+  /** Read the published model — rank-free, dim-bounded, straight into
+    * [[qualityModelScore]]'s weights slot (or collect the dense array
+    * for the A30 stream gate).
+    */
+  def readQualityModel(spark: SparkSession, root: String): DataFrame =
+    Publish.readPublished(spark, root).select(col("bucket"), col("w"))
+
   // E28 — NB quality-model training, FULL oracle (pure integer
   // counts + bit-length log-odds replayed in DuckDB).
   private val t28 = Relational.Q(

@@ -580,6 +580,32 @@ class OperatorSpec extends SparkSpec {
     assert(real.length == 1024 && real.forall(r => math.abs(r.getLong(3)) <= 60L))
   }
 
+  test("quality-model artifact (t28): WAP publish round-trips; malformed models quarantine") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-nbmodel").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+    val model = TextAnalysis.nbTrainQualityWeights(
+      docs.select(col("doc_id"), col("text"),
+        col("source").isin(TextAnalysis.NbPositiveSources: _*).as("pos")),
+      dim = 1024)
+    val r = TextAnalysis.publishQualityModel(spark, model, 1024, root, "train-r9")
+    assert(r.published && r.version.contains(1L), s"publish failed: $r")
+    // the published bytes round-trip into the scorer slot bit-exactly
+    val back = TextAnalysis.readQualityModel(spark, root)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    model.collect().foreach(x =>
+      assert(back(x.getLong(0)) == x.getLong(3), "published weight != trained"))
+    // a model with a count column in the weight slot (|w| in the
+    // thousands) quarantines — readers keep v1
+    val broken = model.select(col("bucket"), col("n_pos"), col("n_neg"),
+      (col("w") + 5000L).as("w"))
+    assert(!TextAnalysis.publishQualityModel(spark, broken, 1024, root, "bad-weights").published)
+    // a sparse model (missing buckets) quarantines too
+    val sparse = model.filter(col("bucket") < 512L)
+    assert(!TextAnalysis.publishQualityModel(spark, sparse, 1024, root, "sparse").published)
+    assert(graft.operators.Publish.currentVersion(spark, root) == Some(1L))
+  }
+
   test("TextRank (t27): the hub of a star graph outranks its leaves; leaves tie by symmetry") {
     import spark.implicits._
     val docs = Seq("hub leaf1", "hub leaf2", "hub leaf3")
