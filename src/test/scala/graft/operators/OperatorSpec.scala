@@ -2275,6 +2275,33 @@ class OperatorSpec extends SparkSpec {
       "two-phase positions must equal the flat enumeration at any bucket count")
   }
 
+  test("triangleSide: every unordered pair meets exactly once, for random id sets and any B") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260814L)
+    (1 to 5).foreach { trial =>
+      val b = 1 + rng.nextInt(7)
+      val n = 5 + rng.nextInt(40)
+      // non-contiguous ids stress the pmod grouping
+      val ids = scala.util.Random.javaRandomToRandom(new java.util.Random(trial * 7L))
+        .shuffle((0 until 200).toList).take(n).map(_.toLong)
+      val df = ids.toDF("id")
+      def side(idAs: String, g: String) = Dedup.triangleSide(
+        df.select(col("id").as(idAs)), idAs, g, b)
+      val pairs = side("id_a", "ga").join(side("id_b", "gb"), Seq("k1", "k2"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Dedup.trianglePairFilter("ga", "gb"))
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val expected = (for {
+        x <- ids; y <- ids if x < y
+      } yield (x, y)).toSet
+      assert(pairs.length == expected.size,
+        s"trial $trial (B=$b, n=$n): ${pairs.length} pair occurrences != ${expected.size} — a pair met twice or never")
+      assert(pairs.toSet == expected,
+        s"trial $trial (B=$b, n=$n): pair set mismatch")
+    }
+  }
+
   test("semdedup IVF path (d17/s4): trained-centroid clusters feed the same dominance core exactly") {
     // the paper's k-means spelling: cluster ids from trained IVF
     // centroids. Training is float-nondeterministic, so the check is an

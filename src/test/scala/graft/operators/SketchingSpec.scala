@@ -489,6 +489,32 @@ class SketchingSpec extends SparkSpec {
     assert((1L to 9L).forall(j => whole(j) == a(j) + b(j)),
       "Z_j counters must add cell-wise across shards — the mergeability contract")
   }
+  test("hll_registers (x15): registers equal an independent local reference on random key multisets") {
+    import spark.implicits._
+    import graft.functions.{HashFunctions, HllRegisters}
+    val rng = new scala.util.Random(20260814L)
+    (1 to 5).foreach { trial =>
+      val p0 = 4 + rng.nextInt(4) // p in [4,7]
+      val m = 1 << p0
+      // duplicates on purpose: registers must be idempotent over repeats
+      val keys = Seq.fill(50 + rng.nextInt(200))("k" + rng.nextInt(60))
+      // straight-line local reference with no shared code path
+      val ref = new Array[Long](m)
+      keys.distinct.foreach { k =>
+        val h = HashFunctions.md5Hash56Local(k)
+        val idx = (h % m).toInt
+        val w = h / m
+        val rho = if (w == 0L) (56 - p0) + 1
+          else (56 - p0) - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+        if (rho > ref(idx)) ref(idx) = rho.toLong
+      }
+      val got = keys.toDF("k").agg(HllRegisters(col("k"), p0).as("regs"))
+        .collect().head.getSeq[Long](0)
+      assert(got == ref.toSeq,
+        s"trial $trial (p=$p0, n=${keys.length}): registers diverged from reference")
+    }
+  }
+
   test("hll_registers (x15): shard sketches MAX-merge to the single pass; estimate within the HLL error band") {
     import graft.functions.HllRegisters
     val P = 7
