@@ -785,6 +785,76 @@ object Sketching {
       FROM agg ORDER BY l_returnflag"""
     })
 
+  // I15 — JOIN-SIZE ESTIMATION from CMS inner products (Cormode &
+  // Muthukrishnan 2005 §4.2 — the question an optimizer asks BEFORE
+  // picking a join strategy: how many rows will this key-equi join
+  // emit?): sketch each side's join-key stream into the x9 cell frames,
+  // estimate |A ⋈ B| per depth as the cell-wise inner product
+  // sum_c a_d[c]·b_d[c], take min over depths. The estimate is
+  // ONE-SIDED (>= truth: every true key pair lands in a shared cell;
+  // collisions only add) — spec'd universally — and both sketches stay
+  // depth×width-bounded artifacts a planner can keep per table/partition
+  // and combine WITHOUT touching data (cells add by linearity, so the
+  // per-day sketches x9 stores answer tomorrow's join-size question
+  // too). The fixture asks the funnel-planning question on real data:
+  // how big is the click ⋈ purchase user join? The exact inner product
+  // is computed alongside ONLY as the oracle-checked comparison column
+  // (the x9 probes convention) — at 100 TB the exact answer is
+  // precisely what the sketch exists to avoid. All integers; FULL
+  // oracle.
+  private val x16 = Relational.Q(
+    "x16_join_size",
+    (s, d) => {
+      val depth = 4
+      val width = 512
+      val ev = Tables.events(s, d).persist()
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id").cast("string").as("k"))
+      val a = countMinCells(side("click"), depth, width)
+      val b = countMinCells(side("purchase"), depth, width)
+        .withColumnRenamed("c", "cb")
+      val ips = a.join(b, Seq("dep", "cell"))
+        .groupBy(col("dep"))
+        .agg(sum(col("c") * col("cb")).as("ip"))
+      val exact = side("click").groupBy(col("k")).agg(count(lit(1)).as("ca"))
+        .join(side("purchase").groupBy(col("k")).agg(count(lit(1)).as("cb2")), Seq("k"))
+        .agg(coalesce(sum(col("ca") * col("cb2")), lit(0L)).as("exact_n"))
+      s.range(depth).select(col("id").cast("int").as("dep"))
+        .join(ips, Seq("dep"), "left")
+        .select(col("dep").cast("long").as("dep"), coalesce(col("ip"), lit(0L)).as("ip"))
+        .crossJoin(broadcast(exact))
+        .select(col("dep"), col("ip"), col("exact_n"),
+          (col("ip") - col("exact_n")).as("overcount"))
+        .orderBy(col("dep"))
+    },
+    Some {
+      val h = graft.functions.HashFunctions.md5Hash56Sql("(dep || ':' || k)")
+      s"""
+      WITH ca AS (
+        SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'click'),
+      cb AS (
+        SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'purchase'),
+      cellsa AS (
+        SELECT dep, $h % 512 AS cell, COUNT(*) AS c
+        FROM ca, UNNEST([0, 1, 2, 3]) AS u(dep) GROUP BY 1, 2),
+      cellsb AS (
+        SELECT dep, $h % 512 AS cell, COUNT(*) AS c
+        FROM cb, UNNEST([0, 1, 2, 3]) AS u(dep) GROUP BY 1, 2),
+      ips AS (
+        SELECT a.dep, CAST(SUM(a.c * b.c) AS BIGINT) AS ip
+        FROM cellsa a JOIN cellsb b USING (dep, cell) GROUP BY 1),
+      exact AS (
+        SELECT COALESCE(CAST(SUM(x.n * y.n) AS BIGINT), 0) AS exact_n FROM
+          (SELECT k, COUNT(*) AS n FROM ca GROUP BY 1) x
+          JOIN (SELECT k, COUNT(*) AS n FROM cb GROUP BY 1) y USING (k)),
+      deps AS (SELECT unnest(range(0, 4)) AS dep)
+      SELECT CAST(deps.dep AS BIGINT) AS dep,
+        COALESCE(ips.ip, 0) AS ip, exact.exact_n,
+        COALESCE(ips.ip, 0) - exact.exact_n AS overcount
+      FROM deps LEFT JOIN ips ON deps.dep = ips.dep CROSS JOIN exact
+      ORDER BY dep"""
+    })
+
   val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12,
-    x13, x14, x15)
+    x13, x14, x15, x16)
 }

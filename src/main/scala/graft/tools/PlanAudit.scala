@@ -70,6 +70,7 @@ object PlanAudit {
     "p13_unimax_sample" -> "|langs|-row local targets frame + |langs| x buckets-row two-phase offsets (enum- and parameter-bounded)",
     "p14_epoch_shuffle" -> "buckets-row two-phase offsets frame (parameter-bounded)",
     "x9_countmin_freq" -> "CMS cell frame: depth x width = 4 x 512 = 2048 rows max (parameter-bounded)",
+    "x16_join_size" -> "one-row exact-comparison aggregate (the t9/t11 class; the CMS cell frames are depth x width-bounded)",
     "x11_bloom_decontaminate" -> "one-row mBits/64-long bloom bitmap (parameter-bounded) + benchmark-slice distinct-gram frame (d8's class: bounded by the eval suite, a separate tiny table at 100 TB)",
     "p15_curriculum_order" -> "stages x buckets-row two-phase offsets frame (parameter-bounded)",
     "p16_dsir_sample" -> "one-row token totals + nBuckets(=256)-row vote/log-ratio frame (parameter-bounded — the x3/x9 class)",
@@ -316,7 +317,9 @@ object PlanAudit {
       "p18_d4_diversify" ->
         "crossJoin(broadcast(<one-row w_total frame>)) for the integer targets",
       "x11_bloom_decontaminate" ->
-        "crossJoin(broadcast(<one-row bloom-bitmap frame>)) + the benchmark-gram broadcast (both parameter-/eval-suite-bounded, the allowedHints adjudication)")
+        "crossJoin(broadcast(<one-row bloom-bitmap frame>)) + the benchmark-gram broadcast (both parameter-/eval-suite-bounded, the allowedHints adjudication)",
+      "x16_join_size" ->
+        "crossJoin(broadcast(<one-row exact-comparison frame>)) onto the depth-bounded inner-product frame")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

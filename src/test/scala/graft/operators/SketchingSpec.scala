@@ -489,6 +489,39 @@ class SketchingSpec extends SparkSpec {
     assert((1L to 9L).forall(j => whole(j) == a(j) + b(j)),
       "Z_j counters must add cell-wise across shards — the mergeability contract")
   }
+  test("CMS join-size (x16): the inner-product estimate is one-sided and linear in shards") {
+    import spark.implicits._
+    // one-sided on the real corpus: every depth's inner product >= the
+    // exact join size (collisions only ADD mass)
+    val out = graft.SparkEntry.queries("x16_join_size")(spark, sfDir).collect()
+    assert(out.length == 4)
+    out.foreach(r => assert(r.getLong(3) >= 0L,
+      s"depth ${r.getLong(0)}: estimate ${r.getLong(1)} under exact ${r.getLong(2)}"))
+    // and on an ADVERSARIAL key set engineered for collisions the bound
+    // still holds (the universal property, not a corpus accident)
+    val a = (1 to 200).map(i => ("k" + (i % 40)).toString).toDF("k")
+    val b = (1 to 150).map(i => ("k" + (i % 25)).toString).toDF("k")
+    val ca = Sketching.countMinCells(a, 2, 16)
+    val cb = Sketching.countMinCells(b, 2, 16).withColumnRenamed("c", "cb")
+    val ip = ca.join(cb, Seq("dep", "cell")).groupBy(col("dep"))
+      .agg(sum(col("c") * col("cb")).as("ip"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = a.groupBy("k").count().withColumnRenamed("count", "na")
+      .join(b.groupBy("k").count().withColumnRenamed("count", "nb"), Seq("k"))
+      .agg(sum(col("na") * col("nb"))).collect().head.getLong(0)
+    (0 until 2).foreach(dp => assert(ip(dp) >= exact,
+      s"adversarial depth $dp: ${ip(dp)} < $exact"))
+    // linearity: per-shard cell frames ADD to the single pass, so shard
+    // sketches answer the same join-size question without raw data
+    val shards = (0 until 3).map(i => Sketching.countMinCells(
+      a.filter(pmod(xxhash64(col("k")), lit(3L)) === i), 2, 16))
+    val summed = shards.reduce(_ unionByName _)
+      .groupBy(col("dep"), col("cell")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val single = ca.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(summed == single, "shard cells must sum to the single-pass cells")
+  }
+
   test("hll_registers (x15): registers equal an independent local reference on random key multisets") {
     import spark.implicits._
     import graft.functions.{HashFunctions, HllRegisters}
