@@ -108,6 +108,18 @@ object ImageCodec {
     * [[Multimodal.dHash63]], so hashes from decoded images drop into the
     * same 4x16-bit band join (m6) unchanged. None for non-images.
     */
+  /** REAL DCT pHash from decoded pixels: the 16x16 grayscale thumbnail's
+    * raw 0..255 samples through the same fixed-point DCT as the
+    * relational [[Multimodal.pHash63]] (shared [[Multimodal.pHash63FromSamples]]
+    * core, identical bit layout), so hashes from decoded images feed the
+    * same 4x16-bit band join unchanged. None for non-images.
+    */
+  def pHashFromImage(bytes: Array[Byte]): Option[Long] =
+    grayThumb(bytes, 16, 16).map { gs =>
+      // grayThumb emits sample/255f; 8-bit samples round-trip exactly.
+      Multimodal.pHash63FromSamples(gs.map(v => math.round(v * 255f).toLong))
+    }
+
   def dhashFromImage(bytes: Array[Byte]): Option[Long] =
     grayThumb(bytes, 9, 8).map { gs =>
       (0 until 63).foldLeft(0L) { (acc, i) =>

@@ -889,6 +889,73 @@ object Multimodal {
         CAST(SUM(diff) AS BIGINT) AS total_diff
       FROM df GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** F13 — forwarders to the shared [[graft.functions.PHash63]] core (the
+    * cosine table, the 256-sample DCT reference, and the codegen'd
+    * expression all live there so this operator, [[ImageCodec]], the
+    * specs, and the oracle share one source of truth).
+    */
+  private[operators] def CosQ12: Array[Long] = graft.functions.PHash63.CosQ12
+
+  /** DuckDB VALUES twin of [[CosQ12]], interpolated into oracles. */
+  private def cosQ12Sql: String =
+    CosQ12.zipWithIndex.map { case (c, i) => s"($i, $c)" }.mkString(", ")
+
+  /** F13 reference — see [[graft.functions.PHash63.fromSamples]]. */
+  def pHash63FromSamples(samples: Array[Long]): Long =
+    graft.functions.PHash63.fromSamples(samples)
+
+  /** F13 core — DCT perceptual hash (pHash) of a text payload as ONE
+    * narrow codegen'd projection ([[graft.functions.PHash63]], H10): 256
+    * stub-luma samples (the m6 convention — codepoint at the p-th of 256
+    * evenly spaced positions; a real image pipeline swaps this stage for
+    * 16×16 mean-pooled gray via [[ImageCodec.pHashFromImage]], identical
+    * bit layout), then the fixed-point integer DCT — NO explode, NO join,
+    * NO shuffle: per-doc work is a constant ~3.5k integer ops on its own
+    * row inside whole-stage codegen, so the operator is embarrassingly
+    * parallel at 100 TB. (A first spelling in higher-order array
+    * functions was measured catastrophically slow: HOFs evaluate
+    * interpreted with no CSE, so each chained stage re-computed every
+    * earlier stage per element — the expression runs the same math once
+    * per row.) Compared to m6's gradient dHash, the DCT hash keys on
+    * global low-frequency structure — the published robustness class for
+    * re-encode/resize noise (dHash's is local gradients); both feed the
+    * SAME 4×16-bit band join ([[dhashNearDupsFromHashes]] /
+    * [[dhashProbe]]) since the bit-layout contract (63 bits, sign-safe)
+    * is shared. Input (doc_id, text) → output (doc_id, phash).
+    */
+  def pHash63(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.PHash63(col("text")).as("phash"))
+
+  // F13 — the per-doc pHash frame itself is the oracle-checked query:
+  // DuckDB rebuilds every hash from the same CosQ12 literals (relational
+  // spelling: UNNEST samples → two join+group-by DCT passes → cross-
+  // multiplied threshold), so all 63 bits of every doc's hash are pinned
+  // cross-engine — stronger than a pair frame, which would only pin XOR
+  // popcounts. Near-dup pairing reuses the PROVEN m6/m10 band machinery
+  // unchanged (spec: planted identical twins surface at hamming 0).
+  private val m13 = Relational.Q(
+    "m13_phash_dct",
+    (s, d) => pHash63(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some(s"""
+      WITH ct(i, c) AS (SELECT * FROM (VALUES ${cosQ12Sql}) AS t(i, c)),
+      s AS (
+        SELECT doc_id, p % 16 AS x, p // 16 AS y,
+          CAST(ord(substr(text, CAST((p*(length(text)-1)) // 255 AS INTEGER)+1, 1)) AS BIGINT) AS g
+        FROM documents, UNNEST(range(0,256)) AS t(p)),
+      s1 AS (
+        SELECT doc_id, ct.i // 16 AS u, s.y AS y, SUM(ct.c * s.g) AS v
+        FROM s JOIN ct ON ct.i % 16 = s.x GROUP BY 1, 2, 3),
+      f AS (
+        SELECT s1.doc_id, s1.u AS u, ct.i // 16 AS v, SUM(ct.c * s1.v) AS f
+        FROM s1 JOIN ct ON ct.i % 16 = s1.y GROUP BY 1, 2, 3),
+      ac AS (SELECT doc_id, u*8+v AS j, f FROM f WHERE NOT (u = 0 AND v = 0)),
+      tot AS (SELECT doc_id, SUM(f) AS s FROM ac GROUP BY 1)
+      SELECT a.doc_id AS doc_id,
+        CAST(SUM(CASE WHEN 63*a.f > t.s THEN (CAST(1 AS BIGINT) << (a.j-1)) ELSE 0 END) AS BIGINT) AS phash
+      FROM ac a JOIN tot t USING (doc_id)
+      GROUP BY a.doc_id ORDER BY doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10,
-    m11, m12)
+    m11, m12, m13)
 }

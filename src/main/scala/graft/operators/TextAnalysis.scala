@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import Num._
 
@@ -2260,7 +2261,88 @@ object TextAnalysis {
       FROM m ORDER BY bucket"""
     })
 
+  /** E29 delimiter — a candidate phrase ends at any run containing
+    * punctuation/digits or a stopword; plain whitespace between content
+    * words stays inside the phrase (the `[^a-z\s]`-vs-`\s` split). One
+    * regex, identical in Java and RE2, so both engines carve the same
+    * phrases.
+    */
+  private val RakeDelim = s"(?:\\s*(?:[^a-z\\s]|\\b(?:$StopEn)\\b)\\s*)+"
+
+  // E29 — RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010,
+  // "Automatic Keyword Extraction from Individual Documents"): candidate
+  // phrases = maximal stopword/punctuation-free word runs; per-DOC word
+  // score = degree/frequency (degree sums the lengths of every phrase
+  // instance containing the word); phrase score = Σ member word scores,
+  // top 3 phrases per doc. The published recipe's one division becomes
+  // ONE exact integer floor division per (doc, word) — deg·1e6 div freq,
+  // floored identically by Spark's `div` and DuckDB's `//` on positive
+  // BIGINTs — so every score is an exact integer and the top-3 cut with
+  // (score DESC, phrase) tie order is deterministic cross-engine.
+  // Scale: tokenize once; phrase stats, word stats, the distinct-phrase
+  // re-split, and the rank window are ALL doc_id-keyed (no corpus-wide
+  // aggregate or sort anywhere), so the operator shards perfectly at
+  // 100 TB. Duplicate phrase instances are scored once via the distinct
+  // re-split (NOT a join through instances, which would double-count —
+  // pinned by the planted duplicate-phrase spec).
+  /** E29 core — RAKE over a (doc_id, text) frame; see the t29 comment
+    * for the contract. Every stage is doc_id-keyed.
+    */
+  def rakeKeyphrases(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val ph = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), RakeDelim)).as("p"))
+      .select(col("doc_id"), trim(col("p")).as("phrase"))
+      .filter(col("phrase") =!= "")
+    val pw = ph.select(col("doc_id"),
+      size(split(col("phrase"), "\\s+")).cast("long").as("plen"),
+      explode(split(col("phrase"), "\\s+")).as("w"))
+    val ws = pw.groupBy(col("doc_id"), col("w"))
+      .agg(expr("(sum(plen) * 1000000) div count(1)").as("wscore"))
+    val dpw = ph.select(col("doc_id"), col("phrase")).distinct()
+      .select(col("doc_id"), col("phrase"),
+        explode(split(col("phrase"), "\\s+")).as("w"))
+    val ps = dpw.join(ws, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(sum(col("wscore")).as("score"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase"))
+    ps.withColumn("rk", row_number().over(rk)).filter(col("rk") <= topK)
+      .select(col("doc_id"), col("phrase"), col("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("phrase"))
+  }
+
+  private val t29 = Relational.Q(
+    "t29_rake_keyphrases",
+    (s, d) => rakeKeyphrases(Tables.documents(s, d)),
+    Some(s"""
+      WITH ph AS (
+        SELECT doc_id, trim(p) AS phrase
+        FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '$RakeDelim')) AS p
+              FROM documents)
+        WHERE trim(p) <> ''),
+      pw AS (
+        SELECT doc_id, w, len(string_split_regex(phrase, '\\s+')) AS plen
+        FROM (SELECT doc_id, phrase,
+                unnest(string_split_regex(phrase, '\\s+')) AS w FROM ph)),
+      ws AS (
+        SELECT doc_id, w, (SUM(plen) * 1000000) // COUNT(*) AS wscore
+        FROM pw GROUP BY doc_id, w),
+      dpw AS (
+        SELECT doc_id, phrase, unnest(string_split_regex(phrase, '\\s+')) AS w
+        FROM (SELECT DISTINCT doc_id, phrase FROM ph)),
+      ps AS (
+        SELECT dpw.doc_id, dpw.phrase, CAST(SUM(ws.wscore) AS BIGINT) AS score
+        FROM dpw JOIN ws ON ws.doc_id = dpw.doc_id AND ws.w = dpw.w
+        GROUP BY dpw.doc_id, dpw.phrase)
+      SELECT doc_id, phrase, score FROM (
+        SELECT doc_id, phrase, score,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, phrase) AS rk
+        FROM ps) WHERE rk <= 3
+      ORDER BY doc_id, score DESC, phrase"""))
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28)
+    t25, t26, t27, t28, t29)
 }

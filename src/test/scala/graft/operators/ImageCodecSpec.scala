@@ -80,6 +80,22 @@ class ImageCodecSpec extends SparkSpec {
     assert(pairs.subsetOf(expected), s"false near-dups: ${(pairs -- expected).mkString(",")}")
   }
 
+  test("real DCT pHash: deterministic, sign-safe, noise-robust, and distinct across images") {
+    val (ha, hn, hb) = (ImageCodec.pHashFromImage(imgA).get,
+      ImageCodec.pHashFromImage(imgANoisy).get, ImageCodec.pHashFromImage(imgB).get)
+    // shared 63-bit sign-safe pack (the band-join contract)
+    assert(ha >= 0 && hn >= 0 && hb >= 0)
+    assert(ImageCodec.pHashFromImage(imgA).get == ha)
+    // the DCT keys on low-frequency structure, so zero-mean per-pixel
+    // noise moves few bits; structurally different images move many
+    val near = java.lang.Long.bitCount(ha ^ hn)
+    val far = java.lang.Long.bitCount(ha ^ hb)
+    assert(near <= 3, s"noise twin moved $near pHash bits")
+    assert(far > 10, s"distinct images at pHash hamming $far")
+    // non-images degrade to None, not an exception
+    assert(ImageCodec.pHashFromImage("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
   test("batched decode through Spark handles a mixed image/text payload column") {
     val rows = Seq(
       (1L, imgA), (2L, imgB),

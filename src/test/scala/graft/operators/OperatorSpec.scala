@@ -212,6 +212,58 @@ class OperatorSpec extends SparkSpec {
     assert(far == 0, s"$far far pairs spuriously collided")
   }
 
+  /** Local twin of m13's text sampling: codepoint at the p-th of 256
+    * evenly spaced positions, feeding the shared integer-DCT reference.
+    */
+  private def phashLocal(text: String): Long = {
+    val n = text.length
+    val g = Array.tabulate(256)(p => text.codePointAt((p * (n - 1)) / 255).toLong)
+    Multimodal.pHash63FromSamples(g)
+  }
+
+  test("pHash DCT (m13): column pipeline == local integer reference, corpus + random texts") {
+    val sf = "/root/testdata/sf0.01"
+    val got = graft.SparkEntry.queries("m13_phash_dct")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      assert(got(id) == phashLocal(text), s"pHash mismatch for doc $id")
+    }
+    // sign safety: bit 63 never set (the shared 63-bit band-join contract)
+    assert(got.values.forall(_ >= 0L))
+    // non-degenerate: the corpus hashes are essentially all distinct
+    assert(got.values.toSet.size > docs.length / 2)
+    // arbitrary inputs, not just the corpus: random printable texts
+    val rnd = new scala.util.Random(1913)
+    val texts = Seq.tabulate(200)(i =>
+      (i + 1L, Seq.fill(30 + rnd.nextInt(300))((32 + rnd.nextInt(95)).toChar).mkString))
+    val rndGot = Multimodal.pHash63(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, text) =>
+      assert(rndGot(id) == phashLocal(text), s"pHash mismatch for random text $id")
+    }
+  }
+
+  test("pHash DCT feeds the SHARED band join: planted identical twins pair at hamming 0") {
+    val sf = "/root/testdata/sf0.01"
+    val base = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(50)
+    val twins = base.select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+    val hashes = Multimodal.pHash63(base.unionByName(twins))
+      .withColumnRenamed("phash", "h")
+    val pairs = Multimodal.dhashNearDupsFromHashes(hashes)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val ids = base.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.length == 50)
+    val pairMap = pairs.toMap
+    ids.foreach { id =>
+      assert(pairMap.get((id, id + 10000000L)).contains(0L),
+        s"identical twin of doc $id missing or nonzero hamming")
+    }
+  }
+
   test("codegen'd RandomHyperplaneBucket matches the HOF spelling") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val diff = e.select(
@@ -2688,6 +2740,67 @@ class OperatorSpec extends SparkSpec {
         .zipWithIndex.map { case ((qq, d, nh, sc), i) => (qq, i + 1L) -> ((d, nh, sc)) }
     }.toMap
     assert(out == expected, s"got $out\nexpected $expected")
+  }
+
+  /** Independent local RAKE: same published recipe in plain Scala —
+    * phrase carving, per-doc degree/frequency, the one floor division,
+    * duplicate phrases scored once.
+    */
+  private def rakeLocal(text: String, topK: Int = 3): Seq[(String, Long)] = {
+    val delim = ("(?:\\s*(?:[^a-z\\s]|\\b(?:the|and|of|to|in|is|that|it|for|was)\\b)\\s*)+").r
+    val phrases = delim.split(text.trim.toLowerCase)
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    phrases.foreach { p =>
+      val ws = p.split("\\s+").toSeq
+      ws.foreach { w =>
+        freq(w) = freq.getOrElse(w, 0L) + 1
+        deg(w) = deg.getOrElse(w, 0L) + ws.size
+      }
+    }
+    phrases.distinct
+      .map(p => p -> p.split("\\s+").map(w => deg(w) * 1000000L / freq(w)).sum)
+      .sortBy { case (p, s) => (-s, p) }
+      .take(topK)
+  }
+
+  test("RAKE (t29): matches the independent local reference, incl. planted duplicate phrases") {
+    // hand fixture: multiword phrases, a stopword-only doc, duplicated
+    // phrases (which a join-through-instances would double-score)
+    val docs = Seq(
+      (1L, "Linear constraints and natural numbers; strict inequations of linear constraints."),
+      (2L, "the and of to in is"), // all stopwords: zero candidate phrases
+      (3L, "red apples, red apples, red apples! tasty fruit baskets"),
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeyphrases(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = Seq(1L, 3L, 4L).flatMap { id =>
+      rakeLocal(docs.filter(col("doc_id") === id).head().getString(1))
+        .map { case (p, s) => (id, p, s) }
+    }
+    assert(got.toSeq.sorted == expected.sorted, s"got ${got.toSeq}\nexpected $expected")
+    assert(!got.exists(_._1 == 2L), "stopword-only doc produced phrases")
+    // the duplicated phrase scored ONCE: "red apples" has deg/freq =
+    // (red:6/3, apples:6/3) -> exactly 4000000; a join through the 3
+    // instances would have tripled it to 12000000
+    val doc3 = got.filter(t => t._1 == 3L && t._2 == "red apples")
+    assert(doc3.map(_._3).toSeq == Seq(4000000L), s"doc3 'red apples': ${doc3.toSeq}")
+  }
+
+  test("RAKE (t29): real-corpus run — multiword phrases win and scores are exact integers") {
+    val res = graft.SparkEntry.queries("t29_rake_keyphrases")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(res.nonEmpty)
+    // <= topK per doc, all scores positive
+    val perDoc = res.groupBy(_._1)
+    assert(perDoc.values.forall(_.length <= 3))
+    assert(res.forall(_._3 > 0))
+    // RAKE's signature bias: degree rewards co-occurrence, so top
+    // phrases are predominantly multiword on natural text
+    val multi = res.count(_._2.contains(" "))
+    assert(multi * 2 > res.length, s"only $multi of ${res.length} keyphrases are multiword")
   }
 
   test("bm25 (t21): rare-term idf dominates and ranks are dense per query on the real corpus") {
