@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BloomBits, BpeEncode, CosineSimilarity, CountMinSketch, HllRegisters, KMinValues, MinHashSignature, MultiPatternCounts, NfcNormalize, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
+import graft.functions.{BloomBits, BpeEncode, CosineSimilarity, CountMinSketch, HllRegisters, KMinValues, MinHashSignature, MisraGries, MultiPatternCounts, NfcNormalize, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
 
 /** Spark session extension: registers graft's custom Catalyst expressions
   * as SQL functions, so the whole similarity/dedup toolkit is reachable
@@ -94,6 +94,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "hll_registers", { children =>
       require(children.length == 2, "hll_registers expects (key, p)")
       HllRegisters(children.head, litInt(children(1), "hll_registers", "p"))
+        .toAggregateExpression()
+    })
+    register(ext, "misra_gries", { children =>
+      require(children.length == 2, "misra_gries expects (key, k)")
+      MisraGries(children.head, litInt(children(1), "misra_gries", "k"))
         .toAggregateExpression()
     })
     register(ext, "nfc_normalize", { children =>

@@ -545,3 +545,146 @@ object HllRegisters {
     else 0.7213 / (1.0 + 1.079 / m)
   }
 }
+
+/** MISRA-GRIES heavy-hitters summary (SURVEY I16 — Misra & Gries 1982;
+  * mergeability per Agarwal, Cormode, Huang, Phillips, Wei & Yi 2012,
+  * "Mergeable Summaries"): at most k (key, count) pairs no matter how
+  * many rows stream through. Update is the classic rule — increment a
+  * tracked key, insert while there is room, otherwise decrement every
+  * counter by 1 and drop zeros (the arriving key is consumed by the
+  * decrement). Merge sums the two counter maps, then restores the k
+  * bound by subtracting the (k+1)-th largest count from every counter
+  * and dropping non-positives — the ACHPWY merge, which preserves the
+  * one-sided deficit guarantee: for every key,
+  *
+  *     est <= true_count  and  true_count - est <= n / (k+1)
+  *
+  * with n the TOTAL row count seen, whatever the partitioning or merge
+  * order. Any key with true_count > n/(k+1) is therefore guaranteed
+  * present — the frequent-items contract. Counts (unlike the guarantee)
+  * are order-dependent across merges, so operators built on this sketch
+  * are rows-only with bound specs (the x1/x4 class), never hash oracles.
+  *
+  * State is <= k entries — constant memory for a 100 TB scan, and the
+  * map-side partial aggregation means each shuffle carries k pairs per
+  * partition, never the vocabulary.
+  */
+case class MisraGries(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+    with ExpectsInputTypes {
+
+  require(k >= 2 && k <= 4096, s"misra_gries k must be in [2, 4096], got $k")
+
+  override def inputTypes = Seq(StringType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("est", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "misra_gries"
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long],
+      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.toString
+      val cur: Long = buf.getOrDefault(key, 0L)
+      if (cur != 0L) buf.put(key, cur + 1L)
+      else if (buf.size < k) buf.put(key, 1L)
+      else {
+        // decrement-all: the arriving key and one unit of every tracked
+        // key are jointly discarded — k+1 distinct keys per unit of
+        // undercount, which is where the n/(k+1) bound comes from.
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Long],
+      b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val bi = b.entrySet().iterator()
+    while (bi.hasNext) {
+      val e = bi.next()
+      a.put(e.getKey, a.getOrDefault(e.getKey, 0L) + e.getValue)
+    }
+    if (a.size > k) {
+      // subtract the (k+1)-th largest count, drop non-positives: back to
+      // <= k entries, deficit grows by at most that count for any key.
+      val counts = new Array[Long](a.size)
+      var i = 0
+      val vi = a.values().iterator()
+      while (vi.hasNext) { counts(i) = vi.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(a.size - (k + 1)) // (k+1)-th largest
+      val it = a.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= sub) it.remove() else e.setValue(e.getValue - sub)
+      }
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    // deterministic emission order: (est desc, key asc)
+    val entries = new Array[(String, Long)](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    scala.util.Sorting.stableSort(entries,
+      (x: (String, Long), y: (String, Long)) =>
+        x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
+    new GenericArrayData(entries.map { case (key, est) =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(key), est)
+    })
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MisraGries =
+    copy(child = newChildren.head)
+}
+
+object MisraGries {
+  def apply(key: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      MisraGries(GraftColumnBridge.expression(key), k).toAggregateExpression())
+}

@@ -1831,5 +1831,188 @@ object Dedup {
         CAST(COUNT(DISTINCT raw_hash) AS BIGINT) AS n_raw_hashes
       FROM h GROUP BY norm_hash ORDER BY canon_doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19)
+  /** C20 core — RECORD LINKAGE / entity resolution (Fellegi & Sunter
+    * 1969's blocking + agreement-scoring shape; Newcombe 1959 blocking):
+    * match dirty catalog records against the DISTINCT entity catalog.
+    * Blocking key = (last name token, brand, category) — the fields the
+    * planted corruption never touches, so candidate recall is 1 BY
+    * CONSTRUCTION; within a block the agreement score is character-bigram
+    * set Jaccard scaled to an exact integer per-mille (one cross-engine
+    * floor division — Spark `div` == DuckDB `//` on non-negative longs),
+    * threshold >= 550 (the measured floor of the single-edit class;
+    * the reversed-adjective no-match class sits <= 500), and the winner
+    * is the max-jm entity with min-entity-id ties — ONE min_by over the
+    * composite integer key `entity_id - jm*1e8`, unique per (entity, jm)
+    * so both engines resolve identically.
+    *
+    * Scale (100 TB): the entity side is the DISTINCT attribute catalog —
+    * bounded by combination count, not corpus rows — so the block join
+    * broadcasts (or shuffles on the block key when the catalog outgrows
+    * broadcast: still an equi-join, never a cross pair scan); per-record
+    * pair work is bounded by block granularity (add blocking fields to
+    * tighten, the standard ER dial); the dirty derivation and bigram
+    * profiles are narrow per-row projections.
+    */
+  def recordLinkage(parts: DataFrame, tauMilli: Int = 550): DataFrame = {
+    def bigrams(c: Column): Column =
+      array_distinct(transform(sequence(lit(1), length(c) - 1),
+        i => c.substr(i, lit(2))))
+    val named = parts.select(col("p_partkey"), col("p_name"),
+      col("p_brand"), col("p_type"),
+      element_at(split(col("p_name"), " "), 1).as("adj"),
+      element_at(split(col("p_name"), " "), 2).as("noun"))
+    // the dirty feed: one deterministic character deletion inside the
+    // adjective at position (key mod len)+1 — or, for key % 5 == 0, the
+    // adjective reversed (the planted beyond-repair class that must NOT
+    // link). Blocking fields (noun/brand/category) stay clean.
+    val cut = pmod(col("p_partkey"), length(col("adj")).cast("long")).cast("int")
+    val dirty = named.select(
+      (col("p_partkey") + lit(10000000L)).as("rec_id"),
+      concat_ws(" ",
+        when(pmod(col("p_partkey"), lit(5)) === 0, reverse(col("adj")))
+          .otherwise(concat(col("adj").substr(lit(1), cut),
+            col("adj").substr(cut + lit(2), length(col("adj"))))),
+        col("noun")).as("name"),
+      col("noun"), col("p_brand").as("brand"), col("p_type").as("category"))
+    val entities = named
+      .groupBy(col("p_name"), col("p_brand"), col("p_type"))
+      .agg(min(col("p_partkey")).as("entity_id"))
+      .select(col("entity_id"), col("p_name"), col("p_brand"), col("p_type"),
+        element_at(split(col("p_name"), " "), 2).as("enoun"))
+    val scored = dirty
+      .withColumn("bg", bigrams(col("name")))
+      .join(entities.withColumn("ebg", bigrams(col("p_name"))),
+        col("noun") === col("enoun") && col("brand") === col("p_brand") &&
+          col("category") === col("p_type"))
+      .withColumn("ni", size(array_intersect(col("bg"), col("ebg"))).cast("long"))
+      .withColumn("nu", size(array_union(col("bg"), col("ebg"))).cast("long"))
+      .withColumn("jm", expr("(1000 * ni) div nu"))
+      .filter(col("jm") >= tauMilli)
+    val best = scored.groupBy(col("rec_id"))
+      .agg(min_by(col("entity_id"), col("entity_id") - col("jm") * lit(100000000L)).as("match_id"),
+        min_by(col("p_name"), col("entity_id") - col("jm") * lit(100000000L)).as("match_name"),
+        max(col("jm")).as("best_jm"))
+    dirty.select(col("rec_id"))
+      .join(best, Seq("rec_id"), "left")
+      .orderBy(col("rec_id"))
+  }
+
+  // C20 — record linkage over the part catalog: the oracle replays the
+  // dirty derivation, blocking, bigram Jaccard, threshold, and min_by
+  // resolution, so the emitted match table (incl. the NULLs of the
+  // planted no-match class) is hash-checked end to end.
+  private val d20 = Relational.Q(
+    "d20_record_linkage",
+    (s, d) => recordLinkage(Tables.part(s, d)),
+    Some("""
+      WITH names AS (
+        SELECT p_partkey, p_name, p_brand, p_type,
+          string_split(p_name,' ')[1] AS adj, string_split(p_name,' ')[2] AS noun
+        FROM part),
+      dirty AS (
+        SELECT p_partkey + 10000000 AS rec_id,
+          concat(CASE WHEN p_partkey % 5 = 0 THEN reverse(adj)
+               ELSE concat(substr(adj, 1, CAST(p_partkey % length(adj) AS INTEGER)),
+                    substr(adj, CAST(p_partkey % length(adj) AS INTEGER) + 2)) END,
+            ' ', noun) AS name,
+          noun, p_brand AS brand, p_type AS category
+        FROM names),
+      ents AS (
+        SELECT MIN(p_partkey) AS entity_id, p_name, p_brand, p_type, noun
+        FROM names GROUP BY p_name, p_brand, p_type, noun),
+      db AS (SELECT rec_id, name, noun, brand, category,
+               list_distinct(list_transform(range(1, length(name)),
+                 i -> substr(name, CAST(i AS INTEGER), 2))) AS bg
+             FROM dirty),
+      cb AS (SELECT entity_id, p_name, p_brand, p_type, noun,
+               list_distinct(list_transform(range(1, length(p_name)),
+                 i -> substr(p_name, CAST(i AS INTEGER), 2))) AS bg
+             FROM ents),
+      scored AS (
+        SELECT d.rec_id, c.entity_id, c.p_name,
+          CAST((1000*len(list_intersect(d.bg, c.bg)))
+               // len(list_distinct(list_concat(d.bg, c.bg))) AS BIGINT) AS jm
+        FROM db d JOIN cb c
+          ON d.noun = c.noun AND d.brand = c.p_brand AND d.category = c.p_type),
+      best AS (
+        SELECT rec_id,
+          min_by(entity_id, entity_id - jm*100000000) AS match_id,
+          min_by(p_name, entity_id - jm*100000000) AS match_name,
+          max(jm) AS best_jm
+        FROM scored WHERE jm >= 550 GROUP BY 1)
+      SELECT d.rec_id, b.match_id, b.match_name, b.best_jm
+      FROM dirty d LEFT JOIN best b USING (rec_id) ORDER BY rec_id"""))
+
+  /** C21 core — cross-document PARAGRAPH-level dedup (the Dolma/RefinedWeb
+    * paragraph pass: exact dedup lifted from whole documents to the
+    * paragraphs inside them, catching boilerplate shared across documents
+    * that d1 can never see). Paragraph stand-in = consecutive
+    * non-overlapping `chunkWords`-word windows (trailing partial window
+    * dropped); a paragraph INSTANCE survives iff it is the corpus-first
+    * occurrence of its content — min (doc_id, pos) per chunk, the d1
+    * min-id dominance convention lifted to instances, order-free and
+    * exact. Emits one row per doc: chunk/drop counts and the md5 of the
+    * scrubbed text, so the whole scrub is pinned by one hash column.
+    *
+    * Scale: tokenize once, narrow in-row chunking (no pairwise anything);
+    * the dominance pass is ONE map-side-combinable min-aggregate keyed by
+    * chunk content plus one chunk-keyed equi-join back; per-doc reassembly
+    * is doc_id-keyed. Hot boilerplate chunks skew the chunk key — the
+    * aggregate side combines map-side (skew-immune); the join-back side is
+    * the standard salt-on-skew candidate (ScaleUtils.saltedJoin) if a
+    * corpus concentrates on few chunks.
+    */
+  def paragraphDedup(docs: DataFrame, chunkWords: Int = 4): DataFrame = {
+    val ch = docs
+      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= chunkWords)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), (size(col("ws")) / chunkWords).cast("int") - 1),
+          i => struct(i.cast("long").as("pos"),
+            array_join(slice(col("ws"), i * chunkWords + 1, lit(chunkWords)), " ")
+              .as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
+    val first = ch.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    ch.join(first, Seq("chunk"))
+      .withColumn("dup",
+        !(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("dup").cast("long")).as("n_dropped"),
+        sort_array(collect_list(struct(col("pos"), col("dup"), col("chunk")))).as("cs"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+        md5(array_join(
+          transform(filter(col("cs"), c => !c.getField("dup")),
+            c => c.getField("chunk")), " ")).as("scrub_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  // C21 — paragraph dedup over the documents corpus (natural cross-doc
+  // 4-word-window collisions exist at every SF — no planting needed);
+  // the DuckDB oracle replays chunking, global-first dominance, and the
+  // scrubbed-text md5, so survivorship of every instance is hash-checked.
+  private val d21 = Relational.Q(
+    "d21_paragraph_dedup",
+    (s, d) => paragraphDedup(Tables.documents(s, d)),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      c AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          array_to_string(ws[CAST(i*4+1 AS INTEGER):CAST(i*4+4 AS INTEGER)], ' ') AS chunk
+        FROM w, UNNEST(range(0, len(ws)//4)) AS t(i)
+        WHERE len(ws) >= 4),
+      r AS (
+        SELECT doc_id, pos, chunk,
+          ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        FROM c)
+      SELECT doc_id,
+        COUNT(*) AS n_chunks,
+        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')) AS scrub_hash
+      FROM r GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
 }

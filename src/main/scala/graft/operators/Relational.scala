@@ -1851,8 +1851,81 @@ object Relational {
         ${moneySql("o_totalprice")} AS revenue
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** B52 core — BINNED RANGE JOIN (the classic turn-a-theta-join-into-an-
+    * equi-join pattern: each dim range [lo, hi] explodes to the fixed-width
+    * bins it overlaps, each fact value maps to exactly ONE bin, the join
+    * runs on the bin key, and a residual BETWEEN filter restores exact
+    * semantics — every matching (fact, range) pair meets exactly once
+    * because the fact's bin is unique, so no post-join dedup). Without
+    * bins, value-vs-range is a nested-loop scan: broadcast dim = BNLJ
+    * (|fact|·|dim| compares), non-broadcast = cartesian — both
+    * scale-killers a 100 TB fact table cannot pay. With bins the plan is
+    * a hash join whatever the dim size: broadcast-hash while the exploded
+    * dim fits (the fixture's 48 bands), shuffle-hash on the bin key
+    * beyond that. Replication cost is dim-side only and bounded by
+    * range_width/bin_width (~2 bins/band here) — the fact side never
+    * replicates. Skewed bins (many ranges stacked on one value region)
+    * salt like any hot equi-key.
+    *
+    * Fixture: 48 price bands with irregular, overlapping-and-gapped
+    * boundaries (lo = b²·20000 + (b%7)·137000 cents, width = (3 +
+    * (13b mod 29))·60000 cents) probed by every order's total price in
+    * exact DECIMAL-derived cents; emits per-band match counts + exact
+    * cent sums, unmatched bands included (count 0), so the oracle's plain
+    * BETWEEN join pins both the pairing and the aggregate.
+    */
+  def bandedRangeJoin(orders: DataFrame, nBands: Int = 48,
+      binShift: Int = 20): DataFrame = {
+    val s = orders.sparkSession
+    val bands = s.range(nBands).select(col("id").as("band_id"),
+        (col("id") * col("id") * lit(20000L) +
+          pmod(col("id"), lit(7L)) * lit(137000L)).as("lo"),
+        (lit(3L) + pmod(col("id") * 13L, lit(29L))).as("wmult"))
+      .select(col("band_id"), col("lo"),
+        (col("lo") + col("wmult") * lit(60000L)).as("hi"))
+    val bins = bands.select(col("band_id"), col("lo"), col("hi"),
+      explode(sequence(shiftright(col("lo"), binShift),
+        shiftright(col("hi"), binShift))).as("bin"))
+    val facts = orders.select(
+        (dec(col("o_totalprice")) * lit(100)).cast("long").as("cents"))
+      .withColumn("bin", shiftright(col("cents"), binShift))
+    val matched = facts.join(bins, Seq("bin"))
+      .filter(col("cents") >= col("lo") && col("cents") <= col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    bands.join(matched, Seq("band_id"), "left")
+      .select(col("band_id"), col("lo"), col("hi"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+      .orderBy(col("band_id"))
+  }
+
+  // B52 — binned range join; the oracle is the semantic definition (a
+  // plain BETWEEN theta-join), so the hash match proves the bin
+  // decomposition is exactly lossless and duplicate-free.
+  private val q52 = Q(
+    "q52_range_join",
+    (s, d) => bandedRangeJoin(Tables.orders(s, d)),
+    Some("""
+      WITH bands AS (
+        SELECT CAST(b AS BIGINT) AS band_id,
+          CAST(b*b*20000 + (b%7)*137000 AS BIGINT) AS lo,
+          CAST(b*b*20000 + (b%7)*137000 + (3 + (b*13) % 29) * 60000 AS BIGINT) AS hi
+        FROM UNNEST(range(0, 48)) AS t(b)),
+      f AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders),
+      m AS (
+        SELECT b.band_id, COUNT(*) AS n_orders, SUM(f.cents) AS sum_cents
+        FROM f JOIN bands b ON f.cents BETWEEN b.lo AND b.hi
+        GROUP BY 1)
+      SELECT bands.band_id, bands.lo, bands.hi,
+        COALESCE(m.n_orders, 0) AS n_orders,
+        CAST(COALESCE(m.sum_cents, 0) AS BIGINT) AS sum_cents
+      FROM bands LEFT JOIN m USING (band_id) ORDER BY band_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+    q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
 }

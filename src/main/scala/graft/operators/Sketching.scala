@@ -855,6 +855,47 @@ object Sketching {
       ORDER BY dep"""
     })
 
+  /** I16 core — MISRA-GRIES frequent items over the corpus token stream
+    * (functions.MisraGries — Misra & Gries 1982; ACHPWY 2012 merge): the
+    * BOUNDED-memory one-pass answer to "what are the heavy tokens" when
+    * even the vocabulary is too big to aggregate exactly (URLs, n-grams,
+    * user ids at 100 TB — x3's exact groupBy pays a vocabulary-size
+    * shuffle; this pays k pairs per partition). Emits each tracked key
+    * with its UNDERcount estimate alongside the exact count and the
+    * guarantee radius n/(k+1), so the defining inequalities
+    *
+    *   est <= exact  and  exact - est <= n/(k+1)
+    *
+    * are visible as data — and every token with exact > n/(k+1) is
+    * provably in the output. The exact join is the fixture's witness
+    * (affordable at test vocab); production reads just the sketch.
+    * Counts are merge-order dependent (the published contract is the
+    * bound, not a unique value), so rows-only + bound specs — the
+    * x1/x4 class.
+    */
+  def misraGriesTopK(docs: org.apache.spark.sql.DataFrame, k: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    val words = docs.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+    val sketch = words.agg(
+        graft.functions.MisraGries(col("w"), k).as("mg"),
+        count(lit(1)).as("n_total"))
+      .select(explode(col("mg")).as("e"), col("n_total"))
+      .select(col("e.key").as("word"), col("e.est").as("est"), col("n_total"))
+    val exact = words.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+    sketch.join(exact, col("word") === col("w"))
+      .select(col("word"), col("est"), col("exact_cnt"),
+        (col("n_total") / lit(k + 1)).cast("long").as("max_deficit"))
+      .orderBy(col("est").desc, col("word"))
+  }
+
+  // I16 — rows-only (merge-order-dependent estimates); the spec pins the
+  // deficit bound, the superset-of-heavy-hitters guarantee, and exact
+  // recovery below capacity.
+  private val x17 = Relational.Q(
+    "x17_misra_gries",
+    (s, d) => misraGriesTopK(Tables.documents(s, d)),
+    None)
+
   val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12,
-    x13, x14, x15, x16)
+    x13, x14, x15, x16, x17)
 }

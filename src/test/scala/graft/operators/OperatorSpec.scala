@@ -3121,4 +3121,98 @@ class OperatorSpec extends SparkSpec {
         s"the two twins of $id are mutual dups")
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("record linkage (d20): single-edit records link to their true entity; reversed never link") {
+    val truth = graft.Tables.part(spark, sfDir)
+      .select("p_partkey", "p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = graft.SparkEntry.queries("d20_record_linkage")(spark, sfDir).collect()
+    assert(out.length == truth.size)
+    out.foreach { r =>
+      val key = r.getLong(0) - 10000000L
+      if (key % 5 == 0) {
+        // the reversed-adjective class is corrupted beyond the threshold
+        assert(r.isNullAt(1), s"reversed-adjective record $key linked to ${r.get(1)}")
+      } else {
+        // one deleted character: must link, to an entity with the TRUE name
+        assert(!r.isNullAt(1), s"single-edit record $key failed to link")
+        assert(r.getString(2) == truth(key),
+          s"record $key linked to '${r.getString(2)}', truth '${truth(key)}'")
+        assert(r.getLong(3) >= 550 && r.getLong(3) <= 1000)
+      }
+    }
+  }
+
+  test("paragraph dedup (d21): full local replay of global-first dominance and the scrub hash") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val inst = docs.flatMap { case (id, t) =>
+      val ws = t.trim.split(" ")
+      (0 until ws.length / 4).map(i => (id, i.toLong, ws.slice(i * 4, i * 4 + 4).mkString(" ")))
+    }
+    val firstOf = inst.groupBy(_._3).map { case (c, xs) =>
+      c -> xs.map(x => (x._1, x._2)).min }
+    val expected = inst.groupBy(_._1).map { case (id, xs) =>
+      val kept = xs.filter(x => firstOf(x._3) == ((x._1, x._2))).sortBy(_._2).map(_._3)
+      id -> ((xs.length.toLong, (xs.length - kept.length).toLong, md5hex(kept.mkString(" "))))
+    }
+    val got = graft.SparkEntry.queries("d21_paragraph_dedup")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected)
+    // the corpus really exercises the operator: natural cross-doc dups exist
+    assert(expected.values.map(_._2).sum > 0, "no duplicate chunks in the corpus")
+  }
+
+  test("range join (q52): binned equi-join == local BETWEEN reference, plan has no nested-loop join") {
+    val cents = graft.Tables.orders(spark, sfDir).select("o_totalprice").collect()
+      .map(r => java.math.BigDecimal.valueOf(r.getDouble(0))
+        .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact())
+    val bands = (0 until 48).map { b =>
+      val lo = b.toLong * b * 20000L + (b % 7) * 137000L
+      (b.toLong, lo, lo + (3L + (b * 13) % 29) * 60000L)
+    }
+    val expected = bands.map { case (id, lo, hi) =>
+      val m = cents.filter(c => c >= lo && c <= hi)
+      (id, lo, hi, m.length.toLong, m.sum)
+    }
+    val df = graft.SparkEntry.queries("q52_range_join")(spark, sfDir)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // the whole point of binning: value-vs-range resolves as a HASH join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop plan:\n$plan")
+  }
+
+  test("Misra-Gries (x17): deficit bound, heavy-hitter superset, exact below capacity") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val words = docs.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .collect().map(_.getString(0))
+    val exact = words.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val n = words.length.toLong
+    val out = graft.SparkEntry.queries("x17_misra_gries")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.length <= 8)
+    out.foreach { case (w, est, ex, maxDef) =>
+      assert(ex == exact(w), s"witness column wrong for $w")
+      assert(est <= ex, s"$w overcounted: est $est > exact $ex")
+      assert(ex - est <= maxDef, s"$w deficit ${ex - est} > n/(k+1) = $maxDef")
+      assert(maxDef == n / 9)
+    }
+    // frequent-items contract: every key with exact > n/(k+1) is tracked
+    val tracked = out.map(_._1).toSet
+    exact.filter(_._2 > n / 9).keys.foreach(w =>
+      assert(tracked(w), s"heavy hitter $w (exact ${exact(w)}) missing from the sketch"))
+    // below capacity (k = 64 > vocabulary): Misra-Gries degrades to EXACT counts
+    val full = Sketching.misraGriesTopK(docs, k = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(full.length == exact.size)
+    full.foreach { case (w, est, ex) => assert(est == ex && ex == exact(w), s"$w: $est != $ex") }
+  }
 }
