@@ -1962,8 +1962,12 @@ object Dedup {
     * the standard salt-on-skew candidate (ScaleUtils.saltedJoin) if a
     * corpus concentrates on few chunks.
     */
-  def paragraphDedup(docs: DataFrame, chunkWords: Int = 4): DataFrame = {
-    val ch = docs
+  /** The shared d21/d22/A44 chunking stage: one (doc_id, pos, chunk)
+    * instance per non-overlapping `chunkWords`-word window (trailing
+    * partial window dropped). Narrow in-row work — streamable as-is.
+    */
+  private def chunkInstances(docs: DataFrame, chunkWords: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= chunkWords)
       .select(col("doc_id"),
@@ -1973,6 +1977,9 @@ object Dedup {
             array_join(slice(col("ws"), i * chunkWords + 1, lit(chunkWords)), " ")
               .as("chunk")))).as("c"))
       .select(col("doc_id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
+
+  def paragraphDedup(docs: DataFrame, chunkWords: Int = 4): DataFrame = {
+    val ch = chunkInstances(docs, chunkWords)
     val first = ch.groupBy(col("chunk"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
     ch.join(first, Seq("chunk"))
@@ -2014,5 +2021,55 @@ object Dedup {
         md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')) AS scrub_hash
       FROM r GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
+  /** C22 / A44 core — INCREMENTAL paragraph dedup: arriving documents
+    * probe a PUBLISHED corpus chunk set (the d11/d18/m10 arriving-slice
+    * convention, lifted to d21's paragraph space). Emits one match row
+    * per (doc_id, pos) instance whose chunk already exists in the corpus
+    * — and exactly one, BY CONSTRUCTION, because the corpus side is the
+    * DISTINCT chunk set, so the equi-join cannot fan out and no
+    * post-join dedup/distinct is needed. That is what makes the operator
+    * append-mode streamable AS IS (the m10 leftmost-band discipline,
+    * trivially satisfied here): narrow in-row chunking + ONE
+    * stream-static equi-join, no state, no watermark; callers scrub or
+    * gate per doc downstream.
+    *
+    * Scale: the published chunk frame is corpus-proportional — publish
+    * it bucketed by chunk (G3) so the probe join is co-located, and/or
+    * compress it to x11's bloom bitmap for a no-false-negative prefilter
+    * when even the distinct set is too big to shuffle per batch.
+    */
+  def paragraphProbe(arrivals: DataFrame, corpus: DataFrame,
+      chunkWords: Int = 4): DataFrame =
+    chunkInstances(arrivals, chunkWords)
+      .join(chunkInstances(corpus, chunkWords)
+        .select(col("chunk")).distinct(), Seq("chunk"))
+      .select(col("doc_id"), col("pos"), col("chunk"))
+
+  // C22 — the odd-id half of the corpus arrives against the published
+  // even-id half; every chunk instance already present in the corpus is
+  // emitted, hash-checked by a DuckDB replay of the same chunking + semi
+  // join.
+  private val d22 = Relational.Q(
+    "d22_paragraph_probe",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      paragraphProbe(docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      c AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          array_to_string(ws[CAST(i*4+1 AS INTEGER):CAST(i*4+4 AS INTEGER)], ' ') AS chunk
+        FROM w, UNNEST(range(0, len(ws)//4)) AS t(i)
+        WHERE len(ws) >= 4)
+      SELECT a.doc_id, a.pos, a.chunk
+      FROM c a
+      WHERE a.doc_id % 2 = 1
+        AND EXISTS (SELECT 1 FROM c b WHERE b.doc_id % 2 = 0 AND b.chunk = a.chunk)
+      ORDER BY a.doc_id, a.pos"""))
+
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
 }

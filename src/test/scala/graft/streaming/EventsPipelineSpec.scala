@@ -1294,4 +1294,40 @@ class EventsPipelineSpec extends SparkSpec {
       assert(batch.nonEmpty, "the probe must find pairs on the real corpus (non-vacuous)")
     } finally q.stop()
   }
+
+  test("streaming paragraph dedup probe (A44): arriving chunks match the batch probe exactly") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // paragraphProbe is narrow in-row chunking + one stream-static
+    // equi-join against the DISTINCT corpus chunk set (each instance can
+    // match at most once, so no post-join dedup) — no state, no
+    // watermark: the LITERAL batch operator attaches (the A39/A40 class,
+    // lifted to d21's paragraph space)
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val arrivals = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup.paragraphProbe(
+        src.toDS().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("parprobe_stream_test")
+      .outputMode("append").start()
+    try {
+      arrivals.grouped(math.max(1, arrivals.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("parprobe_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val batch = graft.operators.Dedup.paragraphProbe(
+          docs.filter(col("doc_id") % 2 === 1), corpus)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed == batch,
+        "streamed paragraph-probe matches must equal the batch probe exactly")
+      assert(batch.nonEmpty, "the probe must find matches on the real corpus (non-vacuous)")
+    } finally q.stop()
+  }
 }
