@@ -956,6 +956,120 @@ object Multimodal {
       FROM ac a JOIN tot t USING (doc_id)
       GROUP BY a.doc_id ORDER BY doc_id"""))
 
+  /** F14 — MEDIA-TYPE SNIFFING (the first stage of any mixed-payload
+    * ingest: type every blob from its magic bytes + fixed-offset header
+    * fields BEFORE routing it to a decoder — never trust a file
+    * extension, never decode to discover the type). Header-only reads —
+    * no full parse, no decode — so typing a 100 TB payload column costs
+    * a few byte compares per row. Returns (format, dim1, dim2) with
+    * per-format meaning: png/gif/bmp → (width, height); wav →
+    * (channels, sample_rate); avi → (video frame count via a bounded
+    * RIFF header walk, 0); jpeg → (0, 0) (dims live in variable SOF
+    * markers — typing only); anything else → ("unknown", 0, 0).
+    * Malformed/truncated headers degrade to "unknown" (one operator
+    * survives a dirty column — the m2 featuresOrStub discipline).
+    */
+  def sniffMedia(bytes: Array[Byte]): (String, Long, Long) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3))
+    def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24))
+    def ascii(i: Int, n: Int): String =
+      if (bytes.length >= i + n) new String(bytes, i, n, "US-ASCII") else ""
+    try {
+      if (bytes.length >= 24 && u8(0) == 0x89 && ascii(1, 3) == "PNG")
+        ("png", be32(16), be32(20))
+      else if (bytes.length >= 10 && (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a"))
+        ("gif", le16(6), le16(8))
+      else if (bytes.length >= 26 && ascii(0, 2) == "BM")
+        ("bmp", le32(18), le32(22))
+      else if (bytes.length >= 3 && u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff)
+        ("jpeg", 0L, 0L)
+      else if (bytes.length >= 28 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE" &&
+          ascii(12, 4) == "fmt ")
+        ("wav", le16(22), le32(24))
+      else if (bytes.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ") {
+        // bounded container walk (no frame decode): count video-stream
+        // chunks ('..dc'/'..db'), descending into LIST ranges the way
+        // VideoCodec.frames does
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.position(12)
+        var frames = 0L
+        def level(limit: Int): Boolean = Riff.walk(buf, limit) { (id, len) =>
+          if (id == "LIST") { val end = buf.position() + len; Riff.tag(buf); level(end) }
+          else { if (id.endsWith("dc") || id.endsWith("db")) frames += 1; true }
+        }
+        level(bytes.length)
+        ("avi", frames, 0L)
+      } else ("unknown", 0L, 0L)
+    } catch { case _: IndexOutOfBoundsException => ("unknown", 0L, 0L) }
+  }
+
+  final case class DocMedia(doc_id: Long, format: String, dim1: Long, dim2: Long)
+
+  /** F14 core — sniff a payload column (batch-shaped mapPartitions, the
+    * m2 convention). Input (doc_id, payload) → (doc_id, format, dim1,
+    * dim2).
+    */
+  def sniffPayloads(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[DocPayload]
+      .mapPartitions(_.map { p =>
+        val (f, d1, d2) = sniffMedia(p.payload)
+        DocMedia(p.doc_id, f, d1, d2)
+      })
+      .toDF()
+  }
+
+  // F14 — the fixture plants REAL media with doc_id-determined headers
+  // (PNG via the real encoder with w=1+id%13/h=1+id%7, WAV with
+  // channels=1+id%2/rate=8000+(id%5)*1000, AVI with 1+id%3 frames, text
+  // bytes for the unknown class), so the DuckDB oracle recomputes every
+  // expected (format, dim1, dim2) from doc_id ARITHMETIC alone — the
+  // hash match proves the encode → sniff round-trip recovers exactly the
+  // planted headers (the m11/m12 formula-recomputing convention).
+  private val m14 = Relational.Q(
+    "m14_media_sniff",
+    (s, d) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val id = r.getLong(0)
+          val payload = (id % 4) match {
+            case 0 => ImageCodec.encodeGrayPng((1 + id % 13).toInt, (1 + id % 7).toInt)(
+              (x, y) => ((x * 31 + y * 17 + id) % 256).toInt)
+            case 1 => AudioCodec.encodePcm16Wav(
+              (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt,
+              Array.tabulate(64)(i => ((i * 7 + id) % 251).toShort))
+            case 2 => VideoCodec.encodeAvi(
+              Seq.tabulate((1 + id % 3).toInt)(f =>
+                Array.tabulate(16)(i => ((i + f + id) % 256).toByte)))
+            case _ => r.getString(1).getBytes("UTF-8")
+          }
+          (id, payload)
+        }
+        .toDF("doc_id", "payload")
+      sniffPayloads(payloads).orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                        WHEN 2 THEN 'avi' ELSE 'unknown' END AS format,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
+                             WHEN 1 THEN 1 + doc_id % 2
+                             WHEN 2 THEN 1 + doc_id % 3
+                             ELSE 0 END AS BIGINT) AS dim1,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
+                             WHEN 1 THEN 8000 + (doc_id % 5) * 1000
+                             ELSE 0 END AS BIGINT) AS dim2
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10,
-    m11, m12, m13)
+    m11, m12, m13, m14)
 }

@@ -3215,4 +3215,26 @@ class OperatorSpec extends SparkSpec {
     assert(full.length == exact.size)
     full.foreach { case (w, est, ex) => assert(est == ex && ex == exact(w), s"$w: $est != $ex") }
   }
+
+  test("media sniff (m14): types real codec output, hand-built headers, and survives garbage") {
+    import graft.operators.{Multimodal => M}
+    // real encoders round-trip their planted headers
+    assert(M.sniffMedia(ImageCodec.encodeGrayPng(5, 3)((x, y) => (x + y) % 256)) == (("png", 5L, 3L)))
+    assert(M.sniffMedia(AudioCodec.encodePcm16Wav(11025, 2, new Array[Short](64))) == (("wav", 2L, 11025L)))
+    assert(M.sniffMedia(VideoCodec.encodeAvi(Seq.fill(4)(Array.tabulate(10)(_.toByte)))) == (("avi", 4L, 0L)))
+    // hand-built fixed-offset headers for the formats without an encoder here
+    val gif = "GIF89a".getBytes("US-ASCII") ++ Array[Byte](7, 0, 5, 0) ++ new Array[Byte](8)
+    assert(M.sniffMedia(gif) == (("gif", 7L, 5L)))
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'; bmp(18) = 9; bmp(22) = 4
+    assert(M.sniffMedia(bmp) == (("bmp", 9L, 4L)))
+    assert(M.sniffMedia(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)) == (("jpeg", 0L, 0L)))
+    // garbage, truncation, and text all degrade to unknown — never throw
+    assert(M.sniffMedia("just some text".getBytes("UTF-8"))._1 == "unknown")
+    assert(M.sniffMedia(Array[Byte]())._1 == "unknown")
+    val png = ImageCodec.encodeGrayPng(5, 3)((x, y) => (x + y) % 256)
+    assert(M.sniffMedia(png.take(10))._1 == "unknown", "truncated PNG header must not crash")
+    assert(M.sniffMedia("RIFF1234WAVE".getBytes("US-ASCII"))._1 == "unknown",
+      "WAV without an fmt chunk is not typed")
+  }
 }
