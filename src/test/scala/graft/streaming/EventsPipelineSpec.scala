@@ -1330,4 +1330,43 @@ class EventsPipelineSpec extends SparkSpec {
       assert(batch.nonEmpty, "the probe must find matches on the real corpus (non-vacuous)")
     } finally q.stop()
   }
+
+  test("streaming media sniff (A45): arriving payloads type identically to the batch sniff") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{AudioCodec, ImageCodec, Multimodal, VideoCodec}
+    // sniffPayloads is a stateless narrow mapPartitions — the literal
+    // batch operator attaches in append mode (the A36/A41 class)
+    val payloads = (0L until 40L).map { id =>
+      val bytes = (id % 4) match {
+        case 0 => ImageCodec.encodeGrayPng((1 + id % 13).toInt, (1 + id % 7).toInt)(
+          (x, y) => ((x * 31 + y * 17 + id) % 256).toInt)
+        case 1 => AudioCodec.encodePcm16Wav(
+          (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt,
+          Array.tabulate(64)(i => ((i * 7 + id) % 251).toShort))
+        case 2 => VideoCodec.encodeAvi(
+          Seq.tabulate((1 + id % 3).toInt)(f =>
+            Array.tabulate(16)(i => ((i + f + id) % 256).toByte)))
+        case _ => s"plain text payload $id".getBytes("UTF-8")
+      }
+      (id, bytes)
+    }
+    val src = MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.sniffPayloads(src.toDS().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("sniff_stream_test")
+      .outputMode("append").start()
+    try {
+      payloads.grouped(payloads.length / 3).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("sniff_stream_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = Multimodal.sniffPayloads(payloads.toDF("doc_id", "payload"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch, "streamed sniff rows must equal the batch sniff exactly")
+      assert(streamed.size == 40 && streamed.map(_._2) == Set("png", "wav", "avi", "unknown"))
+    } finally q.stop()
+  }
 }
