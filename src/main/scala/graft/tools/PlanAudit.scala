@@ -186,13 +186,25 @@ object PlanAudit {
   def arrayPairJoins(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.types.ArrayType
+    // for THIS guard the dim tables count too (unlike the hint guard,
+    // where broadcasting a dim is the correct plan): a dim-self-join
+    // carrying arrays on both sides is the same quadratic payload shape
+    // whenever the dim grows with the catalog (d20's class)
+    def tableOf(leaf: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[String] =
+      factTableOf(leaf).orElse {
+        val names = leaf.output.map(_.name).toSet
+        if (names.exists(_.startsWith("p_"))) Some("part")
+        else if (names.exists(_.startsWith("c_"))) Some("customer")
+        else if (names.exists(_.startsWith("s_"))) Some("supplier")
+        else None
+      }
     val root = df.queryExecution.optimizedPlan
     (root +: root.subqueriesAll).flatMap { p =>
       p.collect { case j: Join => j }.flatMap { j =>
         val la = j.left.output.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
         val ra = j.right.output.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
-        val shared = j.left.collectLeaves().flatMap(factTableOf).toSet
-          .intersect(j.right.collectLeaves().flatMap(factTableOf).toSet)
+        val shared = j.left.collectLeaves().flatMap(tableOf).toSet
+          .intersect(j.right.collectLeaves().flatMap(tableOf).toSet)
         if (la.nonEmpty && ra.nonEmpty && shared.nonEmpty)
           Seq(s"self-join on '${shared.mkString(",")}' carries arrays on both sides " +
             s"[${la.distinct.mkString(",")} | ${ra.distinct.mkString(",")}]")
@@ -235,7 +247,9 @@ object PlanAudit {
     "x6_kmv_overlap" ->
       "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size, the allowedBnlj argument)",
     "x7_kmv_union" ->
-      "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size, the allowedBnlj argument)")
+      "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size, the allowedBnlj argument)",
+    "d20_record_linkage" ->
+      "blocked bipartite probe: the entity side is the DISTINCT attribute catalog (combination-bounded, not corpus-proportional) and the join key is the (noun, brand, category) blocking tuple — per-record pair work bounded by block granularity, the standard ER dial")
 
   // Iterative operators EXECUTE when their builder runs (label
   // propagation materializes per round), so "building the plan" would
