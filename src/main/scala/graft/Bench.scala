@@ -19,19 +19,51 @@ import java.nio.file.{Files, Paths}
   *   - per-query value = min over SUCCESSFUL runs (a transient crash among
   *     N runs no longer discards the valid timings; the negative marker is
   *     reserved for queries that failed in EVERY run);
-  *   - an "hv" section lists the run vectors of the highest-variance
-  *     queries (max ≥ 2x min and spread ≥ 0.5 s; worst 12 by spread), so a
-  *     contended run carries its own evidence — a high min with a tight
-  *     run vector is a regression, a high min inside a wide vector is load;
   *   - EVERY run's time for EVERY query is written to BENCH_DETAIL.json in
-  *     the working directory (stdout stays inside the driver's ~2000-char
-  *     capture window; the detail file has no such limit).
+  *     the working directory, so a contended run carries its own
+  *     evidence — a high min with a tight run vector is a regression, a
+  *     high min inside a wide vector is load. (Round 9 lesson: variance
+  *     evidence lives ONLY here — an "hv" section on the stdout line
+  *     overflowed the driver's ~2000-char capture window at 162 queries
+  *     and made the whole line unparseable.)
   *
   * The single JSON result line goes to stdout unprefixed (build.sbt forces
   * OutputStrategy.StdoutOutput) and, belt-and-braces, to the file named by
   * SPARK_GRAFT_BENCH_OUT if set.
   */
 object Bench {
+
+  private[graft] def fmt(v: Double, dec: Int): String = {
+    val p = math.pow(10, dec)
+    val r = math.round(v * p) / p
+    if (dec == 0) math.round(r).toString else r.toString
+  }
+
+  /** Render the one stdout JSON line under a HARD size budget (the
+    * driver captures only the last ~2000 stdout chars and sbt appends a
+    * ~70-char [success] trailer). Tiered degradation — centisecond
+    * per-query times, then decisecond, then headline-only with a pointer
+    * at BENCH_DETAIL.json — so growth in query count can never make the
+    * line unparseable again (BENCH_r02 and BENCH_r09 both broke this
+    * way). Pure so the spec pins the invariant at any surface size.
+    */
+  private[graft] def renderLine(results: Seq[(String, Double)], nFailed: Int,
+      sfName: String, budget: Int = 1900): String = {
+    def short(n: String): String = n.takeWhile(_ != '_')
+    val collides = results.map(_._1).groupBy(short)
+      .collect { case (_, v) if v.size > 1 => v }.flatten.toSet
+    def key(n: String): String = if (collides(n)) n else short(n)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfName"}"""
+    def qsAt(dec: Int): String = results
+      .map { case (k, v) => "\"" + key(k) + "\":" + fmt(v, dec) }
+      .mkString("{", ",", "}")
+    Seq(line(qsAt(2)), line(qsAt(1)))
+      .find(_.length <= budget)
+      .getOrElse(line("\"BENCH_DETAIL.json\""))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
@@ -76,44 +108,32 @@ object Bench {
     }
     // Keep the whole line SHORT: the driver captures only the last ~2000
     // chars of stdout and sbt appends a ~70-char [success] line after the
-    // JSON — round 2's full-precision line overflowed that window by ~2
-    // chars and failed to parse. Centisecond times, basename sf, and
-    // queries keyed by their unique id prefix (q09/d2/t7 — the SURVEY §2
-    // ids; full names stay in Verify/CORRECTNESS) keep the line ~1.4k
-    // chars at 110+ queries; hv is capped at 12 entries.
-    def cs2(v: Double): String = (math.round(v * 100) / 100.0).toString
-    def short(n: String): String = n.takeWhile(_ != '_')
-    val resultKeys = results.map(_._1)
-    val collides = resultKeys.groupBy(short).collect { case (_, v) if v.size > 1 => v }.flatten.toSet
-    def key(n: String): String = if (collides(n)) n else short(n)
-    val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + cs2(v) }
-      .mkString("{", ",", "}")
-    // variance is judged among WARM passes only (pass 1 carries the
-    // one-off codegen-compile cost by design, so cold-vs-warm spread is
-    // expected, not evidence); the printed vector stays complete
-    val hv = runsByName
-      .map { case (n, ts) => (n, ts, ts.drop(1).filter(_ >= 0)) }
-      .collect { case (n, ts, warm) if warm.size >= 2 && warm.max >= 2 * warm.min && warm.max - warm.min >= 0.5 =>
-        (n, ts, warm.max - warm.min) }
-      .sortBy(-_._3).take(12)
-      .map { case (n, ts, _) => "\"" + key(n) + "\":[" + ts.map(cs2).mkString(",") + "]" }
-      .mkString("{", ",", "}")
+    // JSON — round 2's full-precision line overflowed that window, and
+    // round 9's regressed the same way when the surface grew to 162
+    // queries WITH the hv section attached (BENCH_r09 parsed=null: the
+    // round's headline number was invisible to the driver). So (a) the
+    // stdout line carries NO hv — every run vector already lives in
+    // BENCH_DETAIL.json, which has no size limit; (b) the line is built
+    // under an explicit HARD BUDGET with tiered degradation, so growth in
+    // query count can never silently overflow the window again: full
+    // centisecond times first; then decisecond times; then, as the last
+    // resort, per-query times move wholesale to BENCH_DETAIL.json and the
+    // line keeps only the headline total + failure count (the two fields
+    // the driver actually parses).
     // failed queries carry NEGATIVE per-key markers — exclude them from
     // the headline total so a crash can't read as a speedup (subtracting
-    // its time-to-fail); the negative key is the visible failure signal
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // all-runs-failed queries surface TWICE: their negative per-key marker
+    // its time-to-fail); the negative key is the visible failure signal.
+    // All-runs-failed queries surface TWICE: their negative per-key marker
     // AND a headline "failed" count, so a reader of the one-line JSON (or a
-    // cross-round diff of totals) cannot miss that the total excludes them
+    // cross-round diff of totals) cannot miss that the total excludes them.
     val nFailed = results.count(_._2 < 0)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val json =
-      s"""{"metric":"total","value":${cs2(total)},"unit":"sec","failed":$nFailed,"queries":$qs,"hv":$hv,"sf":"$sfName"}"""
+    val json = renderLine(results, nFailed, sfName)
     // stdout is the primary channel — print BEFORE the file writes, which
     // may fail (bad path) and must not discard the whole run's result
     println(json)
     val detail = runsByName
-      .map { case (n, ts) => "\"" + n + "\":[" + ts.map(cs2).mkString(",") + "]" }
+      .map { case (n, ts) => "\"" + n + "\":[" + ts.map(fmt(_, 2)).mkString(",") + "]" }
       .mkString(s"""{"sf":"$sfName","passes":$nRuns,"runs":{""", ",", "}}")
     (sys.env.get("SPARK_GRAFT_BENCH_OUT").map(_ -> json).toSeq :+ ("BENCH_DETAIL.json" -> detail))
       .foreach { case (p, s) =>

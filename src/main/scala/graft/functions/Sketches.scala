@@ -660,7 +660,12 @@ case class MisraGries(
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      // length-prefixed raw UTF-8, not writeUTF: writeUTF throws
+      // UTFDataFormatException past 65535 encoded bytes, and the
+      // motivating keys (URLs, long n-grams) can exceed that — a spill
+      // or shuffle would kill the aggregation mid-query
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
     }
     out.flush()
     bos.toByteArray
@@ -671,7 +676,13 @@ case class MisraGries(
     val n = in.readInt()
     val m = new java.util.HashMap[String, Long]()
     var i = 0
-    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kl = in.readInt()
+      val kb = new Array[Byte](kl)
+      in.readFully(kb)
+      m.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     m
   }
 

@@ -39,6 +39,22 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** Deterministic gray JPEG from a pixel function (the JDK's built-in
+    * JPEG writer — pure-JDK, no native deps): the m14 fixture leg that
+    * exercises the SOF header walk with REAL encoder output, so the
+    * sniffer's dims are proven against bytes it didn't hand-build.
+    */
+  def encodeGrayJpeg(w: Int, h: Int)(v: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = math.max(0, math.min(255, v(x, y)))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
   /** Decode + resample to a `w` x `h` GRAYSCALE thumbnail in one
     * Graphics2D pass (bilinear), returning luma samples in [0, 1]
     * row-major — the primitive features/dHash build on. None when the

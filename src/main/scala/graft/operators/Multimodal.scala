@@ -940,8 +940,14 @@ object Multimodal {
     Some(s"""
       WITH ct(i, c) AS (SELECT * FROM (VALUES ${cosQ12Sql}) AS t(i, c)),
       s AS (
+        -- length(text)=0 guard: Spark's PHash63 hashes '' via all-zero
+        -- samples, but (p*(length(text)-1))//255 goes NEGATIVE for empty
+        -- text and ord('') diverges in DuckDB — pin g=0 so one empty
+        -- document in a fixture can't break the hash check
         SELECT doc_id, p % 16 AS x, p // 16 AS y,
-          CAST(ord(substr(text, CAST((p*(length(text)-1)) // 255 AS INTEGER)+1, 1)) AS BIGINT) AS g
+          CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(ord(substr(text, CAST((p*(length(text)-1)) // 255 AS INTEGER)+1, 1)) AS BIGINT)
+          END AS g
         FROM documents, UNNEST(range(0,256)) AS t(p)),
       s1 AS (
         SELECT doc_id, ct.i // 16 AS u, s.y AS y, SUM(ct.c * s.g) AS v
@@ -964,8 +970,12 @@ object Multimodal {
     * a few byte compares per row. Returns (format, dim1, dim2) with
     * per-format meaning: png/gif/bmp → (width, height); wav →
     * (channels, sample_rate); avi → (video frame count via a bounded
-    * RIFF header walk, 0); jpeg → (0, 0) (dims live in variable SOF
-    * markers — typing only); anything else → ("unknown", 0, 0).
+    * RIFF header walk, 0); jpeg → (width, height) via a bounded SOF
+    * marker walk (dims live in a variable-position SOFn segment, so the
+    * walk skips length-prefixed segments until the first frame header —
+    * still no entropy-coded data is touched, and a JPEG with no SOF
+    * before scan-start types as jpeg (0, 0));
+    * anything else → ("unknown", 0, 0).
     * Malformed/truncated headers degrade to "unknown" (one operator
     * survives a dirty column — the m2 featuresOrStub discipline).
     */
@@ -985,8 +995,39 @@ object Multimodal {
         ("gif", le16(6), le16(8))
       else if (bytes.length >= 26 && ascii(0, 2) == "BM")
         ("bmp", le32(18), le32(22))
-      else if (bytes.length >= 3 && u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff)
-        ("jpeg", 0L, 0L)
+      else if (bytes.length >= 3 && u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff) {
+        // bounded SOF marker walk (still header-only — the scan stops at
+        // the first frame header, long before entropy-coded data): JPEG
+        // keeps dims inside a variable-position SOFn segment, so unlike
+        // png/gif/bmp there is no fixed offset to read. Walk the marker
+        // stream: 0xFF <marker> [2-byte BE length payload...]; standalone
+        // markers (TEM, RSTn) carry no length; SOF0–SOF15 except
+        // DHT(C4)/JPG(C8)/DAC(CC) carry precision(1) height(2) width(2).
+        var i = 2
+        var w = 0L
+        var h = 0L
+        var done = false
+        while (!done && i + 3 < bytes.length) {
+          if (u8(i) != 0xff) { done = true } // desync: stop typing dims
+          else {
+            val m = u8(i + 1)
+            if (m == 0xff) i += 1 // fill bytes before a marker
+            else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
+            else {
+              val len = (u8(i + 2) << 8) | u8(i + 3)
+              if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+                if (len >= 7 && i + 8 < bytes.length) {
+                  h = ((u8(i + 5) << 8) | u8(i + 6)).toLong
+                  w = ((u8(i + 7) << 8) | u8(i + 8)).toLong
+                }
+                done = true
+              } else if (m == 0xda || len < 2) done = true // SOS: no SOF seen
+              else i += 2 + len
+            }
+          }
+        }
+        ("jpeg", w, h)
+      }
       else if (bytes.length >= 28 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE" &&
           ascii(12, 4) == "fmt ")
         ("wav", le16(22), le32(24))
@@ -1005,7 +1046,15 @@ object Multimodal {
         level(bytes.length)
         ("avi", frames, 0L)
       } else ("unknown", 0L, 0L)
-    } catch { case _: IndexOutOfBoundsException => ("unknown", 0L, 0L) }
+    } catch {
+      // the whole point of this operator is typing UNTRUSTED dirty blobs:
+      // any malformed header must degrade to "unknown", never crash the
+      // task. IndexOutOfBounds covers the fixed-offset reads, but the AVI
+      // branch walks a ByteBuffer (Riff.tag reads 4 bytes unconditionally,
+      // e.g. on a LIST chunk whose declared length runs past the buffer)
+      // which throws BufferUnderflowException — so catch every non-fatal.
+      case scala.util.control.NonFatal(_) => ("unknown", 0L, 0L)
+    }
   }
 
   final case class DocMedia(doc_id: Long, format: String, dim1: Long, dim2: Long)
@@ -1028,11 +1077,14 @@ object Multimodal {
 
   // F14 — the fixture plants REAL media with doc_id-determined headers
   // (PNG via the real encoder with w=1+id%13/h=1+id%7, WAV with
-  // channels=1+id%2/rate=8000+(id%5)*1000, AVI with 1+id%3 frames, text
-  // bytes for the unknown class), so the DuckDB oracle recomputes every
-  // expected (format, dim1, dim2) from doc_id ARITHMETIC alone — the
-  // hash match proves the encode → sniff round-trip recovers exactly the
-  // planted headers (the m11/m12 formula-recomputing convention).
+  // channels=1+id%2/rate=8000+(id%5)*1000, AVI with 1+id%3 frames, JPEG
+  // via the JDK's real JPEG encoder with w=1+id%11/h=1+id%9 — proving
+  // the SOF marker walk against genuine encoder output, not hand-built
+  // headers — and text bytes for the unknown class), so the DuckDB
+  // oracle recomputes every expected (format, dim1, dim2) from doc_id
+  // ARITHMETIC alone — the hash match proves the encode → sniff
+  // round-trip recovers exactly the planted headers (the m11/m12
+  // formula-recomputing convention).
   private val m14 = Relational.Q(
     "m14_media_sniff",
     (s, d) => {
@@ -1041,15 +1093,20 @@ object Multimodal {
         .select(col("doc_id"), col("text"))
         .map { r =>
           val id = r.getLong(0)
-          val payload = (id % 4) match {
+          val payload = (id % 5) match {
             case 0 => ImageCodec.encodeGrayPng((1 + id % 13).toInt, (1 + id % 7).toInt)(
               (x, y) => ((x * 31 + y * 17 + id) % 256).toInt)
+            // rate modulus 7, NOT 5: the class selector is id%5, so an
+            // id%5-based rate would collapse to one constant for every
+            // WAV row and the oracle would stop pinning rate recovery
             case 1 => AudioCodec.encodePcm16Wav(
-              (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt,
+              (8000 + (id % 7) * 1000).toInt, (1 + id % 2).toInt,
               Array.tabulate(64)(i => ((i * 7 + id) % 251).toShort))
             case 2 => VideoCodec.encodeAvi(
               Seq.tabulate((1 + id % 3).toInt)(f =>
                 Array.tabulate(16)(i => ((i + f + id) % 256).toByte)))
+            case 3 => ImageCodec.encodeGrayJpeg((1 + id % 11).toInt, (1 + id % 9).toInt)(
+              (x, y) => ((x * 13 + y * 29 + id) % 256).toInt)
             case _ => r.getString(1).getBytes("UTF-8")
           }
           (id, payload)
@@ -1059,14 +1116,17 @@ object Multimodal {
     },
     Some("""
       SELECT doc_id,
-        CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
-                        WHEN 2 THEN 'avi' ELSE 'unknown' END AS format,
-        CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 13
+        CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                        WHEN 2 THEN 'avi' WHEN 3 THEN 'jpeg'
+                        ELSE 'unknown' END AS format,
+        CAST(CASE doc_id % 5 WHEN 0 THEN 1 + doc_id % 13
                              WHEN 1 THEN 1 + doc_id % 2
                              WHEN 2 THEN 1 + doc_id % 3
+                             WHEN 3 THEN 1 + doc_id % 11
                              ELSE 0 END AS BIGINT) AS dim1,
-        CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 7
-                             WHEN 1 THEN 8000 + (doc_id % 5) * 1000
+        CAST(CASE doc_id % 5 WHEN 0 THEN 1 + doc_id % 7
+                             WHEN 1 THEN 8000 + (doc_id % 7) * 1000
+                             WHEN 3 THEN 1 + doc_id % 9
                              ELSE 0 END AS BIGINT) AS dim2
       FROM documents ORDER BY doc_id"""))
 

@@ -1970,8 +1970,14 @@ object TextAnalysis {
     bc.join(left, Seq("w1")).join(right, Seq("w2"))
       .crossJoin(broadcast(tot))
       .filter(col("c12") >= minCount)
+      // each factor is cast to double BEFORE the multiply: c1*c2 as Int64
+      // overflows at corpus scale (Spark wraps silently, DuckDB raises);
+      // every factor stays < 2^53 so the double products — and therefore
+      // the one ranking division — remain exact and bit-identical
+      // cross-engine
       .withColumn("lift_raw",
-        (col("c12") * col("nb")).cast("double") / (col("c1") * col("c2")).cast("double"))
+        (col("c12").cast("double") * col("nb").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double")))
       .orderBy(col("lift_raw").desc, col("w1"), col("w2"))
       .limit(topK)
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
@@ -1997,7 +2003,8 @@ object TextAnalysis {
       tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM bc),
       cand AS (
         SELECT b.w1, b.w2, b.c12, l.c1, r.c2,
-          CAST(b.c12 * t.nb AS DOUBLE) / CAST(l.c1 * r.c2 AS DOUBLE) AS lift_raw
+          (CAST(b.c12 AS DOUBLE) * CAST(t.nb AS DOUBLE)) /
+            (CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE)) AS lift_raw
         FROM bc b JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot t
         WHERE b.c12 >= 5)
       SELECT w1, w2, c12, c1, c2, ${r4Sql("lift_raw")} AS lift

@@ -3228,7 +3228,16 @@ class OperatorSpec extends SparkSpec {
     val bmp = new Array[Byte](26)
     bmp(0) = 'B'; bmp(1) = 'M'; bmp(18) = 9; bmp(22) = 4
     assert(M.sniffMedia(bmp) == (("bmp", 9L, 4L)))
+    // a SOS-without-SOF or truncated marker stream still types as jpeg (0, 0)
     assert(M.sniffMedia(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)) == (("jpeg", 0L, 0L)))
+    // the SOF walk recovers dims from REAL JDK encoder output (baseline
+    // SOF0) — the dims no longer stop at typed-only
+    assert(M.sniffMedia(ImageCodec.encodeGrayJpeg(17, 6)((x, y) => (x * y) % 256)) ==
+      (("jpeg", 17L, 6L)))
+    assert(M.sniffMedia(ImageCodec.encodeGrayJpeg(1, 1)(_ + _)) == (("jpeg", 1L, 1L)))
+    // a jpeg whose marker stream desyncs mid-walk keeps the type, dims 0
+    val jfull = ImageCodec.encodeGrayJpeg(9, 4)((x, y) => (x + y) % 256)
+    assert(M.sniffMedia(jfull.take(6))._1 == "jpeg", "truncated JPEG must not crash")
     // garbage, truncation, and text all degrade to unknown — never throw
     assert(M.sniffMedia("just some text".getBytes("UTF-8"))._1 == "unknown")
     assert(M.sniffMedia(Array[Byte]())._1 == "unknown")
@@ -3236,5 +3245,37 @@ class OperatorSpec extends SparkSpec {
     assert(M.sniffMedia(png.take(10))._1 == "unknown", "truncated PNG header must not crash")
     assert(M.sniffMedia("RIFF1234WAVE".getBytes("US-ASCII"))._1 == "unknown",
       "WAV without an fmt chunk is not typed")
+    // an AVI whose LIST chunk declares len=2 at the very end of the
+    // buffer passes Riff.walk's range check (2 <= remaining) but the
+    // handler's unconditional 4-byte Riff.tag read underflows — this
+    // threw BufferUnderflowException before the NonFatal catch; malformed
+    // containers must degrade, not crash the task
+    val badAvi = "RIFF".getBytes("US-ASCII") ++ Array[Byte](14, 0, 0, 0) ++
+      "AVI LIST".getBytes("US-ASCII") ++ Array[Byte](2, 0, 0, 0) ++ Array[Byte](1, 2)
+    assert(M.sniffMedia(badAvi)._1 == "unknown", "malformed AVI LIST must degrade to unknown")
+    // an overlong LIST length is rejected by the walker itself and the
+    // payload stays typed as avi with zero frames (no crash either way)
+    val overAvi = "RIFF".getBytes("US-ASCII") ++ Array[Byte](36, 0, 0, 0) ++
+      "AVI LIST".getBytes("US-ASCII") ++ Array[Byte](100, 0, 0, 0) ++ Array[Byte](1, 2)
+    assert(M.sniffMedia(overAvi) == (("avi", 0L, 0L)))
+    // truncated real AVI bytes likewise degrade instead of underflowing
+    val avi = VideoCodec.encodeAvi(Seq.fill(2)(Array.tabulate(8)(_.toByte)))
+    assert(M.sniffMedia(avi.take(30))._1 == "unknown" || M.sniffMedia(avi.take(30))._1 == "avi")
+  }
+
+  test("misra-gries (x17): serialize survives keys past writeUTF's 65535-byte limit") {
+    import spark.implicits._
+    // one heavy key whose UTF-8 encoding is ~80k bytes, spread over many
+    // partitions so the agg MUST serialize partial buffers through the
+    // shuffle (writeUTF threw UTFDataFormatException here before the
+    // length-prefixed raw-bytes encoding)
+    val longKey = "k" * 80000
+    val docs = (1 to 64).map(i => (i.toLong, if (i % 2 == 0) longKey else s"w$i"))
+      .toDF("doc_id", "text").repartition(8)
+    val out = Sketching.misraGriesTopK(docs, k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hit = out.find(_._1 == longKey)
+    assert(hit.nonEmpty, "the long heavy key must survive serialization and be tracked")
+    assert(hit.get._3 == 32L, "exact count of the long key")
   }
 }
