@@ -4,16 +4,31 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import Num._
 
-/** Approximate-sketch operators (SURVEY.md §2 I1–I3): the constant-memory
+/** Approximate-sketch operators (SURVEY.md §2 I1–I17): the constant-memory
   * summaries a 100 TB pipeline uses where exact answers would shuffle the
-  * world. All rows-only for the driver (sketch internals are
-  * engine-specific so no DuckDB hash oracle is possible); the spec bounds
-  * each approximation against the exact answer instead.
+  * world. Sketch internals are engine-specific, so raw estimates admit no
+  * DuckDB hash oracle — queries whose output is provably exact (x3's
+  * sketch+verify, x8's below-capacity roll-up) carry full oracles
+  * directly, and the built-in-estimator queries (x1/x2/x4) use the
+  * BOUNDS-ORACLE scheme: the driver frame carries the exact answer plus a
+  * within_tol boolean comparing Spark's own estimate to it, and the
+  * oracle replays the exact side pinning TRUE — an estimator regression
+  * flips the hash red without pretending the sketch is deterministic.
   */
 object Sketching {
 
   // I1 — HyperLogLog++ distinct counts per segment (rsd 1%): the
   // map-side-combinable alternative to COUNT(DISTINCT)'s expand+shuffle.
+  //
+  // FULL oracle via the bounds-oracle scheme (round-10 promotion): the
+  // estimate itself is engine-specific, so the driver-checked frame
+  // carries (exact, within_tol) where within_tol compares Spark's OWN
+  // estimate to the exact count at 5% (> 4 sigma for rsd 1% — a real
+  // estimator regression flips the boolean, a healthy one never does)
+  // and the oracle replays the exact side and pins TRUE. The exact
+  // COUNT(DISTINCT) leg exists for the GATE only — it is how any sketch
+  // is verified at test scale; the production path at 100 TB is the
+  // estimate alone (the scale story this operator documents).
   private val x1 = Relational.Q(
     "x1_approx_distinct",
     (s, d) => {
@@ -21,25 +36,55 @@ object Sketching {
         .groupBy(col("o_orderpriority"))
         .agg(
           approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_custs"),
+          countDistinct(col("o_custkey")).as("exact_custs"),
           count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"), col("exact_custs"), col("n_orders"),
+          (abs(col("approx_custs") - col("exact_custs")).cast("double") <=
+            lit(0.05) * col("exact_custs").cast("double")).as("within_tol"))
         .orderBy(col("o_orderpriority"))
     },
-    None)
+    Some("""
+      SELECT o_orderpriority,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        COUNT(*) AS n_orders,
+        TRUE AS within_tol
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  // I2 — t-digest-style approximate quantiles (accuracy 1e-4) of the fact
-  // table's price column, per return flag.
+  // I2 — approximate quantiles (Greenwald-Khanna, rank error <= n/10000)
+  // of the fact table's price column, per return flag.
+  //
+  // FULL oracle via the x1 bounds-oracle scheme: the frame carries the
+  // EXACT percentiles (x5's machinery, replayed by DuckDB's
+  // quantile_cont) plus within_tol = both approx legs within 2% of
+  // exact (rank error n/10000 puts the true value error far below
+  // that on this price distribution; the 2% band is the same one the
+  // spec has enforced since round 1 — a GK regression flips the
+  // boolean). Production at 100 TB runs the approx leg alone: GK state
+  // is bounded per group while percentile() buffers every value.
   private val x2 = Relational.Q(
     "x2_approx_quantiles",
     (s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          r2(expr("approx_percentile(l_extendedprice, 0.5, 10000)")).as("approx_median"),
-          r2(expr("approx_percentile(l_extendedprice, 0.99, 10000)")).as("approx_p99"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("am"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap"),
+          expr("percentile(l_extendedprice, 0.5)").as("em"),
+          expr("percentile(l_extendedprice, 0.99)").as("ep"),
           count(lit(1)).as("n_lines"))
+        .select(col("l_returnflag"),
+          r2(col("em")).as("median"), r2(col("ep")).as("p99"), col("n_lines"),
+          (abs(col("am") - col("em")) <= lit(0.02) * col("em") &&
+            abs(col("ap") - col("ep")) <= lit(0.02) * col("ep")).as("within_tol"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some(s"""
+      SELECT l_returnflag,
+        ${r2Sql("quantile_cont(l_extendedprice, 0.5)")} AS median,
+        ${r2Sql("quantile_cont(l_extendedprice, 0.99)")} AS p99,
+        COUNT(*) AS n_lines,
+        TRUE AS within_tol
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // I3 — count-min-style heavy hitters: top tokens by frequency from a
   // bounded-width hashed-bucket aggregate (two shuffles, constant state
@@ -81,9 +126,15 @@ object Sketching {
   // any-grain distinct questions later by unioning sketches instead of
   // rescanning raw data. Here: per-priority customer sketches → one
   // union → global distinct estimate, all in two map-side-combinable
-  // aggregates over constant-size state. Rows-only (sketch internals are
-  // engine-specific); the spec bounds the estimate against the exact
-  // count and proves the union estimate equals the single-pass estimate.
+  // aggregates over constant-size state.
+  //
+  // FULL oracle via the x1 bounds-oracle scheme: the frame carries the
+  // exact global distinct count plus within_tol = union-of-partials
+  // estimate within 5% of exact (lgK 14 → rsd ~0.8%, so 5% is > 6
+  // sigma). The union == single-pass equality stays in the spec (both
+  // sides are engine-internal). Production at 100 TB stores the partial
+  // sketches and never runs the exact leg — that is the whole point of
+  // mergeable sketches.
   private val x4 = Relational.Q(
     "x4_sketch_union",
     (s, d) => {
@@ -91,12 +142,23 @@ object Sketching {
         .groupBy(col("o_orderpriority"))
         .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
           count(lit(1)).as("n_orders"))
+      val exact = Tables.orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"))
       perPriority.agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_custs"),
-        count(lit(1)).as("n_partial_sketches"),
-        sum(col("n_orders")).as("n_orders"))
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_custs"),
+          count(lit(1)).as("n_partial_sketches"),
+          sum(col("n_orders")).as("n_orders"))
+        .crossJoin(broadcast(exact))
+        .select(col("exact_custs"), col("n_partial_sketches"), col("n_orders"),
+          (abs(col("est_custs") - col("exact_custs")).cast("double") <=
+            lit(0.05) * col("exact_custs").cast("double")).as("within_tol"))
     },
-    None)
+    Some("""
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_partial_sketches,
+        COUNT(*) AS n_orders,
+        TRUE AS within_tol
+      FROM orders"""))
 
   // I5 — EXACT percentiles (the sort-based ground truth x2 approximates):
   // Spark's percentile() aggregates per group with a full value buffer —

