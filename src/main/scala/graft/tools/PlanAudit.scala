@@ -54,6 +54,7 @@ object PlanAudit {
     "s7_mips_topk" -> "query set: vec_id < NQueries (parameter-bounded — the s1 class)",
     "s6_ann_pq_topk" -> "m x k-row PQ codebook frames + parameter-bounded query set",
     "s8_ann_ivfpq_topk" -> "kIvf-row centroid frame, m x kc-row codebooks, query x nProbe probe frame (all parameter-bounded — the s4/s6 classes)",
+    "s9_ann_ivfpq_index_read" -> "query x nProbe probe frame (parameter-bounded; lists/books collapse to literals — the s8 read-path classes)",
     "t7_winnowing_fingerprints" -> "one-row nDocs aggregate",
     "t9_tfidf" -> "one-row nDocs aggregate",
     "t11_surprisal" -> "one-row total-tokens aggregate",
@@ -63,6 +64,7 @@ object PlanAudit {
     "t28_nb_train" -> "one-row class-token-totals aggregate (the t9/t11 class)",
     "t25_hybrid_rrf" -> "t21's bounded frames + the s1-class parameter-bounded example-vector set",
     "x3_heavy_hitters" -> "hashed-bucket aggregate: width 1024 rows max (constant)",
+    "x4_sketch_union" -> "one-row exact-distinct aggregate for the bounds-oracle within_tol leg (the t9/q48 shape; gate-only — production runs the estimate alone)",
     "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB",
     "d14_domain_governance" -> "one-row post-dedup total aggregate (the t9/q48 shape)",
     "p3_stratified_sample" -> "|langs| x buckets-row two-phase offsets frame (enum- and parameter-bounded)",
@@ -240,6 +242,8 @@ object PlanAudit {
       "ADC scan + refine fetch against the broadcast parameter-bounded query set; refine fetch is id-equi on rank-bounded survivors",
     "s8_ann_ivfpq_topk" ->
       "ADC scan joins the broadcast query x nProbe probe frame on list_id; refine fetch is id-equi on rank-bounded survivors (the s6 class)",
+    "s9_ann_ivfpq_index_read" ->
+      "published-codes ADC scan joins the broadcast query x nProbe probe frame on list_id; refine fetch is id-equi on rank-bounded survivors (s8's read-path shape over the WAP artifact)",
     "s7_mips_topk" ->
       "corpus scanned once against the broadcast parameter-bounded query-vector set (the s1 class)",
     "t25_hybrid_rrf" ->
@@ -333,7 +337,9 @@ object PlanAudit {
       "x11_bloom_decontaminate" ->
         "crossJoin(broadcast(<one-row bloom-bitmap frame>)) + the benchmark-gram broadcast (both parameter-/eval-suite-bounded, the allowedHints adjudication)",
       "x16_join_size" ->
-        "crossJoin(broadcast(<one-row exact-comparison frame>)) onto the depth-bounded inner-product frame")
+        "crossJoin(broadcast(<one-row exact-comparison frame>)) onto the depth-bounded inner-product frame",
+      "x4_sketch_union" ->
+        "crossJoin(broadcast(<one-row exact-distinct frame>)) onto the one-row union-estimate frame (bounds-oracle gate leg)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

@@ -392,6 +392,34 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.6, s"published-index recall $recall < 0.6 (the s4 band)")
   }
 
+  test("s9 published-index read path: the BENCHED entry — recall floor, rank contract, zero non-broadcast exchange") {
+    import graft.operators.Similarity
+    // the queries() entry itself (what Bench and Verify run): first call
+    // builds + publishes the index (memoized per sfDir), the returned
+    // plan is the pure read path
+    val got = graft.SparkEntry.queries("s9_ann_ivfpq_index_read")(spark, sfDir).collect()
+    // per-query rank contract: dense ranks 1..k
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length), s"query $q ranks")
+    }
+    // recall vs brute force holds the s4/s8 trained-index band
+    val exact = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (gotSet & exact).size.toDouble / exact.size
+    info(s"s9 published-index recall vs brute force: $recall")
+    assert(recall >= 0.6, s"s9 recall $recall < 0.6 (the s4/s8 band)")
+    // the plan-level scale assertion runs on the SAME root the benched
+    // entry reads — the scoring stage moves nothing corpus-proportional
+    // through a non-broadcast exchange
+    val root = Similarity.ivfPqIndexRootFor(spark, sfDir)
+    val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+    val scored = Similarity.ivfPqScoreFromIndex(spark, root, queries, nProbe = 4)
+    val shuffles = scored.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("Broadcast")).toSeq
+    assert(shuffles.isEmpty, s"s9 read path re-shuffles corpus data:\n${shuffles.mkString("\n")}")
+  }
+
   test("PQ index lifecycle (s7): WAP publish, artifact bit-exact, zero staged-side exchange, recall holds") {
     val sf = "/root/testdata/sf0.01"
     val root = java.nio.file.Files.createTempDirectory("graft-pqindex").toString
