@@ -24,6 +24,25 @@ object SourcePresets {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
 
+  /** Text-file QUEUE source: one record per line, one file per producer
+    * append — the broker-shaped stand-in this sandbox can actually run
+    * (no Kafka broker here; the [[kafka]] preset is the real-deployment
+    * spelling with the same bound). A producer enqueues by dropping a
+    * file into `dir`; the subscriber sees at most `maxFilesPerTrigger`
+    * files per micro-batch — the Size bound at the SOURCE, exactly what
+    * `maxOffsetsPerTrigger` does for Kafka offsets. Pair with
+    * [[NibblerSink]] for the reference README's queue-subscriber story:
+    * burst arrivals flush as size-capped BATCH_FULL batches, trickles
+    * flush on the ticker.
+    */
+  def textQueue(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .text(dir)
+
   /** Rate source for load tests and ticker demos. */
   def rate(spark: SparkSession, rowsPerSecond: Long): DataFrame =
     spark.readStream.format("rate")

@@ -691,6 +691,49 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("broker-shaped queue subscriber (G7): textQueue drives NibblerSink end-to-end with size+ticker semantics") {
+    // the reference README's #1 production use case is a queue
+    // subscriber; no broker runs in this sandbox, so the file-queue
+    // stand-in plays the producer (one enqueued file per append) while
+    // the SOURCE-level cap (maxFilesPerTrigger — Kafka's
+    // maxOffsetsPerTrigger analog) bounds every micro-batch. This
+    // exercises the full contract END TO END over a real (non-Memory)
+    // source: a burst drains as a sequence of size-capped BATCH_FULL
+    // flushes none of which exceeds the source bound, and a trickle
+    // flushes as a partial Ticker batch.
+    val queueDir = Files.createTempDirectory("graft-queue").toString
+    def enqueue(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(queueDir, s"$name.txt"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val seen = new ConcurrentLinkedQueue[(Trigger, Long)]()
+    val source = SourcePresets.textQueue(spark, queueDir, maxFilesPerTrigger = 2)
+    val q = NibblerSink.start[org.apache.spark.sql.Row](source,
+      NibblerSink.Config[org.apache.spark.sql.Row](
+        processor = (t, ds) => { seen.add((t, ds.count())); () },
+        size = 50,
+        tickerDuration = 200.millis))
+    try {
+      // burst: 6 enqueued messages x 30 records; cap 2 files/trigger ->
+      // 3 micro-batches of 60 >= size -> all BATCH_FULL, none above the
+      // source bound (the backpressure story: a firehose can't
+      // materialize an unbounded batch)
+      (1 to 6).foreach(i => enqueue(f"burst_$i%02d", (1 to 30).map(j => s"m$i-$j")))
+      q.processAllAvailable()
+      val burst = seen.asScala.toVector
+      assert(burst.map(_._2).sum == 180L, s"burst rows lost: $burst")
+      assert(burst.forall(_._1 == Trigger.BatchFull), s"burst must flush full: $burst")
+      assert(burst.forall(_._2 <= 60L), s"source cap violated: $burst")
+      assert(burst.size == 3, s"6 files at 2/trigger must drain in 3 batches: $burst")
+      // trickle: one 5-record message < size -> Ticker flush
+      enqueue("trickle", (1 to 5).map(j => s"t-$j"))
+      q.processAllAvailable()
+      val all = seen.asScala.toVector
+      assert(all.last == ((Trigger.Ticker, 5L)), s"trickle must flush partial: $all")
+      assert(all.map(_._2).sum == 185L)
+    } finally q.stop()
+  }
+
   test("idempotent sink applies each batchId exactly once across replays") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = Files.createTempDirectory("graft-idem")
