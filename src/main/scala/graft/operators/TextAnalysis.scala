@@ -2296,11 +2296,23 @@ object TextAnalysis {
     * for the contract. Every stage is doc_id-keyed.
     */
   def rakeKeyphrases(docs: DataFrame, topK: Int = 3): DataFrame = {
+    // repartition(doc_id) BEFORE the branch point, for two reasons that
+    // compound (the round-10 t29 shave, 2.8 s -> ~1 s at sf0.1):
+    // (1) the stopword-alternation regex split is the operator's
+    //     dominant cost and feeds BOTH branches (word stats + distinct
+    //     phrases) — identical exchanges dedupe via ReusedExchange, so
+    //     the split runs ONCE instead of once per branch;
+    // (2) HashPartitioning(doc_id) satisfies every downstream clustering
+    //     requirement (groupBy(doc_id,w), the (doc_id,w) join, distinct
+    //     on (doc_id,phrase), the per-doc rank window), so this is the
+    //     operator's ONLY exchange — everything after it is co-partitioned
+    //     map-side work, the shape that shards at 100 TB.
     val ph = docs
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), RakeDelim)).as("p"))
       .select(col("doc_id"), trim(col("p")).as("phrase"))
       .filter(col("phrase") =!= "")
+      .repartition(col("doc_id"))
     val pw = ph.select(col("doc_id"),
       size(split(col("phrase"), "\\s+")).cast("long").as("plen"),
       explode(split(col("phrase"), "\\s+")).as("w"))

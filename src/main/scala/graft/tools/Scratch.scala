@@ -2,45 +2,52 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{HashFunctions => H}
 
-/** One-off diagnostics for d4's candidate volume. */
+/** One-off diagnostics — currently: where t29's warm seconds go (round
+  * 10 item 7). Times each pipeline stage in isolation at sf0.1.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val spark = graft.GraftSession.local(32)
-    val tokenHashes = Tables.spread(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(H.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val voteCols = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i")
+    def time(label: String)(f: => Long): Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[scratch] $label run $i rows=$n ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        spark.catalog.clearCache()
+      }
     }
-    val votes = tokenHashes.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-    val shCol = (0 until 64)
-      .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    val sh = votes.select(col("doc_id"), shCol.as("sh")).persist()
-    println("[scratch] docs=" + sh.count())
-    println("[scratch] distinct simhashes=" + sh.select("sh").distinct().count())
-    val banded = sh.select(col("doc_id"), col("sh"), explode(H.simhashBands(col("sh"))).as("band"))
-    val bandSizes = banded.groupBy("band").count()
-    bandSizes.orderBy(col("count").desc).show(10, false)
-    println("[scratch] raw candidate pairs (1-level)=" + bandSizes
-      .agg(sum(col("count") * (col("count") - 1) / 2)).head().get(0))
-    for ((p, c) <- Seq((6, 2), (7, 3), (8, 4))) {
-      val bk = sh.select(col("doc_id"), explode(H.simhashCombinationKeys(col("sh"), p, c)).as("band"))
-        .groupBy("band").count()
-      println(s"[scratch] C($p,$c): max bucket=" + bk.agg(max("count")).head().get(0) +
-        " pairs=" + bk.agg(sum(col("count") * (col("count") - 1) / 2)).head().get(0))
-    }
-    // hamming distribution of the minhash-verified (true) near-dup pairs
-    val d2 = graft.SparkEntry.queries("d2_dedup_minhash_lsh")(spark, sfDir)
-      .select(col("doc_a"), col("doc_b"))
-    val withH = d2
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-    withH.groupBy("hamming").count().orderBy("hamming").show(30)
+    val docs = Tables.documents(spark, sfDir)
+    val delim = "(?:\\s*(?:[^a-z\\s]|\\b(?:the|and|of|to|in|is|that|it|for|was)\\b)\\s*)+"
+    val ph = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), delim)).as("p"))
+      .select(col("doc_id"), trim(col("p")).as("phrase"))
+      .filter(col("phrase") =!= "")
+    time("split-only")(ph.count())
+    val phR = ph.repartition(col("doc_id"))
+    val pw = phR.select(col("doc_id"),
+      size(split(col("phrase"), "\\s+")).cast("long").as("plen"),
+      explode(split(col("phrase"), "\\s+")).as("w"))
+    val ws = pw.groupBy(col("doc_id"), col("w"))
+      .agg(expr("(sum(plen) * 1000000) div count(1)").as("wscore"))
+    time("ws-agg")(ws.count())
+    val dpw = phR.select(col("doc_id"), col("phrase")).distinct()
+      .select(col("doc_id"), col("phrase"),
+        explode(split(col("phrase"), "\\s+")).as("w"))
+    time("dpw-distinct")(dpw.count())
+    val ps = dpw.join(ws, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(sum(col("wscore")).as("score"))
+    time("ps-join")(ps.count())
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase"))
+    val top = ps.withColumn("rk", row_number().over(rk)).filter(col("rk") <= 3)
+      .select(col("doc_id"), col("phrase"), col("score"))
+    time("window-no-sort")(top.count())
+    time("window-sorted")(top.orderBy(col("doc_id"), col("score").desc, col("phrase")).count())
+    time("full-t29")(graft.SparkEntry.queries("t29_rake_keyphrases")(spark, sfDir).count())
     spark.stop()
   }
 }
