@@ -860,6 +860,82 @@ object Dedup {
       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
       WHERE d.doc_id % 20 != 0 ORDER BY d.doc_id"""))
 
+  /** C23's core: GRADED contamination share — d8 answers "does this doc
+    * share ANY benchmark gram" (the binary gate); threshold TUNING needs
+    * the graded signal: what fraction of each doc's distinct grams is
+    * benchmark text, and a severity class (a doc quoting one benchmark
+    * sentence is a different decision than a doc that IS the benchmark).
+    * Share and severity are exact-integer derived (one r4 division for
+    * the display pct; the class cuts are integer cross-multiplications),
+    * so the whole frame is oracle-checkable.
+    *
+    * Scale: improves on d8's two-consumer shape — the corpus gram
+    * pipeline feeds ONE aggregate via a LEFT join against the broadcast
+    * benchmark-gram frame (hit marker), so total grams and shared grams
+    * come out of a single pass; the benchmark side stays the d8
+    * eval-suite-bounded broadcast.
+    */
+  def contaminationShare(docs: DataFrame, isBench: Column, n: Int = 8): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val benchGrams = wordGramHashes(base.filter(isBench), n)
+      .select(col("g")).distinct()
+      .withColumn("hit", lit(1L))
+    val per = wordGramHashes(base.filter(!isBench), n)
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+    base.filter(!isBench).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("share_pct", r4(col("n_shared") * 100.0 /
+        greatest(col("n_grams"), lit(1L))))
+      // integer-exact class cuts: trace < 5% <= partial < 50% <= saturated
+      .withColumn("severity",
+        when(col("n_shared") === 0L, "clean")
+          .when(col("n_shared") * 20 < col("n_grams"), "trace")
+          .when(col("n_shared") * 2 < col("n_grams"), "partial")
+          .otherwise("saturated"))
+      .orderBy(col("doc_id"))
+  }
+
+  // C23 — graded contamination share, FULL oracle (d8's string-gram
+  // respelling with a LEFT join + conditional count).
+  private val d23 = Relational.Q(
+    "d23_contamination_share",
+    (s, d) => contaminationShare(Tables.documents(s, d), col("doc_id") % 20 === 0),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] ||
+            ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]
+            FOR i IN range(1, len(tk) - 6)]) AS gs
+        FROM toks WHERE len(tk) >= 8),
+      bench AS (
+        SELECT DISTINCT unnest(gs) AS bg FROM g WHERE doc_id % 20 = 0),
+      cand AS (
+        SELECT doc_id, unnest(gs) AS cg FROM g WHERE doc_id % 20 != 0),
+      per AS (
+        SELECT doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN b.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM cand LEFT JOIN bench b ON cand.cg = b.bg
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(p.n_grams, 0) AS n_grams,
+        COALESCE(p.n_shared, 0) AS n_shared,
+        ${r4Sql("COALESCE(p.n_shared, 0) * 100.0 / greatest(COALESCE(p.n_grams, 0), 1)")} AS share_pct,
+        CASE WHEN COALESCE(p.n_shared, 0) = 0 THEN 'clean'
+             WHEN COALESCE(p.n_shared, 0) * 20 < COALESCE(p.n_grams, 0) THEN 'trace'
+             WHEN COALESCE(p.n_shared, 0) * 2 < COALESCE(p.n_grams, 0) THEN 'partial'
+             ELSE 'saturated' END AS severity
+      FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      WHERE d.doc_id % 20 != 0 ORDER BY d.doc_id"""))
+
   /** C9's core over any (doc_id, text) frame: flag documents dominated by
     * corpus-repeated segments — the line-dedup / boilerplate-removal stage
     * of CCNet-style corpus cleaning, re-expressed for newline-free text as
@@ -2071,5 +2147,5 @@ object Dedup {
         AND EXISTS (SELECT 1 FROM c b WHERE b.doc_id % 2 = 0 AND b.chunk = a.chunk)
       ORDER BY a.doc_id, a.pos"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
 }

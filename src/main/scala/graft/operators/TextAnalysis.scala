@@ -24,6 +24,28 @@ object TextAnalysis {
   private val StopFr = "le|les|et|est|que|pour|dans|une|des|avec"
   private val StopEs = "el|los|las|y|es|en|un|para|por|como"
 
+  // Shared langid pieces (t3 + t30): the stopword-hit counter and the
+  // hit-majority classifier live ONCE, so the per-doc classifier and the
+  // per-language fertility roll-up can never drift apart.
+  private def hitsCol(alt: String): Column =
+    size(expr(s"regexp_extract_all(lower(text), '\\\\b(?:$alt)\\\\b', 0)")).cast("long")
+
+  private def predictedLangCol: Column =
+    when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr")
+      && col("hits_en") >= col("hits_es") && col("hits_en") > 0, "en")
+      .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es")
+        && col("hits_de") > 0, "de")
+      .when(col("hits_fr") >= col("hits_es") && col("hits_fr") > 0, "fr")
+      .when(col("hits_es") > 0, "es")
+      .otherwise("und")
+
+  private val predictedLangSql: String =
+    """CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+             WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+             WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+             WHEN hits_es > 0 THEN 'es'
+             ELSE 'und' END"""
+
   // E1 — token/char stats.
   private val t1 = Relational.Q(
     "t1_token_stats",
@@ -106,20 +128,11 @@ object TextAnalysis {
   private val t3 = Relational.Q(
     "t3_langid",
     (s, d) => {
-      def hits(alt: String): Column =
-        size(expr(s"regexp_extract_all(lower(text), '\\\\b(?:$alt)\\\\b', 0)"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang").as("claimed_lang"),
-          hits(StopEn).cast("long").as("hits_en"), hits(StopDe).cast("long").as("hits_de"),
-          hits(StopFr).cast("long").as("hits_fr"), hits(StopEs).cast("long").as("hits_es"))
-        .withColumn("predicted_lang",
-          when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr")
-            && col("hits_en") >= col("hits_es") && col("hits_en") > 0, "en")
-            .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es")
-              && col("hits_de") > 0, "de")
-            .when(col("hits_fr") >= col("hits_es") && col("hits_fr") > 0, "fr")
-            .when(col("hits_es") > 0, "es")
-            .otherwise("und"))
+          hitsCol(StopEn).as("hits_en"), hitsCol(StopDe).as("hits_de"),
+          hitsCol(StopFr).as("hits_fr"), hitsCol(StopEs).as("hits_es"))
+        .withColumn("predicted_lang", predictedLangCol)
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -131,11 +144,7 @@ object TextAnalysis {
           len(regexp_extract_all(lower(text), '\\b(?:$StopEs)\\b')) AS hits_es
         FROM documents)
       SELECT doc_id, claimed_lang, hits_en, hits_de, hits_fr, hits_es,
-        CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
-             WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
-             WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
-             WHEN hits_es > 0 THEN 'es'
-             ELSE 'und' END AS predicted_lang
+        $predictedLangSql AS predicted_lang
       FROM h ORDER BY doc_id"""))
 
   // E4 — document fingerprint over whitespace-normalized text.
@@ -2361,7 +2370,133 @@ object TextAnalysis {
         FROM ps) WHERE rk <= 3
       ORDER BY doc_id, score DESC, phrase"""))
 
+  /** E30's core: per-language TOKENIZER FERTILITY — tokens emitted per
+    * whitespace word, the metric multilingual-corpus work actually uses
+    * to pick and size a tokenizer (high fertility = a language is being
+    * shredded into many subwords, inflating its effective cost per word
+    * and shrinking its effective context window). Rolled up per t3's
+    * predicted language over BOTH tokenizer views this pack ships: the
+    * t6 regex piece segmentation and the t6 BPE-subword estimate. All
+    * legs are exact integers off ONE corpus scan (map-side classify +
+    * count, one |langs|-row aggregate), so the two fertility ratios are
+    * single deterministic IEEE divisions — fully oracle-checkable, and
+    * the plan is embarrassingly scalable at 100 TB (no join, no window,
+    * one enum-sized shuffle).
+    */
+  def tokenFertility(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"),
+        hitsCol(StopEn).as("hits_en"), hitsCol(StopDe).as("hits_de"),
+        hitsCol(StopFr).as("hits_fr"), hitsCol(StopEs).as("hits_es"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_words"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)"))
+          .cast("long").as("n_pieces"),
+        expr("aggregate(split(lower(trim(text)), '\\\\s+'), 0L, (acc, w) -> acc + CAST(ceil(length(w)/4.0) AS LONG))")
+          .as("n_bpe"))
+      .withColumn("predicted_lang", predictedLangCol)
+    perDoc.groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_bpe")).as("n_bpe"))
+      .select(col("predicted_lang"), col("n_docs"), col("n_words"),
+        col("n_pieces"), col("n_bpe"),
+        r4(col("n_pieces").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double")).as("fertility_pieces"),
+        r4(col("n_bpe").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double")).as("fertility_bpe"))
+      .orderBy(col("predicted_lang"))
+  }
+
+  // E30 — per-language tokenizer fertility, FULL integer/r4 oracle.
+  private val t30 = Relational.Q(
+    "t30_token_fertility",
+    (s, d) => tokenFertility(Tables.documents(s, d)),
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+          len(regexp_extract_all(lower(text), '\\b(?:$StopEn)\\b')) AS hits_en,
+          len(regexp_extract_all(lower(text), '\\b(?:$StopDe)\\b')) AS hits_de,
+          len(regexp_extract_all(lower(text), '\\b(?:$StopFr)\\b')) AS hits_fr,
+          len(regexp_extract_all(lower(text), '\\b(?:$StopEs)\\b')) AS hits_es,
+          len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_pieces,
+          CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS n_bpe
+        FROM documents),
+      cls AS (SELECT $predictedLangSql AS predicted_lang, * FROM h)
+      SELECT predicted_lang,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_words) AS BIGINT) AS n_words,
+        CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+        CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+        ${r4Sql("CAST(SUM(n_pieces) AS DOUBLE) / CAST(greatest(SUM(n_words), 1) AS DOUBLE)")} AS fertility_pieces,
+        ${r4Sql("CAST(SUM(n_bpe) AS DOUBLE) / CAST(greatest(SUM(n_words), 1) AS DOUBLE)")} AS fertility_bpe
+      FROM cls GROUP BY predicted_lang ORDER BY predicted_lang"""))
+
+  /** E31's core: per-doc N-GRAM NOVELTY — the share of a document's
+    * distinct word n-grams that appear in NO other document (corpus
+    * df == 1). The memorization/duplication-risk counterpart to d10's
+    * pairwise containment: a low-novelty doc is mostly assembled from
+    * text that exists elsewhere in the corpus (quotes, templates,
+    * mirrors) even when no single pair crosses a containment threshold,
+    * so training on it multiplies effective epochs on that text.
+    *
+    * Scale: the d9 df pattern — the gram pipeline (d8's wordGramHashes:
+    * one per-doc window sort, distinct hashes) feeds a slim (g, df)
+    * aggregate and the join back is on the gram hash key with NO text
+    * payload; per-doc roll-up + the novelty division are exact integers
+    * and one r4 division. No broadcast of anything corpus-derived.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = Dedup.wordGramHashes(docs.select(col("doc_id"), col("text")), n)
+    val dfG = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(dfG, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_pct", r4(col("n_novel") * 100.0 /
+        greatest(col("n_grams"), lit(1L))))
+      // mostly-unoriginal gate, integer-exact: novel grams < 20% of grams
+      // (n_novel*5 < n_grams) on docs long enough to carry grams at all
+      .withColumn("mostly_duplicated",
+        col("n_grams") > 0 && col("n_novel") * 5 < col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  // E31 — n-gram novelty (df==1 share per doc), FULL oracle via the d8
+  // string-gram respelling.
+  private val t31 = Relational.Q(
+    "t31_ngram_novelty",
+    (s, d) => ngramNovelty(Tables.documents(s, d)),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(
+          [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] ||
+           ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]
+           FOR i IN range(1, len(tk) - 6)])) AS gram
+        FROM toks WHERE len(tk) >= 8),
+      dfg AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+      per AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN dfg.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM g JOIN dfg USING (gram) GROUP BY g.doc_id)
+      SELECT d.doc_id,
+        COALESCE(p.n_grams, 0) AS n_grams,
+        COALESCE(p.n_novel, 0) AS n_novel,
+        ${r4Sql("COALESCE(p.n_novel, 0) * 100.0 / greatest(COALESCE(p.n_grams, 0), 1)")} AS novelty_pct,
+        COALESCE(p.n_grams, 0) > 0 AND COALESCE(p.n_novel, 0) * 5 < COALESCE(p.n_grams, 0) AS mostly_duplicated
+      FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29)
+    t25, t26, t27, t28, t29, t30, t31)
 }

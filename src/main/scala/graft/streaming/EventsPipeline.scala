@@ -635,6 +635,39 @@ object EventsPipeline {
     }
   }
 
+  final case class ContamShare(doc_id: Long, n_grams: Long, n_shared: Long,
+      severity: String)
+
+  /** Streaming contamination SHARE (A46) — the streaming twin of batch
+    * d23 (`Dedup.contaminationShare`), the graded sibling of A24's
+    * binary gate: per arriving doc, total distinct grams, benchmark-
+    * shared grams, and the severity class (same integer cross-
+    * multiplication cuts), all row-locally against the broadcast sorted
+    * benchmark gram array. STATELESS — the A24 pattern: no shuffle, no
+    * state, throughput scales with partitions; spec pins streamed
+    * (n_grams, n_shared, severity) == batch d23's exactly.
+    */
+  def contaminationShareStream(
+      docs: Dataset[(Long, String)],
+      benchGrams: Set[Long],
+      n: Int = 8): Dataset[ContamShare] = {
+    import docs.sparkSession.implicits._
+    val sorted = benchGrams.toArray
+    java.util.Arrays.sort(sorted)
+    val bc = docs.sparkSession.sparkContext.broadcast(sorted)
+    docs.map { case (id, text) =>
+      val grams = graft.operators.Dedup.wordGramHashesLocal(text, n)
+      val shared = grams.count(g => java.util.Arrays.binarySearch(bc.value, g) >= 0)
+      val (ng, ns) = (grams.length.toLong, shared.toLong)
+      val severity =
+        if (ns == 0L) "clean"
+        else if (ns * 20 < ng) "trace"
+        else if (ns * 2 < ng) "partial"
+        else "saturated"
+      ContamShare(id, ng, ns, severity)
+    }
+  }
+
   final case class QualityFlag(doc_id: Long, n_tokens: Long, score_sum: Long, keep: Boolean)
 
   /** Streaming quality-model gate (A30) — the streaming twin of batch

@@ -66,6 +66,7 @@ object PlanAudit {
     "x3_heavy_hitters" -> "hashed-bucket aggregate: width 1024 rows max (constant)",
     "x4_sketch_union" -> "one-row exact-distinct aggregate for the bounds-oracle within_tol leg (the t9/q48 shape; gate-only — production runs the estimate alone)",
     "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB",
+    "d23_contamination_share" -> "benchmark-slice gram frame (the d8 class): bounded by the eval suite, a separate tiny table at 100 TB",
     "d14_domain_governance" -> "one-row post-dedup total aggregate (the t9/q48 shape)",
     "p3_stratified_sample" -> "|langs| x buckets-row two-phase offsets frame (enum- and parameter-bounded)",
     "p12_temperature_sample" -> "one-row w_total + <=|langs|-row targets + |langs| x buckets-row offsets (enum- and parameter-bounded)",

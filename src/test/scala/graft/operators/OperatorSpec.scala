@@ -3291,6 +3291,61 @@ class OperatorSpec extends SparkSpec {
     assert(M.sniffMedia(avi.take(30))._1 == "unknown" || M.sniffMedia(avi.take(30))._1 == "avi")
   }
 
+  test("token fertility (t30): per-language sums partition the corpus totals") {
+    val rows = graft.SparkEntry.queries("t30_token_fertility")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the language classes PARTITION the corpus: per-lang sums re-add to
+    // the unclassified whole-corpus totals (no doc dropped or counted twice)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val total = docs.select(
+      sum(size(split(lower(trim(col("text"))), "\\s+")).cast("long")).as("w"),
+      sum(col("doc_id") * 0 + 1).as("n")).head()
+    assert(rows.map(_.getLong(1)).sum == total.getLong(1), "doc counts don't partition")
+    assert(rows.map(_.getLong(2)).sum == total.getLong(0), "word counts don't partition")
+    // fertility is tokens-per-word: the BPE estimate emits >= 1 token per
+    // non-empty word, so fertility_bpe >= ~1 for any real class
+    rows.foreach { r =>
+      assert(r.getDouble(6) >= 0.9, s"${r.getString(0)}: fertility_bpe ${r.getDouble(6)} < 0.9")
+    }
+  }
+
+  test("ngram novelty (t31): planted verbatim duplicate scores 0, unique text scores 100") {
+    import spark.implicits._
+    val uniq = (1 to 12).map(i => s"unique$i").mkString(" ")
+    val dupText = (1 to 12).map(i => s"mirror$i").mkString(" ")
+    val docs = Seq(
+      (1L, uniq),            // every gram df==1 -> novelty 100
+      (2L, dupText),         // verbatim pair -> every gram df==2 -> novelty 0
+      (3L, dupText),
+      (4L, "too short")      // < 8 tokens -> 0 grams, not mostly_duplicated
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L)._3 == 100.0 && !out(1L)._4)
+    assert(out(2L)._3 == 0.0 && out(2L)._4, s"verbatim dup must be mostly_duplicated: ${out(2L)}")
+    assert(out(3L)._3 == 0.0 && out(3L)._4)
+    assert(out(4L) == ((0L, 0L, 0.0, false)), "gram-free doc is not flagged")
+  }
+
+  test("contamination share (d23): severity classes from planted benchmark overlap") {
+    import spark.implicits._
+    val bench = (1 to 20).map(i => s"bench$i").mkString(" ")
+    val quote = (1 to 8).map(i => s"bench$i").mkString(" ") // exactly one bench 8-gram
+    val docs = Seq(
+      (0L, bench),                                         // the benchmark slice (id%20==0)
+      (1L, bench),                                         // verbatim benchmark copy -> saturated
+      (2L, quote + " " + (1 to 30).map(i => s"own$i").mkString(" ")), // one quoted gram -> trace
+      (3L, (1 to 15).map(i => s"clean$i").mkString(" "))   // no overlap -> clean
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .contaminationShare(docs, col("doc_id") % 20 === 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    assert(out(1L)._3 == "saturated", s"verbatim copy: ${out(1L)}")
+    assert(out(1L)._1 == out(1L)._2, "every gram of a verbatim copy is shared")
+    assert(out(2L)._2 == 1L && out(2L)._3 == "trace", s"single quoted gram: ${out(2L)}")
+    assert(out(3L) == ((8L, 0L, "clean")), s"clean doc: ${out(3L)}")
+  }
+
   test("misra-gries (x17): serialize survives keys past writeUTF's 65535-byte limit") {
     import spark.implicits._
     // one heavy key whose UTF-8 encoding is ~80k bytes, spread over many

@@ -673,6 +673,38 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming contamination share matches batch d23 row for row") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sf)
+    val benchGrams = graft.operators.Dedup
+      .wordGramHashes(docs.filter(col("doc_id") % 20 === 0), 8)
+      .select("g").collect().map(_.getLong(0)).toSet
+    val expected = graft.SparkEntry.queries("d23_contamination_share")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    val src = MemoryStream[(Long, String)]
+    val q = EventsPipeline.contaminationShareStream(src.toDS(), benchGrams)
+      .writeStream.format("memory").queryName("contam_share_stream_test")
+      .outputMode("append").start()
+    try {
+      val arriving = docs.filter(col("doc_id") % 20 =!= 0)
+        .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+      arriving.grouped(math.max(1, arriving.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("contam_share_stream_test")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(got == expected, "streaming contamination share diverges from batch d23")
+      // the graded signal is live on the real corpus: at least one
+      // non-clean, non-saturated class present
+      assert(expected.values.map(_._3).toSet.intersect(Set("trace", "partial")).nonEmpty ||
+        expected.values.exists(_._3 == "saturated"),
+        "gate check: corpus exercises only the clean class")
+    } finally q.stop()
+  }
+
   test("NibblerSink applies size-or-ticker semantics to a streaming Dataset") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[Int]
