@@ -71,6 +71,39 @@ object Demo {
         s"rows=${rows.get()}/$expected batches=${batches.get()}")
     }
 
+    // 2b. Queue subscriber (the reference README's #1 production story):
+    // a producer enqueues newline-delimited record files into a queue
+    // directory, SourcePresets.textQueue consumes at most 2 files per
+    // trigger (the Kafka maxOffsetsPerTrigger analog), NibblerSink
+    // applies the size-or-ticker contract — a burst drains as
+    // size-capped BATCH_FULL flushes, a trickle flushes on the ticker.
+    {
+      val queueDir = Files.createTempDirectory("graft-demo-queue").toString
+      def enqueue(name: String, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(queueDir, s"$name.txt"),
+          lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val flushes =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Trigger, Long)]()
+      val q = NibblerSink.start[org.apache.spark.sql.Row](
+        SourcePresets.textQueue(spark, queueDir, maxFilesPerTrigger = 2),
+        NibblerSink.Config(
+          processor = (t, ds) => { flushes.add((t, ds.count())); () },
+          size = 50, tickerDuration = 200.millis))
+      (1 to 4).foreach(i => enqueue(f"burst_$i%02d", (1 to 40).map(j => s"m$i-$j")))
+      q.processAllAvailable()
+      enqueue("trickle", (1 to 7).map(j => s"t-$j"))
+      q.processAllAvailable()
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val fs = flushes.asScala.toVector
+      val ok = fs.map(_._2).sum == 167L &&
+        fs.init.forall(f => f._1 == Trigger.BatchFull && f._2 == 80L) &&
+        fs.last == ((Trigger.Ticker, 7L))
+      check("queue-subscriber", ok,
+        s"flushes=${fs.map { case (t, n) => s"$t:$n" }.mkString(",")}")
+    }
+
     // 3. Watermarked session_window stream: finalized sessions match the
     // batch answer on the same data.
     {

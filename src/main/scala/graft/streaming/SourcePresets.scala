@@ -43,6 +43,19 @@ object SourcePresets {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .text(dir)
 
+  /** TCP line socket source — the live network-consumer shape (Spark's
+    * built-in test transport: the source CONNECTS to host:port and reads
+    * newline-delimited records). No replay/offset tracking, so it is the
+    * stand-in for exercising a push transport end to end where [[kafka]]
+    * would run in production; durable pipelines use [[textQueue]] or
+    * [[kafka]], whose sources can re-read on failure.
+    */
+  def socket(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host)
+      .option("port", port.toString)
+      .load()
+
   /** Rate source for load tests and ticker demos. */
   def rate(spark: SparkSession, rowsPerSecond: Long): DataFrame =
     spark.readStream.format("rate")

@@ -766,6 +766,51 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("network consumer (G7): a TCP socket source drives NibblerSink end-to-end") {
+    // the push-transport leg of the queue-subscriber story: a local
+    // server plays the broker, Spark's socket source is the live
+    // consumer, NibblerSink applies the same size-or-ticker contract.
+    // Arrival slicing over a socket is timing-dependent (no offsets), so
+    // the assertions are the invariants: every record arrives exactly
+    // once, and every flush's trigger classification matches its size.
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val burst = (1 to 120).map(i => s"rec-$i")
+    val writer = new Thread(() => {
+      val conn = server.accept()
+      val out = new java.io.PrintWriter(conn.getOutputStream, true)
+      burst.foreach(out.println)
+      out.flush()
+      // keep the connection open long enough for the source to drain it
+      Thread.sleep(8000)
+      conn.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val seen = new ConcurrentLinkedQueue[(Trigger, Seq[String])]()
+    val source = SourcePresets.socket(spark, "127.0.0.1", server.getLocalPort)
+    val q = NibblerSink.start[org.apache.spark.sql.Row](source,
+      NibblerSink.Config[org.apache.spark.sql.Row](
+        processor = (t, ds) => {
+          seen.add((t, ds.collect().map(_.getString(0)).toSeq)); ()
+        },
+        size = 50,
+        tickerDuration = 300.millis))
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.asScala.map(_._2.size).sum < burst.size && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      val flushes = seen.asScala.toVector
+      val rows = flushes.flatMap(_._2)
+      assert(rows.size == burst.size && rows.toSet == burst.toSet,
+        s"socket rows lost or duplicated: ${rows.size}/${burst.size}")
+      flushes.foreach { case (t, rs) =>
+        val expectedTrigger = if (rs.size >= 50) Trigger.BatchFull else Trigger.Ticker
+        assert(t == expectedTrigger, s"flush of ${rs.size} rows classified $t")
+      }
+    } finally { q.stop(); server.close() }
+  }
+
   test("idempotent sink applies each batchId exactly once across replays") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = Files.createTempDirectory("graft-idem")
