@@ -100,6 +100,24 @@ object ScaleUtils {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** G24 — HIVE-PARTITIONED LAYOUT (the lake layout whose scans prune):
+    * write `df` with one directory level per `partCols` value, so a
+    * filter on those columns becomes DIRECTORY pruning — the planner
+    * never lists, opens, or footers the non-matching partitions. This is
+    * the layer BELOW G22's stats manifest (which skips files WITHIN what
+    * the layout couldn't prune) and the layout that activates Spark's
+    * DYNAMIC partition pruning: a fact ⋈ dim join keyed on the partition
+    * column with a selective dim filter plants a runtime subquery into
+    * the fact scan's PartitionFilters, so the fact side scans only the
+    * partitions the filtered dim actually reaches — the #1 scan killer
+    * on a 100 TB partitioned lake, and it needs zero query changes.
+    * Choose partition columns with BOUNDED cardinality (enum/date-grain;
+    * a high-cardinality partition column melts the listing layer into
+    * millions of directories — that regime belongs to G8 bucketing).
+    */
+  def writePartitioned(df: DataFrame, dir: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(dir)
+
   /** G22 — STATS MANIFEST (the Iceberg/Delta data-skipping layer above
     * parquet footers): per-file (min, max, rows) for a filter column,
     * built with ONE distributed scan at WRITE/publish time and stored

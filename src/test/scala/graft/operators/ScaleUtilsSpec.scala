@@ -100,6 +100,61 @@ class ScaleUtilsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout (G24): static directory pruning and DYNAMIC partition pruning both fire") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    ScaleUtils.writePartitioned(events, dir, Seq("event_type"))
+    val table = spark.read.parquet(dir)
+    // the layout preserves the data (partition column round-trips)
+    assert(table.count() == events.count())
+    // STATIC pruning: the literal filter lands in PartitionFilters, and
+    // the scan touches strictly fewer files than the full table
+    val one = table.filter(col("event_type") === "click")
+    val onePlan = one.queryExecution.executedPlan.toString
+    assert(onePlan.contains("PartitionFilters") && onePlan.contains("event_type"),
+      s"partition filter not pushed to the scan:\n${onePlan.take(800)}")
+    val filesOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(input_file_name()).distinct().count()
+    assert(filesOf(one) < filesOf(table),
+      "filtered scan reads as many files as the full scan — no directory pruning")
+    // DYNAMIC pruning: a fact ⋈ dim join keyed on the partition column
+    // with a selective dim filter plants a runtime subquery into the
+    // fact scan — no literal filter anywhere on the fact side. Local
+    // test files sit under DPP's cost heuristic (useStats estimates
+    // ~zero benefit on KB-sized tables), so pin the heuristic to the
+    // ratio fallback — the bloom-test convention: force on tiny data
+    // what a real fact table triggers on its own.
+    val confs = Map(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "1000")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // the dim must be a TABLE, not a local relation: Catalyst constant-
+      // folds a filter over a LocalRelation into a pre-filtered literal,
+      // and DPP requires a live selective Filter on the filtering side
+      val dimDir = java.nio.file.Files.createTempDirectory("graft-part-dim").toString
+      Seq(("click", 1L), ("view", 2L), ("purchase", 3L), ("share", 4L))
+        .toDF("event_type", "type_code")
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir)
+      val dpp = spark.read.parquet(dir)
+        .join(dim.filter(col("type_code") === 1L), Seq("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val dppPlan = dpp.queryExecution.executedPlan.toString
+      assert(dppPlan.contains("dynamicpruning"),
+        s"dynamic partition pruning did not fire:\n${dppPlan.take(1200)}")
+      // and the pruned plan returns the exact answer
+      val expected = events.filter(col("event_type") === "click").count()
+      assert(dpp.head().getLong(0) == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("z-ordered layout (G18): per-file footer rectangles are compact in BOTH columns") {
     import spark.implicits._
     // a full 64x64 grid: the worst case for single-column clustering
