@@ -1130,6 +1130,98 @@ object Multimodal {
                              ELSE 0 END AS BIGINT) AS dim2
       FROM documents ORDER BY doc_id"""))
 
+  /** F15 — PAYLOAD BYTE-CLASS STATS (the triage stage BEFORE m14's
+    * format sniffing: a mixed-provenance payload column contains
+    * text-shipped-as-bytes, real media, and junk; routing them needs
+    * only byte-class counting, no parsing at all). Per blob: printable
+    * count (0x20–0x7E plus tab/LF/CR), control count (other <0x20 plus
+    * DEL), high-bit count (≥0x80), and a class — `empty`, `text`
+    * (printable ≥ 95%, integer cross-multiplication), else `binary`.
+    * One pass over each blob's bytes inside mapPartitions (the m2/m14
+    * batch shape): constant work per byte, no allocation, so typing a
+    * 100 TB payload column is scan-bound.
+    */
+  def payloadByteStats(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[DocPayload]
+      .mapPartitions(_.map { p =>
+        val bytes = if (p.payload == null) Array.empty[Byte] else p.payload
+        var printable = 0L
+        var control = 0L
+        var highbit = 0L
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          if (b >= 0x80) highbit += 1
+          else if ((b >= 0x20 && b <= 0x7e) || b == 9 || b == 10 || b == 13) printable += 1
+          else control += 1
+          i += 1
+        }
+        val n = bytes.length.toLong
+        val cls =
+          if (n == 0L) "empty"
+          else if (printable * 100L >= 95L * n) "text"
+          else "binary"
+        (p.doc_id, n, printable, control, highbit, cls)
+      })
+      .toDF("doc_id", "n_bytes", "n_printable", "n_control", "n_highbit", "media_class")
+  }
+
+  // F15 — the fixture plants ARITHMETIC payloads (every byte a formula
+  // of (doc_id, position)), so the DuckDB oracle recomputes all four
+  // counts and the class from doc_id arithmetic alone — the m14
+  // convention taken all the way down to byte level. Classes by
+  // doc_id % 3: full-range bytes (binary), printable-confined bytes
+  // (text), empty.
+  private val m15 = Relational.Q(
+    "m15_payload_byte_stats",
+    (s, d) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"))
+        .map { r =>
+          val id = r.getLong(0)
+          val payload = (id % 3) match {
+            case 2 => Array.empty[Byte]
+            case 0 =>
+              Array.tabulate((64 + id % 17).toInt)(i => ((id * 31 + i * 7) % 256).toByte)
+            case _ =>
+              Array.tabulate((64 + id % 17).toInt)(i => (32 + (id * 13 + i * 11) % 95).toByte)
+          }
+          (id, payload)
+        }
+        .toDF("doc_id", "payload")
+      payloadByteStats(payloads).orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 64 + doc_id % 17 END AS nb
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN (doc_id*31 + i*7) % 256
+               ELSE 32 + (doc_id*13 + i*11) % 95 END AS v
+        FROM n, UNNEST(range(0, nb)) AS t(i)),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_bytes,
+          CAST(SUM(CASE WHEN (v >= 32 AND v <= 126) OR v IN (9, 10, 13) THEN 1 ELSE 0 END) AS BIGINT) AS n_printable,
+          CAST(SUM(CASE WHEN v < 128 AND NOT ((v >= 32 AND v <= 126) OR v IN (9, 10, 13)) THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+          CAST(SUM(CASE WHEN v >= 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_highbit
+        FROM b GROUP BY doc_id)
+      SELECT n.doc_id,
+        COALESCE(a.n_bytes, 0) AS n_bytes,
+        COALESCE(a.n_printable, 0) AS n_printable,
+        COALESCE(a.n_control, 0) AS n_control,
+        COALESCE(a.n_highbit, 0) AS n_highbit,
+        CASE WHEN COALESCE(a.n_bytes, 0) = 0 THEN 'empty'
+             WHEN COALESCE(a.n_printable, 0) * 100 >= 95 * a.n_bytes THEN 'text'
+             ELSE 'binary' END AS media_class
+      FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
+      ORDER BY n.doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10,
-    m11, m12, m13, m14)
+    m11, m12, m13, m14, m15)
 }

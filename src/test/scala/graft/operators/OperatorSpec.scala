@@ -3346,6 +3346,26 @@ class OperatorSpec extends SparkSpec {
     assert(out(3L) == ((8L, 0L, "clean")), s"clean doc: ${out(3L)}")
   }
 
+  test("payload byte stats (m15): real media classifies binary, text bytes classify text, null is empty") {
+    import spark.implicits._
+    import graft.operators.{Multimodal => M}
+    val png = ImageCodec.encodeGrayPng(16, 16)((x, y) => (x * y * 7) % 256)
+    val docs = Seq(
+      (1L, png),
+      (2L, "plain ascii text with tabs\tand\nnewlines, entirely printable.".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, Array.tabulate(100)(i => (i % 256).toByte))) // control+highbit heavy
+      .toDF("doc_id", "payload")
+    val out = M.payloadByteStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(out(1L)._5 == "binary", s"real PNG must class binary: ${out(1L)}")
+    assert(out(2L)._5 == "text" && out(2L)._3 == 0L, s"printable bytes: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L, 0L, "empty")), "null payload degrades to empty")
+    val (n, pr, ctl, hb, cls) = out(4L)
+    assert(n == 100 && pr + ctl + hb == n && cls == "binary", s"counts must partition: ${out(4L)}")
+    assert(hb == 0 && ctl == 32 - 3, s"0..99 bytes: 32 controls minus tab/LF/CR: ${out(4L)}")
+  }
+
   test("misra-gries (x17): serialize survives keys past writeUTF's 65535-byte limit") {
     import spark.implicits._
     // one heavy key whose UTF-8 encoding is ~80k bytes, spread over many
