@@ -1489,4 +1489,38 @@ class EventsPipelineSpec extends SparkSpec {
       assert(streamed.size == 40 && streamed.map(_._2) == Set("png", "wav", "avi", "unknown"))
     } finally q.stop()
   }
+
+  test("streaming payload byte stats (A47): arriving blobs class identically to batch m15") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{ImageCodec, Multimodal}
+    // payloadByteStats is the same stateless narrow mapPartitions class
+    // as A45 — the literal batch operator attaches in append mode
+    val payloads = (0L until 30L).map { id =>
+      val bytes = (id % 3) match {
+        case 0 => ImageCodec.encodeGrayPng((1 + id % 5).toInt, (1 + id % 4).toInt)(
+          (x, y) => ((x * 11 + y * 3 + id) % 256).toInt)
+        case 1 => s"printable payload number $id with only ascii".getBytes("UTF-8")
+        case _ => Array.empty[Byte]
+      }
+      (id, bytes)
+    }
+    val src = MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.payloadByteStats(src.toDS().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("bytestats_stream_test")
+      .outputMode("append").start()
+    try {
+      payloads.grouped(payloads.length / 3).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))
+      val streamed = spark.table("bytestats_stream_test").collect().map(key).toSet
+      val batch = Multimodal.payloadByteStats(payloads.toDF("doc_id", "payload"))
+        .collect().map(key).toSet
+      assert(streamed == batch, "streamed byte stats must equal batch m15 exactly")
+      assert(streamed.map(_._6) == Set("binary", "text", "empty"))
+    } finally q.stop()
+  }
 }
