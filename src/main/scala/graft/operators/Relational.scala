@@ -1924,8 +1924,51 @@ object Relational {
         CAST(COALESCE(m.sum_cents, 0) AS BIGINT) AS sum_cents
       FROM bands LEFT JOIN m USING (band_id) ORDER BY band_id"""))
 
+  /** B53's core: per-entity EWMA smoothing (the streaming-telemetry
+    * primitive: one number per user that tracks their recent value
+    * level, recency-weighted) — s_1 = x_1, s_i = (s_{i-1} + x_i) / 2,
+    * events ordered by event_id. α = 1/2 is deliberate: every
+    * intermediate is a DYADIC combination of inputs computed by the
+    * same IEEE add/halve sequence in both engines, and the fold order
+    * is pinned by the t21/t27 sorted-fold discipline (sort_array over
+    * (event_id, value) structs == DuckDB list_sort), so a float-
+    * RECURSIVE statistic is fully oracle-checkable — the t27 precedent
+    * extended from iteration-bounded to sequence-recursive.
+    *
+    * Scale: ONE user-keyed hash aggregate; per-user arrays are
+    * activity-bounded (the t21 collect_list contract), the fold is an
+    * interpreted HOF over that post-aggregate frame only. A 100 TB
+    * variant shards time into windows and folds window summaries —
+    * same algebra, because (a+b)/2 composes associatively over
+    * segment endpoints.
+    */
+  def ewmaByUser(events: DataFrame): DataFrame = {
+    val xs = sort_array(collect_list(struct(col("event_id"), col("value"))))
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), xs.as("xs"))
+      .select(col("user_id"), col("n_events"),
+        r4(aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          element_at(col("xs"), 1).getField("value"),
+          (acc, x) => (acc + x.getField("value")) / lit(2.0))).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  // B53 — per-user EWMA, FULL oracle (dyadic α + pinned fold order make
+  // the recursion bit-identical cross-engine).
+  private val q53 = Q(
+    "q53_ewma_by_user",
+    (s, d) => ewmaByUser(Tables.events(s, d)),
+    Some(s"""
+      SELECT user_id, COUNT(*) AS n_events,
+        ${Num.r4Sql("""list_reduce(
+          list_transform(list_sort(list({'e': event_id, 'v': value})), s -> s['v']),
+          (a, b) -> (a + b) / 2)""")} AS ewma
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+    q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
+    q53)
 }

@@ -3346,6 +3346,20 @@ class OperatorSpec extends SparkSpec {
     assert(out(3L) == ((8L, 0L, "clean")), s"clean doc: ${out(3L)}")
   }
 
+  test("ewma by user (q53): hand-computed recursion, order pinned by event_id not arrival") {
+    import spark.implicits._
+    // user 1 in SCRAMBLED arrival order; event_id order is 4.0, 2.0, 8.0:
+    // s = ((4+2)/2 + 8)/2 = 5.5 — a dyadic exact value
+    val events = Seq(
+      (30L, 1L, 8.0), (10L, 1L, 4.0), (20L, 1L, 2.0),
+      (11L, 2L, 7.0)) // single event: ewma == the value itself
+      .toDF("event_id", "user_id", "value")
+    val out = graft.operators.Relational.ewmaByUser(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 5.5)), s"user 1: ${out(1L)}")
+    assert(out(2L) == ((1L, 7.0)), s"user 2: ${out(2L)}")
+  }
+
   test("payload byte stats (m15): real media classifies binary, text bytes classify text, null is empty") {
     import spark.implicits._
     import graft.operators.{Multimodal => M}
