@@ -332,6 +332,49 @@ object EventsPipeline {
       .transformWithState(new SessionProcessor(ttl), TimeMode.None(), OutputMode.Update())
   }
 
+  final case class EwmaState(n: Long, s: Double)
+  final case class EwmaUpdate(user_id: Long, n_events: Long, ewma: Double)
+
+  /** A48 — streaming EWMA per user (batch q53's stateful twin): the
+    * telemetry primitive as live state — ValueState holds (n, s) and
+    * each arriving event folds s = (s + x) / 2 in event_id order WITHIN
+    * the batch, continuing the fold ACROSS batches from state. Exactly
+    * batch `Relational.ewmaByUser`'s dyadic recursion, so for in-order
+    * streams (the log-replay/CDC regime this processor declares — an
+    * out-of-order feed needs a watermarked re-sort upstream) the final
+    * per-user (n, ewma) is BIT-IDENTICAL to the batch fold regardless
+    * of micro-batch slicing: dyadic α + pinned order, no
+    * associativity assumption needed because the fold literally resumes
+    * from the carried s.
+    */
+  class EwmaProcessor extends StatefulProcessor[Long, (Long, Long, Double), EwmaUpdate] {
+    @transient private var state: ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EwmaState](
+        "ewma", Encoders.product[EwmaState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Double)],
+        timers: TimerValues): Iterator[EwmaUpdate] = {
+      var st = if (state.exists()) state.get() else EwmaState(0L, 0.0)
+      rows.toSeq.sortBy(_._1).foreach { case (_, _, v) =>
+        st = EwmaState(st.n + 1, if (st.n == 0L) v else (st.s + v) / 2.0)
+      }
+      state.update(st)
+      Iterator.single(EwmaUpdate(user, st.n, st.s))
+    }
+  }
+
+  /** [[EwmaProcessor]] wired onto a (event_id, user_id, value) stream —
+    * RocksDB state store required (the A21 contract).
+    */
+  def ewmaTws(events: Dataset[(Long, Long, Double)]): Dataset[EwmaUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   final case class PerplexityFlag(doc_id: Long, n_bigrams: Long,
       total_bits: Long, keep: Boolean)
 

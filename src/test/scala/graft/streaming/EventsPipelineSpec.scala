@@ -264,6 +264,46 @@ class EventsPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming EWMA (A48): final per-user state is bit-identical to batch q53 across slicings") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val saved = EventsPipeline.RocksDBStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    val sf = "/root/testdata/sf0.001"
+    // in-order feed (the declared log-replay regime): real corpus events
+    // sorted by event_id, sliced into 4 micro-batches
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "user_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val src = MemoryStream[(Long, Long, Double)]
+    val q = EventsPipeline.ewmaTws(src.toDS())
+      .writeStream.format("memory").queryName("ewma_tws_test")
+      .outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // n grows monotonically per user, so max-n row IS the final state
+      val got = spark.table("ewma_tws_test")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"ewma")).as("f"))
+        .select($"user_id", $"f.n_events", graft.operators.Num.r4($"f.ewma").as("ewma"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val batch = graft.SparkEntry.queries("q53_ewma_by_user")(spark, sf)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == batch, "streaming EWMA final state diverges from batch q53")
+      assert(batch.nonEmpty && batch.values.exists(_._1 > 1))
+    } finally {
+      q.stop()
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("row-local minhash banding is bit-compatible with the batch pipeline") {
     import spark.implicits._
     // the sf corpus PLUS hostile whitespace: Spark's trim strips only
