@@ -9,11 +9,12 @@ import Num._
   * world. Sketch internals are engine-specific, so raw estimates admit no
   * DuckDB hash oracle — queries whose output is provably exact (x3's
   * sketch+verify, x8's below-capacity roll-up) carry full oracles
-  * directly, and the built-in-estimator queries (x1/x2/x4) use the
-  * BOUNDS-ORACLE scheme: the driver frame carries the exact answer plus a
-  * within_tol boolean comparing Spark's own estimate to it, and the
-  * oracle replays the exact side pinning TRUE — an estimator regression
-  * flips the hash red without pretending the sketch is deterministic.
+  * directly, and the estimator queries (x1/x2/x4, and x17 via its
+  * guaranteed-tracked subset) use the BOUNDS-ORACLE scheme: the driver
+  * frame carries the exact answer plus a within-bounds boolean comparing
+  * Spark's own estimate to it, and the oracle replays the exact side
+  * pinning TRUE — an estimator regression flips the hash red without
+  * pretending the sketch is deterministic.
   */
 object Sketching {
 
@@ -950,13 +951,61 @@ object Sketching {
       .orderBy(col("est").desc, col("word"))
   }
 
-  // I16 — rows-only (merge-order-dependent estimates); the spec pins the
-  // deficit bound, the superset-of-heavy-hitters guarantee, and exact
+  /** x17's driver frame — FULL oracle via the GUARANTEED-TRACKED subset
+    * (the x1 bounds-oracle scheme adapted to a set-valued sketch): the
+    * sketch's tracked KEY SET is merge-order dependent, but every key
+    * with exact > n/(k+1) is PROVABLY tracked (the Misra-Gries
+    * frequent-items theorem), so the frame rows are exactly that
+    * deterministic set — (word, exact_cnt, max_deficit) all exact
+    * integers DuckDB replays — plus within_bounds, true iff the key IS
+    * tracked and its estimate obeys est <= exact <= est + n/(k+1). A
+    * sketch bug (dropped heavy hitter, broken bound) flips the boolean;
+    * the oracle pins TRUE. Production reads just the sketch; the exact
+    * side is the gate's witness (the x1 contract). k = 40 sits the
+    * corpus in the REAL lossy regime (vocab >> k, so subtractions
+    * happen) while keeping the guaranteed set non-empty: the top
+    * fixture tokens hold ~3.5% share, so the n/41 (~2.4%) threshold
+    * admits ~30 provably-tracked rows at every SF (k = 8's n/9 admits
+    * none — an empty frame would gate nothing).
+    */
+  def misraGriesVerified(docs: org.apache.spark.sql.DataFrame, k: Int = 40)
+      : org.apache.spark.sql.DataFrame = {
+    val words = docs.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+    val sketch = words.agg(graft.functions.MisraGries(col("w"), k).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.key").as("w"), col("e.est").as("est"))
+    val nTot = words.agg(count(lit(1)).as("n_total"))
+    words.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(broadcast(nTot))
+      .filter(col("exact_cnt") > expr(s"n_total div ${k + 1}"))
+      .join(sketch, Seq("w"), "left")
+      .select(col("w").as("word"), col("exact_cnt"),
+        expr(s"n_total div ${k + 1}").as("max_deficit"),
+        (col("est").isNotNull && col("est") <= col("exact_cnt") &&
+          col("exact_cnt") - col("est") <= expr(s"n_total div ${k + 1}"))
+          .as("within_bounds"))
+      .orderBy(col("exact_cnt").desc, col("word"))
+  }
+
+  // I16 — FULL oracle since round 10 (misraGriesVerified's
+  // guaranteed-tracked frame); misraGriesTopK stays the production
+  // read (all tracked keys) with merge-order-dependent estimates
+  // covered by the spec's deficit bound, superset guarantee, and exact
   // recovery below capacity.
   private val x17 = Relational.Q(
     "x17_misra_gries",
-    (s, d) => misraGriesTopK(Tables.documents(s, d)),
-    None)
+    (s, d) => misraGriesVerified(Tables.documents(s, d)),
+    Some("""
+      WITH w AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      tot AS (SELECT COUNT(*) AS n_total FROM w),
+      e AS (SELECT w, COUNT(*) AS exact_cnt FROM w GROUP BY 1)
+      SELECT e.w AS word, e.exact_cnt,
+        CAST(t.n_total // 41 AS BIGINT) AS max_deficit,
+        TRUE AS within_bounds
+      FROM e CROSS JOIN tot t
+      WHERE e.exact_cnt > t.n_total // 41
+      ORDER BY exact_cnt DESC, word"""))
 
   val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12,
     x13, x14, x15, x16, x17)
