@@ -3224,7 +3224,9 @@ class OperatorSpec extends SparkSpec {
       .collect().map(_.getString(0))
     val exact = words.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
     val n = words.length.toLong
-    val out = graft.SparkEntry.queries("x17_misra_gries")(spark, sfDir).collect()
+    // the production read (all tracked keys, k = 8): one-sided estimates
+    // within the deficit radius, exact witness column correct
+    val out = Sketching.misraGriesTopK(docs, k = 8).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.nonEmpty && out.length <= 8)
     out.foreach { case (w, est, ex, maxDef) =>
@@ -3237,6 +3239,17 @@ class OperatorSpec extends SparkSpec {
     val tracked = out.map(_._1).toSet
     exact.filter(_._2 > n / 9).keys.foreach(w =>
       assert(tracked(w), s"heavy hitter $w (exact ${exact(w)}) missing from the sketch"))
+    // the DRIVER frame (misraGriesVerified, k = 40): rows are exactly the
+    // provably-tracked set, within_bounds true for every one — what the
+    // DuckDB oracle pins, re-checked here against local exact counts
+    val frame = graft.SparkEntry.queries("x17_misra_gries")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(frame.nonEmpty)
+    assert(frame.map(_._1).toSet == exact.filter(_._2 > n / 41).keySet,
+      "driver frame rows must be exactly the guaranteed-tracked set")
+    frame.foreach { case (w, ex, maxDef, ok) =>
+      assert(ex == exact(w) && maxDef == n / 41 && ok, s"driver frame row broken: $w")
+    }
     // below capacity (k = 64 > vocabulary): Misra-Gries degrades to EXACT counts
     val full = Sketching.misraGriesTopK(docs, k = 64).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
