@@ -322,10 +322,9 @@ object Dedup {
       // k=4 the gram id is the injective 16-bit pack — exact, not a hash.
       val grams = H.charGramIds(Tables.documents(s, d), lower(col("text")), 4)
       // sorted + distinct: contract for the merge-walk intersect below;
-      // persisted — BOTH sides of the self-join read this one frame. Only
-      // the AGGREGATE is cached; the cheap doc-metadata join stays outside
-      // the cache so AQE plans it fresh per side (a join inside a cached
-      // plan re-plans poorly under adaptive cached-partitioning).
+      // persisted — the prefix index AND both verify fetches read this
+      // one frame. Only the AGGREGATE is cached; the cheap doc-metadata
+      // join stays outside the cache so AQE plans it fresh per consumer.
       val gAgg = grams.groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("g"))).as("sg"))
         .withColumn("sz", size(col("sg")))
@@ -335,6 +334,18 @@ object Dedup {
       // before 100 TB); AQE broadcasts it at bench scale on its own.
       val meta = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("len_bkt"))
+      // WITHIN-BUCKET ALL-PAIRS, kept DELIBERATELY after a measured
+      // round-10 experiment: the prefix-filtered spelling
+      // ([[ngramJaccardPrefixFiltered]], Bayardo et al. 2007) is
+      // provably output-identical and is the published winner on
+      // high-entropy gram spaces, but THIS fixture's gram space is
+      // saturated (985 distinct 4-grams, median df 541 of ~5k docs at
+      // sf0.1), so prefix grams hit hundreds of docs each and the
+      // index join produced MORE pair work than the 588k bucketed
+      // merge-walks it replaced (measured 5.2-7.2 s vs 3.8 s warm).
+      // The crossover is gram-space entropy: real web corpora sit on
+      // the prefix-filter side; the alternative ships spec-pinned
+      // equal for that regime.
       val g = gAgg.join(meta, Seq("doc_id"))
       val a = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_a"),
         col("sg").as("sg_a"), col("sz").as("sz_a"))
@@ -376,6 +387,72 @@ object Dedup {
           AND len(b.sg) * 100 >= len(a.sg) * 62)
       SELECT doc_a, doc_b, ${r4Sql("j")} AS jaccard
       FROM pairs WHERE j >= 0.62 ORDER BY doc_a, doc_b"""))
+
+  /** d3's PREFIX-FILTERED twin (Bayardo, Ma & Srikant 2007 "Scaling Up
+    * All Pairs Similarity Search"; the PPJoin prefix filter) — provably
+    * OUTPUT-IDENTICAL to the bucketed all-pairs spelling for J >= t:
+    * under any global gram order, J(A,B) >= t forces
+    * |A∩B| >= ceil(t·|A|), and the smallest common gram sits within the
+    * first (sz - ceil(t·sz) + 1) grams of BOTH docs (everything before
+    * it in either doc is outside the intersection) — so a pair sharing
+    * no prefix gram cannot reach t, and candidate generation becomes an
+    * EQUI-join on the prefix gram with slim (id, id) pairs driving an
+    * id-equi verify fetch. The order is df-ASCENDING (rarest first,
+    * ties by gram id): correctness needs only a total order; rarity
+    * makes prefix buckets near-singleton on high-entropy gram spaces
+    * (real web corpora — millions of distinct grams), which is where
+    * this spelling wins. On THIS fixture's saturated gram space (985
+    * distinct grams, median df 541) it measured SLOWER than the
+    * all-pairs bucket join (5.2-7.2 s vs 3.8 s warm at sf0.1), so the
+    * benched d3 keeps the bucket join and the spec pins this twin
+    * set-equal — the crossover is documented, not guessed.
+    */
+  def ngramJaccardPrefixFiltered(docs: DataFrame, t: Double = 0.62): DataFrame = {
+    val tPct = math.round(t * 100)
+    val grams = H.charGramIds(docs, lower(col("text")), 4)
+    val gAgg = grams.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("g"))).as("sg"))
+      .withColumn("sz", size(col("sg")))
+      .persist()
+    val meta = docs
+      .select(col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("len_bkt"))
+    val dg = gAgg.select(col("doc_id"), explode(col("sg")).as("g"))
+    val dfG = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val pfx = dg.join(dfG, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("og"),
+        count(lit(1)).as("sz"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(transform(col("og"), x => x.getField("g")), lit(1),
+          (col("sz") - ceil(col("sz") * t) + 1).cast("int"))).as("g"))
+      .join(meta, Seq("doc_id"))
+    val ia = pfx.select(col("g"), col("lang"), col("len_bkt"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val ib = pfx.select(col("g"), col("lang").as("lang_b"),
+      col("len_bkt").as("len_bkt_b"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val candIds = ia.join(ib,
+        ia("g") === ib("g") && col("lang") === col("lang_b")
+          && col("len_bkt") === col("len_bkt_b")
+          && col("doc_a") < col("doc_b")
+          && col("sz_a") * 100 >= col("sz_b") * tPct
+          && col("sz_b") * 100 >= col("sz_a") * tPct)
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val cands = candIds
+      .join(gAgg.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"),
+        col("sz").as("sz_a")), Seq("doc_a"))
+      .join(gAgg.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"),
+        col("sz").as("sz_b")), Seq("doc_b"))
+    val jac = element_at(
+      transform(
+        array(graft.functions.SortedIntersectSize(col("sg_a"), col("sg_b")).cast("double")),
+        n => n / (col("sz_a") + col("sz_b") - n)),
+      1)
+    cands.withColumn("jaccard_exact", jac)
+      .filter(col("jaccard_exact") >= t)
+      .select(col("doc_a"), col("doc_b"), r4(col("jaccard_exact")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   // C4 — SimHash near-dup pairs. The token hash is the md5-derived 56-bit
   // value (HashFunctions.md5Hash56) both engines compute identically, so

@@ -3340,6 +3340,23 @@ class OperatorSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0.0, false)), "gram-free doc is not flagged")
   }
 
+  test("prefix-filtered jaccard join equals d3's bucketed all-pairs output exactly") {
+    // the Bayardo et al. 2007 prefix filter is provably lossless for
+    // J >= t — same pairs, same scores, different candidate generation
+    // (equi-join on rare prefix grams vs within-bucket all-pairs). The
+    // benched d3 keeps the bucket join for THIS fixture's saturated
+    // gram space (measured crossover in the d3 comment); this spec pins
+    // the high-entropy-regime twin output-identical.
+    val docs = graft.Tables.documents(spark, sfDir)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val allPairs = graft.SparkEntry.queries("d3_dedup_ngram_jaccard")(spark, sfDir)
+      .collect().map(key).toSet
+    val prefixed = graft.operators.Dedup.ngramJaccardPrefixFiltered(docs)
+      .collect().map(key).toSet
+    assert(allPairs.nonEmpty, "fixture must contain near-dup pairs")
+    assert(prefixed == allPairs, "prefix filter dropped or invented pairs")
+  }
+
   test("contamination share (d23): severity classes from planted benchmark overlap") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"bench$i").mkString(" ")
