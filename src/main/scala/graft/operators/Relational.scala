@@ -1966,9 +1966,63 @@ object Relational {
           (a, b) -> (a + b) / 2)""")} AS ewma
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** B54's core: Tukey IQR outlier gating per group — THE standard
+    * numeric-column cleaning rule (flag values outside
+    * [q1 - 1.5·IQR, q3 + 1.5·IQR]). The fences are computed from the
+    * UNQUANTIZED exact percentiles (x5's machinery — Spark percentile()
+    * and DuckDB quantile_cont share the (1-f)·lo + f·hi interpolation,
+    * the x5 precedent) and the outlier test is one deterministic IEEE
+    * compare per row, so counts are integer-exact cross-engine; only
+    * the DISPLAYED fences are r2-quantized. Two passes by necessity
+    * (fences then counts — the definition is rank-based); the fence
+    * frame is enum-sized, so the join back broadcasts under AQE with
+    * no hint (corpus-rooted hints are the guarded class). At 100 TB
+    * swap the exact percentile for x2's bounded-state sketch; same
+    * query shape.
+    */
+  def iqrOutliers(events: DataFrame): DataFrame = {
+    val fences = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"),
+        count(lit(1)).as("n_events"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    events.join(fences, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n_events")).as("n_events"),
+        r2(first(col("q1"))).as("q1"),
+        r2(first(col("q3"))).as("q3"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  // B54 — IQR outliers per event type, FULL oracle (exact fences, integer
+  // counts).
+  private val q54 = Q(
+    "q54_iqr_outliers",
+    (s, d) => iqrOutliers(Tables.events(s, d)),
+    Some(s"""
+      WITH f AS (
+        SELECT event_type,
+          quantile_cont(value, 0.25) AS q1,
+          quantile_cont(value, 0.75) AS q3,
+          COUNT(*) AS n_events
+        FROM events GROUP BY event_type)
+      SELECT e.event_type,
+        f.n_events,
+        ${Num.r2Sql("f.q1")} AS q1,
+        ${Num.r2Sql("f.q3")} AS q3,
+        CAST(SUM(CASE WHEN e.value < f.q1 - 1.5*(f.q3 - f.q1)
+                        OR e.value > f.q3 + 1.5*(f.q3 - f.q1)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM events e JOIN f USING (event_type)
+      GROUP BY e.event_type, f.n_events, f.q1, f.q3
+      ORDER BY e.event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
-    q53)
+    q53, q54)
 }

@@ -3376,6 +3376,23 @@ class OperatorSpec extends SparkSpec {
     assert(out(3L) == ((8L, 0L, "clean")), s"clean doc: ${out(3L)}")
   }
 
+  test("iqr outliers (q54): hand-computed fences flag exactly the planted extremes") {
+    import spark.implicits._
+    // 11 values 1..11 (q1 = 3.5, q3 = 8.5 under (1-f)lo+f hi interpolation,
+    // IQR = 5, fences [-4, 16]) plus two planted extremes
+    val vals = (1 to 11).map(_.toDouble) ++ Seq(100.0, -50.0)
+    val events = vals.zipWithIndex.map { case (v, i) => (i.toLong, "click", v) }
+      .toDF("event_id", "event_type", "value")
+    val out = graft.operators.Relational.iqrOutliers(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 13L)
+    // fences recomputed over the 13 values: q1 = 3.0, q3 = 9.0 (13-point
+    // ranks land on integers), IQR = 6 -> [-6, 18]: only 100 and -50 fall out
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 9.0, s"fences: $r")
+    assert(r.getLong(4) == 2L, s"outlier count: $r")
+  }
+
   test("ewma by user (q53): hand-computed recursion, order pinned by event_id not arrival") {
     import spark.implicits._
     // user 1 in SCRAMBLED arrival order; event_id order is 4.0, 2.0, 8.0:
