@@ -1980,14 +1980,20 @@ object Relational {
     * swap the exact percentile for x2's bounded-state sketch; same
     * query shape.
     */
-  def iqrOutliers(events: DataFrame): DataFrame = {
-    val fences = events.groupBy(col("event_type"))
+  /** The Tukey fence frame (event_type, q1, q3, n_events, lo, hi) —
+    * shared by [[iqrOutliers]] and the streaming gate (A49), so the
+    * batch rule and the published-fences stream rule can never drift.
+    */
+  def iqrFences(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
       .agg(expr("percentile(value, 0.25)").as("q1"),
         expr("percentile(value, 0.75)").as("q3"),
         count(lit(1)).as("n_events"))
       .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
       .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
-    events.join(fences, Seq("event_type"))
+
+  def iqrOutliers(events: DataFrame): DataFrame = {
+    events.join(iqrFences(events), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(first(col("n_events")).as("n_events"),
         r2(first(col("q1"))).as("q1"),

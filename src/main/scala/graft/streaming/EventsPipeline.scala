@@ -332,6 +332,35 @@ object EventsPipeline {
       .transformWithState(new SessionProcessor(ttl), TimeMode.None(), OutputMode.Update())
   }
 
+  final case class OutlierFlag(event_id: Long, event_type: String,
+      value: Double, is_outlier: Boolean)
+
+  /** Streaming IQR outlier gate (A49) — batch q54's published-fences
+    * twin: the Tukey fences are RANK-based, so a stream cannot compute
+    * them online; the production shape (the t15 quality-model pattern)
+    * computes fences in batch over the trusted window
+    * ([[graft.operators.Relational.iqrFences]] — the SAME definition the
+    * batch gate uses), publishes the enum-sized (lo, hi) map, and gates
+    * arrivals row-locally against it. STATELESS — the A24 class: no
+    * shuffle, no state; spec pins streamed flags == fence replay and the
+    * per-type outlier totals == batch q54's counts. Types without a
+    * published fence PASS (is_outlier = false): an unseen enum value is
+    * a schema event for governance, not a numeric outlier.
+    */
+  def iqrGateStream(
+      events: Dataset[(Long, String, Double)],
+      fences: Map[String, (Double, Double)]): Dataset[OutlierFlag] = {
+    import events.sparkSession.implicits._
+    val bc = events.sparkSession.sparkContext.broadcast(fences)
+    events.map { case (id, tpe, v) =>
+      val out = bc.value.get(tpe) match {
+        case Some((lo, hi)) => v < lo || v > hi
+        case None => false
+      }
+      OutlierFlag(id, tpe, v, out)
+    }
+  }
+
   final case class EwmaState(n: Long, s: Double)
   final case class EwmaUpdate(user_id: Long, n_events: Long, ewma: Double)
 

@@ -264,6 +264,42 @@ class EventsPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming IQR gate (A49): published fences flag exactly the rows batch q54 counts") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val events = Tables.events(spark, sf)
+    // fences published by the batch pass — the SAME shared definition
+    val fences = graft.operators.Relational.iqrFences(events)
+      .collect().map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    val rows = events.select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val src = MemoryStream[(Long, String, Double)]
+    val q = EventsPipeline.iqrGateStream(src.toDS(), fences)
+      .writeStream.format("memory").queryName("iqr_gate_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val flagged = spark.table("iqr_gate_test")
+        .filter($"is_outlier").groupBy($"event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.SparkEntry.queries("q54_iqr_outliers")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      val expected = batch.filter(_._2 > 0)
+      assert(flagged == expected,
+        s"streamed outlier totals $flagged != batch q54 $expected")
+      assert(spark.table("iqr_gate_test").count() == rows.length)
+      // unknown enum values pass the gate (schema governance, not outliers)
+      val extra = EventsPipeline.iqrGateStream(
+        Seq((999L, "brand_new_type", 1e12)).toDS(), fences)
+      // batch-evaluate the stateless gate directly (it is a plain map)
+      assert(!extra.collect().head.is_outlier)
+    } finally q.stop()
+  }
+
   test("streaming EWMA (A48): final per-user state is bit-identical to batch q53 across slicings") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
