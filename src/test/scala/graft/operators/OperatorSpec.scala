@@ -3376,6 +3376,42 @@ class OperatorSpec extends SparkSpec {
     assert(out(3L) == ((8L, 0L, "clean")), s"clean doc: ${out(3L)}")
   }
 
+  test("randomized references (seeded): ewma fold and byte-class partition match plain Scala") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // ewma: 40 users, 1..12 values each, scrambled arrival — the operator
+    // must match the plain iterative fold BIT-identically (dyadic alpha)
+    val events = (1L to 40L).flatMap { u =>
+      val n = 1 + rnd.nextInt(12)
+      (0 until n).map(i => (u * 100 + i, u, math.floor(rnd.nextDouble() * 1e6) / 100.0))
+    }
+    val shuffled = rnd.shuffle(events)
+    val got = graft.operators.Relational.ewmaByUser(
+        shuffled.toDF("event_id", "user_id", "value"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expected = events.groupBy(_._2).map { case (u, rows) =>
+      val vs = rows.sortBy(_._1).map(_._3)
+      val s = vs.tail.foldLeft(vs.head)((acc, x) => (acc + x) / 2.0)
+      u -> (vs.length.toLong, math.floor(s * 10000.0 + 0.5) / 10000.0)
+    }
+    assert(got == expected, "ewma diverges from the iterative reference")
+    // byte stats: 60 random blobs — the three class counts always
+    // partition the length, and the class matches a plain Scala count
+    val blobs = (1L to 60L).map { id =>
+      val n = rnd.nextInt(300)
+      (id, Array.fill(n)(rnd.nextInt(256).toByte))
+    }
+    val out = graft.operators.Multimodal.payloadByteStats(blobs.toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    blobs.foreach { case (id, bytes) =>
+      val pr = bytes.count(b => { val v = b & 0xff; (v >= 0x20 && v <= 0x7e) || v == 9 || v == 10 || v == 13 }).toLong
+      val hb = bytes.count(b => (b & 0xff) >= 0x80).toLong
+      val ctl = bytes.length - pr - hb
+      val cls = if (bytes.isEmpty) "empty" else if (pr * 100 >= 95 * bytes.length) "text" else "binary"
+      assert(out(id) == ((bytes.length.toLong, pr, ctl, hb, cls)), s"blob $id: ${out(id)}")
+    }
+  }
+
   test("iqr outliers (q54): hand-computed fences flag exactly the planted extremes") {
     import spark.implicits._
     // 11 values 1..11 (q1 = 3.5, q3 = 8.5 under (1-f)lo+f hi interpolation,
