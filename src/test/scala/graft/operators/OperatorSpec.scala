@@ -420,6 +420,51 @@ class OperatorSpec extends SparkSpec {
     assert(shuffles.isEmpty, s"s9 read path re-shuffles corpus data:\n${shuffles.mkString("\n")}")
   }
 
+  test("IVF-PQ index refresh: arrivals encode against the published artifacts, no retrain, codes carried bit-exact") {
+    import graft.operators.{Publish, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-refresh").toString
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val held = e.filter(col("vec_id") % 7 === 3)
+    val initial = e.filter(col("vec_id") % 7 =!= 3)
+    val r1 = Similarity.publishIvfPqIndex(initial, root, token = "v1build")
+    assert(r1.size == 3 && r1.forall(_.published), s"initial publish failed: $r1")
+    def codeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[scala.collection.Seq[Int]]("codes").toList,
+          r.getAs[Int]("list_id")))).toMap
+    val codesV1 = codeMap(Publish.readPublished(spark, s"$root/codes"))
+    // refresh with the held-out slice: assign + encode against the
+    // PUBLISHED lists/books — no k-means anywhere in this path
+    val r2 = Similarity.refreshIvfPqIndex(spark, root, held, token = "v2refresh")
+    assert(r2.size == 3 && r2.forall(_.published), s"refresh failed: $r2")
+    assert(r2.forall(_.version.contains(2L)), s"one version sequence expected: $r2")
+    val codesV2 = codeMap(Publish.readPublished(spark, s"$root/codes"))
+    // old vectors' codes are CARRIED, not recomputed — bit-exact
+    codesV1.foreach { case (id, c) =>
+      assert(codesV2(id) == c, s"refresh mutated stored code for vec $id")
+    }
+    // every arrival is indexed exactly once
+    val heldIds = held.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(heldIds.subsetOf(codesV2.keySet), "refresh dropped arrivals")
+    assert(codesV2.size == codesV1.size + heldIds.size)
+    // the refreshed index still answers queries at the s4/s8 band
+    val queries = e.filter(col("vec_id") < 10)
+    val got = Similarity.ivfPqTopKFromIndex(spark, root, e, queries,
+      k = 5, refine = 200, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    info(s"post-refresh recall vs brute force: $recall")
+    assert(recall >= 0.6, s"post-refresh recall $recall < 0.6")
+    // replayed ids are rejected loudly (they would double-count in the
+    // one-row-per-vector audit and shadow stored codes at read time)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.refreshIvfPqIndex(spark, root, held, token = "v3dup")
+    }
+    assert(err.getMessage.contains("already indexed"))
+  }
+
   test("PQ index lifecycle (s7): WAP publish, artifact bit-exact, zero staged-side exchange, recall holds") {
     val sf = "/root/testdata/sf0.01"
     val root = java.nio.file.Files.createTempDirectory("graft-pqindex").toString
