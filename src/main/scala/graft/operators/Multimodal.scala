@@ -974,7 +974,11 @@ object Multimodal {
     * marker walk (dims live in a variable-position SOFn segment, so the
     * walk skips length-prefixed segments until the first frame header —
     * still no entropy-coded data is touched, and a JPEG with no SOF
-    * before scan-start types as jpeg (0, 0));
+    * before scan-start types as jpeg (0, 0)); mp4 → (width, height)
+    * from the tkhd box via a bounded ISO-BMFF box walk (mdat — the
+    * H.264 stream this sandbox cannot decode — is never entered);
+    * mp3 → (bitrate kbps, sample rate) from the first MPEG-1 Layer III
+    * frame header after an optional ID3v2 tag skip;
     * anything else → ("unknown", 0, 0).
     * Malformed/truncated headers degrade to "unknown" (one operator
     * survives a dirty column — the m2 featuresOrStub discipline).
@@ -1045,7 +1049,62 @@ object Multimodal {
         }
         level(bytes.length)
         ("avi", frames, 0L)
-      } else ("unknown", 0L, 0L)
+      }
+      else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") {
+        // MP4/ISO-BMFF: a bounded BOX walk (boxes are [size BE32][type]
+        // [payload], nested) — find moov → trak → tkhd and read the
+        // 16.16-fixed width/height from the track header. Header-only:
+        // mdat (the actual H.264 stream, which this sandbox cannot
+        // decode — the declared seam) is never entered.
+        var w = 0L
+        var h = 0L
+        def walkBoxes(from: Int, limit: Int, depth: Int): Unit = {
+          var i = from
+          while (w == 0L && i + 8 <= limit && depth < 6) {
+            val sz = be32(i)
+            val tpe = ascii(i + 4, 4)
+            if (sz < 8 || i + sz > limit) return // malformed: stop, keep type
+            if (tpe == "moov" || tpe == "trak") walkBoxes(i + 8, i + sz.toInt, depth + 1)
+            else if (tpe == "tkhd" && sz >= 92) {
+              // v0 layout: ver/flags(4) ctime(4) mtime(4) id(4) rsvd(4)
+              // dur(4) rsvd(8) layer(2) group(2) vol(2) rsvd(2)
+              // matrix(36) → width/height as 16.16 fixed at +76/+80
+              val base = i + 8
+              val wd = be32(base + 76) >> 16
+              val ht = be32(base + 80) >> 16
+              if (wd > 0 && ht > 0) { w = wd; h = ht } // first VIDEO track wins
+            }
+            i += sz.toInt
+          }
+        }
+        walkBoxes(0, bytes.length, 0)
+        ("mp4", w, h)
+      }
+      else if (bytes.length >= 4 && (
+          (u8(0) == 0xff && (u8(1) & 0xe0) == 0xe0) || ascii(0, 3) == "ID3")) {
+        // MPEG audio: skip an ID3v2 tag if present (syncsafe 28-bit
+        // size), then parse the first frame header's bitrate/samplerate
+        // indices (MPEG-1 Layer III tables — the dominant mp3 profile).
+        // Decode stays behind the declared seam; this is the header walk.
+        var off = 0
+        if (ascii(0, 3) == "ID3" && bytes.length >= 10) {
+          val syncsafe = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
+            ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
+          off = 10 + syncsafe
+        }
+        if (bytes.length >= off + 4 && u8(off) == 0xff && (u8(off + 1) & 0xfe) == 0xfa) {
+          // 0xFFFA/0xFFFB = MPEG-1 Layer III (with/without CRC)
+          val bitrateIdx = (u8(off + 2) >> 4) & 0xf
+          val srIdx = (u8(off + 2) >> 2) & 0x3
+          val bitrates = Array(0L, 32L, 40L, 48L, 56L, 64L, 80L, 96L,
+            112L, 128L, 160L, 192L, 224L, 256L, 320L, 0L)
+          val rates = Array(44100L, 48000L, 32000L, 0L)
+          if (bitrateIdx >= 1 && bitrateIdx <= 14 && srIdx <= 2)
+            ("mp3", bitrates(bitrateIdx), rates(srIdx))
+          else ("unknown", 0L, 0L)
+        } else ("unknown", 0L, 0L)
+      }
+      else ("unknown", 0L, 0L)
     } catch {
       // the whole point of this operator is typing UNTRUSTED dirty blobs:
       // any malformed header must degrade to "unknown", never crash the
@@ -1055,6 +1114,40 @@ object Multimodal {
       // which throws BufferUnderflowException — so catch every non-fatal.
       case scala.util.control.NonFatal(_) => ("unknown", 0L, 0L)
     }
+  }
+
+  /** Minimal VALID MPEG-1 Layer III frame header (+ filler payload) — the
+    * hand-built-header fixture convention (gif/bmp class): no encoder in
+    * this sandbox emits mp3, so the fixture plants the exact header
+    * grammar the sniffer parses. bitrateIdx in 1..14, srIdx in 0..2.
+    */
+  def encodeMp3Header(bitrateIdx: Int, srIdx: Int): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+    Array[Byte](0xff.toByte, 0xfb.toByte,
+      (((bitrateIdx & 0xf) << 4) | ((srIdx & 0x3) << 2)).toByte, 0x00) ++
+      Array.fill(28)(0x55.toByte)
+  }
+
+  /** Minimal VALID ISO-BMFF skeleton — ftyp + moov>trak>tkhd(v0) with the
+    * 16.16-fixed width/height a real mp4 carries (mdat omitted: the
+    * sniffer never enters it).
+    */
+  def encodeMp4Header(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(124).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def box(size: Int, tpe: String): Unit = {
+      out.putInt(size); out.put(tpe.getBytes("US-ASCII"))
+    }
+    box(16, "ftyp"); out.put("isom".getBytes("US-ASCII")); out.putInt(0x200)
+    box(108, "moov")
+    box(100, "trak")
+    box(92, "tkhd")
+    out.putInt(0) // version 0 + flags
+    (0 until 5).foreach(_ => out.putInt(0)) // ctime mtime id rsvd duration
+    out.putLong(0L) // reserved
+    out.putShort(0); out.putShort(0); out.putShort(0); out.putShort(0)
+    (0 until 9).foreach(_ => out.putInt(0)) // matrix
+    out.putInt(w << 16); out.putInt(h << 16)
+    out.array()
   }
 
   final case class DocMedia(doc_id: Long, format: String, dim1: Long, dim2: Long)
@@ -1076,15 +1169,20 @@ object Multimodal {
   }
 
   // F14 — the fixture plants REAL media with doc_id-determined headers
-  // (PNG via the real encoder with w=1+id%13/h=1+id%7, WAV with
-  // channels=1+id%2/rate=8000+(id%5)*1000, AVI with 1+id%3 frames, JPEG
-  // via the JDK's real JPEG encoder with w=1+id%11/h=1+id%9 — proving
-  // the SOF marker walk against genuine encoder output, not hand-built
-  // headers — and text bytes for the unknown class), so the DuckDB
-  // oracle recomputes every expected (format, dim1, dim2) from doc_id
-  // ARITHMETIC alone — the hash match proves the encode → sniff
-  // round-trip recovers exactly the planted headers (the m11/m12
-  // formula-recomputing convention).
+  // across SEVEN classes (PNG/JPEG via the real JDK encoders, WAV/AVI
+  // via the repo's own codecs, MP3/MP4 via the hand-built-header
+  // builders — no encoder exists here for those, the gif/bmp spec
+  // convention promoted into the oracle fixture — and text bytes for
+  // the unknown class), so the DuckDB oracle recomputes every expected
+  // (format, dim1, dim2) from doc_id ARITHMETIC alone — the hash match
+  // proves the encode → sniff round-trip recovers exactly the planted
+  // headers (the m11/m12 formula-recomputing convention). Per-class
+  // moduli are all coprime with the class selector 7, so no leg
+  // degenerates to a constant.
+  private val Mp3Bitrates = Array(0L, 32L, 40L, 48L, 56L, 64L, 80L, 96L,
+    112L, 128L, 160L, 192L, 224L, 256L, 320L, 0L)
+  private val Mp3Rates = Array(44100L, 48000L, 32000L, 0L)
+
   private val m14 = Relational.Q(
     "m14_media_sniff",
     (s, d) => {
@@ -1093,20 +1191,19 @@ object Multimodal {
         .select(col("doc_id"), col("text"))
         .map { r =>
           val id = r.getLong(0)
-          val payload = (id % 5) match {
-            case 0 => ImageCodec.encodeGrayPng((1 + id % 13).toInt, (1 + id % 7).toInt)(
+          val payload = (id % 7) match {
+            case 0 => ImageCodec.encodeGrayPng((1 + id % 13).toInt, (1 + id % 11).toInt)(
               (x, y) => ((x * 31 + y * 17 + id) % 256).toInt)
-            // rate modulus 7, NOT 5: the class selector is id%5, so an
-            // id%5-based rate would collapse to one constant for every
-            // WAV row and the oracle would stop pinning rate recovery
             case 1 => AudioCodec.encodePcm16Wav(
-              (8000 + (id % 7) * 1000).toInt, (1 + id % 2).toInt,
+              (8000 + (id % 5) * 1000).toInt, (1 + id % 2).toInt,
               Array.tabulate(64)(i => ((i * 7 + id) % 251).toShort))
             case 2 => VideoCodec.encodeAvi(
               Seq.tabulate((1 + id % 3).toInt)(f =>
                 Array.tabulate(16)(i => ((i + f + id) % 256).toByte)))
             case 3 => ImageCodec.encodeGrayJpeg((1 + id % 11).toInt, (1 + id % 9).toInt)(
               (x, y) => ((x * 13 + y * 29 + id) % 256).toInt)
+            case 4 => encodeMp3Header((1 + id % 13).toInt, (id % 3).toInt)
+            case 5 => encodeMp4Header((16 + id % 32).toInt, (16 + id % 24).toInt)
             case _ => r.getString(1).getBytes("UTF-8")
           }
           (id, payload)
@@ -1114,21 +1211,32 @@ object Multimodal {
         .toDF("doc_id", "payload")
       sniffPayloads(payloads).orderBy(col("doc_id"))
     },
-    Some("""
+    Some {
+      val brSql = Mp3Bitrates.zipWithIndex
+        .map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")
+      val srSql = Mp3Rates.zipWithIndex
+        .map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")
+      s"""
       SELECT doc_id,
-        CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
                         WHEN 2 THEN 'avi' WHEN 3 THEN 'jpeg'
+                        WHEN 4 THEN 'mp3' WHEN 5 THEN 'mp4'
                         ELSE 'unknown' END AS format,
-        CAST(CASE doc_id % 5 WHEN 0 THEN 1 + doc_id % 13
+        CAST(CASE doc_id % 7 WHEN 0 THEN 1 + doc_id % 13
                              WHEN 1 THEN 1 + doc_id % 2
                              WHEN 2 THEN 1 + doc_id % 3
                              WHEN 3 THEN 1 + doc_id % 11
+                             WHEN 4 THEN CASE CAST(1 + doc_id % 13 AS INTEGER) $brSql END
+                             WHEN 5 THEN 16 + doc_id % 32
                              ELSE 0 END AS BIGINT) AS dim1,
-        CAST(CASE doc_id % 5 WHEN 0 THEN 1 + doc_id % 7
-                             WHEN 1 THEN 8000 + (doc_id % 7) * 1000
+        CAST(CASE doc_id % 7 WHEN 0 THEN 1 + doc_id % 11
+                             WHEN 1 THEN 8000 + (doc_id % 5) * 1000
                              WHEN 3 THEN 1 + doc_id % 9
+                             WHEN 4 THEN CASE CAST(doc_id % 3 AS INTEGER) $srSql END
+                             WHEN 5 THEN 16 + doc_id % 24
                              ELSE 0 END AS BIGINT) AS dim2
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id"""
+    })
 
   /** F15 — PAYLOAD BYTE-CLASS STATS (the triage stage BEFORE m14's
     * format sniffing: a mixed-provenance payload column contains

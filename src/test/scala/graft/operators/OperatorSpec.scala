@@ -3324,6 +3324,19 @@ class OperatorSpec extends SparkSpec {
     // a jpeg whose marker stream desyncs mid-walk keeps the type, dims 0
     val jfull = ImageCodec.encodeGrayJpeg(9, 4)((x, y) => (x + y) % 256)
     assert(M.sniffMedia(jfull.take(6))._1 == "jpeg", "truncated JPEG must not crash")
+    // mp3: frame-header parse, with and without an ID3v2 tag in front
+    assert(M.sniffMedia(M.encodeMp3Header(9, 1)) == (("mp3", 128L, 48000L)))
+    assert(M.sniffMedia(M.encodeMp3Header(14, 0)) == (("mp3", 320L, 44100L)))
+    val id3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 0, 0, 5) ++
+      new Array[Byte](5) ++ M.encodeMp3Header(5, 2)
+    assert(M.sniffMedia(id3) == (("mp3", 64L, 32000L)), "ID3v2 tag must be skipped")
+    // a free-format/invalid bitrate index is not typed (never guessed)
+    val badMp3 = M.encodeMp3Header(1, 0); badMp3(2) = 0x00
+    assert(M.sniffMedia(badMp3)._1 == "unknown")
+    // mp4: tkhd box walk recovers the 16.16-fixed dims; truncated boxes degrade
+    assert(M.sniffMedia(M.encodeMp4Header(640, 360)) == (("mp4", 640L, 360L)))
+    assert(M.sniffMedia(M.encodeMp4Header(640, 360).take(20))._1 == "mp4",
+      "ftyp alone still types the container")
     // garbage, truncation, and text all degrade to unknown — never throw
     assert(M.sniffMedia("just some text".getBytes("UTF-8"))._1 == "unknown")
     assert(M.sniffMedia(Array[Byte]())._1 == "unknown")
