@@ -22,6 +22,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.maxFields", "200")
+      // the generated-class cache defaults to 100 entries; a 169-query
+      // bench pass compiles several codegen units per query, so "warm"
+      // passes were silently RECOMPILING evicted classes — the
+      // round-10 calibration's uniform +0.1-0.2 s smear across
+      // untouched queries. Size it to hold the whole surface.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // let AQE propagate a cached plan's output partitioning: operators
       // that persist a keyed frame (d2/d3/t7/p1 repartition(doc_id) +
       // persist) otherwise pay a redundant re-shuffle between the partial
