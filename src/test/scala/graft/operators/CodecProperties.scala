@@ -46,4 +46,30 @@ object CodecProperties extends Properties("graft.codecs") {
       val whole = AudioCodec.encodePcm16Wav(8000, 1, samples)
       AudioCodec.decodePcm16Wav(whole.dropRight(cut)).isEmpty
     }
+
+  // the sniffer's whole contract is "type UNTRUSTED bytes, never throw" —
+  // fuzz it three ways: pure noise, noise behind every real magic prefix
+  // (forces each format branch to walk garbage), and truncations of real
+  // encoder output at every prefix length
+  private val magicGen: Gen[Array[Byte]] = Gen.oneOf(
+    Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+    "GIF89a".getBytes("US-ASCII"),
+    "BM".getBytes("US-ASCII"),
+    Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),
+    "RIFF1234WAVE".getBytes("US-ASCII"),
+    "RIFF1234AVI ".getBytes("US-ASCII"),
+    Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII"),
+    Array[Byte](0xff.toByte, 0xfb.toByte),
+    "ID3".getBytes("US-ASCII"))
+
+  property("sniffMedia never throws: noise, magic-prefixed noise, truncated real media") =
+    forAll(frameGen, magicGen, Gen.chooseNum(0, 64)) { (noise, magic, cut) =>
+      val pureNoise = Multimodal.sniffMedia(noise)
+      val prefixed = Multimodal.sniffMedia(magic ++ noise)
+      val real = ImageCodec.encodeGrayPng(3, 2)((x, y) => x + y)
+      val truncated = Multimodal.sniffMedia(real.take(math.min(cut, real.length)))
+      // reaching here IS the property (no throw); the results are tuples
+      pureNoise._2 >= 0 || prefixed._2 >= 0 || truncated._2 >= 0 ||
+        pureNoise._1.nonEmpty
+    }
 }
