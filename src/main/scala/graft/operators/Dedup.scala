@@ -1013,6 +1013,44 @@ object Dedup {
       FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
       WHERE d.doc_id % 20 != 0 ORDER BY d.doc_id"""))
 
+  /** C24's core: the DEDUP-RATE summary every corpus release reports —
+    * one row of corpus-level effectiveness numbers for the exact-dedup
+    * layers: raw doc count, distinct whitespace-normalized content
+    * hashes (d1's key), distinct NFC-canonical hashes (d19's key), and
+    * the r4 duplicate-rate percentages each implies. Exact integers +
+    * two r4 divisions — fully oracle-checkable; one scan, two
+    * map-side-combinable distinct aggregates, a one-row result (the
+    * p5 corpus-card class — publish it with each snapshot).
+    */
+  def dedupRates(docs: DataFrame): DataFrame = {
+    import graft.functions.NfcNormalize
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(normHash(col("text"))).as("n_distinct_norm"),
+        countDistinct(md5(NfcNormalize(col("text")))).as("n_distinct_nfc"))
+      .select(col("n_docs"), col("n_distinct_norm"), col("n_distinct_nfc"),
+        r4((col("n_docs") - col("n_distinct_norm")) * 100.0 /
+          greatest(col("n_docs"), lit(1L))).as("dup_pct_norm"),
+        r4((col("n_docs") - col("n_distinct_nfc")) * 100.0 /
+          greatest(col("n_docs"), lit(1L))).as("dup_pct_nfc"))
+  }
+
+  // C24 — corpus dedup rates, FULL oracle (DuckDB replays both hash keys:
+  // d1's whitespace normalization and t23's nfc_normalize).
+  private val d24 = Relational.Q(
+    "d24_dedup_rates",
+    (s, d) => dedupRates(Tables.documents(s, d)),
+    Some(s"""
+      WITH a AS (
+        SELECT COUNT(*) AS n_docs,
+          CAST(COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS BIGINT) AS n_distinct_norm,
+          CAST(COUNT(DISTINCT md5(nfc_normalize(text))) AS BIGINT) AS n_distinct_nfc
+        FROM documents)
+      SELECT n_docs, n_distinct_norm, n_distinct_nfc,
+        ${r4Sql("(n_docs - n_distinct_norm) * 100.0 / greatest(n_docs, 1)")} AS dup_pct_norm,
+        ${r4Sql("(n_docs - n_distinct_nfc) * 100.0 / greatest(n_docs, 1)")} AS dup_pct_nfc
+      FROM a"""))
+
   /** C9's core over any (doc_id, text) frame: flag documents dominated by
     * corpus-repeated segments — the line-dedup / boilerplate-removal stage
     * of CCNet-style corpus cleaning, re-expressed for newline-free text as
@@ -2224,5 +2262,5 @@ object Dedup {
         AND EXISTS (SELECT 1 FROM c b WHERE b.doc_id % 2 = 0 AND b.chunk = a.chunk)
       ORDER BY a.doc_id, a.pos"""))
 
-  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
+  val all: Seq[Relational.Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
 }

@@ -3415,6 +3415,26 @@ class OperatorSpec extends SparkSpec {
     assert(prefixed == allPairs, "prefix filter dropped or invented pairs")
   }
 
+  test("dedup rates (d24): planted duplicates move exactly the right counter") {
+    import spark.implicits._
+    // 4 raw docs: one exact pair (whitespace variant — normalized dup),
+    // one NFC pair (e + combining acute vs precomposed), one unique.
+    // norm-distinct = 3 (ws pair collapses; NFC variants differ in raw
+    // bytes), nfc-distinct = 3 (NFC pair collapses, ws pair does NOT —
+    // NFC does not touch whitespace)
+    val docs = Seq(
+      (1L, "same doc  here"),
+      (2L, "same doc here"),
+      (3L, "café text"), // precomposed é
+      (4L, "café text") // e + combining acute: NFC-equal, byte-different
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.dedupRates(docs).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 3L, s"norm-distinct: $r")
+    assert(r.getLong(2) == 3L, s"nfc-distinct: $r")
+    assert(r.getDouble(3) == 25.0 && r.getDouble(4) == 25.0, s"rates: $r")
+  }
+
   test("contamination share (d23): severity classes from planted benchmark overlap") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"bench$i").mkString(" ")
