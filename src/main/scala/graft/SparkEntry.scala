@@ -17,6 +17,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.map(q => q.name -> q.fn).toMap
 
+  /** The frame Bench times per name — the PRODUCTION spelling where the
+    * verify frame carries an exact-answer gate leg (bounds-oracle /
+    * recall-floor entries); identical to [[queries]] otherwise.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.map(q => q.name -> q.benchFn.getOrElse(q.fn)).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -408,7 +408,15 @@ object Dedup {
     * set-equal — the crossover is documented, not guessed.
     */
   def ngramJaccardPrefixFiltered(docs: DataFrame, t: Double = 0.62): DataFrame = {
-    val tPct = math.round(t * 100)
+    // Candidate filters must be NO STRICTER than the real-arithmetic
+    // bounds they encode, or the output-identical contract breaks at
+    // boundary sizes (J == t exactly). Double rounding can push t*sz a
+    // hair ABOVE its mathematical value (0.62*1000 -> 620.0000000000001),
+    // so both the size-ratio filter and the prefix length subtract a
+    // small epsilon: a filter loosened by eps only admits extra
+    // candidates (the exact verify below discards them); a filter
+    // tightened by rounding silently DROPS true pairs.
+    val eps = 1e-6
     val grams = H.charGramIds(docs, lower(col("text")), 4)
     val gAgg = grams.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("g"))).as("sg"))
@@ -424,7 +432,7 @@ object Dedup {
         count(lit(1)).as("sz"))
       .select(col("doc_id"), col("sz"),
         explode(slice(transform(col("og"), x => x.getField("g")), lit(1),
-          (col("sz") - ceil(col("sz") * t) + 1).cast("int"))).as("g"))
+          (col("sz") - ceil(col("sz") * t - eps) + 1).cast("int"))).as("g"))
       .join(meta, Seq("doc_id"))
     val ia = pfx.select(col("g"), col("lang"), col("len_bkt"),
       col("doc_id").as("doc_a"), col("sz").as("sz_a"))
@@ -434,8 +442,8 @@ object Dedup {
         ia("g") === ib("g") && col("lang") === col("lang_b")
           && col("len_bkt") === col("len_bkt_b")
           && col("doc_a") < col("doc_b")
-          && col("sz_a") * 100 >= col("sz_b") * tPct
-          && col("sz_b") * 100 >= col("sz_a") * tPct)
+          && col("sz_a").cast("double") >= col("sz_b").cast("double") * t - eps
+          && col("sz_b").cast("double") >= col("sz_a").cast("double") * t - eps)
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val cands = candIds

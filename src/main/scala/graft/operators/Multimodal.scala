@@ -1007,9 +1007,17 @@ object Multimodal {
         // stream: 0xFF <marker> [2-byte BE length payload...]; standalone
         // markers (TEM, RSTn) carry no length; SOF0–SOF15 except
         // DHT(C4)/JPG(C8)/DAC(CC) carry precision(1) height(2) width(2).
+        // An APP1 EXIF segment seen before the SOF may carry tag 0x0112
+        // (Orientation): values 5–8 are the TRANSPOSED placements, so
+        // the display dims are the SOF dims swapped — without this an
+        // oriented portrait photo reports landscape dims (the r10
+        // verdict's m14 item). The IFD walk is bounds-checked against
+        // the APP1 segment and entry-capped; anything malformed simply
+        // leaves orientation at the default 1.
         var i = 2
         var w = 0L
         var h = 0L
+        var orient = 1
         var done = false
         while (!done && i + 3 < bytes.length) {
           if (u8(i) != 0xff) { done = true } // desync: stop typing dims
@@ -1019,7 +1027,36 @@ object Multimodal {
             else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
             else {
               val len = (u8(i + 2) << 8) | u8(i + 3)
-              if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              if (m == 0xe1 && len >= 16 && i + 2 + len <= bytes.length &&
+                  ascii(i + 4, 4) == "Exif" && u8(i + 8) == 0 && u8(i + 9) == 0) {
+                val tiff = i + 10
+                val end = i + 2 + len // APP1 segment bound: no read past it
+                val le = u8(tiff) == 0x49 && u8(tiff + 1) == 0x49
+                val be = u8(tiff) == 0x4d && u8(tiff + 1) == 0x4d
+                def r16(p: Int): Int =
+                  if (le) u8(p) | (u8(p + 1) << 8) else (u8(p) << 8) | u8(p + 1)
+                def r32(p: Int): Long =
+                  if (le) le32(p)
+                  else (u8(p).toLong << 24) | (u8(p + 1).toLong << 16) |
+                    (u8(p + 2).toLong << 8) | u8(p + 3).toLong
+                if ((le || be) && tiff + 8 <= end && r16(tiff + 2) == 42) {
+                  val ifdOff = r32(tiff + 4)
+                  val ifd = tiff + ifdOff.toInt
+                  if (ifdOff >= 8 && ifdOff < (end - tiff).toLong && ifd + 2 <= end) {
+                    val n = math.min(r16(ifd), 64) // entry cap: untrusted input
+                    var k = 0
+                    while (k < n && ifd + 2 + (k + 1) * 12 <= end) {
+                      val e = ifd + 2 + k * 12
+                      if (r16(e) == 0x0112 && r16(e + 2) == 3 && r32(e + 4) == 1L) {
+                        val o = r16(e + 8)
+                        if (o >= 1 && o <= 8) orient = o
+                      }
+                      k += 1
+                    }
+                  }
+                }
+                i += 2 + len
+              } else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
                 if (len >= 7 && i + 8 < bytes.length) {
                   h = ((u8(i + 5) << 8) | u8(i + 6)).toLong
                   w = ((u8(i + 7) << 8) | u8(i + 8)).toLong
@@ -1030,7 +1067,7 @@ object Multimodal {
             }
           }
         }
-        ("jpeg", w, h)
+        if (orient >= 5) ("jpeg", h, w) else ("jpeg", w, h)
       }
       else if (bytes.length >= 28 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE" &&
           ascii(12, 4) == "fmt ")
@@ -1068,11 +1105,22 @@ object Multimodal {
             else if (tpe == "tkhd" && sz >= 92) {
               // v0 layout: ver/flags(4) ctime(4) mtime(4) id(4) rsvd(4)
               // dur(4) rsvd(8) layer(2) group(2) vol(2) rsvd(2)
-              // matrix(36) → width/height as 16.16 fixed at +76/+80
+              // matrix(36) → width/height as 16.16 fixed at +76/+80.
+              // v1 widens ctime/mtime/duration to 64 bits (+12 bytes), so
+              // dims sit at +88/+92 and the box is >= 104 bytes — reading
+              // the v0 offsets there would type matrix bytes as dims.
+              // Unknown versions degrade to (0,0) rather than guess.
               val base = i + 8
-              val wd = be32(base + 76) >> 16
-              val ht = be32(base + 80) >> 16
-              if (wd > 0 && ht > 0) { w = wd; h = ht } // first VIDEO track wins
+              val ver = u8(base)
+              val dimOff =
+                if (ver == 0) 76
+                else if (ver == 1 && sz >= 104) 88
+                else -1
+              if (dimOff > 0) {
+                val wd = be32(base + dimOff) >> 16
+                val ht = be32(base + dimOff + 4) >> 16
+                if (wd > 0 && ht > 0) { w = wd; h = ht } // first VIDEO track wins
+              }
             }
             i += sz.toInt
           }
@@ -1150,6 +1198,40 @@ object Multimodal {
     out.array()
   }
 
+  /** Splice a minimal APP1 EXIF segment carrying ONLY tag 0x0112
+    * (Orientation) right after a JPEG's SOI — the hand-built-header
+    * fixture convention applied to a real JDK-encoded JPEG: no encoder
+    * in this sandbox writes EXIF, so the fixture plants the exact TIFF
+    * grammar the sniffer parses (both byte orders, to exercise II and
+    * MM paths).
+    */
+  def spliceExifOrientation(jpeg: Array[Byte], orientation: Int,
+      littleEndian: Boolean): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "not a JPEG (no SOI)")
+    require(orientation >= 1 && orientation <= 8, s"bad orientation $orientation")
+    val seg = java.nio.ByteBuffer.allocate(36)
+    def p16(v: Int, le: Boolean): Unit =
+      if (le) { seg.put(v.toByte); seg.put((v >> 8).toByte) }
+      else { seg.put((v >> 8).toByte); seg.put(v.toByte) }
+    def p32(v: Int, le: Boolean): Unit =
+      if (le) { p16(v & 0xffff, le = true); p16(v >>> 16, le = true) }
+      else { p16(v >>> 16, le = false); p16(v & 0xffff, le = false) }
+    seg.put(0xff.toByte); seg.put(0xe1.toByte)
+    p16(34, le = false) // segment length (marker excluded): 2 + 6 + 26
+    seg.put("Exif".getBytes("US-ASCII")); seg.put(0.toByte); seg.put(0.toByte)
+    val bo = if (littleEndian) 0x49 else 0x4d
+    seg.put(bo.toByte); seg.put(bo.toByte)
+    p16(42, littleEndian)
+    p32(8, littleEndian) // IFD0 right after the TIFF header
+    p16(1, littleEndian) // one entry
+    p16(0x0112, littleEndian); p16(3, littleEndian) // Orientation, SHORT
+    p32(1, littleEndian) // count
+    p16(orientation, littleEndian); p16(0, littleEndian) // value + pad
+    p32(0, littleEndian) // no next IFD
+    jpeg.take(2) ++ seg.array() ++ jpeg.drop(2)
+  }
+
   final case class DocMedia(doc_id: Long, format: String, dim1: Long, dim2: Long)
 
   /** F14 core — sniff a payload column (batch-shaped mapPartitions, the
@@ -1169,11 +1251,14 @@ object Multimodal {
   }
 
   // F14 — the fixture plants REAL media with doc_id-determined headers
-  // across SEVEN classes (PNG/JPEG via the real JDK encoders, WAV/AVI
-  // via the repo's own codecs, MP3/MP4 via the hand-built-header
-  // builders — no encoder exists here for those, the gif/bmp spec
-  // convention promoted into the oracle fixture — and text bytes for
-  // the unknown class), so the DuckDB oracle recomputes every expected
+  // across SEVEN classes (PNG/JPEG via the real JDK encoders — every
+  // JPEG additionally carries a spliced EXIF orientation 1..8 in
+  // alternating byte orders, so the oriented-dims contract is
+  // oracle-checked, not just spec'd — WAV/AVI via the repo's own
+  // codecs, MP3/MP4 via the hand-built-header builders — no encoder
+  // exists here for those, the gif/bmp spec convention promoted into
+  // the oracle fixture — and text bytes for the unknown class), so the
+  // DuckDB oracle recomputes every expected
   // (format, dim1, dim2) from doc_id ARITHMETIC alone — the hash match
   // proves the encode → sniff round-trip recovers exactly the planted
   // headers (the m11/m12 formula-recomputing convention). Per-class
@@ -1200,8 +1285,16 @@ object Multimodal {
             case 2 => VideoCodec.encodeAvi(
               Seq.tabulate((1 + id % 3).toInt)(f =>
                 Array.tabulate(16)(i => ((i + f + id) % 256).toByte)))
-            case 3 => ImageCodec.encodeGrayJpeg((1 + id % 11).toInt, (1 + id % 9).toInt)(
-              (x, y) => ((x * 13 + y * 29 + id) % 256).toInt)
+            case 3 =>
+              // oriented JPEGs: orientation 1..8 cycles across the class
+              // (gcd(7,8)=1 → full coverage), alternating II/MM byte
+              // order; 5–8 are the transposed placements, so the sniffed
+              // display dims are the planted SOF dims SWAPPED
+              spliceExifOrientation(
+                ImageCodec.encodeGrayJpeg((1 + id % 11).toInt, (1 + id % 9).toInt)(
+                  (x, y) => ((x * 13 + y * 29 + id) % 256).toInt),
+                orientation = (1 + id % 8).toInt,
+                littleEndian = id % 2 == 0)
             case 4 => encodeMp3Header((1 + id % 13).toInt, (id % 3).toInt)
             case 5 => encodeMp4Header((16 + id % 32).toInt, (16 + id % 24).toInt)
             case _ => r.getString(1).getBytes("UTF-8")
@@ -1225,13 +1318,15 @@ object Multimodal {
         CAST(CASE doc_id % 7 WHEN 0 THEN 1 + doc_id % 13
                              WHEN 1 THEN 1 + doc_id % 2
                              WHEN 2 THEN 1 + doc_id % 3
-                             WHEN 3 THEN 1 + doc_id % 11
+                             WHEN 3 THEN CASE WHEN 1 + doc_id % 8 >= 5
+                                         THEN 1 + doc_id % 9 ELSE 1 + doc_id % 11 END
                              WHEN 4 THEN CASE CAST(1 + doc_id % 13 AS INTEGER) $brSql END
                              WHEN 5 THEN 16 + doc_id % 32
                              ELSE 0 END AS BIGINT) AS dim1,
         CAST(CASE doc_id % 7 WHEN 0 THEN 1 + doc_id % 11
                              WHEN 1 THEN 8000 + (doc_id % 5) * 1000
-                             WHEN 3 THEN 1 + doc_id % 9
+                             WHEN 3 THEN CASE WHEN 1 + doc_id % 8 >= 5
+                                         THEN 1 + doc_id % 11 ELSE 1 + doc_id % 9 END
                              WHEN 4 THEN CASE CAST(doc_id % 3 AS INTEGER) $srSql END
                              WHEN 5 THEN 16 + doc_id % 24
                              ELSE 0 END AS BIGINT) AS dim2

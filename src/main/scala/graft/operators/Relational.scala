@@ -22,10 +22,21 @@ import Num._
   */
 object Relational {
 
+  /** One driver-visible operator entry.
+    *
+    * `fn` is the VERIFY frame — what the driver's DuckDB oracle checks
+    * (CORRECTNESS). `benchFn`, when set, is the frame Bench times under
+    * the same name: operators whose driver-checkable spelling carries an
+    * exact gate leg (the x1/x2/x4 bounds-oracle scheme, the ANN recall
+    * frames) keep the PRODUCTION path as the benched entry so the bench
+    * line measures what a 100 TB deployment runs, not the test-scale
+    * verification harness. When absent, the verify frame is benched.
+    */
   final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
+      oracle: Option[String],
+      benchFn: Option[(SparkSession, String) => DataFrame] = None)
 
   // B1 — full-table agg with decimal-exact money math (TPC-H Q1 flavor).
   private val q01 = Q(
@@ -1966,6 +1977,86 @@ object Relational {
           (a, b) -> (a + b) / 2)""")} AS ewma
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** B53's 100 TB spelling (the r10 verdict's q53 scale item, now code):
+    * the monolithic fold collects a user's FULL event history into one
+    * aggregate row — at 100 TB one hot key OOMs a task. Here events
+    * shard into contiguous event_id RANGES (the production analogue is
+    * the daily partition key), every collect_list is bounded by ONE
+    * (user, window) shard, and the scalar EWMA state folds ACROSS
+    * windows in window order — one narrow aggregate + one state join
+    * per window, exactly A48's state-resumed streaming fold re-expressed
+    * as a batch loop (each window = one micro-batch).
+    *
+    * BIT-EQUAL to [[ewmaByUser]], not approximately equal: windows
+    * partition the event_id axis, so concatenating per-window sorted
+    * arrays in window order replays the identical IEEE add/halve
+    * sequence the monolithic sort_array fold runs (ties in event_id
+    * cannot span windows). The spec pins full-output equality.
+    *
+    * Driver-side work is two PARTITION-ENUMERATION actions (the G24
+    * class, bounded by the time-partition count, never by rows): the
+    * distinct window-id list, and a localCheckpoint per window (the d6
+    * lineage discipline).
+    */
+  def ewmaByUserWindowed(events: DataFrame, span: Long): DataFrame = {
+    require(span > 0, s"window span must be positive, got $span")
+    val foldCont = (s0: Column, xs: Column) =>
+      aggregate(xs, s0, (acc, x) => (acc + x.getField("value")) / lit(2.0))
+    val foldSeed = (xs: Column) =>
+      aggregate(
+        slice(xs, lit(2), greatest(size(xs) - 1, lit(0))),
+        element_at(xs, 1).getField("value"),
+        (acc: Column, x: Column) => (acc + x.getField("value")) / lit(2.0))
+    val shards = events
+      .select(col("user_id"), col("event_id"), col("value"),
+        floor(col("event_id") / span).cast("long").as("w"))
+      .groupBy(col("user_id"), col("w"))
+      .agg(count(lit(1)).as("wn"),
+        sort_array(collect_list(struct(col("event_id"), col("value")))).as("xs"))
+      .persist()
+    val windows = shards.select(col("w")).distinct().orderBy(col("w"))
+      .collect().map(_.getLong(0))
+    var state: DataFrame = null
+    windows.foreach { wid =>
+      val cur = shards.filter(col("w") === wid)
+        .select(col("user_id"), col("wn"), col("xs"))
+      state =
+        if (state == null)
+          cur.select(col("user_id"), col("wn").as("n_events"),
+            foldSeed(col("xs")).as("s"))
+        else
+          state.join(cur, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              (coalesce(col("n_events"), lit(0L)) + coalesce(col("wn"), lit(0L)))
+                .as("n_events"),
+              when(col("xs").isNull, col("s"))
+                .when(col("s").isNull, foldSeed(col("xs")))
+                .otherwise(foldCont(col("s"), col("xs"))).as("s"))
+      state = state.localCheckpoint(true)
+    }
+    shards.unpersist()
+    state.select(col("user_id"), col("n_events"), Num.r4(col("s")).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  // B55 — the windowed-shard EWMA as a driver entry with q53's FULL
+  // oracle (bit-equal outputs by construction, so the same SQL checks
+  // both spellings). The span derives from one 1-row max(event_id)
+  // action so the shard count stays ~8 at any SF.
+  private val q55 = Q(
+    "q55_ewma_windowed",
+    (s, d) => {
+      val events = Tables.events(s, d)
+      val maxId = events.agg(max(col("event_id"))).head.getLong(0)
+      ewmaByUserWindowed(events, span = math.max(1L, maxId / 8 + 1))
+    },
+    Some(s"""
+      SELECT user_id, COUNT(*) AS n_events,
+        ${Num.r4Sql("""list_reduce(
+          list_transform(list_sort(list({'e': event_id, 'v': value})), s -> s['v']),
+          (a, b) -> (a + b) / 2)""")} AS ewma
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   /** B54's core: Tukey IQR outlier gating per group — THE standard
     * numeric-column cleaning rule (flag values outside
     * [q1 - 1.5·IQR, q3 + 1.5·IQR]). The fences are computed from the
@@ -2030,5 +2121,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
-    q53, q54)
+    q53, q54, q55)
 }

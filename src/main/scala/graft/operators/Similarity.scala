@@ -79,6 +79,70 @@ object Similarity {
       SELECT query_id, rnk, neighbor_id, ${r4Sql("cos")} AS cosine
       FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk"""))
 
+  /** s1's exact ranking reduced to its (query_id, neighbor_id) pair set —
+    * the recall denominator every approximate variant's driver frame
+    * measures against (same plan shape as s1, minus the score columns).
+    */
+  private def bruteTopKPairs(e0: DataFrame): DataFrame = {
+    val q = e0.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = Tables.spread(e0.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", CosF(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** The x1 BOUNDS-ORACLE scheme applied to ANN (r10 verdict item 4):
+    * the driver-checked frame carries the exact side's replayable counts
+    * plus within_floor = overall recall of the approximate top-k vs the
+    * exact top-k at the operator's spec floor. DuckDB replays the exact
+    * ranking and pins within_floor TRUE — a recall regression in any
+    * approximate variant now flips a driver hash red instead of only a
+    * local spec. The exact leg exists for the GATE only; Bench times the
+    * production spelling via benchFn (the r10 advice's comparability
+    * point), so nothing exact is ever benched.
+    */
+  private def recallBounds(exact: DataFrame, approx: DataFrame, floor: Double): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = ex
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    ex.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("exact_pairs"))
+      .crossJoin(hits)
+      .select(col("n_queries"), col("exact_pairs"),
+        (col("hits").cast("double") >=
+          lit(floor) * col("exact_pairs").cast("double")).as("within_floor"))
+  }
+
+  /** Shared oracle for the s1-denominator recall frames: DuckDB replays
+    * the exact brute-force top-k side (the s1 oracle's ranking) and pins
+    * the achieved-recall boolean TRUE.
+    */
+  private val exactTopKBoundsSql: String = s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_transform(list_zip(q.qv, c.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+          / sqrt(
+              list_reduce(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)
+              * list_reduce(list_transform(c.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS cos
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored)
+      SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+        COUNT(*) AS exact_pairs, TRUE AS within_floor
+      FROM ranked WHERE rnk <= $K"""
+
   /** s2's LSH geometry: `NTables` independent hash tables of `PlanesPerTable`
     * sign bits each (an OR-construction — a pair is a candidate if it
     * collides in ANY table), with true multi-probe on the query side: each
@@ -111,11 +175,11 @@ object Similarity {
   // (id, key) rows: the corpus emits one key per table, the (broadcast)
   // query side emits NTables x |ProbeMasks| probe keys; pairs colliding in
   // several tables are deduped on ids BEFORE any vector is carried through
-  // a shuffle, then scored via one corpus equi-join. Rows-only driver
-  // check (approximate by design); the spec enforces recall >= 0.8 vs s1.
-  private val s2 = Relational.Q(
-    "s2_ann_lsh_topk",
-    (s, d) => {
+  // a shuffle, then scored via one corpus equi-join. This production
+  // spelling is the BENCHED entry; the driver-checked frame is the
+  // recall-bounds gate below (floor 0.8 vs s1 — the spec's band, now a
+  // driver hash instead of rows-only).
+  private def s2TopK(s: SparkSession, d: String): DataFrame = {
       val e = Tables.spread(Tables.embeddings(s, d))
         .withColumn("allbits", rhpBucket(col("embedding"), NTables * PlanesPerTable))
         .persist()
@@ -143,19 +207,26 @@ object Similarity {
         .filter(col("rnk") <= K)
         .select(col("query_id"), col("rnk"), col("neighbor_id"), r4(col("cos")).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))
-    },
-    None)
+  }
+
+  private val s2 = Relational.Q(
+    "s2_ann_lsh_topk",
+    (s, d) => recallBounds(bruteTopKPairs(Tables.embeddings(s, d)), s2TopK(s, d), 0.8),
+    Some(exactTopKBoundsSql),
+    benchFn = Some(s2TopK _))
 
   // D3 — threshold cosine self-join, the approximate scale path for C5's
   // exact semantics: the same multi-table multi-probe geometry as s2,
   // applied to a self-join (probe masks expand ONE side only; the pair
   // meets if some table's buckets are within hamming <= ProbeRadius).
   // Candidates are slim (id, id) pairs deduped before any vector is
-  // fetched; exact cosine verify only on candidates. Rows-only; the spec
-  // asserts subset-of-exact AND a recall floor vs the exact d5 pairs.
-  private val s3 = Relational.Q(
-    "s3_similarity_join",
-    (s, d) => {
+  // fetched; exact cosine verify only on candidates. This production
+  // spelling is benched; the driver-checked frame gates recall >= 0.8 vs
+  // the exact cos>=0.4 pairs (the spec's band — LSH legitimately misses
+  // near-threshold pairs, so the denominator sits above the emit
+  // threshold). Output pairs are exact-verified >= 0.3 in-plan, so the
+  // subset half of the spec holds by construction.
+  private def s3Join(s: SparkSession, d: String): DataFrame = {
       val e = Tables.spread(Tables.embeddings(s, d))
         .withColumn("allbits", rhpBucket(col("embedding"), NTables * PlanesPerTable))
         .persist()
@@ -176,8 +247,48 @@ object Similarity {
         .filter(col("cos") >= 0.3)
         .select(col("id_a"), col("id_b"), r4(col("cos")).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
-    },
-    None)
+  }
+
+  /** Exact threshold self-join pair set (the s3 recall denominator) —
+    * O(n²) pair WORK by definition, but spread d5's way: triangle
+    * replication partitions the n²/2 pairs over B(B+1)/2 tasks, so even
+    * this gate leg carries no corpus-derived broadcast hint and no
+    * single-task funnel (it reuses d5's audited join shape verbatim).
+    */
+  private def exactJoinPairs(e0: DataFrame, thr: Double): DataFrame = {
+    val B = 8
+    def sides(id: String, v: String, g: String) = Dedup.triangleSide(
+      Tables.spread(e0.select(col("vec_id").as(id), col("embedding").as(v))), id, g, B)
+    sides("query_id", "va", "ga")
+      .join(sides("neighbor_id", "vb", "gb"), Seq("k1", "k2"))
+      .filter(col("query_id") < col("neighbor_id"))
+      .filter(Dedup.trianglePairFilter("ga", "gb"))
+      .withColumn("cos", CosF(col("va"), col("vb")))
+      .filter(col("cos") >= thr)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  private val s3 = Relational.Q(
+    "s3_similarity_join",
+    (s, d) => recallBounds(
+      exactJoinPairs(Tables.embeddings(s, d), 0.4),
+      s3Join(s, d).select(col("id_a").as("query_id"), col("id_b").as("neighbor_id")),
+      0.8),
+    Some(s"""
+      WITH scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+          / sqrt(
+              list_reduce(list_transform(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)
+              * list_reduce(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT CAST(COUNT(DISTINCT id_a) AS BIGINT) AS n_queries,
+        COUNT(*) AS exact_pairs, TRUE AS within_floor
+      FROM scored WHERE cos >= 0.4"""),
+    benchFn = Some(s3Join _))
 
   /** Spherical k-means training for IVF centroids, expressed as DataFrame
     * aggregates end to end. Seeds are the `k` vectors with the smallest
@@ -232,9 +343,7 @@ object Similarity {
   // queries probe their nProbe nearest lists only. At 100 TB the lists
   // are the partitioning: the corpus scan is replaced by a bucket-pruned
   // read — the join/shuffle shape is identical.
-  private val s4 = Relational.Q(
-    "s4_ann_ivf_topk",
-    (s, d) => {
+  private def s4TopK(s: SparkSession, d: String): DataFrame = {
       val nProbe = 4
       val e = Tables.spread(Tables.embeddings(s, d))
       // trained centroids (10 lists, 6 Lloyd rounds — the corpus has 10
@@ -277,8 +386,16 @@ object Similarity {
         .filter(col("rnk") <= K)
         .select(col("query_id"), col("rnk"), col("neighbor_id"), r4(col("cos")).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))
-    },
-    None)
+  }
+
+  // Driver frame gates the trained index at the spec's 0.6 measured-band
+  // floor (training is float-mean nondeterministic, so the achieved
+  // recall varies run to run — the floor is what's contractual).
+  private val s4 = Relational.Q(
+    "s4_ann_ivf_topk",
+    (s, d) => recallBounds(bruteTopKPairs(Tables.embeddings(s, d)), s4TopK(s, d), 0.6),
+    Some(exactTopKBoundsSql),
+    benchFn = Some(s4TopK _))
 
   // D5 — scalar-quantized (int8) ANN with exact re-rank: vectors are
   // symmetrically quantized per-vector to 127/max|x| (cosine is scale-
@@ -442,11 +559,9 @@ object Similarity {
   // top candidates against the true float vectors fetched by equi-join,
   // and emit exact-re-ranked top-k. At 100 TB the stored artifact is the
   // 4-byte code column; the reconstruction join shape is unchanged.
-  // Rows-only (approximate by design); spec floors recall >= 0.8 vs s1
-  // and pins the compression ratio.
-  private val s6 = Relational.Q(
-    "s6_ann_pq_topk",
-    (s, d) => {
+  // The driver frame gates recall >= 0.8 vs s1 (the spec's band); the
+  // spec additionally pins the compression ratio.
+  private def s6TopK(s: SparkSession, d: String): DataFrame = {
       val M = 8; val Ds = 8; val Kc = 16; val Refine = 30 * K
       val e = Tables.spread(Tables.embeddings(s, d)).persist()
       val subs = pqSubVectors(e, M, Ds)
@@ -480,8 +595,13 @@ object Similarity {
         .filter(col("rnk") <= K)
         .select(col("query_id"), col("rnk"), col("neighbor_id"), r4(col("cos")).as("cosine"))
         .orderBy(col("query_id"), col("rnk"))
-    },
-    None)
+  }
+
+  private val s6 = Relational.Q(
+    "s6_ann_pq_topk",
+    (s, d) => recallBounds(bruteTopKPairs(Tables.embeddings(s, d)), s6TopK(s, d), 0.8),
+    Some(exactTopKBoundsSql),
+    benchFn = Some(s6TopK _))
 
   // ============ D7 — the versioned ANN-index lifecycle (s7) ============
   //
@@ -721,15 +841,19 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  // D9 — IVF-PQ ANN. Rows-only (both training stages are float-mean
-  // nondeterministic); the spec floors recall vs s1 at s4's 0.7 candidate
-  // floor (IVF pruning is the binding stage — PQ's loss is absorbed by
-  // the exact re-rank of 30K candidates) and pins the per-query rank
-  // contract.
+  // D9 — IVF-PQ ANN. Both training stages are float-mean
+  // nondeterministic, so the driver frame gates the 0.6 measured-band
+  // floor vs s1 (IVF pruning is the binding stage — PQ's loss is
+  // absorbed by the exact re-rank); the spec pins the per-query rank
+  // contract on the benched top-k spelling.
+  private def s8TopK(s: SparkSession, d: String): DataFrame =
+    ivfPqTopK(Tables.embeddings(s, d), NQueries, K, refine = 200)
+
   private val s8 = Relational.Q(
     "s8_ann_ivfpq_topk",
-    (s, d) => ivfPqTopK(Tables.embeddings(s, d), NQueries, K, refine = 200),
-    None)
+    (s, d) => recallBounds(bruteTopKPairs(Tables.embeddings(s, d)), s8TopK(s, d), 0.6),
+    Some(exactTopKBoundsSql),
+    benchFn = Some(s8TopK _))
 
   /** Publish the composed IVF-PQ index under `root` as three WAP tables
     * sharing one version sequence — lists (list_id, centv), books
@@ -834,13 +958,27 @@ object Similarity {
     val subs = pqSubVectors(assigned.select(col("vec_id"), col("embedding")), m, ds)
     val newCodes = encodePq(subs, books)
       .join(assigned.select(col("vec_id"), col("list_id")), Seq("vec_id"))
-    // arrivals must not collide with indexed ids — a replayed id would
-    // double-count in the one-row-per-vector audit and shadow a stored
-    // code nondeterministically at read time
+    // ALL arrival validation happens BEFORE any table publishes: the
+    // three tables share one version sequence, so a refresh that stages
+    // lists/books at N+1 and then fails the codes audit leaves the index
+    // permanently torn (writeAuditPublish counts versions per table —
+    // no later publish can realign them). A dirty batch must therefore
+    // be rejected while all three tables still sit at version N.
+    //  - internal duplicates: encodePq's groupBy collapses a repeated
+    //    vec_id to one code row, while a raw-count expectedVectors would
+    //    count it twice — the audit-after-publish trap the r10 advice
+    //    flagged;
+    //  - replayed ids: an id already indexed would double-count in the
+    //    one-row-per-vector audit and shadow a stored code
+    //    nondeterministically at read time.
+    val newN = base.count()
+    val newDistinct = base.select(col("vec_id")).distinct().count()
+    require(newN == newDistinct,
+      s"refresh rejected: ${newN - newDistinct} duplicate vec_ids within the arrivals batch")
     val dup = newCodes.join(codes.select(col("vec_id")), Seq("vec_id")).count()
     require(dup == 0, s"refresh rejected: $dup arriving vec_ids already indexed")
     val unioned = codes.unionByName(newCodes)
-    val expectedVectors = codes.count() + base.count()
+    val expectedVectors = codes.count() + newDistinct
     val passThrough: Publish.Audit = staged =>
       Publish.columnAudit("never" -> lit(false))(staged)
     val codesAudit: Publish.Audit = staged =>
@@ -962,20 +1100,23 @@ object Similarity {
 
   private[graft] def clearPublishedIndexRoots(): Unit = publishedIndexRoots.clear()
 
-  // D10 — rows-only (the trained artifact is float-mean nondeterministic,
-  // same declared design as s4/s8); the spec floors recall vs s1 at the
-  // s4/s8 0.6 band and plan-asserts zero non-broadcast exchange on THIS
-  // entry's scoring path — the benched surface now includes the
-  // production read-path plan, not just the training composition.
+  // D10 — the driver frame gates the published-index read path at the
+  // s4/s8 0.6 measured-band floor vs s1; the spec additionally
+  // plan-asserts zero non-broadcast exchange on the benched entry's
+  // scoring path — the benched surface includes the production
+  // read-path plan, not just the training composition.
+  private def s9TopK(s: SparkSession, d: String): DataFrame = {
+    val root = ivfPqIndexRootFor(s, d)
+    val e = Tables.embeddings(s, d)
+    ivfPqTopKFromIndex(s, root, e, e.filter(col("vec_id") < NQueries),
+      k = K, refine = 200, nProbe = 4)
+  }
+
   private val s9 = Relational.Q(
     "s9_ann_ivfpq_index_read",
-    (s, d) => {
-      val root = ivfPqIndexRootFor(s, d)
-      val e = Tables.embeddings(s, d)
-      ivfPqTopKFromIndex(s, root, e, e.filter(col("vec_id") < NQueries),
-        k = K, refine = 200, nProbe = 4)
-    },
-    None)
+    (s, d) => recallBounds(bruteTopKPairs(Tables.embeddings(s, d)), s9TopK(s, d), 0.6),
+    Some(exactTopKBoundsSql),
+    benchFn = Some(s9TopK _))
 
   /** D8's reduction, exposed for the spec: rank neighbors by COSINE of
     * the Bachrach et al. (2014, "Speeding Up the Xbox Recommender...")

@@ -49,7 +49,15 @@ object Sketching {
         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
         COUNT(*) AS n_orders,
         TRUE AS within_tol
-      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    // Bench times the SKETCH-ONLY production path (r10 advice: the exact
+    // COUNT(DISTINCT) leg is the verify gate, not what a 100 TB run pays)
+    benchFn = Some((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))))
 
   // I2 — approximate quantiles (Greenwald-Khanna, rank error <= n/10000)
   // of the fact table's price column, per return flag.
@@ -85,7 +93,17 @@ object Sketching {
         ${r2Sql("quantile_cont(l_extendedprice, 0.99)")} AS p99,
         COUNT(*) AS n_lines,
         TRUE AS within_tol
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    // Bench times GK alone — percentile()'s full value buffer is the
+    // verify gate's cost, not the production path's
+    benchFn = Some((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("am"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"))))
 
   // I3 — count-min-style heavy hitters: top tokens by frequency from a
   // bounded-width hashed-bucket aggregate (two shuffles, constant state
@@ -159,7 +177,17 @@ object Sketching {
         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_partial_sketches,
         COUNT(*) AS n_orders,
         TRUE AS within_tol
-      FROM orders"""))
+      FROM orders"""),
+    // Bench times build-partials + union alone — the mergeable-sketch
+    // production path never runs the exact leg (that IS its point)
+    benchFn = Some((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
+          count(lit(1)).as("n_orders"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_custs"),
+          count(lit(1)).as("n_partial_sketches"),
+          sum(col("n_orders")).as("n_orders"))))
 
   // I5 — EXACT percentiles (the sort-based ground truth x2 approximates):
   // Spark's percentile() aggregates per group with a full value buffer —

@@ -1563,7 +1563,17 @@ object TextAnalysis {
       "queries must be non-empty (query_id, terms) pairs")
     val toks = docs.select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    // tf feeds FOUR consumers (dl, dfT, tot via dl, and the scoring
+    // join). Relying on AQE exchange reuse here was measured (r10) to
+    // fire only once — per-consumer column pruning canonicalizes the
+    // aggregate differently, so the corpus scan+tokenize re-ran per
+    // consumer (a real cost multiplier at 100 TB, not a fixed floor).
+    // persist() shares ONE materialization across all consumers while
+    // keeping the float discipline untouched (the values are cached, not
+    // respelled); the session's canChangeCachedPlanOutputPartitioning
+    // lets each consumer reuse the cached partitioning.
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))

@@ -237,7 +237,7 @@ object PlanAudit {
     "s2_ann_lsh_topk" ->
       "exact-scoring join against the broadcast parameter-bounded query-vector set; candidates are slim id pairs",
     "s3_similarity_join" ->
-      "vectors fetched by id-EQUI joins driven by slim deduped candidate pairs (the d3 class)",
+      "vectors fetched by id-EQUI joins driven by slim deduped candidate pairs (the d3 class); the recall frame's exact gate leg reuses d5's triangle-partitioned key verbatim",
     "s4_ann_ivf_topk" ->
       "probed-list scan against the query-bounded probe frame (nProbe lists per query; queries parameter-bounded)",
     "s6_ann_pq_topk" ->
@@ -245,7 +245,7 @@ object PlanAudit {
     "s8_ann_ivfpq_topk" ->
       "ADC scan joins the broadcast query x nProbe probe frame on list_id; refine fetch is id-equi on rank-bounded survivors (the s6 class)",
     "s9_ann_ivfpq_index_read" ->
-      "published-codes ADC scan joins the broadcast query x nProbe probe frame on list_id; refine fetch is id-equi on rank-bounded survivors (s8's read-path shape over the WAP artifact)",
+      "published-codes ADC scan joins the broadcast query x nProbe probe frame on list_id; refine fetch is id-equi on rank-bounded survivors (s8's read-path shape over the WAP artifact); the recall frame adds the s1-class brute-force gate leg",
     "s7_mips_topk" ->
       "corpus scanned once against the broadcast parameter-bounded query-vector set (the s1 class)",
     "t25_hybrid_rrf" ->
@@ -270,7 +270,9 @@ object PlanAudit {
     "p19_leakage_safe_split" ->
       "consumes d6's materialized components; own shape = one id-keyed join + narrow hash projection",
     "x13_frequent_directions" ->
-      "per-partition FD fold + driver merge execute at build; driver touches only numPartitions x l sketch rows")
+      "per-partition FD fold + driver merge execute at build; driver touches only numPartitions x l sketch rows",
+    "q55_ewma_windowed" ->
+      "iterative window fold (the A48 batch twin): per-window shape = one (user,window)-bounded aggregate + one user-keyed state join, localCheckpoint per window")
 
   // d2's queries() entry returns the eagerly materialized pair-graph
   // view (a checkpointed-RDD scan — nothing to audit); audit the lazy
@@ -288,6 +290,12 @@ object PlanAudit {
   val allowedBnlj = Map(
       "s1_ann_bruteforce_topk" ->
         "corpus scanned once against the broadcast fixed-size query set (theta join)",
+      "s2_ann_lsh_topk" ->
+        "the recall frame's s1-class brute-force gate leg (broadcast fixed-size query set) + its one-row x one-row recall cross",
+      "s3_similarity_join" ->
+        "the recall frame's one-row exact-count x one-row hits cross (the x4 gate-leg shape)",
+      "s9_ann_ivfpq_index_read" ->
+        "the recall frame's s1-class brute-force gate leg (broadcast fixed-size query set) + its one-row recall cross",
       "s4_ann_ivf_topk" ->
         "corpus x broadcast constant-size centroid sample (IVF assignment/probing)",
       "s5_ann_quantized_topk" ->

@@ -60,7 +60,7 @@ class OperatorSpec extends SparkSpec {
 
   test("LSH ANN (s2) has recall >= 0.8 vs brute force; similarity join (s3) is a subset of exact pairs") {
     val sf = "/root/testdata/sf0.01"
-    val s2 = graft.SparkEntry.queries("s2_ann_lsh_topk")(spark, sf).collect()
+    val s2 = graft.SparkEntry.benchQueries("s2_ann_lsh_topk")(spark, sf).collect()
     assert(s2.nonEmpty)
     // ranks within each query are 1..k without gaps
     val byQ = s2.groupBy(_.getLong(0))
@@ -76,7 +76,7 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.8, s"s2 multi-probe recall $recall < 0.8")
     val exact = graft.SparkEntry.queries("d5_dedup_embedding")(spark, sf)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val s3 = graft.SparkEntry.queries("s3_similarity_join")(spark, sf)
+    val s3 = graft.SparkEntry.benchQueries("s3_similarity_join")(spark, sf)
       .filter(col("cosine") >= 0.4).select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(s3.subsetOf(exact), s"LSH join produced pairs outside the exact set")
@@ -275,7 +275,7 @@ class OperatorSpec extends SparkSpec {
 
   test("IVF ANN (s4) produces valid ranks with reasonable recall vs brute force") {
     val sf = "/root/testdata/sf0.01"
-    val s4 = graft.SparkEntry.queries("s4_ann_ivf_topk")(spark, sf).collect()
+    val s4 = graft.SparkEntry.benchQueries("s4_ann_ivf_topk")(spark, sf).collect()
     assert(s4.nonEmpty)
     s4.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
@@ -297,7 +297,7 @@ class OperatorSpec extends SparkSpec {
 
   test("PQ ANN (s6): 64x-compressed ADC scan + exact rerank has recall >= 0.8 vs brute force") {
     val sf = "/root/testdata/sf0.01"
-    val s6 = graft.SparkEntry.queries("s6_ann_pq_topk")(spark, sf).collect()
+    val s6 = graft.SparkEntry.benchQueries("s6_ann_pq_topk")(spark, sf).collect()
     assert(s6.nonEmpty)
     s6.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
@@ -329,7 +329,7 @@ class OperatorSpec extends SparkSpec {
   test("IVF-PQ ANN (s8): composed probe+ADC+rerank has the s4 candidate recall floor and exact rerank scores") {
     val exact = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val s8 = graft.SparkEntry.queries("s8_ann_ivfpq_topk")(spark, sfDir).collect()
+    val s8 = graft.SparkEntry.benchQueries("s8_ann_ivfpq_topk")(spark, sfDir).collect()
     assert(s8.nonEmpty)
     // per-query rank contract: dense 1..K
     s8.groupBy(_.getLong(0)).foreach { case (_, rows) =>
@@ -397,7 +397,7 @@ class OperatorSpec extends SparkSpec {
     // the queries() entry itself (what Bench and Verify run): first call
     // builds + publishes the index (memoized per sfDir), the returned
     // plan is the pure read path
-    val got = graft.SparkEntry.queries("s9_ann_ivfpq_index_read")(spark, sfDir).collect()
+    val got = graft.SparkEntry.benchQueries("s9_ann_ivfpq_index_read")(spark, sfDir).collect()
     // per-query rank contract: dense ranks 1..k
     got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
       assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length), s"query $q ranks")
@@ -3539,6 +3539,144 @@ class OperatorSpec extends SparkSpec {
     val (n, pr, ctl, hb, cls) = out(4L)
     assert(n == 100 && pr + ctl + hb == n && cls == "binary", s"counts must partition: ${out(4L)}")
     assert(hb == 0 && ctl == 32 - 3, s"0..99 bytes: 32 controls minus tab/LF/CR: ${out(4L)}")
+  }
+
+  test("windowed EWMA (q55) is bit-equal to the monolithic fold on the fixture corpus") {
+    val events = graft.Tables.events(spark, sfDir)
+    val maxId = events.agg(max(col("event_id"))).head.getLong(0)
+    val span = math.max(1L, maxId / 8 + 1)
+    // the fixture must genuinely exercise cross-window state folding:
+    // several windows, and users whose history SPANS windows
+    val nWindows = events.select(floor(col("event_id") / span)).distinct().count()
+    assert(nWindows > 1, s"fixture spans only $nWindows window(s)")
+    val spanning = events
+      .select(col("user_id"), floor(col("event_id") / span).as("w")).distinct()
+      .groupBy(col("user_id")).count().filter(col("count") > 1).count()
+    assert(spanning > 0, "no user spans multiple windows")
+    val mono = graft.operators.Relational.ewmaByUser(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val windowed = graft.operators.Relational.ewmaByUserWindowed(events, span)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(windowed == mono, "windowed fold diverges from the monolithic fold")
+  }
+
+  test("windowed EWMA: window gaps and late-starting users fold correctly") {
+    import spark.implicits._
+    val events = Seq(
+      (0L, 1L, 4.0), (1L, 1L, 2.0), // user 1, window 0
+      (9L, 1L, 8.0),                // user 1, window 3 — windows 1-2 are a gap
+      (7L, 2L, 7.0))                // user 2 first appears in window 2
+      .toDF("event_id", "user_id", "value")
+    val out = graft.operators.Relational.ewmaByUserWindowed(events, span = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, 5.5)), s"user 1: ${out(1L)}") // ((4+2)/2 + 8)/2
+    assert(out(2L) == ((1L, 7.0)), s"user 2: ${out(2L)}")
+  }
+
+  test("prefix-filtered jaccard twin holds at NON-default thresholds (unrounded size filter)") {
+    // r10 advice: math.round(t*100) made the size-ratio filter STRICTER
+    // than J >= t requires for t not a multiple of 0.01 (and double
+    // rounding could shorten the prefix at exact-integer t*sz), breaking
+    // the output-identical contract at boundary sizes. The reference here
+    // is definitional: exact Jaccard over the same gram sets under the
+    // same (lang, len-bucket) blocking, computed in plain Scala.
+    val docs = graft.Tables.documents(spark, sfDir)
+    val block = docs.select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 100).as("b")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val gramSets = H.charGramIds(docs, lower(col("text")), 4)
+      .select(col("doc_id"), col("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, g) => id -> g.map(_._2).toSet }
+    val ids = gramSets.keys.toSeq.sorted
+    Seq(0.625, 0.55, 0.617).foreach { t =>
+      val expected = (for {
+        i <- ids.indices.iterator; j <- (i + 1) until ids.length
+        a = ids(i); b = ids(j)
+        if block(a) == block(b)
+        n = (gramSets(a) & gramSets(b)).size.toDouble
+        if n / (gramSets(a).size + gramSets(b).size - n) >= t
+      } yield (a, b)).toSet
+      val got = graft.operators.Dedup.ngramJaccardPrefixFiltered(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"t=$t: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
+  test("media sniff: tkhd v1 reads dims at the v1 offsets — matrix bytes never type as dims") {
+    import graft.operators.{Multimodal => M}
+    def mp4V1(w: Int, h: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(136).order(java.nio.ByteOrder.BIG_ENDIAN)
+      def box(size: Int, tpe: String): Unit = { out.putInt(size); out.put(tpe.getBytes("US-ASCII")) }
+      box(16, "ftyp"); out.put("isom".getBytes("US-ASCII")); out.putInt(0x200)
+      box(120, "moov"); box(112, "trak"); box(104, "tkhd")
+      out.putInt(0x01000000) // version 1 + flags
+      out.putLong(0L); out.putLong(0L) // ctime/mtime widen to 64 bits
+      out.putInt(7); out.putInt(0) // track id + reserved
+      out.putLong(0L) // duration (64-bit)
+      out.putLong(0L) // reserved
+      out.putShort(0); out.putShort(0); out.putShort(0); out.putShort(0)
+      // NON-trivial matrix: the v0 dim offsets (+76/+80) land inside
+      // these 36 bytes — a v0-offset read would report them as dims
+      (0 until 9).foreach(i => out.putInt(0x00010000 * (i + 1)))
+      out.putInt(w << 16); out.putInt(h << 16)
+      out.array()
+    }
+    assert(M.sniffMedia(mp4V1(64, 48)) == (("mp4", 64L, 48L)))
+    // unknown tkhd version: degrade to (0,0), never guess an offset
+    val v2 = M.encodeMp4Header(32, 24)
+    v2(40) = 2 // version byte of the tkhd payload (16+8+8+8 = offset 40)
+    assert(M.sniffMedia(v2) == (("mp4", 0L, 0L)))
+  }
+
+  test("media sniff: EXIF orientation 5-8 swaps JPEG dims; 1-4 keeps them; malformed EXIF degrades") {
+    import graft.operators.{Multimodal => M}
+    val base = ImageCodec.encodeGrayJpeg(10, 6)((x, y) => (x + y) % 256)
+    assert(M.sniffMedia(base) == (("jpeg", 10L, 6L)), "no EXIF: SOF dims")
+    (1 to 8).foreach { o =>
+      Seq(true, false).foreach { le =>
+        val got = M.sniffMedia(M.spliceExifOrientation(base, o, le))
+        val want = if (o >= 5) ("jpeg", 6L, 10L) else ("jpeg", 10L, 6L)
+        assert(got == want, s"orientation=$o littleEndian=$le: $got")
+      }
+    }
+    val spliced = M.spliceExifOrientation(base, 6, littleEndian = true)
+    // truncation inside the APP1 segment: type degrades, never throws
+    M.sniffMedia(spliced.take(20))
+    // IFD offset pointing past the segment: orientation stays default
+    val bad = spliced.clone()
+    bad(16) = 0x7f.toByte // TIFF at 12; IFD-offset bytes at 16..19 (LE)
+    assert(M.sniffMedia(bad) == (("jpeg", 10L, 6L)), "bad IFD offset must keep default orientation")
+  }
+
+  test("IVF-PQ refresh rejects a dirty arrivals batch BEFORE any publish — the index never tears") {
+    import graft.operators.{Publish, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-dirty").toString
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val initial = e.filter(col("vec_id") % 7 =!= 3)
+    val r1 = Similarity.publishIvfPqIndex(initial, root, token = "v1build")
+    assert(r1.size == 3 && r1.forall(_.published), s"initial publish failed: $r1")
+    // an INTERNAL duplicate id: encodePq's groupBy collapses it while a
+    // raw-count audit counts it twice — r10's publish-then-audit ordering
+    // advanced lists/books to N+1 before the codes audit failed, leaving
+    // the version triple permanently torn. The batch must be rejected
+    // while everything still sits at version 1.
+    val held = e.filter(col("vec_id") % 7 === 3)
+    val dirty = held.unionByName(held.limit(1))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.refreshIvfPqIndex(spark, root, dirty, token = "v2dirty")
+    }
+    assert(err.getMessage.contains("duplicate vec_ids within"),
+      s"wrong rejection: ${err.getMessage}")
+    Seq("lists", "books", "codes").foreach { t =>
+      assert(Publish.currentVersion(spark, s"$root/$t").contains(1L),
+        s"$t advanced past the rejected refresh")
+    }
+    // the untorn index still answers queries
+    val n = Similarity.ivfPqTopKFromIndex(spark, root, initial,
+      e.filter(col("vec_id") < 10), k = 5, refine = 200, nProbe = 4).count()
+    assert(n > 0, "index unreadable after rejected refresh")
   }
 
   test("misra-gries (x17): serialize survives keys past writeUTF's 65535-byte limit") {
