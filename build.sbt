@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A full bench pass JIT-compiles ~1800 generated classes (measured,
+  // CacheProbe r11); three passes approach the JDK's default 240 MB
+  // code cache, and a full cache stops JIT compilation cold — the
+  // plausible mechanism behind r10's unexplained uniform s5 smear
+  // (solo and single-pass-warm runs measure in-band at 0.5-1.3 s with
+  // ZERO Spark codegen-cache recompiles, so the pressure is JVM-level,
+  // not Spark-level). Headroom is cheap; reserve it.
+  "-XX:ReservedCodeCacheSize=512m",
 )
