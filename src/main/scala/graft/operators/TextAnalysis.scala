@@ -2506,7 +2506,162 @@ object TextAnalysis {
       FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
       ORDER BY d.doc_id"""))
 
+  /** E32's core: URL CANONICALIZATION — the dedup key every web-scale
+    * corpus pipeline computes before anything content-based runs
+    * (CCNet/RefinedWeb dedup by normalized URL first; it is the cheapest
+    * dedup signal there is). Rules, applied to absolute http(s) URLs:
+    * lowercase scheme and host, strip the default port (80/443 for its
+    * scheme; non-default ports are IDENTITY and kept), drop the
+    * fragment, drop tracking params (utm_*, fbclid, gclid, ref), sort
+    * the surviving query params byte-wise, strip trailing slashes on
+    * non-root paths. A pure narrow codegen projection (regexp + array
+    * ops — no UDF, no shuffle), so canonicalizing a 100 TB url column is
+    * scan-bound and the same column attaches to a stream unchanged (the
+    * A28 stateless class).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(rest, "^([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portSuffix = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathQ = regexp_replace(rest, "^[^/?#]*", "")
+    val trimmedPath = regexp_replace(regexp_extract(pathQ, "^([^?]*)", 1), "/+$", "")
+    val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    val params = filter(split(regexp_extract(pathQ, "\\?(.*)$", 1), "&"), p =>
+      p =!= "" && !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p.startsWith("ref=")))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, portSuffix, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** URL dedup over the canonical key: one canon_url-keyed window pass
+    * emits the group size and the min-doc_id keep flag (the d1 exact-
+    * dedup contract applied to the URL axis). The key is data-dependent
+    * and corpus-growing, so the window spreads — never the guarded
+    * enum-window class.
+    */
+  def urlCanonicalDedup(urls: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("canon_url"))
+    urls.select(col("doc_id"), canonicalizeUrl(col("url")).as("canon_url"))
+      .select(col("doc_id"), col("canon_url"),
+        count(lit(1)).over(w).as("group_size"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // E32 — URL canonicalize + dedup. The fixture derives a DIRTY absolute
+  // URL per doc from doc_id arithmetic (the m14 planted-header
+  // convention): mixed-case scheme/host, default port to strip vs
+  // non-default port to keep, trailing slash, out-of-order query params
+  // behind a tracking param, fragment — with doc_id%50 as the canonical
+  // identity so ~10 docs collide per canonical URL. Spark CANONICALIZES
+  // THE DIRTY STRING with the real parser; the oracle recomputes the
+  // expected canonical form from doc_id arithmetic alone — the hash
+  // match proves the plant → canonicalize round trip.
+  private val t32 = Relational.Q(
+    "t32_url_canonicalize",
+    (s, d) => {
+      val k = (col("doc_id") % 50).cast("string")
+      val dirty = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, concat(lit("Site"), k, lit(".Example.COM")))
+          .otherwise(concat(lit("site"), k, lit(".example.com"))),
+        when(col("doc_id") % 5 === 0, lit(":443"))
+          .when(col("doc_id") % 5 === 1, lit(":8443"))
+          .otherwise(lit("")),
+        lit("/docs/"), ((col("doc_id") % 50) % 7).cast("string"),
+        when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=feed&")).otherwise(lit("?")),
+        lit("b="), ((col("doc_id") % 50) % 3).cast("string"),
+        lit("&a="), ((col("doc_id") % 50) % 5).cast("string"),
+        when(col("doc_id") % 6 === 0, lit("#top")).otherwise(lit("")))
+      urlCanonicalDedup(Tables.documents(s, d).select(col("doc_id"), dirty.as("url")))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+          'https://site' || (doc_id % 50) || '.example.com' ||
+          (CASE WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END) ||
+          '/docs/' || ((doc_id % 50) % 7) ||
+          '?a=' || ((doc_id % 50) % 5) || '&b=' || ((doc_id % 50) % 3) AS canon_url
+        FROM documents)
+      SELECT doc_id, canon_url,
+        COUNT(*) OVER (PARTITION BY canon_url) AS group_size,
+        doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS keep
+      FROM c ORDER BY doc_id"""))
+
+  /** E33's core: per-doc CHARACTER SHANNON ENTROPY (bits/char) — the
+    * compressibility quality signal that catches what token-level
+    * filters can't: base64/hex blobs and minified payloads score HIGH
+    * (near log2 of the alphabet), repeated-character spam scores LOW;
+    * natural language sits in a stable 3.5-4.5 band. The oracle-checked
+    * complement to t24's deflate ratio (whose compressor bytes are not
+    * SQL-replayable). H = Σ (c/n)·ln(n/c) / ln 2 over the per-doc char
+    * histogram; the fold runs in char-sorted order (the q53/t21 pinned
+    * fold) and ln 2 is the shared LITERAL 0.6931471805599453 so both
+    * engines divide by the identical double. Scale: one explode + two
+    * map-side-combinable aggregates; the per-doc term list is bounded
+    * by the ALPHABET, not the doc.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val Ln2 = 0.6931471805599453
+    val cc = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val per = cc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(struct(col("ch"), col("c")))).as("cs"))
+    val nD = col("n").cast("double")
+    val hBits = aggregate(col("cs"), lit(0.0), (acc, x) =>
+      acc + (x.getField("c").cast("double") / nD) *
+        log(nD / x.getField("c").cast("double"))) / lit(Ln2)
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_chars_counted"),
+        coalesce(col("n_distinct"), lit(0L)).cast("long").as("n_distinct_chars"),
+        r4(coalesce(hBits, lit(0.0))).as("h_bits"))
+      .withColumn("low_entropy", col("n_chars_counted") > 0 && col("h_bits") < 2.0)
+      .orderBy(col("doc_id"))
+  }
+
+  // E33 — char entropy, FULL oracle (pinned fold order + shared ln2
+  // literal; r4 absorbs cross-engine ln ulp drift, the t11 precedent).
+  private val t33 = Relational.Q(
+    "t33_char_entropy",
+    (s, d) => charEntropy(Tables.documents(s, d)),
+    Some(s"""
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2),
+      per AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_distinct,
+          list_sort(list({'ch': ch, 'c': c})) AS cs
+        FROM cc GROUP BY doc_id),
+      h AS (
+        SELECT doc_id, n, n_distinct,
+          ${r4Sql("""COALESCE(list_reduce(list_prepend(0.0, list_transform(cs,
+            x -> (CAST(x['c'] AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(n AS DOUBLE) / CAST(x['c'] AS DOUBLE)))),
+            (a, b) -> a + b) / 0.6931471805599453, 0.0)""")} AS h_bits
+        FROM per)
+      SELECT d.doc_id,
+        COALESCE(h.n, 0) AS n_chars_counted,
+        COALESCE(h.n_distinct, 0) AS n_distinct_chars,
+        COALESCE(h.h_bits, 0.0) AS h_bits,
+        COALESCE(h.n, 0) > 0 AND COALESCE(h.h_bits, 0.0) < 2.0 AS low_entropy
+      FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33)
 }

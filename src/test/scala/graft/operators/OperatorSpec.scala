@@ -3679,6 +3679,68 @@ class OperatorSpec extends SparkSpec {
     assert(n > 0, "index unreadable after rejected refresh")
   }
 
+  test("url canonicalization (t32): every rule on hand cases; dedup groups planted collisions") {
+    import spark.implicits._
+    import graft.operators.{TextAnalysis => T}
+    val cases = Seq(
+      // scheme+host case, default port, fragment, tracking params, unsorted query
+      ("HTTPS://WWW.Example.COM:443/a/b?utm_source=x&b=2&a=1#frag",
+        "https://www.example.com/a/b?a=1&b=2"),
+      // non-default port KEPT; trailing slash stripped
+      ("http://site.org:8080/path/", "http://site.org:8080/path"),
+      // default http port stripped; empty path -> root
+      ("http://Host.Net:80", "http://host.net/"),
+      // only tracking params -> no query at all; multiple trailing slashes
+      ("https://a.b/c///?gclid=1&fbclid=2&ref=z", "https://a.b/c"),
+      // root with slash stays root; params sort byte-wise
+      ("https://x.y/?z=1&y=2&x=3", "https://x.y/?x=3&y=2&z=1"))
+    val got = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("doc_id", "url")
+      .select(col("doc_id"), T.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) == want, s"$in -> ${got(i.toLong)} (want $want)")
+    }
+    // dedup: three spellings of one URL collapse to one group, keep = min id
+    val urls = Seq(
+      (1L, "https://D.e/p?b=2&a=1"),
+      (2L, "HTTPS://d.E:443/p/?a=1&b=2#x"),
+      (3L, "https://d.e/p?utm_source=s&b=2&a=1"),
+      (9L, "https://other.site/q")).toDF("doc_id", "url")
+    val out = T.urlCanonicalDedup(urls).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == (("https://d.e/p?a=1&b=2", 3L, true)), s"${out(1L)}")
+    assert(out(2L)._2 == 3L && !out(2L)._3)
+    assert(out(3L)._2 == 3L && !out(3L)._3)
+    assert(out(9L)._2 == 1L && out(9L)._3)
+  }
+
+  test("char entropy (t33): hand-computed values, extremes, and empty text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aabb"),            // two symbols, equal: exactly 1 bit
+      (2L, "aaaa"),            // one symbol: 0 bits, low_entropy
+      (3L, "abcdefgh"),        // 8 distinct once each: exactly 3 bits
+      (4L, ""),                // empty: 0 counted, NOT flagged (no evidence)
+      (5L, "ababababab"))      // alternation is still 1 bit (order-free)
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((4L, 2L, 1.0, true)), s"${out(1L)}")
+    assert(out(2L) == ((4L, 1L, 0.0, true)), s"${out(2L)}")
+    assert(out(3L) == ((8L, 8L, 3.0, false)), s"${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0.0, false)), s"${out(4L)}")
+    assert(out(5L) == ((10L, 2L, 1.0, true)), s"${out(5L)}")
+    // natural-language fixture text sits in the published 3.5-4.5 band
+    // for long docs — the signal separates prose from blobs
+    val corpus = graft.operators.TextAnalysis.charEntropy(
+      graft.Tables.documents(spark, sfDir)).filter(col("n_chars_counted") >= 200)
+    val band = corpus.filter(col("h_bits") >= 3.0 && col("h_bits") <= 5.0).count()
+    val total = corpus.count()
+    assert(total > 0 && band.toDouble / total >= 0.9,
+      s"prose band: $band/$total docs in [3,5] bits")
+  }
+
   test("misra-gries (x17): serialize survives keys past writeUTF's 65535-byte limit") {
     import spark.implicits._
     // one heavy key whose UTF-8 encoding is ~80k bytes, spread over many

@@ -535,6 +535,37 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL canonicalization (A50): the batch column runs unchanged on a stream") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the A28 attach class: canonicalizeUrl is a stateless narrow codegen
+    // projection, so the LITERAL batch column normalizes arriving URLs
+    // with no twin code, no state store, no watermark
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/a/b?utm_source=x&b=2&a=1#frag"),
+      (2L, "http://site.org:8080/path/"),
+      (3L, "https://a.b/c///?gclid=1&fbclid=2"),
+      (4L, "https://x.y/?z=1&y=2&x=3"))
+    val src = MemoryStream[(Long, String)]
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(col("_1").as("doc_id"),
+      graft.operators.TextAnalysis.canonicalizeUrl(col("_2")).as("canon_url"))
+    val q = canon(src.toDS().toDF())
+      .writeStream.format("memory").queryName("url_stream_test")
+      .outputMode("append").start()
+    try {
+      src.addData(urls.take(2): _*)
+      q.processAllAvailable()
+      src.addData(urls.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("url_stream_test").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = canon(urls.toDF()).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming Gopher gate (A36): the batch rules run unchanged on a stream, flags identical") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
