@@ -2661,7 +2661,77 @@ object TextAnalysis {
         COALESCE(h.n, 0) > 0 AND COALESCE(h.h_bits, 0.0) < 2.0 AS low_entropy
       FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id"""))
 
+  /** E34's core: HTML → TEXT extraction — the stage between a raw web
+    * crawl and every text operator in this pack (the simplified
+    * trafilatura/jusText class; a pipeline that can't strip markup has
+    * no text to dedup or score). Contract, in order: drop the whole
+    * <head> (titles/meta never leak into training text), drop
+    * <script>/<style> blocks (code and CSS are not prose), replace
+    * block-level tags with a space (so adjacent blocks don't weld into
+    * one word), strip remaining tags, decode the five core entities
+    * (&lt; &gt; &quot; &nbsp; then &amp; LAST — decoding amp first
+    * would double-decode "&amp;lt;"), collapse whitespace runs, trim.
+    * Simplifications are documented contract: attribute values
+    * containing '>' and CDATA are out of scope (the fixture never
+    * emits them; real crawls route through a proper parser at the
+    * decode seam). A stateless narrow codegen projection (regex chain,
+    * no UDF) — extracting a 100 TB html column is scan-bound and
+    * attaches to a stream unchanged (the A28/A50 class).
+    */
+  def htmlToText(html: Column): Column = {
+    val noHead = regexp_replace(html, "(?is)<head\\b.*?</head>", " ")
+    val noScript = regexp_replace(noHead, "(?is)<script\\b.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style>", " ")
+    val blocks = regexp_replace(noStyle,
+      "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|table|section|article)\\b[^>]*>", " ")
+    val stripped = regexp_replace(blocks, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(stripped, "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+      "&quot;", "\""), "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  // E34 — HTML extraction. The fixture WRAPS each doc's real text in
+  // deterministic HTML (head with title+style, a body script, block
+  // structure, the text html-ESCAPED on the way in, and for doc_id%3==0
+  // an entity-bearing extra paragraph), so extraction must drop the
+  // head/script, strip structure, and decode entities to recover
+  // exactly the original text — and the oracle recomputes the expected
+  // string from the RAW text by formula (the m14 plant convention): the
+  // hash proves the escape → wrap → extract round trip byte-for-byte.
+  private val t34 = Relational.Q(
+    "t34_html_extract",
+    (s, d) => {
+      val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val extra = when(col("doc_id") % 3 === 0,
+        lit("<p>&amp; &lt;tag&gt; &quot;q&quot;&nbsp;</p>")).otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title>t"), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style></head><body><script>var x="),
+        col("doc_id").cast("string"),
+        lit(";</script><div class=\"main\"><p>"), esc,
+        lit("</p></div>"), extra, lit("</body></html>"))
+      val extracted = htmlToText(html)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(extracted).cast("long").as("n_chars_extracted"),
+          md5(extracted).as("extracted_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT doc_id,
+          trim(regexp_replace(
+            text || (CASE WHEN doc_id % 3 = 0 THEN ' & <tag> "q" ' ELSE '' END),
+            '\s+', ' ', 'g')) AS expected
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(expected) AS BIGINT) AS n_chars_extracted,
+        md5(expected) AS extracted_hash
+      FROM e ORDER BY doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32, t33)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34)
 }

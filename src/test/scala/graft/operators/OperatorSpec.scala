@@ -3741,6 +3741,45 @@ class OperatorSpec extends SparkSpec {
       s"prose band: $band/$total docs in [3,5] bits")
   }
 
+  test("html extraction (t34): head/script/style dropped, blocks separate, entities decode in safe order") {
+    import spark.implicits._
+    import graft.operators.{TextAnalysis => T}
+    val cases = Seq(
+      // head content (title) must NOT leak; script/style bodies dropped
+      ("<html><head><title>SEO junk</title></head><body><p>real text</p>" +
+        "<script>var a='<p>not text</p>';</script><style>p{x:1}</style></body></html>",
+        "real text"),
+      // adjacent blocks do not weld into one word
+      ("<div>alpha</div><div>beta</div><ul><li>one</li><li>two</li></ul>",
+        "alpha beta one two"),
+      // inline tags strip; attributes with no '>' inside are handled
+      ("""<p>click <a href="http://x.y/z" class="btn">here</a> now</p>""",
+        "click here now"),
+      // entity decode order: &amp;lt; must yield literal "&lt;", not "<"
+      ("<p>&amp;lt; &lt;b&gt; &quot;q&quot;&nbsp;end</p>", "&lt; <b> \"q\" end"),
+      // whitespace runs collapse; case-insensitive tags
+      ("<P>  a\n\n  b\t c </P>", "a b c"))
+    val got = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("doc_id", "html")
+      .select(col("doc_id"), T.htmlToText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) == want, s"[$in] -> [${got(i.toLong)}] (want [$want])")
+    }
+    // round trip on real corpus text: escape -> wrap -> extract recovers
+    // the whitespace-collapsed original byte-for-byte
+    val docs = graft.Tables.documents(spark, sfDir).limit(50)
+    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val wrapped = concat(lit("<html><head><title>x</title></head><body><p>"),
+      esc, lit("</p></body></html>"))
+    val diff = docs.select(
+        T.htmlToText(wrapped).as("got"),
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("want"))
+      .filter(col("got") =!= col("want")).count()
+    assert(diff == 0, "extraction round trip diverged on corpus text")
+  }
+
   test("misra-gries (x17): serialize survives keys past writeUTF's 65535-byte limit") {
     import spark.implicits._
     // one heavy key whose UTF-8 encoding is ~80k bytes, spread over many
