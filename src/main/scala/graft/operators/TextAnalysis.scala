@@ -2508,8 +2508,12 @@ object TextAnalysis {
 
   /** E32's core: URL CANONICALIZATION — the dedup key every web-scale
     * corpus pipeline computes before anything content-based runs
-    * (CCNet/RefinedWeb dedup by normalized URL first; it is the cheapest
-    * dedup signal there is). Rules, applied to absolute http(s) URLs:
+    * (CCNet, Wenzek et al. 2020; RefinedWeb, Penedo et al. 2023 — both
+    * dedup by normalized URL first; it is the cheapest dedup signal
+    * there is). The rules are RFC 3986 §6's syntax-based normalization
+    * (case, default port) plus the web-pipeline conventions (fragment,
+    * tracking params, param order, trailing slash). Applied to absolute
+    * http(s) URLs:
     * lowercase scheme and host, strip the default port (80/443 for its
     * scheme; non-default ports are IDENTITY and kept), drop the
     * fragment, drop tracking params (utm_*, fbclid, gclid, ref), sort
@@ -2599,7 +2603,8 @@ object TextAnalysis {
         doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS keep
       FROM c ORDER BY doc_id"""))
 
-  /** E33's core: per-doc CHARACTER SHANNON ENTROPY (bits/char) — the
+  /** E33's core: per-doc CHARACTER SHANNON ENTROPY (bits/char;
+    * Shannon 1948, "A Mathematical Theory of Communication") — the
     * compressibility quality signal that catches what token-level
     * filters can't: base64/hex blobs and minified payloads score HIGH
     * (near log2 of the alphabet), repeated-character spam scores LOW;
@@ -2663,7 +2668,7 @@ object TextAnalysis {
 
   /** E34's core: HTML → TEXT extraction — the stage between a raw web
     * crawl and every text operator in this pack (the simplified
-    * trafilatura/jusText class; a pipeline that can't strip markup has
+    * trafilatura (Barbaresi 2021) / jusText (Pomikálek 2011) class; a pipeline that can't strip markup has
     * no text to dedup or score). Contract, in order: drop the whole
     * <head> (titles/meta never leak into training text), drop
     * <script>/<style> blocks (code and CSS are not prose), replace
