@@ -1035,6 +1035,64 @@ object Sketching {
       WHERE e.exact_cnt > t.n_total // 41
       ORDER BY exact_cnt DESC, word"""))
 
+  // I18 — MERGEABLE quantiles (round 11): the x4 mergeable-HLL story
+  // applied to rank queries, which neither x2 (GK state is engine-
+  // internal and not unionable from SQL) nor x12 (fixed bins assume the
+  // value range up front) provides: build one small MRL sketch per
+  // partition/day ONCE, store it, answer any-grain quantile questions
+  // later by UNIONING sketches instead of rescanning raw data. Here:
+  // per-priority o_totalprice sketches → one union → global median/p90,
+  // gated by the x1 bounds-oracle scheme (k=1024 → rank error <= L/k
+  // ~ 0.8% under ANY merge order — the deterministic MRL bound is what
+  // makes a shuffle-order-dependent estimate safe to gate); the oracle
+  // replays the exact percentiles and pins within_tol TRUE. Production
+  // at 100 TB stores the per-partition sketches and never runs the
+  // exact leg — the benched entry (benchFn) is the sketch path alone.
+  private val x18 = Relational.Q(
+    "x18_mergeable_quantiles",
+    (s, d) => {
+      import graft.functions.{MrlQuantile, MrlSketchAgg, MrlUnionAgg}
+      val partials = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(MrlSketchAgg(col("o_totalprice"), 1024).as("sk"),
+          count(lit(1)).as("n_orders"))
+      val exact = Tables.orders(s, d)
+        .agg(expr("percentile(o_totalprice, 0.5)").as("em"),
+          expr("percentile(o_totalprice, 0.90)").as("ep"))
+      partials
+        .agg(MrlUnionAgg(col("sk")).as("u"),
+          count(lit(1)).as("n_partial_sketches"),
+          sum(col("n_orders")).as("n_orders"))
+        .select(MrlQuantile(col("u"), 0.5).as("am"),
+          MrlQuantile(col("u"), 0.90).as("ap"),
+          col("n_partial_sketches"), col("n_orders"))
+        .crossJoin(broadcast(exact))
+        .select(col("n_partial_sketches"), col("n_orders"),
+          r2(col("em")).as("median"), r2(col("ep")).as("p90"),
+          (abs(col("am") - col("em")) <= lit(0.05) * col("em") &&
+            abs(col("ap") - col("ep")) <= lit(0.05) * col("ep")).as("within_tol"))
+    },
+    Some(s"""
+      SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_partial_sketches,
+        COUNT(*) AS n_orders,
+        ${r2Sql("quantile_cont(o_totalprice, 0.5)")} AS median,
+        ${r2Sql("quantile_cont(o_totalprice, 0.90)")} AS p90,
+        TRUE AS within_tol
+      FROM orders"""),
+    benchFn = Some((s, d) => {
+      import graft.functions.{MrlQuantile, MrlSketchAgg, MrlUnionAgg}
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(MrlSketchAgg(col("o_totalprice"), 1024).as("sk"),
+          count(lit(1)).as("n_orders"))
+        .agg(MrlUnionAgg(col("sk")).as("u"),
+          count(lit(1)).as("n_partial_sketches"),
+          sum(col("n_orders")).as("n_orders"))
+        .select(col("n_partial_sketches"), col("n_orders"),
+          MrlQuantile(col("u"), 0.5).as("est_median"),
+          MrlQuantile(col("u"), 0.90).as("est_p90"))
+    }))
+
   val all: Seq[Relational.Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12,
-    x13, x14, x15, x16, x17)
+    x13, x14, x15, x16, x17, x18)
 }

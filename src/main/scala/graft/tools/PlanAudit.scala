@@ -66,6 +66,7 @@ object PlanAudit {
     "x3_heavy_hitters" -> "hashed-bucket aggregate: width 1024 rows max (constant)",
     "x4_sketch_union" -> "one-row exact-distinct aggregate for the bounds-oracle within_tol leg (the t9/q48 shape; gate-only — production runs the estimate alone)",
     "x17_misra_gries" -> "one-row n_total aggregate + the <=k-row sketch frame (both parameter-bounded; the bounds-oracle gate legs)",
+    "x18_mergeable_quantiles" -> "one-row exact-percentile aggregate for the bounds-oracle within_tol leg (the x4 shape; gate-only — production unions stored sketches)",
     "d8_decontaminate" -> "benchmark-slice gram frame: bounded by the eval suite, a separate tiny table at 100 TB",
     "d23_contamination_share" -> "benchmark-slice gram frame (the d8 class): bounded by the eval suite, a separate tiny table at 100 TB",
     "d14_domain_governance" -> "one-row post-dedup total aggregate (the t9/q48 shape)",
@@ -351,7 +352,9 @@ object PlanAudit {
       "x4_sketch_union" ->
         "crossJoin(broadcast(<one-row exact-distinct frame>)) onto the one-row union-estimate frame (bounds-oracle gate leg)",
       "x17_misra_gries" ->
-        "crossJoin(broadcast(<one-row n_total frame>)) for the deficit threshold (the t9/t11 class)")
+        "crossJoin(broadcast(<one-row n_total frame>)) for the deficit threshold (the t9/t11 class)",
+      "x18_mergeable_quantiles" ->
+        "crossJoin(broadcast(<one-row exact-percentile frame>)) onto the one-row union-estimate frame (the x4 bounds-oracle gate shape)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

@@ -586,4 +586,75 @@ class SketchingSpec extends SparkSpec {
       s"HLL estimate $est vs exact $exact out of band")
   }
 
+  test("MRL sketch (x18): rank-error bound holds on seeded random data at several sizes") {
+    import graft.functions.MrlState
+    val rnd = new scala.util.Random(7)
+    Seq(500, 5000, 60000).foreach { n =>
+      val data = Array.fill(n)(math.floor(rnd.nextDouble() * 1e6) / 100.0)
+      val k = 256
+      val st = new MrlState(k)
+      data.foreach(st.add)
+      val sorted = data.sorted
+      val levels = math.max(1, (math.log(n.toDouble / k) / math.log(2.0)).ceil.toInt + 1)
+      val bound = (levels.toLong * n) / k + 1 // L·n/k, the MRL worst case
+      Seq(0.1, 0.5, 0.9, 0.99).foreach { q =>
+        val est = st.quantile(q)
+        // exact rank of the estimate vs the target rank
+        val rank = sorted.count(_ <= est)
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        assert(math.abs(rank - target) <= bound,
+          s"n=$n q=$q: rank $rank vs target $target exceeds L*n/k=$bound")
+      }
+      // weighted count invariant: compaction preserves total weight
+      val totalWeight = st.levels.zipWithIndex.map { case (b, l) => b.size.toLong << l }.sum
+      assert(totalWeight == n, s"weighted count $totalWeight != n=$n")
+      // state stays small: capacity k per level over ~log2(n/k)+2 levels
+      assert(st.levels.map(_.size).sum <= k * (levels + 2),
+        s"state ${st.levels.map(_.size).sum} exceeds k*(L+2)")
+    }
+  }
+
+  test("MRL sketch (x18): union of partial sketches answers within the same bound; serde round-trips") {
+    import graft.functions.MrlState
+    val rnd = new scala.util.Random(11)
+    val n = 40000
+    val k = 256
+    val data = Array.fill(n)(math.floor(rnd.nextDouble() * 1e6) / 100.0)
+    // 8 partials built independently (the stored-per-day shape), unioned
+    val parts = data.grouped(5000).map { chunk =>
+      val s = new MrlState(k); chunk.foreach(s.add); s
+    }.toSeq
+    val bytes = parts.map(_.serialize())
+    val union = bytes.map(MrlState.deserialize)
+      .reduce((a, b) => a.merge(b))
+    assert(union.n == n)
+    val sorted = data.sorted
+    val levels = (math.log(n.toDouble / k) / math.log(2.0)).ceil.toInt + 1
+    val bound = (levels.toLong * n) / k + 1
+    Seq(0.25, 0.5, 0.75).foreach { q =>
+      val rank = sorted.count(_ <= union.quantile(q))
+      val target = math.ceil(q * n).toLong
+      assert(math.abs(rank - target) <= bound,
+        s"union q=$q: rank $rank vs target $target exceeds $bound")
+    }
+    // serde identity: levels, parity, and count survive a round trip
+    val rt = MrlState.deserialize(union.serialize())
+    assert(rt.n == union.n && rt.k == union.k)
+    assert(rt.levels.map(_.toList) == union.levels.map(_.toList))
+    assert(rt.parity.toList == union.parity.toList)
+    // mismatched k refuses loudly
+    val other = new MrlState(128); other.add(1.0)
+    val big = new MrlState(256); big.add(2.0)
+    intercept[IllegalArgumentException](big.merge(other))
+  }
+
+  test("mergeable quantiles (x18): driver frame gates within 5%; union path == query answer shape") {
+    val row = graft.SparkEntry.queries("x18_mergeable_quantiles")(spark, sf).head()
+    assert(row.getLong(0) == 5L, s"partials: $row") // 5 order priorities
+    assert(row.getBoolean(4), s"within_tol must hold: $row")
+    // the benched production path emits sane estimates (no exact leg)
+    val b = graft.SparkEntry.benchQueries("x18_mergeable_quantiles")(spark, sf).head()
+    assert(b.getLong(0) == 5L && !b.isNullAt(2) && !b.isNullAt(3))
+    assert(b.getDouble(2) <= b.getDouble(3), "median must not exceed p90")
+  }
 }
