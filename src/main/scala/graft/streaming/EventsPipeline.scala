@@ -99,6 +99,32 @@ object EventsPipeline {
         round(graft.operators.Sketching.kmvCardinalityEstimate(col("sk"), k))
           .cast("long").as("distinct_users"))
 
+  /** A51 — STREAMING windowed quantiles via the MRL mergeable sketch
+    * (batch x18's twin; the A34 pattern with
+    * [[graft.functions.MrlSketchAgg]] as the aggregate): per (window,
+    * event_type) the stream maintains one compactor-hierarchy sketch —
+    * state is parameter-bounded (k doubles per level over ~log2(n/k)
+    * levels), the watermark evicts closed windows, and the emitted
+    * BINARY sketch column keeps mrl_union-merging downstream without
+    * raw data (the whole point of mergeability: the stream emits
+    * per-window partials, any later grain is a union). The estimate
+    * columns read the per-window sketch in place; the MRL rank bound
+    * L·n/k holds under any micro-batch slicing because merge order
+    * never affects it (the x18 contract).
+    */
+  def mrlWindowedQuantiles(events: DataFrame, k: Int = 256,
+      windowDur: String = "1 minute", watermark: String = "2 minutes"): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("win"), col("event_type"))
+      .agg(graft.functions.MrlSketchAgg(col("value"), k).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("sk"), col("n_events"),
+        graft.functions.MrlQuantile(col("sk"), 0.5).as("est_median"),
+        graft.functions.MrlQuantile(col("sk"), 0.9).as("est_p90"))
+
   /** A43 — STREAMING windowed distinct via the exactly-replayable HLL
     * registers (batch x15's twin; the A34 pattern with
     * [[graft.functions.HllRegisters]] as the aggregate): where A26's

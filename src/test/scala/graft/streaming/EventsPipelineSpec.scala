@@ -104,6 +104,52 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MRL windowed quantiles (A51): per-window estimates hold the rank bound over micro-batch slicing") {
+    // unlike A34/A43 the MRL sketch is NOT bit-equal across slicings
+    // (compaction survivors depend on merge order) — its contract is the
+    // DETERMINISTIC rank bound L*n/k, which holds under ANY merge order;
+    // the spec checks every emitted per-(window, type) estimate against
+    // the exact sorted values at that bound
+    val batchEvents = Tables.events(spark, "/root/testdata/sf0.01")
+    val dir = Files.createTempDirectory("graft-mrlstream").toString
+    val K = 256
+    batchEvents.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventsPipeline.mrlWindowedQuantiles(stream, k = K, windowDur = "30 days")
+      .writeStream.format("memory").queryName("mrl_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mrl_stream_test").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          ((r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+      assert(streamed.nonEmpty)
+      val exact = batchEvents.filter(col("value").isNotNull)
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), "30 days").as("win"),
+          col("event_type"))
+        .agg(collect_list(col("value")).as("vs"))
+        .collect().map(r => (r.getStruct(0).getTimestamp(0), r.getString(1)) ->
+          r.getSeq[Double](2).toArray.sorted).toMap
+      assert(streamed.keySet == exact.keySet)
+      streamed.foreach { case (key, (n, med, p90)) =>
+        val vs = exact(key)
+        assert(n == vs.length, s"$key count $n vs ${vs.length}")
+        val levels = math.max(1,
+          (math.log(math.max(2.0, vs.length.toDouble / K)) / math.log(2.0)).ceil.toInt + 1)
+        val bound = (levels.toLong * vs.length) / K + 1
+        Seq((med, 0.5), (p90, 0.9)).foreach { case (est, qq) =>
+          val rank = vs.count(_ <= est)
+          val target = math.max(1L, math.ceil(qq * vs.length).toLong)
+          assert(math.abs(rank - target) <= bound,
+            s"$key q=$qq: rank $rank vs target $target exceeds bound $bound (n=${vs.length})")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming HLL windowed distinct (A43): registers are bit-equal to batch regardless of micro-batch slicing") {
     // sf0.01 events (150 distinct users per type): the p=7 register
     // array is deterministic given the rows, so streamed per-window
