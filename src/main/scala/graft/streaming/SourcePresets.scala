@@ -43,6 +43,54 @@ object SourcePresets {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .text(dir)
 
+  /** JSONL (newline-delimited JSON) streaming source under an EXPLICIT
+    * schema — never inferSchema: inference is a full extra pass at
+    * 100 TB and silently admits schema drift. At most
+    * `maxFilesPerTrigger` files per micro-batch (the Size bound at the
+    * source, the parquetDir/textQueue contract). Unparseable lines land
+    * in the `_corrupt_record` column when the schema declares it (pair
+    * with [[jsonlIngest]]'s quarantine discipline for the batch side).
+    */
+  def jsonlDir(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(dir)
+
+  /** Batch JSONL ingest with CORRUPT-RECORD QUARANTINE (G25): parse
+    * under the explicit schema in PERMISSIVE mode and split into
+    * (clean, quarantined) — the WAP posture applied to format errors:
+    * a malformed line never silently vanishes (it is preserved RAW in
+    * the quarantine frame for replay after the producer is fixed) and
+    * never poisons the clean frame (schema-shaped nulls from a bad
+    * line are confined to quarantine). The one materialization
+    * (persist) is REQUIRED correctness, not a cache hint: Spark
+    * disallows filtering on the internal corrupt column of a lazy
+    * JSON scan precisely because re-parsing could disagree, so the
+    * split must read one parsed materialization.
+    */
+  def jsonlIngest(spark: SparkSession, dir: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "caller schema must not declare _corrupt_record; jsonlIngest adds it")
+    val raw = spark.read
+      .schema(StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .persist()
+    (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line")))
+  }
+
   /** TCP line socket source — the live network-consumer shape (Spark's
     * built-in test transport: the source CONNECTS to host:port and reads
     * newline-delimited records). No replay/offset tracking, so it is the

@@ -417,4 +417,60 @@ class SourcesSpec extends SparkSpec {
     assert(swept.size == 1 && swept.head.endsWith("_staging/slow"))
     assert(!new java.io.File(s"$root/_staging/slow").exists())
   }
+
+  test("jsonl ingest (G25): corrupt lines quarantine RAW, clean rows parse under the explicit schema") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.SourcePresets
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val good = (1 to 40).map(i => s"""{"doc_id": $i, "text": "doc number $i", "score": ${i % 7}}""")
+    val bad = Seq(
+      """{"doc_id": 41, "text": "unterminated""",      // broken JSON
+      """not json at all""",                            // not JSON
+      """{"doc_id": "not-a-number", "text": 3}""")      // wrong field types
+    // two files so the read spans partitions; corrupt lines interleaved
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.jsonl"),
+      (good.take(20) :+ bad(0)).mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.jsonl"),
+      (bad.drop(1) ++ good.drop(20)).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("score", LongType)))
+    val (clean, quarantined) = SourcePresets.jsonlIngest(spark, dir, schema)
+    // every well-formed line parses with its fields intact
+    val rows = clean.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 40, s"clean=${rows.length}")
+    assert(rows.sortBy(_._1).map(_._1).sameElements(1L to 40L))
+    assert(rows.forall { case (id, text, score) =>
+      text == s"doc number $id" && score == id % 7 })
+    // every malformed line lands in quarantine with its RAW bytes
+    val q = quarantined.collect().map(_.getString(0)).toSet
+    assert(q.size == 3, s"quarantined=${q.size}: $q")
+    bad.foreach(b => assert(q.contains(b), s"raw line lost: $b"))
+    // the type-mismatch line must NOT leak a schema-shaped null row into clean
+    assert(!rows.exists(_._2 == null))
+    clean.unpersist()
+  }
+
+  test("jsonl streaming source (G25): explicit schema, bounded files per trigger") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.SourcePresets
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream").toString
+    (1 to 3).foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"f$f.jsonl"),
+        (1 to 10).map(i => s"""{"doc_id": ${f * 100 + i}, "text": "m"}""")
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val batches = new java.util.concurrent.atomic.AtomicInteger()
+    val rows = new java.util.concurrent.atomic.AtomicLong()
+    val q = SourcePresets.jsonlDir(spark, dir, schema, maxFilesPerTrigger = 1)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet(); rows.addAndGet(df.count()); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows.get() == 30L, s"rows=${rows.get()}")
+    assert(batches.get() >= 3, s"one file per trigger expected: ${batches.get()}")
+  }
 }
