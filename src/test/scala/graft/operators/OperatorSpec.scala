@@ -3780,6 +3780,60 @@ class OperatorSpec extends SparkSpec {
     assert(diff == 0, "extraction round trip diverged on corpus text")
   }
 
+  test("randomized references (seeded): url canonicalization is idempotent; entropy stays in [0, log2(distinct)]") {
+    import spark.implicits._
+    import graft.operators.{TextAnalysis => T}
+    val rnd = new scala.util.Random(23)
+    // 200 random URL-shaped strings over the full rule surface: mixed
+    // case, optional ports (default and not), path depth, trailing
+    // slashes, shuffled query params with tracking keys mixed in,
+    // optional fragments
+    val urls = (1 to 200).map { i =>
+      def pick[A](xs: Seq[A]) = xs(rnd.nextInt(xs.length))
+      val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "hTtPs"))
+      val host = pick(Seq("Ex.COM", "sub.Site.org", "A.b.C.d", "x.io"))
+      val port = pick(Seq("", ":80", ":443", ":8080", ":9", ""))
+      val path = (0 until rnd.nextInt(4)).map(_ => pick(Seq("a", "B", "c9", "_d")))
+        .mkString("/", "/", "") + ("/" * rnd.nextInt(3))
+      val params = rnd.shuffle(Seq("b=2", "a=1", "utm_source=x", "z=", "gclid=9",
+        "k=v%20w").take(rnd.nextInt(6)))
+      val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      val frag = pick(Seq("", "#x", "#sec-2"))
+      (i.toLong, s"$scheme://$host$port$path$query$frag")
+    }
+    val once = urls.toDF("id", "url")
+      .select(col("id"), T.canonicalizeUrl(col("url")).as("c"))
+    val twice = once.select(col("id"), col("c"),
+      T.canonicalizeUrl(col("c")).as("cc"))
+    val broken = twice.filter(col("c") =!= col("cc")).collect()
+    assert(broken.isEmpty,
+      s"canonicalization not idempotent: ${broken.take(3).mkString("; ")}")
+    // canonical output carries none of the normalized-away artifacts:
+    // no fragment, no tracking params, lowercase scheme+host (path case
+    // is SIGNIFICANT per RFC 3986 and must survive), and no DEFAULT
+    // port for its own scheme (https://x:80 is non-default and stays)
+    val dirty = once.filter(
+      col("c").contains("#") || col("c").contains("utm_") ||
+        col("c").contains("gclid") ||
+        col("c").rlike("^https://[^/?#]*:443([/?#]|$)") ||
+        col("c").rlike("^http://[^/?#]*:80([/?#]|$)") ||
+        regexp_extract(col("c"), "^([^:]+://[^/?#]*)", 1).rlike("[A-Z]")).collect()
+    assert(dirty.isEmpty, s"artifacts survived: ${dirty.take(3).mkString("; ")}")
+    // entropy bound: 0 <= H <= log2(distinct chars), random strings
+    val texts = (1L to 60L).map { id =>
+      val n = rnd.nextInt(400)
+      (id, (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    }
+    val ent = T.charEntropy(texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    texts.foreach { case (id, t) =>
+      val (n, d, h) = ent(id)
+      assert(n == t.length && d == t.distinct.length, s"doc $id counts")
+      val cap = if (d <= 1) 0.0 else math.log(d.toDouble) / math.log(2.0)
+      assert(h >= 0.0 && h <= cap + 1e-4, s"doc $id: H=$h cap=$cap")
+    }
+  }
+
   test("misra-gries (x17): serialize survives keys past writeUTF's 65535-byte limit") {
     import spark.implicits._
     // one heavy key whose UTF-8 encoding is ~80k bytes, spread over many
