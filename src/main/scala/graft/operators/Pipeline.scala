@@ -1338,6 +1338,67 @@ object Pipeline {
       ORDER BY doc_id"""
     })
 
+  // P21 — the RAW-CRAWL front end as one composed plan (round 11): the
+  // stages every web-scale corpus build runs BEFORE the content
+  // pipeline p1 models — HTML → text extraction (t34), canonical-URL
+  // dedup keep (t32, the cheapest dedup there is), char-entropy gating
+  // (t33, drops blobs/spam), and a minimum extracted-word floor — all
+  // four oracle-checked individually and HERE as a composition over the
+  // shared planted fixtures (one URL + one HTML document per corpus
+  // row, from the t32/t34 fixture columns so unit and composite can
+  // never drift). Every stage is a narrow projection or one keyed
+  // window; Catalyst plans the whole tree (extraction fuses into the
+  // scan projection; the only shuffles are the canon_url window and the
+  // per-(doc, char) entropy aggregate).
+  private val p21 = Relational.Q(
+    "p21_web_pipeline",
+    (s, d) => {
+      import graft.operators.{TextAnalysis => T}
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), T.fixtureDirtyUrl.as("url"),
+          T.htmlToText(T.fixtureHtml).as("text"))
+      val urlKeep = T.urlCanonicalDedup(staged.select(col("doc_id"), col("url")))
+        .filter(col("keep")).select(col("doc_id"), col("canon_url"))
+      val ent = T.charEntropy(staged.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("h_bits"))
+      staged.join(urlKeep, Seq("doc_id"))
+        .join(ent, Seq("doc_id"))
+        .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+        .filter(col("h_bits") >= 2.0 && col("h_bits") <= 6.0 && col("n_words") >= 5)
+        .select(col("doc_id"), col("canon_url"), col("n_words"), r4(col("h_bits")).as("h_bits"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT doc_id,
+          ${TextAnalysis.fixtureCanonUrlSql} AS canon_url,
+          ${TextAnalysis.fixtureExtractedSql} AS xt
+        FROM documents),
+      kept AS (
+        SELECT doc_id, canon_url, xt
+        FROM (SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS keep FROM c)
+        WHERE keep),
+      ch AS (SELECT doc_id, unnest(string_split(xt, '')) AS ch FROM kept),
+      cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2),
+      per AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+          list_sort(list({'ch': ch, 'c': c})) AS cs
+        FROM cc GROUP BY doc_id),
+      h AS (
+        SELECT doc_id,
+          ${r4Sql("""list_reduce(list_prepend(0.0, list_transform(cs,
+            x -> (CAST(x['c'] AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(n AS DOUBLE) / CAST(x['c'] AS DOUBLE)))),
+            (a, b) -> a + b) / 0.6931471805599453""")} AS h_bits
+        FROM per)
+      SELECT k.doc_id, k.canon_url,
+        CAST(len(string_split(k.xt, ' ')) AS BIGINT) AS n_words,
+        h.h_bits
+      FROM kept k JOIN h USING (doc_id)
+      WHERE h.h_bits >= 2.0 AND h.h_bits <= 6.0
+        AND len(string_split(k.xt, ' ')) >= 5
+      ORDER BY k.doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21)
 }

@@ -2561,42 +2561,75 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  // E32 — URL canonicalize + dedup. The fixture derives a DIRTY absolute
-  // URL per doc from doc_id arithmetic (the m14 planted-header
-  // convention): mixed-case scheme/host, default port to strip vs
-  // non-default port to keep, trailing slash, out-of-order query params
-  // behind a tracking param, fragment — with doc_id%50 as the canonical
-  // identity so ~10 docs collide per canonical URL. Spark CANONICALIZES
-  // THE DIRTY STRING with the real parser; the oracle recomputes the
-  // expected canonical form from doc_id arithmetic alone — the hash
-  // match proves the plant → canonicalize round trip.
-  private val t32 = Relational.Q(
-    "t32_url_canonicalize",
-    (s, d) => {
-      val k = (col("doc_id") % 50).cast("string")
-      val dirty = concat(
-        when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
-        lit("://"),
-        when(col("doc_id") % 3 === 0, concat(lit("Site"), k, lit(".Example.COM")))
-          .otherwise(concat(lit("site"), k, lit(".example.com"))),
-        when(col("doc_id") % 5 === 0, lit(":443"))
-          .when(col("doc_id") % 5 === 1, lit(":8443"))
-          .otherwise(lit("")),
-        lit("/docs/"), ((col("doc_id") % 50) % 7).cast("string"),
-        when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, lit("?utm_source=feed&")).otherwise(lit("?")),
-        lit("b="), ((col("doc_id") % 50) % 3).cast("string"),
-        lit("&a="), ((col("doc_id") % 50) % 5).cast("string"),
-        when(col("doc_id") % 6 === 0, lit("#top")).otherwise(lit("")))
-      urlCanonicalDedup(Tables.documents(s, d).select(col("doc_id"), dirty.as("url")))
-    },
-    Some("""
-      WITH c AS (
-        SELECT doc_id,
-          'https://site' || (doc_id % 50) || '.example.com' ||
+  /** The t32 planted DIRTY-URL column (from doc_id arithmetic, the m14
+    * convention) — shared with p21's composite so the fixtures cannot
+    * drift: mixed-case scheme/host, default port to strip vs
+    * non-default to keep, trailing slash, out-of-order query params
+    * behind a tracking param, fragment; doc_id%50 is the canonical
+    * identity (~10 colliding docs per canonical URL).
+    */
+  def fixtureDirtyUrl: Column = {
+    val k = (col("doc_id") % 50).cast("string")
+    concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, concat(lit("Site"), k, lit(".Example.COM")))
+        .otherwise(concat(lit("site"), k, lit(".example.com"))),
+      when(col("doc_id") % 5 === 0, lit(":443"))
+        .when(col("doc_id") % 5 === 1, lit(":8443"))
+        .otherwise(lit("")),
+      lit("/docs/"), ((col("doc_id") % 50) % 7).cast("string"),
+      when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("?utm_source=feed&")).otherwise(lit("?")),
+      lit("b="), ((col("doc_id") % 50) % 3).cast("string"),
+      lit("&a="), ((col("doc_id") % 50) % 5).cast("string"),
+      when(col("doc_id") % 6 === 0, lit("#top")).otherwise(lit("")))
+  }
+
+  /** The t32 oracle's expected-canonical SQL (doc_id arithmetic). */
+  val fixtureCanonUrlSql: String =
+    """'https://site' || (doc_id % 50) || '.example.com' ||
           (CASE WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END) ||
           '/docs/' || ((doc_id % 50) % 7) ||
-          '?a=' || ((doc_id % 50) % 5) || '&b=' || ((doc_id % 50) % 3) AS canon_url
+          '?a=' || ((doc_id % 50) % 5) || '&b=' || ((doc_id % 50) % 3)"""
+
+  /** The t34 planted HTML column — the doc's real text html-escaped and
+    * wrapped in deterministic structure (+ an entity paragraph on
+    * doc_id%3==0); shared with p21.
+    */
+  def fixtureHtml: Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val extra = when(col("doc_id") % 3 === 0,
+      lit("<p>&amp; &lt;tag&gt; &quot;q&quot;&nbsp;</p>")).otherwise(lit(""))
+    concat(
+      lit("<html><head><title>t"), col("doc_id").cast("string"),
+      lit("</title><style>p{color:red}</style></head><body><script>var x="),
+      col("doc_id").cast("string"),
+      lit(";</script><div class=\"main\"><p>"), esc,
+      lit("</p></div>"), extra, lit("</body></html>"))
+  }
+
+  /** The t34 oracle's expected-extraction SQL (raw-text formula). */
+  val fixtureExtractedSql: String =
+    """trim(regexp_replace(
+            text || (CASE WHEN doc_id % 3 = 0 THEN ' & <tag> "q" ' ELSE '' END),
+            '\s+', ' ', 'g'))"""
+
+  // E32 — URL canonicalize + dedup. The fixture derives a DIRTY absolute
+  // URL per doc from doc_id arithmetic (the m14 planted-header
+  // convention); Spark CANONICALIZES THE DIRTY STRING with the real
+  // parser; the oracle recomputes the expected canonical form from
+  // doc_id arithmetic alone — the hash match proves the plant →
+  // canonicalize round trip.
+  private val t32 = Relational.Q(
+    "t32_url_canonicalize",
+    (s, d) => urlCanonicalDedup(
+      Tables.documents(s, d).select(col("doc_id"), fixtureDirtyUrl.as("url"))),
+    Some(s"""
+      WITH c AS (
+        SELECT doc_id,
+          $fixtureCanonUrlSql AS canon_url
         FROM documents)
       SELECT doc_id, canon_url,
         COUNT(*) OVER (PARTITION BY canon_url) AS group_size,
@@ -2707,29 +2740,17 @@ object TextAnalysis {
   private val t34 = Relational.Q(
     "t34_html_extract",
     (s, d) => {
-      val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
-        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-      val extra = when(col("doc_id") % 3 === 0,
-        lit("<p>&amp; &lt;tag&gt; &quot;q&quot;&nbsp;</p>")).otherwise(lit(""))
-      val html = concat(
-        lit("<html><head><title>t"), col("doc_id").cast("string"),
-        lit("</title><style>p{color:red}</style></head><body><script>var x="),
-        col("doc_id").cast("string"),
-        lit(";</script><div class=\"main\"><p>"), esc,
-        lit("</p></div>"), extra, lit("</body></html>"))
-      val extracted = htmlToText(html)
+      val extracted = htmlToText(fixtureHtml)
       Tables.documents(s, d)
         .select(col("doc_id"),
           length(extracted).cast("long").as("n_chars_extracted"),
           md5(extracted).as("extracted_hash"))
         .orderBy(col("doc_id"))
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT doc_id,
-          trim(regexp_replace(
-            text || (CASE WHEN doc_id % 3 = 0 THEN ' & <tag> "q" ' ELSE '' END),
-            '\s+', ' ', 'g')) AS expected
+          $fixtureExtractedSql AS expected
         FROM documents)
       SELECT doc_id,
         CAST(length(expected) AS BIGINT) AS n_chars_extracted,
