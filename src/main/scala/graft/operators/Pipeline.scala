@@ -1359,8 +1359,8 @@ object Pipeline {
           T.htmlToText(T.fixtureHtml).as("text"))
       val urlKeep = T.urlCanonicalDedup(staged.select(col("doc_id"), col("url")))
         .filter(col("keep")).select(col("doc_id"), col("canon_url"))
-      val ent = T.charEntropy(staged.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), col("h_bits"))
+      val ent = staged.select(col("doc_id"),
+        r4(graft.functions.CharEntropy(col("text")).getField("h_bits")).as("h_bits"))
       staged.join(urlKeep, Seq("doc_id"))
         .join(ent, Seq("doc_id"))
         .withColumn("n_words", size(split(col("text"), " ")).cast("long"))

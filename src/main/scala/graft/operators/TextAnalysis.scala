@@ -2672,11 +2672,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** E33's PRODUCTION spelling: the same entropy computed row-locally by
+    * the codegen [[graft.functions.CharEntropy]] expression — per-doc
+    * entropy is row-local by nature, so the explode+aggregate twin above
+    * pays two corpus shuffles this narrow scan projection removes
+    * (plan-asserted shuffle-free in the spec). Bit-equal to
+    * [[charEntropy]] by construction (same char units, same TreeMap ==
+    * sort_array fold order, same IEEE term sequence, shared ln2
+    * literal) — spec-pinned on the corpus and on seeded randoms. The
+    * aggregate twin remains the grouped-use form (and the cross-check).
+    */
+  def charEntropyRowLocal(docs: DataFrame): DataFrame = {
+    import graft.functions.{CharEntropy => CE}
+    // no terminal sort: stateless narrow column ops only, so the SAME
+    // code attaches to a streaming frame (the t12/piiScrub discipline —
+    // A52's spec pins streamed == batch); the t33 entry adds its own
+    // deterministic ORDER BY
+    docs.select(col("doc_id"), CE(col("text")).as("e"))
+      .select(col("doc_id"),
+        col("e.n_chars").as("n_chars_counted"),
+        col("e.n_distinct").as("n_distinct_chars"),
+        r4(col("e.h_bits")).as("h_bits"))
+      .withColumn("low_entropy", col("n_chars_counted") > 0 && col("h_bits") < 2.0)
+  }
+
   // E33 — char entropy, FULL oracle (pinned fold order + shared ln2
   // literal; r4 absorbs cross-engine ln ulp drift, the t11 precedent).
+  // The entry runs the row-local codegen spelling — the scan-bound
+  // production plan; the aggregate twin is spec-pinned bit-equal.
   private val t33 = Relational.Q(
     "t33_char_entropy",
-    (s, d) => charEntropy(Tables.documents(s, d)),
+    (s, d) => charEntropyRowLocal(Tables.documents(s, d)).orderBy(col("doc_id")),
     Some(s"""
       WITH ch AS (
         SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),

@@ -3834,6 +3834,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("char entropy: codegen row-local spelling is bit-equal to the aggregate twin; benched plan is shuffle-free") {
+    import spark.implicits._
+    import graft.operators.{TextAnalysis => T}
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+    // real corpus: every column bit-equal
+    val docs = graft.Tables.documents(spark, sfDir)
+    val agg = T.charEntropy(docs).collect().map(key).toSet
+    val row = T.charEntropyRowLocal(docs).collect().map(key).toSet
+    assert(row == agg, "row-local spelling diverged from the aggregate twin on the corpus")
+    // seeded randoms incl. repeats, empties, mixed alphabets
+    val rnd = new scala.util.Random(31)
+    val texts = (1L to 80L).map { id =>
+      val alpha = "ab" + (if (id % 3 == 0) "XYZ01 \t" else "cdefgh")
+      (id, (0 until rnd.nextInt(300)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }.toDF("doc_id", "text")
+    val agg2 = T.charEntropy(texts).collect().map(key).toSet
+    val row2 = T.charEntropyRowLocal(texts).collect().map(key).toSet
+    assert(row2 == agg2, "row-local spelling diverged on random strings")
+    // the scale point: the benched t33 plan moves NOTHING through a
+    // shuffle — entropy is row-local, so the plan is one scan projection
+    // (+ the terminal order of the driver entry)
+    val plan = graft.SparkEntry.benchQueries("t33_char_entropy")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("rangepartitioning"))
+      .toSeq
+    assert(shuffles.isEmpty, s"t33 re-shuffles row-local work:\n${shuffles.mkString("\n")}")
+  }
+
   test("misra-gries (x17): serialize survives keys past writeUTF's 65535-byte limit") {
     import spark.implicits._
     // one heavy key whose UTF-8 encoding is ~80k bytes, spread over many

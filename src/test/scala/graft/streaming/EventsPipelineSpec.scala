@@ -612,6 +612,35 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming char entropy (A52): the batch row-local spelling runs unchanged on a stream") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the A28/A50 attach class: CharEntropy is one codegen static call
+    // per row — no state, no watermark, slicing can't matter
+    val docs = Seq(
+      (1L, "aabb"), (2L, "natural language text with variety"),
+      (3L, "aaaaaaaaaaaaaaaaaaaa"), (4L, ""))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.charEntropyRowLocal(
+        src.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("entropy_stream_test")
+      .outputMode("append").start()
+    try {
+      src.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("entropy_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .toSet
+      val batch = graft.operators.TextAnalysis.charEntropyRowLocal(
+          docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming Gopher gate (A36): the batch rules run unchanged on a stream, flags identical") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
