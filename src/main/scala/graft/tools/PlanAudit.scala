@@ -174,6 +174,68 @@ object PlanAudit {
     "x12_histogram_quantiles" ->
       "cumulative window over the HISTOGRAM frame: bins <= value-range/binCents rows per flag (parameter-bounded, never data-proportional)")
 
+  /** The q53-class guard (round 11), mechanized like the other four:
+    * every logical Aggregate carrying a collect_list/collect_set. An
+    * array aggregate's per-group state is the GROUP'S ROW COUNT, so a
+    * hot key over an unbounded grouping OOMs one task at 100 TB — the
+    * r10 verdict's q53 finding (a user's full event history in one
+    * row), fixed by the windowed-shard twin (q55) and now swept
+    * mechanically: every instance must carry a boundedness argument in
+    * [[allowedCollects]] (doc-length-bounded, window-sharded,
+    * parameter/enum-bounded, post-rank-limited), or it is the q53
+    * hot-key bug.
+    */
+  def collectAggregates(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+    val root = df.queryExecution.optimizedPlan
+    (root +: root.subqueriesAll).flatMap(_.collect {
+      case a: Aggregate =>
+        val hits = a.aggregateExpressions.flatMap(_.collect {
+          case _: CollectList => "collect_list"
+          case _: CollectSet => "collect_set"
+        }).distinct
+        if (hits.isEmpty) Nil
+        else {
+          val keys = a.groupingExpressions.flatMap(_.references.toSeq)
+            .map(_.name).distinct
+          Seq(s"${hits.mkString("+")} grouped by [${keys.mkString(",")}]")
+        }
+    }).flatten
+  }
+
+  // Array aggregates whose per-group row count is bounded by something
+  // OTHER than the data size — each an adjudicated exception with its
+  // boundedness argument. Anything not listed here that trips
+  // collectAggregates is the q53 hot-key scale bug. (Aggregates inside
+  // persisted frames — d2/d3's cached gram sets — are audited where the
+  // building pipeline is lazily plannable, the lazyTwin convention.)
+  val allowedCollects: Map[String, String] = Map(
+    "d10_containment" ->
+      "per-doc shingle-hash set + low-df prefix list: DOC-LENGTH-bounded (one group per doc_id, rows = that doc's distinct shingles)",
+    "d15_boilerplate_scrub" ->
+      "per-doc kept-line reassembly: doc-length-bounded (rows = that doc's surviving lines, in-order rebuild needs the list)",
+    "d21_paragraph_dedup" ->
+      "per-doc paragraph reassembly: doc-length-bounded (rows = that doc's paragraphs)",
+    "p11_shard_manifest" ->
+      "per-(shard[,pack]) manifest entries: bounded by the PACKING PARAMETERS (docs per pack by token budget, packs per shard by shard sizing) — never by corpus rows",
+    "p9_pack_materialize" ->
+      "per-(shard,pack) doc list: pack token budget bounds rows per group (the p4/p8 packing contract)",
+    "q38_market_basket" ->
+      "per-order item set: basket-size-bounded (TPC-H <= 7 lines/order; real baskets are bounded by checkout size, not corpus size)",
+    "q53_ewma_by_user" ->
+      "per-user history: activity-bounded (the t21 contract) at bench SF; the 100 TB spelling is q55's WINDOWED SHARD (shipped, spec-pinned bit-equal) — this monolithic fold stays as the single-window oracle form",
+    "s6_ann_pq_topk" ->
+      "per-vector code/x-hat reassembly: m(=8)-row groups — PQ-subspace-PARAMETER-bounded",
+    "s8_ann_ivfpq_topk" ->
+      "per-vector code/x-hat reassembly: m(=8)-row groups (the s6 class)",
+    "t21_bm25_topk" ->
+      "per-(query,doc) term-weight list: bounded by the QUERY'S term count (parameter-bounded query set; the sorted fold is the cross-engine float contract)",
+    "t25_hybrid_rrf" ->
+      "t21's per-(query,doc) term list (same parameter bound) inside the lexical leg",
+    "t27_textrank" ->
+      "per-dst in-neighbor contributions: DEGREE-bounded — the word graph is vocabulary-proportional, never corpus-proportional (the x14 argument), and the sorted fold IS the float-iterative oracle contract; hub words are the known vocab-scale cost, re-spelled only at the price of bit-exact replay")
+
   /** The d17-class guard, mechanized like the hint/window guards: every
     * join whose BOTH inputs carry an ArrayType column AND whose two
     * sides scan the SAME fact table — the payload-through-pairwise
@@ -379,13 +441,16 @@ object PlanAudit {
         val badEw = ew.nonEmpty && !allowedEnumWindows.contains(name)
         val apj = arrayPairJoins(df)
         val badApj = apj.nonEmpty && !allowedArrayPairJoins.contains(name)
+        val cl = collectAggregates(df)
+        val badCl = cl.nonEmpty && !allowedCollects.contains(name)
         val note =
-          if (cart > 0 || (bnlj > 0 && !allowed.contains(name)) || badHint || badGw || badEw || badApj) {
+          if (cart > 0 || (bnlj > 0 && !allowed.contains(name)) || badHint || badGw || badEw || badApj || badCl) {
             flagged += 1
             if (badHint) s"  <== inspect [CORPUS HINT: ${hints.mkString("; ")}]"
             else if (badGw) s"  <== inspect [GLOBAL WINDOW: ${gw.mkString("; ")}]"
             else if (badEw) s"  <== inspect [ENUM WINDOW: ${ew.mkString("; ")}]"
             else if (badApj) s"  <== inspect [ARRAY PAIR JOIN: ${apj.mkString("; ")}]"
+            else if (badCl) s"  <== inspect [ARRAY COLLECT: ${cl.mkString("; ")}]"
             else "  <== inspect"
           }
           else if (bnlj > 0) s"  [allowed: ${allowed(name)}]"
@@ -393,8 +458,9 @@ object PlanAudit {
           else if (gw.nonEmpty) s"  [window allowed: ${allowedGlobalWindows(name)}]"
           else if (ew.nonEmpty) s"  [enum window allowed: ${allowedEnumWindows(name)}]"
           else if (apj.nonEmpty) s"  [array pair join allowed: ${allowedArrayPairJoins(name)}]"
+          else if (cl.nonEmpty) s"  [collect allowed: ${allowedCollects(name)}]"
           else ""
-        println(f"[audit] $name%-28s exchanges=$exch%2d bnlj=$bnlj cartesian=$cart hints=${hints.size} gwin=${gw.size} ewin=${ew.size} apj=${apj.size}$note")
+        println(f"[audit] $name%-28s exchanges=$exch%2d bnlj=$bnlj cartesian=$cart hints=${hints.size} gwin=${gw.size} ewin=${ew.size} apj=${apj.size} coll=${cl.size}$note")
         }
       } catch {
         case e: Throwable => println(s"[audit] $name FAILED to plan: ${e.getMessage}")

@@ -106,6 +106,39 @@ class PlanAuditSpec extends SparkSpec {
       s"unadjudicated enum-partitioned windows: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
   }
 
+  test("deliberate unbounded collect_list trips the guard; plain count aggregates don't") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.events(spark, sfDir)
+    // the q53 hot-key shape: a user's whole history in one aggregate row
+    val hot = events.groupBy(col("user_id"))
+      .agg(collect_list(struct(col("event_id"), col("value"))).as("xs"))
+    val flagged = PlanAudit.collectAggregates(hot)
+    assert(flagged.nonEmpty && flagged.head.contains("collect_list"),
+      s"the q53 shape must trip: $flagged")
+    assert(flagged.head.contains("user_id"), s"grouping keys reported: $flagged")
+    // collect_set trips too
+    assert(PlanAudit.collectAggregates(
+      events.groupBy(col("user_id")).agg(collect_set(col("event_type")).as("s")))
+      .exists(_.contains("collect_set")))
+    // scalar aggregates never trip
+    assert(PlanAudit.collectAggregates(
+      events.groupBy(col("user_id")).agg(count(lit(1)), sum(col("value")))).isEmpty)
+  }
+
+  test("the audited query surface carries no unadjudicated array-collect aggregates") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !PlanAudit.iterative.contains(name) =>
+        val audited = PlanAudit.lazyTwin.getOrElse(name, fn)
+        val cs = try PlanAudit.collectAggregates(audited(spark, sfDir)) catch {
+          case _: Throwable => Seq.empty // planning failures are OperatorSpec's dept
+        }
+        spark.catalog.clearCache()
+        (name, cs)
+    }.filter { case (name, cs) => cs.nonEmpty && !PlanAudit.allowedCollects.contains(name) }
+    assert(offenders.isEmpty,
+      s"unadjudicated array collects: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
+  }
+
   test("the audited query surface carries no unadjudicated global windows") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !PlanAudit.iterative.contains(name) =>
