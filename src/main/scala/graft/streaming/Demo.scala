@@ -580,6 +580,62 @@ object Demo {
           s"stateRows=$stateRows stateBytes=$stateBytes corpus=$stress")
     }
 
+    // 16. The round-11 raw-crawl front end on a STREAM: arriving
+    // (doc_id, url, html) records pass the A50/A52 stateless attaches
+    // (URL canonicalization + HTML extraction + char entropy — ONE
+    // row-local codegen projection, no shuffle before the dedup) and a
+    // STATEFUL canonical-URL dedup (dropDuplicates: exactly-once
+    // admission per canonical key, the scenario-14 state shape on the
+    // round-11 key). Contract checked: the admitted CANONICAL-URL set
+    // equals the batch run's on the same rows (per-group rep choice is
+    // first-arrival on the stream — order-dependent by design), one
+    // admission per canonical key, across multiple micro-batches.
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.operators.{TextAnalysis => T}
+      EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+      def frontEnd(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val text = T.htmlToText(col("html"))
+        df.select(col("doc_id"),
+            T.canonicalizeUrl(col("url")).as("canon_url"),
+            graft.operators.Num.r4(
+              graft.functions.CharEntropy(text).getField("h_bits")).as("h_bits"),
+            size(split(text, " ")).cast("long").as("n_words"))
+          .filter(col("h_bits") >= 2.0 && col("h_bits") <= 6.0 && col("n_words") >= 5)
+          .select(col("doc_id"), col("canon_url"))
+          .dropDuplicates("canon_url")
+      }
+      // a producer would ship real (url, html); here the t32/t34 fixture
+      // columns are materialized once and fed through the stream
+      val fixture = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), T.fixtureDirtyUrl.as("url"), T.fixtureHtml.as("html"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val src = MemoryStream[(Long, String, String)]
+      val q = frontEnd(src.toDS().toDF("doc_id", "url", "html"))
+        .writeStream.format("memory").queryName("demo_web_frontend")
+        .outputMode("append").start()
+      try {
+        val (first, rest) = fixture.splitAt(fixture.length / 2)
+        src.addData(first: _*)
+        q.processAllAvailable()
+        src.addData(rest: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("demo_web_frontend").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val streamedUrls = streamed.map(_._2).toSet
+      val batchUrls = frontEnd(graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), T.fixtureDirtyUrl.as("url"), T.fixtureHtml.as("html")))
+        .collect().map(_.getString(1)).toSet
+      check("streaming-web-frontend",
+        streamed.nonEmpty && streamedUrls == batchUrls &&
+          streamed.length == streamedUrls.size,
+        s"admitted=${streamed.length} canonKeys=${streamedUrls.size} " +
+          s"batchEqual=${streamedUrls == batchUrls}")
+    }
+
     results.toList
   }
 }
