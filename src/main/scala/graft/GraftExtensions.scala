@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BloomBits, BpeEncode, CosineSimilarity, CountMinSketch, HllRegisters, KMinValues, MinHashSignature, MisraGries, MultiPatternCounts, NfcNormalize, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
+import graft.functions.{BloomBits, BpeEncode, CharEntropy, CosineSimilarity, CountMinSketch, HllRegisters, KMinValues, MinHashSignature, MisraGries, MrlQuantile, MrlSketchAgg, MrlUnionAgg, MultiPatternCounts, NfcNormalize, RandomHyperplaneBucket, SimHash64, SortedIntersectSize}
 
 /** Spark session extension: registers graft's custom Catalyst expressions
   * as SQL functions, so the whole similarity/dedup toolkit is reachable
@@ -28,6 +28,12 @@ import graft.functions.{BloomBits, BpeEncode, CosineSimilarity, CountMinSketch, 
   *   multi_pattern_counts(t, ps)  — one-pass Aho-Corasick per-pattern counts;
   *                                  ps is a literal array (blocklist-bounded)
   *   nfc_normalize(t)             — Unicode NFC canonical composition
+  *   char_entropy(t)              — (n_chars, n_distinct, h_bits) struct:
+  *                                  row-local Shannon entropy in bits
+  *   mrl_sketch(v, k)             — AGG: mergeable MRL quantile sketch
+  *                                  (BINARY; deterministic compactors)
+  *   mrl_union(sk)                — AGG: union of stored MRL sketches
+  *   mrl_quantile(sk, q)          — quantile estimate from an MRL sketch
   *
   * Enable with:
   *   SparkSession.builder().config("spark.sql.extensions", "graft.GraftExtensions")
@@ -104,6 +110,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "nfc_normalize", { children =>
       require(children.length == 1, "nfc_normalize expects exactly 1 argument")
       NfcNormalize(children.head)
+    })
+    register(ext, "char_entropy", { children =>
+      require(children.length == 1, "char_entropy expects exactly 1 argument")
+      CharEntropy(children.head)
+    })
+    register(ext, "mrl_sketch", { children =>
+      require(children.length == 2, "mrl_sketch expects (value, k)")
+      MrlSketchAgg(children.head, litInt(children(1), "mrl_sketch", "k"))
+        .toAggregateExpression()
+    })
+    register(ext, "mrl_union", { children =>
+      require(children.length == 1, "mrl_union expects exactly 1 argument")
+      MrlUnionAgg(children.head).toAggregateExpression()
+    })
+    register(ext, "mrl_quantile", { children =>
+      require(children.length == 2, "mrl_quantile expects (sketch, q)")
+      MrlQuantile(children.head, children(1))
     })
     register(ext, "multi_pattern_counts", { children =>
       require(children.length == 2,

@@ -132,6 +132,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // NFC from SQL: decomposed e + combining acute composes
       val nfc = spark.sql("SELECT nfc_normalize('cafe\u0301') AS n").head().getString(0)
       assert(nfc == "caf\u00e9", s"got $nfc")
+      // char_entropy from SQL: 'aabb' is exactly 1 bit over 4 chars
+      val ce = spark.sql("SELECT char_entropy('aabb') AS e").select("e.*").head()
+      assert(ce.getLong(0) == 4L && ce.getLong(1) == 2L && ce.getDouble(2) == 1.0, s"got $ce")
+      // MRL from SQL: per-group sketches union to a sane global median
+      val mrl = spark.sql(
+        """SELECT mrl_quantile(mrl_union(sk), CAST(0.5 AS DOUBLE)) AS med FROM (
+          |  SELECT g, mrl_sketch(CAST(v AS DOUBLE), 64) AS sk
+          |  FROM VALUES (1, 1), (1, 2), (1, 3), (2, 4), (2, 5) AS t(g, v)
+          |  GROUP BY g)""".stripMargin).head().getDouble(0)
+      assert(mrl == 3.0, s"exact regime median: $mrl")
     } finally {
       // do NOT stop(): that would kill the shared SparkContext
       SparkSession.clearDefaultSession()
