@@ -1198,19 +1198,25 @@ object Multimodal {
     out.array()
   }
 
-  /** Splice a minimal APP1 EXIF segment carrying ONLY tag 0x0112
-    * (Orientation) right after a JPEG's SOI — the hand-built-header
-    * fixture convention applied to a real JDK-encoded JPEG: no encoder
-    * in this sandbox writes EXIF, so the fixture plants the exact TIFF
-    * grammar the sniffer parses (both byte orders, to exercise II and
-    * MM paths).
+  /** Splice a minimal APP1 EXIF segment right after a JPEG's SOI — the
+    * hand-built-header fixture convention applied to a real JDK-encoded
+    * JPEG: no encoder in this sandbox writes EXIF, so the fixture plants
+    * the exact TIFF grammar the sniffer parses (both byte orders).
+    * Carries tag 0x0112 (Orientation) and, when `gps` is set, tag
+    * 0x8825 (the GPSInfo IFD pointer — the location-PII tag m16 exists
+    * to find and remove) pointing at an in-segment empty GPS IFD.
     */
-  def spliceExifOrientation(jpeg: Array[Byte], orientation: Int,
-      littleEndian: Boolean): Array[Byte] = {
+  def spliceExif(jpeg: Array[Byte], orientation: Int,
+      littleEndian: Boolean, gps: Boolean): Array[Byte] = {
     require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
       "not a JPEG (no SOI)")
     require(orientation >= 1 && orientation <= 8, s"bad orientation $orientation")
-    val seg = java.nio.ByteBuffer.allocate(36)
+    val entries = if (gps) 2 else 1
+    // TIFF block: header 8 + count 2 + entries*12 + next 4 (+ empty GPS
+    // IFD 2+4 when present); APP1 payload = 6 ("Exif\0\0") + TIFF block
+    val tiffLen = 8 + 2 + entries * 12 + 4 + (if (gps) 6 else 0)
+    val segLen = 2 + 6 + tiffLen // length field covers itself + payload
+    val seg = java.nio.ByteBuffer.allocate(2 + segLen)
     def p16(v: Int, le: Boolean): Unit =
       if (le) { seg.put(v.toByte); seg.put((v >> 8).toByte) }
       else { seg.put((v >> 8).toByte); seg.put(v.toByte) }
@@ -1218,18 +1224,124 @@ object Multimodal {
       if (le) { p16(v & 0xffff, le = true); p16(v >>> 16, le = true) }
       else { p16(v >>> 16, le = false); p16(v & 0xffff, le = false) }
     seg.put(0xff.toByte); seg.put(0xe1.toByte)
-    p16(34, le = false) // segment length (marker excluded): 2 + 6 + 26
+    p16(segLen, le = false)
     seg.put("Exif".getBytes("US-ASCII")); seg.put(0.toByte); seg.put(0.toByte)
     val bo = if (littleEndian) 0x49 else 0x4d
     seg.put(bo.toByte); seg.put(bo.toByte)
     p16(42, littleEndian)
     p32(8, littleEndian) // IFD0 right after the TIFF header
-    p16(1, littleEndian) // one entry
+    p16(entries, littleEndian)
     p16(0x0112, littleEndian); p16(3, littleEndian) // Orientation, SHORT
-    p32(1, littleEndian) // count
-    p16(orientation, littleEndian); p16(0, littleEndian) // value + pad
+    p32(1, littleEndian)
+    p16(orientation, littleEndian); p16(0, littleEndian)
+    if (gps) {
+      val gpsIfdOff = 8 + 2 + entries * 12 + 4 // right after IFD0
+      p16(0x8825, littleEndian); p16(4, littleEndian) // GPSInfo, LONG
+      p32(1, littleEndian)
+      p32(gpsIfdOff, littleEndian)
+    }
     p32(0, littleEndian) // no next IFD
+    if (gps) { p16(0, littleEndian); p32(0, littleEndian) } // empty GPS IFD
     jpeg.take(2) ++ seg.array() ++ jpeg.drop(2)
+  }
+
+  /** Back-compat spelling used by the m14 fixture. */
+  def spliceExifOrientation(jpeg: Array[Byte], orientation: Int,
+      littleEndian: Boolean): Array[Byte] =
+    spliceExif(jpeg, orientation, littleEndian, gps = false)
+
+  /** Does the blob carry an EXIF GPSInfo pointer (tag 0x8825)? The
+    * location-PII check image pipelines run before anything ships: the
+    * same bounded, segment-confined APP1/TIFF walk as the orientation
+    * read — malformed input is simply `false`, never a crash.
+    */
+  def detectExifGps(bytes: Array[Byte]): Boolean =
+    exifIfd0HasTag(bytes, 0x8825)
+
+  private def exifIfd0HasTag(bytes: Array[Byte], tag: Int): Boolean = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    try {
+      if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return false
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if (u8(i) != 0xff) return false
+        val m = u8(i + 1)
+        if (m == 0xff) { i += 1 }
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2
+        else {
+          val len = (u8(i + 2) << 8) | u8(i + 3)
+          if (m == 0xe1 && len >= 16 && i + 2 + len <= bytes.length &&
+              new String(bytes, i + 4, 4, "US-ASCII") == "Exif" &&
+              u8(i + 8) == 0 && u8(i + 9) == 0) {
+            val tiff = i + 10
+            val end = i + 2 + len
+            val le = u8(tiff) == 0x49 && u8(tiff + 1) == 0x49
+            val be = u8(tiff) == 0x4d && u8(tiff + 1) == 0x4d
+            def r16(p: Int): Int =
+              if (le) u8(p) | (u8(p + 1) << 8) else (u8(p) << 8) | u8(p + 1)
+            def r32(p: Int): Long =
+              if (le) u8(p).toLong | (u8(p + 1).toLong << 8) |
+                (u8(p + 2).toLong << 16) | (u8(p + 3).toLong << 24)
+              else (u8(p).toLong << 24) | (u8(p + 1).toLong << 16) |
+                (u8(p + 2).toLong << 8) | u8(p + 3).toLong
+            if ((le || be) && tiff + 8 <= end && r16(tiff + 2) == 42) {
+              val ifdOff = r32(tiff + 4)
+              val ifd = tiff + ifdOff.toInt
+              if (ifdOff >= 8 && ifdOff < (end - tiff).toLong && ifd + 2 <= end) {
+                val n = math.min(r16(ifd), 64)
+                var k = 0
+                while (k < n && ifd + 2 + (k + 1) * 12 <= end) {
+                  if (r16(ifd + 2 + k * 12) == tag) return true
+                  k += 1
+                }
+              }
+            }
+            i += 2 + len
+          } else if (m == 0xda || len < 2) return false
+          else i += 2 + len
+        }
+      }
+      false
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** Remove every APP1 segment from a JPEG — the EXIF SCRUB (orientation,
+    * camera metadata, and above all GPS go with it; pipelines that keep
+    * orientation re-bake it post-decode). The marker walk stops copying
+    * selectively at SOS: from there on the entropy-coded stream is copied
+    * VERBATIM (never parsed), and any desync likewise degrades to a
+    * verbatim copy of the remainder — the scrub must never corrupt what
+    * it doesn't understand. Non-JPEG input returns unchanged.
+    */
+  def stripExif(bytes: Array[Byte]): Array[Byte] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return bytes
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    out.write(bytes, 0, 2) // SOI
+    var i = 2
+    try {
+      while (i + 3 < bytes.length) {
+        if (u8(i) != 0xff) { out.write(bytes, i, bytes.length - i); return out.toByteArray }
+        val m = u8(i + 1)
+        if (m == 0xff) { out.write(0xff); i += 1 }
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) { out.write(bytes, i, 2); i += 2 }
+        else {
+          val len = (u8(i + 2) << 8) | u8(i + 3)
+          if (len < 2 || i + 2 + len > bytes.length) {
+            out.write(bytes, i, bytes.length - i); return out.toByteArray
+          }
+          if (m == 0xda) { // SOS: entropy data follows — copy the rest verbatim
+            out.write(bytes, i, bytes.length - i); return out.toByteArray
+          }
+          if (m != 0xe1) out.write(bytes, i, 2 + len) // APP1 dropped, rest kept
+          i += 2 + len
+        }
+      }
+      if (i < bytes.length) out.write(bytes, i, bytes.length - i)
+      out.toByteArray
+    } catch {
+      case scala.util.control.NonFatal(_) => bytes
+    }
   }
 
   final case class DocMedia(doc_id: Long, format: String, dim1: Long, dim2: Long)
@@ -1425,6 +1537,72 @@ object Multimodal {
       FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
       ORDER BY n.doc_id"""))
 
+  final case class DocScrub(doc_id: Long, had_gps: Boolean,
+      bytes_removed: Long, format_after: String, gps_after: Boolean)
+
+  /** F16 core — EXIF GPS detection + scrub over a payload column (the
+    * m2/m14 batch shape): image datasets must find and remove the
+    * GPSInfo IFD (location PII) before anything ships. One bounded
+    * header walk per blob for detection, one marker-walk rebuild for
+    * the scrub — constant work per byte, scan-bound at 100 TB.
+    */
+  def scrubExifGps(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[DocPayload]
+      .mapPartitions(_.map { p =>
+        val hadGps = detectExifGps(p.payload)
+        val stripped = stripExif(p.payload)
+        DocScrub(p.doc_id, hadGps,
+          (p.payload.length - stripped.length).toLong,
+          sniffMedia(stripped)._1, detectExifGps(stripped))
+      })
+      .toDF()
+  }
+
+  // F16 — EXIF GPS scrub. The fixture plants three classes from doc_id
+  // arithmetic: GPS+orientation JPEGs (the PII class — a 54-byte APP1
+  // with a GPSInfo pointer to an in-segment empty GPS IFD, alternating
+  // byte orders), orientation-only JPEGs (36-byte APP1, metadata but no
+  // PII), and raw text bytes (the scrub must pass untouched). The
+  // DuckDB oracle recomputes detection, the exact byte count removed,
+  // the post-scrub type, and the gps-gone contract from doc_id
+  // arithmetic alone (the m14 convention) — the hash proves the
+  // plant → detect → strip → re-detect round trip byte-exactly.
+  private val m16 = Relational.Q(
+    "m16_exif_gps_scrub",
+    (s, d) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .map { r =>
+          val id = r.getLong(0)
+          val payload = (id % 3) match {
+            case 0 => spliceExif(
+              ImageCodec.encodeGrayJpeg((1 + id % 11).toInt, (1 + id % 9).toInt)(
+                (x, y) => ((x * 13 + y * 29 + id) % 256).toInt),
+              orientation = (1 + id % 8).toInt, littleEndian = id % 2 == 0, gps = true)
+            case 1 => spliceExif(
+              ImageCodec.encodeGrayJpeg((1 + id % 11).toInt, (1 + id % 9).toInt)(
+                (x, y) => ((x * 13 + y * 29 + id) % 256).toInt),
+              orientation = (1 + id % 8).toInt, littleEndian = id % 2 == 0, gps = false)
+            case _ => r.getString(1).getBytes("UTF-8")
+          }
+          (id, payload)
+        }
+        .toDF("doc_id", "payload")
+      scrubExifGps(payloads).orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        doc_id % 3 = 0 AS had_gps,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 54 WHEN 1 THEN 36 ELSE 0 END AS BIGINT)
+          AS bytes_removed,
+        CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'jpeg' END AS format_after,
+        FALSE AS gps_after
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10,
-    m11, m12, m13, m14, m15)
+    m11, m12, m13, m14, m15, m16)
 }

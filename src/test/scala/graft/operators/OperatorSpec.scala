@@ -3864,6 +3864,39 @@ class OperatorSpec extends SparkSpec {
     assert(shuffles.isEmpty, s"t33 re-shuffles row-local work:\n${shuffles.mkString("\n")}")
   }
 
+  test("exif gps scrub (m16): detection finds the planted tag, the scrub keeps the image decodable") {
+    import graft.operators.{Multimodal => M}
+    val base = ImageCodec.encodeGrayJpeg(12, 8)((x, y) => (x * 3 + y * 5) % 256)
+    Seq(true, false).foreach { le =>
+      val withGps = M.spliceExif(base, orientation = 6, littleEndian = le, gps = true)
+      assert(M.detectExifGps(withGps), s"planted GPS tag not detected (le=$le)")
+      assert(!M.detectExifGps(base), "clean JPEG must not detect GPS")
+      val stripped = M.stripExif(withGps)
+      assert(!M.detectExifGps(stripped), "GPS must be gone after the scrub")
+      // the scrub removed EXACTLY the APP1 segment and nothing else:
+      // the remaining bytes still decode through the real JDK decoder
+      assert(ImageCodec.grayThumb(stripped, 4, 4).nonEmpty,
+        "scrubbed JPEG no longer decodes through the real JDK decoder")
+      // orientation went with the segment: dims report unswapped again
+      assert(M.sniffMedia(withGps) == (("jpeg", 8L, 12L)), "orientation 6 swaps")
+      assert(M.sniffMedia(stripped) == (("jpeg", 12L, 8L)), "post-scrub dims unswapped")
+    }
+    // non-JPEG and garbage pass through IDENTICALLY (never corrupted)
+    val txt = "not an image at all".getBytes("UTF-8")
+    assert(M.stripExif(txt).sameElements(txt))
+    assert(!M.detectExifGps(txt))
+    val rnd = new scala.util.Random(17)
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte)
+      M.detectExifGps(junk) // must not throw
+      M.stripExif(junk)     // must not throw
+      // magic-prefixed junk: a JPEG SOI followed by garbage
+      val fake = Array[Byte](0xff.toByte, 0xd8.toByte) ++ junk
+      M.detectExifGps(fake)
+      assert(M.stripExif(fake).length >= 2, "SOI survives any garbage tail")
+    }
+  }
+
   test("misra-gries (x17): serialize survives keys past writeUTF's 65535-byte limit") {
     import spark.implicits._
     // one heavy key whose UTF-8 encoding is ~80k bytes, spread over many
