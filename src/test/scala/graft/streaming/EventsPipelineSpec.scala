@@ -641,6 +641,37 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EXIF GPS scrub (A53): the batch operator runs unchanged on a stream") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{ImageCodec, Multimodal => M}
+    // stateless mapPartitions over row-local byte walks — the A28 class
+    val base = ImageCodec.encodeGrayJpeg(6, 4)((x, y) => (x + y * 7) % 256)
+    val docs = Seq(
+      (1L, M.spliceExif(base, 3, littleEndian = true, gps = true)),
+      (2L, M.spliceExif(base, 3, littleEndian = false, gps = false)),
+      (3L, "plain bytes".getBytes("UTF-8")),
+      (4L, base))
+    val src = MemoryStream[(Long, Array[Byte])]
+    val q = M.scrubExifGps(src.toDS().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("gps_stream_test")
+      .outputMode("append").start()
+    try {
+      src.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gps_stream_test").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getString(3), r.getBoolean(4)))
+        .toSet
+      val batch = M.scrubExifGps(docs.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getString(3), r.getBoolean(4)))
+        .toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.exists(r => r._1 == 1L && r._2 && r._3 == 54L && !r._5))
+    } finally q.stop()
+  }
+
   test("streaming Gopher gate (A36): the batch rules run unchanged on a stream, flags identical") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
