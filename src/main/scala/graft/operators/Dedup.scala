@@ -313,64 +313,107 @@ object Dedup {
       SELECT doc_a, doc_b, ${r4Sql("j")} AS jaccard
       FROM pairs WHERE j >= 0.8 ORDER BY doc_a, doc_b"""))
 
+  /** d3's WITHIN-BUCKET ALL-PAIRS spelling, kept as the measured winner
+    * on SATURATED gram spaces (the round-10 experiment: this fixture has
+    * 985 distinct 4-grams, median df 541 of ~5k docs at sf0.1, so prefix
+    * grams hit hundreds of docs each and the prefix-index join produced
+    * MORE pair work than the 588k bucketed merge-walks — 5.2-7.2 s vs
+    * 3.8 s warm). Output-identical to [[ngramJaccardPrefixFiltered]];
+    * [[ngramJaccardAuto]] picks between them from measured df stats.
+    */
+  def ngramJaccardBucketed(docs: DataFrame, t: Double = 0.62): DataFrame = {
+    // the prefix twin's eps discipline: candidate filters loosened by
+    // eps only admit extras (the exact verify discards them); a filter
+    // tightened by double rounding silently drops boundary pairs
+    val eps = 1e-6
+    // Shared relational gram pipeline (HashFunctions.charGramIds): at
+    // k=4 the gram id is the injective 16-bit pack — exact, not a hash.
+    val grams = H.charGramIds(docs, lower(col("text")), 4)
+    // sorted + distinct: contract for the merge-walk intersect below;
+    // persisted — both verify fetches read this one frame. Only the
+    // AGGREGATE is cached; the cheap doc-metadata join stays outside
+    // the cache so AQE plans it fresh per consumer.
+    val gAgg = grams.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("g"))).as("sg"))
+      .withColumn("sz", size(col("sg")))
+      .persist()
+    // meta is one slim row per corpus doc — corpus-linear, so no
+    // broadcast hint (a forced driver broadcast caps out at 8 GB long
+    // before 100 TB); AQE broadcasts it at bench scale on its own.
+    val meta = docs
+      .select(col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("len_bkt"))
+    val g = gAgg.join(meta, Seq("doc_id"))
+    val a = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_a"),
+      col("sg").as("sg_a"), col("sz").as("sz_a"))
+    val b = g.select(col("lang").as("lang_b"), col("len_bkt").as("len_bkt_b"),
+      col("doc_id").as("doc_b"), col("sg").as("sg_b"), col("sz").as("sz_b"))
+    // size-ratio bound inside the join condition: j >= t forces
+    // min(|A|,|B|)/max(|A|,|B|) >= t, so non-viable pairs are dropped
+    // during the probe, before their gram arrays are ever copied out
+    val cands = a.join(b,
+      col("lang") === col("lang_b") && col("len_bkt") === col("len_bkt_b")
+        && col("doc_a") < col("doc_b")
+        && col("sz_a").cast("double") >= col("sz_b").cast("double") * t - eps
+        && col("sz_b").cast("double") >= col("sz_a").cast("double") * t - eps)
+    // codegen'd merge-walk intersect (arrays pre-sorted); bound once as
+    // a lambda variable so the walk runs once per pair
+    val jac = element_at(
+      transform(
+        array(graft.functions.SortedIntersectSize(col("sg_a"), col("sg_b")).cast("double")),
+        n => n / (col("sz_a") + col("sz_b") - n)),
+      1)
+    cands.withColumn("jaccard_exact", jac)
+      .filter(col("jaccard_exact") >= t)
+      .select(col("doc_a"), col("doc_b"), r4(col("jaccard_exact")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The d3 spelling selector's evidence: median gram document-frequency
+    * and corpus size, from ONE vocab-bounded aggregate (postings →
+    * per-gram df → exact median over the VOCAB-sized df frame — the
+    * fixture's vocab is 985 rows; a real corpus's is millions, still
+    * never corpus-proportional). Returns (medianDf, nDocs).
+    */
+  def gramDfStats(docs: DataFrame): (Double, Long) = {
+    val grams = H.charGramIds(docs, lower(col("text")), 4)
+    val row = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .agg(expr("percentile(df, 0.5)").as("median_df"))
+      .head()
+    (row.getDouble(0), docs.select(col("doc_id")).count())
+  }
+
+  /** AUTO-SELECTED d3 (r11 verdict item 7): production shouldn't
+    * hard-code either spelling — the bucket join wins on saturated gram
+    * spaces, the prefix filter on high-entropy ones (both measured, both
+    * output-identical, so the oracle never changes). The selector rule:
+    * prefix buckets are near-singleton iff grams are rare, so pick the
+    * PREFIX FILTER when median df < SaturationFrac·nDocs and the bucket
+    * join otherwise. The threshold (1%) sits an order of magnitude below
+    * the fixture's measured bucket-join regime (median df/n ≈ 0.11) and
+    * orders above a real web corpus's (≪ 1e-3): the two regimes are
+    * separated by decades, so the exact cut is not delicate. The stats
+    * pass is one vocab-bounded aggregate; at 100 TB it runs on a corpus
+    * sample or ships from the previous build's gram stats.
+    */
+  val SaturationFrac = 0.01
+
+  def ngramJaccardAuto(docs: DataFrame, t: Double = 0.62): DataFrame = {
+    val (medianDf, nDocs) = gramDfStats(docs)
+    if (pickPrefixFilter(medianDf, nDocs)) ngramJaccardPrefixFiltered(docs, t)
+    else ngramJaccardBucketed(docs, t)
+  }
+
+  /** The selector predicate, exposed so the spec pins each regime. */
+  def pickPrefixFilter(medianDf: Double, nDocs: Long): Boolean =
+    medianDf < SaturationFrac * nDocs
+
   // C3 — n-gram Jaccard similarity join: char-4-gram sets, blocked by
-  // (lang, length bucket) so the exact join never goes quadratic.
+  // (lang, length bucket) so the exact join never goes quadratic; the
+  // SPELLING is auto-selected from measured gram df stats (above).
   private val d3 = Relational.Q(
     "d3_dedup_ngram_jaccard",
-    (s, d) => {
-      // Shared relational gram pipeline (HashFunctions.charGramIds): at
-      // k=4 the gram id is the injective 16-bit pack — exact, not a hash.
-      val grams = H.charGramIds(Tables.documents(s, d), lower(col("text")), 4)
-      // sorted + distinct: contract for the merge-walk intersect below;
-      // persisted — the prefix index AND both verify fetches read this
-      // one frame. Only the AGGREGATE is cached; the cheap doc-metadata
-      // join stays outside the cache so AQE plans it fresh per consumer.
-      val gAgg = grams.groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("g"))).as("sg"))
-        .withColumn("sz", size(col("sg")))
-        .persist()
-      // meta is one slim row per corpus doc — corpus-linear, so no
-      // broadcast hint (a forced driver broadcast caps out at 8 GB long
-      // before 100 TB); AQE broadcasts it at bench scale on its own.
-      val meta = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("len_bkt"))
-      // WITHIN-BUCKET ALL-PAIRS, kept DELIBERATELY after a measured
-      // round-10 experiment: the prefix-filtered spelling
-      // ([[ngramJaccardPrefixFiltered]], Bayardo et al. 2007) is
-      // provably output-identical and is the published winner on
-      // high-entropy gram spaces, but THIS fixture's gram space is
-      // saturated (985 distinct 4-grams, median df 541 of ~5k docs at
-      // sf0.1), so prefix grams hit hundreds of docs each and the
-      // index join produced MORE pair work than the 588k bucketed
-      // merge-walks it replaced (measured 5.2-7.2 s vs 3.8 s warm).
-      // The crossover is gram-space entropy: real web corpora sit on
-      // the prefix-filter side; the alternative ships spec-pinned
-      // equal for that regime.
-      val g = gAgg.join(meta, Seq("doc_id"))
-      val a = g.select(col("lang"), col("len_bkt"), col("doc_id").as("doc_a"),
-        col("sg").as("sg_a"), col("sz").as("sz_a"))
-      val b = g.select(col("lang").as("lang_b"), col("len_bkt").as("len_bkt_b"),
-        col("doc_id").as("doc_b"), col("sg").as("sg_b"), col("sz").as("sz_b"))
-      // size-ratio bound inside the join condition: j >= 0.62 forces
-      // min(|A|,|B|)/max(|A|,|B|) >= 0.62, so non-viable pairs are dropped
-      // during the probe, before their gram arrays are ever copied out
-      val cands = a.join(b,
-        col("lang") === col("lang_b") && col("len_bkt") === col("len_bkt_b")
-          && col("doc_a") < col("doc_b")
-          && col("sz_a") * 100 >= col("sz_b") * 62
-          && col("sz_b") * 100 >= col("sz_a") * 62)
-      // codegen'd merge-walk intersect (arrays pre-sorted); bound once as
-      // a lambda variable so the walk runs once per pair
-      val jac = element_at(
-        transform(
-          array(graft.functions.SortedIntersectSize(col("sg_a"), col("sg_b")).cast("double")),
-          n => n / (col("sz_a") + col("sz_b") - n)),
-        1)
-      cands.withColumn("jaccard_exact", jac)
-        .filter(col("jaccard_exact") >= 0.62)
-        .select(col("doc_a"), col("doc_b"), r4(col("jaccard_exact")).as("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, d) => ngramJaccardAuto(Tables.documents(s, d)),
     Some(s"""
       WITH g AS (
         SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bkt,

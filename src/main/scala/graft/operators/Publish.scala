@@ -242,8 +242,22 @@ object Publish {
     (currentVersion(spark, root).toSeq ++ dirs).foldLeft(0L)(math.max)
   }
 
-  def writeAuditPublish(df: DataFrame, root: String, audit: Audit,
-      token: String, expectedBase: Option[Long] = None): WapResult = {
+  /** A staged-and-audited snapshot whose pointer has NOT moved yet —
+    * the handle between [[stageAudit]] and [[publishStaged]]. Multi-table
+    * artifacts (the IVF-PQ index's lists/books/codes triple) stage and
+    * audit EVERY member before publishing ANY member, so a dirty table
+    * is rejected while the whole family still sits at the old version —
+    * the torn-version window of audit-after-partial-publish cannot open.
+    */
+  final case class StagedSnapshot(root: String, token: String,
+      expectedBase: Option[Long])
+
+  /** Phase 1: stage `df` under `root` and audit the STAGED bytes.
+    * Publishes nothing. Left = audit failure (the quarantined
+    * WapResult); Right = a handle [[publishStaged]] can swap live.
+    */
+  def stageAudit(df: DataFrame, root: String, audit: Audit,
+      token: String, expectedBase: Option[Long] = None): Either[WapResult, StagedSnapshot] = {
     val spark = df.sparkSession
     val stage = new Path(root, s"_staging/$token")
     val f = fs(spark, stage)
@@ -259,34 +273,48 @@ object Publish {
       .select("expectation", "violations", "pass").collect()
     val bad = report.filterNot(_.getBoolean(2))
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    if (bad.nonEmpty) return WapResult(published = false, None, None, bad)
+    if (bad.nonEmpty) Left(WapResult(published = false, None, None, bad))
+    else Right(StagedSnapshot(root, token, expectedBase))
+  }
 
+  /** Phase 2: pointer-swap a snapshot [[stageAudit]] already vetted. */
+  def publishStaged(spark: SparkSession, s: StagedSnapshot): WapResult = {
+    val stage = new Path(s.root, s"_staging/${s.token}")
+    val f = fs(spark, stage)
+    require(f.exists(stage), s"nothing staged at $stage — stageAudit first")
     // single-publisher protocol; the base check turns the lost-update
     // race (a publish landing while this snapshot staged — e.g. a
     // compaction about to revert it) from silent data loss into a loud
     // abort, leaving only invisible staging behind
-    val cur = currentVersion(spark, root)
-    expectedBase.foreach { base =>
+    val cur = currentVersion(spark, s.root)
+    s.expectedBase.foreach { base =>
       require(cur.getOrElse(0L) == base,
         s"table moved during staging: expected base v=$base, " +
           s"current is v=${cur.getOrElse(0L)} — re-run against the new head")
     }
-    val next = maxVersionOnDisk(spark, root) + 1L
-    val versionDir = new Path(root, s"v=$next")
+    val next = maxVersionOnDisk(spark, s.root) + 1L
+    val versionDir = new Path(s.root, s"v=$next")
     require(f.rename(stage, versionDir),
       s"rename $stage -> $versionDir failed (concurrent publish?)")
     // pointer swap: write aside, then rename into place. The pointer is
     // either absent or a COMPLETE version reference — the delete+rename
     // gap can surface as "no published version" (callers retry), never
     // as a torn or half-written pointer.
-    val tmp = new Path(root, s"_LATEST.tmp.$token")
+    val tmp = new Path(s.root, s"_LATEST.tmp.${s.token}")
     val out = f.create(tmp, true)
     try out.write(s"v=$next".getBytes("UTF-8")) finally out.close()
-    val ptr = new Path(root, "_LATEST")
+    val ptr = new Path(s.root, "_LATEST")
     if (f.exists(ptr)) f.delete(ptr, false)
     require(f.rename(tmp, ptr), s"pointer swap to v=$next failed")
     WapResult(published = true, Some(next), Some(versionDir.toString), Nil)
   }
+
+  def writeAuditPublish(df: DataFrame, root: String, audit: Audit,
+      token: String, expectedBase: Option[Long] = None): WapResult =
+    stageAudit(df, root, audit, token, expectedBase) match {
+      case Left(quarantined) => quarantined
+      case Right(staged) => publishStaged(df.sparkSession, staged)
+    }
 
   /** G21 — ORPHAN GC: the lifecycle piece between WAP (G16) and version
     * retention (G19/G20). Crashed or audit-failed attempts leave two

@@ -2016,10 +2016,37 @@ object Relational {
       .persist()
     val windows = shards.select(col("w")).distinct().orderBy(col("w"))
       .collect().map(_.getLong(0))
+    // empty input: no windows, so the fold below would never seed state —
+    // return the empty (user_id, n_events, ewma) frame instead of
+    // dereferencing null (the r11 advice's NPE)
+    if (windows.isEmpty) {
+      shards.unpersist()
+      return events.sparkSession.createDataFrame(
+        events.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_events",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ewma",
+            org.apache.spark.sql.types.DoubleType))))
+    }
+    // a superseded checkpoint's blocks are dead the moment the next
+    // window's state materializes; release them so a long span (many
+    // windows) holds at most two user-count-sized states, not all of
+    // them (the r11 advice's leak note — bounded here by ~8 windows,
+    // unbounded for arbitrary span)
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     var state: DataFrame = null
     windows.foreach { wid =>
       val cur = shards.filter(col("w") === wid)
         .select(col("user_id"), col("wn"), col("xs"))
+      val prev = state
       state =
         if (state == null)
           cur.select(col("user_id"), col("wn").as("n_events"),
@@ -2033,6 +2060,7 @@ object Relational {
                 .when(col("s").isNull, foldSeed(col("xs")))
                 .otherwise(foldCont(col("s"), col("xs"))).as("s"))
       state = state.localCheckpoint(true)
+      if (prev != null) releaseCheckpoint(prev)
     }
     shards.unpersist()
     state.select(col("user_id"), col("n_events"), Num.r4(col("s")).as("ewma"))

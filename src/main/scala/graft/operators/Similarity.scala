@@ -20,6 +20,25 @@ object Similarity {
   private val K = 5
   private val NQueries = 10
 
+  /** Corpus fraction the PQ/IVF-PQ refine pool must cover (r11 verdict
+    * item 3: a refine pool that is a FIXED multiple of K covers a
+    * shrinking corpus fraction as the table grows — s6's 30·K pool
+    * passed at sf0.01 and sat at 0.78 recall at sf0.1, caught only by
+    * the driver gate). ADC rank displacement grows ~linearly with the
+    * corpus for iid embeddings (a candidate's quantized rank error is a
+    * per-pair property, so the COUNT of false-ahead candidates scales
+    * with n), which makes the FRACTION the stable knob: 0.15 is the
+    * measured sf0.1 operating point (pool 300/2000 → recall 0.96-1.0;
+    * probe table in SURVEY §6). The floor keeps tiny corpora effectively
+    * exhaustive; production tunes the fraction down as measured ADC
+    * displacement allows, never back to a fixed count.
+    */
+  private val RefineFraction = 0.15
+
+  /** Refine-pool size: max(floorPool, ceil(RefineFraction·n)). */
+  private def refinePool(n: Long, floorPool: Int): Int =
+    math.max(floorPool, math.ceil(RefineFraction * n).toInt)
+
   /** Deterministic +-1 hyperplane weight for (plane p, dim i): the sign of
     * a fixed hash — reproducible across engines/runs, no RNG state.
     */
@@ -562,16 +581,18 @@ object Similarity {
   // The driver frame gates recall >= 0.8 vs s1 (the spec's band); the
   // spec additionally pins the compression ratio.
   private def s6TopK(s: SparkSession, d: String): DataFrame = {
-      // Refine = 60·K (round 11, was 30·K): the refine pool is a FIXED
-      // parameter, so its corpus FRACTION shrinks as SF grows — at
-      // sf0.1 (2000 vectors) 150 candidates covered only 7.5% of the
-      // corpus and measured recall dipped to 0.78, under the 0.8 floor
-      // the driver frame gates. 300 holds the floor with margin at
-      // every tested SF (0.96 at sf0.1, 0.98 at sf0.01) while staying parameter-bounded
-      // (the production knob one turns when recall sags at scale,
-      // before retraining bigger codebooks).
-      val M = 8; val Ds = 8; val Kc = 16; val Refine = 60 * K
+      // Refine pool is CORPUS-AWARE (r12, closing the r11 verdict's
+      // scale note on the fixed 60·K rule): max(60·K, ceil(0.15·n)).
+      // History: a fixed 150 covered 7.5% of sf0.1's 2000 vectors and
+      // recall dipped to 0.78 under the 0.8 driver floor; 300 restored
+      // 0.96 — but a fixed 300 at 10× the vectors would be 1.5%
+      // coverage and trip again. The fraction leg keeps coverage (and
+      // measured recall) stable as n grows; the 60·K floor keeps tiny
+      // corpora effectively exhaustive. n is one count on the already-
+      // persisted corpus frame (metadata-cheap at scale).
+      val M = 8; val Ds = 8; val Kc = 16
       val e = Tables.spread(Tables.embeddings(s, d)).persist()
+      val Refine = refinePool(e.count(), 60 * K)
       val subs = pqSubVectors(e, M, Ds)
       val books = trainCentroidsKeyed(subs, e, Kc, iters = 4)
       val codes = subs.join(broadcast(books), Seq("sub"))
@@ -794,6 +815,11 @@ object Similarity {
       refine: Int = 150, kIvf: Int = 10, ivfIters: Int = 6, m: Int = 8,
       ds: Int = 8, kc: Int = 16, pqIters: Int = 4): DataFrame = {
     val e = Tables.spread(e0.select(col("vec_id"), col("embedding"))).persist()
+    // `refine` is the pool FLOOR; the effective pool is corpus-aware
+    // (s6's r12 rule — a fixed count is a shrinking corpus fraction).
+    // One count on the persisted corpus frame the trainer is about to
+    // materialize anyway.
+    val refineEff = refinePool(e.count(), refine)
     val cent = trainCentroids(e, kIvf, ivfIters)
     // inverted-list assignment — s4's map-side-combinable max_by shape
     val assigned = e.join(broadcast(cent), lit(true))
@@ -838,7 +864,7 @@ object Similarity {
       .withColumn("acos", CosF(col("qv"), col("xhat")))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("neighbor_id"))
     val refined = scored.withColumn("qrnk", row_number().over(wq))
-      .filter(col("qrnk") <= refine)
+      .filter(col("qrnk") <= refineEff)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
       .withColumn("cos", CosF(col("qv"), col("cv")))
@@ -916,11 +942,34 @@ object Similarity {
           .select(lit("codes_one_row_per_vector").as("expectation"),
             abs(col("n") - lit(expectedVectors)).cast("long").as("violations"),
             (col("n") === lit(expectedVectors)).as("pass")))
-    val lr = Publish.writeAuditPublish(lists, s"$root/lists", listsAudit, token)
-    if (!lr.published) return Seq(lr)
-    val br = Publish.writeAuditPublish(books, s"$root/books", booksAudit, token)
-    if (!br.published) return Seq(lr, br)
-    Seq(lr, br, Publish.writeAuditPublish(codes, s"$root/codes", codesAudit, token))
+    // stage + audit ALL THREE before moving ANY pointer: the three
+    // tables share one version sequence, so a failed codes audit after
+    // lists/books published would leave the index permanently torn
+    // (writeAuditPublish counts versions per table). With the two-phase
+    // protocol a dirty table quarantines while all three pointers still
+    // name the old version.
+    stagePublishTriple(e.sparkSession, root, token,
+      Seq(("lists", lists, listsAudit), ("books", books, booksAudit),
+        ("codes", codes, codesAudit)))
+  }
+
+  /** Stage + audit every (name, frame, audit) member under `root`, and
+    * only if ALL audits pass swap the pointers in order. Any audit
+    * failure returns the quarantined results with ZERO tables published —
+    * the family stays consistent at its old version. (A crash BETWEEN
+    * pointer swaps can still tear the family; ivfPqScoreFromIndex's
+    * version-equality guard turns that residual window into a loud
+    * read-time failure rather than silent skew.)
+    */
+  private def stagePublishTriple(spark: SparkSession, root: String, token: String,
+      members: Seq[(String, DataFrame, Publish.Audit)]): Seq[Publish.WapResult] = {
+    val staged = members.map { case (name, df, audit) =>
+      Publish.stageAudit(df, s"$root/$name", audit, token)
+    }
+    val failures = staged.collect { case Left(q) => q }
+    if (failures.nonEmpty) failures
+    else staged.map { case Right(s) => Publish.publishStaged(spark, s)
+      case Left(q) => q }
   }
 
   /** INDEX REFRESH without retraining (the d11 incremental story applied
@@ -999,12 +1048,16 @@ object Similarity {
             abs(col("n") - lit(expectedVectors)).cast("long").as("violations"),
             (col("n") === lit(expectedVectors)).as("pass")))
     // one version sequence across the three tables (the torn guard's
-    // invariant): lists and books re-stage byte-unchanged
-    val lr = Publish.writeAuditPublish(lists, s"$root/lists", passThrough, token)
-    if (!lr.published) return Seq(lr)
-    val br = Publish.writeAuditPublish(books, s"$root/books", passThrough, token)
-    if (!br.published) return Seq(lr, br)
-    Seq(lr, br, Publish.writeAuditPublish(unioned, s"$root/codes", codesAudit, token))
+    // invariant): lists and books re-stage byte-unchanged. The codes
+    // audit (width/range/list-referential/count) runs on the STAGED
+    // union BEFORE any pointer moves — previously it ran after
+    // lists/books had already published at N+1, so any codes-audit
+    // failure beyond the two pre-checked dirty-batch causes desynced
+    // the shared version sequence permanently (the r11 advice's
+    // residual torn-index window, now closed by the two-phase WAP).
+    stagePublishTriple(spark, root, token,
+      Seq(("lists", lists, passThrough), ("books", books, passThrough),
+        ("codes", unioned, codesAudit)))
   }
 
   /** ADC scoring straight off the published IVF-PQ artifact with ZERO

@@ -744,23 +744,70 @@ object Sketching {
 
   // I11 — Frequent Directions matrix sketch over the embedding table
   // (see [[FrequentDirections]]): the deterministic mergeable
-  // covariance compression behind one-pass distributed PCA. The entry
-  // surfaces each sketch row's norm (the shrunk singular values) —
-  // norm-descending, r4 display. Rows-only (the sketch is
-  // engine-specific; the SPECTRAL guarantees are what the spec pins:
-  // PSD undershoot, the ||A||_F^2/l bound, exact low-rank recovery,
-  // and shard-merge preservation). EXECUTES at build (per-partition
-  // fold + driver merge) — the d6 iterative class for PlanAudit.
+  // covariance compression behind one-pass distributed PCA. PROMOTED to
+  // a bounds oracle (r11 verdict item 2): the float SVD keeps the
+  // sketch VALUES engine-specific, but the GLPW guarantee
+  // 0 <= x'(A'A - B'B)x <= ||A||_F^2 / l is checkable — the gate
+  // evaluates it on 8 deterministic unit probes (basis e_1..e_7 + the
+  // ones/sqrt(d) direction; the A-side quadratic forms are one
+  // map-side-combinable distributed aggregate, the B side is local over
+  // <= l sketch rows) and DuckDB replays (n_vectors, dim) exactly and
+  // pins within_bound TRUE. A shrink overshoot, a lost shard, or a
+  // broken merge breaks the deficit band and flips the hash red. The
+  // spec still pins the full spectral claims (PSD undershoot, bound,
+  // exact low-rank recovery, shard-merge preservation); benchFn keeps
+  // the production sketch-build spelling.
+  private def x13Sketch(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val rows = FrequentDirections.sketch(Tables.embeddings(s, d), 16, 64)
+    rows.zipWithIndex.map { case (r, i) =>
+      (i.toLong, math.floor(math.sqrt(r.map(x => x * x).sum) * 10000.0 + 0.5) / 10000.0)
+    }.toSeq.toDF("row_idx", "row_norm")
+  }
+
   private val x13 = Relational.Q(
     "x13_frequent_directions",
     (s, d) => {
       import s.implicits._
-      val rows = FrequentDirections.sketch(Tables.embeddings(s, d), 16, 64)
-      rows.zipWithIndex.map { case (r, i) =>
-        (i.toLong, math.floor(math.sqrt(r.map(x => x * x).sum) * 10000.0 + 0.5) / 10000.0)
-      }.toSeq.toDF("row_idx", "row_norm")
+      val l = 16
+      val dim = 64
+      val e = Tables.embeddings(s, d)
+      val b = FrequentDirections.sketch(e, l, dim)
+      // A-side quadratic forms in ONE wide aggregate: ||A||_F^2,
+      // x'A'Ax for x = e_1..e_7, and for x = ones/sqrt(d)
+      val aggCols =
+        Seq(count(lit(1)).as("n"),
+          sum(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))).as("fro"),
+          sum(pow(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double")), 2.0) / lit(dim.toDouble)).as("ones")) ++
+        (0 until 7).map(j =>
+          sum(pow(element_at(col("embedding"), j + 1).cast("double"), 2.0)).as(s"c$j"))
+      val row = e.agg(aggCols.head, aggCols.tail: _*).head()
+      val nVectors = row.getLong(0)
+      val froA = row.getDouble(1)
+      val aSide = row.getDouble(2) +: (0 until 7).map(j => row.getDouble(3 + j))
+      // B-side quadratic forms over the <= l local sketch rows
+      val bOnes = b.map(r => math.pow(r.sum, 2) / dim).sum
+      val bSide = bOnes +: (0 until 7).map(j => b.map(r => r(j) * r(j)).sum)
+      val bound = froA / l
+      val eps = 1e-6 * froA + 1e-9
+      val within = aSide.zip(bSide).forall { case (xa, xb) =>
+        val deficit = xa - xb
+        deficit >= -eps && deficit <= bound + eps
+      }
+      Seq((nVectors, dim.toLong, l.toLong, aSide.size.toLong, within))
+        .toDF("n_vectors", "dim", "sketch_rows", "n_probes", "within_bound")
     },
-    None)
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        CAST(MAX(len(embedding)) AS BIGINT) AS dim,
+        CAST(16 AS BIGINT) AS sketch_rows,
+        CAST(8 AS BIGINT) AS n_probes,
+        TRUE AS within_bound
+      FROM embeddings"""),
+    benchFn = Some(x13Sketch _))
 
   // I12 — AMS F2 sketch (Alon, Matias & Szegedy 1996): estimate the
   // SECOND MOMENT F2 = sum_i f_i^2 of the token-frequency vector — the
@@ -1059,18 +1106,33 @@ object Sketching {
       val exact = Tables.orders(s, d)
         .agg(expr("percentile(o_totalprice, 0.5)").as("em"),
           expr("percentile(o_totalprice, 0.90)").as("ep"))
-      partials
+      val sk = partials
         .agg(MrlUnionAgg(col("sk")).as("u"),
           count(lit(1)).as("n_partial_sketches"),
           sum(col("n_orders")).as("n_orders"))
         .select(MrlQuantile(col("u"), 0.5).as("am"),
           MrlQuantile(col("u"), 0.90).as("ap"),
           col("n_partial_sketches"), col("n_orders"))
-        .crossJoin(broadcast(exact))
+      // gate on RANK error — the quantity MRL actually bounds (<= L·n/k
+      // ranks under ANY merge order, the spec's formula verbatim). The
+      // r11 advice: the old 5% relative VALUE tolerance only followed
+      // from the rank bound on near-uniform data, so a concentrated
+      // fixture distribution could flake the gate without any sketch
+      // regression. Rank of the estimate = count(values <= estimate),
+      // one extra map-side-combinable pass over orders (verify-only;
+      // benchFn stays the sketch path alone).
+      val nD = col("n_orders").cast("double")
+      val levels = greatest(lit(1L), ceil(log(2.0, nD / lit(1024.0))) + lit(1L))
+      val rankBound = floor(levels.cast("double") * nD / lit(1024.0)) + lit(1L)
+      val gate = Tables.orders(s, d).crossJoin(broadcast(sk))
+        .groupBy(col("n_partial_sketches"), col("n_orders"), col("am"), col("ap"))
+        .agg(sum(when(col("o_totalprice") <= col("am"), 1L).otherwise(0L)).as("rank_m"),
+          sum(when(col("o_totalprice") <= col("ap"), 1L).otherwise(0L)).as("rank_p"))
+      gate.crossJoin(broadcast(exact))
         .select(col("n_partial_sketches"), col("n_orders"),
           r2(col("em")).as("median"), r2(col("ep")).as("p90"),
-          (abs(col("am") - col("em")) <= lit(0.05) * col("em") &&
-            abs(col("ap") - col("ep")) <= lit(0.05) * col("ep")).as("within_tol"))
+          (abs(col("rank_m") - ceil(nD * lit(0.5))) <= rankBound &&
+            abs(col("rank_p") - ceil(nD * lit(0.9))) <= rankBound).as("within_tol"))
     },
     Some(s"""
       SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_partial_sketches,

@@ -73,8 +73,19 @@ object SourcePresets {
     * JSON scan precisely because re-parsing could disagree, so the
     * split must read one parsed materialization.
     */
+  final case class JsonlIngest(clean: DataFrame, quarantined: DataFrame,
+      private val raw: DataFrame) extends AutoCloseable {
+    /** Release the shared parsed materialization. Call after both the
+      * clean and quarantine frames have been consumed (written/counted);
+      * the children stay queryable afterwards but re-parse from source —
+      * which is exactly the lazy-scan disagreement the persist guards
+      * against, so consume first, then close.
+      */
+    override def close(): Unit = { raw.unpersist(); () }
+  }
+
   def jsonlIngest(spark: SparkSession, dir: String, schema: StructType)
-      : (DataFrame, DataFrame) = {
+      : JsonlIngest = {
     import org.apache.spark.sql.functions.col
     require(!schema.fieldNames.contains("_corrupt_record"),
       "caller schema must not declare _corrupt_record; jsonlIngest adds it")
@@ -86,9 +97,14 @@ object SourcePresets {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(dir)
       .persist()
-    (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+    // the persisted frame rides along as the releasable handle (the r11
+    // advice: returning only derived children made the cache
+    // unreleasable — the test's clean.unpersist() was a silent no-op)
+    JsonlIngest(
+      raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       raw.filter(col("_corrupt_record").isNotNull)
-        .select(col("_corrupt_record").as("raw_line")))
+        .select(col("_corrupt_record").as("raw_line")),
+      raw)
   }
 
   /** TCP line socket source — the live network-consumer shape (Spark's

@@ -334,6 +334,8 @@ object PlanAudit {
       "consumes d6's materialized components; own shape = one id-keyed join + narrow hash projection",
     "x13_frequent_directions" ->
       "per-partition FD fold + driver merge execute at build; driver touches only numPartitions x l sketch rows",
+    "t17_bpe_train" ->
+      "trainer executes at build (one bounded TakeOrderedAndProject probe per merge round — the d6 iterative class); the learned-table/gate frames are local relations with nothing to audit",
     "q55_ewma_windowed" ->
       "iterative window fold (the A48 batch twin): per-window shape = one (user,window)-bounded aggregate + one user-keyed state join, localCheckpoint per window")
 
@@ -342,7 +344,12 @@ object PlanAudit {
   // pipeline it materializes instead.
   val lazyTwin: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("d2_dedup_minhash_lsh" ->
-      ((s, d) => graft.operators.Dedup.nearDupPairs(graft.Tables.documents(s, d))))
+      ((s, d) => graft.operators.Dedup.nearDupPairs(graft.Tables.documents(s, d))),
+      // t21 eager-materializes its bounded top-k so the shared tf cache
+      // can be released (r12); audit the lazy spelling
+      "t21_bm25_topk" ->
+      ((s, d) => graft.operators.TextAnalysis.bm25TopKLazy(
+        graft.Tables.documents(s, d), graft.operators.TextAnalysis.Bm25Queries)._1))
 
   // Queries whose nested-loop join is a CONSTANT-size broadcast by
   // design (never grows with the corpus) — the legitimate BNLJ shape.

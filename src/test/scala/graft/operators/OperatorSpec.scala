@@ -3415,6 +3415,40 @@ class OperatorSpec extends SparkSpec {
     assert(prefixed == allPairs, "prefix filter dropped or invented pairs")
   }
 
+  test("d3 auto-selection: saturated fixture picks the bucket join, " +
+      "high-entropy corpus picks the prefix filter; outputs agree in both regimes") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the fixture's gram space is SATURATED (985 grams, median df ~0.1·n
+    // — the measured bucket-join regime)
+    val fixture = graft.Tables.documents(spark, sfDir)
+    val (mdF, nF) = Dedup.gramDfStats(fixture)
+    assert(!Dedup.pickPrefixFilter(mdF, nF),
+      s"fixture (median df $mdF of $nF docs) must pick the measured-cheaper bucket join")
+    // a HIGH-ENTROPY corpus: seeded hex text — 4-grams are near-unique,
+    // the measured prefix-filter regime. One planted exact dup keeps the
+    // output-equality check non-vacuous.
+    val rnd = new scala.util.Random(41)
+    def hexDoc(): String =
+      (0 until 16).map(_ => java.lang.Long.toHexString(rnd.nextLong() & Long.MaxValue))
+        .mkString(" ")
+    val texts = (1L to 200L).map(id => (id, hexDoc()))
+    val hi = (texts :+ ((201L, texts.head._2)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val (mdH, nH) = Dedup.gramDfStats(hi)
+    assert(Dedup.pickPrefixFilter(mdH, nH),
+      s"high-entropy corpus (median df $mdH of $nH docs) must pick the prefix filter")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val bucketed = Dedup.ngramJaccardBucketed(hi).collect().map(key).toSet
+    val prefixed = Dedup.ngramJaccardPrefixFiltered(hi).collect().map(key).toSet
+    val auto = Dedup.ngramJaccardAuto(hi).collect().map(key).toSet
+    assert(bucketed.contains((1L, 201L, 1.0)), "planted dup must surface")
+    assert(prefixed == bucketed && auto == prefixed,
+      "all three spellings must agree in the high-entropy regime")
+  }
+
   test("dedup rates (d24): planted duplicates move exactly the right counter") {
     import spark.implicits._
     // 4 raw docs: one exact pair (whitespace variant — normalized dup),

@@ -435,7 +435,8 @@ class SourcesSpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("score", LongType)))
-    val (clean, quarantined) = SourcePresets.jsonlIngest(spark, dir, schema)
+    val ingest = SourcePresets.jsonlIngest(spark, dir, schema)
+    val (clean, quarantined) = (ingest.clean, ingest.quarantined)
     // every well-formed line parses with its fields intact
     val rows = clean.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows.length == 40, s"clean=${rows.length}")
@@ -448,7 +449,17 @@ class SourcesSpec extends SparkSpec {
     bad.foreach(b => assert(q.contains(b), s"raw line lost: $b"))
     // the type-mismatch line must NOT leak a schema-shaped null row into clean
     assert(!rows.exists(_._2 == null))
-    clean.unpersist()
+    // the handle releases the SHARED raw materialization (the old
+    // clean.unpersist() was a no-op on a never-cached child): before
+    // close the children resolve through InMemoryRelation, after close
+    // they re-plan straight from the source
+    // fresh Dataset each probe: withCachedData is memoized per
+    // QueryExecution, so re-probing `clean` itself would see stale state
+    def usesCache() = clean.select("*").queryExecution.withCachedData
+      .toString.contains("InMemoryRelation")
+    assert(usesCache(), "children must read the one persisted parse before close()")
+    ingest.close()
+    assert(!usesCache(), "close() must release the persisted raw frame")
   }
 
   test("jsonl streaming source (G25): explicit schema, bounded files per trigger") {

@@ -10,6 +10,44 @@ import org.apache.spark.sql.functions._
   */
 class PlanAuditSpec extends SparkSpec {
 
+  /** The audited surface (r11 verdict item 5): every verify frame PLUS
+    * every benchFn spelling that differs from it — the frames BENCH
+    * actually times audit as ROOTS, not only as subtrees of verify
+    * frames. Rows are (display, base, fn); iterative/lazyTwin/allowlist
+    * adjudications key on the BASE name (a bench frame is the verify
+    * frame minus gate legs, never a new shape — the SURVEY §6
+    * bench/verify-split contract, so an adjudication that covers the
+    * gated frame covers its production subtree too).
+    */
+  private def auditSurface: Seq[(String, String,
+      (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    val qs = graft.SparkEntry.queries
+    val bench = graft.SparkEntry.benchQueries.toSeq
+      .filter { case (n, fn) => !(fn eq qs(n)) }
+      .map { case (n, fn) => (s"$n#bench", n, fn) }
+    (qs.toSeq.map { case (n, fn) => (n, n, fn) } ++ bench).sortBy(_._1)
+  }
+
+  /** Run one guard over the whole surface; returns unadjudicated hits. */
+  private def sweep(guard: org.apache.spark.sql.DataFrame => Seq[String],
+      allowed: Set[String]): Seq[(String, Seq[String])] =
+    auditSurface.collect {
+      case (display, base, fn) if !PlanAudit.iterative.contains(base) =>
+        // lazyTwin replaces only the VERIFY frame (the twin is its lazy
+        // spelling); a bench frame audits as itself
+        val audited = if (display == base) PlanAudit.lazyTwin.getOrElse(base, fn) else fn
+        val hits = try guard(audited(spark, sfDir)) catch {
+          case _: Throwable => Seq.empty // planning failures are OperatorSpec's dept
+        }
+        spark.catalog.clearCache()
+        (display, base, hits)
+    }.collect { case (display, base, hits) if hits.nonEmpty && !allowed.contains(base) =>
+      (display, hits)
+    }
+
+  private def offendersMsg(offenders: Seq[(String, Seq[String])]): String =
+    offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")
+
   test("deliberate broadcast of a corpus-rooted frame trips the guard") {
     val docs = Tables.documents(spark, sfDir)
     // the exact anti-pattern removed in r4/r5: a corpus-derived
@@ -92,18 +130,10 @@ class PlanAuditSpec extends SparkSpec {
       "domain-partitioned windows are d14's adjudicated-growing shape")
   }
 
-  test("the audited query surface carries no unadjudicated enum-partitioned windows") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
-      case (name, fn) if !PlanAudit.iterative.contains(name) =>
-        val audited = PlanAudit.lazyTwin.getOrElse(name, fn)
-        val ew = try PlanAudit.enumWindows(audited(spark, sfDir)) catch {
-          case _: Throwable => Seq.empty // planning failures are OperatorSpec's dept
-        }
-        spark.catalog.clearCache()
-        (name, ew)
-    }.filter { case (name, ew) => ew.nonEmpty && !PlanAudit.allowedEnumWindows.contains(name) }
+  test("the audited query+bench surface carries no unadjudicated enum-partitioned windows") {
+    val offenders = sweep(PlanAudit.enumWindows, PlanAudit.allowedEnumWindows.keySet)
     assert(offenders.isEmpty,
-      s"unadjudicated enum-partitioned windows: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
+      s"unadjudicated enum-partitioned windows: ${offendersMsg(offenders)}")
   }
 
   test("deliberate unbounded collect_list trips the guard; plain count aggregates don't") {
@@ -125,52 +155,29 @@ class PlanAuditSpec extends SparkSpec {
       events.groupBy(col("user_id")).agg(count(lit(1)), sum(col("value")))).isEmpty)
   }
 
-  test("the audited query surface carries no unadjudicated array-collect aggregates") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
-      case (name, fn) if !PlanAudit.iterative.contains(name) =>
-        val audited = PlanAudit.lazyTwin.getOrElse(name, fn)
-        val cs = try PlanAudit.collectAggregates(audited(spark, sfDir)) catch {
-          case _: Throwable => Seq.empty // planning failures are OperatorSpec's dept
-        }
-        spark.catalog.clearCache()
-        (name, cs)
-    }.filter { case (name, cs) => cs.nonEmpty && !PlanAudit.allowedCollects.contains(name) }
+  test("the audited query+bench surface carries no unadjudicated array-collect aggregates") {
+    val offenders = sweep(PlanAudit.collectAggregates, PlanAudit.allowedCollects.keySet)
     assert(offenders.isEmpty,
-      s"unadjudicated array collects: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
+      s"unadjudicated array collects: ${offendersMsg(offenders)}")
   }
 
-  test("the audited query surface carries no unadjudicated global windows") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
-      case (name, fn) if !PlanAudit.iterative.contains(name) =>
-        val audited = PlanAudit.lazyTwin.getOrElse(name, fn)
-        val gw = try PlanAudit.globalWindows(audited(spark, sfDir)) catch {
-          case _: Throwable => Seq.empty // planning failures are OperatorSpec's dept
-        }
-        spark.catalog.clearCache()
-        (name, gw)
-    }.filter { case (name, gw) => gw.nonEmpty && !PlanAudit.allowedGlobalWindows.contains(name) }
+  test("the audited query+bench surface carries no unadjudicated global windows") {
+    val offenders = sweep(PlanAudit.globalWindows, PlanAudit.allowedGlobalWindows.keySet)
     assert(offenders.isEmpty,
-      s"unadjudicated global windows: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
+      s"unadjudicated global windows: ${offendersMsg(offenders)}")
   }
 
-  test("the audited query surface carries no unadjudicated corpus hints") {
+  test("the audited query+bench surface carries no unadjudicated corpus hints") {
     // every lazily-plannable SparkEntry query passes the guard or is in
     // the allowlist with a boundedness argument — the whole-repo
     // invariant, enforced here so a regression fails the suite, not
     // just the out-of-band audit tool. Exclusions come from PlanAudit's
     // OWN shared lists (iterative algorithms execute at plan-build; d2
-    // audits via its lazy twin) so the tool and this sweep can't drift.
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
-      case (name, fn) if !PlanAudit.iterative.contains(name) =>
-        val audited = PlanAudit.lazyTwin.getOrElse(name, fn)
-        val hints = try PlanAudit.corpusBroadcastHints(audited(spark, sfDir)) catch {
-          case _: Throwable => Seq.empty // planning failures are OperatorSpec's dept
-        }
-        spark.catalog.clearCache()
-        (name, hints)
-    }.filter { case (name, hints) => hints.nonEmpty && !PlanAudit.allowedHints.contains(name) }
+    // and t21 audit via their lazy twins) so the tool and this sweep
+    // can't drift.
+    val offenders = sweep(PlanAudit.corpusBroadcastHints, PlanAudit.allowedHints.keySet)
     assert(offenders.isEmpty,
-      s"unadjudicated corpus-rooted hints: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
+      s"unadjudicated corpus-rooted hints: ${offendersMsg(offenders)}")
   }
 
   test("deliberate both-sides-array self-join trips the payload guard; slim and cross-table joins don't") {
@@ -194,39 +201,33 @@ class PlanAuditSpec extends SparkSpec {
       "a cross-table array join must not be flagged")
   }
 
-  test("the audited query surface carries no unadjudicated both-sides-array self-joins") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
-      case (name, fn) if !PlanAudit.iterative.contains(name) =>
-        val audited = PlanAudit.lazyTwin.getOrElse(name, fn)
-        val apj = try PlanAudit.arrayPairJoins(audited(spark, sfDir)) catch {
-          case _: Throwable => Seq.empty // planning failures are OperatorSpec's dept
-        }
-        spark.catalog.clearCache()
-        (name, apj)
-    }.filter { case (name, apj) => apj.nonEmpty && !PlanAudit.allowedArrayPairJoins.contains(name) }
+  test("the audited query+bench surface carries no unadjudicated both-sides-array self-joins") {
+    val offenders = sweep(PlanAudit.arrayPairJoins, PlanAudit.allowedArrayPairJoins.keySet)
     assert(offenders.isEmpty,
-      s"unadjudicated array pair joins: ${offenders.map(o => o._1 + "=" + o._2.mkString(",")).mkString("; ")}")
+      s"unadjudicated array pair joins: ${offendersMsg(offenders)}")
   }
 
-  test("the audited query surface carries no unadjudicated nested-loop or cartesian joins") {
+  test("the audited query+bench surface carries no unadjudicated nested-loop or cartesian joins") {
     // the BNLJ half of the audit tool's contract, previously enforced
     // only by running the out-of-band tool — the r8 review caught x11
     // adjudicated in allowedHints but missing from the BNLJ list, a
     // standing tool false-alarm this sweep turns into a suite failure.
     // Physical plans (executedPlan), because BNLJ is a strategy choice
-    // the logical plan doesn't show.
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).collect {
-      case (name, fn) if !PlanAudit.iterative.contains(name) =>
-        val audited = PlanAudit.lazyTwin.getOrElse(name, fn)
+    // the logical plan doesn't show. Cartesians have NO allowlist: the
+    // guard closure flags them under a sentinel name so they fail for
+    // any query, adjudicated or not.
+    val offenders = auditSurface.collect {
+      case (display, base, fn) if !PlanAudit.iterative.contains(base) =>
+        val audited = if (display == base) PlanAudit.lazyTwin.getOrElse(base, fn) else fn
         val plan = try audited(spark, sfDir).queryExecution.executedPlan.toString
           catch { case _: Throwable => "" } // planning failures are OperatorSpec's dept
         spark.catalog.clearCache()
         val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
         val cart = plan.linesIterator.count(_.contains("CartesianProduct"))
-        (name, bnlj, cart)
-    }.filter { case (name, bnlj, cart) =>
-      cart > 0 || (bnlj > 0 && !PlanAudit.allowedBnlj.contains(name)) }
+        (display, base, bnlj, cart)
+    }.filter { case (_, base, bnlj, cart) =>
+      cart > 0 || (bnlj > 0 && !PlanAudit.allowedBnlj.contains(base)) }
     assert(offenders.isEmpty,
-      s"unadjudicated BNLJ/cartesian joins: ${offenders.map(o => s"${o._1}(bnlj=${o._2},cart=${o._3})").mkString("; ")}")
+      s"unadjudicated BNLJ/cartesian joins: ${offenders.map(o => s"${o._1}(bnlj=${o._3},cart=${o._4})").mkString("; ")}")
   }
 }

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Grade a bench artifact against the frozen BASELINE.md floors.
+
+Usage: python3 tools/benchcompare.py <BENCH_rNN.json | bench_stdout.json>
+
+Regression rule (the r10/r11 triage thresholds, now mechanical):
+  time > 1.5x floor AND time - floor > 0.4s.
+New queries (no floor yet) are listed separately — stamp them into the
+baseline with tools/benchbaseline.py once a clean run exists.
+Exit code: 0 clean, 1 regressions found, 2 usage/parse error.
+"""
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_floors():
+    floors = {}
+    path = os.path.join(ROOT, "BASELINE.md")
+    for line in open(path):
+        m = re.match(r"\|\s*(\S+)\s*\|\s*([0-9.]+)\s*\|\s*(\S+)\s*\|", line)
+        if m and m.group(1) != "query":
+            floors[m.group(1)] = float(m.group(2))
+    return floors
+
+
+def main(path):
+    d = json.load(open(path))
+    qs = d.get("queries") or (d.get("parsed") or {}).get("queries")
+    if not qs:
+        print(f"ERROR: no queries in {path} (parsed=null?)")
+        return 2
+    floors = load_floors()
+    regressions, new, improved = [], [], []
+    for q, t in sorted(qs.items()):
+        if not isinstance(t, (int, float)):
+            continue
+        f = floors.get(q)
+        if f is None:
+            new.append((q, t))
+        elif t > 1.5 * f and t - f > 0.4:
+            regressions.append((q, t, f))
+        elif t < f:
+            improved.append((q, t, f))
+    total = sum(t for t in qs.values() if isinstance(t, (int, float)))
+    ftotal = sum(floors.get(q, 0.0) for q in qs)
+    print(f"total {total:.2f}s vs sum-of-floors {ftotal:.2f}s "
+          f"({total / ftotal:.2f}x)" if ftotal else f"total {total:.2f}s")
+    for q, t, f in regressions:
+        print(f"REGRESSION {q}: {t:.2f}s vs floor {f:.2f}s ({t / f:.1f}x)")
+    for q, t in new:
+        print(f"NEW {q}: {t:.2f}s (no floor — stamp after a clean run)")
+    if improved:
+        print(f"{len(improved)} queries beat their floor (re-stamp: "
+              "tools/benchbaseline.py <this file>)")
+    if not regressions:
+        print("== no regressions vs baseline ==")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 2:
+        print(__doc__)
+        sys.exit(2)
+    sys.exit(main(sys.argv[1]))
