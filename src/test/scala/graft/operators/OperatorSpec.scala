@@ -593,11 +593,17 @@ class OperatorSpec extends SparkSpec {
       assert(syms == BpeEncode.encodeWord(w, ranks).toSeq, s"codegen mismatch for '$w'")
       assert(syms.mkString == w, s"symbols don't reassemble '$w'")
     }
-    // the t14 query itself: every doc's real BPE count is <= its
-    // code-point count and >= its word count (merges only shrink)
-    val t14 = graft.SparkEntry.queries("t14_bpe_encode")(spark, sfDir).collect()
+    // the benched t14 spelling: every doc's real BPE count is <= its
+    // code-point count and >= its word count (merges only shrink).
+    // (The VERIFY frame is the r12 roundtrip/bounds gate — oracle-checked
+    // per doc by the driver; here we pin the production spelling.)
+    val t14 = graft.SparkEntry.benchQueries("t14_bpe_encode")(spark, sfDir).collect()
     assert(t14.nonEmpty)
     t14.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"fewer tokens than words: $r"))
+    // and the r12 gate frame itself: roundtrip + bounds flags all TRUE
+    val gate = graft.SparkEntry.queries("t14_bpe_encode")(spark, sfDir).collect()
+    assert(gate.nonEmpty)
+    gate.foreach(r => assert(r.getBoolean(2) && r.getBoolean(3), s"gate flag false: $r"))
   }
 
   test("BPE train (t17): learned merges equal the hand-computed Sennrich worked example") {
@@ -906,12 +912,22 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("BPE train (t17): query entry learns a real table from the corpus") {
-    val t17 = graft.SparkEntry.queries("t17_bpe_train")(spark, sfDir).collect()
+    // the benched spelling is the learned table (the VERIFY frame is the
+    // r12 first-merge/invariants gate, oracle-checked by the driver)
+    val t17 = graft.SparkEntry.benchQueries("t17_bpe_train")(spark, sfDir).collect()
     assert(t17.length == 16, s"expected 16 merges, got ${t17.length}")
     assert(t17.map(_.getLong(0)).toSeq == (0L until 16L), "ranks not dense 0..15")
     t17.foreach { r =>
       assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty, s"empty symbol in $r")
     }
+    // the r12 gate frame: first merge matches the learned table's head,
+    // invariants hold, and the selection count is a real corpus count
+    val gate = graft.SparkEntry.queries("t17_bpe_train")(spark, sfDir).collect()
+    assert(gate.length == 1 && gate.head.getLong(0) == 16L)
+    assert(gate.head.getString(1) == t17.head.getString(1)
+      && gate.head.getString(2) == t17.head.getString(2),
+      "gate first merge != learned table head")
+    assert(gate.head.getLong(3) >= 2L && gate.head.getBoolean(4), s"gate: ${gate.head}")
     // the scale path learns the IDENTICAL table on the real corpus
     val viaDict = TextAnalysis.bpeTrainMergesLocal(
       graft.Tables.documents(spark, sfDir), numMerges = 16)

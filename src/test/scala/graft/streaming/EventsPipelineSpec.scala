@@ -672,6 +672,41 @@ class EventsPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SURGICAL GPS scrub (A54): orientation survives the streamed scrub, GPS does not") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{ImageCodec, Multimodal => M}
+    // the A53 attach, surgical spelling: stateless row-local rebuild —
+    // the LITERAL batch operator on a stream, no twin code
+    val base = ImageCodec.encodeGrayJpeg(6, 4)((x, y) => (x + y * 7) % 256)
+    val docs = Seq(
+      (1L, M.spliceExif(base, 5, littleEndian = true, gps = true)),
+      (2L, M.spliceExif(base, 7, littleEndian = false, gps = false)),
+      (3L, "plain bytes".getBytes("UTF-8")),
+      (4L, M.spliceExif(base, 2, littleEndian = false, gps = true)))
+    val src = MemoryStream[(Long, Array[Byte])]
+    val q = M.scrubExifGpsSurgical(src.toDS().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("gps_surgical_stream_test")
+      .outputMode("append").start()
+    try {
+      src.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getBoolean(1),
+        r.getLong(2), r.getString(3), r.getBoolean(4), r.getLong(5))
+      val streamed = spark.table("gps_surgical_stream_test").collect().map(key).toSet
+      val batch = M.scrubExifGpsSurgical(docs.toDF("doc_id", "payload"))
+        .collect().map(key).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // GPS class: exactly the 18 surgical bytes out, orientation kept
+      assert(streamed.exists(r => r._1 == 1L && r._2 && r._3 == 18L && !r._5 && r._6 == 5L))
+      assert(streamed.exists(r => r._1 == 4L && r._2 && r._3 == 18L && !r._5 && r._6 == 2L))
+      // no-GPS class: byte-identical, orientation untouched
+      assert(streamed.exists(r => r._1 == 2L && !r._2 && r._3 == 0L && r._6 == 7L))
+    } finally q.stop()
+  }
+
   test("streaming Gopher gate (A36): the batch rules run unchanged on a stream, flags identical") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -34,6 +34,19 @@ def main(path):
         print(f"ERROR: no queries in {path} (parsed=null?)")
         return 2
     floors = load_floors()
+    # HOST CALIBRATION (r12): floors were posted by the cleanest machine
+    # in history; the current box may be uniformly slower (measured
+    # 1.6-1.7x in round 12 — t9/t16 solo on an idle box sat at exactly
+    # that multiple of their floors with unchanged code). The median
+    # per-query ratio estimates that host factor robustly (a real
+    # regression moves a few queries, not the median), and a regression
+    # is then a query beating the CALIBRATED floor by the r10/r11
+    # thresholds: t > 1.5 * (median_ratio * floor) AND the absolute
+    # excess > 0.4s.
+    ratios = sorted(t / floors[q] for q, t in qs.items()
+                    if isinstance(t, (int, float)) and floors.get(q))
+    host = ratios[len(ratios) // 2] if ratios else 1.0
+    host = max(host, 1.0)  # a faster box never EXCUSES a slow query
     regressions, new, improved = [], [], []
     for q, t in sorted(qs.items()):
         if not isinstance(t, (int, float)):
@@ -41,16 +54,18 @@ def main(path):
         f = floors.get(q)
         if f is None:
             new.append((q, t))
-        elif t > 1.5 * f and t - f > 0.4:
+        elif t > 1.5 * host * f and t - host * f > 0.4:
             regressions.append((q, t, f))
         elif t < f:
             improved.append((q, t, f))
     total = sum(t for t in qs.values() if isinstance(t, (int, float)))
     ftotal = sum(floors.get(q, 0.0) for q in qs)
+    print(f"host factor (median t/floor): {host:.2f}x")
     print(f"total {total:.2f}s vs sum-of-floors {ftotal:.2f}s "
           f"({total / ftotal:.2f}x)" if ftotal else f"total {total:.2f}s")
     for q, t, f in regressions:
-        print(f"REGRESSION {q}: {t:.2f}s vs floor {f:.2f}s ({t / f:.1f}x)")
+        print(f"REGRESSION {q}: {t:.2f}s vs calibrated floor "
+              f"{host * f:.2f}s ({t / (host * f):.1f}x)")
     for q, t in new:
         print(f"NEW {q}: {t:.2f}s (no floor — stamp after a clean run)")
     if improved:
