@@ -1120,9 +1120,16 @@ object Similarity {
   def ivfPqTopKFromIndex(spark: SparkSession, root: String, corpus: DataFrame,
       queries: DataFrame, k: Int, refine: Int, nProbe: Int): DataFrame = {
     val scored = ivfPqScoreFromIndex(spark, root, queries, nProbe)
+    // `refine` is the pool FLOOR (the s6/s8 r12 rule on the production
+    // READ path too): the effective pool tracks the indexed-corpus
+    // fraction so a growing index can never silently shrink coverage.
+    // The count reads the published codes table — parquet metadata, no
+    // data pass.
+    val refineEff = refinePool(
+      Publish.readPublished(spark, s"$root/codes").count(), refine)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("neighbor_id"))
     val refined = scored.withColumn("qrnk", row_number().over(wq))
-      .filter(col("qrnk") <= refine)
+      .filter(col("qrnk") <= refineEff)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
       .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
         Seq("neighbor_id"))

@@ -636,6 +636,59 @@ object Demo {
           s"batchEqual=${streamedUrls == batchUrls}")
     }
 
+    // 17. The round-12 SURGICAL location-PII gate on a STREAM: arriving
+    // image payloads (planted GPS+orientation JPEGs in both byte
+    // orders, orientation-only JPEGs, raw text) pass
+    // scrubExifGpsSurgical (A54 — stateless row-local TIFF rebuild, the
+    // A53 class) and only gps_after=FALSE rows ship. Contract checked:
+    // every admitted row is GPS-free, the GPS class loses EXACTLY its
+    // 18 surgical bytes while its planted orientation SURVIVES, non-GPS
+    // payloads are byte-identical (bytes_removed == 0), and the
+    // streamed frame equals the batch run on the same rows across
+    // micro-batch slicings.
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.operators.{ImageCodec, Multimodal => M}
+      val fixture = (1L to 60L).map { id =>
+        val base = ImageCodec.encodeGrayJpeg((1 + id % 9).toInt, (1 + id % 7).toInt)(
+          (x, y) => ((x * 11 + y * 17 + id) % 256).toInt)
+        val payload = (id % 3) match {
+          case 0 => M.spliceExif(base, (1 + id % 8).toInt, littleEndian = id % 2 == 0, gps = true)
+          case 1 => M.spliceExif(base, (1 + id % 8).toInt, littleEndian = id % 2 == 0, gps = false)
+          case _ => s"caption text $id".getBytes("UTF-8")
+        }
+        (id, payload)
+      }
+      val src = MemoryStream[(Long, Array[Byte])]
+      val q = M.scrubExifGpsSurgical(src.toDS().toDF("doc_id", "payload"))
+        .filter(!col("gps_after"))
+        .writeStream.format("memory").queryName("demo_pii_gate")
+        .outputMode("append").start()
+      try {
+        val (a, b) = fixture.splitAt(fixture.length / 2)
+        src.addData(a: _*); q.processAllAvailable()
+        src.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getBoolean(1),
+        r.getLong(2), r.getString(3), r.getBoolean(4), r.getLong(5))
+      val streamed = spark.table("demo_pii_gate").collect().map(key)
+      val batch = M.scrubExifGpsSurgical(fixture.toDF("doc_id", "payload"))
+        .filter(!col("gps_after")).collect().map(key)
+      val gpsClass = streamed.filter(_._2)
+      val cleanJpegs = streamed.filter(r => r._1 % 3 == 1)
+      check("streaming-pii-gate",
+        streamed.length == fixture.length && // the gate admits everything POST-scrub
+          streamed.toSet == batch.toSet &&
+          streamed.forall(!_._5) &&
+          gpsClass.nonEmpty && gpsClass.forall(r =>
+            r._3 == 18L && r._6 == 1 + r._1 % 8) &&
+          cleanJpegs.nonEmpty && cleanJpegs.forall(r =>
+            r._3 == 0L && r._6 == 1 + r._1 % 8),
+        s"admitted=${streamed.length}/${fixture.length} gps=${gpsClass.length} " +
+          s"orientationSurvived=${gpsClass.forall(r => r._6 == 1 + r._1 % 8)}")
+    }
+
     results.toList
   }
 }
