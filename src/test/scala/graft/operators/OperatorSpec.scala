@@ -3947,6 +3947,115 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("surgical gps scrub (m17): out-of-line values and Exif sub-IFDs survive; unknown grammar fails CLOSED") {
+    import graft.operators.{Multimodal => M}
+    val base = ImageCodec.encodeGrayJpeg(10, 6)((x, y) => (x * 7 + y * 3) % 256)
+    // hand-build an APP1 whose TIFF exercises paths the fixture doesn't:
+    // out-of-line values, the 0x8769 Exif sub-IFD, unknown TIFF types
+    def app1(le: Boolean)(tiff: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val t = new java.io.ByteArrayOutputStream()
+      tiff(t)
+      val tb = t.toByteArray
+      val segLen = 2 + 6 + tb.length
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, 2)
+      out.write(0xff); out.write(0xe1)
+      out.write((segLen >> 8) & 0xff); out.write(segLen & 0xff)
+      out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+      out.write(tb)
+      out.write(base, 2, base.length - 2)
+      out.toByteArray
+    }
+    def w16(o: java.io.ByteArrayOutputStream, v: Int, le: Boolean): Unit =
+      if (le) { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      else { o.write((v >> 8) & 0xff); o.write(v & 0xff) }
+    def w32(o: java.io.ByteArrayOutputStream, v: Int, le: Boolean): Unit =
+      if (le) { w16(o, v & 0xffff, le); w16(o, v >>> 16, le) }
+      else { w16(o, v >>> 16, le); w16(o, v & 0xffff, le) }
+    def header(o: java.io.ByteArrayOutputStream, le: Boolean): Unit = {
+      val bo = if (le) 0x49 else 0x4d
+      o.write(bo); o.write(bo); w16(o, 42, le); w32(o, 8, le)
+    }
+    Seq(true, false).foreach { le =>
+      // A. OUT-OF-LINE value (12-byte ASCII ImageDescription) + GPS +
+      // orientation: surgery must copy the value area and re-point it
+      val desc = "hello world ".getBytes("US-ASCII")
+      val a = app1(le) { o =>
+        header(o, le)
+        w16(o, 3, le)
+        w16(o, 0x010e, le); w16(o, 2, le); w32(o, 12, le); w32(o, 56, le) // ASCII, out-of-line
+        w16(o, 0x0112, le); w16(o, 3, le); w32(o, 1, le); w16(o, 7, le); w16(o, 0, le)
+        w16(o, 0x8825, le); w16(o, 4, le); w32(o, 1, le); w32(o, 50, le)
+        w32(o, 0, le)          // next IFD
+        w16(o, 0, le); w32(o, 0, le) // empty GPS IFD at 50
+        o.write(desc)          // value area at 56
+      }
+      assert(M.detectExifGps(a), s"le=$le: planted GPS not detected")
+      val sa = M.stripExifGpsOnly(a)
+      assert(!M.detectExifGps(sa), s"le=$le: GPS survived surgery")
+      assert(M.exifIfd0ShortValue(sa, 0x0112).contains(7),
+        s"le=$le: orientation lost — surgery fell back to full strip")
+      assert(a.length - sa.length == 18, s"le=$le: removed ${a.length - sa.length}, want 18")
+      assert(new String(sa, "ISO-8859-1").contains("hello world"),
+        s"le=$le: out-of-line value bytes lost in the rebuild")
+      assert(ImageCodec.grayThumb(sa, 4, 4).nonEmpty, "scrubbed JPEG no longer decodes")
+      // B. Exif SUB-IFD (0x8769) + GPS + orientation: the sub-IFD and its
+      // inline UNDEFINED value must survive the recursive rebuild
+      val b = app1(le) { o =>
+        header(o, le)
+        w16(o, 3, le)
+        w16(o, 0x0112, le); w16(o, 3, le); w32(o, 1, le); w16(o, 4, le); w16(o, 0, le)
+        w16(o, 0x8769, le); w16(o, 4, le); w32(o, 1, le); w32(o, 50, le)
+        w16(o, 0x8825, le); w16(o, 4, le); w32(o, 1, le); w32(o, 68, le)
+        w32(o, 0, le)
+        // Exif sub-IFD at 50: ExifVersion "0231" inline (type 7, count 4)
+        w16(o, 1, le)
+        w16(o, 0x9000, le); w16(o, 7, le); w32(o, 4, le); o.write("0231".getBytes("US-ASCII"))
+        w32(o, 0, le)
+        w16(o, 0, le); w32(o, 0, le) // empty GPS IFD at 68
+      }
+      assert(M.detectExifGps(b))
+      val sb = M.stripExifGpsOnly(b)
+      assert(!M.detectExifGps(sb))
+      assert(M.exifIfd0ShortValue(sb, 0x0112).contains(4),
+        s"le=$le: orientation lost through the sub-IFD rebuild")
+      assert(b.length - sb.length == 18, s"le=$le: removed ${b.length - sb.length}, want 18")
+      assert(new String(sb, "ISO-8859-1").contains("0231"),
+        s"le=$le: Exif sub-IFD content lost")
+      // C. UNKNOWN TIFF type alongside GPS: surgery is unsafe, so the
+      // scrub must FAIL CLOSED to the full strip — PII gone even though
+      // the grammar wasn't understood (orientation goes with it)
+      val c = app1(le) { o =>
+        header(o, le)
+        w16(o, 3, le)
+        w16(o, 0x0112, le); w16(o, 3, le); w32(o, 1, le); w16(o, 3, le); w16(o, 0, le)
+        w16(o, 0xbeef, le); w16(o, 99, le); w32(o, 1, le); w32(o, 0, le) // type 99: unknown
+        w16(o, 0x8825, le); w16(o, 4, le); w32(o, 1, le); w32(o, 50, le)
+        w32(o, 0, le)
+        w16(o, 0, le); w32(o, 0, le)
+      }
+      assert(M.detectExifGps(c))
+      val sc = M.stripExifGpsOnly(c)
+      assert(!M.detectExifGps(sc), s"le=$le: fail-closed path leaked GPS")
+      assert(sc.sameElements(M.stripExif(c)),
+        s"le=$le: unsafe surgery must degrade to exactly the full strip")
+    }
+    // no-GPS inputs return BYTE-IDENTICAL (the zero-cost path)
+    val plain = M.spliceExif(base, 3, littleEndian = true, gps = false)
+    assert(M.stripExifGpsOnly(plain) eq plain, "no-GPS JPEG must pass through untouched")
+    val txt = "not an image".getBytes("UTF-8")
+    assert(M.stripExifGpsOnly(txt) eq txt)
+    // fuzz: junk and magic-prefixed junk never throw, never leak GPS
+    val rnd = new scala.util.Random(23)
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(150))(rnd.nextInt(256).toByte)
+      M.stripExifGpsOnly(junk)
+      val fake = Array[Byte](0xff.toByte, 0xd8.toByte) ++ junk
+      val out = M.stripExifGpsOnly(fake)
+      assert(!M.detectExifGps(out), "fuzz output must never carry a GPS pointer")
+    }
+  }
+
   test("misra-gries (x17): serialize survives keys past writeUTF's 65535-byte limit") {
     import spark.implicits._
     // one heavy key whose UTF-8 encoding is ~80k bytes, spread over many
