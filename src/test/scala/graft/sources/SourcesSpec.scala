@@ -217,6 +217,46 @@ class SourcesSpec extends SparkSpec {
     assert(Publish.currentVersion(spark, root) == Some(4L))
   }
 
+  test("two-phase WAP (G16, r12): a multi-table family audits EVERYTHING before ANY pointer moves") {
+    import spark.implicits._
+    import graft.operators.Publish
+    val root = Files.createTempDirectory("graft-wap2").toString
+    val ok = Publish.columnAudit("id_not_null" -> col("id").isNull)
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((Option.empty[Long], "bad")).toDF("id", "v")
+    // stage both members; table B's audit fails -> NOTHING may publish
+    val sa = Publish.stageAudit(a, s"$root/ta", ok, "fam-1")
+    val sb = Publish.stageAudit(b, s"$root/tb", ok, "fam-1")
+    assert(sa.isRight, "clean member must stage")
+    sb match {
+      case Left(q) =>
+        assert(!q.published && q.violations == Seq("id_not_null" -> 1L))
+      case Right(_) => fail("dirty member must quarantine at stage time")
+    }
+    // the torn-window contract: the clean member is staged but NOT
+    // visible — both tables still have no published version
+    assert(Publish.currentVersion(spark, s"$root/ta").isEmpty,
+      "stageAudit must not move any pointer")
+    assert(Publish.currentVersion(spark, s"$root/tb").isEmpty)
+    // a clean family publishes each staged member via phase 2
+    val sb2 = Publish.stageAudit(a, s"$root/tb", ok, "fam-2")
+    val ra = Publish.publishStaged(spark, sa.toOption.get)
+    val rb = Publish.publishStaged(spark, sb2.toOption.get)
+    assert(ra.published && ra.version.contains(1L))
+    assert(rb.published && rb.version.contains(1L))
+    assert(Publish.readPublished(spark, s"$root/ta").count() == 2)
+    // phase 2 without phase 1 refuses loudly
+    val noStage = intercept[IllegalArgumentException] {
+      Publish.publishStaged(spark,
+        Publish.StagedSnapshot(s"$root/ta", "never-staged", None))
+    }
+    assert(noStage.getMessage.contains("nothing staged"), noStage.getMessage)
+    // writeAuditPublish == stageAudit andThen publishStaged (the
+    // single-table spelling is the two-phase one composed)
+    val r = Publish.writeAuditPublish(a, s"$root/ta", ok, "fam-3")
+    assert(r.published && r.version.contains(2L))
+  }
+
   test("compaction (G17): small files fold into the next version; readers and history survive") {
     import spark.implicits._
     import graft.operators.Publish
