@@ -321,22 +321,28 @@ object Dedup {
     * 3.8 s warm). Output-identical to [[ngramJaccardPrefixFiltered]];
     * [[ngramJaccardAuto]] picks between them from measured df stats.
     */
-  def ngramJaccardBucketed(docs: DataFrame, t: Double = 0.62): DataFrame = {
+  /** The shared per-doc gram-set aggregate both d3 spellings (and the
+    * auto-selector's stats) read: sorted + distinct is the contract for
+    * the merge-walk intersect; the caller persists it so ONE
+    * materialization feeds stats + candidate generation + both verify
+    * fetches. Only the AGGREGATE is cached; the cheap doc-metadata join
+    * stays outside the cache so AQE plans it fresh per consumer.
+    */
+  private def gramAgg(docs: DataFrame): DataFrame =
+    H.charGramIds(docs, lower(col("text")), 4)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("g"))).as("sg"))
+      .withColumn("sz", size(col("sg")))
+
+  def ngramJaccardBucketed(docs: DataFrame, t: Double = 0.62): DataFrame =
+    ngramJaccardBucketedFrom(docs, gramAgg(docs).persist(), t)
+
+  private def ngramJaccardBucketedFrom(docs: DataFrame, gAgg: DataFrame,
+      t: Double): DataFrame = {
     // the prefix twin's eps discipline: candidate filters loosened by
     // eps only admit extras (the exact verify discards them); a filter
     // tightened by double rounding silently drops boundary pairs
     val eps = 1e-6
-    // Shared relational gram pipeline (HashFunctions.charGramIds): at
-    // k=4 the gram id is the injective 16-bit pack — exact, not a hash.
-    val grams = H.charGramIds(docs, lower(col("text")), 4)
-    // sorted + distinct: contract for the merge-walk intersect below;
-    // persisted — both verify fetches read this one frame. Only the
-    // AGGREGATE is cached; the cheap doc-metadata join stays outside
-    // the cache so AQE plans it fresh per consumer.
-    val gAgg = grams.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("g"))).as("sg"))
-      .withColumn("sz", size(col("sg")))
-      .persist()
     // meta is one slim row per corpus doc — corpus-linear, so no
     // broadcast hint (a forced driver broadcast caps out at 8 GB long
     // before 100 TB); AQE broadcasts it at bench scale on its own.
@@ -369,17 +375,26 @@ object Dedup {
   }
 
   /** The d3 spelling selector's evidence: median gram document-frequency
-    * and corpus size, from ONE vocab-bounded aggregate (postings →
-    * per-gram df → exact median over the VOCAB-sized df frame — the
-    * fixture's vocab is 985 rows; a real corpus's is millions, still
-    * never corpus-proportional). Returns (medianDf, nDocs).
+    * and corpus size. The df frame comes from the SHARED persisted gram
+    * aggregate (per-doc sets are already distinct, so exploding them IS
+    * the postings-df input — no second tokenize pass; the r12 bench
+    * caught the naive recompute costing d3 ~1.4s), then an exact median
+    * over the VOCAB-sized df frame (985 rows on the fixture; millions on
+    * a real corpus, still never corpus-proportional).
     */
   def gramDfStats(docs: DataFrame): (Double, Long) = {
-    val grams = H.charGramIds(docs, lower(col("text")), 4)
-    val row = grams.select(col("doc_id"), col("g")).distinct()
+    val gAgg = gramAgg(docs).persist()
+    val stats = gramDfStatsFrom(docs, gramDf(gAgg))
+    gAgg.unpersist()
+    stats
+  }
+
+  private def gramDf(gAgg: DataFrame): DataFrame =
+    gAgg.select(explode(col("sg")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .agg(expr("percentile(df, 0.5)").as("median_df"))
-      .head()
+
+  private def gramDfStatsFrom(docs: DataFrame, dfG: DataFrame): (Double, Long) = {
+    val row = dfG.agg(expr("percentile(df, 0.5)").as("median_df")).head()
     (row.getDouble(0), docs.select(col("doc_id")).count())
   }
 
@@ -399,9 +414,15 @@ object Dedup {
   val SaturationFrac = 0.01
 
   def ngramJaccardAuto(docs: DataFrame, t: Double = 0.62): DataFrame = {
-    val (medianDf, nDocs) = gramDfStats(docs)
-    if (pickPrefixFilter(medianDf, nDocs)) ngramJaccardPrefixFiltered(docs, t)
-    else ngramJaccardBucketed(docs, t)
+    // ONE persisted gram aggregate feeds the stats AND the chosen
+    // spelling (and, on the prefix path, the df frame is reused as the
+    // prefix index input) — the selector's marginal cost is one cached
+    // explode-count + a vocab-sized median + a metadata count
+    val gAgg = gramAgg(docs).persist()
+    val dfG = gramDf(gAgg)
+    val (medianDf, nDocs) = gramDfStatsFrom(docs, dfG)
+    if (pickPrefixFilter(medianDf, nDocs)) ngramJaccardPrefixFilteredFrom(docs, gAgg, dfG, t)
+    else ngramJaccardBucketedFrom(docs, gAgg, t)
   }
 
   /** The selector predicate, exposed so the spec pins each regime. */
@@ -451,6 +472,12 @@ object Dedup {
     * set-equal — the crossover is documented, not guessed.
     */
   def ngramJaccardPrefixFiltered(docs: DataFrame, t: Double = 0.62): DataFrame = {
+    val gAgg = gramAgg(docs).persist()
+    ngramJaccardPrefixFilteredFrom(docs, gAgg, gramDf(gAgg), t)
+  }
+
+  private def ngramJaccardPrefixFilteredFrom(docs: DataFrame, gAgg: DataFrame,
+      dfG: DataFrame, t: Double): DataFrame = {
     // Candidate filters must be NO STRICTER than the real-arithmetic
     // bounds they encode, or the output-identical contract breaks at
     // boundary sizes (J == t exactly). Double rounding can push t*sz a
@@ -460,15 +487,9 @@ object Dedup {
     // candidates (the exact verify below discards them); a filter
     // tightened by rounding silently DROPS true pairs.
     val eps = 1e-6
-    val grams = H.charGramIds(docs, lower(col("text")), 4)
-    val gAgg = grams.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("g"))).as("sg"))
-      .withColumn("sz", size(col("sg")))
-      .persist()
     val meta = docs
       .select(col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("len_bkt"))
     val dg = gAgg.select(col("doc_id"), explode(col("sg")).as("g"))
-    val dfG = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val pfx = dg.join(dfG, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("og"),
