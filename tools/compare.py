@@ -62,7 +62,11 @@ def main(sf_dir, out_dir, only=()):
     attempted = (set(json.load(open(manifest_path)))
                  if os.path.exists(manifest_path) else set(oracles))
     n_pass = n_fail = n_skip = 0
-    for name, sql in sorted(oracles.items()):
+    # with an explicit `only` list, honor ITS order — lets a caller put
+    # cheap oracles first when watching an expensive SF incrementally
+    ordered = ([(n, oracles[n]) for n in only if n in oracles]
+               if only else sorted(oracles.items()))
+    for name, sql in ordered:
         if not os.path.isdir(f"{out_dir}/{name}"):
             if name in attempted or name in set(only):
                 print(f"FAIL {name}: no output dir (Verify did not produce it)")
