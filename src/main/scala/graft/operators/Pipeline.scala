@@ -1399,6 +1399,54 @@ object Pipeline {
         AND len(string_split(k.xt, ' ')) >= 5
       ORDER BY k.doc_id"""))
 
+  // P22 — WARC ingest (G26's driver check, round 12): the acquisition
+  // layer BELOW p21's front end — the container format a crawl actually
+  // delivers. The fixture builds one syntactically real WARC file per
+  // doc from doc_id arithmetic (a warcinfo lead record + 1..3 HTTP
+  // response records with planted URIs/statuses/body lengths, correct
+  // Content-Lengths at both the WARC and HTTP layers), parses it with
+  // the real byte walk, and the DuckDB oracle replays EVERY column —
+  // record count, per-record type/URI/status/content-type/body length,
+  // zero dropped bytes — from arithmetic alone: the encode → parse
+  // round trip hash-checks (the m14/m16 convention applied to the crawl
+  // container).
+  private val p22 = Relational.Q(
+    "p22_warc_ingest",
+    (s, d) => {
+      import s.implicits._
+      val files = Tables.documents(s, d)
+        .select(col("doc_id"))
+        .map { r =>
+          val id = r.getLong(0)
+          val k = (1 + id % 3).toInt
+          val parts = WarcCodec.encodeWarcInfo("software: graft\r\n") +:
+            (0 until k).map { i =>
+              val status = (200 + 204 * ((id + i) % 2)).toInt
+              val body = Array.fill((10 + (id + i) % 40).toInt)('b'.toByte)
+              WarcCodec.encodeWarcResponse(s"https://ex.com/$id/$i", status,
+                "text/html", body)
+            }
+          (id, parts.reduce(_ ++ _))
+        }
+        .toDF("file_id", "payload")
+      WarcCodec.warcRecords(files)
+        .orderBy(col("file_id"), col("rec_idx"))
+    },
+    Some("""
+      WITH f AS (SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),
+      r AS (SELECT doc_id, unnest(range(0, k + 1)) AS rec_idx FROM f)
+      SELECT doc_id AS file_id, CAST(rec_idx AS BIGINT) AS rec_idx,
+        CASE WHEN rec_idx = 0 THEN 'warcinfo' ELSE 'response' END AS warc_type,
+        CASE WHEN rec_idx = 0 THEN ''
+             ELSE 'https://ex.com/' || doc_id || '/' || (rec_idx - 1) END AS target_uri,
+        CAST(CASE WHEN rec_idx = 0 THEN 0
+             ELSE 200 + 204 * ((doc_id + rec_idx - 1) % 2) END AS BIGINT) AS http_status,
+        CASE WHEN rec_idx = 0 THEN '' ELSE 'text/html' END AS content_type,
+        CAST(CASE WHEN rec_idx = 0 THEN 17
+             ELSE 10 + (doc_id + rec_idx - 1) % 40 END AS BIGINT) AS n_body_bytes,
+        CAST(0 AS BIGINT) AS dropped_bytes
+      FROM r ORDER BY file_id, rec_idx"""))
+
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22)
 }

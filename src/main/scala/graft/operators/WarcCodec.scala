@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** G26 — WARC container reader (round 12): the raw-crawl ingest format
+  * itself. WARC (ISO 28500; the Common Crawl / Internet Archive wire
+  * format) is the unit a 100 TB acquisition pipeline actually receives:
+  * one file = a sequence of records, each a version line (`WARC/1.0`),
+  * CRLF-separated named headers, a blank line, then a `Content-Length`-
+  * delimited binary block, then CRLF CRLF. Response records wrap a full
+  * HTTP response (status line + headers + blank + body) inside the
+  * block.
+  *
+  * Parser discipline (the m14/m16 byte-walk rules): bounded work per
+  * byte, Content-Length-driven (the block is NEVER scanned for
+  * delimiters — binary bodies legally contain anything), and
+  * fail-soft per record: a malformed record ends the walk and the
+  * remainder of the FILE is counted as dropped bytes, never silently
+  * parsed past a desync (a wrong Content-Length makes every later
+  * boundary a lie). Like JSONL quarantine (G25), nothing malformed is
+  * invented and nothing clean is lost.
+  *
+  * Scale shape: one WARC file = one row (binary payload) = one bounded
+  * mapPartitions walk — record extraction is narrow, shuffle-free, and
+  * batch-shaped (the m2 convention); at 100 TB the files arrive via
+  * binaryFile/stream sources and this operator is the first projection.
+  */
+object WarcCodec {
+
+  final case class WarcRecord(rec_idx: Long, warc_type: String,
+      target_uri: String, http_status: Long, content_type: String,
+      n_body_bytes: Long, body: Array[Byte])
+
+  final case class WarcParse(records: Seq[WarcRecord], dropped_bytes: Long)
+
+  /** Fixture builder (the encodeGrayJpeg convention): one syntactically
+    * real WARC response record. `body` is the HTTP body; the HTTP block
+    * is assembled with correct Content-Lengths at both layers.
+    */
+  def encodeWarcResponse(uri: String, status: Int, contentType: String,
+      body: Array[Byte]): Array[Byte] = {
+    val http = (s"HTTP/1.1 $status OK\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: response\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII") ++
+      http ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  /** A warcinfo header record (every real WARC file leads with one). */
+  def encodeWarcInfo(fields: String): Array[Byte] = {
+    val block = fields.getBytes("UTF-8")
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: warcinfo\r\n" +
+      s"Content-Type: application/warc-fields\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes("US-ASCII") ++
+      block ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  private def indexOfCrlf(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var i = from
+    while (i + 1 < until) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse one WARC file's bytes. Never throws; a desync drops the
+    * remainder (counted), parsed records before it survive.
+    */
+  def parseWarcFile(bytes: Array[Byte]): WarcParse = {
+    val out = Seq.newBuilder[WarcRecord]
+    var i = 0
+    var idx = 0L
+    try {
+      while (i < bytes.length) {
+        // version line
+        val vEnd = indexOfCrlf(bytes, i, bytes.length)
+        if (vEnd < 0 || !new String(bytes, i, vEnd - i, "US-ASCII").startsWith("WARC/"))
+          return WarcParse(out.result(), bytes.length - i)
+        var p = vEnd + 2
+        // named headers until the blank line
+        var warcType = ""
+        var uri = ""
+        var contentLength = -1L
+        var done = false
+        var headers = 0
+        while (!done) {
+          val hEnd = indexOfCrlf(bytes, p, bytes.length)
+          if (hEnd < 0 || headers > 64) return WarcParse(out.result(), bytes.length - i)
+          if (hEnd == p) { done = true; p += 2 } // blank line
+          else {
+            val line = new String(bytes, p, hEnd - p, "US-ASCII")
+            val c = line.indexOf(':')
+            if (c > 0) {
+              val k = line.substring(0, c).trim.toLowerCase
+              val v = line.substring(c + 1).trim
+              k match {
+                case "warc-type" => warcType = v
+                case "warc-target-uri" => uri = v
+                case "content-length" =>
+                  contentLength = v.toLongOption.getOrElse(-1L)
+                case _ => ()
+              }
+            }
+            headers += 1
+            p = hEnd + 2
+          }
+        }
+        if (contentLength < 0 || p + contentLength > bytes.length)
+          return WarcParse(out.result(), bytes.length - i)
+        val blockStart = p
+        val blockEnd = p + contentLength.toInt
+        // response records wrap an HTTP message: status line, headers,
+        // blank, body — all INSIDE the Content-Length block
+        var status = 0L
+        var httpCt = ""
+        var bodyStart = blockStart
+        if (warcType == "response") {
+          val sEnd = indexOfCrlf(bytes, blockStart, blockEnd)
+          if (sEnd > 0) {
+            val sl = new String(bytes, blockStart, sEnd - blockStart, "US-ASCII")
+            val parts = sl.split(" ")
+            if (parts.length >= 2 && parts(0).startsWith("HTTP/"))
+              status = parts(1).toLongOption.getOrElse(0L)
+            var q = sEnd + 2
+            var hDone = false
+            var hs = 0
+            while (!hDone && hs <= 64) {
+              val hEnd = indexOfCrlf(bytes, q, blockEnd)
+              if (hEnd < 0) { hDone = true; q = blockEnd }
+              else if (hEnd == q) { hDone = true; q = hEnd + 2 }
+              else {
+                val line = new String(bytes, q, hEnd - q, "US-ASCII")
+                val c = line.indexOf(':')
+                if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase("content-type"))
+                  httpCt = line.substring(c + 1).trim
+                hs += 1
+                q = hEnd + 2
+              }
+            }
+            bodyStart = q
+          }
+        } // non-response: the block IS the content (warc-fields etc.)
+        val body = java.util.Arrays.copyOfRange(bytes, bodyStart, blockEnd)
+        out += WarcRecord(idx, warcType, uri, status, httpCt, body.length.toLong, body)
+        idx += 1
+        // record separator CRLF CRLF
+        var e = blockEnd
+        if (e + 4 <= bytes.length && bytes(e) == '\r' && bytes(e + 1) == '\n'
+            && bytes(e + 2) == '\r' && bytes(e + 3) == '\n') e += 4
+        else if (e != bytes.length) return WarcParse(out.result(), bytes.length - i)
+        i = e
+      }
+      WarcParse(out.result(), 0L)
+    } catch {
+      case scala.util.control.NonFatal(_) => WarcParse(out.result(), (bytes.length - i).toLong)
+    }
+  }
+
+  final case class FilePayload(file_id: Long, payload: Array[Byte])
+  final case class FileRecord(file_id: Long, rec_idx: Long, warc_type: String,
+      target_uri: String, http_status: Long, content_type: String,
+      n_body_bytes: Long, dropped_bytes: Long)
+
+  /** The operator: (file_id, payload) → one row per parsed record plus
+    * the file's dropped-bytes tally on every row (0 on clean files —
+    * the quarantine-evidence column). Batch-shaped mapPartitions; the
+    * streaming attach (A55) runs this literal function.
+    */
+  def warcRecords(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("file_id"), col("payload"))
+      .as[FilePayload]
+      .mapPartitions(_.flatMap { f =>
+        val parsed = parseWarcFile(f.payload)
+        parsed.records.map(r => FileRecord(f.file_id, r.rec_idx, r.warc_type,
+          r.target_uri, r.http_status, r.content_type, r.n_body_bytes,
+          parsed.dropped_bytes))
+      })
+      .toDF()
+  }
+}

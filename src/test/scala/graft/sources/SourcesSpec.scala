@@ -524,4 +524,77 @@ class SourcesSpec extends SparkSpec {
     assert(rows.get() == 30L, s"rows=${rows.get()}")
     assert(batches.get() >= 3, s"one file per trigger expected: ${batches.get()}")
   }
+
+  test("warc reader (G26): encode→parse round trip, binary-safe bodies, fail-soft desync accounting") {
+    import graft.operators.WarcCodec
+    // a body containing CRLF CRLF and fake WARC/HTTP text must NOT
+    // confuse the parser — blocks are Content-Length-delimited, never
+    // delimiter-scanned
+    val nasty = ("x\r\n\r\nWARC/1.0\r\nHTTP/1.1 999 FAKE\r\n\r\n" +
+      "Content-Length: 9999\r\n").getBytes("US-ASCII") ++ Array[Byte](0, -1, 13, 10, 13, 10)
+    val file = WarcCodec.encodeWarcInfo("software: graft\r\n") ++
+      WarcCodec.encodeWarcResponse("https://a/1", 200, "text/html", nasty) ++
+      WarcCodec.encodeWarcResponse("https://a/2", 404, "text/plain",
+        Array.empty[Byte])
+    val p = WarcCodec.parseWarcFile(file)
+    assert(p.dropped_bytes == 0L, s"clean file dropped ${p.dropped_bytes}")
+    assert(p.records.map(_.warc_type) == Seq("warcinfo", "response", "response"))
+    val r1 = p.records(1)
+    assert(r1.target_uri == "https://a/1" && r1.http_status == 200L
+      && r1.content_type == "text/html" && r1.n_body_bytes == nasty.length.toLong)
+    assert(r1.body.sameElements(nasty), "binary body must round-trip byte-exactly")
+    assert(p.records(2).http_status == 404L && p.records(2).n_body_bytes == 0L)
+    // truncation mid-block: the clean prefix survives, the rest is
+    // COUNTED dropped — never silently parsed past a desync
+    val truncated = file.dropRight(20)
+    val pt = WarcCodec.parseWarcFile(truncated)
+    assert(pt.records.map(_.target_uri).take(2) == Seq("", "https://a/1"))
+    assert(pt.records.length == 2 && pt.dropped_bytes > 0L,
+      s"got ${pt.records.length} records, dropped ${pt.dropped_bytes}")
+    // a LYING Content-Length desyncs every later boundary: fail soft at
+    // the lie, account the remainder
+    val lying = new String(file, "ISO-8859-1")
+      .replaceFirst("Content-Length: 17", "Content-Length: 19")
+      .getBytes("ISO-8859-1")
+    val pl = WarcCodec.parseWarcFile(lying)
+    assert(pl.dropped_bytes > 0L, "desync must be accounted, not parsed through")
+    // garbage never throws
+    val rnd = new scala.util.Random(31)
+    (1 to 100).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      WarcCodec.parseWarcFile(junk)
+      WarcCodec.parseWarcFile("WARC/1.0\r\n".getBytes("US-ASCII") ++ junk)
+    }
+  }
+
+  test("warc reader streaming attach (A55): the batch operator parses arriving files unchanged") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.WarcCodec
+    val files = (1L to 12L).map { id =>
+      val recs = WarcCodec.encodeWarcInfo("software: graft\r\n") +:
+        (0 until (1 + id % 3).toInt).map(i =>
+          WarcCodec.encodeWarcResponse(s"https://s/$id/$i", 200, "text/html",
+            Array.fill((5 + i).toInt)('z'.toByte)))
+      (id, recs.reduce(_ ++ _))
+    }
+    val src = MemoryStream[(Long, Array[Byte])]
+    val q = WarcCodec.warcRecords(src.toDS().toDF("file_id", "payload"))
+      .writeStream.format("memory").queryName("warc_stream_test")
+      .outputMode("append").start()
+    try {
+      val (a, b) = files.splitAt(6)
+      src.addData(a: _*); q.processAllAvailable()
+      src.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      r.getString(2), r.getString(3), r.getLong(4), r.getString(5),
+      r.getLong(6), r.getLong(7))
+    val streamed = spark.table("warc_stream_test").collect().map(key).toSet
+    val batch = WarcCodec.warcRecords(files.toDF("file_id", "payload"))
+      .collect().map(key).toSet
+    assert(streamed == batch, "streamed records must equal batch exactly")
+    assert(streamed.count(_._3 == "response") == files.map(f => 1 + f._1 % 3).sum)
+  }
 }
