@@ -107,6 +107,49 @@ object SourcePresets {
       raw)
   }
 
+  /** WARC-directory source (G26's disk leg, round 12): whole crawl
+    * files via Spark's `binaryFile` source — (path, modificationTime,
+    * length, content) per file — projected to the (file_id, payload)
+    * shape [[graft.operators.WarcCodec.warcRecords]] consumes (file_id =
+    * a 63-bit hash of the path: stable, join-safe, no driver state).
+    * The batch spelling reads a landed crawl drop; the streaming
+    * spelling tails an arriving one with `maxFilesPerTrigger` as the
+    * Size bound (a WARC file is the natural micro-batch unit — Common
+    * Crawl caps them ~1 GB). `pathGlobFilter` keeps sidecar files
+    * (checksums, manifests) out of the parse.
+    */
+  def warcDir(spark: SparkSession, dir: String,
+      glob: String = "*.warc"): DataFrame =
+    projectWarc(spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir))
+
+  def warcDirStream(spark: SparkSession, dir: String,
+      glob: String = "*.warc", maxFilesPerTrigger: Int = 4): DataFrame = {
+    // streaming sources require an explicit schema; binaryFile's is
+    // fixed by the format (path/modificationTime/length/content)
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    projectWarc(spark.readStream.format("binaryFile")
+      .schema(schema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(dir))
+  }
+
+  private def projectWarc(files: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    files.select(
+      abs(xxhash64(col("path"))).as("file_id"),
+      col("content").as("payload"))
+  }
+
   /** TCP line socket source — the live network-consumer shape (Spark's
     * built-in test transport: the source CONNECTS to host:port and reads
     * newline-delimited records). No replay/offset tracking, so it is the

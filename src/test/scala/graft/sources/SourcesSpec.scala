@@ -567,6 +567,37 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("warc directory source (G26 disk leg): binaryFile read + parse, sidecars filtered, stream bounded") {
+    import graft.operators.WarcCodec
+    import graft.streaming.SourcePresets
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    (1 to 3).foreach { f =>
+      val bytes = WarcCodec.encodeWarcInfo("software: graft\r\n") ++
+        (0 until f).map(i => WarcCodec.encodeWarcResponse(
+          s"https://d/$f/$i", 200, "text/plain", s"body$f$i".getBytes("US-ASCII")))
+          .foldLeft(Array.empty[Byte])(_ ++ _)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"crawl-$f.warc"), bytes)
+    }
+    // a sidecar the glob must exclude — parsing it would be garbage rows
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "crawl-1.warc.sha1"),
+      "not a warc".getBytes("US-ASCII"))
+    val recs = WarcCodec.warcRecords(SourcePresets.warcDir(spark, dir)).collect()
+    assert(recs.length == 3 + (1 + 2 + 3), s"got ${recs.length} records")
+    assert(recs.count(_.getString(2) == "warcinfo") == 3)
+    val uris = recs.filter(_.getString(2) == "response").map(_.getString(3)).toSet
+    assert(uris == (for (f <- 1 to 3; i <- 0 until f) yield s"https://d/$f/$i").toSet)
+    assert(recs.forall(_.getLong(7) == 0L), "clean files must drop zero bytes")
+    // streaming leg: same records, bounded files per trigger
+    val q = WarcCodec.warcRecords(
+        SourcePresets.warcDirStream(spark, dir, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("warc_dir_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("warc_dir_stream").collect()
+    assert(streamed.length == recs.length)
+    assert(streamed.map(_.getString(3)).filter(_.nonEmpty).toSet == uris)
+  }
+
   test("warc reader streaming attach (A55): the batch operator parses arriving files unchanged") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
