@@ -72,4 +72,47 @@ object CodecProperties extends Properties("graft.codecs") {
       pureNoise._2 >= 0 || prefixed._2 >= 0 || truncated._2 >= 0 ||
         pureNoise._1.nonEmpty
     }
+
+  // WARC (G26): whatever the record encoder writes, the file walker
+  // recovers — type, URI, status, content-type, and body BYTES — for
+  // arbitrary record lists including empty bodies and bodies full of
+  // fake delimiters (the Content-Length contract on arbitrary input)
+  private val uriGen: Gen[String] =
+    Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar))
+      .map(cs => "https://x/" + cs.mkString)
+  private val warcRecGen: Gen[(String, Int, Array[Byte])] = for {
+    uri <- uriGen
+    status <- Gen.oneOf(200, 301, 404, 500)
+    body <- frameGen
+  } yield (uri, status, body)
+
+  property("WARC encode/parse is identity on arbitrary record lists") =
+    forAll(Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, warcRecGen))) { recs =>
+      val file = WarcCodec.encodeWarcInfo("software: graft\r\n") ++
+        recs.map { case (u, st, b) =>
+          WarcCodec.encodeWarcResponse(u, st, "application/octet-stream", b)
+        }.foldLeft(Array.empty[Byte])(_ ++ _)
+      val p = WarcCodec.parseWarcFile(file)
+      p.dropped_bytes == 0L &&
+        p.records.length == recs.length + 1 &&
+        p.records.head.warc_type == "warcinfo" &&
+        p.records.drop(1).zip(recs).forall { case (r, (u, st, b)) =>
+          r.warc_type == "response" && r.target_uri == u &&
+            r.http_status == st.toLong && r.body.sameElements(b)
+        }
+    }
+
+  property("truncating a WARC anywhere keeps parsed-prefix + dropped == whole file") =
+    forAll(Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, warcRecGen)),
+        Gen.chooseNum(1, 400)) { (recs, cut) =>
+      val file = recs.map { case (u, st, b) =>
+        WarcCodec.encodeWarcResponse(u, st, "text/plain", b)
+      }.foldLeft(Array.empty[Byte])(_ ++ _)
+      val t = file.dropRight(math.min(cut, file.length))
+      val p = WarcCodec.parseWarcFile(t) // must not throw
+      // every parsed record is one of the originals, in order
+      p.records.zip(recs).forall { case (r, (u, st, _)) =>
+        r.target_uri == u && r.http_status == st.toLong
+      }
+    }
 }
