@@ -171,7 +171,9 @@ object WarcCodec {
   /** The operator: (file_id, payload) → one row per parsed record plus
     * the file's dropped-bytes tally on every row (0 on clean files —
     * the quarantine-evidence column). Batch-shaped mapPartitions; the
-    * streaming attach (A55) runs this literal function.
+    * streaming attach (A55) runs this literal function. This is the
+    * SLIM spelling (metadata only — stats, triage, the p22 oracle);
+    * [[warcRecordsWithBody]] is the pipeline input.
     */
   def warcRecords(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
@@ -182,6 +184,30 @@ object WarcCodec {
         val parsed = parseWarcFile(f.payload)
         parsed.records.map(r => FileRecord(f.file_id, r.rec_idx, r.warc_type,
           r.target_uri, r.http_status, r.content_type, r.n_body_bytes,
+          parsed.dropped_bytes))
+      })
+      .toDF()
+  }
+
+  final case class FileRecordBody(file_id: Long, rec_idx: Long,
+      warc_type: String, target_uri: String, http_status: Long,
+      content_type: String, body: Array[Byte], dropped_bytes: Long)
+
+  /** [[warcRecords]] carrying the body bytes — what the extraction
+    * pipeline actually consumes (Demo 18 composes this with the p21
+    * front end). Same walk, same fail-soft accounting; the body column
+    * is the only difference, so record-boundary semantics cannot drift
+    * between the slim and full spellings.
+    */
+  def warcRecordsWithBody(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("file_id"), col("payload"))
+      .as[FilePayload]
+      .mapPartitions(_.flatMap { f =>
+        val parsed = parseWarcFile(f.payload)
+        parsed.records.map(r => FileRecordBody(f.file_id, r.rec_idx,
+          r.warc_type, r.target_uri, r.http_status, r.content_type, r.body,
           parsed.dropped_bytes))
       })
       .toDF()

@@ -737,30 +737,14 @@ object Demo {
           .select(col("canon_url"))
           .dropDuplicates("canon_url")
       }
-      // warcRecords drops the binary body column in its FileRecord shape;
-      // for the demo the extract needs bodies — parse via the codec
-      // directly on the streamed (file_id, payload) rows
-      def recordsWithBody(files: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        val s2 = files.sparkSession
-        import s2.implicits._
-        files.select(col("file_id"), col("payload"))
-          .as[(Long, Array[Byte])]
-          .mapPartitions(_.flatMap { case (id, payload) =>
-            WarcCodec.parseWarcFile(payload).records.map(r =>
-              (id, r.rec_idx, r.warc_type, r.target_uri, r.http_status,
-                r.content_type, r.body))
-          })
-          .toDF("file_id", "rec_idx", "warc_type", "target_uri",
-            "http_status", "content_type", "body")
-      }
-      val q = acquire(recordsWithBody(
+      val q = acquire(WarcCodec.warcRecordsWithBody(
           SourcePresets.warcDirStream(spark, dir, maxFilesPerTrigger = 1)))
         .writeStream.format("memory").queryName("demo_warc_acquire")
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       val streamed = spark.table("demo_warc_acquire").collect()
         .map(_.getString(0)).toSet
-      val batch = acquire(recordsWithBody(SourcePresets.warcDir(spark, dir)))
+      val batch = acquire(WarcCodec.warcRecordsWithBody(SourcePresets.warcDir(spark, dir)))
         .collect().map(_.getString(0)).toSet
       check("streaming-warc-acquisition",
         streamed.nonEmpty && streamed == batch &&
