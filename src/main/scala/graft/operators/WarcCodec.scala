@@ -70,6 +70,42 @@ object WarcCodec {
     -1
   }
 
+  private val MaxGunzipBytes = 1L << 30 // 1 GiB: decompression-bomb cap
+
+  /** Gunzip a whole (possibly multi-member — the .warc.gz convention is
+    * one gzip member PER RECORD, concatenated) stream. JDK's
+    * GZIPInputStream consumes concatenated members natively. Fail-soft:
+    * a corrupt tail returns what decompressed cleanly (the parser's
+    * dropped-bytes accounting then covers any truncated record); output
+    * is CAPPED at 1 GiB so a decompression bomb degrades to a bounded
+    * prefix instead of an OOM.
+    */
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0 && out.size.toLong <= MaxGunzipBytes) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    out.toByteArray
+  }
+
+  private def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
+  /** [[parseWarcFile]] with transparent gzip: Common Crawl ships
+    * `.warc.gz` (per-record gzip members, concatenated), so the
+    * production read path sniffs the two magic bytes and decompresses
+    * before the walk. Plain files parse unchanged.
+    */
+  def parseWarcFileAuto(bytes: Array[Byte]): WarcParse =
+    if (isGzip(bytes)) parseWarcFile(gunzip(bytes)) else parseWarcFile(bytes)
+
   /** Parse one WARC file's bytes. Never throws; a desync drops the
     * remainder (counted), parsed records before it survive.
     */
@@ -181,7 +217,7 @@ object WarcCodec {
     files.select(col("file_id"), col("payload"))
       .as[FilePayload]
       .mapPartitions(_.flatMap { f =>
-        val parsed = parseWarcFile(f.payload)
+        val parsed = parseWarcFileAuto(f.payload)
         parsed.records.map(r => FileRecord(f.file_id, r.rec_idx, r.warc_type,
           r.target_uri, r.http_status, r.content_type, r.n_body_bytes,
           parsed.dropped_bytes))
@@ -205,7 +241,7 @@ object WarcCodec {
     files.select(col("file_id"), col("payload"))
       .as[FilePayload]
       .mapPartitions(_.flatMap { f =>
-        val parsed = parseWarcFile(f.payload)
+        val parsed = parseWarcFileAuto(f.payload)
         parsed.records.map(r => FileRecordBody(f.file_id, r.rec_idx,
           r.warc_type, r.target_uri, r.http_status, r.content_type, r.body,
           parsed.dropped_bytes))

@@ -119,12 +119,12 @@ object SourcePresets {
     * (checksums, manifests) out of the parse.
     */
   def warcDir(spark: SparkSession, dir: String,
-      glob: String = "*.warc"): DataFrame =
+      glob: String = "{*.warc,*.warc.gz}"): DataFrame =
     projectWarc(spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).load(dir))
 
   def warcDirStream(spark: SparkSession, dir: String,
-      glob: String = "*.warc", maxFilesPerTrigger: Int = 4): DataFrame = {
+      glob: String = "{*.warc,*.warc.gz}", maxFilesPerTrigger: Int = 4): DataFrame = {
     // streaming sources require an explicit schema; binaryFile's is
     // fixed by the format (path/modificationTime/length/content)
     val schema = StructType(Seq(

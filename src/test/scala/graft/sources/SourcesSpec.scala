@@ -598,6 +598,46 @@ class SourcesSpec extends SparkSpec {
     assert(streamed.map(_.getString(3)).filter(_.nonEmpty).toSet == uris)
   }
 
+  test("warc gzip (G26): .warc.gz parses transparently — whole-file and per-record-member forms") {
+    import graft.operators.WarcCodec
+    val plain = WarcCodec.encodeWarcInfo("software: graft\r\n") ++
+      WarcCodec.encodeWarcResponse("https://g/1", 200, "text/html",
+        "hello gz".getBytes("US-ASCII")) ++
+      WarcCodec.encodeWarcResponse("https://g/2", 404, "text/plain",
+        Array[Byte](0, 1, 2, -1))
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    def key(p: WarcCodec.WarcParse) =
+      p.records.map(r => (r.warc_type, r.target_uri, r.http_status, r.n_body_bytes))
+    val expected = key(WarcCodec.parseWarcFile(plain))
+    // whole-file gzip
+    assert(key(WarcCodec.parseWarcFileAuto(gz(plain))) == expected)
+    // the Common Crawl convention: ONE gzip member PER RECORD, concatenated
+    val members = Seq(
+      gz(WarcCodec.encodeWarcInfo("software: graft\r\n")),
+      gz(WarcCodec.encodeWarcResponse("https://g/1", 200, "text/html",
+        "hello gz".getBytes("US-ASCII"))),
+      gz(WarcCodec.encodeWarcResponse("https://g/2", 404, "text/plain",
+        Array[Byte](0, 1, 2, -1)))).reduce(_ ++ _)
+    assert(key(WarcCodec.parseWarcFileAuto(members)) == expected,
+      "concatenated gzip members must parse as one stream")
+    // corrupt gzip tail: fail-soft, clean prefix survives via the
+    // parser's dropped-bytes discipline
+    val corrupt = gz(plain).dropRight(6)
+    val pc = WarcCodec.parseWarcFileAuto(corrupt) // must not throw
+    assert(pc.records.forall(r => expected.contains(
+      (r.warc_type, r.target_uri, r.http_status, r.n_body_bytes))))
+    // a .warc.gz file on disk flows through the directory source's glob
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcgz").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "c.warc.gz"), gz(plain))
+    val recs = graft.operators.WarcCodec.warcRecords(
+      graft.streaming.SourcePresets.warcDir(spark, dir)).collect()
+    assert(recs.length == 3 && recs.count(_.getString(2) == "response") == 2)
+  }
+
   test("warc reader streaming attach (A55): the batch operator parses arriving files unchanged") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
