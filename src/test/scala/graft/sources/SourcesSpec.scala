@@ -598,6 +598,51 @@ class SourcesSpec extends SparkSpec {
     assert(streamed.map(_.getString(3)).filter(_.nonEmpty).toSet == uris)
   }
 
+  test("warc cdx (G26): the record index re-fetches every record with one bounded slice parse") {
+    import spark.implicits._
+    import graft.operators.WarcCodec
+    val files = (1L to 5L).map { id =>
+      val recs = WarcCodec.encodeWarcInfo("software: graft\r\n") +:
+        (0 until (1 + id % 3).toInt).map(i =>
+          WarcCodec.encodeWarcResponse(s"https://c/$id/$i",
+            if (i == 1) 404 else 200, "text/html",
+            Array.fill((3 + i * 7))((('a' + i) % 127).toByte)))
+      (id, recs.reduce(_ ++ _))
+    }
+    val payloads = files.toMap
+    val cdx = WarcCodec.warcCdx(files.toDF("file_id", "payload")).collect()
+    assert(cdx.length == files.map(f => 2 + (f._1 % 3)).sum.toInt)
+    // every CDX row re-fetches to EXACTLY the full-parse record
+    cdx.foreach { row =>
+      val (fid, idx) = (row.getLong(0), row.getLong(1))
+      val full = WarcCodec.parseWarcFile(payloads(fid)).records(idx.toInt)
+      val fetched = WarcCodec.fetchWarcRecord(payloads(fid),
+        row.getLong(5), row.getLong(6))
+      assert(fetched.nonEmpty, s"fetch failed for ($fid, $idx)")
+      val g = fetched.get
+      assert(g.warc_type == full.warc_type && g.target_uri == full.target_uri
+        && g.http_status == full.http_status && g.body.sameElements(full.body),
+        s"fetched record diverges at ($fid, $idx)")
+      assert(row.getString(3) == full.target_uri && row.getLong(4) == full.http_status)
+    }
+    // offsets tile the file exactly: sorted (offset, bytes) spans are
+    // contiguous from 0 to the file end (no gap, no overlap)
+    files.foreach { case (fid, payload) =>
+      val spans = cdx.filter(_.getLong(0) == fid)
+        .map(r => (r.getLong(5), r.getLong(6))).sortBy(_._1)
+      assert(spans.head._1 == 0L)
+      spans.sliding(2).foreach {
+        case Array((o1, b1), (o2, _)) => assert(o1 + b1 == o2, s"gap/overlap at $o2")
+        case _ => ()
+      }
+      assert(spans.last._1 + spans.last._2 == payload.length.toLong)
+    }
+    // stale coordinates fail soft
+    assert(WarcCodec.fetchWarcRecord(payloads(1L), 3L, 10L).isEmpty)
+    assert(WarcCodec.fetchWarcRecord(payloads(1L), -1L, 10L).isEmpty)
+    assert(WarcCodec.fetchWarcRecord(payloads(1L), 0L, 999999L).isEmpty)
+  }
+
   test("warc gzip (G26): .warc.gz parses transparently — whole-file and per-record-member forms") {
     import graft.operators.WarcCodec
     val plain = WarcCodec.encodeWarcInfo("software: graft\r\n") ++
