@@ -2145,9 +2145,84 @@ object Relational {
       GROUP BY e.event_type, f.n_events, f.q1, f.q3
       ORDER BY e.event_type"""))
 
+  /** B56's core: TIME-SERIES SUBSEQUENCE similarity search (the
+    * distributed streaming-similarity workload of the retrieved EDBT/
+    * ICDE corpus — find the per-user event-value windows closest to a
+    * query pattern): per user, complete length-L windows at every
+    * `stride` positions, scored by squared Euclidean distance to the
+    * query, global top-k. Spark-first shape:
+    *   - per-user positions via one window over user_id (a GROWING key —
+    *     the d14 adjudicated class, never enum-bounded);
+    *   - each event maps to its <= ceil(L/stride) covering window starts
+    *     MAP-SIDE (a bounded sequence/filter explode — no self-join, no
+    *     range join);
+    *   - per-(user, start) assembly via a length-L-BOUNDED collect_list
+    *     (the allowedCollects packing-parameter class);
+    *   - the distance folds (x_i - q_i)^2 in ASCENDING INDEX order (the
+    *     q53 pinned-fold discipline), so DuckDB's list_reduce replays it
+    *     bit-for-bit and the r4-quantized ranking key is cross-engine
+    *     exact; ties break (user_id, start);
+    *   - global top-k = orderBy.limit = TakeOrderedAndProject (heap
+    *     merge, never a full sort).
+    * At 100 TB: everything before the final k-row reduction is one
+    * user-keyed shuffle + narrow maps; windows are rows, never driver
+    * state; L and stride are parameters, so per-group state is bounded.
+    */
+  def tsSubsequenceTopK(events: DataFrame, query: Seq[Double], stride: Int,
+      k: Int): DataFrame = {
+    require(query.nonEmpty && stride >= 1 && k >= 1)
+    val L = query.size
+    val qLit = typedlit(query)
+    val wPos = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val pos = events.select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+    // covering starts of pos: s in [pos-L+1, pos], s >= 1, (s-1) % stride == 0
+    val covered = pos.select(col("user_id"), col("value"), col("pos"),
+        explode(filter(
+          sequence(greatest(col("pos") - L + 1, lit(1L)), col("pos")),
+          s => (s - 1) % stride === 0)).as("start"))
+    val wins = covered.groupBy(col("user_id"), col("start"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("pos"), col("value")))).as("xs"))
+      .filter(col("n") === L) // complete windows only
+    val dist = aggregate(
+      zip_with(transform(col("xs"), x => x.getField("value")), qLit,
+        (x, q) => (x - q) * (x - q)),
+      lit(0.0), (acc, d) => acc + d)
+    wins.select(col("user_id"), col("start"), r4(dist).as("dist"))
+      .orderBy(col("dist"), col("user_id"), col("start"))
+      .limit(k)
+  }
+
+  // B56 — time-series subsequence top-k. The query pattern is planted
+  // arithmetic (q_i = (7*i) mod 13, i from 0), so the oracle replays the
+  // whole pipeline — per-user ordering, stride-aligned complete windows,
+  // the index-ordered fold — in DuckDB list arithmetic.
+  private val q56 = Q(
+    "q56_ts_subsequence_topk",
+    (s, d) => tsSubsequenceTopK(Tables.events(s, d),
+      query = (0 until 8).map(i => ((7 * i) % 13).toDouble), stride = 4, k = 10),
+    Some(s"""
+      WITH q AS (SELECT [CAST((7 * i) % 13 AS DOUBLE) FOR i IN range(0, 8)] AS qv),
+      u AS (
+        SELECT user_id, list(value ORDER BY event_id) AS vs
+        FROM events GROUP BY user_id),
+      w AS (
+        SELECT user_id, s AS start, vs[s : s + 7] AS xs
+        FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
+        WHERE s + 7 <= len(vs)),
+      sc AS (
+        SELECT user_id, start,
+          ${Num.r4Sql("""list_reduce(
+            [(w.xs[i] - q.qv[i]) * (w.xs[i] - q.qv[i]) FOR i IN range(1, 9)],
+            (a, b) -> a + b)""")} AS dist
+        FROM w, q)
+      SELECT user_id, CAST(start AS BIGINT) AS start, dist
+      FROM sc ORDER BY dist, user_id, start LIMIT 10"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55)
+    q53, q54, q55, q56)
 }

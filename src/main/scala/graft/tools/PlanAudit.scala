@@ -211,6 +211,8 @@ object PlanAudit {
   // persisted frames — d2/d3's cached gram sets — are audited where the
   // building pipeline is lazily plannable, the lazyTwin convention.)
   val allowedCollects: Map[String, String] = Map(
+    "q56_ts_subsequence_topk" ->
+      "per-(user, window-start) subsequence assembly: LENGTH-L-bounded (the window length is a query parameter — complete windows carry exactly L rows; incomplete ones are filtered before any array leaves the aggregate)",
     "d10_containment" ->
       "per-doc shingle-hash set + low-df prefix list: DOC-LENGTH-bounded (one group per doc_id, rows = that doc's distinct shingles)",
     "d15_boilerplate_scrub" ->

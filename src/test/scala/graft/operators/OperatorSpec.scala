@@ -3557,6 +3557,38 @@ class OperatorSpec extends SparkSpec {
     assert(r.getLong(4) == 2L, s"outlier count: $r")
   }
 
+  test("ts subsequence top-k (q56): hand-computed windows, stride alignment, completeness, ties") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // user 1: values = position (1..10); user 2: an EXACT copy of the
+    // query pattern planted at positions 5..8 (start 5 is stride-aligned
+    // for stride 4: starts 1, 5); user 3: only 3 events — NO complete
+    // window, must not appear. Arrival order scrambled: ordering is by
+    // event_id, never arrival.
+    val q = Seq(2.0, 4.0, 6.0, 8.0)
+    val rows =
+      (1 to 10).map(i => (1L, i.toLong, i.toDouble)) ++
+      Seq((2L, 1L, 9.0), (2L, 2L, 9.0), (2L, 3L, 9.0), (2L, 4L, 9.0),
+        (2L, 5L, 2.0), (2L, 6L, 4.0), (2L, 7L, 6.0), (2L, 8L, 8.0)) ++
+      Seq((3L, 1L, 1.0), (3L, 2L, 1.0), (3L, 3L, 1.0))
+    val events = new scala.util.Random(5).shuffle(rows)
+      .toDF("user_id", "event_id", "value")
+    val out = Relational.tsSubsequenceTopK(events, q, stride = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // complete stride-aligned windows: u1 starts 1 (1,2,3,4), 5 (5,6,7,8);
+    // u2 starts 1 (9,9,9,9), 5 (2,4,6,8). Hand distances to (2,4,6,8):
+    // u1s1: 1+4+9+16=30; u1s5: 9+4+1+0=14; u2s1: 49+25+9+1=84; u2s5: 0.
+    assert(out.toSeq == Seq((2L, 5L, 0.0), (1L, 5L, 14.0), (1L, 1L, 30.0),
+      (2L, 1L, 84.0)), s"got ${out.toSeq}")
+    assert(!out.exists(_._1 == 3L), "incomplete windows must be filtered")
+    // tie-break: two identical windows order by (user_id, start)
+    val tie = Seq((1L, 1L, 5.0), (1L, 2L, 5.0), (2L, 1L, 5.0), (2L, 2L, 5.0))
+      .toDF("user_id", "event_id", "value")
+    val t = Relational.tsSubsequenceTopK(tie, Seq(5.0, 5.0), stride = 1, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(t.toSeq == Seq((1L, 1L), (2L, 1L)), s"tie order: ${t.toSeq}")
+  }
+
   test("ewma by user (q53): hand-computed recursion, order pinned by event_id not arrival") {
     import spark.implicits._
     // user 1 in SCRAMBLED arrival order; event_id order is 4.0, 2.0, 8.0:
