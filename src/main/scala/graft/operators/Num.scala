@@ -29,6 +29,12 @@ object Num {
   /** Deterministic 4-dp quantization of a DOUBLE. SQL twin: `r4Sql`. */
   def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
 
+  /** Scala-side twin of [[r4]] — bit-identical to the Column spelling
+    * (same floor(x*10000+0.5)/10000 IEEE sequence), for driver/state
+    * code that must agree with a relational leg.
+    */
+  def r4Double(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+
   def decSql(e: String): String = s"CAST($e AS DECIMAL(12,2))"
   def moneySql(e: String): String =
     s"CAST(ROUND(SUM(${decSql(e)}),2) AS DOUBLE)"

@@ -2169,8 +2169,17 @@ object Relational {
     * state; L and stride are parameters, so per-group state is bounded.
     */
   def tsSubsequenceTopK(events: DataFrame, query: Seq[Double], stride: Int,
-      k: Int): DataFrame = {
-    require(query.nonEmpty && stride >= 1 && k >= 1)
+      k: Int): DataFrame =
+    tsSubsequenceScores(events, query, stride)
+      .orderBy(col("dist"), col("user_id"), col("start"))
+      .limit(k)
+
+  /** The pre-top-k (user, start, dist) frame — shared with the streaming
+    * twin (A56) so the batch and stream spellings score identically.
+    */
+  def tsSubsequenceScores(events: DataFrame, query: Seq[Double],
+      stride: Int): DataFrame = {
+    require(query.nonEmpty && stride >= 1)
     val L = query.size
     val qLit = typedlit(query)
     val wPos = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -2190,8 +2199,21 @@ object Relational {
         (x, q) => (x - q) * (x - q)),
       lit(0.0), (acc, d) => acc + d)
     wins.select(col("user_id"), col("start"), r4(dist).as("dist"))
-      .orderBy(col("dist"), col("user_id"), col("start"))
-      .limit(k)
+  }
+
+  /** [[tsSubsequenceScores]]' per-window DISTANCE recurrence, exposed so
+    * the streaming twin folds the identical IEEE sequence: ascending
+    * index, (x_i - q_i)^2 accumulated left to right from 0.0.
+    */
+  def tsDistance(xs: Seq[Double], query: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < query.length) {
+      val d = xs(i) - query(i)
+      acc = acc + d * d
+      i += 1
+    }
+    Num.r4Double(acc)
   }
 
   // B56 — time-series subsequence top-k. The query pattern is planted

@@ -430,6 +430,60 @@ object EventsPipeline {
       .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TsWinState(n: Long, tail: Seq[Double])
+  final case class TsWinUpdate(user_id: Long, start: Long, dist: Double)
+
+  /** A56 — STREAMING time-series subsequence scoring (B56's twin): the
+    * per-user sliding-window assembly as BOUNDED transformWithState —
+    * state is exactly the last L-1 values plus a position counter (L is
+    * a query parameter, so per-user state is constant regardless of
+    * stream length: the A48/q55 discipline). A window completing at
+    * position p (stride-aligned start p-L+1) emits once with its
+    * distance folded by the LITERAL batch recurrence
+    * ([[graft.operators.Relational.tsDistance]] — ascending-index
+    * (x-q)^2 from 0.0, the q53 pinned-fold contract), so streamed
+    * scores are bit-equal to [[graft.operators.Relational
+    * .tsSubsequenceScores]] under ANY micro-batch slicing. Contract:
+    * per-user IN-ORDER arrival by event_id (the append-log case —
+    * event ids assigned monotonically at ingest); within a batch rows
+    * sort by event_id, so only CROSS-batch disorder violates it.
+    */
+  class TsWindowProcessor(query: Seq[Double], stride: Int)
+      extends StatefulProcessor[Long, (Long, Long, Double), TsWinUpdate] {
+    private val L = query.size
+    @transient private var state: ValueState[TsWinState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TsWinState](
+        "tswin", Encoders.product[TsWinState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Double)],
+        timers: TimerValues): Iterator[TsWinUpdate] = {
+      var st = if (state.exists()) state.get() else TsWinState(0L, Vector.empty)
+      val out = Seq.newBuilder[TsWinUpdate]
+      rows.toSeq.sortBy(_._1).foreach { case (_, _, v) =>
+        val p = st.n + 1
+        val buf = (st.tail :+ v).takeRight(L)
+        if (p >= L && (p - L) % stride == 0)
+          out += TsWinUpdate(user, p - L + 1,
+            graft.operators.Relational.tsDistance(buf, query))
+        st = TsWinState(p, buf.takeRight(math.max(L - 1, 0)))
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  def tsWindowsTws(events: Dataset[(Long, Long, Double)], query: Seq[Double],
+      stride: Int): Dataset[TsWinUpdate] = {
+    require(query.nonEmpty && stride >= 1)
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new TsWindowProcessor(query, stride),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class PerplexityFlag(doc_id: Long, n_bigrams: Long,
       total_bits: Long, keep: Boolean)
 

@@ -386,6 +386,49 @@ class EventsPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming ts windows (A56): streamed scores are bit-identical to batch q56 across slicings") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val saved = EventsPipeline.RocksDBStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    val sf = "/root/testdata/sf0.001"
+    val query = (0 until 8).map(i => ((7 * i) % 13).toDouble)
+    // in-order feed (the declared log-replay regime), 5 micro-batches so
+    // windows SPAN batch boundaries — the state carry this twin exists for
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "user_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val src = MemoryStream[(Long, Long, Double)]
+    val q = EventsPipeline.tsWindowsTws(src.toDS(), query, stride = 4)
+      .writeStream.format("memory").queryName("tswin_tws_test")
+      .outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 5)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("tswin_tws_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // every window emits exactly once (stateful completion, no dups)
+      assert(got.length == got.map(r => (r._1, r._2)).distinct.length)
+      val batch = graft.operators.Relational.tsSubsequenceScores(
+          Tables.events(spark, sf), query, stride = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSet == batch.toSet,
+        s"streamed=${got.length} batch=${batch.length}; " +
+          s"missing=${(batch.toSet -- got.toSet).take(3)} " +
+          s"extra=${(got.toSet -- batch.toSet).take(3)}")
+      assert(batch.nonEmpty, "fixture must produce complete windows")
+    } finally {
+      q.stop()
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("row-local minhash banding is bit-compatible with the batch pipeline") {
     import spark.implicits._
     // the sf corpus PLUS hostile whitespace: Spark's trim strips only
