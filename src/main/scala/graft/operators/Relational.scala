@@ -2182,6 +2182,19 @@ object Relational {
     require(query.nonEmpty && stride >= 1)
     val L = query.size
     val qLit = typedlit(query)
+    val wins = tsWindows(events, L, stride)
+    val dist = aggregate(
+      zip_with(transform(col("xs"), x => x.getField("value")), qLit,
+        (x, q) => (x - q) * (x - q)),
+      lit(0.0), (acc, d) => acc + d)
+    wins.select(col("user_id"), col("start"), r4(dist).as("dist"))
+  }
+
+  /** Complete per-user length-L windows at stride-aligned starts —
+    * (user_id, start, xs) with xs the pos-sorted (pos, value) structs;
+    * shared by the raw (B56) and z-normalized (B57) scorers.
+    */
+  private def tsWindows(events: DataFrame, L: Int, stride: Int): DataFrame = {
     val wPos = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     val pos = events.select(col("user_id"), col("event_id"), col("value"))
       .withColumn("pos", row_number().over(wPos).cast("long"))
@@ -2190,15 +2203,10 @@ object Relational {
         explode(filter(
           sequence(greatest(col("pos") - L + 1, lit(1L)), col("pos")),
           s => (s - 1) % stride === 0)).as("start"))
-    val wins = covered.groupBy(col("user_id"), col("start"))
+    covered.groupBy(col("user_id"), col("start"))
       .agg(count(lit(1)).as("n"),
         sort_array(collect_list(struct(col("pos"), col("value")))).as("xs"))
       .filter(col("n") === L) // complete windows only
-    val dist = aggregate(
-      zip_with(transform(col("xs"), x => x.getField("value")), qLit,
-        (x, q) => (x - q) * (x - q)),
-      lit(0.0), (acc, d) => acc + d)
-    wins.select(col("user_id"), col("start"), r4(dist).as("dist"))
   }
 
   /** [[tsSubsequenceScores]]' per-window DISTANCE recurrence, exposed so
@@ -2214,6 +2222,52 @@ object Relational {
       i += 1
     }
     Num.r4Double(acc)
+  }
+
+  /** B57's core: Z-NORMALIZED subsequence similarity — the canonical
+    * published form (the UCR-suite/MASS contract: match SHAPE, not
+    * scale/offset, by normalizing every window to mean 0 / std 1 before
+    * the Euclidean fold). Float discipline extends q56's: mean and
+    * variance are ASCENDING-index folds over the window, std = IEEE
+    * sqrt (exactly specified, so cross-engine identical), a
+    * zero-variance window z-normalizes to the ZERO vector (the
+    * documented constant-window convention — its distance is then
+    * ||q_z||^2, never a NaN), and the final fold is q56's. DuckDB
+    * replays every step from the same exact integers, so the r4 ranking
+    * key hash-matches.
+    */
+  def tsZnormSubsequenceTopK(events: DataFrame, query: Seq[Double],
+      stride: Int, k: Int): DataFrame = {
+    require(query.nonEmpty && stride >= 1 && k >= 1)
+    val L = query.size
+    val qz = typedlit(znormSeq(query))
+    def znormArr(vals: Column): Column = {
+      val mean = aggregate(vals, lit(0.0), (a, x) => a + x) / L
+      val variance = aggregate(vals, lit(0.0),
+        (a, x) => a + (x - mean) * (x - mean)) / L
+      val std = sqrt(variance)
+      transform(vals, x => when(std === 0.0, 0.0).otherwise((x - mean) / std))
+    }
+    val wins = tsWindows(events, L, stride)
+    val vals = transform(col("xs"), x => x.getField("value"))
+    val dist = aggregate(
+      zip_with(znormArr(vals), qz, (x, q) => (x - q) * (x - q)),
+      lit(0.0), (acc, d) => acc + d)
+    wins.select(col("user_id"), col("start"), r4(dist).as("dist"))
+      .orderBy(col("dist"), col("user_id"), col("start"))
+      .limit(k)
+  }
+
+  /** The Scala twin of the z-normalization fold (same IEEE sequence). */
+  def znormSeq(xs: Seq[Double]): Seq[Double] = {
+    val L = xs.length
+    var m = 0.0
+    xs.foreach(x => m = m + x)
+    val mean = m / L
+    var v = 0.0
+    xs.foreach(x => v = v + (x - mean) * (x - mean))
+    val std = math.sqrt(v / L)
+    if (std == 0.0) xs.map(_ => 0.0) else xs.map(x => (x - mean) / std)
   }
 
   // B56 — time-series subsequence top-k. The query pattern is planted
@@ -2242,9 +2296,56 @@ object Relational {
       SELECT user_id, CAST(start AS BIGINT) AS start, dist
       FROM sc ORDER BY dist, user_id, start LIMIT 10"""))
 
+  // B57 — z-normalized subsequence top-k: the same planted query
+  // pattern; both engines derive its z-normalization from exact
+  // integers with the same ascending folds, so no float literal ever
+  // crosses the engine boundary.
+  private val q57 = Q(
+    "q57_ts_znorm_topk",
+    (s, d) => tsZnormSubsequenceTopK(Tables.events(s, d),
+      query = (0 until 8).map(i => ((7 * i) % 13).toDouble), stride = 4, k = 10),
+    Some(s"""
+      WITH qraw AS (SELECT [CAST((7 * i) % 13 AS DOUBLE) FOR i IN range(0, 8)] AS qv),
+      qstats AS (
+        SELECT qv, list_reduce(qv, (a, b) -> a + b) / 8 AS qm FROM qraw),
+      qz AS (
+        SELECT CASE WHEN sqrt(list_reduce([(x - qm) * (x - qm) FOR x IN qv],
+                 (a, b) -> a + b) / 8) = 0
+               THEN [CAST(0 AS DOUBLE) FOR x IN qv]
+               ELSE [(x - qm) / sqrt(list_reduce([(y - qm) * (y - qm) FOR y IN qv],
+                 (a, b) -> a + b) / 8) FOR x IN qv] END AS qzv
+        FROM qstats),
+      u AS (
+        SELECT user_id, list(value ORDER BY event_id) AS vs
+        FROM events GROUP BY user_id),
+      w AS (
+        SELECT user_id, s AS start, vs[s : s + 7] AS xs
+        FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
+        WHERE s + 7 <= len(vs)),
+      wn AS (
+        SELECT user_id, start, xs,
+          list_reduce(xs, (a, b) -> a + b) / 8 AS m
+        FROM w),
+      wz AS (
+        SELECT user_id, start,
+          CASE WHEN sqrt(list_reduce([(x - m) * (x - m) FOR x IN xs],
+                 (a, b) -> a + b) / 8) = 0
+               THEN [CAST(0 AS DOUBLE) FOR x IN xs]
+               ELSE [(x - m) / sqrt(list_reduce([(y - m) * (y - m) FOR y IN xs],
+                 (a, b) -> a + b) / 8) FOR x IN xs] END AS zs
+        FROM wn),
+      sc AS (
+        SELECT user_id, start,
+          ${Num.r4Sql("""list_reduce(
+            [(wz.zs[i] - q.qzv[i]) * (wz.zs[i] - q.qzv[i]) FOR i IN range(1, 9)],
+            (a, b) -> a + b)""")} AS dist
+        FROM wz, qz q)
+      SELECT user_id, CAST(start AS BIGINT) AS start, dist
+      FROM sc ORDER BY dist, user_id, start LIMIT 10"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56)
+    q53, q54, q55, q56, q57)
 }

@@ -213,6 +213,8 @@ object PlanAudit {
   val allowedCollects: Map[String, String] = Map(
     "q56_ts_subsequence_topk" ->
       "per-(user, window-start) subsequence assembly: LENGTH-L-bounded (the window length is a query parameter — complete windows carry exactly L rows; incomplete ones are filtered before any array leaves the aggregate)",
+    "q57_ts_znorm_topk" ->
+      "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
     "d10_containment" ->
       "per-doc shingle-hash set + low-df prefix list: DOC-LENGTH-bounded (one group per doc_id, rows = that doc's distinct shingles)",
     "d15_boilerplate_scrub" ->

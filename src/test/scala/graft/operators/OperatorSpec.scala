@@ -3589,6 +3589,33 @@ class OperatorSpec extends SparkSpec {
     assert(t.toSeq == Seq((1L, 1L), (2L, 1L)), s"tie order: ${t.toSeq}")
   }
 
+  test("znorm subsequence top-k (q57): affine copies of the query score 0; constant windows don't NaN") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val q = Seq(1.0, 3.0, 2.0, 5.0)
+    // user 1: the query SCALED and SHIFTED (10*q + 7) at start 1 — raw
+    // Euclid would rank it far away, z-normalized distance is EXACTLY 0
+    // (shape match, the operator's reason to exist); user 2: a constant
+    // window (std = 0) must score ||q_z||^2 = L, never NaN; user 3: an
+    // unrelated shape
+    val rows =
+      q.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, 10.0 * v + 7.0) } ++
+      (1 to 4).map(i => (2L, i.toLong, 42.0)) ++
+      Seq((3L, 1L, 9.0), (3L, 2L, 1.0), (3L, 3L, 9.0), (3L, 4L, 1.0))
+    val out = Relational.tsZnormSubsequenceTopK(
+        rows.toDF("user_id", "event_id", "value"), q, stride = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.head == ((1L, 1L, 0.0)), s"affine copy must score 0: ${out.toSeq}")
+    val const = out.find(_._1 == 2L).get
+    assert(const._3 == 4.0 && !const._3.isNaN,
+      s"constant window must score ||q_z||^2 = L: $const")
+    assert(out.length == 3 && out.forall(!_._3.isNaN))
+    // znormSeq twin: mean 0, unit std (the fold the SQL replays)
+    val z = Relational.znormSeq(q)
+    assert(math.abs(z.sum) < 1e-12 &&
+      math.abs(z.map(x => x * x).sum / q.size - 1.0) < 1e-12)
+  }
+
   test("ewma by user (q53): hand-computed recursion, order pinned by event_id not arrival") {
     import spark.implicits._
     // user 1 in SCRAMBLED arrival order; event_id order is 4.0, 2.0, 8.0:
