@@ -2241,18 +2241,32 @@ object Relational {
     require(query.nonEmpty && stride >= 1 && k >= 1)
     val L = query.size
     val qz = typedlit(znormSeq(query))
-    def znormArr(vals: Column): Column = {
-      val mean = aggregate(vals, lit(0.0), (a, x) => a + x) / L
-      val variance = aggregate(vals, lit(0.0),
-        (a, x) => a + (x - mean) * (x - mean)) / L
-      val std = sqrt(variance)
-      transform(vals, x => when(std === 0.0, 0.0).otherwise((x - mean) / std))
-    }
+    // mean/std materialize as PER-ROW SCALAR COLUMNS before the z-map:
+    // higher-order lambdas are interpreted with no CSE, so an inline
+    // `std` subexpression re-runs its whole variance fold PER ELEMENT
+    // (measured: the inline spelling benched 4.6s vs ~0.6s for q56's
+    // single fold). Fold orders are unchanged — ascending index from
+    // 0.0 — so the cross-engine contract is identical.
     val wins = tsWindows(events, L, stride)
-    val vals = transform(col("xs"), x => x.getField("value"))
-    val dist = aggregate(
-      zip_with(znormArr(vals), qz, (x, q) => (x - q) * (x - q)),
-      lit(0.0), (acc, d) => acc + d)
+      .withColumn("vals", transform(col("xs"), x => x.getField("value")))
+      .withColumn("m", aggregate(col("vals"), lit(0.0), (a, x) => a + x) / L)
+      .withColumn("std", sqrt(aggregate(col("vals"), lit(0.0),
+        (a, x) => a + (x - col("m")) * (x - col("m"))) / L))
+    // std == 0 ⇒ z is the zero vector ⇒ distance = ||q_z||^2, which is a
+    // CONSTANT — precompute it with the same ascending fold the general
+    // branch runs, so the degenerate branch's value is bit-identical to
+    // folding (0 - q_i)^2 in place. The general branch folds
+    // ((x-m)/std - q)^2 directly — no z array materializes.
+    val qnorm = {
+      var acc = 0.0
+      znormSeq(query).foreach(z => acc = acc + z * z)
+      acc
+    }
+    val dist = when(col("std") === 0.0, lit(qnorm))
+      .otherwise(aggregate(
+        zip_with(col("vals"), qz,
+          (x, q) => ((x - col("m")) / col("std") - q) * ((x - col("m")) / col("std") - q)),
+        lit(0.0), (acc, d) => acc + d))
     wins.select(col("user_id"), col("start"), r4(dist).as("dist"))
       .orderBy(col("dist"), col("user_id"), col("start"))
       .limit(k)
