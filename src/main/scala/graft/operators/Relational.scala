@@ -2310,6 +2310,75 @@ object Relational {
       SELECT user_id, CAST(start AS BIGINT) AS start, dist
       FROM sc ORDER BY dist, user_id, start LIMIT 10"""))
 
+  /** B58's core: MOTIF DISCOVERY — each user's closest pair of
+    * NON-OVERLAPPING windows (|s2 - s1| >= L, the matrix-profile
+    * literature's trivial-match exclusion): the self-similarity half of
+    * the subsequence workload (B56/B57 are query-vs-corpus). Scale
+    * shape: the within-user pairwise is TRIANGLE-PARTITIONED on
+    * (user, k1, k2) via [[Dedup.triangleSide]] — the d5/d17 spread, so
+    * a hot user's W²/2 pair work lands on B(B+1)/2 tasks, never one —
+    * and the window payload is L doubles (a PARAMETER), so the
+    * replicated exchange stays slim regardless of corpus size. The
+    * per-user argmin is one min(struct(dist, s1, s2)) aggregate on the
+    * r4-quantized key (cross-engine-safe ordering). At 100 TB the
+    * published scale-out beyond this is the Matrix Profile family
+    * (documented); this is the exact spelling with its pair work
+    * provably spread.
+    */
+  def tsMotifPerUser(events: DataFrame, L: Int, stride: Int,
+      buckets: Int = 4): DataFrame = {
+    require(L >= 1 && stride >= 1 && buckets >= 1)
+    val wins = tsWindows(events, L, stride)
+      .select(col("user_id"), col("start"),
+        transform(col("xs"), x => x.getField("value")).as("vals"))
+    def side(s: String, v: String, g: String, u: String) =
+      Dedup.triangleSide(wins.select(col("user_id").as(u),
+        col("start").as(s), col("vals").as(v)), s, g, buckets)
+    val a = side("s1", "v1", "ga", "user_id")
+    val b = side("s2", "v2", "gb", "user_b")
+      .withColumnRenamed("k1", "bk1").withColumnRenamed("k2", "bk2")
+    val dist = aggregate(
+      zip_with(col("v1"), col("v2"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    val pairs = a.join(b,
+        col("user_id") === col("user_b")
+          && col("k1") === col("bk1") && col("k2") === col("bk2")
+          && col("s2") >= col("s1") + L) // non-overlap + canonical order
+      .filter(Dedup.trianglePairFilter("ga", "gb"))
+      .select(col("user_id"), col("s1"), col("s2"), r4(dist).as("dist"))
+    pairs.groupBy(col("user_id"))
+      .agg(min(struct(col("dist"), col("s1"), col("s2"))).as("m"))
+      .select(col("user_id"), col("m.s1").as("s1"), col("m.s2").as("s2"),
+        col("m.dist").as("dist"))
+      .orderBy(col("user_id"))
+  }
+
+  // B58 — per-user motif. FULL oracle: DuckDB replays the window
+  // pairwise, the same index-ordered fold, and the (dist, s1, s2)
+  // argmin per user.
+  private val q58 = Q(
+    "q58_ts_motif",
+    (s, d) => tsMotifPerUser(Tables.events(s, d), L = 8, stride = 4),
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, list(value ORDER BY event_id) AS vs
+        FROM events GROUP BY user_id),
+      w AS (
+        SELECT user_id, s AS start, vs[s : s + 7] AS xs
+        FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
+        WHERE s + 7 <= len(vs)),
+      p AS (
+        SELECT a.user_id, a.start AS s1, b.start AS s2,
+          ${Num.r4Sql("""list_reduce(
+            [(a.xs[i] - b.xs[i]) * (a.xs[i] - b.xs[i]) FOR i IN range(1, 9)],
+            (x, y) -> x + y)""")} AS dist
+        FROM w a JOIN w b
+          ON a.user_id = b.user_id AND b.start >= a.start + 8)
+      SELECT user_id, CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2, dist
+      FROM p
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY dist, s1, s2) = 1
+      ORDER BY user_id"""))
+
   // B57 — z-normalized subsequence top-k: the same planted query
   // pattern; both engines derive its z-normalization from exact
   // integers with the same ascending folds, so no float literal ever
@@ -2361,5 +2430,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57)
+    q53, q54, q55, q56, q57, q58)
 }

@@ -215,6 +215,8 @@ object PlanAudit {
       "per-(user, window-start) subsequence assembly: LENGTH-L-bounded (the window length is a query parameter — complete windows carry exactly L rows; incomplete ones are filtered before any array leaves the aggregate)",
     "q57_ts_znorm_topk" ->
       "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
+    "q58_ts_motif" ->
+      "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
     "d10_containment" ->
       "per-doc shingle-hash set + low-df prefix list: DOC-LENGTH-bounded (one group per doc_id, rows = that doc's distinct shingles)",
     "d15_boilerplate_scrub" ->
@@ -321,6 +323,8 @@ object PlanAudit {
       "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size, the allowedBnlj argument)",
     "x7_kmv_union" ->
       "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size, the allowedBnlj argument)",
+    "q58_ts_motif" ->
+      "triangle-partitioned WITHIN user ((user,k1,k2) key — the d5 spread: no user funnels its W^2/2 window pairs through one task) AND the array payload is L doubles, a query PARAMETER — slim regardless of corpus",
     "d20_record_linkage" ->
       "blocked bipartite probe: the entity side is the DISTINCT attribute catalog (combination-bounded, not corpus-proportional) and the join key is the (noun, brand, category) blocking tuple — per-record pair work bounded by block granularity, the standard ER dial")
 

@@ -3589,6 +3589,41 @@ class OperatorSpec extends SparkSpec {
     assert(t.toSeq == Seq((1L, 1L), (2L, 1L)), s"tie order: ${t.toSeq}")
   }
 
+  test("ts motif (q58): planted repeat wins, overlapping repeats are excluded, triangle spread is lossless") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val L = 4
+    // user 1: pattern P at starts 1 and 9 (NON-overlapping, stride-4
+    // aligned) with noise between — the motif, exact dist 0. user 2:
+    // an identical pair only at OVERLAPPING starts 1 and... stride 4 <
+    // L=4? starts differ by 4 -> s2 = s1+4 >= s1+L: 4-aligned windows
+    // at distance exactly L are ADJACENT (non-overlapping) — so plant
+    // the near-identical pair at starts 1 and 5 and a FAR pair after,
+    // asserting adjacency counts as non-overlap (>= s1 + L).
+    val p = Seq(5.0, 1.0, 4.0, 2.0)
+    val u1 = (p ++ Seq(9.0, 9.0, 0.0, 3.0) ++ p).zipWithIndex
+      .map { case (v, i) => (1L, (i + 1).toLong, v) }
+    val u2 = (p ++ p ++ Seq(100.0, -100.0, 50.0, -50.0)).zipWithIndex
+      .map { case (v, i) => (2L, (i + 1).toLong, v) }
+    val out = Relational.tsMotifPerUser(
+        (u1 ++ u2).toDF("user_id", "event_id", "value"), L, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 1L, 9L, 0.0), (2L, 1L, 5L, 0.0)), s"got ${out.toSeq}")
+    // triangle spread is LOSSLESS at any bucket count: same answer for
+    // B in {1, 2, 4, 7}
+    Seq(1, 2, 7).foreach { bkt =>
+      val o2 = Relational.tsMotifPerUser(
+          (u1 ++ u2).toDF("user_id", "event_id", "value"), L, stride = 4, buckets = bkt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(o2.toSeq == out.toSeq, s"B=$bkt diverged: ${o2.toSeq}")
+    }
+    // a user with a single window emits nothing (no pair exists)
+    val solo = Relational.tsMotifPerUser(
+      (1 to 4).map(i => (9L, i.toLong, i.toDouble)).toDF("user_id", "event_id", "value"),
+      L, stride = 4)
+    assert(solo.count() == 0)
+  }
+
   test("znorm subsequence top-k (q57): affine copies of the query score 0; constant windows don't NaN") {
     import spark.implicits._
     import graft.operators.Relational
