@@ -1979,6 +1979,51 @@ object Multimodal {
         FALSE AS gps_after
       FROM documents ORDER BY doc_id"""))
 
+  // F18 — the REAL image-decode path DRIVER-GATED (round 12): planted
+  // 8x8 gray PNGs (pixel (x,y) = (13x + 29y + doc_id) mod 256, encoded
+  // by the repo's own JDK writer EXECUTOR-SIDE) flow through the real
+  // javax.imageio decode behind the batched seam
+  // (ImageCodec.batchFeaturesOrStub), and because PNG is LOSSLESS and
+  // an 8x8→8x8 thumbnail draw is measured pixel-IDENTITY (probed over
+  // the full 0..255 range and a non-constant pattern before this row
+  // shipped), every decoded feature re-integerizes to the planted
+  // formula: DuckDB replays two endpoint features AND the 64-term sum
+  // from doc_id arithmetic — the decode SEAM itself is now
+  // oracle-checked for lossless formats; only entropy-coded JPEG decode
+  // remains declared.
+  private val m18 = Relational.Q(
+    "m18_real_decode_features",
+    (s, d) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"))
+        .map { r =>
+          val id = r.getLong(0)
+          (id, ImageCodec.encodeGrayPng(8, 8)((x, y) =>
+            ((13 * x + 29 * y + id) % 256).toInt))
+        }
+        .toDF("doc_id", "payload")
+      extractFeaturesBatched(payloads, decoder = ImageCodec.batchFeaturesOrStub)
+        .select(col("doc_id"),
+          size(col("features")).cast("long").as("n_features"),
+          round(element_at(col("features"), 1) * 255).cast("long").as("f0_int"),
+          round(element_at(col("features"), 64) * 255).cast("long").as("f63_int"),
+          aggregate(transform(col("features"),
+              f => round(f * 255).cast("long")),
+            lit(0L), (a, x) => a + x).as("f_sum"))
+        .persist()
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(64 AS BIGINT) AS n_features,
+        CAST(doc_id % 256 AS BIGINT) AS f0_int,
+        CAST((294 + doc_id) % 256 AS BIGINT) AS f63_int,
+        CAST(list_reduce(
+          [(13 * (i % 8) + 29 * (i // 8) + doc_id) % 256 FOR i IN range(0, 64)],
+          (a, b) -> a + b) AS BIGINT) AS f_sum
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Relational.Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10,
-    m11, m12, m13, m14, m15, m16, m17)
+    m11, m12, m13, m14, m15, m16, m17, m18)
 }
