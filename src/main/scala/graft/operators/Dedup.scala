@@ -334,8 +334,25 @@ object Dedup {
       .agg(sort_array(collect_set(col("g"))).as("sg"))
       .withColumn("sz", size(col("sg")))
 
-  def ngramJaccardBucketed(docs: DataFrame, t: Double = 0.62): DataFrame =
-    ngramJaccardBucketedFrom(docs, gramAgg(docs).persist(), t)
+  def ngramJaccardBucketed(docs: DataFrame, t: Double = 0.62): DataFrame = {
+    val gAgg = gramAgg(docs).persist()
+    materializeAndRelease(ngramJaccardBucketedFrom(docs, gAgg, t), gAgg)
+  }
+
+  /** The bm25TopK release idiom (r12 advice): eagerly materialize the
+    * BOUNDED pair output (near-dup pairs above threshold — the
+    * audit-report size class, never corpus-quadratic) so the
+    * corpus-sized gram-aggregate cache can be unpersisted before
+    * returning. Without this a library caller invoking the jaccard
+    * family repeatedly accumulates one cached gram aggregate per call
+    * (Bench/Verify masked it by clearing the catalog cache between
+    * queries). PlanAudit sweeps audit the lazy spellings via lazyTwin.
+    */
+  private def materializeAndRelease(pairs: DataFrame, gAgg: DataFrame): DataFrame = {
+    val out = pairs.localCheckpoint(true)
+    gAgg.unpersist()
+    out
+  }
 
   private def ngramJaccardBucketedFrom(docs: DataFrame, gAgg: DataFrame,
       t: Double): DataFrame = {
@@ -414,6 +431,14 @@ object Dedup {
   val SaturationFrac = 0.01
 
   def ngramJaccardAuto(docs: DataFrame, t: Double = 0.62): DataFrame = {
+    val (pairs, gAgg) = ngramJaccardAutoLazy(docs, t)
+    materializeAndRelease(pairs, gAgg)
+  }
+
+  /** [[ngramJaccardAuto]]'s lazy plan plus the shared persisted gram
+    * aggregate — the PlanAudit twin and the release seam.
+    */
+  def ngramJaccardAutoLazy(docs: DataFrame, t: Double = 0.62): (DataFrame, DataFrame) = {
     // ONE persisted gram aggregate feeds the stats AND the chosen
     // spelling (and, on the prefix path, the df frame is reused as the
     // prefix index input) — the selector's marginal cost is one cached
@@ -421,8 +446,10 @@ object Dedup {
     val gAgg = gramAgg(docs).persist()
     val dfG = gramDf(gAgg)
     val (medianDf, nDocs) = gramDfStatsFrom(docs, dfG)
-    if (pickPrefixFilter(medianDf, nDocs)) ngramJaccardPrefixFilteredFrom(docs, gAgg, dfG, t)
-    else ngramJaccardBucketedFrom(docs, gAgg, t)
+    val pairs =
+      if (pickPrefixFilter(medianDf, nDocs)) ngramJaccardPrefixFilteredFrom(docs, gAgg, dfG, t)
+      else ngramJaccardBucketedFrom(docs, gAgg, t)
+    (pairs, gAgg)
   }
 
   /** The selector predicate, exposed so the spec pins each regime. */
@@ -473,7 +500,8 @@ object Dedup {
     */
   def ngramJaccardPrefixFiltered(docs: DataFrame, t: Double = 0.62): DataFrame = {
     val gAgg = gramAgg(docs).persist()
-    ngramJaccardPrefixFilteredFrom(docs, gAgg, gramDf(gAgg), t)
+    materializeAndRelease(
+      ngramJaccardPrefixFilteredFrom(docs, gAgg, gramDf(gAgg), t), gAgg)
   }
 
   private def ngramJaccardPrefixFilteredFrom(docs: DataFrame, gAgg: DataFrame,

@@ -1592,28 +1592,35 @@ object Multimodal {
           val valueBase = 8 + totalIfdSize(ifd0)
           var valueCursor = valueBase
           val values = Seq.newBuilder[Array[Byte]]
-          def layout(es: Seq[E], at: Int): Seq[(Seq[E], Int)] = {
-            // returns (entries, offset) placements in write order
+          // Placements in write order; each carries the offsets assigned
+          // to ITS sub-IFD children in entry order. Child offsets are
+          // keyed by PLACEMENT (position in this IFD), never by value —
+          // a value-keyed Map[Seq[E], Int] collapses two sub-IFDs that
+          // parse to identical entry sequences (e.g. both empty) onto one
+          // placement, leaving one pointer aimed at the other's bytes
+          // (r12 verdict item 8). Exact by construction instead.
+          def layout(es: Seq[E], at: Int): Seq[(Seq[E], Int, Seq[Int])] = {
             var subAt = at + ifdSize(es)
-            val placed = Seq.newBuilder[(Seq[E], Int)]
-            placed += ((es, at))
+            val childOffs = Seq.newBuilder[Int]
+            val childPlacements = Seq.newBuilder[(Seq[E], Int, Seq[Int])]
             es.flatMap(_.sub).foreach { sub =>
-              placed ++= layout(sub, subAt)
+              childOffs += subAt
+              childPlacements ++= layout(sub, subAt)
               subAt += totalIfdSize(sub)
             }
-            placed.result()
+            (es, at, childOffs.result()) +: childPlacements.result()
           }
           val placements = layout(ifd0, 8)
-          val subOffsets: Map[Seq[E], Int] = placements.map(p => p._1 -> p._2).toMap
-          placements.foreach { case (es, at) =>
+          placements.foreach { case (es, at, childOffs) =>
             // buf holds everything after the 8-byte TIFF header
             require(buf.size() == at - 8,
               s"IFD layout drift: wrote ${buf.size()}, expected ${at - 8}")
             w16(es.size)
+            var ci = 0
             es.foreach { en =>
               w16(en.tag); w16(en.typ); w32(en.count)
               en.sub match {
-                case Some(sub) => w32(subOffsets(sub).toLong)
+                case Some(_) => w32(childOffs(ci).toLong); ci += 1
                 case None => en.outline match {
                   case Some(v) =>
                     w32(valueCursor.toLong); values += v; valueCursor += v.length

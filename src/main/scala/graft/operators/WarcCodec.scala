@@ -82,7 +82,11 @@ object WarcCodec {
     * prefix instead of an OOM.
     */
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+    // Size hint in Long: `bytes.length * 4` overflows Int past 512 MiB
+    // (Common Crawl .warc.gz ~1 GiB) and a negative hint would throw
+    // OUTSIDE any try, breaking the never-throws contract.
+    val hint = math.min(bytes.length.toLong * 4L, 1L << 20).toInt
+    val out = new java.io.ByteArrayOutputStream(math.max(hint, 64))
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -191,9 +195,14 @@ object WarcCodec {
         if (e + 4 <= bytes.length && bytes(e) == '\r' && bytes(e + 1) == '\n'
             && bytes(e + 2) == '\r' && bytes(e + 3) == '\n') e += 4
         else if (e != bytes.length) {
+          // Missing CRLF CRLF separator mid-file: the record itself parsed
+          // cleanly, so emit it and count ONLY the unconsumed suffix as
+          // dropped — counting from recStart would tally the emitted
+          // record's bytes as both parsed and dropped, breaking the
+          // parsed-prefix + dropped == file-size identity.
           out += WarcRecord(idx, warcType, uri, status, httpCt,
             body.length.toLong, body, recStart.toLong, (blockEnd - recStart).toLong)
-          return WarcParse(out.result(), bytes.length - i)
+          return WarcParse(out.result(), bytes.length - blockEnd)
         }
         out += WarcRecord(idx, warcType, uri, status, httpCt,
           body.length.toLong, body, recStart.toLong, (e - recStart).toLong)

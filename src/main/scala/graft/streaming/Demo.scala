@@ -742,16 +742,23 @@ object Demo {
         .writeStream.format("memory").queryName("demo_warc_acquire")
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      val streamed = spark.table("demo_warc_acquire").collect()
-        .map(_.getString(0)).toSet
+      // Count duplicate admissions on the raw SINK ROWS (a Set would make
+      // the exactly-once check vacuous: count-in-a-Set can never exceed 1
+      // even if the stateful dropDuplicates admitted the URL twice across
+      // micro-batches).
+      val streamedRows = spark.table("demo_warc_acquire").collect()
+        .map(_.getString(0)).toSeq
+      val dupAdmissions = streamedRows.count(_ == "https://ex.com/dup")
+      val streamed = streamedRows.toSet
       val batch = acquire(WarcCodec.warcRecordsWithBody(SourcePresets.warcDir(spark, dir)))
         .collect().map(_.getString(0)).toSet
       check("streaming-warc-acquisition",
         streamed.nonEmpty && streamed == batch &&
-          streamed.count(_ == "https://ex.com/dup") == 1 &&
+          streamedRows.size == streamed.size && // no row admitted twice
+          dupAdmissions == 1 &&
           !streamed.exists(_.contains("utm_source")),
-        s"admitted=${streamed.size} batchEqual=${streamed == batch} " +
-          s"dupCollapsed=${streamed.count(_ == "https://ex.com/dup") == 1}")
+        s"admitted=${streamedRows.size} distinct=${streamed.size} " +
+          s"batchEqual=${streamed == batch} dupAdmissions=$dupAdmissions")
     }
 
     results.toList

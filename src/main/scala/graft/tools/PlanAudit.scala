@@ -357,7 +357,12 @@ object PlanAudit {
       // can be released (r12); audit the lazy spelling
       "t21_bm25_topk" ->
       ((s, d) => graft.operators.TextAnalysis.bm25TopKLazy(
-        graft.Tables.documents(s, d), graft.operators.TextAnalysis.Bm25Queries)._1))
+        graft.Tables.documents(s, d), graft.operators.TextAnalysis.Bm25Queries)._1),
+      // d3 eager-materializes its bounded pair output so the shared gram
+      // aggregate can be released (r12 advice); audit the lazy spelling
+      "d3_dedup_ngram_jaccard" ->
+      ((s, d) => graft.operators.Dedup.ngramJaccardAutoLazy(
+        graft.Tables.documents(s, d))._1))
 
   // Queries whose nested-loop join is a CONSTANT-size broadcast by
   // design (never grows with the corpus) — the legitimate BNLJ shape.

@@ -113,6 +113,10 @@ object CodecProperties extends Properties("graft.codecs") {
       // every parsed record is one of the originals, in order
       p.records.zip(recs).forall { case (r, (u, st, _)) =>
         r.target_uri == u && r.http_status == st.toLong
-      }
+      } &&
+        // the accounting identity the property's name claims: every byte
+        // of the file is either inside exactly one emitted record span or
+        // counted as dropped — no double-count, no silent loss
+        p.records.map(_.rec_bytes).sum + p.dropped_bytes == t.length.toLong
     }
 }

@@ -4133,6 +4133,67 @@ class OperatorSpec extends SparkSpec {
       assert(!M.detectExifGps(sc), s"le=$le: fail-closed path leaked GPS")
       assert(sc.sameElements(M.stripExif(c)),
         s"le=$le: unsafe surgery must degrade to exactly the full strip")
+      // D. TWO sub-IFDs that parse to the IDENTICAL entry sequence (Exif
+      // 0x8769 and Interop 0xa005, both EMPTY) + GPS + orientation: a
+      // value-keyed layout map collapses them onto one placement, leaving
+      // one pointer aimed at the other's bytes (r12 verdict item 8). The
+      // rebuild must give each its own distinct, in-bounds offset.
+      val d = app1(le) { o =>
+        header(o, le)
+        w16(o, 4, le)
+        w16(o, 0x0112, le); w16(o, 3, le); w32(o, 1, le); w16(o, 5, le); w16(o, 0, le)
+        w16(o, 0x8769, le); w16(o, 4, le); w32(o, 1, le); w32(o, 62, le) // empty Exif IFD
+        w16(o, 0x8825, le); w16(o, 4, le); w32(o, 1, le); w32(o, 68, le) // empty GPS IFD
+        w16(o, 0xa005, le); w16(o, 4, le); w32(o, 1, le); w32(o, 74, le) // empty Interop IFD
+        w32(o, 0, le)                // next IFD (header 8 + 2 + 4*12 + 4 = 62)
+        w16(o, 0, le); w32(o, 0, le) // empty Exif IFD at 62
+        w16(o, 0, le); w32(o, 0, le) // empty GPS IFD at 68
+        w16(o, 0, le); w32(o, 0, le) // empty Interop IFD at 74
+      }
+      assert(M.detectExifGps(d))
+      val sd = M.stripExifGpsOnly(d)
+      assert(!M.detectExifGps(sd), s"le=$le: GPS survived the twin-sub-IFD surgery")
+      assert(M.exifIfd0ShortValue(sd, 0x0112).contains(5),
+        s"le=$le: orientation lost — twin empty sub-IFDs forced the full-strip fallback")
+      assert(d.length - sd.length == 18, s"le=$le: removed ${d.length - sd.length}, want 18")
+      // hand-walk the rebuilt TIFF: both pointers present, DISTINCT, and
+      // each targeting a well-formed empty IFD inside the segment
+      locally {
+        def u8(bs: Array[Byte], i: Int): Int = bs(i) & 0xff
+        var j = 2
+        var app1At = -1
+        while (app1At < 0 && j + 3 < sd.length) {
+          if (u8(sd, j) == 0xff && u8(sd, j + 1) == 0xe1) app1At = j
+          else j += 1
+        }
+        assert(app1At > 0, s"le=$le: rebuilt APP1 not found")
+        val segLen = (u8(sd, app1At + 2) << 8) | u8(sd, app1At + 3)
+        val tiff = app1At + 10
+        val segEnd = app1At + 2 + segLen
+        def r16(p: Int): Int =
+          if (le) u8(sd, p) | (u8(sd, p + 1) << 8) else (u8(sd, p) << 8) | u8(sd, p + 1)
+        def r32(p: Int): Long =
+          if (le) u8(sd, p).toLong | (u8(sd, p + 1).toLong << 8) |
+            (u8(sd, p + 2).toLong << 16) | (u8(sd, p + 3).toLong << 24)
+          else (u8(sd, p).toLong << 24) | (u8(sd, p + 1).toLong << 16) |
+            (u8(sd, p + 2).toLong << 8) | u8(sd, p + 3).toLong
+        val ifd0 = tiff + r32(tiff + 4).toInt
+        val n = r16(ifd0)
+        val ptrs = (0 until n).flatMap { k =>
+          val e = ifd0 + 2 + k * 12
+          val tag = r16(e)
+          if (tag == 0x8769 || tag == 0xa005) Some(tag -> r32(e + 8)) else None
+        }.toMap
+        assert(ptrs.keySet == Set(0x8769, 0xa005),
+          s"le=$le: expected both sub-IFD pointers, got ${ptrs.keySet}")
+        assert(ptrs(0x8769) != ptrs(0xa005),
+          s"le=$le: identical empty sub-IFDs collapsed onto one offset ${ptrs(0x8769)}")
+        ptrs.foreach { case (tag, off) =>
+          val at = tiff + off.toInt
+          assert(at + 6 <= segEnd && r16(at) == 0 && r32(at + 2) == 0L,
+            s"le=$le: tag $tag points at $off which is not a well-formed empty IFD")
+        }
+      }
     }
     // no-GPS inputs return BYTE-IDENTICAL (the zero-cost path)
     val plain = M.spliceExif(base, 3, littleEndian = true, gps = false)
