@@ -2238,7 +2238,19 @@ object Relational {
     */
   def tsZnormSubsequenceTopK(events: DataFrame, query: Seq[Double],
       stride: Int, k: Int): DataFrame = {
-    require(query.nonEmpty && stride >= 1 && k >= 1)
+    require(k >= 1)
+    tsZnormSubsequenceScores(events, query, stride)
+      .orderBy(col("dist"), col("user_id"), col("start"))
+      .limit(k)
+  }
+
+  /** The pre-top-k z-normalized (user, start, dist) frame — shared with
+    * the streaming twin (A56's z-norm leg) so batch and stream score
+    * bit-identically, the tsSubsequenceScores convention.
+    */
+  def tsZnormSubsequenceScores(events: DataFrame, query: Seq[Double],
+      stride: Int): DataFrame = {
+    require(query.nonEmpty && stride >= 1)
     val L = query.size
     val qz = typedlit(znormSeq(query))
     // mean/std materialize as PER-ROW SCALAR COLUMNS before the z-map:
@@ -2268,8 +2280,46 @@ object Relational {
           (x, q) => ((x - col("m")) / col("std") - q) * ((x - col("m")) / col("std") - q)),
         lit(0.0), (acc, d) => acc + d))
     wins.select(col("user_id"), col("start"), r4(dist).as("dist"))
-      .orderBy(col("dist"), col("user_id"), col("start"))
-      .limit(k)
+  }
+
+  /** The Scala twin of [[tsZnormSubsequenceScores]]' per-window distance:
+    * the IDENTICAL IEEE sequence — ascending mean fold / L, ascending
+    * (x-m)² fold / L under sqrt, then either the precomputed ||q_z||²
+    * (std 0) or the ascending ((x-m)/std - q_z)² fold — so the streaming
+    * twin scores bit-equal to the batch column expression. `qz`/`qnorm`
+    * are precomputed once via [[znormQueryConstants]].
+    */
+  def tsZnormDistance(xs: Seq[Double], qz: Seq[Double], qnorm: Double): Double = {
+    val L = qz.length
+    var m = 0.0
+    var i = 0
+    while (i < L) { m = m + xs(i); i += 1 }
+    val mean = m / L
+    var v = 0.0
+    i = 0
+    while (i < L) { val d = xs(i) - mean; v = v + d * d; i += 1 }
+    val std = math.sqrt(v / L)
+    if (std == 0.0) Num.r4Double(qnorm)
+    else {
+      var acc = 0.0
+      i = 0
+      while (i < L) {
+        val d = (xs(i) - mean) / std - qz(i)
+        acc = acc + d * d
+        i += 1
+      }
+      Num.r4Double(acc)
+    }
+  }
+
+  /** (z-normalized query, ||q_z||²) with the exact folds the batch
+    * expression bakes into its literals.
+    */
+  def znormQueryConstants(query: Seq[Double]): (Seq[Double], Double) = {
+    val qz = znormSeq(query)
+    var acc = 0.0
+    qz.foreach(z => acc = acc + z * z)
+    (qz, acc)
   }
 
   /** The Scala twin of the z-normalization fold (same IEEE sequence). */
@@ -2379,6 +2429,188 @@ object Relational {
       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY dist, s1, s2) = 1
       ORDER BY user_id"""))
 
+  /** B59's core: the MATRIX PROFILE under raw (non-normalized) Euclidean
+    * distance — for EVERY window, the distance to (and start of) its
+    * nearest NON-OVERLAPPING neighbor within the same user. This is
+    * q58's shipped scale-out (the published object: Yeh et al., ICDM
+    * 2016 "Matrix Profile I"; the non-normalized variant is AAMP,
+    * Akbarinia & Cloez 2019): the motif (q58) is the per-user MINIMUM
+    * of this profile, discords are its maxima, and segmentation reads
+    * its shape — one artifact, many consumers, which is why production
+    * materializes the profile instead of re-running pairwise per
+    * question. Scale shape is q58's verbatim: triangle-partitioned
+    * (user, k1, k2) pairwise with L-double payloads, then ONE
+    * per-(user, start) min(struct) aggregate — each canonical pair
+    * (s1 < s2) feeds BOTH endpoints' profile rows, so the argmin input
+    * is exactly 2·pairs rows, never recomputed. The distance fold is
+    * BIT-IDENTICAL to q58's (ascending zip_with fold), so q59's
+    * per-user minima reproduce q58's motif exactly (spec-pinned).
+    * Windows with no non-overlapping partner drop out (profile
+    * undefined, the literature's convention).
+    */
+  def tsMatrixProfile(events: DataFrame, L: Int, stride: Int,
+      buckets: Int = 4): DataFrame = {
+    require(L >= 1 && stride >= 1 && buckets >= 1)
+    val wins = tsWindows(events, L, stride)
+      .select(col("user_id"), col("start"),
+        transform(col("xs"), x => x.getField("value")).as("vals"))
+    def side(s: String, v: String, g: String, u: String) =
+      Dedup.triangleSide(wins.select(col("user_id").as(u),
+        col("start").as(s), col("vals").as(v)), s, g, buckets)
+    val a = side("s1", "v1", "ga", "user_id")
+    val b = side("s2", "v2", "gb", "user_b")
+      .withColumnRenamed("k1", "bk1").withColumnRenamed("k2", "bk2")
+    val dist = aggregate(
+      zip_with(col("v1"), col("v2"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    val pairs = a.join(b,
+        col("user_id") === col("user_b")
+          && col("k1") === col("bk1") && col("k2") === col("bk2")
+          && col("s2") >= col("s1") + L)
+      .filter(Dedup.trianglePairFilter("ga", "gb"))
+      .select(col("user_id"), col("s1"), col("s2"), r4(dist).as("dist"))
+    profileFromPairs(pairs)
+  }
+
+  /** Both-endpoint argmin: each canonical (s1 < s2) pair contributes a
+    * candidate neighbor to BOTH windows; ties break on the smaller
+    * neighbor start (deterministic, cross-engine).
+    */
+  private def profileFromPairs(pairs: DataFrame): DataFrame = {
+    val both = pairs.select(col("user_id"), col("s1").as("start"),
+        col("s2").as("nn_start"), col("dist"))
+      .unionAll(pairs.select(col("user_id"), col("s2").as("start"),
+        col("s1").as("nn_start"), col("dist")))
+    both.groupBy(col("user_id"), col("start"))
+      .agg(min(struct(col("dist"), col("nn_start"))).as("m"))
+      .select(col("user_id"), col("start"), col("m.nn_start").as("nn_start"),
+        col("m.dist").as("dist"))
+      .orderBy(col("user_id"), col("start"))
+  }
+
+  /** B60's core: the Z-NORMALIZED matrix profile — the canonical
+    * published object — computed STOMP-style (Zhu et al., ICDM 2016):
+    * per-window mean/std materialize ONCE as scalar columns (q57's
+    * measured lesson — an inline std recomputes its whole fold per
+    * element), and the pair distance comes from the MASS dot-product
+    * identity instead of a 3L-term z-fold with two divisions per
+    * element:
+    *   sum((z1-z2)^2) = 2L - 2·(QT - L·m1·m2)/(s1·s2),  QT = Σ x_i·y_i
+    * (biased std, q57's convention, under which Σz² = L exactly). The
+    * per-pair fold is ONE ascending multiply-add — the q53 pinned-fold
+    * discipline — and the scalar tail is a fixed parenthesized tree
+    * replayed verbatim by the oracle, so the r4 key is cross-engine
+    * exact. Degenerate windows (std 0 ⇒ z = 0 vector, q57's
+    * convention): both flat ⇒ 0; one flat ⇒ the live side's Σz² = L.
+    */
+  def tsZnormMatrixProfile(events: DataFrame, L: Int, stride: Int,
+      buckets: Int = 4): DataFrame = {
+    require(L >= 1 && stride >= 1 && buckets >= 1)
+    val wins = tsWindows(events, L, stride)
+      .withColumn("vals", transform(col("xs"), x => x.getField("value")))
+      .withColumn("m", aggregate(col("vals"), lit(0.0), (a, x) => a + x) / L)
+      .withColumn("s", sqrt(aggregate(col("vals"), lit(0.0),
+        (a, x) => a + (x - col("m")) * (x - col("m"))) / L))
+      .select(col("user_id"), col("start"), col("vals"), col("m"), col("s"))
+    def side(s: String, v: String, m: String, sd: String, g: String, u: String) =
+      Dedup.triangleSide(wins.select(col("user_id").as(u), col("start").as(s),
+        col("vals").as(v), col("m").as(m), col("s").as(sd)), s, g, buckets)
+    val a = side("s1", "v1", "m1", "sd1", "ga", "user_id")
+    val b = side("s2", "v2", "m2", "sd2", "gb", "user_b")
+      .withColumnRenamed("k1", "bk1").withColumnRenamed("k2", "bk2")
+    val qt = aggregate(
+      zip_with(col("v1"), col("v2"), (x, y) => x * y),
+      lit(0.0), (acc, d) => acc + d)
+    val dist = when(col("sd1") === 0.0 && col("sd2") === 0.0, lit(0.0))
+      .when(col("sd1") === 0.0 || col("sd2") === 0.0, lit(L.toDouble))
+      .otherwise(lit(2.0 * L) -
+        lit(2.0) * ((qt - lit(L.toDouble) * col("m1") * col("m2")) /
+          (col("sd1") * col("sd2"))))
+    val pairs = a.join(b,
+        col("user_id") === col("user_b")
+          && col("k1") === col("bk1") && col("k2") === col("bk2")
+          && col("s2") >= col("s1") + L)
+      .filter(Dedup.trianglePairFilter("ga", "gb"))
+      .select(col("user_id"), col("s1"), col("s2"), r4(dist).as("dist"))
+    profileFromPairs(pairs)
+  }
+
+  // B59 — raw-distance matrix profile (AAMP). FULL oracle: DuckDB
+  // replays the pairwise fold, mirrors each pair to both endpoints, and
+  // takes the per-window (dist, nn_start) argmin.
+  private val q59 = Q(
+    "q59_ts_matrix_profile",
+    (s, d) => tsMatrixProfile(Tables.events(s, d), L = 8, stride = 4),
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, list(value ORDER BY event_id) AS vs
+        FROM events GROUP BY user_id),
+      w AS (
+        SELECT user_id, s AS start, vs[s : s + 7] AS xs
+        FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
+        WHERE s + 7 <= len(vs)),
+      p AS (
+        SELECT a.user_id, a.start AS s1, b.start AS s2,
+          ${Num.r4Sql("""list_reduce(
+            [(a.xs[i] - b.xs[i]) * (a.xs[i] - b.xs[i]) FOR i IN range(1, 9)],
+            (x, y) -> x + y)""")} AS dist
+        FROM w a JOIN w b
+          ON a.user_id = b.user_id AND b.start >= a.start + 8),
+      mirrored AS (
+        SELECT user_id, s1 AS start, s2 AS nn_start, dist FROM p
+        UNION ALL
+        SELECT user_id, s2 AS start, s1 AS nn_start, dist FROM p)
+      SELECT user_id, CAST(start AS BIGINT) AS start,
+        CAST(nn_start AS BIGINT) AS nn_start, dist
+      FROM mirrored
+      QUALIFY row_number() OVER (PARTITION BY user_id, start
+        ORDER BY dist, nn_start) = 1
+      ORDER BY user_id, start"""))
+
+  // B60 — z-normalized matrix profile via the STOMP/MASS identity. FULL
+  // oracle: DuckDB replays the same mean/std folds (q57's), the same QT
+  // fold, and the same parenthesized scalar tail.
+  private val q60 = Q(
+    "q60_ts_matrix_profile_znorm",
+    (s, d) => tsZnormMatrixProfile(Tables.events(s, d), L = 8, stride = 4),
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, list(value ORDER BY event_id) AS vs
+        FROM events GROUP BY user_id),
+      w AS (
+        SELECT user_id, s AS start, vs[s : s + 7] AS xs
+        FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
+        WHERE s + 7 <= len(vs)),
+      wn AS (
+        SELECT user_id, start, xs,
+          list_reduce(xs, (a, b) -> a + b) / 8 AS m
+        FROM w),
+      ws AS (
+        SELECT user_id, start, xs, m,
+          sqrt(list_reduce([(x - m) * (x - m) FOR x IN xs],
+            (a, b) -> a + b) / 8) AS s
+        FROM wn),
+      p AS (
+        SELECT a.user_id, a.start AS s1, b.start AS s2,
+          ${Num.r4Sql("""CASE
+            WHEN a.s = 0 AND b.s = 0 THEN CAST(0 AS DOUBLE)
+            WHEN a.s = 0 OR b.s = 0 THEN CAST(8 AS DOUBLE)
+            ELSE 16.0 - 2.0 * ((list_reduce(
+                [a.xs[i] * b.xs[i] FOR i IN range(1, 9)], (x, y) -> x + y)
+              - 8.0 * a.m * b.m) / (a.s * b.s)) END""")} AS dist
+        FROM ws a JOIN ws b
+          ON a.user_id = b.user_id AND b.start >= a.start + 8),
+      mirrored AS (
+        SELECT user_id, s1 AS start, s2 AS nn_start, dist FROM p
+        UNION ALL
+        SELECT user_id, s2 AS start, s1 AS nn_start, dist FROM p)
+      SELECT user_id, CAST(start AS BIGINT) AS start,
+        CAST(nn_start AS BIGINT) AS nn_start, dist
+      FROM mirrored
+      QUALIFY row_number() OVER (PARTITION BY user_id, start
+        ORDER BY dist, nn_start) = 1
+      ORDER BY user_id, start"""))
+
   // B57 — z-normalized subsequence top-k: the same planted query
   // pattern; both engines derive its z-normalization from exact
   // integers with the same ascending folds, so no float literal ever
@@ -2430,5 +2662,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57, q58)
+    q53, q54, q55, q56, q57, q58, q59, q60)
 }

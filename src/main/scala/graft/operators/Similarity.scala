@@ -316,8 +316,12 @@ object Similarity {
     * a global sort). Each Lloyd round is: assign every vector to its
     * max-cosine centroid via a map-side-combinable `max_by` aggregate
     * (the same shape s4's final assignment uses), then recompute each
-    * centroid as the element-wise mean — posexplode to (centroid, pos,
-    * x), ONE (centroid, pos) hash aggregate, reassembled in pos order.
+    * centroid as the element-wise mean in ONE imperative aggregate
+    * ([[graft.functions.VectorSumCount]], r13): each map partition
+    * forwards one (d+1)-double partial per centroid, so the recompute
+    * exchange carries k·d·partitions doubles — parameter-bounded —
+    * where the previous posexplode spelling exchanged n·d element rows
+    * (corpus-proportional) and needed a second reassembly shuffle.
     * Per-round work is one broadcast of k centroid rows (bounded by the
     * k PARAMETER, not the corpus) + two shuffles of slim frames; rounds
     * are `localCheckpoint`-materialized like d6's pointer-jumping so
@@ -346,12 +350,11 @@ object Similarity {
             struct(col("ccos"), (-col("centroid_id")).as("tie"))).as("centroid_id"),
           first(col("embedding")).as("embedding"))
       cent = assigned
-        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("x")).as("mx"))
         .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
-          e => e.getField("mx").cast("float")).as("centv"))
+        .agg(graft.functions.VectorSumCount(
+          col("embedding").cast("array<double>")).as("sc"))
+        .select(col("centroid_id"),
+          transform(col("sc.vsum"), x => (x / col("sc.n")).cast("float")).as("centv"))
         .localCheckpoint(true)
     }
     cent
@@ -548,12 +551,11 @@ object Similarity {
             struct(col("ccos"), (-col("centroid_id")).as("tie"))).as("centroid_id"),
           first(col("embedding")).as("embedding"))
       cent = assigned
-        .select(col("sub"), col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("centroid_id"), col("pos"))
-        .agg(avg(col("x")).as("mx"))
         .groupBy(col("sub"), col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
-          e => e.getField("mx").cast("float")).as("centv"))
+        .agg(graft.functions.VectorSumCount(
+          col("embedding").cast("array<double>")).as("sc"))
+        .select(col("sub"), col("centroid_id"),
+          transform(col("sc.vsum"), x => (x / col("sc.n")).cast("float")).as("centv"))
         .localCheckpoint(true)
     }
     cent

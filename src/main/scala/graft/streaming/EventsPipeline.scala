@@ -431,7 +431,8 @@ object EventsPipeline {
   }
 
   final case class TsWinState(n: Long, tail: Seq[Double])
-  final case class TsWinUpdate(user_id: Long, start: Long, dist: Double)
+  final case class TsWinUpdate(user_id: Long, start: Long, dist: Double,
+      dist_z: Double)
 
   /** A56 — STREAMING time-series subsequence scoring (B56's twin): the
     * per-user sliding-window assembly as BOUNDED transformWithState —
@@ -441,16 +442,22 @@ object EventsPipeline {
     * position p (stride-aligned start p-L+1) emits once with its
     * distance folded by the LITERAL batch recurrence
     * ([[graft.operators.Relational.tsDistance]] — ascending-index
-    * (x-q)^2 from 0.0, the q53 pinned-fold contract), so streamed
-    * scores are bit-equal to [[graft.operators.Relational
-    * .tsSubsequenceScores]] under ANY micro-batch slicing. Contract:
-    * per-user IN-ORDER arrival by event_id (the append-log case —
-    * event ids assigned monotonically at ingest); within a batch rows
-    * sort by event_id, so only CROSS-batch disorder violates it.
+    * (x-q)^2 from 0.0, the q53 pinned-fold contract) AND by q57's
+    * z-normalized recurrence ([[graft.operators.Relational
+    * .tsZnormDistance]] — the UCR form a live telemetry matcher runs:
+    * match SHAPE, not scale/offset; same bounded state, two scores per
+    * completed window), so streamed scores are bit-equal to
+    * [[graft.operators.Relational.tsSubsequenceScores]] /
+    * [[graft.operators.Relational.tsZnormSubsequenceScores]] under ANY
+    * micro-batch slicing. Contract: per-user IN-ORDER arrival by
+    * event_id (the append-log case — event ids assigned monotonically
+    * at ingest); within a batch rows sort by event_id, so only
+    * CROSS-batch disorder violates it.
     */
   class TsWindowProcessor(query: Seq[Double], stride: Int)
       extends StatefulProcessor[Long, (Long, Long, Double), TsWinUpdate] {
     private val L = query.size
+    private val (qz, qnorm) = graft.operators.Relational.znormQueryConstants(query)
     @transient private var state: ValueState[TsWinState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -466,7 +473,8 @@ object EventsPipeline {
         val buf = (st.tail :+ v).takeRight(L)
         if (p >= L && (p - L) % stride == 0)
           out += TsWinUpdate(user, p - L + 1,
-            graft.operators.Relational.tsDistance(buf, query))
+            graft.operators.Relational.tsDistance(buf, query),
+            graft.operators.Relational.tsZnormDistance(buf, qz, qnorm))
         st = TsWinState(p, buf.takeRight(math.max(L - 1, 0)))
       }
       state.update(st)

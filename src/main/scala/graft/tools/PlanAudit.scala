@@ -217,6 +217,10 @@ object PlanAudit {
       "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
     "q58_ts_motif" ->
       "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
+    "q59_ts_matrix_profile" ->
+      "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
+    "q60_ts_matrix_profile_znorm" ->
+      "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
     "d10_containment" ->
       "per-doc shingle-hash set + low-df prefix list: DOC-LENGTH-bounded (one group per doc_id, rows = that doc's distinct shingles)",
     "d15_boilerplate_scrub" ->
@@ -325,6 +329,10 @@ object PlanAudit {
       "pair enumeration over the |event_type|-row post-aggregate sketch frame (constant size, the allowedBnlj argument)",
     "q58_ts_motif" ->
       "triangle-partitioned WITHIN user ((user,k1,k2) key — the d5 spread: no user funnels its W^2/2 window pairs through one task) AND the array payload is L doubles, a query PARAMETER — slim regardless of corpus",
+    "q59_ts_matrix_profile" ->
+      "q58's triangle-partitioned within-user pairwise verbatim (shared shape; the profile keeps BOTH endpoints of each canonical pair before one per-window argmin)",
+    "q60_ts_matrix_profile_znorm" ->
+      "q59's triangle-partitioned pairwise with per-window mean/std scalar columns; the pair fold is one QT dot product (the STOMP identity), payload still L doubles + two scalars",
     "d20_record_linkage" ->
       "blocked bipartite probe: the entity side is the DISTINCT attribute catalog (combination-bounded, not corpus-proportional) and the join key is the (noun, brand, category) blocking tuple — per-record pair work bounded by block granularity, the standard ER dial")
 

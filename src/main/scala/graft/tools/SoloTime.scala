@@ -9,8 +9,12 @@ object SoloTime {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3
+    // 4th arg "bench" times the benchFn spelling (what BENCH_r*.json and
+    // the frozen floors actually measure) instead of the oracle entry.
+    val useBench = args.length > 3 && args(3) == "bench"
     val spark = graft.GraftSession.local()
-    val fn = graft.SparkEntry.queries(name)
+    val fn = if (useBench) graft.SparkEntry.benchQueries(name)
+      else graft.SparkEntry.queries(name)
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -3624,6 +3624,130 @@ class OperatorSpec extends SparkSpec {
     assert(solo.count() == 0)
   }
 
+  test("matrix profile (q59): per-user minima reproduce q58's motif exactly; both endpoints profiled; triangle lossless") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // the sf0.001 events table is the honest fixture: real per-user
+    // series, many windows, float values — if q59's minima diverge from
+    // q58 ANYWHERE (fold order, tie-break, exclusion bound, mirroring),
+    // the exact comparison below catches it
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val profile = Relational.tsMatrixProfile(events, L = 8, stride = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val motif = Relational.tsMotifPerUser(events, L = 8, stride = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // q59 minima -> canonical (s1 < s2) pairs == q58's rows, bit-exact
+    val minima = profile.groupBy(_._1).map { case (u, rows) =>
+      val best = rows.map { case (_, s, nn, d) =>
+        (d, math.min(s, nn), math.max(s, nn)) }.min
+      (u, best._2, best._3, best._1)
+    }.toSeq.sortBy(_._1)
+    assert(minima == motif, s"profile minima != motif:\n$minima\nvs\n$motif")
+    // every window appears at most once, and BOTH endpoints of the best
+    // pair carry their distance (the mirror step)
+    assert(profile.map(r => (r._1, r._2)).distinct.length == profile.length)
+    motif.foreach { case (u, s1, s2, d) =>
+      val p1 = profile.find(r => r._1 == u && r._2 == s1).get
+      val p2 = profile.find(r => r._1 == u && r._2 == s2).get
+      assert(p1._4 == d && p2._4 == d, s"endpoints of motif ($u,$s1,$s2) disagree")
+    }
+    // triangle spread lossless at any bucket count
+    Seq(1, 7).foreach { bkt =>
+      val o2 = Relational.tsMatrixProfile(events, L = 8, stride = 4, buckets = bkt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(o2.sorted.toSeq == profile.sorted.toSeq, s"B=$bkt diverged")
+    }
+  }
+
+  test("znorm matrix profile (q60): STOMP identity matches the direct z-fold; affine pairs score ~0; flat conventions hold") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val L = 4
+    // user 1: window at start 5 is an AFFINE copy (3x + 11) of the
+    // window at start 1 — raw distance is large, z-norm distance ~0 and
+    // they must be each other's nearest neighbors; user 2: one flat
+    // window among live ones (flat-vs-live convention = L)
+    val p = Seq(2.0, 7.0, 1.0, 5.0)
+    val rows =
+      (p ++ p.map(x => 3.0 * x + 11.0) ++ Seq(50.0, -9.0, 14.0, 3.0)).zipWithIndex
+        .map { case (v, i) => (1L, (i + 1).toLong, v) } ++
+      (Seq(6.0, 6.0, 6.0, 6.0) ++ p).zipWithIndex
+        .map { case (v, i) => (2L, (i + 1).toLong, v) }
+    val df = rows.toDF("user_id", "event_id", "value")
+    val out = Relational.tsZnormMatrixProfile(df, L, stride = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out((1L, 1L))._1 == 5L && math.abs(out((1L, 1L))._2) < 1e-9,
+      s"affine pair must be ~0: ${out((1L, 1L))}")
+    assert(out((1L, 5L))._1 == 1L && math.abs(out((1L, 5L))._2) < 1e-9)
+    // user 2: flat window vs live window = L (the q57 convention)
+    assert(out((2L, 1L)) == ((5L, L.toDouble)), s"flat-vs-live: ${out((2L, 1L))}")
+    // identity cross-check on REAL data: the QT-identity distance equals
+    // the direct z-fold ((z1-z2)^2 summed) within float tolerance for
+    // every profiled window (r4 keys quantize at 1e-4; assert well under)
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val viaIdentity = Relational.tsZnormMatrixProfile(events, L = 8, stride = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val zn = Relational.znormSeq _
+    // direct per-user replay in Scala: windows, z-normalize, pairwise
+    val series = events.select(col("user_id"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    var checked = 0
+    series.foreach { case (u, vs) =>
+      val starts = (1 to vs.length by 4).filter(_ + 7 <= vs.length)
+      val wins = starts.map(s => s.toLong -> zn(vs.slice(s - 1, s + 7))).toMap
+      for (s1 <- starts; s2 <- starts; if s2 >= s1 + 8) {
+        val d = wins(s1.toLong).zip(wins(s2.toLong))
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        val prof = viaIdentity.get((u, s1.toLong))
+        if (prof.isDefined && prof.get._1 == s2.toLong) {
+          // profile dists are r4-quantized (half-ULP 5e-5); the identity
+          // itself must contribute well under that
+          assert(math.abs(prof.get._2 - d) < 1e-4,
+            s"identity vs direct fold diverged at ($u,$s1,$s2): ${prof.get._2} vs $d")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 50, s"identity cross-check exercised only $checked pairs")
+  }
+
+  test("vector_sum_count: equals the posexplode mean spelling, skips nulls, rejects ragged input") {
+    import spark.implicits._
+    import graft.functions.VectorSumCount
+    val vecs = (1 to 400).map { i =>
+      (i % 7, Array.tabulate(16)(j => (i * 31 + j * 17 % 97).toDouble / 7.0)) }
+      .toDF("g", "v").repartition(13) // force cross-partition merge + serialize
+    val got = vecs.groupBy(col("g"))
+      .agg(VectorSumCount(col("v")).as("sc"))
+      .select(col("g"), transform(col("sc.vsum"), x => x / col("sc.n")).as("mean"),
+        col("sc.n").as("n"))
+      .collect().map(r => (r.getInt(0),
+        r.getSeq[Double](1).toSeq, r.getLong(2))).sortBy(_._1)
+    val want = vecs.select(col("g"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("g"), col("pos")).agg(avg(col("x")).as("mx"), count(lit(1)).as("c"))
+      .groupBy(col("g"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        e => e.getField("mx")).as("mean"), first(col("c")).as("n"))
+      .collect().map(r => (r.getInt(0),
+        r.getSeq[Double](1).toSeq, r.getLong(2))).sortBy(_._1)
+    assert(got.length == want.length && got.zip(want).forall { case (a, b) =>
+      a._1 == b._1 && a._3 == b._3 &&
+        a._2.zip(b._2).forall { case (x, y) => math.abs(x - y) < 1e-9 }
+    }, s"vector_sum_count mean diverged from posexplode avg")
+    // null arrays are skipped (count excludes them)
+    val withNull = Seq((1, Some(Array(1.0, 2.0))), (1, None), (1, Some(Array(3.0, 4.0))))
+      .toDF("g", "v")
+    val r = withNull.groupBy(col("g")).agg(VectorSumCount(col("v")).as("sc"))
+      .select(col("sc.vsum"), col("sc.n")).head()
+    assert(r.getSeq[Double](0) == Seq(4.0, 6.0) && r.getLong(1) == 2L)
+    // ragged input fails fast, never silently truncates
+    val ragged = Seq((1, Array(1.0, 2.0)), (1, Array(1.0, 2.0, 3.0))).toDF("g", "v")
+    intercept[Exception] {
+      ragged.groupBy(col("g")).agg(VectorSumCount(col("v")).as("sc")).collect()
+    }
+  }
+
   test("znorm subsequence top-k (q57): affine copies of the query score 0; constant windows don't NaN") {
     import spark.implicits._
     import graft.operators.Relational

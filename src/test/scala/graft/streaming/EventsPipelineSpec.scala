@@ -408,10 +408,11 @@ class EventsPipelineSpec extends SparkSpec {
         src.addData(chunk.toIndexedSeq: _*)
         q.processAllAvailable()
       }
-      val got = spark.table("tswin_tws_test").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val full = spark.table("tswin_tws_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
       // every window emits exactly once (stateful completion, no dups)
-      assert(got.length == got.map(r => (r._1, r._2)).distinct.length)
+      assert(full.length == full.map(r => (r._1, r._2)).distinct.length)
+      val got = full.map(r => (r._1, r._2, r._3))
       val batch = graft.operators.Relational.tsSubsequenceScores(
           Tables.events(spark, sf), query, stride = 4)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -420,6 +421,15 @@ class EventsPipelineSpec extends SparkSpec {
           s"missing=${(batch.toSet -- got.toSet).take(3)} " +
           s"extra=${(got.toSet -- batch.toSet).take(3)}")
       assert(batch.nonEmpty, "fixture must produce complete windows")
+      // the z-normalized score (the UCR live-matcher form, r12 verdict
+      // item 5): bit-equal to q57's pre-top-k frame from the SAME state
+      val gotZ = full.map(r => (r._1, r._2, r._4))
+      val batchZ = graft.operators.Relational.tsZnormSubsequenceScores(
+          Tables.events(spark, sf), query, stride = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(gotZ.toSet == batchZ.toSet,
+        s"z-norm diverged: missing=${(batchZ.toSet -- gotZ.toSet).take(3)} " +
+          s"extra=${(gotZ.toSet -- batchZ.toSet).take(3)}")
     } finally {
       q.stop()
       saved.foreach {
