@@ -244,15 +244,78 @@ object WarcCodec {
   final case class CdxRow(file_id: Long, rec_idx: Long, warc_type: String,
       target_uri: String, http_status: Long, offset: Long, rec_bytes: Long)
 
+  /** EXACT member boundaries of a concatenated-gzip stream, as
+    * (offset, compressed_length) spans. No magic-byte scanning — a
+    * 0x1f8b08 sequence inside compressed payload can't false-trigger
+    * because boundaries come from the DEFLATE grammar itself: each
+    * member's header is parsed (FLG extras skipped per RFC 1952), its
+    * deflate stream is inflated to completion with a raw Inflater, and
+    * the member end is header + (input consumed by the inflater) + the
+    * 8-byte CRC32/ISIZE trailer. Fail-soft: a truncated or corrupt tail
+    * returns the clean member prefix (the parser's dropped-byte
+    * accounting covers the rest); per-member output is capped by the
+    * gunzip bomb cap.
+    */
+  def gzipMemberSpans(bytes: Array[Byte]): Seq[(Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long)]
+    var p = 0
+    try {
+      while (p + 10 <= bytes.length &&
+          (bytes(p) & 0xff) == 0x1f && (bytes(p + 1) & 0xff) == 0x8b &&
+          (bytes(p + 2) & 0xff) == 8) {
+        val start = p
+        val flg = bytes(p + 3) & 0xff
+        var q = p + 10
+        if ((flg & 4) != 0) { // FEXTRA
+          if (q + 2 > bytes.length) return out.result()
+          q += 2 + ((bytes(q) & 0xff) | ((bytes(q + 1) & 0xff) << 8))
+        }
+        if ((flg & 8) != 0) { // FNAME (NUL-terminated)
+          while (q < bytes.length && bytes(q) != 0) q += 1
+          q += 1
+        }
+        if ((flg & 16) != 0) { // FCOMMENT
+          while (q < bytes.length && bytes(q) != 0) q += 1
+          q += 1
+        }
+        if ((flg & 2) != 0) q += 2 // FHCRC
+        if (q >= bytes.length) return out.result()
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(bytes, q, bytes.length - q)
+          val buf = new Array[Byte](1 << 16)
+          var outLen = 0L
+          while (!inf.finished() && outLen <= MaxGunzipBytes) {
+            val n = inf.inflate(buf)
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+              return out.result() // truncated/underspecified deflate stream
+            outLen += n
+          }
+          if (!inf.finished()) return out.result() // bomb cap tripped
+          val end = q + ((bytes.length - q) - inf.getRemaining) + 8
+          if (end > bytes.length) return out.result() // trailer truncated
+          out += ((start.toLong, (end - start).toLong))
+          p = end
+        } finally inf.end()
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => out.result() }
+  }
+
   /** CDX-style record index (the companion artifact every WARC archive
     * ships): (file, record) → byte offset + length, so a single page
     * re-fetches with ONE bounded slice parse instead of a whole-file
     * walk — the random-access path an annotation/inspection service
-    * needs over a 100 TB archive. Offsets index the UNCOMPRESSED
-    * stream: for .warc.gz the real-world CDX stores per-member
-    * compressed offsets, which requires member boundaries the JDK
-    * stream API doesn't expose — the documented seam; plain .warc
-    * offsets are exact and [[fetchWarcRecord]]-able.
+    * needs over a 100 TB archive. Plain .warc rows carry exact
+    * uncompressed record spans; .warc.gz rows carry PER-MEMBER
+    * COMPRESSED spans from [[gzipMemberSpans]] (the real-world CDX
+    * convention — Common Crawl writes one gzip member per record, so a
+    * member span IS a record span and random access never decompresses
+    * more than one member; a nonconforming multi-record member indexes
+    * each of its records at the member's coordinates, and the fetch
+    * cost stays bounded by that member). Either way
+    * [[fetchWarcRecord]] resolves the coordinates directly against the
+    * stored file bytes.
     */
   def warcCdx(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
@@ -260,21 +323,45 @@ object WarcCodec {
     files.select(col("file_id"), col("payload"))
       .as[FilePayload]
       .mapPartitions(_.flatMap { f =>
-        parseWarcFileAuto(f.payload).records.map(r =>
-          CdxRow(f.file_id, r.rec_idx, r.warc_type, r.target_uri,
-            r.http_status, r.offset, r.rec_bytes))
+        if (isGzip(f.payload)) {
+          var idx = 0L
+          gzipMemberSpans(f.payload).flatMap { case (off, len) =>
+            parseWarcFile(gunzip(java.util.Arrays.copyOfRange(
+              f.payload, off.toInt, (off + len).toInt))).records.map { r =>
+              val row = CdxRow(f.file_id, idx, r.warc_type, r.target_uri,
+                r.http_status, off, len)
+              idx += 1
+              row
+            }
+          }
+        } else {
+          parseWarcFileAuto(f.payload).records.map(r =>
+            CdxRow(f.file_id, r.rec_idx, r.warc_type, r.target_uri,
+              r.http_status, r.offset, r.rec_bytes))
+        }
       })
       .toDF()
   }
 
-  /** Random access: parse exactly one record from its CDX coordinates.
-    * None when the slice doesn't parse to a record (stale index). */
-  def fetchWarcRecord(payload: Array[Byte], offset: Long,
-      recBytes: Long): Option[WarcRecord] = {
-    if (offset < 0 || recBytes <= 0 || offset + recBytes > payload.length) return None
-    parseWarcFile(java.util.Arrays.copyOfRange(payload,
-      offset.toInt, (offset + recBytes).toInt)).records.headOption
+  /** Random access: every record parsed from one CDX coordinate span —
+    * a gzip span (a .warc.gz member) is decompressed first; a plain
+    * span parses directly. Bounded by the span, never the file.
+    */
+  def fetchWarcRecords(payload: Array[Byte], offset: Long,
+      recBytes: Long): Seq[WarcRecord] = {
+    if (offset < 0 || recBytes <= 0 || offset + recBytes > payload.length)
+      return Seq.empty
+    val slice = java.util.Arrays.copyOfRange(payload,
+      offset.toInt, (offset + recBytes).toInt)
+    parseWarcFile(if (isGzip(slice)) gunzip(slice) else slice).records
   }
+
+  /** Random access: parse exactly one record from its CDX coordinates
+    * (plain or compressed). None when the slice doesn't parse to a
+    * record (stale index). */
+  def fetchWarcRecord(payload: Array[Byte], offset: Long,
+      recBytes: Long): Option[WarcRecord] =
+    fetchWarcRecords(payload, offset, recBytes).headOption
 
   final case class FileRecordBody(file_id: Long, rec_idx: Long,
       warc_type: String, target_uri: String, http_status: Long,

@@ -119,4 +119,24 @@ object CodecProperties extends Properties("graft.codecs") {
         // counted as dropped — no double-count, no silent loss
         p.records.map(_.rec_bytes).sum + p.dropped_bytes == t.length.toLong
     }
+
+  property("gzip member spans tile any record-per-member .warc.gz exactly; each span fetches its record") =
+    forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, warcRecGen))) { recs =>
+      def gz(b: Array[Byte]): Array[Byte] = {
+        val bo = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bo)
+        g.write(b); g.close(); bo.toByteArray
+      }
+      val members = recs.map { case (u, st, b) =>
+        gz(WarcCodec.encodeWarcResponse(u, st, "application/octet-stream", b)) }
+      val file = members.foldLeft(Array.empty[Byte])(_ ++ _)
+      val spans = WarcCodec.gzipMemberSpans(file)
+      spans.length == recs.length &&
+        spans.map(_._2).sum == file.length.toLong &&
+        spans.zip(recs).forall { case ((off, len), (u, st, b)) =>
+          WarcCodec.fetchWarcRecord(file, off, len).exists(r =>
+            r.target_uri == u && r.http_status == st.toLong &&
+              r.body.sameElements(b))
+        }
+    }
 }

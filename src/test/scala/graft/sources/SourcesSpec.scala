@@ -683,6 +683,81 @@ class SourcesSpec extends SparkSpec {
     assert(recs.length == 3 && recs.count(_.getString(2) == "response") == 2)
   }
 
+  test("warc.gz cdx (G26): per-member COMPRESSED offsets; random access byte-equal to the full walk; false magic inert") {
+    import spark.implicits._
+    import graft.operators.WarcCodec
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    // bodies: one carries a PLANTED gzip magic (1f 8b 08 00 + plausible
+    // header tail) — a magic-scanning indexer would split here; the
+    // deflate-grammar walk must not. One body is highly compressible,
+    // one is binary junk.
+    val falseMagic = "xx".getBytes("US-ASCII") ++
+      Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x00, 1, 2, 3, 4, 0, 3) ++
+      "more body after the plant".getBytes("US-ASCII")
+    val bodies = Seq(
+      falseMagic,
+      Array.fill(5000)('a'.toByte),
+      Array.tabulate(257)(i => (i * 131 % 251).toByte))
+    val recsPlain = WarcCodec.encodeWarcInfo("software: graft\r\n") +:
+      bodies.zipWithIndex.map { case (b, i) =>
+        WarcCodec.encodeWarcResponse(s"https://gzcdx/$i",
+          if (i == 1) 404 else 200, "application/octet-stream", b) }
+    val members = recsPlain.map(gz)
+    val file = members.reduce(_ ++ _)
+    // member spans are exact: one per record, tiling the compressed file
+    val spans = WarcCodec.gzipMemberSpans(file)
+    assert(spans.length == members.length, s"got ${spans.length} members")
+    assert(spans.head._1 == 0L && spans.last._1 + spans.last._2 == file.length.toLong)
+    spans.zip(members.scanLeft(0L)(_ + _.length)).foreach { case ((off, len), expOff) =>
+      assert(off == expOff, s"member offset drift: $off vs $expOff")
+    }
+    spans.sliding(2).foreach {
+      case Seq((o1, b1), (o2, _)) => assert(o1 + b1 == o2, s"gap/overlap at $o2")
+      case _ => ()
+    }
+    // CDX rows carry the compressed coordinates; fetch by them is
+    // byte-equal to the full transparent walk
+    val cdx = WarcCodec.warcCdx(Seq((7L, file)).toDF("file_id", "payload")).collect()
+    assert(cdx.length == recsPlain.length)
+    val full = WarcCodec.parseWarcFileAuto(file).records
+    cdx.foreach { row =>
+      val idx = row.getLong(1).toInt
+      val fetched = WarcCodec.fetchWarcRecord(file, row.getLong(5), row.getLong(6))
+      assert(fetched.nonEmpty, s"compressed fetch failed at rec $idx")
+      val (g, f) = (fetched.get, full(idx))
+      assert(g.warc_type == f.warc_type && g.target_uri == f.target_uri
+        && g.http_status == f.http_status && g.body.sameElements(f.body),
+        s"compressed fetch diverges at rec $idx")
+    }
+    // the false-magic bytes survive the round trip inside their body
+    val planted = cdx.find(_.getString(3) == "https://gzcdx/0").get
+    val got = WarcCodec.fetchWarcRecord(file, planted.getLong(5), planted.getLong(6)).get
+    assert(got.body.sameElements(falseMagic))
+    // a nonconforming MULTI-RECORD member: every record indexes at the
+    // member's coordinates; fetchWarcRecords returns them all in order
+    val multi = gz(recsPlain(1) ++ recsPlain(2)) // two responses, one member
+    val file2 = members.head ++ multi
+    val cdx2 = WarcCodec.warcCdx(Seq((8L, file2)).toDF("file_id", "payload")).collect()
+    assert(cdx2.length == 3)
+    val multiRows = cdx2.filter(_.getLong(5) == members.head.length.toLong)
+    assert(multiRows.length == 2, "both records of the member share its span")
+    val both = WarcCodec.fetchWarcRecords(file2,
+      members.head.length.toLong, multi.length.toLong)
+    assert(both.map(_.target_uri) == Seq("https://gzcdx/0", "https://gzcdx/1"))
+    // truncated tail: clean member prefix survives, fail-soft
+    val truncated = file.dropRight(7)
+    val spansT = WarcCodec.gzipMemberSpans(truncated)
+    assert(spansT.length == members.length - 1)
+    // junk that merely starts with the magic: no members, no throw
+    assert(WarcCodec.gzipMemberSpans(
+      Array[Byte](0x1f, 0x8b.toByte, 0x08, 0, 0, 0, 0, 0, 0, 0, 42, 42)).isEmpty)
+    assert(WarcCodec.gzipMemberSpans(Array.empty[Byte]).isEmpty)
+  }
+
   test("warc reader streaming attach (A55): the batch operator parses arriving files unchanged") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
