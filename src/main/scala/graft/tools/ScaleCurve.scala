@@ -69,9 +69,63 @@ object ScaleCurve {
             count(lit(1)).as("n")))
     )
 
+    // ---- round-13 curves (r12 verdict item 3) ----
+    import graft.operators.{Relational, Similarity}
+
+    // q58/q59 under WINDOWS-PER-USER growth (the W²/2 surface): the
+    // corpus copies CONCATENATE per user (event_id shifted past the
+    // base range), so each user's series — and W — grows f×, true pair
+    // work grows ~f². The curve verifies the triangle spread keeps time
+    // tracking PAIR COUNT (≈f²·t₁), with no straggler blow-up on top.
+    // 200 users keep the 8× point bounded (~3.5M pairs).
+    def scaledEvents(f: Int): DataFrame = {
+      val base = graft.Tables.events(spark, sfDir)
+        .filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"), col("value"))
+      (0 until f).map(i => base.withColumn("event_id",
+          col("event_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+    }
+
+    // d3's TWO regimes on a HIGH-ENTROPY generated corpus (hex-hash
+    // text: ~65k possible 4-grams, median df ≪ 1% of n — the web-corpus
+    // regime the prefix filter exists for; the saturated REAL fixture
+    // is the bucket regime's witness in the main bench). Same schema
+    // surface d3 consumes: (doc_id, lang, n_chars, text).
+    def hexDocs(f: Int): DataFrame =
+      spark.range(2000L * f).select(
+          col("id").as("doc_id"),
+          concat(lit("l"), pmod(col("id"), lit(4))).as("lang"),
+          concat_ws(" ", (0 until 8).map(j =>
+            md5(concat(col("id").cast("string"), lit(s"-$j")))): _*).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+
+    val ops13: Seq[(String, Int, Int => DataFrame)] = Seq(
+      ("q58_motif_Wgrowth", maxF, f =>
+        Relational.tsMotifPerUser(scaledEvents(f), L = 8, stride = 4)),
+      ("q59_profile_Wgrowth", maxF, f =>
+        Relational.tsMatrixProfile(scaledEvents(f), L = 8, stride = 4)),
+      ("d3_prefix_highentropy", maxF, f =>
+        Dedup.ngramJaccardPrefixFiltered(hexDocs(f))),
+      // the bucket join on the SAME high-entropy corpus: inherently
+      // per-bucket quadratic (n²/32 candidate probes here) — measured to
+      // 4x as the regime-selection evidence, not a recommended plan
+      ("d3_bucket_highentropy", math.min(maxF, 4), f =>
+        Dedup.ngramJaccardBucketed(hexDocs(f))))
+
+    // s9 published-index READ path at 1x..maxF corpus: build+publish per
+    // factor (untimed), then time the pure read — the path 100x runs.
+    def scaledEmbeddings(f: Int): DataFrame = {
+      val base = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      (0 until f).map(i => base.withColumn("vec_id",
+          col("vec_id") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+    }
+
     val factors = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxF).toSeq
-    ops.foreach { case (name, mk) =>
-      factors.foreach { f =>
+    def runPoints(name: String, fmax: Int, mk: Int => DataFrame): Unit =
+      factors.filter(_ <= fmax).foreach { f =>
         // warm min-of-2: first run pays scan cache/codegen, min absorbs it
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -81,8 +135,41 @@ object ScaleCurve {
           (n, dt)
         }
         val rows = times.head._1
-        println(f"[scale] $name%-18s f=$f rows=$rows%9d ${times.map(_._2).min}%7.2f s")
+        println(f"[scale] $name%-22s f=$f rows=$rows%9d ${times.map(_._2).min}%7.2f s")
       }
+
+    ops.foreach { case (name, mk) => runPoints(name, maxF, mk) }
+    ops13.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
+
+    // d3 auto-selection evidence: the 1% cut picks the measured-cheaper
+    // spelling in BOTH regimes at every factor
+    factors.foreach { f =>
+      val (mdf, n) = Dedup.gramDfStats(hexDocs(f))
+      println(f"[scale] d3_auto_pick highentropy f=$f medianDf=$mdf%.1f n=$n -> " +
+        (if (Dedup.pickPrefixFilter(mdf, n)) "prefix" else "bucket"))
+    }
+    locally {
+      val (mdf, n) = Dedup.gramDfStats(graft.Tables.documents(spark, sfDir))
+      println(f"[scale] d3_auto_pick fixture f=1 medianDf=$mdf%.1f n=$n -> " +
+        (if (Dedup.pickPrefixFilter(mdf, n)) "prefix" else "bucket"))
+    }
+
+    factors.foreach { f =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-scale-s9-$f").toString
+      val e = scaledEmbeddings(f).persist()
+      val rs = Similarity.publishIvfPqIndex(e, root, token = s"scale-$f")
+      require(rs.size == 3 && rs.forall(_.published), s"s9 publish failed at f=$f")
+      val q = e.filter(col("vec_id") < 10) // the base copy's first 10 ids
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = Similarity.ivfPqTopKFromIndex(spark, root, e, q,
+          k = 5, refine = 200, nProbe = 4).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (n, dt)
+      }
+      println(f"[scale] s9_index_read         f=$f rows=${times.head._1}%9d ${times.map(_._2).min}%7.2f s")
+      e.unpersist()
     }
     spark.stop()
   }

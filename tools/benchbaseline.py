@@ -76,6 +76,25 @@ def main(extra):
     lines.append(f"Sum of floors: {total:.2f} s (an idealized no-contention "
                  "total — real interleaved-pass totals sit above it).")
     lines.append("")
+    lines.append("## Root-cause notes (r13, verdict item 1)")
+    lines.append("")
+    lines.append("The four in-query TRAINING entries (s4/s6/s8 k-means+PQ,")
+    lines.append("t17 BPE merges) are round-structured: ~10 sequential")
+    lines.append("driver-synchronized stages whose cost at sf0.1 is stage")
+    lines.append("LATENCY, not data. Measured r13 on an idle box (SoloTime,")
+    lines.append("bench spelling, 8-10 warm runs): s8 asymptote 2.86s vs")
+    lines.append("floor 2.1, s4 2.1 vs 1.4, s6 2.0 vs 1.5, t17 2.4 vs 1.4 —")
+    lines.append("the floors are lucky full-bench-warm minima, real but not")
+    lines.append("repeatable solo. Two hypotheses were MEASURED AND")
+    lines.append("EXCLUDED for s8: the corpus-aware 0.15-n refine pool")
+    lines.append("(pinned back to fixed 200: 3.2-4.1s, identical) and the")
+    lines.append("recompute shape (VectorSumCount single-aggregate: -0.1s at")
+    lines.append("this SF; its win is shuffle VOLUME at scale). Driver-bench")
+    lines.append("excursions above ~3s on these four are load on the")
+    lines.append("sequential-round critical path — the class median")
+    lines.append("host-factor calibration cannot see. The production answer")
+    lines.append("stays s9 (read path, 0.5s floor, zero training rounds).")
+    lines.append("")
     out = "\n".join(lines) + "\n"
     open(os.path.join(ROOT, "BASELINE.md"), "w").write(out)
     print(f"BASELINE.md: {len(best)} queries, sum of floors {total:.2f}s")
