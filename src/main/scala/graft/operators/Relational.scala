@@ -2611,6 +2611,57 @@ object Relational {
         ORDER BY dist, nn_start) = 1
       ORDER BY user_id, start"""))
 
+  /** B61's core: DISCORD DISCOVERY — the top-k windows whose nearest
+    * non-overlapping neighbor is FARTHEST (Keogh et al., ICDM 2005 "HOT
+    * SAX"; the matrix-profile reading: discords are the profile's
+    * MAXIMA as motifs are its minima). This is the anomaly-detection
+    * consumer of q59's artifact: a window unlike every other window in
+    * its own series is the telemetry anomaly worth a look. One
+    * TakeOrderedAndProject over the profile — descending r4 distance,
+    * ties ascending (user, start) — so the operator adds zero shuffles
+    * beyond q59's and the oracle replays argmin-then-argmax exactly.
+    */
+  def tsDiscordTopK(events: DataFrame, L: Int, stride: Int, k: Int,
+      buckets: Int = 4): DataFrame = {
+    require(k >= 1)
+    tsMatrixProfile(events, L, stride, buckets)
+      .orderBy(col("dist").desc, col("user_id"), col("start"))
+      .limit(k)
+  }
+
+  // B61 — top-k discords. FULL oracle: q59's replay + ORDER BY dist
+  // DESC LIMIT k.
+  private val q61 = Q(
+    "q61_ts_discord_topk",
+    (s, d) => tsDiscordTopK(Tables.events(s, d), L = 8, stride = 4, k = 10),
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, list(value ORDER BY event_id) AS vs
+        FROM events GROUP BY user_id),
+      w AS (
+        SELECT user_id, s AS start, vs[s : s + 7] AS xs
+        FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
+        WHERE s + 7 <= len(vs)),
+      p AS (
+        SELECT a.user_id, a.start AS s1, b.start AS s2,
+          ${Num.r4Sql("""list_reduce(
+            [(a.xs[i] - b.xs[i]) * (a.xs[i] - b.xs[i]) FOR i IN range(1, 9)],
+            (x, y) -> x + y)""")} AS dist
+        FROM w a JOIN w b
+          ON a.user_id = b.user_id AND b.start >= a.start + 8),
+      mirrored AS (
+        SELECT user_id, s1 AS start, s2 AS nn_start, dist FROM p
+        UNION ALL
+        SELECT user_id, s2 AS start, s1 AS nn_start, dist FROM p),
+      prof AS (
+        SELECT user_id, CAST(start AS BIGINT) AS start,
+          CAST(nn_start AS BIGINT) AS nn_start, dist
+        FROM mirrored
+        QUALIFY row_number() OVER (PARTITION BY user_id, start
+          ORDER BY dist, nn_start) = 1)
+      SELECT user_id, start, nn_start, dist
+      FROM prof ORDER BY dist DESC, user_id, start LIMIT 10"""))
+
   // B57 — z-normalized subsequence top-k: the same planted query
   // pattern; both engines derive its z-normalization from exact
   // integers with the same ascending folds, so no float literal ever
@@ -2662,5 +2713,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57, q58, q59, q60)
+    q53, q54, q55, q56, q57, q58, q59, q60, q61)
 }

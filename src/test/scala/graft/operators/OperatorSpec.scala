@@ -3659,6 +3659,28 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("discord top-k (q61): the planted anomaly window ranks first; discords are the profile maxima") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val L = 4
+    // user 1: three near-identical calm windows + ONE planted spike
+    // window (start 9) — every window's nearest neighbor is calm-vs-calm
+    // EXCEPT the spike's, whose best neighbor is still far: the discord
+    val calm = Seq(1.0, 2.0, 1.0, 2.0)
+    val rows = (calm ++ calm ++ Seq(90.0, -80.0, 70.0, -60.0) ++ calm).zipWithIndex
+      .map { case (v, i) => (1L, (i + 1).toLong, v) }
+    val out = Relational.tsDiscordTopK(rows.toDF("user_id", "event_id", "value"),
+        L, stride = 4, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(out.head._1 == 9L, s"planted anomaly must be the top discord: ${out.toSeq}")
+    assert(out.head._2 > out.last._2, "discord ordering must be distance-descending")
+    // equals the profile's maxima exactly (same frame, one reduction)
+    val profMax = Relational.tsMatrixProfile(
+        rows.toDF("user_id", "event_id", "value"), L, stride = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).maxBy(_._2)
+    assert(out.head == profMax)
+  }
+
   test("znorm matrix profile (q60): STOMP identity matches the direct z-fold; affine pairs score ~0; flat conventions hold") {
     import spark.implicits._
     import graft.operators.Relational
