@@ -157,8 +157,10 @@ object ScaleCurve {
     factors.foreach { f =>
       val root = java.nio.file.Files.createTempDirectory(s"graft-scale-s9-$f").toString
       val e = scaledEmbeddings(f).persist()
+      val tb = System.nanoTime()
       val rs = Similarity.publishIvfPqIndex(e, root, token = s"scale-$f")
       require(rs.size == 3 && rs.forall(_.published), s"s9 publish failed at f=$f")
+      println(f"[scale] s8_index_build        f=$f rows=${2000L * f}%9d ${(System.nanoTime() - tb) / 1e9}%7.2f s")
       val q = e.filter(col("vec_id") < 10) // the base copy's first 10 ids
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
