@@ -2662,6 +2662,84 @@ object Relational {
       SELECT user_id, start, nn_start, dist
       FROM prof ORDER BY dist DESC, user_id, start LIMIT 10"""))
 
+  /** B62's core: the LEFT MATRIX PROFILE with a retention horizon —
+    * each window's nearest neighbor among PRECEDING windows only
+    * (published in the matrix-profile literature as the left profile,
+    * Matrix Profile XVII / time-series chains; the horizon bound is the
+    * streaming-practical variant). Two properties make this THE
+    * streamable profile: a window's left-NN is FINAL the moment the
+    * window completes (append-only — no retractions, unlike the full
+    * q59 profile where a later window can become an earlier window's
+    * NN), and the candidate set is the ≤ horizon/stride most recent
+    * windows (a PARAMETER — bounded state for A57).
+    *
+    * Spark-first shape: NO range join — window starts are stride-
+    * aligned, so each window's predecessors sit at the FIXED offsets
+    * {first multiple of stride ≥ L … horizon}, and candidate
+    * generation is a bounded map-side offset explode feeding one
+    * (user, pstart) EQUI-join (the q56 covering-starts trick applied
+    * to pairs), then one per-(user, start) min(struct) argmin. The
+    * distance fold is q58/q59's bit-exact spelling, so the streaming
+    * twin replays it verbatim.
+    */
+  def tsLeftProfile(events: DataFrame, L: Int, stride: Int,
+      horizon: Int): DataFrame = {
+    require(L >= 1 && stride >= 1 && horizon >= L,
+      s"horizon must be >= L, got horizon=$horizon L=$L")
+    val wins = tsWindows(events, L, stride)
+      .select(col("user_id"), col("start"),
+        transform(col("xs"), x => x.getField("value")).as("vals"))
+    val firstOff = ((L + stride - 1) / stride) * stride // smallest stride multiple >= L
+    val offsets: Seq[Long] = (firstOff to horizon by stride).map(_.toLong)
+    val later = wins.select(col("user_id"), col("start"), col("vals"),
+        explode(typedlit(offsets)).as("j"))
+      .withColumn("pstart", col("start") - col("j"))
+      .filter(col("pstart") >= 1)
+      .drop("j")
+    val prior = wins.select(col("user_id"), col("start").as("pstart"),
+      col("vals").as("pvals"))
+    val dist = aggregate(
+      zip_with(col("vals"), col("pvals"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    later.join(prior, Seq("user_id", "pstart"))
+      .select(col("user_id"), col("start"), col("pstart"), r4(dist).as("dist"))
+      .groupBy(col("user_id"), col("start"))
+      .agg(min(struct(col("dist"), col("pstart"))).as("m"))
+      .select(col("user_id"), col("start"), col("m.pstart").as("nn_start"),
+        col("m.dist").as("dist"))
+      .orderBy(col("user_id"), col("start"))
+  }
+
+  // B62 — left matrix profile (horizon 40 = the 9 most recent
+  // predecessors at L=8/stride=4). FULL oracle: DuckDB replays the
+  // bounded-offset pairwise and the per-window (dist, pstart) argmin.
+  private val q62 = Q(
+    "q62_ts_left_profile",
+    (s, d) => tsLeftProfile(Tables.events(s, d), L = 8, stride = 4,
+      horizon = 40),
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, list(value ORDER BY event_id) AS vs
+        FROM events GROUP BY user_id),
+      w AS (
+        SELECT user_id, s AS start, vs[s : s + 7] AS xs
+        FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
+        WHERE s + 7 <= len(vs)),
+      p AS (
+        SELECT b.user_id, b.start, a.start AS pstart,
+          ${Num.r4Sql("""list_reduce(
+            [(b.xs[i] - a.xs[i]) * (b.xs[i] - a.xs[i]) FOR i IN range(1, 9)],
+            (x, y) -> x + y)""")} AS dist
+        FROM w b JOIN w a
+          ON a.user_id = b.user_id
+          AND b.start - a.start >= 8 AND b.start - a.start <= 40)
+      SELECT user_id, CAST(start AS BIGINT) AS start,
+        CAST(pstart AS BIGINT) AS nn_start, dist
+      FROM p
+      QUALIFY row_number() OVER (PARTITION BY user_id, start
+        ORDER BY dist, pstart) = 1
+      ORDER BY user_id, start"""))
+
   // B57 — z-normalized subsequence top-k: the same planted query
   // pattern; both engines derive its z-normalization from exact
   // integers with the same ascending folds, so no float literal ever
@@ -2713,5 +2791,5 @@ object Relational {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57, q58, q59, q60, q61)
+    q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }

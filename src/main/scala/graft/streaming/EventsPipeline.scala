@@ -492,6 +492,78 @@ object EventsPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TsLeftState(n: Long, tail: Seq[Double],
+      ring: Seq[(Long, Seq[Double])])
+  final case class TsLeftUpdate(user_id: Long, start: Long, nn_start: Long,
+      dist: Double)
+
+  /** A57 — STREAMING left matrix profile (B62's twin): the profile
+    * variant that streams EXACTLY, because a window's left-NN (nearest
+    * neighbor among preceding windows within the horizon) is FINAL at
+    * window completion — append-only output, no retractions. State per
+    * user = the TsWindowProcessor tail (L-1 values + counter) PLUS a
+    * ring of the ≤ horizon/stride most recent completed windows (L
+    * doubles each) — everything bounded by the L/stride/horizon
+    * PARAMETERS, the A48/q55 discipline. Distance is the LITERAL batch
+    * fold ([[graft.operators.Relational.tsDistance]]), ties break to
+    * the smallest predecessor start by an ascending strict-less scan —
+    * the same (dist, pstart) order as batch's min(struct) — so
+    * streamed rows are BIT-IDENTICAL to [[graft.operators.Relational
+    * .tsLeftProfile]] under any micro-batch slicing (spec). Same
+    * in-order-by-event_id arrival contract as A56.
+    */
+  class TsLeftProfileProcessor(L: Int, stride: Int, horizon: Int)
+      extends StatefulProcessor[Long, (Long, Long, Double), TsLeftUpdate] {
+    require(L >= 1 && stride >= 1 && horizon >= L)
+    @transient private var state: ValueState[TsLeftState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TsLeftState](
+        "tsleft", Encoders.product[TsLeftState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Double)],
+        timers: TimerValues): Iterator[TsLeftUpdate] = {
+      var st = if (state.exists()) state.get()
+        else TsLeftState(0L, Vector.empty, Vector.empty)
+      val out = Seq.newBuilder[TsLeftUpdate]
+      rows.toSeq.sortBy(_._1).foreach { case (_, _, v) =>
+        val p = st.n + 1
+        val buf = (st.tail :+ v).takeRight(L)
+        var ring = st.ring
+        if (p >= L && (p - L) % stride == 0) {
+          val start = p - L + 1
+          // ascending-pstart strict-less scan == batch min(struct(dist, pstart))
+          var bestD = Double.NaN
+          var bestS = -1L
+          ring.foreach { case (ps, pv) =>
+            if (start - ps >= L && start - ps <= horizon) {
+              val d = graft.operators.Relational.tsDistance(buf, pv)
+              if (bestS < 0 || d < bestD) { bestD = d; bestS = ps }
+            }
+          }
+          if (bestS >= 0) out += TsLeftUpdate(user, start, bestS, bestD)
+          // retain only windows future completions can still reach:
+          // the next window starts at start+stride and reaches back
+          // `horizon` positions
+          ring = (ring :+ (start, buf))
+            .filter { case (ps, _) => ps >= start + stride - horizon }
+        }
+        st = TsLeftState(p, buf.takeRight(math.max(L - 1, 0)), ring)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  def tsLeftProfileTws(events: Dataset[(Long, Long, Double)], L: Int,
+      stride: Int, horizon: Int): Dataset[TsLeftUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new TsLeftProfileProcessor(L, stride, horizon),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class PerplexityFlag(doc_id: Long, n_bigrams: Long,
       total_bits: Long, keep: Boolean)
 

@@ -223,6 +223,8 @@ object PlanAudit {
       "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
     "q61_ts_discord_topk" ->
       "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
+    "q62_ts_left_profile" ->
+      "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
     "d10_containment" ->
       "per-doc shingle-hash set + low-df prefix list: DOC-LENGTH-bounded (one group per doc_id, rows = that doc's distinct shingles)",
     "d15_boilerplate_scrub" ->
@@ -337,6 +339,8 @@ object PlanAudit {
       "q59's triangle-partitioned pairwise with per-window mean/std scalar columns; the pair fold is one QT dot product (the STOMP identity), payload still L doubles + two scalars",
     "q61_ts_discord_topk" ->
       "q59's triangle-partitioned pairwise verbatim; the discord reduction on top is one TakeOrderedAndProject",
+    "q62_ts_left_profile" ->
+      "bounded-offset explode (horizon/stride candidates per window, a PARAMETER) feeding one (user,pstart) equi-join; payload L doubles",
     "d20_record_linkage" ->
       "blocked bipartite probe: the entity side is the DISTINCT attribute catalog (combination-bounded, not corpus-proportional) and the join key is the (noun, brand, category) blocking tuple — per-record pair work bounded by block granularity, the standard ER dial")
 

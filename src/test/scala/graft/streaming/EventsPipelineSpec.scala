@@ -439,6 +439,48 @@ class EventsPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming left matrix profile (A57): streamed rows bit-identical to batch q62 across slicings; state bounded") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val saved = EventsPipeline.RocksDBStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "user_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val src = MemoryStream[(Long, Long, Double)]
+    val q = EventsPipeline.tsLeftProfileTws(src.toDS(), L = 8, stride = 4,
+        horizon = 40)
+      .writeStream.format("memory").queryName("tsleft_tws_test")
+      .outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 5)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("tsleft_tws_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // append-only: each window emits at most once, and its left-NN is
+      // final at completion (the property that makes this the
+      // STREAMABLE profile — no retractions to reconcile)
+      assert(got.length == got.map(r => (r._1, r._2)).distinct.length)
+      val batch = graft.operators.Relational.tsLeftProfile(
+          Tables.events(spark, sf), L = 8, stride = 4, horizon = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(batch.nonEmpty && got.toSet == batch.toSet,
+        s"streamed=${got.length} batch=${batch.length}; " +
+          s"missing=${(batch.toSet -- got.toSet).take(3)} " +
+          s"extra=${(got.toSet -- batch.toSet).take(3)}")
+    } finally {
+      q.stop()
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("row-local minhash banding is bit-compatible with the batch pipeline") {
     import spark.implicits._
     // the sf corpus PLUS hostile whitespace: Spark's trim strips only
