@@ -761,6 +761,55 @@ object Demo {
           s"batchEqual=${streamed == batch} dupAdmissions=$dupAdmissions")
     }
 
+    // 19. Live telemetry anomaly watch: events stream through the
+    // left-matrix-profile processor (A57); a window whose nearest
+    // PRECEDING neighbor is far is an anomaly the moment it completes
+    // (append-only — an alert never needs retracting). A planted spike
+    // among calm repeats must alert, and the streamed rows must equal
+    // the batch q62 profile exactly.
+    {
+      import spark.implicits._
+      val saved = EventsPipeline.RocksDBStateStore.keys
+        .map(k => k -> spark.conf.getOption(k)).toMap
+      EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val calm = Seq(1.0, 2.0, 1.0, 2.0)
+        // user 7: calm, calm, SPIKE, calm, calm — the spike window's
+        // left-NN distance towers over the calm-vs-calm ~0 floor
+        val vals = calm ++ calm ++ Seq(90.0, -80.0, 70.0, -60.0) ++ calm ++ calm
+        val rows = vals.zipWithIndex.map { case (v, i) => ((i + 1).toLong, 7L, v) }
+        val src = MemoryStream[(Long, Long, Double)]
+        val q = EventsPipeline.tsLeftProfileTws(src.toDS(), L = 4, stride = 4,
+            horizon = 20)
+          .writeStream.format("memory").queryName("demo_tsleft")
+          .outputMode("update").start()
+        try {
+          rows.grouped(5).foreach { chunk =>
+            src.addData(chunk.toIndexedSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val streamed = spark.table("demo_tsleft").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        val alerts = streamed.filter(_._4 > 100.0).map(_._2).toSet
+        val batch = graft.operators.Relational.tsLeftProfile(
+            rows.map { case (e, u, v) => (u, e, v) }
+              .toDF("user_id", "event_id", "value"), L = 4, stride = 4,
+            horizon = 20)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        // the spike window (start 9) AND its successor (start 13, whose
+        // nearest predecessor set contains the spike but also calm
+        // windows -> calm wins, no alert) pin the semantics
+        check("streaming-telemetry-anomaly",
+          alerts == Set(9L) && streamed.toSet == batch.toSet &&
+            streamed.length == streamed.map(_._2).distinct.length,
+          s"alerts=$alerts streamed=${streamed.length} batchEqual=${streamed.toSet == batch.toSet}")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+
     results.toList
   }
 }
