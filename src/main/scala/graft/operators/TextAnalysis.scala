@@ -2931,7 +2931,101 @@ object TextAnalysis {
         md5(expected) AS extracted_hash
       FROM e ORDER BY doc_id"""))
 
+  /** E35's core: OUTLINK EXTRACTION — the stage between HTML extraction
+    * (t34) and the link-graph analytics a crawl pipeline runs on top
+    * (frontier scheduling, domain ranking — p23): pull every absolute
+    * http(s) anchor href out of an html column, in document order.
+    * Matches `<a ... href="...">` / `<a ... href='...'>` case-
+    * insensitively (the reference crawls' dominant spelling; srcset /
+    * unquoted hrefs are out of documented scope like t34's CDATA), then
+    * keeps only absolute http(s) targets — relative paths, mailto:,
+    * javascript: and fragment-only anchors are frontier-useless without
+    * a base-URL resolver and are dropped here (resolution against the
+    * page URL is the caller's composition, not this column's job).
+    * A stateless narrow codegen projection (one regexp_extract_all +
+    * one array filter, no UDF) — extracting links from a 100 TB html
+    * column is scan-bound and attaches to a stream unchanged (the
+    * A28/A50 stateless class).
+    */
+  def extractLinks(html: Column): Column =
+    filter(
+      regexp_extract_all(html,
+        lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
+      u => u.rlike("(?i)^https?://"))
+
+  /** Lowercased registered host of an absolute URL (port/path/query
+    * excluded) — the key every host-level crawl analytic groups on.
+    */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
+
+  /** The t35/p23 planted LINKED-HTML column (doc_id arithmetic, the m14
+    * convention): a page whose anchors exercise every extraction rule —
+    * a DIRTY absolute link (mixed-case scheme/host, default :80 port,
+    * tracking param, fragment) to host (7·doc_id+1)%50, a single-quoted
+    * RELATIVE link (must be dropped), an UPPERCASE-tag absolute link to
+    * host (doc_id+1)%50, a hub link to host 0 on doc_id%4==0 (gives the
+    * planted graph a high-PageRank hub), and a mailto: on doc_id%5==0
+    * (must be dropped). 7 and 50 are coprime so the cross links cover
+    * every host; 6·d ≡ 49 (mod 50) has no solution so link 1 is never a
+    * self-link.
+    */
+  def fixtureLinkedHtml: Column = {
+    val k1 = ((col("doc_id") * 7 + 1) % 50).cast("string")
+    val k1p = (((col("doc_id") * 7 + 1) % 50) % 7).cast("string")
+    val k1z = (((col("doc_id") * 7 + 1) % 50) % 3).cast("string")
+    val k2 = ((col("doc_id") + 1) % 50).cast("string")
+    concat(
+      lit("<html><head><title>L"), col("doc_id").cast("string"),
+      lit("</title></head><body><p>doc "), col("doc_id").cast("string"),
+      lit("</p><a href=\"HTTP://Site"), k1, lit(".Example.COM:80/p/"), k1p,
+      lit("?utm_campaign=x&z="), k1z, lit("#s\">one</a>"),
+      lit("<a href='/about'>rel</a>"),
+      lit("<A HREF=\"https://Site"), k2, lit(".Example.com/\">two</A>"),
+      when(col("doc_id") % 4 === 0,
+        lit("<a class=\"nav\" href=\"https://site0.example.com/hub?b=2&a=1\">hub</a>"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("<a href=\"mailto:x@example.com\">mail</a>")).otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
+  // E35 — outlink extraction. Spark parses the planted HTML with the
+  // REAL extractor, canonicalizes each surviving link (t32's rules) and
+  // takes its host; the oracle recomputes the expected (index, canonical
+  // URL, host) triples from doc_id arithmetic alone — the hash match
+  // proves the plant → extract → filter → canonicalize round trip,
+  // including that the relative and mailto anchors vanished WITHOUT
+  // disturbing the surviving links' document order.
+  private val t35 = Relational.Q(
+    "t35_link_extract",
+    (s, d) => {
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), extractLinks(fixtureLinkedHtml).as("links"))
+      pages.select(col("doc_id"), posexplode(col("links")).as(Seq("pos", "url")))
+        .select(col("doc_id"), col("pos").cast("long").as("link_idx"),
+          canonicalizeUrl(col("url")).as("canon_url"))
+        .withColumn("host", hostOf(col("canon_url")))
+        .orderBy(col("doc_id"), col("link_idx"))
+    },
+    Some("""
+      WITH r AS (SELECT doc_id, unnest(range(3)) AS i FROM documents),
+      l AS (
+        SELECT doc_id, i,
+          CASE i
+            WHEN 0 THEN 'http://site' || ((doc_id*7+1)%50) || '.example.com/p/' ||
+              (((doc_id*7+1)%50)%7) || '?z=' || (((doc_id*7+1)%50)%3)
+            WHEN 1 THEN 'https://site' || ((doc_id+1)%50) || '.example.com/'
+            ELSE 'https://site0.example.com/hub?a=1&b=2' END AS canon_url,
+          CASE i
+            WHEN 0 THEN 'site' || ((doc_id*7+1)%50) || '.example.com'
+            WHEN 1 THEN 'site' || ((doc_id+1)%50) || '.example.com'
+            ELSE 'site0.example.com' END AS host
+        FROM r WHERE i < 2 OR doc_id % 4 = 0)
+      SELECT doc_id, CAST(i AS BIGINT) AS link_idx, canon_url, host
+      FROM l ORDER BY doc_id, link_idx"""))
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35)
 }

@@ -810,6 +810,47 @@ object Demo {
       }
     }
 
+    // 20. Crawl-frontier prioritization: the acquisition loop CLOSED —
+    // pages stream in, each page's outlinks feed the live frontier
+    // counts (A58), and the frontier is prioritized by the batch-
+    // published domain PageRank (p23) over the same corpus. The planted
+    // hub (site0, drawing an extra in-link from every 4th page) must be
+    // the top-priority frontier host, and the sliced stream's final
+    // counts must equal the one-shot batch counts exactly.
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      import graft.operators.{Pipeline, TextAnalysis => T}
+      val pages = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 200)
+        .select(T.fixtureDirtyUrl.as("url"), T.fixtureLinkedHtml.as("html"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val src = MemoryStream[(String, String)]
+      val q = EventsPipeline.frontierHostCounts(src.toDS().toDF("url", "html"))
+        .writeStream.format("memory").queryName("demo_frontier")
+        .outputMode("update").start()
+      try {
+        pages.grouped(64).foreach { chunk =>
+          src.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.table("demo_frontier").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).max }
+      val batch = EventsPipeline.frontierHostCounts(
+          pages.toDF("url", "html"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ranks = Pipeline.domainPageRank(pages.toDF("url", "html"))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      // the scheduler's pick: among hosts with discovered links, highest
+      // published rank first
+      val pick = streamed.keys.maxBy(h => ranks.getOrElse(h, 0.0))
+      check("crawl-frontier-prioritization",
+        streamed == batch && pick == "site0.example.com" &&
+          ranks("site0.example.com") == ranks.values.max,
+        s"hosts=${streamed.size} batchEqual=${streamed == batch} pick=$pick")
+    }
+
     results.toList
   }
 }

@@ -974,6 +974,25 @@ object EventsPipeline {
           }
       }
   }
+
+  /** A58: streaming CRAWL-FRONTIER host discovery — the live twin of the
+    * p23 link-graph build. Each arriving (url, html) page contributes its
+    * absolute outlinks (t35's stateless extract, the A28/A50 attach
+    * class) to a running per-host discovered-link count — the signal a
+    * crawler's frontier scheduler prioritizes by (more in-links found ⇒
+    * fetch that host sooner), continuously maintained in update mode.
+    * State is one long per host (host-proportional, ≪ stream volume);
+    * the count is slicing-invariant because counting is commutative —
+    * the spec pins final streamed counts == one-shot batch counts, and
+    * Demo 20 joins this against the published p23 ranks.
+    */
+  def frontierHostCounts(pages: DataFrame): DataFrame = {
+    import graft.operators.{TextAnalysis => T}
+    pages
+      .select(explode(T.extractLinks(col("html"))).as("link"))
+      .select(T.hostOf(T.canonicalizeUrl(col("link"))).as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("n_links_seen"))
+  }
 }
 
 /** A31's per-customer state: the OPEN SCD2 span only. TOP-LEVEL and

@@ -248,7 +248,9 @@ object PlanAudit {
     "t25_hybrid_rrf" ->
       "t21's per-(query,doc) term list (same parameter bound) inside the lexical leg",
     "t27_textrank" ->
-      "per-dst in-neighbor contributions: DEGREE-bounded — the word graph is vocabulary-proportional, never corpus-proportional (the x14 argument), and the sorted fold IS the float-iterative oracle contract; hub words are the known vocab-scale cost, re-spelled only at the price of bit-exact replay")
+      "per-dst in-neighbor contributions: DEGREE-bounded — the word graph is vocabulary-proportional, never corpus-proportional (the x14 argument), and the sorted fold IS the float-iterative oracle contract; hub words are the known vocab-scale cost, re-spelled only at the price of bit-exact replay",
+    "p23_domain_pagerank" ->
+      "t27's per-dst in-neighbor contributions on the HOST graph: IN-DEGREE-bounded, host-proportional (≪ corpus — one edge row per distinct host pair, never per link); a mega-hub's in-neighbor list is the web-graph's real fan-in and the sorted fold is the price of bit-exact replay (the t27 adjudication verbatim)")
 
   /** The d17-class guard, mechanized like the hint/window guards: every
     * join whose BOTH inputs carry an ArrayType column AND whose two
@@ -378,7 +380,15 @@ object PlanAudit {
       // aggregate can be released (r12 advice); audit the lazy spelling
       "d3_dedup_ngram_jaccard" ->
       ((s, d) => graft.operators.Dedup.ngramJaccardAutoLazy(
-        graft.Tables.documents(s, d))._1))
+        graft.Tables.documents(s, d))._1),
+      // p23 eager-materializes the host-proportional edge list once
+      // (one corpus scan feeds all iterations); audit the lazy spelling
+      "p23_domain_pagerank" ->
+      ((s, d) => graft.operators.Pipeline.domainPageRankLazy(
+        graft.Tables.documents(s, d).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          graft.operators.TextAnalysis.fixtureDirtyUrl.as("url"),
+          graft.operators.TextAnalysis.fixtureLinkedHtml.as("html")))))
 
   // Queries whose nested-loop join is a CONSTANT-size broadcast by
   // design (never grows with the corpus) — the legitimate BNLJ shape.

@@ -4372,4 +4372,58 @@ class OperatorSpec extends SparkSpec {
     assert(hit.nonEmpty, "the long heavy key must survive serialization and be tracked")
     assert(hit.get._3 == 32L, "exact count of the long key")
   }
+
+  test("link extraction (t35): absolute http(s) anchors survive in document order; relative/mailto/js dropped") {
+    import spark.implicits._
+    val html =
+      """<html><body>
+        |<a href="https://a.com/1">one</a>
+        |<a href='/rel/path'>rel</a>
+        |<A CLASS="x" HREF='HTTP://B.com/2?q=1'>two</A>
+        |<a href="mailto:x@y.z">mail</a>
+        |<a href="javascript:void(0)">js</a>
+        |<a data-x="1" href="https://c.com/3#frag">three</a>
+        |</body></html>""".stripMargin
+    val out = Seq((1L, html)).toDF("doc_id", "html")
+      .select(TextAnalysis.extractLinks(col("html")).as("links"))
+      .as[Seq[String]].head()
+    assert(out == Seq("https://a.com/1", "HTTP://B.com/2?q=1", "https://c.com/3#frag"),
+      s"got $out")
+    // hostOf: lowercased, port/path/query excluded
+    val h = Seq(("https://Site5.Example.COM:8443/p?a=1", "http://plain.org"))
+      .toDF("u1", "u2")
+      .select(TextAnalysis.hostOf(col("u1")), TextAnalysis.hostOf(col("u2")))
+      .head()
+    assert(h.getString(0) == "site5.example.com" && h.getString(1) == "plain.org")
+  }
+
+  test("domain PageRank (p23): in-link mass ranks the hub first; a no-in-edge source floors at exactly 0.15") {
+    import spark.implicits._
+    // src host pages: a and b both link to hub; hub links back only to a;
+    // lone links out but nothing links to lone (a genuine directed
+    // source — textRank's groupBy spelling would silently drop it)
+    def page(host: String, outs: String*) =
+      (s"https://$host/", outs.map(o => s"""<a href="https://$o/x">l</a>""").mkString)
+    val pages = Seq(
+      page("a.com", "hub.com"), page("b.com", "hub.com"),
+      page("hub.com", "a.com"), page("lone.com", "hub.com", "a.com"))
+      .toDF("url", "html")
+    val out = Pipeline.domainPageRank(pages, iters = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set("a.com", "b.com", "hub.com", "lone.com"))
+    val (hubIn, _, hubScore) = out("hub.com")
+    assert(hubIn == 3L, s"hub must have 3 in-edges, got $hubIn")
+    assert(hubScore == out.values.map(_._3).max, "hub must rank first")
+    // lone.com: no in-edges => score pinned at the damping floor by the
+    // left join (and NOT dropped from the output)
+    assert(out("lone.com")._3 == 0.15, s"source host must floor at 0.15, got ${out("lone.com")._3}")
+    assert(out("lone.com")._1 == 0L && out("lone.com")._2 == 2L)
+    // b.com is a source too (hub links only to a; lone to hub+a)
+    assert(out("b.com")._3 == 0.15)
+    assert(out("a.com")._3 > 0.15 && out("a.com")._3 < hubScore)
+    // self-links never make edges: a page linking to itself adds nothing
+    val selfy = Seq(("https://s.com/", """<a href="https://s.com/y">me</a>"""))
+      .toDF("url", "html")
+    assert(Pipeline.hostGraph(selfy).count() == 0L)
+  }
 }

@@ -1866,4 +1866,33 @@ class EventsPipelineSpec extends SparkSpec {
       assert(streamed.map(_._6) == Set("binary", "text", "empty"))
     } finally q.stop()
   }
+
+  test("streaming crawl-frontier host counts (A58): sliced stream converges to the batch link-graph counts") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def pg(host: String, outs: String*) = (s"https://$host/",
+      outs.map(o => s"""<a href="https://$o/x">l</a>""").mkString +
+        "<a href='/rel'>r</a><a href=\"mailto:a@b.c\">m</a>")
+    val pages = Seq(
+      pg("a.com", "hub.com", "b.com"), pg("b.com", "hub.com"),
+      pg("hub.com", "a.com"), pg("c.com", "hub.com", "a.com", "b.com"))
+    val src = MemoryStream[(String, String)]
+    val q = EventsPipeline.frontierHostCounts(src.toDS().toDF("url", "html"))
+      .writeStream.format("memory").queryName("frontier_test")
+      .outputMode("update").start()
+    try {
+      src.addData(pages.take(1): _*); q.processAllAvailable()
+      src.addData(pages.slice(1, 3): _*); q.processAllAvailable()
+      src.addData(pages.drop(3): _*); q.processAllAvailable()
+      // update mode re-emits a host's row each time its count changes;
+      // counts only grow, so the max seen per host is the final state
+      val streamed = spark.table("frontier_test").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).max }
+      val batch = EventsPipeline.frontierHostCounts(pages.toDF("url", "html"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(batch("hub.com") == 3L && !batch.keySet.exists(_.isEmpty),
+        "hub in-link mass counted; relative/mailto anchors never leak in")
+    } finally q.stop()
+  }
 }
