@@ -1257,5 +1257,176 @@ object Similarity {
       SELECT query_id, rnk, neighbor_id, ${r4Sql("ip")} AS inner_product
       FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk"""))
 
-  val all: Seq[Relational.Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
+  /** D12's core: the corpus covariance as INTEGER-EXACT sufficient
+    * statistics — quantize each embedding coordinate to `scaleBits`
+    * fractional bits (floor(x·2^b): float→double widening, a power-of-2
+    * multiply and floor are all exact and engine-identical), then one
+    * [[graft.functions.GramSumLong]] pass emits n, the first-moment
+    * sums and the upper-triangle product sums. Integer sums are
+    * order-free, so the whole corpus-sized covariance is bit-determined
+    * and FULLY oracle-checkable — no fold discipline, no r4, no
+    * tolerance. This is the "sufficient statistics, not data, to the
+    * driver" pattern (x13 FrequentDirections): the d(d+1)/2 statistics
+    * are parameter-bounded however large the corpus; the quantization
+    * error is bounded by 2^−b per coordinate (b=10 ⇒ covariance entries
+    * exact to ~1e-3 relative, capacity ~4.6×10^12 rows before the
+    * fail-loud overflow contract trips — the GramSumLong scaladoc).
+    */
+  def gramSums(emb: DataFrame, scaleBits: Int = 10): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 26, s"scaleBits in [1,26], got $scaleBits")
+    val scale = (1L << scaleBits).toDouble
+    val q = transform(col("embedding"), x => floor(x.cast("double") * lit(scale)).cast("long"))
+    emb.agg(graft.functions.GramSumLong(q).as("g"))
+  }
+
+  /** D12's driver-checkable frame: one row per upper-triangle cell
+    * (i, j, n, s_i, s_j, s_ij) — everything a consumer needs to build
+    * the exact covariance C_ij = (s_ij/n − (s_i/n)(s_j/n))/2^2b.
+    */
+  def gramMatrix(emb: DataFrame, scaleBits: Int = 10): DataFrame =
+    gramSums(emb, scaleBits)
+      .select(col("g.n").as("n"), col("g.sums").as("sums"),
+        explode(col("g.pairs")).as("pr"))
+      .select(col("pr.i").cast("long").as("i"), col("pr.j").cast("long").as("j"),
+        col("n"),
+        element_at(col("sums"), col("pr.i") + 1).as("s_i"),
+        element_at(col("sums"), col("pr.j") + 1).as("s_j"),
+        col("pr.p").as("s_ij"))
+      .orderBy(col("i"), col("j"))
+
+  // D12 — the PCA Gram pass. DuckDB replays quantization and every sum
+  // from the same parquet — the first corpus-sized float-DERIVED
+  // statistic in the pack with an EXACT (tolerance-free) oracle, because
+  // the quantize-then-integer-sum design removes accumulation order from
+  // the answer entirely.
+  private val s10 = Relational.Q(
+    "s10_pca_gram",
+    (s, d) => gramMatrix(Tables.embeddings(s, d), scaleBits = 10),
+    Some("""
+      WITH q AS (
+        SELECT list_transform(embedding,
+          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS q
+        FROM embeddings),
+      r AS (SELECT q, unnest(range(len(q))) AS i FROM q),
+      rr AS (SELECT q, i, unnest(range(i, len(q))) AS j FROM r)
+      SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(q[i+1]) AS BIGINT) AS s_i,
+        CAST(SUM(q[j+1]) AS BIGINT) AS s_j,
+        CAST(SUM(q[i+1] * q[j+1]) AS BIGINT) AS s_ij
+      FROM rr GROUP BY i, j ORDER BY i, j"""))
+
+  /** D13's eigensolve: covariance from [[gramMatrix]] rows → cyclic
+    * Jacobi diagonalization on the DRIVER — d×d is embedding-dimension-
+    * bounded (a PARAMETER, never the corpus; d=64 ⇒ a 4 KB matrix), the
+    * same driver-side budget x13's FD merge spends. Deterministic:
+    * fixed sweep order, fixed convergence threshold, no randomness.
+    * Returns (eigenvalues descending, rotation R with R(row)(col) =
+    * component `row` of eigenvector `col`), so rotated = Rᵀx.
+    */
+  def pcaFromGram(gram: DataFrame, scaleBits: Int = 10): (Array[Double], Array[Array[Double]]) = {
+    val rows = gram.collect()
+    require(rows.nonEmpty, "pcaFromGram: empty gram frame")
+    val d = rows.map(_.getLong(0)).max.toInt + 1
+    val n = rows.head.getLong(2).toDouble
+    val scale = (1L << scaleBits).toDouble
+    val c = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val si = r.getLong(3).toDouble; val sj = r.getLong(4).toDouble
+      val sij = r.getLong(5).toDouble
+      val cov = (sij / n - (si / n) * (sj / n)) / (scale * scale)
+      c(i)(j) = cov; c(j)(i) = cov
+    }
+    jacobiEigen(c)
+  }
+
+  /** Cyclic Jacobi eigensolve for a symmetric matrix (Golub & Van Loan
+    * §8.5): sweep all (p,q) pairs in fixed row-major order, rotate away
+    * each off-diagonal entry, until the off-diagonal Frobenius mass
+    * drops below tol·‖A‖_F or maxSweeps. O(d³) per sweep on a
+    * parameter-sized matrix. Eigen-pairs sorted by eigenvalue
+    * descending, ties by original index (deterministic).
+    */
+  def jacobiEigen(a0: Array[Array[Double]], tol: Double = 1e-12,
+      maxSweeps: Int = 50): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val normF = math.sqrt(a0.map(_.map(x => x * x).sum).sum)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > tol * math.max(normF, Double.MinPositiveValue) && sweep < maxSweeps) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val cs = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * cs
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = cs * akp - sn * akq
+              a(k)(q) = sn * akp + cs * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = cs * apk - sn * aqk
+              a(q)(k) = sn * apk + cs * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = cs * vkp - sn * vkq
+              v(k)(q) = sn * vkp + cs * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = math.sqrt((0 until d).map(i =>
+        (0 until d).filter(_ != i).map(j => a(i)(j) * a(i)(j)).sum).sum)
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(k => (-a(k)(k), k))
+    val eig = order.map(k => a(k)(k)).toArray
+    val r = Array.tabulate(d, d)((row, col) => v(row)(order(col)))
+    (eig, r)
+  }
+
+  /** D13's apply stage: rotate (and optionally WHITEN) the embedding
+    * column by a fixed d×d matrix — `rotated_j = Σ_i x_i R_ij`, scaled
+    * by 1/√(λ_j + eps) when eigenvalues are supplied. The matrix enters
+    * the plan as ONE literal (parameter-sized, shipped with the plan
+    * like a broadcast dim), and the projection is a narrow codegen'd
+    * HOF chain — rotating a 100 TB embedding column is scan-bound, no
+    * shuffle, attaches to a stream unchanged (the A28 stateless class).
+    * This is the OPQ-family preprocessing step (Ge et al. 2013): PQ
+    * subquantizers assume independent subspaces; rotating onto the PCA
+    * basis (optionally whitened) decorrelates coordinates so the s6/s8
+    * codebooks spend their bits where the variance is.
+    */
+  def rotateEmbeddings(emb: DataFrame, r: Array[Array[Double]],
+      eigvals: Array[Double] = null, eps: Double = 1e-9,
+      out: String = "rotated"): DataFrame = {
+    val d = r.length
+    val cols: Seq[Seq[Double]] = (0 until d).map { j =>
+      val s = if (eigvals == null) 1.0 else 1.0 / math.sqrt(math.max(eigvals(j), 0.0) + eps)
+      (0 until d).map(i => r(i)(j) * s)
+    }
+    val rLit = typedLit(cols)
+    emb.withColumn(out,
+      transform(sequence(lit(0), lit(d - 1)), j =>
+        aggregate(
+          zip_with(col("embedding"), element_at(rLit, j + 1),
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, t) => acc + t).cast("float")))
+  }
+
+  val all: Seq[Relational.Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10)
 }

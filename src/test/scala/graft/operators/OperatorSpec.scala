@@ -4426,4 +4426,101 @@ class OperatorSpec extends SparkSpec {
       .toDF("url", "html")
     assert(Pipeline.hostGraph(selfy).count() == 0L)
   }
+
+  test("gram sums (s10): hand-computed integer sufficient statistics, exactly") {
+    import spark.implicits._
+    // b=2 => scale 4; floor quantization: 0.5->2, -0.3->-2 (floor), 1.0->4
+    val emb = Seq(
+      (1L, Seq(0.5f, 1.0f)), (2L, Seq(-0.3f, 0.25f)), (3L, Seq(1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.gramMatrix(emb, scaleBits = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // q = [(2,4), (-2,1), (4,-4)]; s_0=4, s_1=1
+    // s_00 = 4+4+16 = 24; s_01 = 8-2-16 = -10; s_11 = 16+1+16 = 33
+    assert(out((0L, 0L)) == ((3L, 4L, 4L, 24L)))
+    assert(out((0L, 1L)) == ((3L, 4L, 1L, -10L)))
+    assert(out((1L, 1L)) == ((3L, 1L, 1L, 33L)))
+    assert(out.size == 3)
+  }
+
+  test("gram sums (s10): overflow fails LOUD (the scaleBits capacity contract), never wraps") {
+    import spark.implicits._
+    // scaleBits=26: each product is 2^52, so ~2^11 rows of 1.0 overflow a
+    // long — the aggregate must throw, not return a silently wrong sum
+    val big = (1 to 3000).map(i => (i.toLong, Seq(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.gramMatrix(big, scaleBits = 26).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in cause chain, got $e")
+  }
+
+  test("PCA (D13): planted anisotropic spectrum is recovered; rotation orthonormal; whitening isotropizes") {
+    import spark.implicits._
+    val d = 6
+    val n = 1500
+    val stds = Array(8.0, 4.0, 2.0, 1.0, 0.5, 0.25)
+    val rnd = new scala.util.Random(7)
+    // planted rotation: Gram-Schmidt over a fixed random matrix
+    val g = Array.fill(d, d)(rnd.nextGaussian())
+    val rPlant = Array.ofDim[Double](d, d)
+    for (c <- 0 until d) {
+      val v = Array.tabulate(d)(r => g(r)(c))
+      for (pc <- 0 until c) {
+        val dot = (0 until d).map(r => v(r) * rPlant(r)(pc)).sum
+        for (r <- 0 until d) v(r) -= dot * rPlant(r)(pc)
+      }
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      for (r <- 0 until d) rPlant(r)(c) = v(r) / norm
+    }
+    // x = R z with z_k ~ N(0, stds(k)^2); scaled to ~[-1,1] via /32
+    val data = (0 until n).map { i =>
+      val z = Array.tabulate(d)(k => stds(k) * rnd.nextGaussian() / 32.0)
+      (i.toLong, (0 until d).map(r => (0 until d).map(k => rPlant(r)(k) * z(k)).sum.toFloat))
+    }
+    val emb = data.toDF("vec_id", "embedding")
+    val gram = Similarity.gramMatrix(emb, scaleBits = 16)
+    val (eig, rot) = Similarity.pcaFromGram(gram, scaleBits = 16)
+    // eigenvalues descending, non-negative (within fp), trace preserved
+    assert(eig.zip(eig.tail).forall { case (a, b) => a >= b })
+    assert(eig.forall(_ > -1e-9))
+    // R orthonormal: max |RtR - I| tiny
+    val rtr = Array.tabulate(d, d)((a, b) =>
+      (0 until d).map(r => rot(r)(a) * rot(r)(b)).sum)
+    val orthoErr = (for (a <- 0 until d; b <- 0 until d)
+      yield math.abs(rtr(a)(b) - (if (a == b) 1.0 else 0.0))).max
+    assert(orthoErr < 1e-9, s"orthonormality error $orthoErr")
+    // planted spectrum recovered: sampling error ~ sqrt(2/n) ~ 3.7%
+    val want = stds.map(s => s * s / (32.0 * 32.0))
+    eig.zip(want).foreach { case (e, w) =>
+      assert(math.abs(e - w) / w < 0.25, s"eig $e vs planted $w") }
+    // top components align with planted directions (up to sign)
+    for (c <- 0 until 3) {
+      val dot = math.abs((0 until d).map(r => rot(r)(c) * rPlant(r)(c)).sum)
+      assert(dot > 0.95, s"component $c alignment $dot")
+    }
+    // whitening: covariance of the rotated+scaled column ~ I
+    val white = Similarity.rotateEmbeddings(emb, rot, eigvals = eig, eps = 1e-12)
+      .select(col("vec_id"), col("rotated").as("embedding"))
+    val wg = Similarity.gramMatrix(white, scaleBits = 16).collect()
+    wg.foreach { r =>
+      val i = r.getLong(0); val j = r.getLong(1)
+      val nn = r.getLong(2).toDouble
+      val cov = (r.getLong(5).toDouble / nn -
+        (r.getLong(3).toDouble / nn) * (r.getLong(4).toDouble / nn)) / (65536.0 * 65536.0)
+      if (i == j) assert(math.abs(cov - 1.0) < 0.15, s"whitened var($i)=$cov")
+      else assert(math.abs(cov) < 0.1, s"whitened cov($i,$j)=$cov")
+    }
+    // plain rotation (no eigvals) preserves norms: |Rx| == |x|
+    val rotOnly = Similarity.rotateEmbeddings(emb, rot)
+      .select(col("embedding"), col("rotated")).collect()
+    rotOnly.take(50).foreach { r =>
+      val a = r.getSeq[Float](0).map(x => x.toDouble * x).sum
+      val b = r.getSeq[Float](1).map(x => x.toDouble * x).sum
+      assert(math.abs(a - b) < 1e-4 * math.max(a, 1e-9), s"norm not preserved: $a vs $b")
+    }
+  }
 }
