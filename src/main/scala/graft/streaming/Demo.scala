@@ -851,6 +851,50 @@ object Demo {
         s"hosts=${streamed.size} batchEqual=${streamed == batch} pick=$pick")
     }
 
+    // 21. Live embedding-drift alarm: the A59 Gram monitor's cumulative
+    // statistics are EXACT integers, so consecutive updates DIFFERENCE
+    // into exact per-batch statistics — the alarm compares each batch's
+    // per-dimension mean against the first batch's baseline and must
+    // fire exactly when the planted encoder swap arrives (a +0.5 shift
+    // on dimension 0 from batch 4 on), not before.
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val base = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).take(400)
+      val clean = base.take(300)
+      val drifted = base.drop(300).map { case (id, v) =>
+        (id, v.updated(0, v.head + 0.5f)) }
+      val src = MemoryStream[(Long, Seq[Float])]
+      val q = EventsPipeline.embeddingGramStream(
+          src.toDS().toDF("vec_id", "embedding"), scaleBits = 10)
+        .writeStream.format("memory").queryName("demo_drift")
+        .outputMode("update").start()
+      try {
+        (clean.grouped(100) ++ drifted.grouped(100)).foreach { chunk =>
+          src.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      // cumulative updates in arrival order (n strictly grows)
+      val cum = spark.table("demo_drift").collect()
+        .map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getSeq[Long](1)))
+        .sortBy(_._1)
+      val perBatch = cum.zip((0L, cum.head._2.map(_ => 0L)) +: cum.init)
+        .map { case ((n1, s1), (n0, s0)) =>
+          val nb = n1 - n0
+          (nb, s1.head - s0.head) } // dim-0 sum per batch, exact
+      val scale = 1024.0
+      val baselineMu = perBatch.head._2.toDouble / perBatch.head._1 / scale
+      val alerts = perBatch.zipWithIndex.drop(1).collect {
+        case ((nb, s0sum), idx)
+          if math.abs(s0sum.toDouble / nb / scale - baselineMu) > 0.3 => idx + 1
+      }
+      check("embedding-drift-alarm",
+        cum.length == 4 && alerts.toSeq == Seq(4),
+        s"updates=${cum.length} alerts=${alerts.mkString(",")} baselineMu=$baselineMu")
+    }
+
     results.toList
   }
 }

@@ -993,6 +993,20 @@ object EventsPipeline {
       .select(T.hostOf(T.canonicalizeUrl(col("link"))).as("host"))
       .groupBy(col("host")).agg(count(lit(1)).as("n_links_seen"))
   }
+
+  /** A59: streaming EMBEDDING-DISTRIBUTION monitor — D12's exact Gram
+    * statistics maintained live over an arriving embedding stream
+    * (update mode, one global GramSumLong aggregate). The running
+    * (n, sums, pairs) triple is the sufficient statistic for the
+    * stream-so-far covariance, so a consumer can watch for embedding
+    * drift (an encoder-version change shifts the covariance long before
+    * any downstream metric moves) without ever storing a vector. State
+    * is ONE (1 + d + d(d+1)/2)-long buffer — parameter-bounded, the
+    * A48 class; integer sums are order-free, so the streamed statistics
+    * are BIT-EQUAL to the batch pass under any slicing (spec-pinned).
+    */
+  def embeddingGramStream(vecs: DataFrame, scaleBits: Int = 10): DataFrame =
+    graft.operators.Similarity.gramSums(vecs, scaleBits)
 }
 
 /** A31's per-customer state: the OPEN SCD2 span only. TOP-LEVEL and

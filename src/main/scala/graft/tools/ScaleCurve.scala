@@ -123,6 +123,36 @@ object ScaleCurve {
         .reduce(_ unionByName _)
     }
 
+    // p23 under two growth regimes (round 13). Fixed hosts: the corpus
+    // grows f× while the planted host set stays 50 — extraction scales
+    // with the scan, the edge aggregate and all 3 PageRank rounds stay
+    // host-bounded, so the curve should be ~linear-in-scan with a flat
+    // iteration tail. Growing hosts: corpus AND host set grow f×
+    // (50f hosts), so the graph frames grow too — still linear, just
+    // with the per-round joins now f×-sized.
+    def linkPages(f: Int): DataFrame =
+      spark.range(5000L * f).select(
+        concat(lit("https://site"), pmod(col("id"), lit(50L * f)),
+          lit(".example.com/")).as("url"),
+        concat(
+          lit("<a href=\"https://site"), pmod(col("id") * 7 + 1, lit(50L * f)),
+          lit(".example.com/x\">a</a><a href=\"https://site"),
+          pmod(col("id") + 1, lit(50L * f)),
+          lit(".example.com/y\">b</a>")).as("html"))
+
+    val ops13b: Seq[(String, Int, Int => DataFrame)] = Seq(
+      ("p23_pr_fixedhosts", maxF, f =>
+        graft.operators.Pipeline.domainPageRank(
+          scaledDocs(spark, sfDir, f).select(col("doc_id"),
+            TextAnalysis.fixtureDirtyUrl.as("url"),
+            TextAnalysis.fixtureLinkedHtml.as("html")))),
+      ("p23_pr_hostsgrow", maxF, f =>
+        graft.operators.Pipeline.domainPageRank(linkPages(f))),
+      // one parameter-bounded imperative aggregate — the pure scan-bound
+      // reference curve (any super-linearity here is harness noise)
+      ("s10_gram_scan", maxF, f =>
+        Similarity.gramMatrix(scaledEmbeddings(f))))
+
     val factors = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxF).toSeq
     def runPoints(name: String, fmax: Int, mk: Int => DataFrame): Unit =
       factors.filter(_ <= fmax).foreach { f =>
@@ -140,6 +170,7 @@ object ScaleCurve {
 
     ops.foreach { case (name, mk) => runPoints(name, maxF, mk) }
     ops13.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
+    ops13b.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
 
     // d3 auto-selection evidence: the 1% cut picks the measured-cheaper
     // spelling in BOTH regimes at every factor

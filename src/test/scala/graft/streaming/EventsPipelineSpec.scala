@@ -1895,4 +1895,39 @@ class EventsPipelineSpec extends SparkSpec {
         "hub in-link mass counted; relative/mailto anchors never leak in")
     } finally q.stop()
   }
+
+  test("streaming embedding Gram monitor (A59): sliced stream's final statistics BIT-EQUAL the batch pass") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .take(120).toSeq
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = EventsPipeline.embeddingGramStream(
+        src.toDS().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("gram_stream_test")
+      .outputMode("update").start()
+    try {
+      vecs.grouped(37).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // update mode re-emits the single global row each batch; the final
+      // emission (max n — n only grows) is the stream-so-far statistic
+      val rows = spark.table("gram_stream_test").collect()
+        .map(r => (r.getStruct(0).getLong(0),
+          r.getStruct(0).getSeq[Long](1),
+          r.getStruct(0).getSeq[org.apache.spark.sql.Row](2)
+            .map(p => (p.getInt(0), p.getInt(1), p.getLong(2)))))
+      val fin = rows.maxBy(_._1)
+      import spark.implicits._
+      val b = graft.operators.Similarity.gramSums(
+          vecs.toDF("vec_id", "embedding")).collect().head.getStruct(0)
+      val batch = (b.getLong(0), b.getSeq[Long](1),
+        b.getSeq[org.apache.spark.sql.Row](2)
+          .map(p => (p.getInt(0), p.getInt(1), p.getLong(2))))
+      assert(fin._1 == batch._1 && fin._2 == batch._2 && fin._3 == batch._3,
+        s"streamed final n=${fin._1} != batch n=${batch._1} or sums/pairs differ")
+      assert(rows.length == 4, s"one update per micro-batch: ${rows.length}")
+    } finally q.stop()
+  }
 }
