@@ -1508,12 +1508,25 @@ object Pipeline {
     domainPageRankFrom(hostGraph(pages), iters)
 
   private def domainPageRankFrom(edges: DataFrame, iters: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("host"))
+      .unionByName(edges.select(col("dst").as("host"))).distinct()
+      .select(col("host"), lit(1.0).as("init"), lit(0.15).as("add"))
+    rankIterate(edges, nodes, iters)
+  }
+
+  /** Shared seeded-damping power iteration over a host edge list (the
+    * P23/P24 core): nodes carry their init score and their per-round
+    * additive term; each round folds weighted in-neighbor contributions
+    * in SORTED order (the t27 float contract) and pins contribution-less
+    * hosts at `add` via the left join. PageRank is (init=1, add=0.15);
+    * TrustRank is (init=d_v, add=0.15·d_v) with d_v the seed
+    * distribution — same plan shape, same oracle discipline.
+    */
+  private def rankIterate(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 6, s"iters in [1,6] (lazy plan nests them), got $iters")
     val outs = edges.groupBy(col("src")).agg(sum(col("w")).as("outsum"))
     val withOut = edges.join(outs, Seq("src"))
-    val nodes = edges.select(col("src").as("host"))
-      .unionByName(edges.select(col("dst").as("host"))).distinct()
-    var scores = nodes.withColumn("score", lit(1.0))
+    var scores = nodes.select(col("host"), col("init").as("score"))
     (0 until iters).foreach { _ =>
       val contribs = withOut
         .join(scores.select(col("host").as("src"), col("score").as("s")), Seq("src"))
@@ -1526,16 +1539,50 @@ object Pipeline {
         .select(col("dst").as("host"), col("contrib"))
       scores = nodes.join(contribs, Seq("host"), "left")
         .select(col("host"),
-          (lit(0.15) + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("score"))
+          (col("add") + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("score"))
     }
     val din = edges.groupBy(col("dst").as("host")).agg(count(lit(1)).as("n_in_hosts"))
     val dout = edges.groupBy(col("src").as("host")).agg(count(lit(1)).as("n_out_hosts"))
-    nodes.join(scores, Seq("host"))
+    nodes.select(col("host")).join(scores, Seq("host"))
       .join(din, Seq("host"), "left").join(dout, Seq("host"), "left")
       .select(col("host"),
         coalesce(col("n_in_hosts"), lit(0L)).as("n_in_hosts"),
         coalesce(col("n_out_hosts"), lit(0L)).as("n_out_hosts"),
         r4(col("score")).as("score"))
+      .orderBy(col("host"))
+  }
+
+  /** P24's core: DOMAIN TRUSTRANK (Gyöngyi, Garcia-Molina & Pedersen
+    * 2004, "Combating Web Spam with TrustRank") — PageRank with the
+    * teleport mass pinned to a CURATED SEED SET instead of spread
+    * uniformly: TR(v) = 0.15·d_v + 0.85·Σ_{u→v} (w/outsum(u))·TR(u),
+    * d_v = 1/|seeds| on seeds and 0 elsewhere, init = d_v. The
+    * spam-resistance property P23 cannot give: a host UNREACHABLE from
+    * the seed set scores EXACTLY 0 however densely its own cluster
+    * interlinks — spam cannot vote itself trust (spec-pinned). The
+    * production selection signal is the ratio/gap between TrustRank and
+    * PageRank (both from the same [[hostGraph]] artifact, one scan).
+    * Same plan shape, float contract and scale argument as P23.
+    */
+  def domainTrustRank(pages: DataFrame, seeds: Seq[String], iters: Int = 3): DataFrame = {
+    require(seeds.nonEmpty, "domainTrustRank: empty seed set")
+    val edges = hostGraph(pages).localCheckpoint(true)
+    trustRankFrom(edges, seeds, iters)
+  }
+
+  /** Fully lazy spelling — audit surface only (the lazyTwin convention). */
+  def domainTrustRankLazy(pages: DataFrame, seeds: Seq[String], iters: Int = 3): DataFrame =
+    trustRankFrom(hostGraph(pages), seeds, iters)
+
+  private def trustRankFrom(edges: DataFrame, seeds: Seq[String], iters: Int): DataFrame = {
+    val dv = when(col("host").isin(seeds: _*),
+      lit(1.0) / lit(seeds.size.toDouble)).otherwise(lit(0.0))
+    val nodes = edges.select(col("src").as("host"))
+      .unionByName(edges.select(col("dst").as("host"))).distinct()
+      .select(col("host"), dv.as("init"), (lit(0.15) * dv).as("add"))
+    rankIterate(edges, nodes, iters)
+      .select(col("host"), col("host").isin(seeds: _*).as("is_seed"),
+        col("n_in_hosts"), col("n_out_hosts"), col("score"))
       .orderBy(col("host"))
   }
 
@@ -1600,6 +1647,71 @@ object Pipeline {
       ORDER BY n.host"""
     })
 
+  /** P24's fixture seed set (three mid-graph hosts, deliberately NOT the
+    * planted hub — trust must reach the hub through links, not by fiat).
+    */
+  val TrustSeeds: Seq[String] =
+    Seq("site1.example.com", "site8.example.com", "site30.example.com")
+
+  // P24 — domain TrustRank (round 13): P23's seeded twin, the anti-spam
+  // half of the governance pair. Same planted graph, same real
+  // extract → canonicalize → host chain, but the teleport mass pins to
+  // the 3-host seed set, so DuckDB replays d_v = 1/3-or-0 through the
+  // identical three sorted-fold iterations. After 3 rounds trust has
+  // propagated 3 hops from the seeds — hosts outside that radius (and
+  // any cluster unreachable from seeds, the spam shape) hold EXACTLY 0.
+  private val p24 = Relational.Q(
+    "p24_domain_trustrank",
+    (s, d) => {
+      import graft.operators.{TextAnalysis => T}
+      domainTrustRank(Tables.documents(s, d)
+        .select(col("doc_id"), T.fixtureDirtyUrl.as("url"),
+          T.fixtureLinkedHtml.as("html")), TrustSeeds)
+    },
+    Some {
+      val seedSql = TrustSeeds.map(h => s"'$h'").mkString(", ")
+      val dvSql = s"(CASE WHEN host IN ($seedSql) THEN 1.0/3.0 ELSE 0.0 END)"
+      def iterSql(prev: String, out: String) = s"""
+      $out AS (
+        SELECT n.host, 0.15 * $dvSql + 0.85 * COALESCE(c.contrib, 0.0) AS score
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS host,
+            list_reduce(list_prepend(0.0, list_transform(
+              list_sort(list({'s': e.src,
+                'c': (CAST(e.w AS DOUBLE) / CAST(o.outsum AS DOUBLE)) * p.score})),
+              x -> x['c'])), (acc, v) -> acc + v) AS contrib
+          FROM edges e JOIN outs o ON e.src = o.src
+          JOIN $prev p ON p.host = e.src
+          GROUP BY e.dst) c USING (host))"""
+      s"""
+      WITH r AS (SELECT doc_id, unnest(range(3)) AS i FROM documents),
+      lk AS (
+        SELECT doc_id % 50 AS s,
+          CASE i WHEN 0 THEN (doc_id*7+1) % 50
+                 WHEN 1 THEN (doc_id+1) % 50
+                 ELSE 0 END AS t
+        FROM r WHERE i < 2 OR doc_id % 4 = 0),
+      edges AS (
+        SELECT 'site' || s || '.example.com' AS src,
+               'site' || t || '.example.com' AS dst, COUNT(*) AS w
+        FROM lk WHERE s <> t GROUP BY 1, 2),
+      outs AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outsum FROM edges GROUP BY 1),
+      nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+      s0 AS (SELECT host, $dvSql AS score FROM nodes),
+      ${iterSql("s0", "s1")},
+      ${iterSql("s1", "s2")},
+      ${iterSql("s2", "s3")},
+      din AS (SELECT dst AS host, COUNT(*) AS n_in FROM edges GROUP BY 1),
+      dout AS (SELECT src AS host, COUNT(*) AS n_out FROM edges GROUP BY 1)
+      SELECT n.host, n.host IN ($seedSql) AS is_seed,
+        CAST(COALESCE(din.n_in, 0) AS BIGINT) AS n_in_hosts,
+        CAST(COALESCE(dout.n_out, 0) AS BIGINT) AS n_out_hosts,
+        ${r4Sql("s3.score")} AS score
+      FROM nodes n JOIN s3 USING (host)
+      LEFT JOIN din USING (host) LEFT JOIN dout USING (host)
+      ORDER BY n.host"""
+    })
+
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24)
 }

@@ -250,7 +250,9 @@ object PlanAudit {
     "t27_textrank" ->
       "per-dst in-neighbor contributions: DEGREE-bounded — the word graph is vocabulary-proportional, never corpus-proportional (the x14 argument), and the sorted fold IS the float-iterative oracle contract; hub words are the known vocab-scale cost, re-spelled only at the price of bit-exact replay",
     "p23_domain_pagerank" ->
-      "t27's per-dst in-neighbor contributions on the HOST graph: IN-DEGREE-bounded, host-proportional (≪ corpus — one edge row per distinct host pair, never per link); a mega-hub's in-neighbor list is the web-graph's real fan-in and the sorted fold is the price of bit-exact replay (the t27 adjudication verbatim)")
+      "t27's per-dst in-neighbor contributions on the HOST graph: IN-DEGREE-bounded, host-proportional (≪ corpus — one edge row per distinct host pair, never per link); a mega-hub's in-neighbor list is the web-graph's real fan-in and the sorted fold is the price of bit-exact replay (the t27 adjudication verbatim)",
+    "p24_domain_trustrank" ->
+      "p23's rankIterate verbatim (shared code) with seeded teleport mass — the identical IN-DEGREE-bounded host-graph fold")
 
   /** The d17-class guard, mechanized like the hint/window guards: every
     * join whose BOTH inputs carry an ArrayType column AND whose two
@@ -388,7 +390,14 @@ object PlanAudit {
         graft.Tables.documents(s, d).select(
           org.apache.spark.sql.functions.col("doc_id"),
           graft.operators.TextAnalysis.fixtureDirtyUrl.as("url"),
-          graft.operators.TextAnalysis.fixtureLinkedHtml.as("html")))))
+          graft.operators.TextAnalysis.fixtureLinkedHtml.as("html")))),
+      "p24_domain_trustrank" ->
+      ((s, d) => graft.operators.Pipeline.domainTrustRankLazy(
+        graft.Tables.documents(s, d).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          graft.operators.TextAnalysis.fixtureDirtyUrl.as("url"),
+          graft.operators.TextAnalysis.fixtureLinkedHtml.as("html")),
+        graft.operators.Pipeline.TrustSeeds)))
 
   // Queries whose nested-loop join is a CONSTANT-size broadcast by
   // design (never grows with the corpus) — the legitimate BNLJ shape.

@@ -4427,6 +4427,34 @@ class OperatorSpec extends SparkSpec {
     assert(Pipeline.hostGraph(selfy).count() == 0L)
   }
 
+  test("domain TrustRank (p24): spam clusters unreachable from seeds hold EXACTLY zero; seeds floor at 0.15/|seeds|") {
+    import spark.implicits._
+    def page(host: String, outs: String*) =
+      (s"https://$host/", outs.map(o => s"""<a href="https://$o/x">l</a>""").mkString)
+    // a.com (seed) -> b.com; spam x.com <-> y.com densely interlinked but
+    // UNREACHABLE from the seed — PageRank would still pay them teleport
+    // mass, TrustRank must give them exactly 0.0
+    val pages = Seq(
+      page("a.com", "b.com"), page("b.com"),
+      page("x.com", "y.com", "y.com"), page("y.com", "x.com", "x.com"))
+      .toDF("url", "html")
+    val tr = Pipeline.domainTrustRank(pages, seeds = Seq("a.com")).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getDouble(4))).toMap
+    assert(tr("x.com")._2 == 0.0 && tr("y.com")._2 == 0.0,
+      s"unreachable cluster must hold zero trust: $tr")
+    assert(tr("a.com")._1 && !tr("b.com")._1)
+    // a: no in-edges => exactly the seeded damping floor 0.15·(1/1)
+    assert(tr("a.com")._2 == 0.15, s"seed floor: ${tr("a.com")._2}")
+    // b: reachable from the seed => strictly positive
+    assert(tr("b.com")._2 > 0.0)
+    // PageRank on the SAME graph pays the spam cluster uniform teleport
+    // mass — the two signals' gap IS the spam detector
+    val pr = Pipeline.domainPageRank(pages).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(pr("x.com") > 0.15 && pr("y.com") > 0.15,
+      s"PageRank must still score the spam cluster: $pr")
+  }
+
   test("gram sums (s10): hand-computed integer sufficient statistics, exactly") {
     import spark.implicits._
     // b=2 => scale 4; floor quantization: 0.5->2, -0.3->-2 (floor), 1.0->4
