@@ -2968,7 +2968,8 @@ object TextAnalysis {
     * planted graph a high-PageRank hub), and a mailto: on doc_id%5==0
     * (must be dropped). 7 and 50 are coprime so the cross links cover
     * every host; 6·d ≡ 49 (mod 50) has no solution so link 1 is never a
-    * self-link.
+    * self-link. Link 1 carries a VARYING anchor text w(doc_id%11) (t36's
+    * surface); links 2/3 carry the constants "two"/"hub".
     */
   def fixtureLinkedHtml: Column = {
     val k1 = ((col("doc_id") * 7 + 1) % 50).cast("string")
@@ -2979,7 +2980,8 @@ object TextAnalysis {
       lit("<html><head><title>L"), col("doc_id").cast("string"),
       lit("</title></head><body><p>doc "), col("doc_id").cast("string"),
       lit("</p><a href=\"HTTP://Site"), k1, lit(".Example.COM:80/p/"), k1p,
-      lit("?utm_campaign=x&z="), k1z, lit("#s\">one</a>"),
+      lit("?utm_campaign=x&z="), k1z, lit("#s\">w"),
+      (col("doc_id") % 11).cast("string"), lit("</a>"),
       lit("<a href='/about'>rel</a>"),
       lit("<A HREF=\"https://Site"), k2, lit(".Example.com/\">two</A>"),
       when(col("doc_id") % 4 === 0,
@@ -3025,7 +3027,70 @@ object TextAnalysis {
       SELECT doc_id, CAST(i AS BIGINT) AS link_idx, canon_url, host
       FROM l ORDER BY doc_id, link_idx"""))
 
+  /** E36's core: ANCHOR-TEXT EXTRACTION — (target URL, anchor text)
+    * pairs from an html column, in document order. Anchor text is the
+    * web's free labeled data: the linking page DESCRIBES the target
+    * (search engines have indexed on it since Google's first crawl, and
+    * retrieval training sets mine it as query→document supervision —
+    * the DPR-class recipe). Same tag grammar as [[extractLinks]] plus
+    * the inner text up to the closing tag (tag-free inner text — nested
+    * markup inside <a> is out of documented scope like t34's CDATA;
+    * real crawls route through a parser at the decode seam), same
+    * absolute-http(s) filter, same stateless narrow-projection scale
+    * shape (two regexp_extract_all passes zipped — no UDF, no shuffle).
+    */
+  def extractAnchors(html: Column): Column = {
+    val pat = "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>([^<]*)</a>"
+    filter(
+      zip_with(
+        regexp_extract_all(html, lit(pat), lit(1)),
+        regexp_extract_all(html, lit(pat), lit(2)),
+        (u, t) => struct(u.as("url"), t.as("text"))),
+      p => p.getField("url").rlike("(?i)^https?://"))
+  }
+
+  /** E36's roll-up: the per-host ANCHOR-TEXT PROFILE — how the web
+    * describes each domain, the (host, anchor, n) frame a retrieval
+    * pipeline mines for supervision and a governance pipeline reads as
+    * an off-page quality signal. One extract projection + one
+    * (host, anchor)-keyed count aggregate (map-side combinable, output
+    * vocabulary-×-host-proportional — never corpus-proportional).
+    */
+  def anchorTextsByHost(pages: DataFrame): DataFrame =
+    pages
+      .select(explode(extractAnchors(col("html"))).as("a"))
+      .select(hostOf(canonicalizeUrl(col("a.url"))).as("host"),
+        trim(col("a.text")).as("anchor"))
+      .groupBy(col("host"), col("anchor")).agg(count(lit(1)).as("n"))
+      .orderBy(col("host"), col("anchor"))
+
+  // E36 — anchor-text profile. Spark parses the planted HTML with the
+  // real two-group extractor; the oracle recomputes every (host, anchor,
+  // count) triple from doc_id arithmetic — link 1's anchor VARIES with
+  // doc_id (w0..w10 spread across target hosts by the coprime-7 walk),
+  // links 2/3 carry constants, and the dropped relative/mailto anchors
+  // must leave no trace.
+  private val t36 = Relational.Q(
+    "t36_anchor_text",
+    (s, d) => anchorTextsByHost(
+      Tables.documents(s, d).select(fixtureLinkedHtml.as("html"))),
+    Some("""
+      WITH r AS (SELECT doc_id, unnest(range(3)) AS i FROM documents),
+      l AS (
+        SELECT
+          CASE i
+            WHEN 0 THEN 'site' || ((doc_id*7+1)%50) || '.example.com'
+            WHEN 1 THEN 'site' || ((doc_id+1)%50) || '.example.com'
+            ELSE 'site0.example.com' END AS host,
+          CASE i
+            WHEN 0 THEN 'w' || (doc_id % 11)
+            WHEN 1 THEN 'two'
+            ELSE 'hub' END AS anchor
+        FROM r WHERE i < 2 OR doc_id % 4 = 0)
+      SELECT host, anchor, CAST(COUNT(*) AS BIGINT) AS n
+      FROM l GROUP BY host, anchor ORDER BY host, anchor"""))
+
   val all: Seq[Relational.Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36)
 }

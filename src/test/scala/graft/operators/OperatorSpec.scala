@@ -4427,6 +4427,29 @@ class OperatorSpec extends SparkSpec {
     assert(Pipeline.hostGraph(selfy).count() == 0L)
   }
 
+  test("anchor extraction (t36): (url, text) pairs in document order; per-host profile counts") {
+    import spark.implicits._
+    val html =
+      """<a href="https://a.com/1">Alpha One</a>
+        |<a href='/rel'>nope</a>
+        |<A HREF="https://B.com/2" class="z"> beta </A>
+        |<a href="mailto:x@y.z">mail</a>
+        |<a data-k="v" href="https://a.com/3">Alpha Two</a>""".stripMargin
+    val pairs = Seq(Tuple1(html)).toDF("html")
+      .select(explode(TextAnalysis.extractAnchors(col("html"))).as("a"))
+      .select(col("a.url"), col("a.text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq == Seq(
+      ("https://a.com/1", "Alpha One"),
+      ("https://B.com/2", " beta "),
+      ("https://a.com/3", "Alpha Two")), s"got ${pairs.toSeq}")
+    val prof = TextAnalysis.anchorTextsByHost(Seq(Tuple1(html)).toDF("html"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(prof.toSeq == Seq(
+      ("a.com", "Alpha One", 1L), ("a.com", "Alpha Two", 1L),
+      ("b.com", "beta", 1L)), s"got ${prof.toSeq}")
+  }
+
   test("domain TrustRank (p24): spam clusters unreachable from seeds hold EXACTLY zero; seeds floor at 0.15/|seeds|") {
     import spark.implicits._
     def page(host: String, outs: String*) =
