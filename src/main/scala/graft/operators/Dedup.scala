@@ -349,9 +349,25 @@ object Dedup {
     * queries). PlanAudit sweeps audit the lazy spellings via lazyTwin.
     */
   private def materializeAndRelease(pairs: DataFrame, gAgg: DataFrame): DataFrame = {
-    val out = pairs.localCheckpoint(true)
+    // Execution order matters twice here (the r13 mid-round bench
+    // flagged d3 at 1.7x over floor and this is where the 2 s went):
+    // (1) materialize the UNSORTED pairs — a global orderBy under
+    // full-row materialization pays the range partitioner's SAMPLING
+    // pass, which re-executes the whole candidate join (count() elides
+    // sorts, so the pre-advice lazy spelling never paid it); the bounded
+    // result is sorted AFTER, reading the cache. (2) materialize through
+    // persist+count first — Dataset.localCheckpoint plans via .rdd,
+    // which misses AQE's runtime broadcast (measured 2x: sort-merge
+    // where count() got a broadcast probe); checkpointing the CACHED
+    // partitions afterwards is a copy, and both caches release before
+    // returning (the advice's no-leak contract holds: the returned frame
+    // scans GC-reclaimed checkpoint blocks, nothing stays pinned).
+    val cached = pairs.persist()
+    cached.count()
+    val out = cached.localCheckpoint(true)
     gAgg.unpersist()
-    out
+    cached.unpersist()
+    out.orderBy(col("doc_a"), col("doc_b"))
   }
 
   private def ngramJaccardBucketedFrom(docs: DataFrame, gAgg: DataFrame,
@@ -388,7 +404,6 @@ object Dedup {
     cands.withColumn("jaccard_exact", jac)
       .filter(col("jaccard_exact") >= t)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard_exact")).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** The d3 spelling selector's evidence: median gram document-frequency
@@ -551,7 +566,6 @@ object Dedup {
     cands.withColumn("jaccard_exact", jac)
       .filter(col("jaccard_exact") >= t)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard_exact")).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // C4 — SimHash near-dup pairs. The token hash is the md5-derived 56-bit

@@ -1647,6 +1647,55 @@ object Pipeline {
       ORDER BY n.host"""
     })
 
+  /** P25: the GOVERNANCE-ARTIFACT LIFECYCLE — the host edge list is the
+    * expensive thing (ONE corpus scan over raw pages); every rank
+    * (P23/P24, any seed set, any iteration count) is a cheap
+    * host-proportional derivative. So the edge list is what gets
+    * versioned: publish goes through the G16 WAP protocol with a
+    * structural audit (no self-edges, positive integer weights,
+    * non-empty canonical hosts — a corrupt graph quarantines before any
+    * reader sees it), and an arriving crawl batch REFRESHES by merging
+    * its own edge counts into the published version (integer counts sum
+    * associatively, so merged == rebuilt-from-scratch EXACTLY — the
+    * spec pins it) and publishing the next version. Rank recompute from
+    * a published version is [[domainPageRankFromEdges]] /
+    * [[domainTrustRankFromEdges]] — no corpus scan, bit-equal to the
+    * direct operators because the folds see the identical edge rows.
+    */
+  val hostGraphAudit: Publish.Audit = Publish.columnAudit(
+    "no self edges" -> (col("src") === col("dst")),
+    "positive weights" -> (col("w") <= 0L),
+    "src host nonempty" -> (col("src").isNull || col("src") === ""),
+    "dst host nonempty" -> (col("dst").isNull || col("dst") === ""))
+
+  def publishHostGraph(pages: DataFrame, root: String, token: String): Publish.WapResult =
+    Publish.writeAuditPublish(hostGraph(pages), root, hostGraphAudit, token)
+
+  /** Merge a new crawl batch's edges into the published graph and
+    * publish as the next version (expectedBase guards lost-update races
+    * like D11's refresh).
+    */
+  def refreshHostGraph(pages: DataFrame, root: String, token: String): Publish.WapResult = {
+    val spark = pages.sparkSession
+    val base = Publish.currentVersion(spark, root)
+    require(base.nonEmpty, s"refreshHostGraph: no published graph at $root")
+    val merged = Publish.readPublished(spark, root)
+      .unionByName(hostGraph(pages))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    Publish.writeAuditPublish(merged, root, hostGraphAudit, token,
+      expectedBase = base)
+  }
+
+  /** Rank directly from a published (or otherwise materialized) edge
+    * list — the production read path: no corpus scan, no checkpoint.
+    */
+  def domainPageRankFromEdges(edges: DataFrame, iters: Int = 3): DataFrame =
+    domainPageRankFrom(edges, iters)
+
+  def domainTrustRankFromEdges(edges: DataFrame, seeds: Seq[String],
+      iters: Int = 3): DataFrame =
+    trustRankFrom(edges, seeds, iters)
+
   /** P24's fixture seed set (three mid-graph hosts, deliberately NOT the
     * planted hub — trust must reach the hub through links, not by fiat).
     */

@@ -4478,6 +4478,41 @@ class OperatorSpec extends SparkSpec {
       s"PageRank must still score the spam cluster: $pr")
   }
 
+  test("host-graph lifecycle (P25): WAP publish, refresh merges == rebuild exactly, ranks off the artifact bit-equal, corrupt graph quarantines") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-hostgraph").toString
+    def page(host: String, outs: String*) =
+      (s"https://$host/", outs.map(o => s"""<a href="https://$o/x">l</a>""").mkString)
+    val batchA = Seq(page("a.com", "hub.com"), page("b.com", "hub.com", "a.com"))
+    val batchB = Seq(page("c.com", "hub.com"), page("hub.com", "a.com"),
+      page("a.com", "hub.com")) // a.com->hub.com again: weight must MERGE to 2
+    val r1 = Pipeline.publishHostGraph(batchA.toDF("url", "html"), root, "crawl-1")
+    assert(r1.published && r1.version.contains(1L), s"v1 publish failed: $r1")
+    val r2 = Pipeline.refreshHostGraph(batchB.toDF("url", "html"), root, "crawl-2")
+    assert(r2.published && r2.version.contains(2L), s"v2 refresh failed: $r2")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val merged = key(graft.operators.Publish.readPublished(spark, root))
+    val rebuilt = key(Pipeline.hostGraph((batchA ++ batchB).toDF("url", "html")))
+    assert(merged == rebuilt, s"merged=$merged rebuilt=$rebuilt")
+    assert(merged.contains(("a.com", "hub.com", 2L)), "duplicate edge weights must sum")
+    // ranks computed FROM the artifact == the direct operator, bit-equal
+    // (same edge rows -> same sorted folds)
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val fromArtifact = ranks(Pipeline.domainPageRankFromEdges(
+      graft.operators.Publish.readPublished(spark, root)))
+    val direct = ranks(Pipeline.domainPageRank((batchA ++ batchB).toDF("url", "html")))
+    assert(fromArtifact == direct, "artifact ranks must equal direct ranks bit-exactly")
+    // a corrupt graph (self-edge, zero weight) quarantines; readers keep v2
+    val corrupt = Seq(("x.com", "x.com", 1L), ("y.com", "z.com", 0L))
+      .toDF("src", "dst", "w")
+    val rBad = graft.operators.Publish.writeAuditPublish(
+      corrupt, root, Pipeline.hostGraphAudit, "bad-graph")
+    assert(!rBad.published && rBad.violations.nonEmpty, s"corrupt graph published: $rBad")
+    assert(graft.operators.Publish.currentVersion(spark, root).contains(2L))
+  }
+
   test("gram sums (s10): hand-computed integer sufficient statistics, exactly") {
     import spark.implicits._
     // b=2 => scale 4; floor quantization: 0.5->2, -0.3->-2 (floor), 1.0->4
