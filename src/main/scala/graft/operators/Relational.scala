@@ -2787,9 +2787,95 @@ object Relational {
       SELECT user_id, CAST(start AS BIGINT) AS start, dist
       FROM sc ORDER BY dist, user_id, start LIMIT 10"""))
 
+  /** B63's core: POPULATION STABILITY INDEX per group — the standard
+    * production data-drift monitor for TABULAR features (credit-risk
+    * model governance's canonical metric; 0.1/0.2 are the industry
+    * watch/act thresholds): PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) between a
+    * baseline period and a current period, over fixed-width top-coded
+    * value buckets with +1 smoothing, summed over OBSERVED buckets
+    * (present in either period — deterministic in both engines). The
+    * tabular complement to A59's embedding-covariance drift monitor.
+    *
+    * Float discipline: bucket counts and totals are exact integers;
+    * each per-group sum folds over the ≤`bins` bucket terms in SORTED
+    * bucket order (the t21 contract); ln's ulp drift is absorbed by r4
+    * (the t33 precedent). Scale: one (group, bucket) count aggregate
+    * (map-side combinable) + one group-keyed totals join over a
+    * groups×bins-bounded frame — never corpus-proportional past the
+    * first aggregate.
+    */
+  def psiDrift(events: DataFrame, splitTs: String, binWidth: Double = 20.0,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && binWidth > 0, s"bins>=2, binWidth>0; got $bins/$binWidth")
+    val bkt = least(floor(col("value") / binWidth), lit(bins - 1L)).cast("long")
+    val cnts = events
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .select(col("event_type"), bkt.as("bucket"),
+        (col("ts") >= lit(splitTs).cast("timestamp")).as("cur"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("cur"), 1L).otherwise(0L)).as("nb"))
+    val tots = cnts.groupBy(col("event_type"))
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val denomA = col("ta").cast("double") + lit(bins.toDouble)
+    val denomB = col("tb").cast("double") + lit(bins.toDouble)
+    val pa = (col("na").cast("double") + 1.0) / denomA
+    val pb = (col("nb").cast("double") + 1.0) / denomB
+    cnts.join(tots, Seq("event_type"))
+      .withColumn("term", (pa - pb) * log(pa / pb))
+      .groupBy(col("event_type"))
+      .agg(
+        first(col("ta")).as("n_base"), first(col("tb")).as("n_cur"),
+        aggregate(
+          array_sort(collect_list(struct(col("bucket").as("b"), col("term").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("psi_raw"))
+      .select(col("event_type"), col("n_base"), col("n_cur"),
+        r4(col("psi_raw")).as("psi"), (col("psi_raw") > 0.2).as("drifted"))
+      .orderBy(col("event_type"))
+  }
+
+  // B63 — PSI drift between the two calendar halves of the events
+  // month. The real stream is time-homogeneous, so every type's PSI
+  // sits near 0 and `drifted` is all-false — the planted-drift spec
+  // carries the positive case; the oracle replays buckets, smoothing,
+  // and the sorted ln fold exactly.
+  private val q63 = Q(
+    "q63_psi_drift",
+    (s, d) => psiDrift(Tables.events(s, d), splitTs = "2024-01-16"),
+    Some(s"""
+      WITH e AS (
+        SELECT event_type,
+          LEAST(CAST(FLOOR(value / 20.0) AS BIGINT), 9) AS bucket,
+          (ts >= TIMESTAMP '2024-01-16') AS cur
+        FROM events WHERE value IS NOT NULL AND value >= 0),
+      c AS (
+        SELECT event_type, bucket,
+          CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS na,
+          CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM e GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(SUM(na) AS BIGINT) AS ta,
+                   CAST(SUM(nb) AS BIGINT) AS tb
+            FROM c GROUP BY 1),
+      terms AS (
+        SELECT c.event_type, t.ta, t.tb, c.bucket,
+          ((CAST(c.na AS DOUBLE) + 1.0) / (CAST(t.ta AS DOUBLE) + 10.0)
+            - (CAST(c.nb AS DOUBLE) + 1.0) / (CAST(t.tb AS DOUBLE) + 10.0))
+          * ln(((CAST(c.na AS DOUBLE) + 1.0) / (CAST(t.ta AS DOUBLE) + 10.0))
+             / ((CAST(c.nb AS DOUBLE) + 1.0) / (CAST(t.tb AS DOUBLE) + 10.0))) AS term
+        FROM c JOIN t USING (event_type)),
+      psi AS (
+        SELECT event_type, ANY_VALUE(ta) AS n_base, ANY_VALUE(tb) AS n_cur,
+          list_reduce(list_prepend(0.0, list_transform(
+            list_sort(list({'b': bucket, 't': term})), x -> x['t'])),
+            (acc, v) -> acc + v) AS psi_raw
+        FROM terms GROUP BY event_type)
+      SELECT event_type, n_base, n_cur, ${r4Sql("psi_raw")} AS psi,
+        psi_raw > 0.2 AS drifted
+      FROM psi ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 }

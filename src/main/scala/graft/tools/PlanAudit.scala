@@ -252,7 +252,9 @@ object PlanAudit {
     "p23_domain_pagerank" ->
       "t27's per-dst in-neighbor contributions on the HOST graph: IN-DEGREE-bounded, host-proportional (≪ corpus — one edge row per distinct host pair, never per link); a mega-hub's in-neighbor list is the web-graph's real fan-in and the sorted fold is the price of bit-exact replay (the t27 adjudication verbatim)",
     "p24_domain_trustrank" ->
-      "p23's rankIterate verbatim (shared code) with seeded teleport mass — the identical IN-DEGREE-bounded host-graph fold")
+      "p23's rankIterate verbatim (shared code) with seeded teleport mass — the identical IN-DEGREE-bounded host-graph fold",
+    "q63_psi_drift" ->
+      "per-group PSI term fold: BINS-bounded (<= `bins` observed buckets per group, a query PARAMETER — the sorted fold is the cross-engine ln contract)")
 
   /** The d17-class guard, mechanized like the hint/window guards: every
     * join whose BOTH inputs carry an ArrayType column AND whose two

@@ -4478,6 +4478,27 @@ class OperatorSpec extends SparkSpec {
       s"PageRank must still score the spam cluster: $pr")
   }
 
+  test("PSI drift (q63): a planted distribution shift trips the 0.2 threshold; a stable group does not") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val cur = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    // 'shifted': baseline mass in bucket 0 (values ~5), current mass in
+    // bucket 9 (values ~400). 'stable': identical mix in both periods.
+    val rows =
+      (1 to 200).map(i => ("shifted", base, 5.0 + i % 3)) ++
+      (1 to 200).map(i => ("shifted", cur, 400.0 + i % 3)) ++
+      (1 to 200).map(i => ("stable", if (i % 2 == 0) base else cur, (i % 5) * 25.0))
+    val df = rows.toDF("event_type", "ts", "value")
+    val out = Relational.psiDrift(df, splitTs = "2024-01-16").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    val (na, nb, psiS, driftS) = out("shifted")
+    assert(na == 200L && nb == 200L)
+    assert(driftS && psiS > 2.0, s"planted shift must trip hard: psi=$psiS")
+    val (_, _, psiQ, driftQ) = out("stable")
+    assert(!driftQ && psiQ < 0.05, s"stable mix must stay under watch level: psi=$psiQ")
+  }
+
   test("host-graph lifecycle (P25): WAP publish, refresh merges == rebuild exactly, ranks off the artifact bit-equal, corrupt graph quarantines") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-hostgraph").toString
