@@ -95,6 +95,21 @@ def main(extra):
     lines.append("host-factor calibration cannot see. The production answer")
     lines.append("stays s9 (read path, 0.5s floor, zero training rounds).")
     lines.append("")
+    lines.append("d3 (r13 mid-round): the floor (2.66, r04) predates the")
+    lines.append("auto-selection stats pass the spelling gained in r12 and")
+    lines.append("the eager cache-release materialization from the r12")
+    lines.append("advice; two mechanical costs of that change (orderBy's")
+    lines.append("range-sampling re-execution, localCheckpoint's non-AQE")
+    lines.append(".rdd plan losing the broadcast) were measured and fixed")
+    lines.append("r13 (persist+count, checkpoint-from-cache, sort last —")
+    lines.append("4.9s back to ~3.3s clean). The remaining delta vs 2.66 is")
+    lines.append("the stats pass: a feature, not a regression.")
+    lines.append("")
+    lines.append("x3 (r13): the 0.20s floor is a bench_r12_clean artifact —")
+    lines.append("every DRIVER bench in history posted 1.0-1.7s and r13's")
+    lines.append("idle-box solo sits at 0.6-0.9s with unchanged code; treat")
+    lines.append("excursions to ~0.7s as floor-artifact noise, not drift.")
+    lines.append("")
     out = "\n".join(lines) + "\n"
     open(os.path.join(ROOT, "BASELINE.md"), "w").write(out)
     print(f"BASELINE.md: {len(best)} queries, sum of floors {total:.2f}s")
