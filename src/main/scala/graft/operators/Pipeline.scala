@@ -1761,6 +1761,86 @@ object Pipeline {
       ORDER BY n.host"""
     })
 
+  // P26 — RANK-WEIGHTED corpus sampling: the governance loop's consumer
+  // stage — P23's domain ranks become per-document selection weights
+  // (w = round(score·10⁴), the r4 grid re-integerized identically in
+  // both engines) feeding the p17 integer PPS systematic sampler, so
+  // documents from authoritative hosts are drawn proportionally more.
+  // This is the rank→selection composition CCNet-class pipelines run
+  // (p20 is the same shape with the LEARNED quality model as the
+  // weight; this is the LINK-graph prior). Everything is shared code
+  // (domainPageRank + weightedSystematicSample) and the oracle replays
+  // the whole chain — graph, three iterations, host join, weights,
+  // prefix sums, pick boundaries — from doc_id arithmetic.
+  private val p26 = Relational.Q(
+    "p26_rank_weighted_sample",
+    (s, d) => {
+      import graft.operators.{TextAnalysis => T}
+      val docs = Tables.documents(s, d)
+      val pages = docs.select(col("doc_id"), T.fixtureDirtyUrl.as("url"),
+        T.fixtureLinkedHtml.as("html"))
+      val ranks = domainPageRank(pages).select(col("host"), col("score"))
+      val withW = docs
+        .select(col("doc_id"), col("lang"),
+          T.hostOf(T.canonicalizeUrl(T.fixtureDirtyUrl)).as("host"))
+        .join(ranks, Seq("host"))
+        .select(col("doc_id"), col("lang"),
+          round(col("score") * 10000).cast("long").as("w"))
+      weightedSystematicSample(withW, col("w"), k = 100L)
+    },
+    Some {
+      def iterSql(prev: String, out: String) = s"""
+      $out AS (
+        SELECT n.host, 0.15 + 0.85 * COALESCE(c.contrib, 0.0) AS score
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS host,
+            list_reduce(list_prepend(0.0, list_transform(
+              list_sort(list({'s': e.src,
+                'c': (CAST(e.w AS DOUBLE) / CAST(o.outsum AS DOUBLE)) * p.score})),
+              x -> x['c'])), (acc, v) -> acc + v) AS contrib
+          FROM edges e JOIN outs o ON e.src = o.src
+          JOIN $prev p ON p.host = e.src
+          GROUP BY e.dst) c USING (host))"""
+      val h = graft.functions.HashFunctions.md5Hash56Sql("('ws:' || CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH r AS (SELECT doc_id, unnest(range(3)) AS i FROM documents),
+      lk AS (
+        SELECT doc_id % 50 AS s,
+          CASE i WHEN 0 THEN (doc_id*7+1) % 50
+                 WHEN 1 THEN (doc_id+1) % 50
+                 ELSE 0 END AS t
+        FROM r WHERE i < 2 OR doc_id % 4 = 0),
+      edges AS (
+        SELECT 'site' || s || '.example.com' AS src,
+               'site' || t || '.example.com' AS dst, COUNT(*) AS w
+        FROM lk WHERE s <> t GROUP BY 1, 2),
+      outs AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outsum FROM edges GROUP BY 1),
+      nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+      s0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+      ${iterSql("s0", "s1")},
+      ${iterSql("s1", "s2")},
+      ${iterSql("s2", "s3")},
+      hd AS (
+        SELECT d.doc_id, d.lang,
+          CAST(ROUND(${r4Sql("s3.score")} * 10000) AS BIGINT) AS w,
+          $h AS h
+        FROM documents d
+        JOIN s3 ON s3.host = 'site' || (d.doc_id % 50) || '.example.com'
+        WHERE CAST(ROUND(${r4Sql("s3.score")} * 10000) AS BIGINT) > 0),
+      c AS (
+        SELECT doc_id, lang, w,
+          SUM(w) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hd),
+      t AS (SELECT SUM(w) AS wt FROM hd)
+      SELECT doc_id, lang, w, CAST(cum AS BIGINT) AS cum,
+        CAST((cum * 100) // wt - ((cum - w) * 100) // wt AS BIGINT) AS picks
+      FROM c, t
+      WHERE (cum * 100) // wt > ((cum - w) * 100) // wt
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
+    p26)
 }

@@ -80,6 +80,7 @@ object PlanAudit {
     "p15_curriculum_order" -> "stages x buckets-row two-phase offsets frame (parameter-bounded)",
     "p16_dsir_sample" -> "one-row token totals + nBuckets(=256)-row vote/log-ratio frame (parameter-bounded — the x3/x9 class)",
     "p17_weighted_sample" -> "one-row w_total + buckets-row weighted-offsets frame (parameter-bounded — the p14 class)",
+    "p26_rank_weighted_sample" -> "one-row w_total + buckets-row offsets + host-proportional rank frame (the p17/p23 classes)",
     "p20_quality_weighted_sample" -> "one-row w_total + buckets-row offsets + dim(=4096)-row model frame (parameter-bounded — the p17/t15 classes)",
     "p18_d4_diversify" -> "one-row w_total + 2^signBits-row targets + 2^signBits x buckets-row offsets (parameter-bounded — the p12 class)")
 
@@ -121,6 +122,8 @@ object PlanAudit {
     "p17_weighted_sample" ->
       "buckets-row weighted prefix-sum frame (bucket-parameter-bounded, the q48 class)",
     "p20_quality_weighted_sample" ->
+      "buckets-row weighted prefix-sum frame (bucket-parameter-bounded, the p17 class)",
+    "p26_rank_weighted_sample" ->
       "buckets-row weighted prefix-sum frame (bucket-parameter-bounded, the p17 class)")
 
   /** Columns whose cardinality does NOT grow with the data — the keys a
@@ -253,6 +256,8 @@ object PlanAudit {
       "t27's per-dst in-neighbor contributions on the HOST graph: IN-DEGREE-bounded, host-proportional (≪ corpus — one edge row per distinct host pair, never per link); a mega-hub's in-neighbor list is the web-graph's real fan-in and the sorted fold is the price of bit-exact replay (the t27 adjudication verbatim)",
     "p24_domain_trustrank" ->
       "p23's rankIterate verbatim (shared code) with seeded teleport mass — the identical IN-DEGREE-bounded host-graph fold",
+    "p26_rank_weighted_sample" ->
+      "p23's rankIterate fold over the host graph (shared code, IN-DEGREE-bounded — the p23 adjudication verbatim)",
     "q63_psi_drift" ->
       "per-group PSI term fold: BINS-bounded (<= `bins` observed buckets per group, a query PARAMETER — the sorted fold is the cross-engine ln contract)")
 
@@ -393,6 +398,23 @@ object PlanAudit {
           org.apache.spark.sql.functions.col("doc_id"),
           graft.operators.TextAnalysis.fixtureDirtyUrl.as("url"),
           graft.operators.TextAnalysis.fixtureLinkedHtml.as("html")))),
+      "p26_rank_weighted_sample" ->
+      ((s, d) => {
+        import org.apache.spark.sql.functions.{col, round}
+        val T = graft.operators.TextAnalysis
+        val P = graft.operators.Pipeline
+        val docs = graft.Tables.documents(s, d)
+        val ranks = P.domainPageRankLazy(docs.select(col("doc_id"),
+            T.fixtureDirtyUrl.as("url"), T.fixtureLinkedHtml.as("html")))
+          .select(col("host"), col("score"))
+        P.weightedSystematicSample(
+          docs.select(col("doc_id"), col("lang"),
+              T.hostOf(T.canonicalizeUrl(T.fixtureDirtyUrl)).as("host"))
+            .join(ranks, Seq("host"))
+            .select(col("doc_id"), col("lang"),
+              round(col("score") * 10000).cast("long").as("w")),
+          col("w"), k = 100L)
+      }),
       "p24_domain_trustrank" ->
       ((s, d) => graft.operators.Pipeline.domainTrustRankLazy(
         graft.Tables.documents(s, d).select(
@@ -461,6 +483,8 @@ object PlanAudit {
       "p17_weighted_sample" ->
         "crossJoin(broadcast(<one-row w_total frame>)) for the pick boundaries",
       "p20_quality_weighted_sample" ->
+        "crossJoin(broadcast(<one-row w_total frame>)) for the pick boundaries (the p17 shape)",
+      "p26_rank_weighted_sample" ->
         "crossJoin(broadcast(<one-row w_total frame>)) for the pick boundaries (the p17 shape)",
       "p18_d4_diversify" ->
         "crossJoin(broadcast(<one-row w_total frame>)) for the integer targets",
