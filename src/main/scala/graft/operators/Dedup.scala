@@ -363,10 +363,13 @@ object Dedup {
     // returning (the advice's no-leak contract holds: the returned frame
     // scans GC-reclaimed checkpoint blocks, nothing stays pinned).
     val cached = pairs.persist()
-    cached.count()
-    val out = cached.localCheckpoint(true)
-    gAgg.unpersist()
-    cached.unpersist()
+    // try/finally so the no-leak contract holds on the FAILURE path too:
+    // if count()/localCheckpoint throws (OOM, task failure), the pairs
+    // cache and the corpus-sized gram-aggregate persist must still
+    // release instead of staying pinned for the session.
+    val out =
+      try { cached.count(); cached.localCheckpoint(true) }
+      finally { gAgg.unpersist(); cached.unpersist() }
     out.orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -2438,38 +2438,101 @@ object Relational {
     * of this profile, discords are its maxima, and segmentation reads
     * its shape — one artifact, many consumers, which is why production
     * materializes the profile instead of re-running pairwise per
-    * question. Scale shape is q58's verbatim: triangle-partitioned
-    * (user, k1, k2) pairwise with L-double payloads, then ONE
-    * per-(user, start) min(struct) aggregate — each canonical pair
-    * (s1 < s2) feeds BOTH endpoints' profile rows, so the argmin input
-    * is exactly 2·pairs rows, never recomputed. The distance fold is
-    * BIT-IDENTICAL to q58's (ascending zip_with fold), so q59's
-    * per-user minima reproduce q58's motif exactly (spec-pinned).
-    * Windows with no non-overlapping partner drop out (profile
-    * undefined, the literature's convention).
+    * question. Scale shape: the STOMP diagonal decomposition
+    * ([[diagonalPairStats]]) — per-pair cost O(1) instead of an O(L)
+    * fold, integer-exact so the result is BIT-IDENTICAL to the direct
+    * per-pair fold the oracle replays — then ONE per-(user, start)
+    * min(struct) aggregate: each canonical pair (s1 < s2) feeds BOTH
+    * endpoints' profile rows, so the argmin input is exactly 2·pairs
+    * rows, never recomputed. Distances are exact 4-decimal reals (2-
+    * decimal values ⇒ integer squared diffs /10⁴), so q59's per-user
+    * minima reproduce q58's motif exactly (spec-pinned). Windows with
+    * no non-overlapping partner drop out (profile undefined, the
+    * literature's convention).
     */
   def tsMatrixProfile(events: DataFrame, L: Int, stride: Int,
       buckets: Int = 4): DataFrame = {
     require(L >= 1 && stride >= 1 && buckets >= 1)
-    val wins = tsWindows(events, L, stride)
-      .select(col("user_id"), col("start"),
-        transform(col("xs"), x => x.getField("value")).as("vals"))
-    def side(s: String, v: String, g: String, u: String) =
-      Dedup.triangleSide(wins.select(col("user_id").as(u),
-        col("start").as(s), col("vals").as(v)), s, g, buckets)
-    val a = side("s1", "v1", "ga", "user_id")
-    val b = side("s2", "v2", "gb", "user_b")
-      .withColumnRenamed("k1", "bk1").withColumnRenamed("k2", "bk2")
-    val dist = aggregate(
-      zip_with(col("v1"), col("v2"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
-    val pairs = a.join(b,
-        col("user_id") === col("user_b")
-          && col("k1") === col("bk1") && col("k2") === col("bk2")
-          && col("s2") >= col("s1") + L)
-      .filter(Dedup.trianglePairFilter("ga", "gb"))
-      .select(col("user_id"), col("s1"), col("s2"), r4(dist).as("dist"))
+    val st = diagonalPairStats(events, L, stride)
+    // dist = Σ(x_i − y_i)² = (ΣX² + ΣY² − 2·QT)/10⁴ — one exact integer,
+    // one IEEE division: bit-identical to the oracle's direct fold.
+    val pairs = st.select(col("user_id"), col("s1"), col("s2"),
+      r4((col("sq1") + col("sq2") - lit(2L) * col("qt")).cast("double")
+        / lit(10000.0)).as("dist"))
     profileFromPairs(pairs)
+  }
+
+  /** The STOMP diagonal core shared by B59/B60 (Zhu et al., ICDM 2016):
+    * per-pair window statistics WITHOUT a per-pair O(L) fold. Values are
+    * scaled to exact integers X = floor(100·value + 0.5) (the events
+    * column is 2-decimal telemetry; the s10 integer-Gram discipline), so
+    * every sum below is EXACT and therefore order- and ALGORITHM-
+    * independent — Spark computes them incrementally along diagonals
+    * while the DuckDB oracle replays a direct per-pair fold, and the
+    * integers agree bit-for-bit by construction (no pinned fold needed).
+    *
+    * Decomposition: window starts sit on the stride grid (s ≡ 1 mod
+    * stride), so every admissible pair (s1, s2 = s1 + d) lives on a
+    * DIAGONAL d ∈ {stride·⌈L/stride⌉, +stride, …} and
+    *   QT(s1, s1+d) = Σ_{p∈[s1, s1+L)} X[p]·X[p+d]
+    * is an L-window sum over that diagonal's product series. One
+    * running-sum Window frame per (user, diagonal) — Spark's unbounded-
+    * preceding frame is maintained INCREMENTALLY, O(1) per row: exactly
+    * the STOMP recurrence QT(s+σ, s+σ+d) = QT(s, s+d) − dropped +
+    * entered, spelled as cum[p] − cum[p−L] — and the same pass carries
+    * ΣX, ΣX², ΣY, ΣY² for both endpoints, so the per-window mean/std
+    * (B60) also costs no extra scan. Per-pair work drops from O(L) to
+    * O(1); total work O(N²/stride) per user instead of O(N²·L/stride²).
+    *
+    * Scale shape: the diagonal key family (user, d) is the skew spread
+    * — a user's O(N²) pair space partitions into N/stride diagonals of
+    * ≤ N rows each, finer than the triangle buckets it supersedes (the
+    * `buckets` parameter is kept for API compatibility and losslessness
+    * at any value, which the diagonal spelling gives trivially). The
+    * product rows feed ONE fine-grained (user, p) equi-join and ONE
+    * window sort; no array payload ever crosses a shuffle.
+    */
+  private def diagonalPairStats(events: DataFrame, L: Int,
+      stride: Int): DataFrame = {
+    val wPos = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val ser = events.select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("p", row_number().over(wPos).cast("long"))
+      .withColumn("x", floor(col("value") * 100.0 + 0.5).cast("long"))
+      .select(col("user_id"), col("p"), col("x"))
+    // smallest stride multiple >= L: the first admissible diagonal
+    val d0 = ((L + stride - 1) / stride).toLong * stride
+    // LATER endpoint at position p2 pairs with p = p2 - d for every
+    // admissible diagonal; diagonals past N - L emit product rows but
+    // never a complete window (p >= L unreachable), a <L-row tail per
+    // user that vanishes in the filter below.
+    val right = ser.filter(col("p") > d0)
+      .select(col("user_id"), col("p").as("p2"), col("x").as("y"),
+        explode(sequence(lit(d0), col("p") - 1, lit(stride.toLong))).as("d"))
+      .withColumn("p", col("p2") - col("d"))
+    val prods = right.join(ser, Seq("user_id", "p"))
+      .select(col("user_id"), col("d"), col("p"), col("x"), col("y"),
+        (col("x") * col("y")).as("xy"))
+    val run = Window.partitionBy(col("user_id"), col("d")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = Window.partitionBy(col("user_id"), col("d")).orderBy(col("p"))
+    val cum = prods
+      .withColumn("cxy", sum(col("xy")).over(run))
+      .withColumn("cx", sum(col("x")).over(run))
+      .withColumn("cx2", sum(col("x") * col("x")).over(run))
+      .withColumn("cy", sum(col("y")).over(run))
+      .withColumn("cy2", sum(col("y") * col("y")).over(run))
+    def winSum(c: String) =
+      col(c) - coalesce(lag(col(c), L).over(off), lit(0L))
+    // window ENDS at p: s1 = p - L + 1 must sit on the stride grid; the
+    // filter references non-partition columns so it stays ABOVE the
+    // Window operators (lag needs the unfiltered row sequence).
+    cum.withColumn("qt", winSum("cxy"))
+      .withColumn("sx1", winSum("cx")).withColumn("sq1", winSum("cx2"))
+      .withColumn("sx2", winSum("cy")).withColumn("sq2", winSum("cy2"))
+      .filter(col("p") >= L && (col("p") - L) % stride === 0)
+      .select(col("user_id"), (col("p") - L + 1).as("s1"),
+        (col("p") - L + 1 + col("d")).as("s2"),
+        col("qt"), col("sx1"), col("sq1"), col("sx2"), col("sq2"))
   }
 
   /** Both-endpoint argmin: each canonical (s1 < s2) pair contributes a
@@ -2489,61 +2552,55 @@ object Relational {
   }
 
   /** B60's core: the Z-NORMALIZED matrix profile — the canonical
-    * published object — computed STOMP-style (Zhu et al., ICDM 2016):
-    * per-window mean/std materialize ONCE as scalar columns (q57's
-    * measured lesson — an inline std recomputes its whole fold per
-    * element), and the pair distance comes from the MASS dot-product
-    * identity instead of a 3L-term z-fold with two divisions per
-    * element:
+    * published object — computed STOMP-style (Zhu et al., ICDM 2016)
+    * over the diagonal decomposition ([[diagonalPairStats]]): QT and the
+    * per-endpoint ΣX/ΣX² arrive as EXACT integers with O(1) per-pair
+    * cost, and the pair distance comes from the MASS dot-product
+    * identity instead of a 3L-term z-fold:
     *   sum((z1-z2)^2) = 2L - 2·(QT - L·m1·m2)/(s1·s2),  QT = Σ x_i·y_i
     * (biased std, q57's convention, under which Σz² = L exactly). The
-    * per-pair fold is ONE ascending multiply-add — the q53 pinned-fold
-    * discipline — and the scalar tail is a fixed parenthesized tree
-    * replayed verbatim by the oracle, so the r4 key is cross-engine
-    * exact. Degenerate windows (std 0 ⇒ z = 0 vector, q57's
-    * convention): both flat ⇒ 0; one flat ⇒ the live side's Σz² = L.
+    * scalar tail is derived from the integers by a fixed parenthesized
+    * IEEE tree — m = ΣX/(100·L), s = √(L·ΣX² − (ΣX)²)/(100·L) — that
+    * the oracle replays verbatim on the SAME integers, so the r4 key is
+    * cross-engine exact by construction. Degenerate windows (std 0 ⇒
+    * z = 0 vector, q57's convention) are detected EXACTLY: the integer
+    * variance L·ΣX² − (ΣX)² is 0 iff the window is flat — no float
+    * epsilon. Both flat ⇒ 0; one flat ⇒ the live side's Σz² = L.
     */
   def tsZnormMatrixProfile(events: DataFrame, L: Int, stride: Int,
       buckets: Int = 4): DataFrame = {
     require(L >= 1 && stride >= 1 && buckets >= 1)
-    val wins = tsWindows(events, L, stride)
-      .withColumn("vals", transform(col("xs"), x => x.getField("value")))
-      .withColumn("m", aggregate(col("vals"), lit(0.0), (a, x) => a + x) / L)
-      .withColumn("s", sqrt(aggregate(col("vals"), lit(0.0),
-        (a, x) => a + (x - col("m")) * (x - col("m"))) / L))
-      .select(col("user_id"), col("start"), col("vals"), col("m"), col("s"))
-    def side(s: String, v: String, m: String, sd: String, g: String, u: String) =
-      Dedup.triangleSide(wins.select(col("user_id").as(u), col("start").as(s),
-        col("vals").as(v), col("m").as(m), col("s").as(sd)), s, g, buckets)
-    val a = side("s1", "v1", "m1", "sd1", "ga", "user_id")
-    val b = side("s2", "v2", "m2", "sd2", "gb", "user_b")
-      .withColumnRenamed("k1", "bk1").withColumnRenamed("k2", "bk2")
-    val qt = aggregate(
-      zip_with(col("v1"), col("v2"), (x, y) => x * y),
-      lit(0.0), (acc, d) => acc + d)
-    val dist = when(col("sd1") === 0.0 && col("sd2") === 0.0, lit(0.0))
-      .when(col("sd1") === 0.0 || col("sd2") === 0.0, lit(L.toDouble))
+    val st = diagonalPairStats(events, L, stride)
+    val var1 = lit(L.toLong) * col("sq1") - col("sx1") * col("sx1")
+    val var2 = lit(L.toLong) * col("sq2") - col("sx2") * col("sx2")
+    val scale = lit(100.0 * L)
+    val m1 = col("sx1").cast("double") / scale
+    val m2 = col("sx2").cast("double") / scale
+    val sd1 = sqrt(var1.cast("double")) / scale
+    val sd2 = sqrt(var2.cast("double")) / scale
+    val qtD = col("qt").cast("double") / lit(10000.0)
+    val dist = when(var1 === 0L && var2 === 0L, lit(0.0))
+      .when(var1 === 0L || var2 === 0L, lit(L.toDouble))
       .otherwise(lit(2.0 * L) -
-        lit(2.0) * ((qt - lit(L.toDouble) * col("m1") * col("m2")) /
-          (col("sd1") * col("sd2"))))
-    val pairs = a.join(b,
-        col("user_id") === col("user_b")
-          && col("k1") === col("bk1") && col("k2") === col("bk2")
-          && col("s2") >= col("s1") + L)
-      .filter(Dedup.trianglePairFilter("ga", "gb"))
-      .select(col("user_id"), col("s1"), col("s2"), r4(dist).as("dist"))
+        lit(2.0) * ((qtD - lit(L.toDouble) * m1 * m2) / (sd1 * sd2)))
+    val pairs = st.select(col("user_id"), col("s1"), col("s2"),
+      r4(dist).as("dist"))
     profileFromPairs(pairs)
   }
 
   // B59 — raw-distance matrix profile (AAMP). FULL oracle: DuckDB
-  // replays the pairwise fold, mirrors each pair to both endpoints, and
-  // takes the per-window (dist, nn_start) argmin.
+  // replays the pairwise arithmetic DIRECTLY (integer-scaled values, a
+  // plain per-pair fold — no recurrence), mirrors each pair to both
+  // endpoints, and takes the per-window (dist, nn_start) argmin. The
+  // integer sums are algorithm-independent, so the direct replay pins
+  // Spark's diagonal-incremental STOMP path bit-exactly.
   private val q59 = Q(
     "q59_ts_matrix_profile",
     (s, d) => tsMatrixProfile(Tables.events(s, d), L = 8, stride = 4),
     Some(s"""
       WITH u AS (
-        SELECT user_id, list(value ORDER BY event_id) AS vs
+        SELECT user_id, list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+          ORDER BY event_id) AS vs
         FROM events GROUP BY user_id),
       w AS (
         SELECT user_id, s AS start, vs[s : s + 7] AS xs
@@ -2551,9 +2608,9 @@ object Relational {
         WHERE s + 7 <= len(vs)),
       p AS (
         SELECT a.user_id, a.start AS s1, b.start AS s2,
-          ${Num.r4Sql("""list_reduce(
+          ${Num.r4Sql("""CAST(list_reduce(
             [(a.xs[i] - b.xs[i]) * (a.xs[i] - b.xs[i]) FOR i IN range(1, 9)],
-            (x, y) -> x + y)""")} AS dist
+            (x, y) -> x + y) AS DOUBLE) / 10000.0""")} AS dist
         FROM w a JOIN w b
           ON a.user_id = b.user_id AND b.start >= a.start + 8),
       mirrored AS (
@@ -2568,36 +2625,43 @@ object Relational {
       ORDER BY user_id, start"""))
 
   // B60 — z-normalized matrix profile via the STOMP/MASS identity. FULL
-  // oracle: DuckDB replays the same mean/std folds (q57's), the same QT
-  // fold, and the same parenthesized scalar tail.
+  // oracle: DuckDB replays the pairwise QT and the per-window ΣX/ΣX² as
+  // DIRECT integer folds (algorithm-independent — pins Spark's diagonal
+  // recurrence bit-exactly), then the identical parenthesized scalar
+  // tail: m = ΣX/800, s = √(8·ΣX² − ΣX²ᵗᵒᵗ)/800, flatness decided on
+  // the EXACT integer variance.
   private val q60 = Q(
     "q60_ts_matrix_profile_znorm",
     (s, d) => tsZnormMatrixProfile(Tables.events(s, d), L = 8, stride = 4),
     Some(s"""
       WITH u AS (
-        SELECT user_id, list(value ORDER BY event_id) AS vs
+        SELECT user_id, list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+          ORDER BY event_id) AS vs
         FROM events GROUP BY user_id),
       w AS (
         SELECT user_id, s AS start, vs[s : s + 7] AS xs
         FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
         WHERE s + 7 <= len(vs)),
-      wn AS (
-        SELECT user_id, start, xs,
-          list_reduce(xs, (a, b) -> a + b) / 8 AS m
-        FROM w),
       ws AS (
-        SELECT user_id, start, xs, m,
-          sqrt(list_reduce([(x - m) * (x - m) FOR x IN xs],
-            (a, b) -> a + b) / 8) AS s
-        FROM wn),
+        SELECT user_id, start, xs,
+          list_reduce(xs, (a, b) -> a + b) AS sx,
+          list_reduce([x * x FOR x IN xs], (a, b) -> a + b) AS sq
+        FROM w),
       p AS (
         SELECT a.user_id, a.start AS s1, b.start AS s2,
           ${Num.r4Sql("""CASE
-            WHEN a.s = 0 AND b.s = 0 THEN CAST(0 AS DOUBLE)
-            WHEN a.s = 0 OR b.s = 0 THEN CAST(8 AS DOUBLE)
-            ELSE 16.0 - 2.0 * ((list_reduce(
+            WHEN 8 * a.sq - a.sx * a.sx = 0 AND 8 * b.sq - b.sx * b.sx = 0
+              THEN CAST(0 AS DOUBLE)
+            WHEN 8 * a.sq - a.sx * a.sx = 0 OR 8 * b.sq - b.sx * b.sx = 0
+              THEN CAST(8 AS DOUBLE)
+            ELSE 16.0 - 2.0 * ((CAST(list_reduce(
                 [a.xs[i] * b.xs[i] FOR i IN range(1, 9)], (x, y) -> x + y)
-              - 8.0 * a.m * b.m) / (a.s * b.s)) END""")} AS dist
+                  AS DOUBLE) / 10000.0
+              - 8.0 * (CAST(a.sx AS DOUBLE) / 800.0)
+                    * (CAST(b.sx AS DOUBLE) / 800.0))
+              / ((sqrt(CAST(8 * a.sq - a.sx * a.sx AS DOUBLE)) / 800.0)
+               * (sqrt(CAST(8 * b.sq - b.sx * b.sx AS DOUBLE)) / 800.0)))
+            END""")} AS dist
         FROM ws a JOIN ws b
           ON a.user_id = b.user_id AND b.start >= a.start + 8),
       mirrored AS (
@@ -2629,14 +2693,15 @@ object Relational {
       .limit(k)
   }
 
-  // B61 — top-k discords. FULL oracle: q59's replay + ORDER BY dist
-  // DESC LIMIT k.
+  // B61 — top-k discords. FULL oracle: q59's integer replay + ORDER BY
+  // dist DESC LIMIT k.
   private val q61 = Q(
     "q61_ts_discord_topk",
     (s, d) => tsDiscordTopK(Tables.events(s, d), L = 8, stride = 4, k = 10),
     Some(s"""
       WITH u AS (
-        SELECT user_id, list(value ORDER BY event_id) AS vs
+        SELECT user_id, list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+          ORDER BY event_id) AS vs
         FROM events GROUP BY user_id),
       w AS (
         SELECT user_id, s AS start, vs[s : s + 7] AS xs
@@ -2644,9 +2709,9 @@ object Relational {
         WHERE s + 7 <= len(vs)),
       p AS (
         SELECT a.user_id, a.start AS s1, b.start AS s2,
-          ${Num.r4Sql("""list_reduce(
+          ${Num.r4Sql("""CAST(list_reduce(
             [(a.xs[i] - b.xs[i]) * (a.xs[i] - b.xs[i]) FOR i IN range(1, 9)],
-            (x, y) -> x + y)""")} AS dist
+            (x, y) -> x + y) AS DOUBLE) / 10000.0""")} AS dist
         FROM w a JOIN w b
           ON a.user_id = b.user_id AND b.start >= a.start + 8),
       mirrored AS (

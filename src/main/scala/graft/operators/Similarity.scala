@@ -1364,7 +1364,11 @@ object Similarity {
           val apq = a(p)(q)
           if (apq != 0.0) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            // Rutishauser form: sign(0) must be +1, else theta == 0
+            // (equal diagonal entries, e.g. [[a,b],[b,a]]) yields t = 0
+            // — an identity rotation that never reduces a(p)(q).
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val cs = 1.0 / math.sqrt(t * t + 1.0)
             val sn = t * cs
             var k = 0
@@ -1393,6 +1397,8 @@ object Similarity {
         (0 until d).filter(_ != i).map(j => a(i)(j) * a(i)(j)).sum).sum)
       sweep += 1
     }
+    require(off <= tol * math.max(normF, Double.MinPositiveValue) || normF == 0.0,
+      s"jacobiEigen: not converged after $maxSweeps sweeps (off=$off, normF=$normF)")
     val order = (0 until d).sortBy(k => (-a(k)(k), k))
     val eig = order.map(k => a(k)(k)).toArray
     val r = Array.tabulate(d, d)((row, col) => v(row)(order(col)))

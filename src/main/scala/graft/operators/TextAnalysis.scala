@@ -2950,7 +2950,11 @@ object TextAnalysis {
   def extractLinks(html: Column): Column =
     filter(
       regexp_extract_all(html,
-        lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
+        // href must follow a whitespace/quote delimiter, not \b: '-' is
+        // a non-word char, so \bhref would also match inside data-href
+        // (common in real HTML) and feed false edges into hostGraph /
+        // PageRank / frontier counts. data-* attributes are excluded.
+        lit("(?i)<a\\b[^>]*?[\\s\"']href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
       u => u.rlike("(?i)^https?://"))
 
   /** Lowercased registered host of an absolute URL (port/path/query
@@ -2983,6 +2987,11 @@ object TextAnalysis {
       lit("?utm_campaign=x&z="), k1z, lit("#s\">w"),
       (col("doc_id") % 11).cast("string"), lit("</a>"),
       lit("<a href='/about'>rel</a>"),
+      // data-href DECOY: \b-anchored extraction would read this as an
+      // outlink (t35/t36/p23 oracles recompute expected links from
+      // doc_id arithmetic WITHOUT it, so the hash match proves the
+      // delimiter-anchored grammar drops it).
+      lit("<a data-href=\"https://decoy99.example.com/x\">skip</a>"),
       lit("<A HREF=\"https://Site"), k2, lit(".Example.com/\">two</A>"),
       when(col("doc_id") % 4 === 0,
         lit("<a class=\"nav\" href=\"https://site0.example.com/hub?b=2&a=1\">hub</a>"))
@@ -3040,7 +3049,8 @@ object TextAnalysis {
     * shape (two regexp_extract_all passes zipped — no UDF, no shuffle).
     */
   def extractAnchors(html: Column): Column = {
-    val pat = "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>([^<]*)</a>"
+    // Same delimiter-anchored href as extractLinks (data-href excluded).
+    val pat = "(?i)<a\\b[^>]*?[\\s\"']href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>([^<]*)</a>"
     filter(
       zip_with(
         regexp_extract_all(html, lit(pat), lit(1)),
