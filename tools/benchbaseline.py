@@ -21,15 +21,51 @@ import os
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Adjudicated floors (r13 verdict item 2, stamped r14): for these entries
+# the raw min-of-history is a NON-REPEATABLE artifact (a lucky
+# full-bench-warm minimum or a single clean-run fluke), root-caused in
+# the notes section below. The pinned value replaces the historical min
+# so benchcompare grades against a floor the query can actually repost
+# on an idle box; benchcompare attaches the reason to its output.
+PINNED = {
+    "s8": (2.9, "in-query training rounds; r13 idle-box solo asymptote "
+                "2.86s — floor 2.1 was a full-bench-warm fluke"),
+    "s4": (2.1, "in-query training rounds; r13 solo asymptote 2.1s"),
+    "s6": (2.0, "in-query training rounds; r13 solo asymptote 2.0s"),
+    "t17": (2.4, "BPE training rounds; r13 solo asymptote 2.4s"),
+    "d4": (1.2, "every driver bench r11-r13 posted ~1.2s; the 0.8 floor "
+                "was a single bench_r12_clean artifact"),
+    "x3": (0.6, "driver benches post 1.0-1.7s, r13 idle solo 0.6-0.9s; "
+                "the 0.2 floor was a bench_r12_clean artifact"),
+}
+
+
+def decode_queries(qs):
+    # r13+: the driver stamps parsed.queries as a POINTER to the detail
+    # artifact ({"runs": {long_name: [pass1, ...]}}); fold to
+    # best-of-passes under the short (pre-underscore) baseline key.
+    # Accept a JSON-encoded object string too.
+    if isinstance(qs, str):
+        detail = os.path.join(ROOT, qs)
+        if os.path.exists(detail):
+            runs = json.load(open(detail)).get("runs") or {}
+            return {name.split("_")[0]: min(ts) for name, ts in runs.items()
+                    if isinstance(ts, list) and ts} or None
+        try:
+            qs = json.loads(qs)
+        except ValueError:
+            return None
+    return qs if isinstance(qs, dict) else None
+
 
 def load_rounds():
     out = []
     for f in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
         d = json.load(open(f))
-        p = d.get("parsed")
-        if p and p.get("queries"):
+        qs = decode_queries((d.get("parsed") or {}).get("queries"))
+        if qs:
             out.append((os.path.basename(f).replace("BENCH_", "").replace(".json", ""),
-                        p["queries"]))
+                        qs))
     return out
 
 
@@ -37,7 +73,8 @@ def main(extra):
     rounds = load_rounds()
     for f in extra:
         d = json.load(open(f))
-        qs = d.get("queries") or (d.get("parsed") or {}).get("queries")
+        qs = decode_queries(d.get("queries")
+                            or (d.get("parsed") or {}).get("queries"))
         if qs:
             rounds.append((os.path.basename(f), qs))
     best = {}
@@ -50,6 +87,9 @@ def main(extra):
                 continue
             if q not in best or t < best[q][0]:
                 best[q] = (float(t), tag)
+    for q, (v, why) in PINNED.items():
+        if q in best:
+            best[q] = (v, f"pinned: {why}")
     lines = [
         "# BASELINE — frozen per-query bench floor (sf0.1, local[32])",
         "",
@@ -63,7 +103,10 @@ def main(extra):
         "interleaved-pass protocol's own history.",
         "",
         f"Queries: {len(best)}. Sources: " +
-        ", ".join(sorted(set(tag for _, tag in best.values()))) + ".",
+        ", ".join(sorted(set(tag for _, tag in best.values()
+                             if not tag.startswith("pinned:")))) +
+        f"; {sum(1 for _, t in best.values() if t.startswith('pinned:'))}"
+        " adjudicated pins (see source column).",
         "",
         "| query | floor_sec | source |",
         "|---|---|---|",
@@ -76,7 +119,12 @@ def main(extra):
     lines.append(f"Sum of floors: {total:.2f} s (an idealized no-contention "
                  "total — real interleaved-pass totals sit above it).")
     lines.append("")
-    lines.append("## Root-cause notes (r13, verdict item 1)")
+    lines.append("## Root-cause notes (r13 measurements; adjudicated r14)")
+    lines.append("")
+    lines.append("As of r14 the six adjudicated entries (s4/s6/s8/t17/d4/x3)")
+    lines.append("carry PINNED floors in the table above — the measured solo")
+    lines.append("asymptotes / repeatable driver-bench numbers below — so")
+    lines.append("benchcompare grades them mechanically, no manual triage.")
     lines.append("")
     lines.append("The four in-query TRAINING entries (s4/s6/s8 k-means+PQ,")
     lines.append("t17 BPE merges) are round-structured: ~10 sequential")

@@ -18,22 +18,40 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load_floors():
-    floors = {}
+    floors, notes = {}, {}
     path = os.path.join(ROOT, "BASELINE.md")
     for line in open(path):
-        m = re.match(r"\|\s*(\S+)\s*\|\s*([0-9.]+)\s*\|\s*(\S+)\s*\|", line)
+        m = re.match(r"\|\s*(\S+)\s*\|\s*([0-9.]+)\s*\|\s*([^|]+)\|", line)
         if m and m.group(1) != "query":
             floors[m.group(1)] = float(m.group(2))
-    return floors
+            src = m.group(3).strip()
+            if src.startswith("pinned:"):
+                notes[m.group(1)] = src[len("pinned:"):].strip()
+    return floors, notes
 
 
 def main(path):
     d = json.load(open(path))
     qs = d.get("queries") or (d.get("parsed") or {}).get("queries")
+    if isinstance(qs, str):
+        # r13: the driver stamps parsed.queries as a POINTER to the
+        # detail artifact ({"runs": {long_name: [pass1, pass2, ...]}});
+        # grade best-of-passes under the short (pre-underscore) key the
+        # baseline uses. Accept a JSON-encoded object too.
+        detail = os.path.join(ROOT, qs)
+        if os.path.exists(detail):
+            runs = json.load(open(detail)).get("runs") or {}
+            qs = {name.split("_")[0]: min(ts) for name, ts in runs.items()
+                  if isinstance(ts, list) and ts}
+        else:
+            try:
+                qs = json.loads(qs)
+            except ValueError:
+                qs = None
     if not qs:
         print(f"ERROR: no queries in {path} (parsed=null?)")
         return 2
-    floors = load_floors()
+    floors, notes = load_floors()
     # HOST CALIBRATION (r12): floors were posted by the cleanest machine
     # in history; the current box may be uniformly slower (measured
     # 1.6-1.7x in round 12 — t9/t16 solo on an idle box sat at exactly
@@ -66,6 +84,10 @@ def main(path):
     for q, t, f in regressions:
         print(f"REGRESSION {q}: {t:.2f}s vs calibrated floor "
               f"{host * f:.2f}s ({t / (host * f):.1f}x)")
+    # adjudicated floors carry their root cause into every grading run
+    for q in sorted(notes):
+        if q in qs:
+            print(f"note {q}: floor {floors[q]:.2f}s pinned — {notes[q]}")
     for q, t in new:
         print(f"NEW {q}: {t:.2f}s (no floor — stamp after a clean run)")
     if improved:
