@@ -529,7 +529,7 @@ object Similarity {
     * (vec_id)-keyed frame used for seed selection.
     */
   def trainCentroidsKeyed(subVectors: DataFrame, seedFrom: DataFrame,
-      k: Int, iters: Int = 3): DataFrame = {
+      k: Int, iters: Int = 3, metric: String = "cos"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import graft.functions.{HashFunctions => H}
     val seedIds = seedFrom
@@ -543,8 +543,14 @@ object Similarity {
         // a zero subvector has no cosine: coalesce to sentinel -2 so
         // max_by still assigns it (ties break to the SMALLEST centroid
         // id via -centroid_id, the line-250 convention) instead of
-        // emitting a null code that would silently drop the vector
-        .withColumn("ccos", coalesce(CosF(col("embedding"), col("centv")), lit(-2.0)))
+        // emitting a null code that would silently drop the vector.
+        // metric "l2" (the published PQ formulation — Jégou et al. 2011)
+        // scores by NEGATED squared Euclidean distance: magnitude-aware,
+        // which cosine per-subvector is not — essential once an OPQ
+        // rotation concentrates a subspace onto one dominant axis, where
+        // every subvector points along ±axis and cosine collapses the
+        // codebook to two effective directions.
+        .withColumn("ccos", subScore(metric, col("embedding"), col("centv")))
         .groupBy(col("sub"), col("vec_id"))
         .agg(
           max_by(col("centroid_id"),
@@ -674,9 +680,26 @@ object Similarity {
     * can re-encode under the PUBLISHED books and pin the stored codes
     * bit-exactly.
     */
-  def encodePq(subs: DataFrame, books: DataFrame): DataFrame =
+  /** Per-subvector assignment score under `metric`: "cos" = the pack's
+    * spherical convention (NaN/zero pinned to -2), "l2" = negated
+    * squared Euclidean distance (Jégou et al. 2011's PQ objective).
+    * Both feed the same max_by, so tie-breaking is shared.
+    */
+  private def subScore(metric: String, v: Column, centv: Column): Column =
+    metric match {
+      case "cos" => coalesce(CosF(v, centv), lit(-2.0))
+      case "l2" => -aggregate(
+        zip_with(v, centv, (x, y) =>
+          (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, t) => acc + t)
+      case other => throw new IllegalArgumentException(
+        s"unknown PQ metric '$other' (cos | l2)")
+    }
+
+  def encodePq(subs: DataFrame, books: DataFrame,
+      metric: String = "cos"): DataFrame =
     subs.join(broadcast(books), Seq("sub"))
-      .withColumn("scos", coalesce(CosF(col("embedding"), col("centv")), lit(-2.0)))
+      .withColumn("scos", subScore(metric, col("embedding"), col("centv")))
       .groupBy(col("sub"), col("vec_id"))
       .agg(max_by(col("cid"), struct(col("scos"), (-col("cid")).as("tie"))).as("cid"))
       .groupBy(col("vec_id"))
@@ -903,8 +926,34 @@ object Similarity {
     */
   def publishIvfPqIndex(e: DataFrame, root: String, token: String,
       kIvf: Int = 10, ivfIters: Int = 6, m: Int = 8, ds: Int = 8,
-      kc: Int = 16, pqIters: Int = 4): Seq[Publish.WapResult] = {
-    val base = Tables.spread(e.select(col("vec_id"), col("embedding"))).persist()
+      kc: Int = 16, pqIters: Int = 4,
+      rotate: Boolean = false,
+      pqMetric: String = "auto"): Seq[Publish.WapResult] = {
+    // "auto": the OPQ composition trains L2 subquantizers (the Jégou/Ge
+    // objective — magnitude-aware, which allocated one-axis subspaces
+    // require); the unrotated index keeps the pack's spherical
+    // convention. Readers infer the metric from the rotation table's
+    // presence (refreshIvfPqIndex), so an explicit override must only be
+    // used to replicate a build (the rotate-then-score spec pin).
+    val metric = if (pqMetric == "auto") { if (rotate) "l2" else "cos" } else pqMetric
+    val src = e.select(col("vec_id"), col("embedding"))
+    // OPQ composition (Ge et al., CVPR 2013, the parametric solution):
+    // rotate the corpus onto its PCA basis WITH EIGENVALUE ALLOCATION
+    // before product quantization ([[opqRotation]]) — the subquantizers
+    // assume independent, variance-BALANCED subspaces. A pure
+    // ORTHONORMAL rotation (no whitening): inner products, norms and
+    // cosines are preserved, so the exact-refine stage can keep scoring
+    // in the ORIGINAL space. The rotation derives from the integer-exact
+    // Gram pass (s10) + driver Jacobi (D13) — both deterministic, so a
+    // rebuild reproduces it bit-for-bit.
+    val rotation: Option[Array[Array[Double]]] =
+      if (!rotate) None else Some(opqRotation(src, m))
+    val input = rotation match {
+      case Some(r) =>
+        src.select(col("vec_id"), opqPreprocess(col("embedding"), r).as("embedding"))
+      case None => src
+    }
+    val base = Tables.spread(input).persist()
     val cent = trainCentroids(base, kIvf, ivfIters)
     val wL = Window.orderBy(col("centroid_id"))
     // dense list ids by centroid order — a kIvf-row window, parameter-bounded
@@ -917,12 +966,12 @@ object Similarity {
         struct(col("ccos"), (-col("list_id")).as("tie"))).as("list_id"),
         first(col("embedding")).as("embedding"))
     val subs = pqSubVectors(assigned.select(col("vec_id"), col("embedding")), m, ds)
-    val rawBooks = trainCentroidsKeyed(subs, base, kc, pqIters)
+    val rawBooks = trainCentroidsKeyed(subs, base, kc, pqIters, metric)
     val wSub = Window.partitionBy(col("sub")).orderBy(col("centroid_id"))
     val books = rawBooks
       .withColumn("cid", (row_number().over(wSub) - 1).cast("int"))
       .select(col("sub"), col("cid"), col("centv"))
-    val codes = encodePq(subs, books)
+    val codes = encodePq(subs, books, metric)
       .join(assigned.select(col("vec_id"), col("list_id")), Seq("vec_id"))
     val expectedVectors = base.count()
     val listsAudit: Publish.Audit = staged =>
@@ -944,16 +993,125 @@ object Similarity {
           .select(lit("codes_one_row_per_vector").as("expectation"),
             abs(col("n") - lit(expectedVectors)).cast("long").as("violations"),
             (col("n") === lit(expectedVectors)).as("pass")))
-    // stage + audit ALL THREE before moving ANY pointer: the three
-    // tables share one version sequence, so a failed codes audit after
+    // stage + audit ALL members before moving ANY pointer: the tables
+    // share one version sequence, so a failed codes audit after
     // lists/books published would leave the index permanently torn
     // (writeAuditPublish counts versions per table). With the two-phase
-    // protocol a dirty table quarantines while all three pointers still
-    // name the old version.
+    // protocol a dirty table quarantines while all pointers still
+    // name the old version. An OPQ build adds the rotation as a FOURTH
+    // member of the same sequence: d rows of (j, column_j of R), audited
+    // for shape, range and unit column norms before anything publishes.
+    val rotMember = rotation.toSeq.map { r =>
+      val dims = r.length
+      import e.sparkSession.implicits._
+      val rotDf = (0 until dims)
+        .map(j => (j, (0 until dims).map(i => r(i)(j))))
+        .toDF("j", "w")
+      val rotAudit: Publish.Audit = staged =>
+        Publish.columnAudit(
+          "rotation_dim" -> (size(col("w")) =!= dims),
+          "rotation_j_in_range" -> (col("j") < 0 || col("j") >= dims),
+          "rotation_col_unit_norm" ->
+            (abs(aggregate(col("w"), lit(0.0), (a, x) => a + x * x) - 1.0)
+              > 1e-9))(staged)
+          .unionByName(staged.agg(count(lit(1)).as("n"))
+            .select(lit("rotation_one_row_per_dim").as("expectation"),
+              abs(col("n") - lit(dims)).cast("long").as("violations"),
+              (col("n") === lit(dims)).as("pass")))
+      ("rotation", rotDf, rotAudit)
+    }
     stagePublishTriple(e.sparkSession, root, token,
       Seq(("lists", lists, listsAudit), ("books", books, booksAudit),
-        ("codes", codes, codesAudit)))
+        ("codes", codes, codesAudit)) ++ rotMember)
   }
+
+  /** The parametric OPQ rotation (Ge et al., CVPR 2013 §4): the PCA
+    * basis from the integer-exact Gram pass, columns PERMUTED by
+    * eigenvalue allocation — principal directions (descending λ) are
+    * greedily dealt to the m subspaces, each next direction joining the
+    * subspace with the smallest current log-λ sum (capacity d/m), so the
+    * per-subspace variance PRODUCTS balance. Plain PCA ordering is the
+    * known failure here: it concentrates all the variance in the first
+    * subquantizer (which then starves for centroids) while the tail
+    * subquantizers encode noise — allocation is what makes rotation a
+    * strict improvement under the independence assumption. The permuted
+    * basis is still orthonormal (a column permutation of an orthonormal
+    * matrix), so cosines are preserved exactly. Deterministic: Jacobi is
+    * seed-free and ties break on subspace index.
+    */
+  def opqRotation(e: DataFrame, m: Int): Array[Array[Double]] = {
+    val (eig, r) = pcaFromGram(gramMatrix(e))
+    val d = r.length
+    require(d % m == 0, s"dims $d not divisible by m=$m")
+    val ds = d / m
+    val logs = Array.fill(m)(0.0)
+    val counts = Array.fill(m)(0)
+    val buckets = Array.fill(m)(List.empty[Int])
+    (0 until d).foreach { k =>
+      val cand = (0 until m).filter(counts(_) < ds)
+      val tgt = cand.minBy(s => (logs(s), s))
+      logs(tgt) += math.log(math.max(eig(k), 1e-12))
+      counts(tgt) += 1
+      buckets(tgt) ::= k
+    }
+    val perm = buckets.flatMap(_.reverse)
+    Array.tabulate(d, d)((i, jp) => r(i)(perm(jp)))
+  }
+
+  /** The OPQ write-path preprocessing: rotate ([[rotateExpr]]) then
+    * L2-NORMALIZE. On the unit sphere cos(a,b) ≡ 1 − ‖a−b‖²/2, so the
+    * L2 subquantizer objective becomes EXACTLY the cosine retrieval
+    * objective — without normalization the codebooks spend bits coding
+    * magnitude differences the cosine ADC ignores. Normalization is
+    * cosine-invariant, so queries need NO matching step at read time
+    * (CosF is scale-free); only stored vectors pass through this.
+    * Zero vectors stay zero (no NaN enters the artifact).
+    */
+  def opqPreprocess(v: Column, r: Array[Array[Double]]): Column = {
+    val rot = rotateExpr(v, r)
+    val nrm = sqrt(aggregate(rot, lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    when(nrm === 0.0, rot)
+      .otherwise(transform(rot, x => (x.cast("double") / nrm).cast("float")))
+  }
+
+  /** Pure orthonormal rotation of a vector column by a fixed d×d matrix
+    * entering the plan as ONE literal: rotated_j = Σ_i x_i R_ij — the
+    * [[rotateEmbeddings]] projection without the whitening option, used
+    * by the OPQ write AND read paths so query-time rotation replays the
+    * build-time IEEE sequence exactly.
+    */
+  def rotateExpr(v: Column, r: Array[Array[Double]]): Column = {
+    val d = r.length
+    val cols: Seq[Seq[Double]] = (0 until d).map { j =>
+      (0 until d).map(i => r(i)(j))
+    }
+    val rLit = typedLit(cols)
+    transform(sequence(lit(0), lit(d - 1)), j =>
+      aggregate(
+        zip_with(v, element_at(rLit, j + 1), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, t) => acc + t).cast("float"))
+  }
+
+  /** The published OPQ rotation under `root`, if the index carries one:
+    * reconstructs R (R(i)(j) = component i of eigenvector j) from the d
+    * (j, column) rows — parquet doubles round-trip exactly, so the read
+    * matrix IS the build matrix.
+    */
+  private def readRotationOpt(spark: SparkSession,
+      root: String): Option[Array[Array[Double]]] =
+    Publish.currentVersion(spark, s"$root/rotation").map { _ =>
+      val rows = Publish.readPublished(spark, s"$root/rotation").collect()
+      val d = rows.length
+      val r = Array.ofDim[Double](d, d)
+      rows.foreach { row =>
+        val j = row.getInt(0)
+        val w = row.getSeq[Double](1)
+        require(w.length == d, s"rotation row $j has dim ${w.length} != $d")
+        (0 until d).foreach(i => r(i)(j) = w(i))
+      }
+      r
+    }
 
   /** Stage + audit every (name, frame, audit) member under `root`, and
     * only if ALL audits pass swap the pointers in order. Any audit
@@ -1002,7 +1160,17 @@ object Similarity {
     val kIvf = listRows.map(_.getInt(0)).max + 1
     val dims = listRows.head.getSeq[Float](1).length
     val ds = dims / m
-    val base = Tables.spread(newVectors.select(col("vec_id"), col("embedding")))
+    // an OPQ index stores ROTATED-space artifacts: arrivals rotate by
+    // the PUBLISHED matrix before assignment/encoding (same rotateExpr
+    // literal as the build), and the rotation re-stages byte-unchanged
+    // as the fourth member of the shared version sequence
+    val rotation = readRotationOpt(spark, root)
+    val arrivals = rotation match {
+      case Some(r) => newVectors.select(col("vec_id"),
+        opqPreprocess(col("embedding"), r).as("embedding"))
+      case None => newVectors.select(col("vec_id"), col("embedding"))
+    }
+    val base = Tables.spread(arrivals)
     // assignment against the PUBLISHED list centroids (broadcast — kIvf
     // rows, parameter-bounded), the publish-path max_by shape with the
     // shared NaN contract
@@ -1013,9 +1181,10 @@ object Similarity {
       .agg(max_by(col("list_id"),
         struct(col("ccos"), (-col("list_id")).as("tie"))).as("list_id"),
         first(col("embedding")).as("embedding"))
-    // PQ-encode against the PUBLISHED books (deterministic)
+    // PQ-encode against the PUBLISHED books (deterministic) under the
+    // build's metric: an OPQ index (rotation present) was L2-encoded
     val subs = pqSubVectors(assigned.select(col("vec_id"), col("embedding")), m, ds)
-    val newCodes = encodePq(subs, books)
+    val newCodes = encodePq(subs, books, if (rotation.isDefined) "l2" else "cos")
       .join(assigned.select(col("vec_id"), col("list_id")), Seq("vec_id"))
     // ALL arrival validation happens BEFORE any table publishes: the
     // three tables share one version sequence, so a refresh that stages
@@ -1059,7 +1228,9 @@ object Similarity {
     // residual torn-index window, now closed by the two-phase WAP).
     stagePublishTriple(spark, root, token,
       Seq(("lists", lists, passThrough), ("books", books, passThrough),
-        ("codes", unioned, codesAudit)))
+        ("codes", unioned, codesAudit)) ++
+        rotation.map(_ => ("rotation",
+          Publish.readPublished(spark, s"$root/rotation"), passThrough)).toSeq)
   }
 
   /** ADC scoring straight off the published IVF-PQ artifact with ZERO
@@ -1071,10 +1242,15 @@ object Similarity {
     */
   def ivfPqScoreFromIndex(spark: SparkSession, root: String,
       queries: DataFrame, nProbe: Int): DataFrame = {
-    val versions = Seq("lists", "books", "codes")
-      .map(t => Publish.currentVersion(spark, s"$root/$t"))
+    // an OPQ index carries a rotation table in the SAME version
+    // sequence — the torn guard widens to all four members
+    val rotation = readRotationOpt(spark, root)
+    val members = Seq("lists", "books", "codes") ++
+      (if (rotation.isDefined) Seq("rotation") else Nil)
+    val versions = members.map(t => Publish.currentVersion(spark, s"$root/$t"))
     require(versions.head.nonEmpty && versions.distinct.size == 1,
-      s"IVF-PQ index torn: versions=$versions — re-publish all three from one build")
+      s"IVF-PQ index torn: versions=${members.zip(versions)} — " +
+        "re-publish all members from one build")
     val lists = Publish.readPublished(spark, s"$root/lists")
     val booksDf = Publish.readPublished(spark, s"$root/books")
     val codes = Publish.readPublished(spark, s"$root/codes")
@@ -1086,7 +1262,17 @@ object Similarity {
         .map(_.getSeq[Float](2).toSeq).toSeq
     }
     val booksLit = typedlit(arr)
+    // queries are rotated by the PUBLISHED matrix at probe time (same
+    // rotateExpr literal spelling as the build — bit-identical IEEE);
+    // `qv` stays the ORIGINAL vector so the exact-refine stage scores in
+    // the original space (a pure rotation preserves cosine, so the two
+    // spaces rank identically), while `qvp` drives probe selection and
+    // ADC against the rotated-space artifact.
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qvp", rotation match {
+        case Some(r) => rotateExpr(col("qv"), r)
+        case None => col("qv")
+      })
     // probe selection is NARROW: the kIvf list centroids collect into a
     // literal (parameter-bounded, the booksLit precedent) and each query
     // row ranks them in-place — struct sort on (-cos, list_id) matches
@@ -1101,18 +1287,18 @@ object Similarity {
     // ranks a bad list last under both spellings (window desc vs
     // negated-ascending struct sort disagree on raw NaN)
     val probeArr = slice(array_sort(transform(sequence(lit(0), lit(listRows.length - 1)),
-      i => struct((-coalesce(nanvl(CosF(col("qv"), element_at(listsLit, i + 1)), lit(-2.0)),
+      i => struct((-coalesce(nanvl(CosF(col("qvp"), element_at(listsLit, i + 1)), lit(-2.0)),
         lit(-2.0))).as("neg"),
         i.as("list_id")))), 1, nProbe)
     val probes = q
-      .select(col("query_id"), col("qv"), explode(probeArr).as("p"))
-      .select(col("query_id"), col("qv"), col("p.list_id").as("list_id"))
+      .select(col("query_id"), col("qv"), col("qvp"), explode(probeArr).as("p"))
+      .select(col("query_id"), col("qv"), col("qvp"), col("p.list_id").as("list_id"))
     val xhat = flatten(transform(col("codes"),
       (c, s) => element_at(element_at(booksLit, s + 1), c + 1)))
     codes.select(col("vec_id").as("neighbor_id"), col("list_id"), xhat.as("xhat"))
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("acos", CosF(col("qv"), col("xhat")))
+      .withColumn("acos", CosF(col("qvp"), col("xhat")))
   }
 
   /** Query the published IVF-PQ index end to end: probed-list ADC scan
@@ -1187,6 +1373,41 @@ object Similarity {
     (s, d) => recallBounds(bruteTopKPairs(Tables.embeddings(s, d)), s9TopK(s, d), 0.6),
     Some(exactTopKBoundsSql),
     benchFn = Some(s9TopK _))
+
+  // ============ D14 — the OPQ (rotated IVF-PQ) read path (s11) ============
+
+  /** Root of the published OPQ index for `sfDir` — the s9 memo pattern
+    * with `rotate = true`: PCA rotation from the integer-exact Gram pass
+    * published as the fourth WAP table, quantization trained in the
+    * rotated space.
+    */
+  def opqIndexRootFor(spark: SparkSession, sfDir: String): String =
+    publishedIndexRoots.computeIfAbsent("opq:" + sfDir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft-s11-opq").toString
+      val rs = publishIvfPqIndex(Tables.embeddings(spark, sfDir), root,
+        token = "s11", rotate = true)
+      require(rs.size == 4 && rs.forall(_.published),
+        s"s11 OPQ index publish failed: $rs")
+      root
+    })
+
+  // D14 — same read-path plan as s9 (three narrow scans + parameter-
+  // bounded broadcasts + the query-side rotation literal, still zero
+  // non-broadcast exchange on the scoring stage); the recall floor is
+  // s9's — at equal bits OPQ can only redistribute quantization error
+  // more favorably, which the spec pins on a planted anisotropic corpus.
+  private def s11TopK(s: SparkSession, d: String): DataFrame = {
+    val root = opqIndexRootFor(s, d)
+    val e = Tables.embeddings(s, d)
+    ivfPqTopKFromIndex(s, root, e, e.filter(col("vec_id") < NQueries),
+      k = K, refine = 200, nProbe = 4)
+  }
+
+  private val s11 = Relational.Q(
+    "s11_ann_opq_topk",
+    (s, d) => recallBounds(bruteTopKPairs(Tables.embeddings(s, d)), s11TopK(s, d), 0.6),
+    Some(exactTopKBoundsSql),
+    benchFn = Some(s11TopK _))
 
   /** D8's reduction, exposed for the spec: rank neighbors by COSINE of
     * the Bachrach et al. (2014, "Speeding Up the Xbox Recommender...")
@@ -1434,5 +1655,5 @@ object Similarity {
           lit(0.0), (acc, t) => acc + t).cast("float")))
   }
 
-  val all: Seq[Relational.Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10)
+  val all: Seq[Relational.Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11)
 }

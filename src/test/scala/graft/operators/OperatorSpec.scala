@@ -4572,7 +4572,13 @@ class OperatorSpec extends SparkSpec {
     val stds = Array(8.0, 4.0, 2.0, 1.0, 0.5, 0.25)
     val rnd = new scala.util.Random(7)
     // planted rotation: Gram-Schmidt over a fixed random matrix
-    val g = Array.fill(d, d)(rnd.nextGaussian())
+    // MILD mixing on top of axis-aligned descending variances: the raw
+    // subspace variance PRODUCTS stay unbalanced (the SIFT-like case
+    // OPQ's Figure 1 plants — consecutive raw pairs carry wildly
+    // different energy), while the rotation is still a genuine dense
+    // matrix the read path must replay
+    val g = Array.tabulate(d, d)((r, c) =>
+      (if (r == c) 1.0 else 0.0) + 0.15 * rnd.nextGaussian())
     val rPlant = Array.ofDim[Double](d, d)
     for (c <- 0 until d) {
       val v = Array.tabulate(d)(r => g(r)(c))
@@ -4629,5 +4635,177 @@ class OperatorSpec extends SparkSpec {
       val b = r.getSeq[Float](1).map(x => x.toDouble * x).sum
       assert(math.abs(a - b) < 1e-4 * math.max(a, 1e-9), s"norm not preserved: $a vs $b")
     }
+  }
+
+  test("OPQ (D14): rotation is the 4th WAP member; equal-bits recall >= unrotated on an anisotropic corpus; read == rotate-then-score; torn guard covers rotation; refresh carries it") {
+    import spark.implicits._
+    import graft.operators.{Publish, Similarity}
+    // planted anisotropic corpus at PQ shape (d = 16 = m(8) x ds(2)):
+    // variance concentrated along planted directions MIXED across raw
+    // coordinates — exactly the case where PQ-on-raw-coordinates wastes
+    // bits and the PCA rotation recovers them (Ge et al. 2013)
+    val d = 16
+    val n = 1200
+    // smoothly decaying spectrum: with near-axis-aligned structure the
+    // UNROTATED subquantizers see unbalanced variance products (pair 0
+    // carries ~400x pair 7's energy) — the regime where Ge et al.'s
+    // equal-bits eigenvalue-allocation gap lives
+    val stds = Array.tabulate(16)(k => 8.0 * math.pow(0.81, k))
+    val rnd = new scala.util.Random(11)
+    // MILD mixing on top of axis-aligned descending variances: the raw
+    // subspace variance PRODUCTS stay unbalanced (the SIFT-like case
+    // OPQ's Figure 1 plants — consecutive raw pairs carry wildly
+    // different energy), while the rotation is still a genuine dense
+    // matrix the read path must replay
+    val g = Array.tabulate(d, d)((r, c) =>
+      (if (r == c) 1.0 else 0.0) + 0.15 * rnd.nextGaussian())
+    val rPlant = Array.ofDim[Double](d, d)
+    for (c <- 0 until d) {
+      val v = Array.tabulate(d)(r => g(r)(c))
+      for (pc <- 0 until c) {
+        val dot = (0 until d).map(r => v(r) * rPlant(r)(pc)).sum
+        for (r <- 0 until d) v(r) -= dot * rPlant(r)(pc)
+      }
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      for (r <- 0 until d) rPlant(r)(c) = v(r) / norm
+    }
+    val data = (0 until n).map { i =>
+      val z = Array.tabulate(d)(k => stds(k) * rnd.nextGaussian() / 32.0)
+      (i.toLong, (0 until d).map(r => (0 until d).map(k => rPlant(r)(k) * z(k)).sum.toFloat))
+    }
+    val emb = data.toDF("vec_id", "embedding")
+    val rootP = java.nio.file.Files.createTempDirectory("graft-opq-plain").toString
+    val rootR = java.nio.file.Files.createTempDirectory("graft-opq-rot").toString
+    val rp = Similarity.publishIvfPqIndex(emb, rootP, token = "plain",
+      kIvf = 4, m = 8, ds = 2, kc = 8)
+    assert(rp.size == 3 && rp.forall(_.published), s"plain publish failed: $rp")
+    val rr = Similarity.publishIvfPqIndex(emb, rootR, token = "opq",
+      kIvf = 4, m = 8, ds = 2, kc = 8, rotate = true)
+    assert(rr.size == 4 && rr.forall(_.published), s"OPQ publish failed: $rr")
+    // equal-bits recall vs exact brute force, small refine pool so the
+    // ADC ranking (where OPQ acts) is the binding stage
+    val vecs = data.toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val nQ = 30
+    val exact = (0 until nQ).flatMap { q =>
+      data.filter(_._1 != q).map { case (id, v) => (q.toLong, id, cos(vecs(q.toLong), v)) }
+        .sortBy(t => (-t._3, t._2)).take(5).map(t => (t._1, t._2))
+    }.toSet
+    val queries = emb.filter(col("vec_id") < nQ)
+    // the binding comparison: ADC ordering + a PRODUCTION-sized refine
+    // pool (exact re-rank of the ADC top-20). ivfPqTopKFromIndex's
+    // corpus-aware pool floor (0.15n = 180 of 1200) would saturate both
+    // indexes to ~1.0 recall on a corpus this small, hiding the
+    // quantizer — this is where equal-bits rotation must pay (Ge et al.
+    // 2013, Fig. 1's metric), so the spec replays the refine contract
+    // driver-side at pool 20.
+    def adcRanks(root: String): Map[(Long, Long), Int] =
+      Similarity.ivfPqScoreFromIndex(spark, root, queries, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("acos")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+          rows.sortBy(t => (-t._3, t._2)).zipWithIndex
+            .map { case (t, i) => (q, t._2) -> (i + 1) } }.toMap
+    def adcRecallAt(ranks: Map[(Long, Long), Int], cutoff: Int): Double =
+      exact.count(p => ranks.getOrElse(p, Int.MaxValue) <= cutoff).toDouble / exact.size
+    def refinedRecall(ranks: Map[(Long, Long), Int], pool: Int): Double = {
+      val got = ranks.toSeq.filter(_._2 <= pool).map(_._1)
+        .groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+          cands.map { case (_, id) => (id, cos(vecs(q), vecs(id))) }
+            .sortBy(t => (-t._2, t._1)).take(5).map(t => (q, t._1))
+        }.toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val ranksP = adcRanks(rootP)
+    val ranksR = adcRanks(rootR)
+    val adcP = adcRecallAt(ranksP, 20)
+    val adcR = adcRecallAt(ranksR, 20)
+    val recallP = refinedRecall(ranksP, 20)
+    val recallR = refinedRecall(ranksR, 20)
+    info(s"ADC-ordering recall@20: plain=$adcP opq=$adcR")
+    info(s"equal-bits refined recall (pool 20): plain=$recallP opq=$recallR")
+    assert(adcR >= adcP,
+      s"OPQ ADC ordering $adcR worse than unrotated $adcP at equal bits")
+    assert(recallR >= recallP,
+      s"OPQ recall $recallR < unrotated $recallP at equal bits")
+    // read-time rotation == rotate-then-score: a PLAIN index built from
+    // the pre-rotated corpus (same deterministic R — Gram + Jacobi) must
+    // produce the SAME codes and the SAME ADC scores as querying the OPQ
+    // index with raw queries
+    val rRot = Similarity.opqRotation(emb, m = 8)
+    val preRotated = emb.select(col("vec_id"),
+      Similarity.opqPreprocess(col("embedding"), rRot).as("embedding"))
+    val rootM = java.nio.file.Files.createTempDirectory("graft-opq-manual").toString
+    val rm = Similarity.publishIvfPqIndex(preRotated, rootM, token = "manual",
+      kIvf = 4, m = 8, ds = 2, kc = 8, pqMetric = "l2")
+    assert(rm.size == 3 && rm.forall(_.published), s"manual publish failed: $rm")
+    def codesOf(root: String) =
+      Publish.readPublished(spark, s"$root/codes")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](r.fieldIndex("codes")).toSeq,
+          r.getInt(r.fieldIndex("list_id")))).sortBy(_._1).toSeq
+    assert(codesOf(rootR) == codesOf(rootM),
+      "OPQ codes != codes of a plain index built on the pre-rotated corpus")
+    def scoresOf(root: String, qs: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqScoreFromIndex(spark, root, qs, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("acos")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    // queries to the manual index are ROTATE-ONLY (the read path never
+    // normalizes queries — cosine is scale-free — so bit-equality holds
+    // against the same rotateExpr spelling, not against opqPreprocess)
+    val rotatedQueries = emb.filter(col("vec_id") < nQ).select(col("vec_id"),
+      Similarity.rotateExpr(col("embedding"), rRot).as("embedding"))
+    assert(scoresOf(rootR, queries) == scoresOf(rootM, rotatedQueries),
+      "OPQ read-time rotation diverged from rotate-then-score")
+    // torn guard: bumping ONLY the rotation table must fail the read
+    val rotOnly = Publish.readPublished(spark, s"$rootR/rotation")
+    val staged = Publish.stageAudit(rotOnly, s"$rootR/rotation",
+      st => Publish.columnAudit("never" -> lit(false))(st), "tear")
+    staged match {
+      case Right(s) => Publish.publishStaged(spark, s)
+      case Left(q) => fail(s"tear staging failed: $q")
+    }
+    val torn = intercept[IllegalArgumentException] {
+      Similarity.ivfPqScoreFromIndex(spark, rootR, queries, nProbe = 3)
+    }
+    assert(torn.getMessage.contains("torn"), s"wrong error: ${torn.getMessage}")
+    // refresh on an OPQ index: arrivals rotate by the PUBLISHED matrix,
+    // all four members republish at one version, old codes carried
+    val rootF = java.nio.file.Files.createTempDirectory("graft-opq-refresh").toString
+    val held = emb.filter(col("vec_id") % 11 === 5)
+    val initial = emb.filter(col("vec_id") % 11 =!= 5)
+    val f1 = Similarity.publishIvfPqIndex(initial, rootF, token = "f1",
+      kIvf = 4, m = 8, ds = 2, kc = 8, rotate = true)
+    assert(f1.size == 4 && f1.forall(_.published), s"OPQ initial publish failed: $f1")
+    val before = codesOf(rootF).map { case (id, c, l) => id -> ((c, l)) }.toMap
+    val f2 = Similarity.refreshIvfPqIndex(spark, rootF, held, token = "f2")
+    assert(f2.size == 4 && f2.forall(_.published), s"OPQ refresh failed: $f2")
+    val vs = Seq("lists", "books", "codes", "rotation")
+      .map(t => Publish.currentVersion(spark, s"$rootF/$t"))
+    assert(vs.distinct.size == 1 && vs.head.nonEmpty, s"refresh tore versions: $vs")
+    val after = codesOf(rootF)
+    assert(after.size == n, s"refresh row count ${after.size} != $n")
+    before.foreach { case (id, cl) =>
+      val a = after.find(_._1 == id).get
+      assert((a._2, a._3) == cl, s"refresh recoded carried vector $id")
+    }
+    // refreshed arrivals were encoded in the ROTATED space: the
+    // end-to-end read path over the refreshed index holds the band floor
+    val gotF = Similarity.ivfPqTopKFromIndex(spark, rootF, emb, queries,
+      k = 5, refine = 20, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallF = (gotF & exact).size.toDouble / exact.size
+    info(s"OPQ refreshed-index recall: $recallF")
+    assert(recallF >= 0.6, s"refreshed OPQ recall $recallF < 0.6")
   }
 }
