@@ -1936,11 +1936,77 @@ object Dedup {
     * so the full DuckDB oracle is unchanged.
     */
   def semDeDup(emb: DataFrame, signBits: Int = 4, tau: Double = 0.4,
-      triangleB: Int = 8): DataFrame =
-    semDeDupWithClusters(
-      Tables.spread(emb.select(col("vec_id"), col("embedding")))
-        .withColumn("bucket", signBucket(signBits)),
-      tau, triangleB)
+      triangleB: Int = 8, probes: Int = 0): DataFrame =
+    if (probes == 0)
+      semDeDupWithClusters(
+        Tables.spread(emb.select(col("vec_id"), col("embedding")))
+          .withColumn("bucket", signBucket(signBits)),
+        tau, triangleB)
+    else semDeDupMultiProbe(emb, signBits, tau, triangleB, probes)
+
+  /** The `probes` sign buckets a vector ALSO visits, by multi-probe LSH
+    * (Lv et al., VLDB 2007, on d17's sign space with s2's XOR-mask
+    * machinery): candidate masks are every flip of ≤ `maxFlip` sign bits,
+    * ranked by FLIP COST — the summed |margin| of the flipped
+    * coordinates, i.e. how far each coordinate sits from its sign
+    * boundary — and the `probes` cheapest masks XOR the home bucket.
+    * Masks are plan-time literals (≤ C(signBits, maxFlip)+signBits per
+    * row, parameter-bounded), the whole thing one narrow projection.
+    */
+  def probeBucketsExpr(signBits: Int, probes: Int, maxFlip: Int = 2): Column = {
+    require(probes >= 1, s"probes >= 1, got $probes")
+    val masks = (1L until (1L << signBits))
+      .filter(m => java.lang.Long.bitCount(m) <= maxFlip)
+    require(probes <= masks.size,
+      s"probes=$probes exceeds ${masks.size} masks at signBits=$signBits maxFlip=$maxFlip")
+    val ranked = masks.map { m =>
+      val cost = (0 until signBits).filter(j => (m & (1L << j)) != 0)
+        .map(j => abs(element_at(col("embedding"), j + 1).cast("double")))
+        .reduce[Column](_ + _)
+      struct(cost.as("cost"), lit(m).as("mask"))
+    }
+    transform(slice(array_sort(array(ranked: _*)), 1, probes),
+      s => signBucket(signBits).bitwiseXOR(s.getField("mask")))
+  }
+
+  /** d17's opt-in RECALL knob: dominance extends over PROBE-CONNECTED
+    * pairs — (a, b) is considered when either side's home bucket is in
+    * the other's {home} ∪ probes set — so a near-dup pair straddling a
+    * sign boundary on a low-|margin| coordinate (the class probe 0
+    * deliberately spares, spec-pinned) is found at probes ≥ 1. Candidate
+    * growth is bounded by construction: each vector joins under at most
+    * 1 + probes buckets, so pair work grows ≤ (1 + probes)× — never
+    * all-pairs. probes = 0 is BIT-IDENTICAL to the classic operator
+    * (the d17 oracle path is untouched); the larger id of a qualifying
+    * pair drops, the min-id dominance rule unchanged.
+    */
+  def semDeDupMultiProbe(emb: DataFrame, signBits: Int = 4,
+      tau: Double = 0.4, triangleB: Int = 8, probes: Int = 1,
+      maxFlip: Int = 2): DataFrame = {
+    val base = Tables.spread(emb.select(col("vec_id"), col("embedding")))
+      .withColumn("bucket", signBucket(signBits))
+    // visits = home + probe buckets; the join of HOME rows x VISIT rows
+    // covers both orientations of every probe-connected pair (a probing
+    // b's home meets as (b_home, a_visit)), distinct() collapses pairs
+    // that meet in several buckets
+    val visits = base.select(col("vec_id"), col("embedding"),
+      explode(concat(array(col("bucket")),
+        probeBucketsExpr(signBits, probes, maxFlip))).as("bucket"))
+    def side(df: DataFrame, id: String, v: String, g: String) = triangleSide(
+      df.select(col("bucket"), col("vec_id").as(id), col("embedding").as(v)),
+      id, g, triangleB)
+    val dominated = side(base, "id_a", "va", "ga")
+      .join(side(visits, "id_b", "vb", "gb"), Seq("bucket", "k1", "k2"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(trianglePairFilter("ga", "gb"))
+      .filter(CosF(col("va"), col("vb")) >= tau)
+      .select(greatest(col("id_a"), col("id_b")).as("vec_id"))
+      .distinct()
+    base.join(dominated.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("dup"), lit(false)).as("dropped"))
+      .orderBy(col("vec_id"))
+  }
 
   /** The paper's ACTUAL clustering path (Abbas 2023 runs k-means):
     * cluster ids from s4's trained spherical-k-means assignment — a

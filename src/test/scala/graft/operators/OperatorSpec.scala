@@ -2512,6 +2512,27 @@ class OperatorSpec extends SparkSpec {
     val pair = Seq((v(0.001, 1, 1, 1, 5, 5, 5, 5), v(-0.001, 1, 1, 1, 5, 5, 5, 5)))
       .toDF("a", "b").select(CosineSimilarity(col("a"), col("b"))).as[Double].head()
     assert(pair >= 0.4, s"planted cross-bucket pair should sit above tau, cos=$pair")
+    // MULTI-PROBE (the opt-in recall knob): dim 1 is the twins' lowest-
+    // |margin| coordinate (0.001 from the boundary), so probes = 1 flips
+    // exactly that bit and the spared pair is FOUND — the larger id (5)
+    // drops. v3 is also found (cos(v1,v3) = 0.5 >= tau across the same
+    // boundary — another real near-dup probe 0 spared by design).
+    val probed = Dedup.semDeDup(emb, signBits = 4, tau = 0.4, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(probed.filter(_._2).map(_._1).toSet == Set(2L, 3L, 5L, 6L),
+      s"probe=1 must find the cross-boundary near-dups: ${probed.toSeq}")
+    // candidate growth is bounded by construction: each vector visits
+    // exactly 1 + probes buckets (probe work <= (1+probes)x, never
+    // all-pairs), and probes is monotone in recall
+    val visitCount = emb
+      .select(explode(concat(
+        array(Dedup.signBucket(4)),
+        Dedup.probeBucketsExpr(signBits = 4, probes = 3))))
+      .count()
+    assert(visitCount == emb.count() * 4, s"visit rows $visitCount != n*(1+3)")
+    val p0drop = out.filter(_._3).map(_._1).toSet
+    assert(p0drop.subsetOf(probed.filter(_._2).map(_._1).toSet),
+      "probe recall must be monotone: probe=0 drops are a subset")
   }
 
   test("semdedup (d17): nontrivial and deterministic on the real embeddings") {
