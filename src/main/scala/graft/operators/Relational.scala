@@ -1998,8 +1998,24 @@ object Relational {
     * distinct window-id list, and a localCheckpoint per window (the d6
     * lineage discipline).
     */
-  def ewmaByUserWindowed(events: DataFrame, span: Long): DataFrame = {
+  def ewmaByUserWindowed(events: DataFrame, span: Long,
+      maxWindows: Int = 64): DataFrame = {
     require(span > 0, s"window span must be positive, got $span")
+    require(maxWindows >= 2, s"maxWindows >= 2, got $maxWindows")
+    // DRIVER-LOOP CLAMP: the loop below runs one Spark job per window,
+    // so a caller passing a small span over a long id range would turn
+    // a bounded partition-enumeration into a data-proportional driver
+    // loop. The output is BIT-EQUAL for ANY span (windows partition the
+    // event_id axis and the concatenated folds replay the identical
+    // IEEE sequence — the spelling's core invariant), so a pathological
+    // span silently RE-SPANS to the coarsest partition within the cap
+    // instead of failing: span' >= (range)/(maxWindows-1)+1 bounds the
+    // window count by maxWindows.
+    val bounds = events.agg(min(col("event_id")), max(col("event_id"))).head()
+    val effSpan =
+      if (bounds.isNullAt(0)) span
+      else math.max(span,
+        (bounds.getLong(1) - bounds.getLong(0)) / (maxWindows - 1) + 1)
     val foldCont = (s0: Column, xs: Column) =>
       aggregate(xs, s0, (acc, x) => (acc + x.getField("value")) / lit(2.0))
     val foldSeed = (xs: Column) =>
@@ -2009,7 +2025,7 @@ object Relational {
         (acc: Column, x: Column) => (acc + x.getField("value")) / lit(2.0))
     val shards = events
       .select(col("user_id"), col("event_id"), col("value"),
-        floor(col("event_id") / span).cast("long").as("w"))
+        floor(col("event_id") / effSpan).cast("long").as("w"))
       .groupBy(col("user_id"), col("w"))
       .agg(count(lit(1)).as("wn"),
         sort_array(collect_list(struct(col("event_id"), col("value")))).as("xs"))
@@ -2034,8 +2050,8 @@ object Relational {
     // a superseded checkpoint's blocks are dead the moment the next
     // window's state materializes; release them so a long span (many
     // windows) holds at most two user-count-sized states, not all of
-    // them (the r11 advice's leak note — bounded here by ~8 windows,
-    // unbounded for arbitrary span)
+    // them (the r11 advice's leak note — the loop is now <= maxWindows
+    // iterations by the re-span clamp above, for ANY caller span)
     def releaseCheckpoint(df: DataFrame): Unit =
       df.queryExecution.analyzed match {
         case l: org.apache.spark.sql.execution.LogicalRDD =>

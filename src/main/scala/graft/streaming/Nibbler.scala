@@ -76,14 +76,24 @@ final case class NibblerConfig[T](
     processingTimeout: Duration = Duration.Zero,
     resumeAfterErr: Boolean = false,
     onError: (Seq[T], Throwable) => Unit = null,
-    ctxProcessor: (BatchContext, Trigger, Seq[T]) => Unit = null) {
+    ctxProcessor: (BatchContext, Trigger, Seq[T]) => Unit = null,
+    /** Receiver backpressure bound — the reference's `make(chan T,
+      * cfg.Size)` (nibbler.go:184): producers BLOCK once this many
+      * pushed items are un-drained. <= 0 means the reference default,
+      * capacity = size.
+      */
+    receiverCapacity: Int = 0) {
 
-  def sanitized: NibblerConfig[T] = copy(
-    size = if (size <= 0) Nibbler.DefaultSize else size,
-    tickerDuration =
-      if (tickerDuration < 1.milli) Nibbler.DefaultTicker else tickerDuration,
-    processingTimeout =
-      if (processingTimeout < 1.milli) Nibbler.DefaultTimeout else processingTimeout)
+  def sanitized: NibblerConfig[T] = {
+    val sz = if (size <= 0) Nibbler.DefaultSize else size
+    copy(
+      size = sz,
+      tickerDuration =
+        if (tickerDuration < 1.milli) Nibbler.DefaultTicker else tickerDuration,
+      processingTimeout =
+        if (processingTimeout < 1.milli) Nibbler.DefaultTimeout else processingTimeout,
+      receiverCapacity = if (receiverCapacity <= 0) sz else receiverCapacity)
+  }
 
   def validate(): Unit = {
     if (processor == null && ctxProcessor == null)
@@ -141,15 +151,40 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
   private final class Invocation(val task: FutureTask[Unit], val done: java.util.concurrent.CountDownLatch)
   @volatile private var inFlight: Invocation = null
 
+  /** Backpressure permits — the reference's buffered channel capacity
+    * (`make(chan T, cfg.Size)`, nibbler.go:184): a producer blocks once
+    * `receiverCapacity` pushed items are un-drained (not yet received by
+    * the listen loop's foreachBatch); the drain releases them. Closed
+    * exactly once on stop so blocked producers wake and observe the
+    * closed receiver instead of hanging.
+    */
+  private val permits = new java.util.concurrent.Semaphore(cfg.receiverCapacity)
+  private val receiverClosed = new AtomicBoolean(false)
+  private def closeReceiver(): Unit =
+    if (receiverClosed.compareAndSet(false, true))
+      permits.release(Int.MaxValue / 2)
+
   /** Push one item (reference `Receiver()`, nibbler.go:120-122). Throws
     * [[Nibbler.ReceiverClosedException]] once the nibbler has stopped after a
     * non-resumable failure — the analog of "send on closed channel".
     */
   def push(item: T): Unit = pushAll(Seq(item))
 
+  /** Push items, BLOCKING per item once `receiverCapacity` are un-drained
+    * (the reference's channel-send semantics — a fast producer cannot
+    * queue without bound). Items accepted before the block are in the
+    * stream, exactly like a partially-completed sequence of channel sends.
+    */
   def pushAll(items: Seq[T]): Unit = {
     if (stopped.get()) throw new Nibbler.ReceiverClosedException
-    source.addData(items)
+    items.foreach { item =>
+      permits.acquire()
+      if (stopped.get()) {
+        permits.release()
+        throw new Nibbler.ReceiverClosedException
+      }
+      source.addData(item)
+    }
   }
 
   def isActive: Boolean = !stopped.get() && query != null && query.isActive
@@ -172,6 +207,10 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[T], _: Long) =>
         val items = batch.collect()
+        // items have LEFT the channel (the reference's listen loop
+        // received them) — free their capacity before processing, like
+        // a channel receive does
+        if (items.nonEmpty && !receiverClosed.get()) permits.release(items.length)
         lock.synchronized {
           if (!stopped.get()) {
             carry ++= items
@@ -252,6 +291,7 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
           carry.remove(0, n)
         } else {
           stopped.set(true)
+          closeReceiver() // wake blocked producers -> ReceiverClosedException
           carry.clear()
           stopAsync()
         }
@@ -288,6 +328,7 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
       if (!stopped.get() && carry.nonEmpty) flushLocked(Trigger.Ticker, carry.length)
       stopped.set(true)
     }
+    closeReceiver()
     val q = query
     try if (q != null && q.isActive) q.stop() catch { case NonFatal(_) => () }
     if (ticker != null) ticker.shutdown()

@@ -3869,6 +3869,14 @@ class OperatorSpec extends SparkSpec {
     val windowed = graft.operators.Relational.ewmaByUserWindowed(events, span)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(windowed == mono, "windowed fold diverges from the monolithic fold")
+    // PATHOLOGICAL SPAN (the r13 verdict's clamp): span = 1 over the
+    // full id range would be one driver-loop Spark job per event id —
+    // the re-span clamp caps the loop at maxWindows and, because the
+    // output is bit-equal for ANY span, the answer is unchanged
+    val clamped = graft.operators.Relational
+      .ewmaByUserWindowed(events, span = 1L, maxWindows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(clamped == mono, "re-spanned fold diverges from the monolithic fold")
   }
 
   test("windowed EWMA: window gaps and late-starting users fold correctly") {

@@ -246,11 +246,66 @@ class NibblerSpec extends SparkSpec {
     got.filter(_._1 == Trigger.BatchFull).foreach(b => assert(b._2.length == 7))
   }
 
+  test("receiver backpressure: a producer pushing capacity+1 items blocks until the query drains") {
+    import java.util.concurrent.CountDownLatch
+    val batches = new ConcurrentLinkedQueue[Seq[Int]]()
+    // NOT started yet: nothing drains, so the channel semantics are
+    // directly observable — capacity = size = 4 (the reference default,
+    // make(chan T, cfg.Size))
+    val nib = new Nibbler[Int](spark, NibblerConfig[Int](
+      processor = (_, b) => { batches.add(b); () },
+      size = 4,
+      tickerDuration = 10.minutes,
+      processingTimeout = 5.seconds))
+    val accepted = new CountDownLatch(4)
+    val finished = new CountDownLatch(1)
+    val producer = new Thread(() => {
+      (1 to 5).foreach { i => nib.push(i); accepted.countDown() }
+      finished.countDown()
+    }, "producer")
+    producer.start()
+    // the first `capacity` sends complete, the 5th BLOCKS
+    assert(accepted.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "first 4 pushes must be accepted")
+    assert(!finished.await(300, java.util.concurrent.TimeUnit.MILLISECONDS),
+      "5th push must block while nothing drains")
+    // starting the query drains the channel -> the producer unblocks
+    nib.start()
+    assert(finished.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "producer must unblock once the query drains")
+    nib.processAllAvailable()
+    nib.stop()
+    assert(batches.asScala.toVector.flatten == (1 to 5).toVector,
+      "all 5 items processed in order, none lost")
+    // a producer blocked on a FULL channel when the nibbler stops sees
+    // the closed receiver instead of hanging (close wakes senders)
+    val nib2 = new Nibbler[Int](spark, NibblerConfig[Int](
+      processor = (_, _) => (), size = 2, tickerDuration = 10.minutes,
+      processingTimeout = 5.seconds))
+    val threw = new CountDownLatch(1)
+    val blocked = new Thread(() => {
+      try nib2.pushAll(1 to 3)
+      catch { case _: Nibbler.ReceiverClosedException => threw.countDown() }
+    }, "blocked-producer")
+    blocked.start()
+    Thread.sleep(200) // let it fill capacity 2 and block on item 3
+    nib2.stop()
+    assert(threw.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "blocked producer must observe the closed receiver on stop")
+  }
+
   test("config sanitize applies the reference defaults") {
     val cfg = NibblerConfig[String](processor = (_, _) => ()).sanitized
     assert(cfg.size == 100)
     assert(cfg.tickerDuration == 1.minute)
     assert(cfg.processingTimeout == 1.second)
+    // receiver capacity defaults to size — the reference's buffered
+    // channel bound (make(chan T, cfg.Size), nibbler.go:184)
+    assert(cfg.receiverCapacity == 100)
+    assert(NibblerConfig[String](processor = (_, _) => (), size = 7)
+      .sanitized.receiverCapacity == 7)
+    assert(NibblerConfig[String](processor = (_, _) => (), size = 7,
+      receiverCapacity = 500).sanitized.receiverCapacity == 500)
     val explicit = NibblerConfig[String](
       processor = (_, _) => (), size = 10,
       tickerDuration = 1.second, processingTimeout = 1.minute).sanitized
