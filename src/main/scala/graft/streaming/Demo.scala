@@ -895,6 +895,58 @@ object Demo {
         s"updates=${cum.length} alerts=${alerts.mkString(",")} baselineMu=$baselineMu")
     }
 
+    // 22. The FULL ANN index story in one lifecycle (r13 verdict item 9):
+    // OPQ build -> 4-table WAP publish (rotation is the 4th member) ->
+    // incremental refresh (arrivals rotate by the PUBLISHED matrix, old
+    // codes carried bit-exact) -> query with RAW vectors (read-time
+    // rotation) -> recall floor vs exact brute force.
+    {
+      import org.apache.spark.sql.functions._
+      val root = Files.createTempDirectory("graft-demo-opq").toString
+      val e = graft.Tables.embeddings(spark, sfDir)
+      val held = e.filter(col("vec_id") % 5 === 3)
+      val initial = e.filter(col("vec_id") % 5 =!= 3)
+      val built = graft.operators.Similarity.publishIvfPqIndex(
+        initial, root, token = "demo-opq", kIvf = 6, rotate = true)
+      val refreshed =
+        if (built.size == 4 && built.forall(_.published))
+          graft.operators.Similarity.refreshIvfPqIndex(spark, root, held, "demo-opq-v2")
+        else Seq.empty
+      val versions = Seq("lists", "books", "codes", "rotation")
+        .map(t => graft.operators.Publish.currentVersion(spark, s"$root/$t"))
+      val queries = e.filter(col("vec_id") < 5)
+      val got =
+        if (refreshed.size == 4 && refreshed.forall(_.published))
+          graft.operators.Similarity.ivfPqTopKFromIndex(spark, root, e, queries,
+            k = 3, refine = 30, nProbe = 3).collect()
+            .map(r => (r.getLong(0), r.getLong(2))).toSet
+        else Set.empty[(Long, Long)]
+      // exact brute-force top-3 per query, driver-side (corpus is tiny)
+      val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        dot / math.sqrt(na * nb)
+      }
+      val exact = (0L until 5L).flatMap { q =>
+        vecs.toSeq.filter(_._1 != q)
+          .map { case (id, v) => (id, cos(vecs(q), v)) }
+          .sortBy(t => (-t._2, t._1)).take(3).map(t => (q, t._1))
+      }.toSet
+      val recall = if (exact.isEmpty) 0.0 else (got & exact).size.toDouble / exact.size
+      check("opq-index-full-lifecycle",
+        built.size == 4 && built.forall(_.published) &&
+          refreshed.size == 4 && refreshed.forall(_.published) &&
+          versions.forall(_.contains(2L)) && recall >= 0.6,
+        s"builtV=${built.flatMap(_.version).distinct.mkString(",")} " +
+          s"refreshedV=${versions.flatMap(_.toSeq).distinct.mkString(",")} " +
+          f"recall=$recall%.2f")
+    }
+
     results.toList
   }
 }

@@ -2,9 +2,12 @@
 """Mechanical SURVEY.md §2 stamp counts (r12 verdict item 7: hand counts
 drifted twice; stamps must be generated).
 
-Usage: python3 tools/stampcounts.py [SURVEY.md]
+Usage: python3 tools/stampcounts.py [SURVEY.md] [sbt_test_log]
 Prints per-family row/[x]/[~] counts and the totals line to paste into
-the closing stamp.
+the closing stamp. If a saved `sbt test` log is passed, also prints the
+SUITE line parsed from that run's own "Tests: succeeded N" summaries
+(r13 verdict item 8: a stamp's suite count must come from the run it
+cites, never a hand count).
 """
 import re
 import sys
@@ -44,3 +47,15 @@ for fam, c in fams.items():
           + (f", {c['planned']} planned" if c["planned"] else ""))
 print(f"TOTAL: {done}/{total} done, {partial} partial, "
       f"{total - done - partial} planned")
+
+if len(sys.argv) > 2:
+    # suite count from the cited sbt test log: sum every per-suite
+    # "Tests: succeeded N, failed M, ..." line
+    succ = fail = 0
+    for line in open(sys.argv[2], encoding="utf-8", errors="replace"):
+        m = re.search(r"Tests: succeeded (\d+), failed (\d+)", line)
+        if m:
+            succ += int(m.group(1))
+            fail += int(m.group(2))
+    print(f"SUITE (from {sys.argv[2]}): {succ}/{succ + fail} green"
+          + ("" if fail == 0 else f" — {fail} FAILED"))
