@@ -2531,24 +2531,29 @@ object Relational {
     val run = Window.partitionBy(col("user_id"), col("d")).orderBy(col("p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val off = Window.partitionBy(col("user_id"), col("d")).orderBy(col("p"))
-    val cum = prods
-      .withColumn("cxy", sum(col("xy")).over(run))
-      .withColumn("cx", sum(col("x")).over(run))
-      .withColumn("cx2", sum(col("x") * col("x")).over(run))
-      .withColumn("cy", sum(col("y")).over(run))
-      .withColumn("cy2", sum(col("y") * col("y")).over(run))
+    // ONE select per window-frame family: all five running sums share
+    // the (partition, order, frame) triple, so they land in ONE Window
+    // operator (a withColumn chain splits them into one operator per
+    // column — five full passes, measured); the five lags share the
+    // shifted frame and land in a second. Two passes total, one sort.
+    val cum = prods.select(col("user_id"), col("d"), col("p"),
+      sum(col("xy")).over(run).as("cxy"),
+      sum(col("x")).over(run).as("cx"),
+      sum(col("x") * col("x")).over(run).as("cx2"),
+      sum(col("y")).over(run).as("cy"),
+      sum(col("y") * col("y")).over(run).as("cy2"))
     def winSum(c: String) =
-      col(c) - coalesce(lag(col(c), L).over(off), lit(0L))
+      (col(c) - coalesce(lag(col(c), L).over(off), lit(0L))).as(c + "w")
     // window ENDS at p: s1 = p - L + 1 must sit on the stride grid; the
     // filter references non-partition columns so it stays ABOVE the
     // Window operators (lag needs the unfiltered row sequence).
-    cum.withColumn("qt", winSum("cxy"))
-      .withColumn("sx1", winSum("cx")).withColumn("sq1", winSum("cx2"))
-      .withColumn("sx2", winSum("cy")).withColumn("sq2", winSum("cy2"))
+    cum.select(col("user_id"), col("d"), col("p"),
+        winSum("cxy"), winSum("cx"), winSum("cx2"), winSum("cy"), winSum("cy2"))
       .filter(col("p") >= L && (col("p") - L) % stride === 0)
       .select(col("user_id"), (col("p") - L + 1).as("s1"),
         (col("p") - L + 1 + col("d")).as("s2"),
-        col("qt"), col("sx1"), col("sq1"), col("sx2"), col("sq2"))
+        col("cxyw").as("qt"), col("cxw").as("sx1"), col("cx2w").as("sq1"),
+        col("cyw").as("sx2"), col("cy2w").as("sq2"))
   }
 
   /** Both-endpoint argmin: each canonical (s1 < s2) pair contributes a
@@ -2556,10 +2561,16 @@ object Relational {
     * neighbor start (deterministic, cross-engine).
     */
   private def profileFromPairs(pairs: DataFrame): DataFrame = {
-    val both = pairs.select(col("user_id"), col("s1").as("start"),
-        col("s2").as("nn_start"), col("dist"))
-      .unionAll(pairs.select(col("user_id"), col("s2").as("start"),
-        col("s1").as("nn_start"), col("dist")))
+    // mirror via a narrow per-row EXPLODE, not a unionAll of two
+    // projections: the union spelling executes the whole pair pipeline
+    // TWICE (no exchange to reuse between the branches — measured 2x on
+    // the diagonal spelling); the explode reads it once
+    val both = pairs.select(col("user_id"), explode(array(
+        struct(col("s1").as("start"), col("s2").as("nn_start"), col("dist")),
+        struct(col("s2").as("start"), col("s1").as("nn_start"), col("dist"))))
+        .as("e"))
+      .select(col("user_id"), col("e.start").as("start"),
+        col("e.nn_start").as("nn_start"), col("e.dist").as("dist"))
     both.groupBy(col("user_id"), col("start"))
       .agg(min(struct(col("dist"), col("nn_start"))).as("m"))
       .select(col("user_id"), col("start"), col("m.nn_start").as("nn_start"),

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * accidentally quadratic stage — exactly what a 100 TB deployment
   * cannot discover in production.
   *
-  * Usage: runMain graft.tools.ScaleCurve [sfDir] [maxFactor]
+  * Usage: runMain graft.tools.ScaleCurve [sfDir] [maxFactor] [opFilter]
   * Prints one `[scale] <op> <factor> <rows> <sec>` line per point.
+  * `opFilter` (optional) is a comma-separated list of substrings — only
+  * ops whose name contains one of them run (focused re-measurement).
   */
 object ScaleCurve {
 
@@ -33,6 +35,10 @@ object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val maxF = if (args.length > 1) args(1).toInt else 8
+    val opFilter: String => Boolean =
+      if (args.length > 2) { val pats = args(2).split(",":String).toSeq
+        (n: String) => pats.exists(n.contains) }
+      else (_: String) => true
     val spark = graft.GraftSession.local()
     import graft.operators.{Dedup, TextAnalysis}
 
@@ -153,9 +159,53 @@ object ScaleCurve {
       ("s10_gram_scan", maxF, f =>
         Similarity.gramMatrix(scaledEmbeddings(f))))
 
+    // ---- round-14 curves (r13 verdict items 1 + 7) ----
+
+    // L-GROWTH legs for the matrix-profile family: the corpus is FIXED
+    // and the window length grows 8 -> 8f. The r13 spelling paid an
+    // O(L) fold per pair; the round-14 diagonal recurrence pays O(1) —
+    // product rows per user are Σ_d(N−d), L-independent — so this curve
+    // must stay flat-to-DECREASING (longer windows admit fewer pairs).
+    val baseEvents = scaledEvents(1)
+    val ops14: Seq[(String, Int, Int => DataFrame)] = Seq(
+      ("q59_profile_Lgrowth", maxF, f =>
+        Relational.tsMatrixProfile(baseEvents, L = 8 * f, stride = 4)),
+      ("q60_znorm_Wgrowth", maxF, f =>
+        Relational.tsZnormMatrixProfile(scaledEvents(f), L = 8, stride = 4)),
+      ("q60_znorm_Lgrowth", maxF, f =>
+        Relational.tsZnormMatrixProfile(baseEvents, L = 8 * f, stride = 4)),
+      // discords ride q59's artifact + one TakeOrdered — same curve class
+      ("q61_discord_Wgrowth", maxF, f =>
+        Relational.tsDiscordTopK(scaledEvents(f), L = 8, stride = 4, k = 10)),
+      // the horizon bounds candidates per window: ~LINEAR in W, the
+      // streaming-safe contrast to the full profile's W² surface
+      ("q62_leftprof_Wgrowth", maxF, f =>
+        Relational.tsLeftProfile(scaledEvents(f), L = 8, stride = 4,
+          horizon = 40)),
+      // TrustRank = p23's loop with a seed-restricted teleport: same
+      // host-bounded iteration tail, measured under growing hosts
+      ("p24_trust_hostsgrow", maxF, f =>
+        graft.operators.Pipeline.domainTrustRank(linkPages(f),
+          Seq("site0.example.com", "site1.example.com"))),
+      // p26 = PageRank scores -> integer weights -> PPS sample: the
+      // sampler's prefix-sum machinery over a corpus-sized frame
+      ("p26_sample_hostsgrow", maxF, f => {
+        val ranks = graft.operators.Pipeline.domainPageRank(linkPages(f))
+          .select(col("host"), col("score"))
+        val docs = spark.range(5000L * f).select(
+          col("id").as("doc_id"),
+          concat(lit("l"), pmod(col("id"), lit(4))).as("lang"),
+          concat(lit("site"), pmod(col("id"), lit(50L * f)),
+            lit(".example.com")).as("host"))
+        val withW = docs.join(ranks, Seq("host"))
+          .select(col("doc_id"), col("lang"),
+            round(col("score") * 10000).cast("long").as("w"))
+        graft.operators.Pipeline.weightedSystematicSample(withW, col("w"), k = 100L)
+      }))
+
     val factors = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxF).toSeq
     def runPoints(name: String, fmax: Int, mk: Int => DataFrame): Unit =
-      factors.filter(_ <= fmax).foreach { f =>
+      if (opFilter(name)) factors.filter(_ <= fmax).foreach { f =>
         // warm min-of-2: first run pays scan cache/codegen, min absorbs it
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -171,6 +221,7 @@ object ScaleCurve {
     ops.foreach { case (name, mk) => runPoints(name, maxF, mk) }
     ops13.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
     ops13b.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
+    ops14.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
 
     // d3 auto-selection evidence: the 1% cut picks the measured-cheaper
     // spelling in BOTH regimes at every factor
