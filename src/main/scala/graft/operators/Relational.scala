@@ -2965,9 +2965,128 @@ object Relational {
         psi_raw > 0.2 AS drifted
       FROM psi ORDER BY event_type"""))
 
+  /** B64's core: SEMANTIC SEGMENTATION of a series via the CORRECTED
+    * ARC-CROSSING curve (FLUSS — Gharghabi et al., ICDM 2017 "Matrix
+    * Profile VIII"): every window draws an ARC to its nearest neighbor
+    * (q59's nn_start), and a REGIME BOUNDARY is a position few arcs
+    * cross — windows before a regime change find their neighbors before
+    * it, windows after find them after. For each interior window
+    * boundary b (1..n−1 in per-user start order) the curve reports the
+    * raw crossing count and CAC(b) = min(1, cross·n / (2b(n−b))) — the
+    * count normalized by the idealized random-arc parabola — whose
+    * minima are the regime changes (the telemetry consumer on q59's
+    * materialized artifact, as q61's discords are its maxima).
+    *
+    * Scale shape: the profile rides [[diagonalPairStats]] and is
+    * materialized ONCE (the d3 persist→count→checkpoint discipline — it
+    * feeds three frames below); everything after is user-keyed and
+    * narrow: one row_number window, one index equi-join (arc endpoints),
+    * a ±1 difference aggregate and ONE running-sum window — crossing
+    * counts for ALL boundaries in one incremental pass, never an
+    * arcs×boundaries pairwise. Integer counts ⇒ the oracle replays
+    * bit-exactly (the q59 discipline); the single r4 division is the
+    * only float.
+    */
+  def tsFlussCac(events: DataFrame, L: Int, stride: Int): DataFrame = {
+    val prof0 = tsMatrixProfile(events, L, stride)
+      .select(col("user_id"), col("start"), col("nn_start"))
+    val cached = prof0.persist()
+    cached.count()
+    val prof = cached.localCheckpoint(true)
+    cached.unpersist()
+    val wIdx = Window.partitionBy(col("user_id")).orderBy(col("start"))
+    val withI = prof.withColumn("i", (row_number().over(wIdx) - 1).cast("long"))
+    val counts = withI.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val arcs = withI.select(col("user_id"), col("nn_start"), col("i").as("ia"))
+      .join(withI.select(col("user_id"), col("start").as("nn_start"),
+        col("i").as("ib")), Seq("user_id", "nn_start"))
+      .select(col("user_id"), least(col("ia"), col("ib")).as("lo"),
+        greatest(col("ia"), col("ib")).as("hi"))
+    // difference array: an arc opens at lo and closes at hi, so the
+    // running sum of (+1 at lo, −1 at hi) at index i IS the number of
+    // arcs crossing the boundary between windows i and i+1
+    val deltas = arcs.select(col("user_id"), explode(array(
+        struct(col("lo").as("i"), lit(1L).as("d")),
+        struct(col("hi").as("i"), lit(-1L).as("d")))).as("e"))
+      .select(col("user_id"), col("e.i").as("i"), col("e.d").as("d"))
+      .groupBy(col("user_id"), col("i")).agg(sum(col("d")).as("d"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("i"))
+    withI.select(col("user_id"), col("i"))
+      .join(deltas, Seq("user_id", "i"), "left")
+      .withColumn("c", sum(coalesce(col("d"), lit(0L))).over(wRun))
+      .join(counts, Seq("user_id"))
+      .filter(col("i") + 1 < col("n"))
+      .select(col("user_id"), (col("i") + 1).as("boundary"),
+        col("n").as("n_windows"), col("c").as("crossings"),
+        r4(least(lit(1.0), col("c").cast("double") * col("n") /
+          ((lit(2.0) * (col("i") + 1)) * (col("n") - col("i") - 1)))).as("cac"))
+      .orderBy(col("user_id"), col("boundary"))
+  }
+
+  // B64 — FLUSS corrected arc-crossing curve. FULL oracle: DuckDB
+  // replays q59's integer profile (direct folds — algorithm-independent,
+  // the q59 discipline), the same dense indexing, the same ±1 difference
+  // running sum, and the identical CAC scalar tail.
+  private val q64 = Q(
+    "q64_ts_fluss_cac",
+    (s, d) => tsFlussCac(Tables.events(s, d), L = 8, stride = 4),
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+          ORDER BY event_id) AS vs
+        FROM events GROUP BY user_id),
+      w AS (
+        SELECT user_id, s AS start, vs[s : s + 7] AS xs
+        FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
+        WHERE s + 7 <= len(vs)),
+      p AS (
+        SELECT a.user_id, a.start AS s1, b.start AS s2,
+          ${Num.r4Sql("""CAST(list_reduce(
+            [(a.xs[i] - b.xs[i]) * (a.xs[i] - b.xs[i]) FOR i IN range(1, 9)],
+            (x, y) -> x + y) AS DOUBLE) / 10000.0""")} AS dist
+        FROM w a JOIN w b
+          ON a.user_id = b.user_id AND b.start >= a.start + 8),
+      mirrored AS (
+        SELECT user_id, s1 AS start, s2 AS nn_start, dist FROM p
+        UNION ALL
+        SELECT user_id, s2 AS start, s1 AS nn_start, dist FROM p),
+      prof AS (
+        SELECT user_id, start, nn_start
+        FROM mirrored
+        QUALIFY row_number() OVER (PARTITION BY user_id, start
+          ORDER BY dist, nn_start) = 1),
+      idx AS (
+        SELECT user_id, start, nn_start,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY start) - 1 AS i
+        FROM prof),
+      nu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM idx GROUP BY 1),
+      arcs AS (
+        SELECT a.user_id, LEAST(a.i, b.i) AS lo, GREATEST(a.i, b.i) AS hi
+        FROM idx a JOIN idx b
+          ON b.user_id = a.user_id AND b.start = a.nn_start),
+      deltas AS (
+        SELECT user_id, lo AS i, 1 AS d FROM arcs
+        UNION ALL SELECT user_id, hi, -1 FROM arcs),
+      dsum AS (
+        SELECT user_id, i, CAST(SUM(d) AS BIGINT) AS d
+        FROM deltas GROUP BY 1, 2),
+      run AS (
+        SELECT x.user_id, x.i, nu.n,
+          SUM(COALESCE(ds.d, 0)) OVER (PARTITION BY x.user_id
+            ORDER BY x.i) AS c
+        FROM idx x
+        LEFT JOIN dsum ds ON ds.user_id = x.user_id AND ds.i = x.i
+        JOIN nu ON nu.user_id = x.user_id)
+      SELECT user_id, CAST(i + 1 AS BIGINT) AS boundary,
+        n AS n_windows, CAST(c AS BIGINT) AS crossings,
+        ${Num.r4Sql("""LEAST(1.0, (CAST(c AS DOUBLE) * n)
+          / ((2.0 * (i + 1)) * (n - i - 1)))""")} AS cac
+      FROM run WHERE i + 1 < n
+      ORDER BY user_id, boundary"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }

@@ -55,6 +55,7 @@ object PlanAudit {
     "s6_ann_pq_topk" -> "m x k-row PQ codebook frames + parameter-bounded query set",
     "s8_ann_ivfpq_topk" -> "kIvf-row centroid frame, m x kc-row codebooks, query x nProbe probe frame (all parameter-bounded — the s4/s6 classes)",
     "s9_ann_ivfpq_index_read" -> "query x nProbe probe frame (parameter-bounded; lists/books collapse to literals — the s8 read-path classes)",
+    "s11_ann_opq_topk" -> "query x nProbe probe frame (parameter-bounded; lists/books/rotation collapse to literals — s9's read-path classes with the rotation literal on the query side)",
     "t7_winnowing_fingerprints" -> "one-row nDocs aggregate",
     "t9_tfidf" -> "one-row nDocs aggregate",
     "t11_surprisal" -> "one-row total-tokens aggregate",
@@ -334,6 +335,8 @@ object PlanAudit {
       "ADC scan joins the broadcast query x nProbe probe frame on list_id; refine fetch is id-equi on rank-bounded survivors (the s6 class)",
     "s9_ann_ivfpq_index_read" ->
       "published-codes ADC scan joins the broadcast query x nProbe probe frame on list_id; refine fetch is id-equi on rank-bounded survivors (s8's read-path shape over the WAP artifact); the recall frame adds the s1-class brute-force gate leg",
+    "s11_ann_opq_topk" ->
+      "s9's read-path shape verbatim over the 4-table OPQ artifact (the rotation enters as a query-side literal, adding no join); the recall frame adds the s1-class brute-force gate leg",
     "s7_mips_topk" ->
       "corpus scanned once against the broadcast parameter-bounded query-vector set (the s1 class)",
     "t25_hybrid_rrf" ->
@@ -438,6 +441,8 @@ object PlanAudit {
         "the recall frame's one-row exact-count x one-row hits cross (the x4 gate-leg shape)",
       "s9_ann_ivfpq_index_read" ->
         "the recall frame's s1-class brute-force gate leg (broadcast fixed-size query set) + its one-row recall cross",
+      "s11_ann_opq_topk" ->
+        "the recall frame's s1-class brute-force gate leg (broadcast fixed-size query set) + its one-row recall cross (s9's adjudication verbatim)",
       "s4_ann_ivf_topk" ->
         "corpus x broadcast constant-size centroid sample (IVF assignment/probing)",
       "s5_ann_quantized_topk" ->

@@ -3755,6 +3755,34 @@ class OperatorSpec extends SparkSpec {
     assert(checked > 50, s"identity cross-check exercised only $checked pairs")
   }
 
+  test("FLUSS segmentation (q64): the planted regime boundary is the CAC argmin; intra-regime arcs never cross it") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // user 1: pattern p1 repeated 10x (40 events) then a value-disjoint
+    // p2 repeated 10x — stride(4) == pattern length, so every window
+    // inside a regime is an exact copy of its regime-mates: all arcs
+    // stay inside their regime (at most the one straddling window's arc
+    // can cross) and the CAC curve dips to its global minimum at the
+    // regime boundary (windows 0..8 are pure p1, index 9 straddles,
+    // 10..18 are pure p2 -> boundary ~10)
+    val p1 = Seq(1.0, 5.0, 2.0, 7.0)
+    val p2 = Seq(9.0, 3.0, 8.0, 4.0)
+    val vals = Seq.fill(10)(p1).flatten ++ Seq.fill(10)(p2).flatten
+    val rows = vals.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+    val out = Relational.tsFlussCac(
+        rows.toDF("user_id", "event_id", "value"), L = 8, stride = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(out.map(_._1).toSeq == (1L to 18L), s"boundaries 1..n-1: ${out.toSeq}")
+    val minB = out.minBy(t => (t._3, t._1))._1
+    assert(math.abs(minB - 10) <= 2,
+      s"CAC argmin at $minB, expected ~10 (the regime flip): ${out.toSeq}")
+    assert(out.minBy(_._3)._3 <= 0.2,
+      s"regime-boundary CAC must dip: ${out.toSeq}")
+    // crossings at the regime boundary: at most the straddler's one arc
+    val atBoundary = out.find(_._1 == 10L).get
+    assert(atBoundary._2 <= 1, s"arcs crossing the regime boundary: $atBoundary")
+  }
+
   test("vector_sum_count: equals the posexplode mean spelling, skips nulls, rejects ragged input") {
     import spark.implicits._
     import graft.functions.VectorSumCount
