@@ -2109,7 +2109,17 @@ object Dedup {
     * corpus (the d17 scale note).
     */
   def semDeDupProbe(arrivals: DataFrame, corpus: DataFrame,
-      signBits: Int = 4, tau: Double = 0.4, saltB: Int = 8): DataFrame = {
+      signBits: Int = 4, tau: Double = 0.4, saltB: Int = 8,
+      probes: Int = 0): DataFrame = {
+    // `probes` (round 14, the C25 knob on the INCREMENTAL path): each
+    // arrival ALSO probes its `probes` cheapest flipped-sign buckets
+    // (probeBucketsExpr — lowest-|margin| coordinates first), so a
+    // near-dup sitting across a sign boundary is caught at ingest.
+    // Still a narrow arrival-side explode ((1+probes)·saltB rows per
+    // arrival, parameter-bounded) over the SAME stream-static equi-join,
+    // so the A39 streaming attach is unchanged; a corpus vector has ONE
+    // home bucket, so probing distinct buckets cannot duplicate a pair.
+    // probes = 0 keeps the bit-identical classic path (d18's oracle).
     // the bipartite twin of semDeDup's triangle fix: the corpus side is
     // SALTED by id mod saltB and each arrival probes all saltB
     // sub-buckets, so a bucket's |arrivals| x |corpus_bucket| cosine
@@ -2121,8 +2131,12 @@ object Dedup {
     val c = corpus.select(col("vec_id").as("dup_of"), col("embedding").as("vb"),
         signBucket(signBits).as("bucket"),
         pmod(col("vec_id"), lit(saltB)).as("salt"))
-    val a = arrivals.select(col("vec_id"), col("embedding").as("va"),
-        signBucket(signBits).as("bucket"),
+    val bucketCol =
+      if (probes == 0) signBucket(signBits).as("bucket")
+      else explode(concat(array(signBucket(signBits)),
+        probeBucketsExpr(signBits, probes))).as("bucket")
+    val a = arrivals.select(col("vec_id"), col("embedding").as("va"), bucketCol)
+      .select(col("vec_id"), col("va"), col("bucket"),
         explode(array((0 until saltB).map(j => lit(j).cast("long")): _*)).as("salt"))
     a.join(c, Seq("bucket", "salt"))
       .withColumn("cos", CosF(col("va"), col("vb")))

@@ -1240,8 +1240,18 @@ object Similarity {
     * equi-join on list_id, reconstruction is a narrow map — nothing
     * corpus-proportional is re-shuffled before the rank reduction.
     */
-  def ivfPqScoreFromIndex(spark: SparkSession, root: String,
-      queries: DataFrame, nProbe: Int): DataFrame = {
+  /** The published index's parameter-bounded pieces, read once under the
+    * torn-version guard and collapsed into plan literals: the dense
+    * [sub][cid] codebook, the list-centroid array, the optional OPQ
+    * rotation, and the (corpus-sized) codes frame — everything both the
+    * batch and the STREAMING score paths share.
+    */
+  private final case class IvfPqIndexLits(codes: DataFrame,
+      booksLit: Column, listsLit: Column, nLists: Int,
+      rotation: Option[Array[Array[Double]]])
+
+  private def readIvfPqIndexLits(spark: SparkSession,
+      root: String): IvfPqIndexLits = {
     // an OPQ index carries a rotation table in the SAME version
     // sequence — the torn guard widens to all four members
     val rotation = readRotationOpt(spark, root)
@@ -1261,44 +1271,78 @@ object Similarity {
       rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
         .map(_.getSeq[Float](2).toSeq).toSeq
     }
-    val booksLit = typedlit(arr)
-    // queries are rotated by the PUBLISHED matrix at probe time (same
-    // rotateExpr literal spelling as the build — bit-identical IEEE);
-    // `qv` stays the ORIGINAL vector so the exact-refine stage scores in
-    // the original space (a pure rotation preserves cosine, so the two
-    // spaces rank identically), while `qvp` drives probe selection and
-    // ADC against the rotated-space artifact.
+    val listRows = lists.select(col("list_id"), col("centv")).collect()
+    require(listRows.nonEmpty, "empty lists artifact")
+    val listsLit = typedlit(listRows.sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toSeq).toSeq)
+    IvfPqIndexLits(codes, typedlit(arr), listsLit, listRows.length, rotation)
+  }
+
+  /** The (query_id, qv, qvp, list_id) probe frame: queries rotated by the
+    * PUBLISHED matrix at probe time (same rotateExpr literal spelling as
+    * the build — bit-identical IEEE); `qv` stays the ORIGINAL vector so
+    * the exact-refine stage scores in the original space (a pure rotation
+    * preserves cosine), while `qvp` drives probe selection and ADC
+    * against the rotated-space artifact. Probe selection is NARROW: each
+    * query row ranks the list-centroid literal in-place — struct sort on
+    * (-cos, list_id), with the NaN contract shared with ivfPqTopK's
+    * probe window (cosine pinned to -2.0 on NaN/null BEFORE negation).
+    */
+  private def ivfPqProbeFrame(lits: IvfPqIndexLits, queries: DataFrame,
+      nProbe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .withColumn("qvp", rotation match {
+      .withColumn("qvp", lits.rotation match {
         case Some(r) => rotateExpr(col("qv"), r)
         case None => col("qv")
       })
-    // probe selection is NARROW: the kIvf list centroids collect into a
-    // literal (parameter-bounded, the booksLit precedent) and each query
-    // row ranks them in-place — struct sort on (-cos, list_id) matches
-    // the (pcos desc, list_id) window ordering without the window's
-    // exchange, so even the query side of the scoring plan is
-    // shuffle-free
-    val listRows = lists.select(col("list_id"), col("centv")).collect()
-    require(listRows.nonEmpty, "empty lists artifact")
-    val listsLit = typedlit(listRows.sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq)
-    // NaN contract shared with ivfPqTopK's probe window: the cosine is
-    // pinned to -2.0 on NaN/null BEFORE negation, so a degenerate query
-    // ranks a bad list last under both spellings (window desc vs
-    // negated-ascending struct sort disagree on raw NaN)
-    val probeArr = slice(array_sort(transform(sequence(lit(0), lit(listRows.length - 1)),
-      i => struct((-coalesce(nanvl(CosF(col("qvp"), element_at(listsLit, i + 1)), lit(-2.0)),
+    val probeArr = slice(array_sort(transform(sequence(lit(0), lit(lits.nLists - 1)),
+      i => struct((-coalesce(nanvl(CosF(col("qvp"), element_at(lits.listsLit, i + 1)), lit(-2.0)),
         lit(-2.0))).as("neg"),
         i.as("list_id")))), 1, nProbe)
-    val probes = q
-      .select(col("query_id"), col("qv"), col("qvp"), explode(probeArr).as("p"))
+    q.select(col("query_id"), col("qv"), col("qvp"), explode(probeArr).as("p"))
       .select(col("query_id"), col("qv"), col("qvp"), col("p.list_id").as("list_id"))
-    val xhat = flatten(transform(col("codes"),
-      (c, s) => element_at(element_at(booksLit, s + 1), c + 1)))
-    codes.select(col("vec_id").as("neighbor_id"), col("list_id"), xhat.as("xhat"))
+  }
+
+  private def ivfPqXhat(lits: IvfPqIndexLits): Column =
+    flatten(transform(col("codes"),
+      (c, s) => element_at(element_at(lits.booksLit, s + 1), c + 1)))
+
+  def ivfPqScoreFromIndex(spark: SparkSession, root: String,
+      queries: DataFrame, nProbe: Int): DataFrame = {
+    val lits = readIvfPqIndexLits(spark, root)
+    val probes = ivfPqProbeFrame(lits, queries, nProbe)
+    lits.codes.select(col("vec_id").as("neighbor_id"), col("list_id"),
+        ivfPqXhat(lits).as("xhat"))
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("acos", CosF(col("qvp"), col("xhat")))
+  }
+
+  /** A61: the OPQ/IVF-PQ retrieval probe ATTACHED TO A STREAM — arriving
+    * query vectors score against the published artifact at ingest (the
+    * retrieval-at-ingest / online-dedup story: route, dedup or enrich a
+    * document the moment it arrives, against an index rebuilt on its own
+    * schedule). Identical arithmetic to [[ivfPqScoreFromIndex]] — same
+    * literals, same rotation, same probe selection, same ADC — with the
+    * join direction streaming-legal: the STREAM is the left side of a
+    * stream-static equi-join on list_id (a broadcast hint on a streaming
+    * frame is not; the static codes side is what Spark builds per
+    * micro-batch). Stateless and append-mode (the A39 class): no
+    * watermark, no state store; the spec pins streamed rows == batch
+    * rows bit-exactly across micro-batch slicings.
+    */
+  def ivfPqScoreStream(spark: SparkSession, root: String,
+      queryStream: DataFrame, nProbe: Int): DataFrame = {
+    val lits = readIvfPqIndexLits(spark, root)
+    val probes = ivfPqProbeFrame(lits, queryStream, nProbe)
+    probes.join(
+        lits.codes.select(col("vec_id").as("neighbor_id"), col("list_id"),
+          ivfPqXhat(lits).as("xhat")),
+        Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("acos", CosF(col("qvp"), col("xhat")))
+      .select(col("query_id"), col("neighbor_id"), col("list_id"),
+        col("acos"))
   }
 
   /** Query the published IVF-PQ index end to end: probed-list ADC scan

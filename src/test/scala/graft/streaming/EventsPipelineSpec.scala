@@ -1717,6 +1717,67 @@ class EventsPipelineSpec extends SparkSpec {
         "streamed semantic-dedup pairs must equal the batch probe exactly")
       assert(batch.nonEmpty, "the probe must find pairs on the real corpus (non-vacuous)")
     } finally q.stop()
+    // the C25 multi-probe knob attaches unchanged (still a narrow
+    // arrival-side explode + the same stream-static join): streamed
+    // probes=1 pairs == batch probes=1 pairs, a superset of probes=0
+    val src1 = MemoryStream[(Long, Array[Float])]
+    val q1 = graft.operators.Dedup.semDeDupProbe(
+        src1.toDS().toDF("vec_id", "embedding"), corpus, probes = 1)
+      .writeStream.format("memory").queryName("semdedup_stream_mp")
+      .outputMode("append").start()
+    try {
+      arrivals.grouped(math.max(1, arrivals.length / 2)).foreach { chunk =>
+        src1.addData(chunk.toIndexedSeq: _*)
+        q1.processAllAvailable()
+      }
+      val streamed1 = spark.table("semdedup_stream_mp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch1 = graft.operators.Dedup.semDeDupProbe(
+          e.filter(col("vec_id") % 2 === 1), corpus, probes = 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed1 == batch1, "streamed probes=1 pairs must equal batch")
+      val batch0 = graft.operators.Dedup.semDeDupProbe(
+          e.filter(col("vec_id") % 2 === 1), corpus)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(batch0.subsetOf(batch1), "probes must be recall-monotone")
+    } finally q1.stop()
+  }
+
+  test("streaming OPQ retrieval probe (A61): arriving queries score against the published index; streamed == batch bit-exactly") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    // the s11 memoized OPQ root: 4-table artifact incl. the rotation —
+    // the stream rotates arriving queries by the same plan literal
+    val root = Similarity.opqIndexRootFor(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.ivfPqScoreStream(spark, root,
+        src.toDS().toDF("vec_id", "embedding"), nProbe = 4)
+      .writeStream.format("memory").queryName("opq_stream_test")
+      .outputMode("append").start()
+    try {
+      queries.grouped(3).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("opq_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val batch = Similarity.ivfPqScoreFromIndex(spark, root,
+          e.filter(col("vec_id") < 10), nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("list_id"), col("acos"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(streamed == batch,
+        "streamed OPQ ADC scores must equal the batch read path bit-exactly")
+      assert(batch.nonEmpty, "the probe must score candidates (non-vacuous)")
+    } finally q.stop()
   }
 
   test("streaming perceptual dedup probe (A40): arriving dHashes match the batch probe exactly") {
