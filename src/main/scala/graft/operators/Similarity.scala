@@ -688,10 +688,9 @@ object Similarity {
   private def subScore(metric: String, v: Column, centv: Column): Column =
     metric match {
       case "cos" => coalesce(CosF(v, centv), lit(-2.0))
-      case "l2" => -aggregate(
-        zip_with(v, centv, (x, y) =>
-          (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, t) => acc + t)
+      // codegen'd fused loop (H14's sibling) — bit-identical to the HOF
+      // aggregate∘zip_with fold it replaced, spec-pinned
+      case "l2" => -graft.functions.SquaredDistance(v, centv)
       case other => throw new IllegalArgumentException(
         s"unknown PQ metric '$other' (cos | l2)")
     }
@@ -1082,15 +1081,13 @@ object Similarity {
     * build-time IEEE sequence exactly.
     */
   def rotateExpr(v: Column, r: Array[Array[Double]]): Column = {
+    // the codegen'd H14 expression — bit-identical accumulation to the
+    // HOF spelling it replaced (ascending-i multiply-add from 0.0, float
+    // cast at the end; spec-pinned equal), ~100x cheaper per row: the
+    // interpreted transform∘aggregate∘zip_with spelling measured ~50 s
+    // to rotate 2k×64-dim vectors and dominated the whole OPQ build
     val d = r.length
-    val cols: Seq[Seq[Double]] = (0 until d).map { j =>
-      (0 until d).map(i => r(i)(j))
-    }
-    val rLit = typedLit(cols)
-    transform(sequence(lit(0), lit(d - 1)), j =>
-      aggregate(
-        zip_with(v, element_at(rLit, j + 1), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, t) => acc + t).cast("float"))
+    graft.functions.RotateVector(v, Array.tabulate(d, d)((j, i) => r(i)(j)))
   }
 
   /** The published OPQ rotation under `root`, if the index carries one:
@@ -1686,17 +1683,15 @@ object Similarity {
       eigvals: Array[Double] = null, eps: Double = 1e-9,
       out: String = "rotated"): DataFrame = {
     val d = r.length
-    val cols: Seq[Seq[Double]] = (0 until d).map { j =>
-      val s = if (eigvals == null) 1.0 else 1.0 / math.sqrt(math.max(eigvals(j), 0.0) + eps)
-      (0 until d).map(i => r(i)(j) * s)
+    // whitening scales fold into the weight matrix exactly as the HOF
+    // spelling did (w_ji = R_ij · s_j), so outputs are bit-unchanged;
+    // the projection itself is the codegen'd H14 expression
+    val w = Array.tabulate(d, d) { (j, i) =>
+      val s = if (eigvals == null) 1.0
+        else 1.0 / math.sqrt(math.max(eigvals(j), 0.0) + eps)
+      r(i)(j) * s
     }
-    val rLit = typedLit(cols)
-    emb.withColumn(out,
-      transform(sequence(lit(0), lit(d - 1)), j =>
-        aggregate(
-          zip_with(col("embedding"), element_at(rLit, j + 1),
-            (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, t) => acc + t).cast("float")))
+    emb.withColumn(out, graft.functions.RotateVector(col("embedding"), w))
   }
 
   val all: Seq[Relational.Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11)

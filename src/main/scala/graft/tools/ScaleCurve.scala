@@ -225,18 +225,18 @@ object ScaleCurve {
 
     // d3 auto-selection evidence: the 1% cut picks the measured-cheaper
     // spelling in BOTH regimes at every factor
-    factors.foreach { f =>
+    if (opFilter("d3_auto_pick")) factors.foreach { f =>
       val (mdf, n) = Dedup.gramDfStats(hexDocs(f))
       println(f"[scale] d3_auto_pick highentropy f=$f medianDf=$mdf%.1f n=$n -> " +
         (if (Dedup.pickPrefixFilter(mdf, n)) "prefix" else "bucket"))
     }
-    locally {
+    if (opFilter("d3_auto_pick")) {
       val (mdf, n) = Dedup.gramDfStats(graft.Tables.documents(spark, sfDir))
       println(f"[scale] d3_auto_pick fixture f=1 medianDf=$mdf%.1f n=$n -> " +
         (if (Dedup.pickPrefixFilter(mdf, n)) "prefix" else "bucket"))
     }
 
-    factors.foreach { f =>
+    if (opFilter("s9_index_read")) factors.foreach { f =>
       val root = java.nio.file.Files.createTempDirectory(s"graft-scale-s9-$f").toString
       val e = scaledEmbeddings(f).persist()
       val tb = System.nanoTime()
@@ -253,6 +253,31 @@ object ScaleCurve {
         (n, dt)
       }
       println(f"[scale] s9_index_read         f=$f rows=${times.head._1}%9d ${times.map(_._2).min}%7.2f s")
+      e.unpersist()
+    }
+
+    // s11: the OPQ read path at 1x..maxF corpus — s9's leg with the
+    // 4-table rotated artifact: the query-side rotation is one plan
+    // literal, so the read curve must track s9's (three narrow scans +
+    // parameter-bounded broadcasts), not grow with the corpus.
+    if (opFilter("s11_index_read")) factors.foreach { f =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-scale-s11-$f").toString
+      val e = scaledEmbeddings(f).persist()
+      val tb = System.nanoTime()
+      val rs = Similarity.publishIvfPqIndex(e, root, token = s"scale-opq-$f",
+        rotate = true)
+      require(rs.size == 4 && rs.forall(_.published), s"s11 publish failed at f=$f")
+      println(f"[scale] s11_opq_build         f=$f rows=${2000L * f}%9d ${(System.nanoTime() - tb) / 1e9}%7.2f s")
+      val q = e.filter(col("vec_id") < 10)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = Similarity.ivfPqTopKFromIndex(spark, root, e, q,
+          k = 5, refine = 200, nProbe = 4).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (n, dt)
+      }
+      println(f"[scale] s11_index_read        f=$f rows=${times.head._1}%9d ${times.map(_._2).min}%7.2f s")
       e.unpersist()
     }
     spark.stop()

@@ -20,6 +20,64 @@ class OperatorSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("codegen'd RotateVector (H14) is bit-identical to the HOF rotation spelling; ragged input is null") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val d = 64
+    // a deterministic non-trivial weight matrix (not orthonormal — the
+    // expression is a general mat-vec projection)
+    val w = Array.tabulate(d, d)((j, i) =>
+      math.sin(j * 131 + i * 17) / math.sqrt(d.toDouble))
+    val rLit = typedlit((0 until d).map(j => (0 until d).map(i => w(j)(i))))
+    val hof = transform(sequence(lit(0), lit(d - 1)), j =>
+      aggregate(
+        zip_with(col("embedding"), element_at(rLit, j + 1),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, t) => acc + t).cast("float"))
+    val diff = e.select(
+        graft.functions.RotateVector(col("embedding"), w).as("fast"),
+        hof.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0, "codegen rotation diverged from the HOF fold")
+    // interpreted path (filter condition forces non-codegen evaluation
+    // in predicate contexts too) agrees: spot-check one row driver-side
+    val row = e.select(col("embedding"),
+      graft.functions.RotateVector(col("embedding"), w).as("r")).head()
+    val x = row.getSeq[Float](0)
+    val got = row.getSeq[Float](1)
+    val want = (0 until d).map { j =>
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += x(i).toDouble * w(j)(i); i += 1 }
+      acc.toFloat
+    }
+    assert(got == want, "interpreted replay diverged")
+    // ragged input -> NULL, never a truncated projection
+    val ragged = spark.sql("SELECT array(CAST(1.0 AS FLOAT)) AS v")
+    assert(ragged.select(graft.functions.RotateVector(col("v"), w)).head().isNullAt(0))
+  }
+
+  test("codegen'd SquaredDistance is bit-identical to the HOF fold; self-distance 0; ragged null") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val hof = aggregate(
+      zip_with(col("va"), col("vb"), (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, t) => acc + t)
+    val diff = a.join(b, col("id_a") < col("id_b"))
+      .select(graft.functions.SquaredDistance(col("va"), col("vb")).as("fast"),
+        hof.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0, "codegen squared distance diverged from the HOF fold")
+    val self = e.select(
+      graft.functions.SquaredDistance(col("embedding"), col("embedding"))).head().getDouble(0)
+    assert(self == 0.0)
+    val ragged = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS a, array(CAST(1.0 AS FLOAT)) AS b")
+    assert(ragged.select(graft.functions.SquaredDistance(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("cosine of a vector with itself is 1.0") {
     val one = spark.sql("SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(-3.5 AS FLOAT)) AS v")
     val c = one.select(CosineSimilarity(col("v"), col("v"))).as[Double].head()
