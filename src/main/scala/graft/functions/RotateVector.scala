@@ -28,6 +28,13 @@ import org.apache.spark.sql.types._
   * whitening scales in — rotateEmbeddings' contract). A vector whose
   * length differs from d yields NULL (the CosineSimilarity ragged
   * contract), never a silently-truncated projection.
+  *
+  * Element-null contract: inputs are assumed containsNull=false (every
+  * embeddings column this engine produces or reads is). Elements are
+  * read via getFloat without isNullAt — the CosineSimilarity convention
+  * — so a malformed array with null slots contributes 0.0 where the HOF
+  * spelling would have propagated NULL; the "bit-identical" claim above
+  * is scoped to null-free arrays.
   */
 case class RotateVector(child: Expression, weights: Array[Array[Double]])
     extends UnaryExpression with ExpectsInputTypes {

@@ -16,6 +16,13 @@ import org.apache.spark.sql.types._
   * ascending i, (x_i(float→double) − y_i(float→double))² accumulated
   * left-to-right from 0.0. Mismatched lengths yield NULL (the
   * CosineSimilarity ragged contract).
+  *
+  * Element-null contract: inputs are assumed containsNull=false (the
+  * engine's embedding columns are); elements are read via getFloat
+  * without isNullAt — the CosineSimilarity convention — so null slots
+  * in malformed arrays read as 0.0 where the HOF spelling would have
+  * propagated NULL. The bit-identical claim is scoped to null-free
+  * arrays.
   */
 case class SquaredDistance(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

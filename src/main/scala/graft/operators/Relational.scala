@@ -2511,9 +2511,24 @@ object Relational {
   private def diagonalPairStats(events: DataFrame, L: Int,
       stride: Int): DataFrame = {
     val wPos = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    // FAIL-LOUD data contract: the ×100 quantization is exact only for
+    // 2-decimal telemetry. On anything else the integer path would
+    // silently compute distances on ROUNDED values while the raw-double
+    // siblings (q58 tsMotifPerUser, q62 tsLeftProfile) fold the originals
+    // — breaking the spec-pinned "q59 minima reproduce q58's motif"
+    // invariant. The guard folds into x itself (not a droppable check
+    // column), so column pruning can't elide it; cost is one abs/compare
+    // per row inside codegen.
+    val scaled = col("value") * 100.0
+    val xi = floor(scaled + 0.5).cast("long")
     val ser = events.select(col("user_id"), col("event_id"), col("value"))
       .withColumn("p", row_number().over(wPos).cast("long"))
-      .withColumn("x", floor(col("value") * 100.0 + 0.5).cast("long"))
+      .withColumn("x",
+        when(abs(scaled - xi.cast("double")) < 1e-6, xi)
+          .otherwise(raise_error(concat(
+            lit("diagonalPairStats: value is not 2-decimal telemetry "
+              + "(the STOMP integer discipline requires value*100 integral): "),
+            col("value").cast("string")))))
       .select(col("user_id"), col("p"), col("x"))
     // smallest stride multiple >= L: the first admissible diagonal
     val d0 = ((L + stride - 1) / stride).toLong * stride
@@ -2771,10 +2786,22 @@ object Relational {
     * generation is a bounded map-side offset explode feeding one
     * (user, pstart) EQUI-join (the q56 covering-starts trick applied
     * to pairs), then one per-(user, start) min(struct) argmin. The
-    * distance fold is q58/q59's bit-exact spelling, so the streaming
-    * twin replays it verbatim.
+    * distance fold is q58's RAW-DOUBLE spelling (ascending zip_with
+    * fold), which the streaming twin (A57) replays verbatim; q59's
+    * integer-quantized STOMP path is a different spelling that agrees
+    * on the r4 key only for 2-decimal telemetry — a contract
+    * diagonalPairStats now asserts fail-loud.
     */
   def tsLeftProfile(events: DataFrame, L: Int, stride: Int,
+      horizon: Int): DataFrame =
+    tsLeftProfileCore(events, L, stride, horizon)
+      .orderBy(col("user_id"), col("start"))
+
+  /** [[tsLeftProfile]] without the presentation sort — the reusable arc
+    * frame for consumers that aggregate it further (B65's one-sided CAC
+    * rides this; a sort feeding a groupBy would be wasted work).
+    */
+  private def tsLeftProfileCore(events: DataFrame, L: Int, stride: Int,
       horizon: Int): DataFrame = {
     require(L >= 1 && stride >= 1 && horizon >= L,
       s"horizon must be >= L, got horizon=$horizon L=$L")
@@ -2799,7 +2826,6 @@ object Relational {
       .agg(min(struct(col("dist"), col("pstart"))).as("m"))
       .select(col("user_id"), col("start"), col("m.pstart").as("nn_start"),
         col("m.dist").as("dist"))
-      .orderBy(col("user_id"), col("start"))
   }
 
   // B62 — left matrix profile (horizon 40 = the 9 most recent
@@ -2987,7 +3013,15 @@ object Relational {
     * bit-exactly (the q59 discipline); the single r4 division is the
     * only float.
     */
-  def tsFlussCac(events: DataFrame, L: Int, stride: Int): DataFrame = {
+  def tsFlussCac(events: DataFrame, L: Int, stride: Int): DataFrame =
+    tsFlussCacCore(events, L, stride)
+      .orderBy(col("user_id"), col("boundary"))
+
+  /** [[tsFlussCac]] without the presentation sort — B66's extraction
+    * windows re-partition by user anyway, so the global range exchange
+    * would be pure waste between them.
+    */
+  private def tsFlussCacCore(events: DataFrame, L: Int, stride: Int): DataFrame = {
     val prof0 = tsMatrixProfile(events, L, stride)
       .select(col("user_id"), col("start"), col("nn_start"))
     val cached = prof0.persist()
@@ -3020,6 +3054,38 @@ object Relational {
         col("n").as("n_windows"), col("c").as("crossings"),
         r4(least(lit(1.0), col("c").cast("double") * col("n") /
           ((lit(2.0) * (col("i") + 1)) * (col("n") - col("i") - 1)))).as("cac"))
+  }
+
+  /** B66's core: REGIME-BOUNDARY EXTRACTION from the CAC curve — the
+    * FLUSS paper's actual consumer (Gharghabi et al., ICDM 2017 §4.1:
+    * segmentation points are the curve's minima below a significance
+    * threshold, with an EXCLUSION ZONE so one regime change reports one
+    * boundary, not a valley of near-ties). The q61 shape applied to
+    * q64's artifact: discords are the profile's maxima, regime changes
+    * are the CAC's excluded local minima.
+    *
+    * Determinism: "local minimum with exclusion" is pinned as
+    * first-of-tie — cac(b) STRICTLY below every cac in (b−zone, b) and
+    * ≤ every cac in (b, b+zone] — two range-frame window minima, no
+    * struct-min (DuckDB replays the same frames on the same r4 values,
+    * so the selected set is bit-identical). Scale shape: q64's curve +
+    * two user-partitioned range windows sharing one sort — nothing
+    * beyond the profile's own cost.
+    */
+  def tsRegimeBoundaries(events: DataFrame, L: Int, stride: Int,
+      threshold: Double, zone: Int): DataFrame = {
+    require(zone >= 1 && threshold > 0.0)
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("boundary"))
+      .rangeBetween(-zone, -1)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("boundary"))
+      .rangeBetween(1, zone)
+    tsFlussCacCore(events, L, stride)
+      .withColumn("mp", min(col("cac")).over(wPrev))
+      .withColumn("mn", min(col("cac")).over(wNext))
+      .filter(col("cac") <= threshold &&
+        (col("mp").isNull || col("cac") < col("mp")) &&
+        (col("mn").isNull || col("cac") <= col("mn")))
+      .select(col("user_id"), col("boundary"), col("crossings"), col("cac"))
       .orderBy(col("user_id"), col("boundary"))
   }
 
@@ -3084,9 +3150,214 @@ object Relational {
       FROM run WHERE i + 1 < n
       ORDER BY user_id, boundary"""))
 
+  /** B65's core: the ONE-SIDED corrected arc-crossing curve — FLOSS
+    * (Gharghabi et al., ICDM 2017 §4.2, the same paper's ONLINE half):
+    * q64's FLUSS draws each window's arc to its nearest neighbor in
+    * EITHER direction, which cannot stream (a late window can become an
+    * early window's NN — retraction). FLOSS replaces it with the LEFT
+    * profile's arcs — each window points to its nearest PRECEDING window
+    * within the retention horizon (B62, exactly the bounded state A57
+    * already maintains) — making every arc, and therefore every
+    * boundary's crossing count, FINAL once the windows that can reach it
+    * have completed.
+    *
+    * Normalization: with H = horizon/stride candidate-reach and g0 =
+    * ⌈L/stride⌉ the nearest admissible gap (W = H−g0+1 candidates), the
+    * idealized one-sided arc curve under uniform random arcs is CONSTANT
+    * over the trusted interior: a window i contributes P(cross b) = 1
+    * for the g0 windows right of b and (b−i+H)/W for the next W−1, so
+    * IAC = g0 + (W−1)/2 (the paper normalizes by the idealized curve;
+    * the one-sided-with-horizon closed form is this constant). Boundaries
+    * OUTSIDE [H, n−H] are excluded — the paper's exclusion-zone
+    * discipline at the series edges, where candidate sets are partial
+    * and the idealized curve invalid. The same cap IS the streaming
+    * finalization horizon: boundary b is final exactly when window
+    * b+H−1 completes, so A62's online emissions equal this batch frame
+    * row-for-row on a replayed series — no truncation mismatch.
+    *
+    * Scale shape: rides [[tsLeftProfileCore]] (bounded-offset equi-join
+    * candidates — never all-pairs); everything after is user-keyed and
+    * narrow — index arithmetic on the dense stride grid (start = 1 +
+    * i·stride, so i = (start−1)/stride needs NO row_number pass), a ±1
+    * difference aggregate, a sequence-exploded index spine (n rows/user),
+    * and ONE running-sum window. Integer crossing counts ⇒ the oracle
+    * replays bit-exactly; the single r4 min/division is the only float.
+    */
+  def tsFlossCac1(events: DataFrame, L: Int, stride: Int,
+      horizon: Int): DataFrame = {
+    require(horizon % stride == 0,
+      s"horizon must be stride-aligned, got horizon=$horizon stride=$stride")
+    val g0 = (L + stride - 1) / stride
+    val gmax = horizon / stride
+    require(gmax >= g0, s"horizon/stride=$gmax < ceil(L/stride)=$g0")
+    val iac = g0 + (gmax - g0) / 2.0 // g0 + (W-1)/2, W = gmax-g0+1
+    val arcs = tsLeftProfileCore(events, L, stride, horizon)
+      .select(col("user_id"),
+        ((col("start") - 1) / lit(stride.toLong)).cast("long").as("i"),
+        ((col("nn_start") - 1) / lit(stride.toLong)).cast("long").as("j"))
+    // window count per user straight from the event count (dense stride
+    // grid): n = floor((cnt - L)/stride) + 1 — no second windows pass
+    val counts = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= L)
+      .select(col("user_id"),
+        (floor((col("cnt") - lit(L.toLong)) / lit(stride.toLong)) + 1L)
+          .cast("long").as("n"))
+    // difference array: arc (j -> i) crosses boundary b iff j < b <= i;
+    // +1 at j, -1 at i, running sum at index t = crossings of boundary t+1
+    val deltas = arcs.select(col("user_id"), explode(array(
+        struct(col("j").as("i"), lit(1L).as("d")),
+        struct(col("i"), lit(-1L).as("d")))).as("e"))
+      .select(col("user_id"), col("e.i").as("i"), col("e.d").as("d"))
+      .groupBy(col("user_id"), col("i")).agg(sum(col("d")).as("d"))
+    // dense index spine so zero-crossing boundaries still emit
+    val spine = counts.select(col("user_id"),
+      explode(sequence(lit(0L), col("n") - 1)).as("i"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("i"))
+    spine.join(deltas, Seq("user_id", "i"), "left")
+      .withColumn("c", sum(coalesce(col("d"), lit(0L))).over(wRun))
+      .join(counts, Seq("user_id"))
+      .filter(col("i") + 1 >= gmax && col("i") + 1 <= col("n") - gmax)
+      .select(col("user_id"), (col("i") + 1).as("boundary"),
+        col("c").as("crossings"),
+        r4(least(lit(1.0), col("c").cast("double") / lit(iac))).as("cac1"))
+      .orderBy(col("user_id"), col("boundary"))
+  }
+
+  // B65 — FLOSS one-sided CAC (horizon 16 = reach-4 arcs at L=8/stride=4,
+  // so the trusted interior is populated at verify scale). FULL oracle:
+  // DuckDB replays the left profile (q62's SQL at horizon 16), the grid
+  // index arithmetic, the ±1 difference running sum, and the identical
+  // min(1, c/IAC) scalar tail (IAC = g0 + (W-1)/2 = 2 + 1 = 3).
+  private val q65 = Q(
+    "q65_ts_floss_cac1",
+    (s, d) => tsFlossCac1(Tables.events(s, d), L = 8, stride = 4,
+      horizon = 16),
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, list(value ORDER BY event_id) AS vs
+        FROM events GROUP BY user_id),
+      w AS (
+        SELECT user_id, s AS start, vs[s : s + 7] AS xs
+        FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
+        WHERE s + 7 <= len(vs)),
+      p AS (
+        SELECT b.user_id, b.start, a.start AS pstart,
+          ${Num.r4Sql("""list_reduce(
+            [(b.xs[i] - a.xs[i]) * (b.xs[i] - a.xs[i]) FOR i IN range(1, 9)],
+            (x, y) -> x + y)""")} AS dist
+        FROM w b JOIN w a
+          ON a.user_id = b.user_id
+          AND b.start - a.start >= 8 AND b.start - a.start <= 16),
+      prof AS (
+        SELECT user_id, start, pstart
+        FROM p
+        QUALIFY row_number() OVER (PARTITION BY user_id, start
+          ORDER BY dist, pstart) = 1),
+      arcs AS (
+        SELECT user_id, (pstart - 1) // 4 AS j, (start - 1) // 4 AS i
+        FROM prof),
+      cnt AS (
+        SELECT user_id, (COUNT(*) - 8) // 4 + 1 AS n
+        FROM events GROUP BY user_id HAVING COUNT(*) >= 8),
+      spine AS (
+        SELECT user_id, unnest(range(0, n)) AS i FROM cnt),
+      deltas AS (
+        SELECT user_id, j AS i, 1 AS d FROM arcs
+        UNION ALL SELECT user_id, i, -1 FROM arcs),
+      dsum AS (
+        SELECT user_id, i, CAST(SUM(d) AS BIGINT) AS d
+        FROM deltas GROUP BY 1, 2),
+      run AS (
+        SELECT s.user_id, s.i, c.n,
+          SUM(COALESCE(ds.d, 0)) OVER (PARTITION BY s.user_id
+            ORDER BY s.i) AS c
+        FROM spine s
+        LEFT JOIN dsum ds ON ds.user_id = s.user_id AND ds.i = s.i
+        JOIN cnt c ON c.user_id = s.user_id)
+      SELECT user_id, CAST(i + 1 AS BIGINT) AS boundary,
+        CAST(c AS BIGINT) AS crossings,
+        ${Num.r4Sql("LEAST(1.0, CAST(c AS DOUBLE) / 3.0)")} AS cac1
+      FROM run WHERE i + 1 >= 4 AND i + 1 <= n - 4
+      ORDER BY user_id, boundary"""))
+
+  // B66 — regime boundaries off q64's CAC curve. FULL oracle: the q64
+  // replay (integer profile, dense indexing, ±1 running sum, CAC tail)
+  // plus the two range-frame minima and the first-of-tie filter — all on
+  // r4-quantized values, so the selected set is cross-engine exact.
+  private val q66 = Q(
+    "q66_ts_regime_boundaries",
+    (s, d) => tsRegimeBoundaries(Tables.events(s, d), L = 8, stride = 4,
+      threshold = 0.8, zone = 3),
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+          ORDER BY event_id) AS vs
+        FROM events GROUP BY user_id),
+      w AS (
+        SELECT user_id, s AS start, vs[s : s + 7] AS xs
+        FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
+        WHERE s + 7 <= len(vs)),
+      p AS (
+        SELECT a.user_id, a.start AS s1, b.start AS s2,
+          ${Num.r4Sql("""CAST(list_reduce(
+            [(a.xs[i] - b.xs[i]) * (a.xs[i] - b.xs[i]) FOR i IN range(1, 9)],
+            (x, y) -> x + y) AS DOUBLE) / 10000.0""")} AS dist
+        FROM w a JOIN w b
+          ON a.user_id = b.user_id AND b.start >= a.start + 8),
+      mirrored AS (
+        SELECT user_id, s1 AS start, s2 AS nn_start, dist FROM p
+        UNION ALL
+        SELECT user_id, s2 AS start, s1 AS nn_start, dist FROM p),
+      prof AS (
+        SELECT user_id, start, nn_start
+        FROM mirrored
+        QUALIFY row_number() OVER (PARTITION BY user_id, start
+          ORDER BY dist, nn_start) = 1),
+      idx AS (
+        SELECT user_id, start, nn_start,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY start) - 1 AS i
+        FROM prof),
+      nu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM idx GROUP BY 1),
+      arcs AS (
+        SELECT a.user_id, LEAST(a.i, b.i) AS lo, GREATEST(a.i, b.i) AS hi
+        FROM idx a JOIN idx b
+          ON b.user_id = a.user_id AND b.start = a.nn_start),
+      deltas AS (
+        SELECT user_id, lo AS i, 1 AS d FROM arcs
+        UNION ALL SELECT user_id, hi, -1 FROM arcs),
+      dsum AS (
+        SELECT user_id, i, CAST(SUM(d) AS BIGINT) AS d
+        FROM deltas GROUP BY 1, 2),
+      run AS (
+        SELECT x.user_id, x.i, nu.n,
+          SUM(COALESCE(ds.d, 0)) OVER (PARTITION BY x.user_id
+            ORDER BY x.i) AS c
+        FROM idx x
+        LEFT JOIN dsum ds ON ds.user_id = x.user_id AND ds.i = x.i
+        JOIN nu ON nu.user_id = x.user_id),
+      curve AS (
+        SELECT user_id, CAST(i + 1 AS BIGINT) AS boundary,
+          CAST(c AS BIGINT) AS crossings,
+          ${Num.r4Sql("""LEAST(1.0, (CAST(c AS DOUBLE) * n)
+            / ((2.0 * (i + 1)) * (n - i - 1)))""")} AS cac
+        FROM run WHERE i + 1 < n),
+      ext AS (
+        SELECT user_id, boundary, crossings, cac,
+          MIN(cac) OVER (PARTITION BY user_id ORDER BY boundary
+            RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mp,
+          MIN(cac) OVER (PARTITION BY user_id ORDER BY boundary
+            RANGE BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS mn
+        FROM curve)
+      SELECT user_id, boundary, crossings, cac
+      FROM ext
+      WHERE cac <= 0.8 AND (mp IS NULL OR cac < mp)
+        AND (mn IS NULL OR cac <= mn)
+      ORDER BY user_id, boundary"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 }

@@ -778,13 +778,23 @@ object Similarity {
     val rows = booksDf.select(col("sub"), col("cid"), col("centv")).collect()
     require(rows.nonEmpty, "empty codebook artifact")
     val m = rows.map(_.getInt(0)).max + 1
-    val arr: Seq[Seq[Seq[Float]]] = (0 until m).map { s =>
+    val booksArr: Array[Array[Array[Float]]] = (0 until m).map { s =>
       rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
-        .map(_.getSeq[Float](2).toSeq).toSeq
-    }
-    val booksLit = typedlit(arr)
-    val xhat = flatten(transform(col("codes"),
-      (c, s) => element_at(element_at(booksLit, s + 1), c + 1)))
+        .map(_.getSeq[Float](2).toArray).toArray
+    }.toArray
+    // literal below the ceiling, broadcast-backed codegen above it — the
+    // readIvfPqIndexLits spill discipline, bit-equal either way
+    val payloadFloats =
+      booksArr.iterator.map(_.iterator.map(_.length.toLong).sum).sum
+    val xhat =
+      if (payloadFloats > indexLiteralMaxFloats)
+        graft.functions.PqReconstruct(col("codes"),
+          spark.sparkContext.broadcast(booksArr))
+      else {
+        val booksLit = typedlit(booksArr.map(_.map(_.toSeq).toSeq).toSeq)
+        flatten(transform(col("codes"),
+          (c, s) => element_at(element_at(booksLit, s + 1), c + 1)))
+      }
     codes
       .select(col("vec_id").as("neighbor_id"), xhat.as("xhat"))
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
@@ -931,10 +941,14 @@ object Similarity {
     // "auto": the OPQ composition trains L2 subquantizers (the Jégou/Ge
     // objective — magnitude-aware, which allocated one-axis subspaces
     // require); the unrotated index keeps the pack's spherical
-    // convention. Readers infer the metric from the rotation table's
-    // presence (refreshIvfPqIndex), so an explicit override must only be
-    // used to replicate a build (the rotate-then-score spec pin).
+    // convention. The resolved metric is PERSISTED on the books artifact
+    // (a constant `metric` column) so refresh re-encodes arrivals under
+    // the BUILD's metric even when an explicit override disagrees with
+    // rotation presence (e.g. rotate=false + pqMetric="l2", the
+    // rotate-then-score replication build).
     val metric = if (pqMetric == "auto") { if (rotate) "l2" else "cos" } else pqMetric
+    require(metric == "cos" || metric == "l2",
+      s"unknown PQ metric '$metric' (cos | l2)")
     val src = e.select(col("vec_id"), col("embedding"))
     // OPQ composition (Ge et al., CVPR 2013, the parametric solution):
     // rotate the corpus onto its PCA basis WITH EIGENVALUE ALLOCATION
@@ -969,7 +983,7 @@ object Similarity {
     val wSub = Window.partitionBy(col("sub")).orderBy(col("centroid_id"))
     val books = rawBooks
       .withColumn("cid", (row_number().over(wSub) - 1).cast("int"))
-      .select(col("sub"), col("cid"), col("centv"))
+      .select(col("sub"), col("cid"), col("centv"), lit(metric).as("metric"))
     val codes = encodePq(subs, books, metric)
       .join(assigned.select(col("vec_id"), col("list_id")), Seq("vec_id"))
     val expectedVectors = base.count()
@@ -982,7 +996,8 @@ object Similarity {
       Publish.columnAudit(
         "books_centv_dim" -> (size(col("centv")) =!= ds),
         "books_sub_in_range" -> (col("sub") < 0 || col("sub") >= m),
-        "books_cid_in_range" -> (col("cid") < 0 || col("cid") >= kc))(staged)
+        "books_cid_in_range" -> (col("cid") < 0 || col("cid") >= kc),
+        "books_metric_known" -> !col("metric").isin("cos", "l2"))(staged)
     val codesAudit: Publish.Audit = staged =>
       Publish.columnAudit(
         "codes_width" -> (size(col("codes")) =!= m),
@@ -1178,10 +1193,22 @@ object Similarity {
       .agg(max_by(col("list_id"),
         struct(col("ccos"), (-col("list_id")).as("tie"))).as("list_id"),
         first(col("embedding")).as("embedding"))
-    // PQ-encode against the PUBLISHED books (deterministic) under the
-    // build's metric: an OPQ index (rotation present) was L2-encoded
+    // PQ-encode against the PUBLISHED books under the BUILD's metric,
+    // which the books artifact persists (a constant `metric` column) —
+    // inferring it from rotation presence mis-encodes arrivals when the
+    // build used an explicit pqMetric override (rotate=false + "l2", the
+    // rotate-then-score replication build). Pre-metric-column artifacts
+    // fall back to the old inference.
+    val metric =
+      if (books.columns.contains("metric")) {
+        val ms = books.select(col("metric")).distinct().collect()
+          .map(_.getString(0)).sorted
+        require(ms.length == 1,
+          s"books artifact carries mixed encode metrics: ${ms.toSeq}")
+        ms.head
+      } else if (rotation.isDefined) "l2" else "cos"
     val subs = pqSubVectors(assigned.select(col("vec_id"), col("embedding")), m, ds)
-    val newCodes = encodePq(subs, books, if (rotation.isDefined) "l2" else "cos")
+    val newCodes = encodePq(subs, books, metric)
       .join(assigned.select(col("vec_id"), col("list_id")), Seq("vec_id"))
     // ALL arrival validation happens BEFORE any table publishes: the
     // three tables share one version sequence, so a refresh that stages
@@ -1237,15 +1264,32 @@ object Similarity {
     * equi-join on list_id, reconstruction is a narrow map — nothing
     * corpus-proportional is re-shuffled before the rank reduction.
     */
-  /** The published index's parameter-bounded pieces, read once under the
-    * torn-version guard and collapsed into plan literals: the dense
-    * [sub][cid] codebook, the list-centroid array, the optional OPQ
-    * rotation, and the (corpus-sized) codes frame — everything both the
-    * batch and the STREAMING score paths share.
+  /** Plan-literal ceiling for index payloads, in FLOATS (r14 verdict
+    * item 4): below it, codebooks/list centroids enter the plan as
+    * `typedlit` literals (zero lookup indirection, ideal at small k·m·d);
+    * above it they ship as BROADCAST VARIABLES behind
+    * [[graft.functions.PqReconstruct]] / [[graft.functions.ProbeTopLists]]
+    * — task binaries stay flat (a handle, not the payload) while
+    * executors fetch the blocks once per JVM. Default 256 Ki floats
+    * (~1 MB serialized) — the benched indexes sit far below it; a
+    * 65 536-list production index crosses it and spills automatically.
+    * Outputs are spec-pinned bit-equal across the two spellings.
+    * Test-only mutable (forces the spill leg at toy scale).
     */
-  private final case class IvfPqIndexLits(codes: DataFrame,
-      booksLit: Column, listsLit: Column, nLists: Int,
-      rotation: Option[Array[Array[Double]]])
+  @volatile private[graft] var indexLiteralMaxFloats: Long = 256L * 1024
+
+  /** The published index's parameter-bounded pieces, read once under the
+    * torn-version guard: the dense [sub][cid] codebook and list-centroid
+    * array (as plan literals OR broadcast-backed expressions — see
+    * [[indexLiteralMaxFloats]]), the optional OPQ rotation, and the
+    * (corpus-sized) codes frame — everything both the batch and the
+    * STREAMING score paths share. `xhatOf`/`probeIdsOf` abstract the
+    * spelling so every consumer is spill-agnostic.
+    */
+  private final case class IvfPqIndexLits(codes: DataFrame, nLists: Int,
+      rotation: Option[Array[Array[Double]]],
+      xhatOf: Column => Column,
+      probeIdsOf: (Column, Int) => Column)
 
   private def readIvfPqIndexLits(spark: SparkSession,
       root: String): IvfPqIndexLits = {
@@ -1264,15 +1308,38 @@ object Similarity {
     val rows = booksDf.select(col("sub"), col("cid"), col("centv")).collect()
     require(rows.nonEmpty, "empty codebook artifact")
     val m = rows.map(_.getInt(0)).max + 1
-    val arr: Seq[Seq[Seq[Float]]] = (0 until m).map { s =>
+    val booksArr: Array[Array[Array[Float]]] = (0 until m).map { s =>
       rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
-        .map(_.getSeq[Float](2).toSeq).toSeq
-    }
+        .map(_.getSeq[Float](2).toArray).toArray
+    }.toArray
     val listRows = lists.select(col("list_id"), col("centv")).collect()
     require(listRows.nonEmpty, "empty lists artifact")
-    val listsLit = typedlit(listRows.sortBy(_.getInt(0))
-      .map(_.getSeq[Float](1).toSeq).toSeq)
-    IvfPqIndexLits(codes, typedlit(arr), listsLit, listRows.length, rotation)
+    val listsArr: Array[Array[Float]] = listRows.sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray)
+    val nLists = listsArr.length
+    val payloadFloats =
+      booksArr.iterator.map(_.iterator.map(_.length.toLong).sum).sum +
+        listsArr.iterator.map(_.length.toLong).sum
+    if (payloadFloats > indexLiteralMaxFloats) {
+      val sc = spark.sparkContext
+      val bcBooks = sc.broadcast(booksArr)
+      val bcLists = sc.broadcast(listsArr)
+      IvfPqIndexLits(codes, nLists, rotation,
+        cs => graft.functions.PqReconstruct(cs, bcBooks),
+        (qvp, nProbe) => graft.functions.ProbeTopLists(qvp, bcLists, nProbe))
+    } else {
+      val booksLit = typedlit(booksArr.map(_.map(_.toSeq).toSeq).toSeq)
+      val listsLit = typedlit(listsArr.map(_.toSeq).toSeq)
+      IvfPqIndexLits(codes, nLists, rotation,
+        cs => flatten(transform(cs,
+          (c, s) => element_at(element_at(booksLit, s + 1), c + 1))),
+        (qvp, nProbe) => transform(
+          slice(array_sort(transform(sequence(lit(0), lit(nLists - 1)),
+            i => struct((-coalesce(nanvl(CosF(qvp, element_at(listsLit, i + 1)),
+              lit(-2.0)), lit(-2.0))).as("neg"),
+              i.as("list_id")))), 1, nProbe),
+          p => p.getField("list_id")))
+    }
   }
 
   /** The (query_id, qv, qvp, list_id) probe frame: queries rotated by the
@@ -1292,17 +1359,12 @@ object Similarity {
         case Some(r) => rotateExpr(col("qv"), r)
         case None => col("qv")
       })
-    val probeArr = slice(array_sort(transform(sequence(lit(0), lit(lits.nLists - 1)),
-      i => struct((-coalesce(nanvl(CosF(col("qvp"), element_at(lits.listsLit, i + 1)), lit(-2.0)),
-        lit(-2.0))).as("neg"),
-        i.as("list_id")))), 1, nProbe)
-    q.select(col("query_id"), col("qv"), col("qvp"), explode(probeArr).as("p"))
-      .select(col("query_id"), col("qv"), col("qvp"), col("p.list_id").as("list_id"))
+    q.select(col("query_id"), col("qv"), col("qvp"),
+      explode(lits.probeIdsOf(col("qvp"), nProbe)).as("list_id"))
   }
 
   private def ivfPqXhat(lits: IvfPqIndexLits): Column =
-    flatten(transform(col("codes"),
-      (c, s) => element_at(element_at(lits.booksLit, s + 1), c + 1)))
+    lits.xhatOf(col("codes"))
 
   def ivfPqScoreFromIndex(spark: SparkSession, root: String,
       queries: DataFrame, nProbe: Int): DataFrame = {

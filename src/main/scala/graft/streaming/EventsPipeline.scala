@@ -564,6 +564,109 @@ object EventsPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TsFlossState(n: Long, tail: Seq[Double],
+      ring: Seq[(Long, Seq[Double])], pend: Seq[(Long, Long)])
+  final case class TsFlossUpdate(user_id: Long, boundary: Long,
+      crossings: Long, cac1: Double)
+
+  /** A62 — STREAMING FLOSS (Gharghabi et al., ICDM 2017 §4.2: the online
+    * half of q64's FLUSS): the one-sided corrected arc-crossing curve
+    * emitted AS THE SERIES ARRIVES. Arcs are the left profile's (A57's
+    * state discipline — a window's nearest PRECEDING neighbor within the
+    * horizon is final at window completion), so a boundary's crossing
+    * count is final exactly when the last window that can reach it
+    * (index boundary+H−1, H = horizon/stride) completes — at which point
+    * ONE row emits, never to be retracted.
+    *
+    * State per user = A57's window ring (≤ H windows of L doubles) PLUS
+    * ≤ H+1 pending (boundary, count) integer pairs — all parameter-
+    * bounded, the A48/q55 discipline. Emission arithmetic is the batch
+    * column spelling verbatim (min(1, c/IAC) then r4), and the emission
+    * SET equals [[graft.operators.Relational.tsFlossCac1]]'s rows
+    * exactly on a replayed finite series: the batch frame's trusted
+    * interior [H, n−H] is precisely the set of boundaries that finalize
+    * before the stream ends (spec-pinned bit-equal across micro-batch
+    * slicings). Same in-order-by-event_id arrival contract as A56/A57.
+    */
+  class TsFlossProcessor(L: Int, stride: Int, horizon: Int)
+      extends StatefulProcessor[Long, (Long, Long, Double), TsFlossUpdate] {
+    require(L >= 1 && stride >= 1 && horizon >= L && horizon % stride == 0)
+    private val g0 = (L + stride - 1) / stride
+    private val gmax = horizon / stride
+    require(gmax >= g0)
+    private val iac = g0 + (gmax - g0) / 2.0 // the batch lit(iac) constant
+    @transient private var state: ValueState[TsFlossState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TsFlossState](
+        "tsfloss", Encoders.product[TsFlossState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Double)],
+        timers: TimerValues): Iterator[TsFlossUpdate] = {
+      var st = if (state.exists()) state.get()
+        else TsFlossState(0L, Vector.empty, Vector.empty, Vector.empty)
+      val out = Seq.newBuilder[TsFlossUpdate]
+      rows.toSeq.sortBy(_._1).foreach { case (_, _, v) =>
+        val p = st.n + 1
+        val buf = (st.tail :+ v).takeRight(L)
+        var ring = st.ring
+        var pend = st.pend
+        if (p >= L && (p - L) % stride == 0) {
+          val start = p - L + 1
+          val i = (start - 1) / stride
+          // left-NN over the ring — A57's ascending strict-less scan,
+          // the batch min(struct(dist, pstart)) order
+          var bestD = Double.NaN
+          var bestS = -1L
+          ring.foreach { case (ps, pv) =>
+            if (start - ps >= L && start - ps <= horizon) {
+              val d = graft.operators.Relational.tsDistance(buf, pv)
+              if (bestS < 0 || d < bestD) { bestD = d; bestS = ps }
+            }
+          }
+          if (bestS >= 0) {
+            // arc (j -> i) crosses boundaries (j, i] — all still pending
+            // (j >= i - gmax, so every touched boundary > the one about
+            // to finalize); counters are created on first touch
+            val j = (bestS - 1) / stride
+            var b = j + 1
+            while (b <= i) {
+              val at = pend.indexWhere(_._1 == b)
+              pend = if (at >= 0) pend.updated(at, (b, pend(at)._2 + 1L))
+                else pend :+ (b, 1L)
+              b += 1
+            }
+          }
+          // boundary i-gmax+1 is now final: no window > i can arc across
+          // it. Emit if inside the trusted interior (>= gmax; the upper
+          // n-gmax cap is automatic — later boundaries simply never
+          // finalize on a finite series).
+          val bF = i - gmax + 1
+          if (bF >= gmax) {
+            val c = pend.find(_._1 == bF).map(_._2).getOrElse(0L)
+            out += TsFlossUpdate(user, bF, c,
+              graft.operators.Num.r4Double(math.min(1.0, c.toDouble / iac)))
+          }
+          pend = pend.filter(_._1 > bF)
+          ring = (ring :+ (start, buf))
+            .filter { case (ps, _) => ps >= start + stride - horizon }
+        }
+        st = TsFlossState(p, buf.takeRight(math.max(L - 1, 0)), ring, pend)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  def tsFlossCac1Tws(events: Dataset[(Long, Long, Double)], L: Int,
+      stride: Int, horizon: Int): Dataset[TsFlossUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new TsFlossProcessor(L, stride, horizon),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class PerplexityFlag(doc_id: Long, n_bigrams: Long,
       total_bits: Long, keep: Boolean)
 

@@ -79,8 +79,11 @@ final case class NibblerConfig[T](
     ctxProcessor: (BatchContext, Trigger, Seq[T]) => Unit = null,
     /** Receiver backpressure bound — the reference's `make(chan T,
       * cfg.Size)` (nibbler.go:184): producers BLOCK once this many
-      * pushed items are un-drained. <= 0 means the reference default,
-      * capacity = size.
+      * pushed items are un-drained (push/pushAll are channel sends, not
+      * unbounded buffering — a producer that pushes more than this
+      * before start() blocks until the listen loop drains). <= 0 means
+      * the reference default, capacity = size; values above
+      * Int.MaxValue/4 are clamped (Semaphore overflow guard).
       */
     receiverCapacity: Int = 0) {
 
@@ -92,7 +95,13 @@ final case class NibblerConfig[T](
         if (tickerDuration < 1.milli) Nibbler.DefaultTicker else tickerDuration,
       processingTimeout =
         if (processingTimeout < 1.milli) Nibbler.DefaultTimeout else processingTimeout,
-      receiverCapacity = if (receiverCapacity <= 0) sz else receiverCapacity)
+      // clamp: closeReceiver releases Int.MaxValue/2 permits to wake
+      // blocked producers; a capacity above Int.MaxValue/4 could overflow
+      // the Semaphore's permit count on that release (Semaphore.release
+      // throws Error past Int.MaxValue total permits)
+      receiverCapacity =
+        if (receiverCapacity <= 0) sz
+        else math.min(receiverCapacity, Int.MaxValue / 4))
   }
 
   def validate(): Unit = {
@@ -164,9 +173,13 @@ final class Nibbler[T: Encoder](spark: SparkSession, rawCfg: NibblerConfig[T]) {
     if (receiverClosed.compareAndSet(false, true))
       permits.release(Int.MaxValue / 2)
 
-  /** Push one item (reference `Receiver()`, nibbler.go:120-122). Throws
-    * [[Nibbler.ReceiverClosedException]] once the nibbler has stopped after a
-    * non-resumable failure — the analog of "send on closed channel".
+  /** Push one item (reference `Receiver()`, nibbler.go:120-122). BLOCKS
+    * once `receiverCapacity` pushed items are un-drained (channel-send
+    * semantics, see [[pushAll]]) — in particular, pushing more than
+    * `receiverCapacity` items before [[start]] blocks until started.
+    * Throws [[Nibbler.ReceiverClosedException]] once the nibbler has
+    * stopped after a non-resumable failure — the analog of "send on
+    * closed channel".
     */
   def push(item: T): Unit = pushAll(Seq(item))
 

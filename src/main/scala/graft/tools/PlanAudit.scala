@@ -229,6 +229,8 @@ object PlanAudit {
       "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
     "q62_ts_left_profile" ->
       "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
+    "q65_ts_floss_cac1" ->
+      "the q56 window assembly (shared tsWindows via the q62 left-profile core): LENGTH-L-bounded by the same argument",
     "d10_containment" ->
       "per-doc shingle-hash set + low-df prefix list: DOC-LENGTH-bounded (one group per doc_id, rows = that doc's distinct shingles)",
     "d15_boilerplate_scrub" ->
@@ -355,6 +357,8 @@ object PlanAudit {
       "q59's triangle-partitioned pairwise verbatim; the discord reduction on top is one TakeOrderedAndProject",
     "q62_ts_left_profile" ->
       "bounded-offset explode (horizon/stride candidates per window, a PARAMETER) feeding one (user,pstart) equi-join; payload L doubles",
+    "q65_ts_floss_cac1" ->
+      "q62's bounded-offset left-profile core verbatim (horizon/stride candidates per window, a PARAMETER); the CAC tail after it is slim integer index rows",
     "d20_record_linkage" ->
       "blocked bipartite probe: the entity side is the DISTINCT attribute catalog (combination-bounded, not corpus-proportional) and the join key is the (noun, brand, category) blocking tuple — per-record pair work bounded by block granularity, the standard ER dial")
 

@@ -450,6 +450,47 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.6, s"published-index recall $recall < 0.6 (the s4 band)")
   }
 
+  test("index-literal spill: broadcast-backed probe+ADC bit-equal to the literal spelling, codes path still exchange-free") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-spill").toString
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val results = Similarity.publishIvfPqIndex(e, root, token = "spill")
+    assert(results.size == 3 && results.forall(_.published), s"publish failed: $results")
+    val queries = e.filter(col("vec_id") < 10)
+    def scores() = Similarity.ivfPqScoreFromIndex(spark, root, queries, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("list_id"), col("acos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val lit = scores()
+    val saved = Similarity.indexLiteralMaxFloats
+    try {
+      Similarity.indexLiteralMaxFloats = 0L // force the broadcast leg
+      val spilled = scores()
+      assert(spilled == lit,
+        s"broadcast leg diverged from literal leg: " +
+          s"lit=${lit.length} spill=${spilled.length} " +
+          s"firstDiff=${lit.zip(spilled).find(p => p._1 != p._2)}")
+      // the spill leg keeps the scale property the literal leg is pinned
+      // to: nothing corpus-proportional re-shuffles (PqReconstruct is a
+      // narrow map over the codes scan; the probe frame still broadcasts)
+      val plan = Similarity.ivfPqScoreFromIndex(spark, root, queries, nProbe = 4)
+        .queryExecution.executedPlan.toString
+      val shuffles = plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Broadcast"))
+      assert(shuffles == 0, s"spill leg re-shuffles corpus data:\n$plan")
+      // the PQ-only read path spills the same way
+      val pqRoot = java.nio.file.Files.createTempDirectory("graft-pq-spill").toString
+      Similarity.publishPqIndex(e, pqRoot, token = "spill")
+      def pqScores() = Similarity.pqScoreFromIndex(spark, pqRoot, queries)
+        .select(col("query_id"), col("neighbor_id"), col("acos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val pqSpill = pqScores()
+      Similarity.indexLiteralMaxFloats = saved
+      assert(pqScores() == pqSpill, "PQ-only spill leg diverged from literal leg")
+    } finally Similarity.indexLiteralMaxFloats = saved
+  }
+
   test("s9 published-index read path: the BENCHED entry — recall floor, rank contract, zero non-broadcast exchange") {
     import graft.operators.Similarity
     // the queries() entry itself (what Bench and Verify run): first call

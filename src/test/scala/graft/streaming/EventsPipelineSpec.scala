@@ -481,6 +481,57 @@ class EventsPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming FLOSS (A62): one-sided CAC emissions bit-identical to batch q65 across slicings") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val saved = EventsPipeline.RocksDBStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "user_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // q65's batch frame: the trusted interior IS the finalization set, so
+    // the streamed emissions must equal it row-for-row, not just overlap
+    val batch = graft.operators.Relational.tsFlossCac1(
+        Tables.events(spark, sf), L = 8, stride = 4, horizon = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(batch.nonEmpty, "fixture must produce trusted boundaries")
+    def runSliced(chunks: Int, name: String): Array[(Long, Long, Long, Double)] = {
+      val src = MemoryStream[(Long, Long, Double)]
+      val q = EventsPipeline.tsFlossCac1Tws(src.toDS(), L = 8, stride = 4,
+          horizon = 16)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        rows.grouped(math.max(1, rows.length / chunks)).foreach { chunk =>
+          src.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      } finally q.stop()
+    }
+    try {
+      Seq(5 -> "tsfloss_tws_5", 13 -> "tsfloss_tws_13").foreach {
+        case (chunks, name) =>
+          val got = runSliced(chunks, name)
+          // each boundary finalizes exactly once — append-only, no dups
+          assert(got.length == got.map(r => (r._1, r._2)).distinct.length,
+            s"duplicate boundary emissions at $chunks slices")
+          assert(got.toSet == batch.toSet,
+            s"[$chunks slices] streamed=${got.length} batch=${batch.length}; " +
+              s"missing=${(batch.toSet -- got.toSet).take(3)} " +
+              s"extra=${(got.toSet -- batch.toSet).take(3)}")
+      }
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("row-local minhash banding is bit-compatible with the batch pipeline") {
     import spark.implicits._
     // the sf corpus PLUS hostile whitespace: Spark's trim strips only
