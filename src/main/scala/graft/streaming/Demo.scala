@@ -947,6 +947,62 @@ object Demo {
           f"recall=$recall%.2f")
     }
 
+    // 23. RETRIEVAL-AT-INGEST across a live index refresh (r14 verdict
+    // item 7): A61's streaming probe scores arriving query vectors
+    // against the published OPQ artifact; mid-story the index REFRESHES
+    // (D11 — a new vector encodes against the published codebooks, all
+    // four members republish at one version) and the stream RE-RESOLVES
+    // the artifact (the consumer contract: versions bind at stream
+    // start under the torn-version guard). A planted near-duplicate is
+    // invisible before the refresh and the TOP-scored neighbor after —
+    // the full index lifecycle under a live consumer.
+    {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val root = Files.createTempDirectory("graft-demo-ingest").toString
+      val e = graft.Tables.embeddings(spark, sfDir)
+      val built = graft.operators.Similarity.publishIvfPqIndex(
+        e, root, token = "demo-ri", kIvf = 6, rotate = true)
+      val q0 = e.filter(col("vec_id") === 7L)
+        .collect().head.getSeq[Float](1)
+      val planted = q0.updated(0, q0.head + 0.001f)
+      def runProbe(queryId: Long, qv: Seq[Float],
+          name: String): Seq[(Long, Double)] = {
+        val src = MemoryStream[(Long, Seq[Float])]
+        val scored = graft.operators.Similarity.ivfPqScoreStream(spark, root,
+          src.toDS().toDF("vec_id", "embedding"), nProbe = 3)
+        val q = scored.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          src.addData((queryId, qv))
+          q.processAllAvailable()
+          spark.table(name).filter(col("query_id") === queryId).collect()
+            .map(r => (r.getLong(r.fieldIndex("neighbor_id")),
+              r.getDouble(r.fieldIndex("acos")))).toSeq
+        } finally q.stop()
+      }
+      val preHits =
+        if (built.size == 4 && built.forall(_.published))
+          runProbe(900100L, planted, "demo_ri_pre")
+        else Seq.empty
+      val refreshed = graft.operators.Similarity.refreshIvfPqIndex(spark, root,
+        Seq((900001L, planted)).toDF("vec_id", "embedding"), "demo-ri-v2")
+      val postHits =
+        if (refreshed.size == 4 && refreshed.forall(_.published))
+          runProbe(900101L, planted, "demo_ri_post")
+        else Seq.empty
+      val foundPre = preHits.exists(_._1 == 900001L)
+      val postP = postHits.find(_._1 == 900001L)
+      val maxAcos = if (postHits.nonEmpty) postHits.map(_._2).max else -9.0
+      check("retrieval-at-ingest-refresh",
+        built.size == 4 && built.forall(_.published) &&
+          refreshed.size == 4 && refreshed.forall(_.published) &&
+          preHits.nonEmpty && !foundPre &&
+          postP.nonEmpty && postP.exists(_._2 == maxAcos),
+        s"pre=${preHits.size} foundPre=$foundPre post=${postHits.size} " +
+          s"plantedAcos=${postP.map(_._2).mkString(",")} max=$maxAcos")
+    }
+
     results.toList
   }
 }

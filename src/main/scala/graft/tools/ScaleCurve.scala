@@ -203,6 +203,38 @@ object ScaleCurve {
         graft.operators.Pipeline.weightedSystematicSample(withW, col("w"), k = 100L)
       }))
 
+    // ---- round-15 curves (r14 verdict item 6) ----
+
+    val ops15: Seq[(String, Int, Int => DataFrame)] = Seq(
+      // q64 rides q59's profile artifact (pair-count-bound, ~f² on this
+      // adversarial concatenation); the CAC tail is user-keyed NARROW
+      // index arithmetic — the curve must track q59's, with no
+      // arcs×boundaries term on top
+      ("q64_fluss_Wgrowth", maxF, f =>
+        Relational.tsFlussCac(scaledEvents(f), L = 8, stride = 4)),
+      // q65's arcs are horizon-bounded (the q62 class): ~LINEAR in W —
+      // the streaming-safe contrast to q64's full-profile surface
+      ("q65_floss_Wgrowth", maxF, f =>
+        Relational.tsFlossCac1(scaledEvents(f), L = 8, stride = 4,
+          horizon = 16)),
+      // q66 = q64's curve + two user-keyed range windows sharing one
+      // sort: same class as q64, the extraction adds no growth term
+      ("q66_regime_Wgrowth", maxF, f =>
+        Relational.tsRegimeBoundaries(scaledEvents(f), L = 8, stride = 4,
+          threshold = 0.8, zone = 3)),
+      // d18 multi-probe at probes 0/1/2 under corpus growth: candidate
+      // pairs grow with (probes+1)× the bucket-collision mass, NEVER
+      // all-pairs — each probe level must stay in d17's curve class
+      ("d18_semdedup_p0", maxF, f =>
+        Dedup.semDeDup(scaledEmbeddings(f), signBits = 6, tau = 0.4,
+          probes = 0)),
+      ("d18_semdedup_p1", maxF, f =>
+        Dedup.semDeDup(scaledEmbeddings(f), signBits = 6, tau = 0.4,
+          probes = 1)),
+      ("d18_semdedup_p2", maxF, f =>
+        Dedup.semDeDup(scaledEmbeddings(f), signBits = 6, tau = 0.4,
+          probes = 2)))
+
     val factors = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxF).toSeq
     def runPoints(name: String, fmax: Int, mk: Int => DataFrame): Unit =
       if (opFilter(name)) factors.filter(_ <= fmax).foreach { f =>
@@ -222,6 +254,7 @@ object ScaleCurve {
     ops13.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
     ops13b.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
     ops14.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
+    ops15.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
 
     // d3 auto-selection evidence: the 1% cut picks the measured-cheaper
     // spelling in BOTH regimes at every factor

@@ -491,6 +491,49 @@ class OperatorSpec extends SparkSpec {
     } finally Similarity.indexLiteralMaxFloats = saved
   }
 
+  test("s12 recall-vs-probes sweep: measured curve monotone to full coverage at kIvf; candidate growth bounded by probed lists") {
+    import graft.operators.Similarity
+    val rows = graft.SparkEntry.queries("s12_ann_recall_curve")(spark, sfDir)
+      .collect()
+    assert(rows.length == 4, s"expected 4 probe levels, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("recall_monotone")),
+        s"recall not monotone at n_probe=${r.getInt(0)}")
+      assert(r.getBoolean(r.fieldIndex("full_cover_at_max")),
+        "candidate recall at n_probe=kIvf must be exactly 1")
+    }
+    // the measured curve itself, from the public read path: candidate
+    // recall at level p = exact pairs whose neighbor is scanned when
+    // probing p lists; scanned row counts pin BOUNDED CANDIDATE GROWTH
+    // (scan cost proportional to the probed lists, never corpus x probes)
+    val root = Similarity.opqIndexRootFor(spark, sfDir)
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val levels = Seq(1, 2, 4, 10)
+    val curve = levels.map { p =>
+      val scanned = Similarity.ivfPqScoreFromIndex(spark, root, queries, nProbe = p)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val recall = (scanned.toSet & exact).size.toDouble / exact.size
+      (p, recall, scanned.length)
+    }
+    info(s"candidate recall / scanned rows by nProbe: $curve")
+    curve.sliding(2).foreach { case Seq((p1, r1, s1), (p2, r2, s2)) =>
+      assert(r2 >= r1, s"recall dropped from nProbe=$p1 ($r1) to $p2 ($r2)")
+      assert(s2 > s1, s"scan count must grow with probes: $s1 !< $s2")
+    }
+    assert(curve.last._2 == 1.0, s"full-probe candidate recall ${curve.last._2} != 1")
+    // endpoint anchor: probing every list scans exactly nQueries*(n-1)
+    // pairs (all but self) — candidate volume is the probed fraction of
+    // the corpus, with no per-probe duplication
+    val n = e.count()
+    val nQ = queries.count()
+    assert(curve.last._3.toLong == nQ * (n - 1),
+      s"full-probe scan ${curve.last._3} != ${nQ * (n - 1)}")
+  }
+
   test("s9 published-index read path: the BENCHED entry — recall floor, rank contract, zero non-broadcast exchange") {
     import graft.operators.Similarity
     // the queries() entry itself (what Bench and Verify run): first call
