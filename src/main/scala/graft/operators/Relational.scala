@@ -3065,7 +3065,7 @@ object Relational {
     * are the CAC's excluded local minima.
     *
     * Determinism: "local minimum with exclusion" is pinned as
-    * first-of-tie — cac(b) STRICTLY below every cac in (b−zone, b) and
+    * first-of-tie — cac(b) STRICTLY below every cac in [b−zone, b) and
     * ≤ every cac in (b, b+zone] — two range-frame window minima, no
     * struct-min (DuckDB replays the same frames on the same r4 values,
     * so the selected set is bit-identical). Scale shape: q64's curve +
@@ -3184,6 +3184,14 @@ object Relational {
     * replays bit-exactly; the single r4 min/division is the only float.
     */
   def tsFlossCac1(events: DataFrame, L: Int, stride: Int,
+      horizon: Int): DataFrame =
+    tsFlossCac1Core(events, L, stride, horizon)
+      .orderBy(col("user_id"), col("boundary"))
+
+  /** [[tsFlossCac1]] without the presentation sort (B67's extraction
+    * windows re-partition by user — the tsFlussCacCore discipline).
+    */
+  private def tsFlossCac1Core(events: DataFrame, L: Int, stride: Int,
       horizon: Int): DataFrame = {
     require(horizon % stride == 0,
       s"horizon must be stride-aligned, got horizon=$horizon stride=$stride")
@@ -3221,7 +3229,6 @@ object Relational {
       .select(col("user_id"), (col("i") + 1).as("boundary"),
         col("c").as("crossings"),
         r4(least(lit(1.0), col("c").cast("double") / lit(iac))).as("cac1"))
-      .orderBy(col("user_id"), col("boundary"))
   }
 
   // B65 — FLOSS one-sided CAC (horizon 16 = reach-4 arcs at L=8/stride=4,
@@ -3280,6 +3287,40 @@ object Relational {
         ${Num.r4Sql("LEAST(1.0, CAST(c AS DOUBLE) / 3.0)")} AS cac1
       FROM run WHERE i + 1 >= 4 AND i + 1 <= n - 4
       ORDER BY user_id, boundary"""))
+
+  /** B67's core: regime-boundary ALERTS on the ONE-SIDED curve — B66's
+    * extraction applied to B65's FLOSS CAC, restricted so every emitted
+    * row is ONLINE-DECIDABLE (the A63 streaming twin's contract): a
+    * boundary's local-minimum status needs cac at [b−zone, b+zone], so
+    * b must have its FULL following zone inside the trusted interior
+    * (b + zone ≤ n − H) — on the preceding side the trusted curve simply
+    * starts at H, and both engines (and the stream) see the same partial
+    * window there. First-of-tie rule and range frames are B66's
+    * verbatim; everything before the filter is B65's integer pipeline,
+    * so the oracle replays bit-exactly.
+    */
+  def tsFlossRegimeBoundaries(events: DataFrame, L: Int, stride: Int,
+      horizon: Int, threshold: Double, zone: Int): DataFrame = {
+    require(zone >= 1 && threshold > 0.0)
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("boundary"))
+      .rangeBetween(-zone, -1)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("boundary"))
+      .rangeBetween(1, zone)
+    tsFlossCac1Core(events, L, stride, horizon)
+      .withColumn("mp", min(col("cac1")).over(wPrev))
+      .withColumn("mn", min(col("cac1")).over(wNext))
+      // n - gmax is the last trusted boundary = per-user max(boundary);
+      // requiring the full following zone keeps every row final the
+      // moment boundary+zone finalizes — no end-of-series dependence
+      .withColumn("maxb",
+        max(col("boundary")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("boundary") + zone <= col("maxb") &&
+        col("cac1") <= threshold &&
+        (col("mp").isNull || col("cac1") < col("mp")) &&
+        col("cac1") <= col("mn"))
+      .select(col("user_id"), col("boundary"), col("crossings"), col("cac1"))
+      .orderBy(col("user_id"), col("boundary"))
+  }
 
   // B66 — regime boundaries off q64's CAC curve. FULL oracle: the q64
   // replay (integer profile, dense indexing, ±1 running sum, CAC tail)
@@ -3355,9 +3396,78 @@ object Relational {
         AND (mn IS NULL OR cac <= mn)
       ORDER BY user_id, boundary"""))
 
+  // B67 — online-decidable regime alerts on q65's one-sided curve. FULL
+  // oracle: the q65 replay + B66's extraction frames + the full-
+  // following-zone cap (boundary + zone <= per-user max boundary).
+  private val q67 = Q(
+    "q67_ts_floss_regime_alerts",
+    (s, d) => tsFlossRegimeBoundaries(Tables.events(s, d), L = 8, stride = 4,
+      horizon = 16, threshold = 0.8, zone = 3),
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, list(value ORDER BY event_id) AS vs
+        FROM events GROUP BY user_id),
+      w AS (
+        SELECT user_id, s AS start, vs[s : s + 7] AS xs
+        FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
+        WHERE s + 7 <= len(vs)),
+      p AS (
+        SELECT b.user_id, b.start, a.start AS pstart,
+          ${Num.r4Sql("""list_reduce(
+            [(b.xs[i] - a.xs[i]) * (b.xs[i] - a.xs[i]) FOR i IN range(1, 9)],
+            (x, y) -> x + y)""")} AS dist
+        FROM w b JOIN w a
+          ON a.user_id = b.user_id
+          AND b.start - a.start >= 8 AND b.start - a.start <= 16),
+      prof AS (
+        SELECT user_id, start, pstart
+        FROM p
+        QUALIFY row_number() OVER (PARTITION BY user_id, start
+          ORDER BY dist, pstart) = 1),
+      arcs AS (
+        SELECT user_id, (pstart - 1) // 4 AS j, (start - 1) // 4 AS i
+        FROM prof),
+      cnt AS (
+        SELECT user_id, (COUNT(*) - 8) // 4 + 1 AS n
+        FROM events GROUP BY user_id HAVING COUNT(*) >= 8),
+      spine AS (
+        SELECT user_id, unnest(range(0, n)) AS i FROM cnt),
+      deltas AS (
+        SELECT user_id, j AS i, 1 AS d FROM arcs
+        UNION ALL SELECT user_id, i, -1 FROM arcs),
+      dsum AS (
+        SELECT user_id, i, CAST(SUM(d) AS BIGINT) AS d
+        FROM deltas GROUP BY 1, 2),
+      run AS (
+        SELECT s.user_id, s.i, c.n,
+          SUM(COALESCE(ds.d, 0)) OVER (PARTITION BY s.user_id
+            ORDER BY s.i) AS c
+        FROM spine s
+        LEFT JOIN dsum ds ON ds.user_id = s.user_id AND ds.i = s.i
+        JOIN cnt c ON c.user_id = s.user_id),
+      curve AS (
+        SELECT user_id, CAST(i + 1 AS BIGINT) AS boundary,
+          CAST(c AS BIGINT) AS crossings,
+          ${Num.r4Sql("LEAST(1.0, CAST(c AS DOUBLE) / 3.0)")} AS cac1
+        FROM run WHERE i + 1 >= 4 AND i + 1 <= n - 4),
+      ext AS (
+        SELECT user_id, boundary, crossings, cac1,
+          MIN(cac1) OVER (PARTITION BY user_id ORDER BY boundary
+            RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mp,
+          MIN(cac1) OVER (PARTITION BY user_id ORDER BY boundary
+            RANGE BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS mn,
+          MAX(boundary) OVER (PARTITION BY user_id) AS maxb
+        FROM curve)
+      SELECT user_id, boundary, crossings, cac1
+      FROM ext
+      WHERE boundary + 3 <= maxb AND cac1 <= 0.8
+        AND (mp IS NULL OR cac1 < mp) AND cac1 <= mn
+      ORDER BY user_id, boundary"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+    q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
+    q67)
 }

@@ -565,7 +565,8 @@ object EventsPipeline {
   }
 
   final case class TsFlossState(n: Long, tail: Seq[Double],
-      ring: Seq[(Long, Seq[Double])], pend: Seq[(Long, Long)])
+      ring: Seq[(Long, Seq[Double])], pend: Seq[(Long, Long)],
+      curve: Seq[(Long, Long, Double)])
   final case class TsFlossUpdate(user_id: Long, boundary: Long,
       crossings: Long, cac1: Double)
 
@@ -588,13 +589,27 @@ object EventsPipeline {
     * before the stream ends (spec-pinned bit-equal across micro-batch
     * slicings). Same in-order-by-event_id arrival contract as A56/A57.
     */
-  class TsFlossProcessor(L: Int, stride: Int, horizon: Int)
+  /** One processor, two operators: `alerts = None` is A62 (every
+    * finalized curve point emits); `alerts = Some((threshold, zone))` is
+    * A63 — regime-boundary ALERTS, B67's online twin: finalized points
+    * land in a ≤ 2·zone+1 curve ring instead of emitting, and boundary
+    * bD = bF − zone becomes DECIDABLE the moment bF finalizes (its full
+    * ±zone context is then final) — emit iff cac1(bD) ≤ threshold,
+    * strictly below the preceding-zone minimum (empty window passes —
+    * the trusted curve starts at H, same partial edge as batch), and ≤
+    * the following-zone minimum (always full by construction: exactly
+    * B67's boundary + zone ≤ maxb cap, so streamed alerts equal the
+    * batch rows with no end-of-series dependence).
+    */
+  class TsFlossProcessor(L: Int, stride: Int, horizon: Int,
+      alerts: Option[(Double, Int)] = None)
       extends StatefulProcessor[Long, (Long, Long, Double), TsFlossUpdate] {
     require(L >= 1 && stride >= 1 && horizon >= L && horizon % stride == 0)
     private val g0 = (L + stride - 1) / stride
     private val gmax = horizon / stride
     require(gmax >= g0)
     private val iac = g0 + (gmax - g0) / 2.0 // the batch lit(iac) constant
+    alerts.foreach { case (thr, zone) => require(zone >= 1 && thr > 0.0) }
     @transient private var state: ValueState[TsFlossState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -604,13 +619,15 @@ object EventsPipeline {
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Double)],
         timers: TimerValues): Iterator[TsFlossUpdate] = {
       var st = if (state.exists()) state.get()
-        else TsFlossState(0L, Vector.empty, Vector.empty, Vector.empty)
+        else TsFlossState(0L, Vector.empty, Vector.empty, Vector.empty,
+          Vector.empty)
       val out = Seq.newBuilder[TsFlossUpdate]
       rows.toSeq.sortBy(_._1).foreach { case (_, _, v) =>
         val p = st.n + 1
         val buf = (st.tail :+ v).takeRight(L)
         var ring = st.ring
         var pend = st.pend
+        var curve = st.curve
         if (p >= L && (p - L) % stride == 0) {
           val start = p - L + 1
           val i = (start - 1) / stride
@@ -638,20 +655,43 @@ object EventsPipeline {
             }
           }
           // boundary i-gmax+1 is now final: no window > i can arc across
-          // it. Emit if inside the trusted interior (>= gmax; the upper
-          // n-gmax cap is automatic — later boundaries simply never
-          // finalize on a finite series).
+          // it. Inside the trusted interior (>= gmax; the upper n-gmax
+          // cap is automatic — later boundaries never finalize on a
+          // finite series) it either emits (A62) or joins the decision
+          // ring (A63).
           val bF = i - gmax + 1
           if (bF >= gmax) {
             val c = pend.find(_._1 == bF).map(_._2).getOrElse(0L)
-            out += TsFlossUpdate(user, bF, c,
-              graft.operators.Num.r4Double(math.min(1.0, c.toDouble / iac)))
+            val cac = graft.operators.Num.r4Double(
+              math.min(1.0, c.toDouble / iac))
+            alerts match {
+              case None =>
+                out += TsFlossUpdate(user, bF, c, cac)
+              case Some((thr, zone)) =>
+                curve = curve :+ ((bF, c, cac))
+                val bD = bF - zone
+                curve.find(_._1 == bD).foreach { case (_, cD, cacD) =>
+                  // mp over [bD-zone, bD-1] (the batch rangeBetween
+                  // (-zone, -1) frame): possibly partial at the trusted
+                  // edge (batch's null-passes contract); mn over
+                  // [bD+1, bD+zone] = bD+1..bF, always full here
+                  val mp = curve.collect {
+                    case (b, _, cc) if b >= bD - zone && b < bD => cc }
+                  val mn = curve.collect {
+                    case (b, _, cc) if b > bD && b <= bD + zone => cc }
+                  if (cacD <= thr && (mp.isEmpty || cacD < mp.min) &&
+                      cacD <= mn.min)
+                    out += TsFlossUpdate(user, bD, cD, cacD)
+                }
+                curve = curve.filter(_._1 > bD - zone)
+            }
           }
           pend = pend.filter(_._1 > bF)
           ring = (ring :+ (start, buf))
             .filter { case (ps, _) => ps >= start + stride - horizon }
         }
-        st = TsFlossState(p, buf.takeRight(math.max(L - 1, 0)), ring, pend)
+        st = TsFlossState(p, buf.takeRight(math.max(L - 1, 0)), ring, pend,
+          curve)
       }
       state.update(st)
       out.result().iterator
@@ -664,6 +704,20 @@ object EventsPipeline {
     events
       .groupByKey(_._2)
       .transformWithState(new TsFlossProcessor(L, stride, horizon),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** A63 — streaming regime-boundary alerts (B67's twin): see
+    * [[TsFlossProcessor]]'s `alerts` mode.
+    */
+  def tsFlossAlertsTws(events: Dataset[(Long, Long, Double)], L: Int,
+      stride: Int, horizon: Int, threshold: Double,
+      zone: Int): Dataset[TsFlossUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(
+        new TsFlossProcessor(L, stride, horizon, Some((threshold, zone))),
         TimeMode.None(), OutputMode.Update())
   }
 

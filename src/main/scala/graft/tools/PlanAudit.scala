@@ -56,6 +56,7 @@ object PlanAudit {
     "s8_ann_ivfpq_topk" -> "kIvf-row centroid frame, m x kc-row codebooks, query x nProbe probe frame (all parameter-bounded — the s4/s6 classes)",
     "s9_ann_ivfpq_index_read" -> "query x nProbe probe frame (parameter-bounded; lists/books collapse to literals — the s8 read-path classes)",
     "s11_ann_opq_topk" -> "query x nProbe probe frame (parameter-bounded; lists/books/rotation collapse to literals — s9's read-path classes with the rotation literal on the query side)",
+    "s12_ann_recall_curve" -> "query x kIvf ranked probe frame + the s1-class exact gate leg's query set (all parameter-bounded — s11's classes; the bench leg is the s11 read path at nProbe=2)",
     "t7_winnowing_fingerprints" -> "one-row nDocs aggregate",
     "t9_tfidf" -> "one-row nDocs aggregate",
     "t11_surprisal" -> "one-row total-tokens aggregate",
@@ -231,6 +232,8 @@ object PlanAudit {
       "the q56 window assembly (shared tsWindows): LENGTH-L-bounded by the same argument",
     "q65_ts_floss_cac1" ->
       "the q56 window assembly (shared tsWindows via the q62 left-profile core): LENGTH-L-bounded by the same argument",
+    "q67_ts_floss_regime_alerts" ->
+      "q65's window assembly verbatim (the extraction rides its curve): LENGTH-L-bounded by the same argument",
     "d10_containment" ->
       "per-doc shingle-hash set + low-df prefix list: DOC-LENGTH-bounded (one group per doc_id, rows = that doc's distinct shingles)",
     "d15_boilerplate_scrub" ->
@@ -339,6 +342,8 @@ object PlanAudit {
       "published-codes ADC scan joins the broadcast query x nProbe probe frame on list_id; refine fetch is id-equi on rank-bounded survivors (s8's read-path shape over the WAP artifact); the recall frame adds the s1-class brute-force gate leg",
     "s11_ann_opq_topk" ->
       "s9's read-path shape verbatim over the 4-table OPQ artifact (the rotation enters as a query-side literal, adding no join); the recall frame adds the s1-class brute-force gate leg",
+    "s12_ann_recall_curve" ->
+      "the s1-class brute-force gate leg (broadcast fixed-size query set) + codes joined to the broadcast query x kIvf ranked probe frame on (query,list) — both sides of every array-carrying join are parameter-bounded or id-equi; the bench leg is s11's read-path shape at nProbe=2",
     "s7_mips_topk" ->
       "corpus scanned once against the broadcast parameter-bounded query-vector set (the s1 class)",
     "t25_hybrid_rrf" ->
@@ -359,6 +364,8 @@ object PlanAudit {
       "bounded-offset explode (horizon/stride candidates per window, a PARAMETER) feeding one (user,pstart) equi-join; payload L doubles",
     "q65_ts_floss_cac1" ->
       "q62's bounded-offset left-profile core verbatim (horizon/stride candidates per window, a PARAMETER); the CAC tail after it is slim integer index rows",
+    "q67_ts_floss_regime_alerts" ->
+      "q65's bounded-offset left-profile core verbatim; the extraction windows after it carry slim (boundary, cac) rows",
     "d20_record_linkage" ->
       "blocked bipartite probe: the entity side is the DISTINCT attribute catalog (combination-bounded, not corpus-proportional) and the join key is the (noun, brand, category) blocking tuple — per-record pair work bounded by block granularity, the standard ER dial")
 
@@ -447,6 +454,8 @@ object PlanAudit {
         "the recall frame's s1-class brute-force gate leg (broadcast fixed-size query set) + its one-row recall cross",
       "s11_ann_opq_topk" ->
         "the recall frame's s1-class brute-force gate leg (broadcast fixed-size query set) + its one-row recall cross (s9's adjudication verbatim)",
+      "s12_ann_recall_curve" ->
+        "the s1-class brute-force gate leg (broadcast fixed-size query set) + the one-row exact-stats x one-row level-hits cross (the x4 gate-leg shape)",
       "s4_ann_ivf_topk" ->
         "corpus x broadcast constant-size centroid sample (IVF assignment/probing)",
       "s5_ann_quantized_topk" ->

@@ -532,6 +532,57 @@ class EventsPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming regime alerts (A63): online-decidable extraction bit-identical to batch q67 across slicings") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val saved = EventsPipeline.RocksDBStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "user_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the batch twin restricts itself to ONLINE-DECIDABLE rows (full
+    // following zone inside the trusted interior), so equality is exact
+    val batch = graft.operators.Relational.tsFlossRegimeBoundaries(
+        Tables.events(spark, sf), L = 8, stride = 4, horizon = 16,
+        threshold = 0.8, zone = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(batch.nonEmpty, "fixture must produce alert rows")
+    def runSliced(chunks: Int, name: String): Array[(Long, Long, Long, Double)] = {
+      val src = MemoryStream[(Long, Long, Double)]
+      val q = EventsPipeline.tsFlossAlertsTws(src.toDS(), L = 8, stride = 4,
+          horizon = 16, threshold = 0.8, zone = 3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        rows.grouped(math.max(1, rows.length / chunks)).foreach { chunk =>
+          src.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      } finally q.stop()
+    }
+    try {
+      Seq(5 -> "tsalert_tws_5", 13 -> "tsalert_tws_13").foreach {
+        case (chunks, name) =>
+          val got = runSliced(chunks, name)
+          assert(got.length == got.map(r => (r._1, r._2)).distinct.length,
+            s"duplicate alert emissions at $chunks slices")
+          assert(got.toSet == batch.toSet,
+            s"[$chunks slices] streamed=${got.length} batch=${batch.length}; " +
+              s"missing=${(batch.toSet -- got.toSet).take(3)} " +
+              s"extra=${(got.toSet -- batch.toSet).take(3)}")
+      }
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("row-local minhash banding is bit-compatible with the batch pipeline") {
     import spark.implicits._
     // the sf corpus PLUS hostile whitespace: Spark's trim strips only
