@@ -1003,6 +1003,51 @@ object Demo {
           s"plantedAcos=${postP.map(_._2).mkString(",")} max=$maxAcos")
     }
 
+    // 24. LIVE REGIME-CHANGE ALERT (A63 end to end): a telemetry series
+    // switches generating regime mid-stream (period-3 sawtooth -> flat);
+    // the one-sided FLOSS curve dips where arcs stop crossing, and the
+    // A63 detector — threshold + exclusion-zone minima over finalized
+    // curve points, bounded state — raises its alert at the planted
+    // flip, online, with no batch job in the loop. The alert set is also
+    // cross-checked against the batch q67 operator on the same series.
+    {
+      import spark.implicits._
+      // regime A: sawtooth of period 3; regime B: flat — windows inside
+      // one regime find close left-neighbors (arcs), windows straddling
+      // the flip don't, so crossings collapse at the boundary
+      val n = 160
+      val flip = 80
+      val series = (1 to n).map { t =>
+        val v = if (t <= flip) (t % 3).toDouble else 9.0
+        (t.toLong, 1L, v)
+      }
+      val src = MemoryStream[(Long, Long, Double)]
+      val q = EventsPipeline.tsFlossAlertsTws(src.toDS(), L = 8, stride = 4,
+          horizon = 16, threshold = 0.7, zone = 3)
+        .writeStream.format("memory").queryName("demo_regime_alerts")
+        .outputMode("update").start()
+      val streamed =
+        try {
+          series.grouped(40).foreach { chunk =>
+            src.addData(chunk.toIndexedSeq: _*)
+            q.processAllAvailable()
+          }
+          spark.table("demo_regime_alerts").collect()
+            .map(r => (r.getLong(1), r.getDouble(3))).toSeq.sortBy(_._1)
+        } finally q.stop()
+      val batchDf = series.toDF("event_id", "user_id", "value")
+      val batch = graft.operators.Relational.tsFlossRegimeBoundaries(
+          batchDf, L = 8, stride = 4, horizon = 16,
+          threshold = 0.7, zone = 3)
+        .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq.sortBy(_._1)
+      // the flip at position 80 sits between window indices: the planted
+      // boundary is around index (flip - L + 1 - 1)/stride ≈ 18
+      val plantedHit = streamed.exists(a => math.abs(a._1 - 18L) <= 2)
+      check("live-regime-change-alert",
+        streamed.nonEmpty && streamed == batch && plantedHit,
+        s"alerts=${streamed.mkString(",")} batchEqual=${streamed == batch}")
+    }
+
     results.toList
   }
 }
