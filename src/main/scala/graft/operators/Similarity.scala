@@ -102,10 +102,17 @@ object Similarity {
     * the recall denominator every approximate variant's driver frame
     * measures against (same plan shape as s1, minus the score columns).
     */
-  private def bruteTopKPairs(e0: DataFrame): DataFrame = {
+  private def bruteTopKPairs(e0: DataFrame): DataFrame =
+    bruteTopKPairsWhere(e0, lit(true))
+
+  /** The exact gate leg over a FILTERED corpus (s13's denominator: the
+    * true top-k among vectors satisfying the predicate).
+    */
+  private def bruteTopKPairsWhere(e0: DataFrame, corpusPred: Column): DataFrame = {
     val q = e0.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = Tables.spread(e0.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")))
+    val c = Tables.spread(e0.filter(corpusPred)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", CosF(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
@@ -937,7 +944,8 @@ object Similarity {
       kIvf: Int = 10, ivfIters: Int = 6, m: Int = 8, ds: Int = 8,
       kc: Int = 16, pqIters: Int = 4,
       rotate: Boolean = false,
-      pqMetric: String = "auto"): Seq[Publish.WapResult] = {
+      pqMetric: String = "auto",
+      attrs: Option[DataFrame] = None): Seq[Publish.WapResult] = {
     // "auto": the OPQ composition trains L2 subquantizers (the Jégou/Ge
     // objective — magnitude-aware, which allocated one-axis subspaces
     // require); the unrotated index keeps the pack's spherical
@@ -984,8 +992,18 @@ object Similarity {
     val books = rawBooks
       .withColumn("cid", (row_number().over(wSub) - 1).cast("int"))
       .select(col("sub"), col("cid"), col("centv"), lit(metric).as("metric"))
-    val codes = encodePq(subs, books, metric)
+    // ATTRIBUTE DENORMALIZATION (filtered ANN, D16): optional per-vector
+    // attribute columns land IN the codes table, so an attribute-
+    // constrained search is a parquet-pushed predicate on the codes scan
+    // — zero extra joins at query time, candidate volume ∝ selectivity.
+    // Left join: a vector with no attribute row keeps its code (nulls
+    // never match an equality predicate — the SQL-standard fail-closed).
+    val codes0 = encodePq(subs, books, metric)
       .join(assigned.select(col("vec_id"), col("list_id")), Seq("vec_id"))
+    val codes = attrs match {
+      case Some(a) => codes0.join(a, Seq("vec_id"), "left")
+      case None => codes0
+    }
     val expectedVectors = base.count()
     val listsAudit: Publish.Audit = staged =>
       Publish.columnAudit(
@@ -1367,10 +1385,27 @@ object Similarity {
     lits.xhatOf(col("codes"))
 
   def ivfPqScoreFromIndex(spark: SparkSession, root: String,
-      queries: DataFrame, nProbe: Int): DataFrame = {
+      queries: DataFrame, nProbe: Int): DataFrame =
+    ivfPqScoreFromIndexWhere(spark, root, queries, nProbe, lit(true))
+
+  /** ATTRIBUTE-CONSTRAINED scoring (filtered vector search, D16): the
+    * predicate evaluates on the published codes table — whose rows carry
+    * any attribute columns denormalized at publish time
+    * ([[publishIvfPqIndex]]'s `attrs`) — BEFORE reconstruction and the
+    * probe join, so it pushes to the parquet scan (`PushedFilters`,
+    * spec-asserted) and everything downstream is sized by the
+    * SELECTIVITY, not the corpus. This is pre-filtering, the strategy
+    * that stays correct at any selectivity (post-filtering a fixed-k
+    * pool starves under selective predicates); the refine pool floor in
+    * [[ivfPqTopKFromIndexWhere]] tracks the FILTERED corpus fraction for
+    * the same reason.
+    */
+  def ivfPqScoreFromIndexWhere(spark: SparkSession, root: String,
+      queries: DataFrame, nProbe: Int, pred: Column): DataFrame = {
     val lits = readIvfPqIndexLits(spark, root)
     val probes = ivfPqProbeFrame(lits, queries, nProbe)
-    lits.codes.select(col("vec_id").as("neighbor_id"), col("list_id"),
+    lits.codes.filter(pred)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"),
         ivfPqXhat(lits).as("xhat"))
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -1409,15 +1444,26 @@ object Similarity {
     * top-k (the pqTopKFromIndex contract with IVF pruning in front).
     */
   def ivfPqTopKFromIndex(spark: SparkSession, root: String, corpus: DataFrame,
-      queries: DataFrame, k: Int, refine: Int, nProbe: Int): DataFrame = {
-    val scored = ivfPqScoreFromIndex(spark, root, queries, nProbe)
+      queries: DataFrame, k: Int, refine: Int, nProbe: Int): DataFrame =
+    ivfPqTopKFromIndexWhere(spark, root, corpus, queries, k, refine, nProbe,
+      lit(true))
+
+  /** [[ivfPqTopKFromIndex]] with an attribute predicate on the published
+    * codes table ([[ivfPqScoreFromIndexWhere]]): filtered top-k with the
+    * exact re-rank fetching only filtered survivors.
+    */
+  def ivfPqTopKFromIndexWhere(spark: SparkSession, root: String,
+      corpus: DataFrame, queries: DataFrame, k: Int, refine: Int,
+      nProbe: Int, pred: Column): DataFrame = {
+    val scored = ivfPqScoreFromIndexWhere(spark, root, queries, nProbe, pred)
     // `refine` is the pool FLOOR (the s6/s8 r12 rule on the production
     // READ path too): the effective pool tracks the indexed-corpus
-    // fraction so a growing index can never silently shrink coverage.
-    // The count reads the published codes table — parquet metadata, no
-    // data pass.
+    // fraction — the FILTERED universe under a predicate, so a selective
+    // filter can never silently starve coverage. The count reads the
+    // published codes table (filter-pushed parquet scan, no full pass).
     val refineEff = refinePool(
-      Publish.readPublished(spark, s"$root/codes").count(), refine)
+      Publish.readPublished(spark, s"$root/codes").filter(pred).count(),
+      refine)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("neighbor_id"))
     val refined = scored.withColumn("qrnk", row_number().over(wq))
       .filter(col("qrnk") <= refineEff)
@@ -1627,6 +1673,71 @@ object Similarity {
       FROM ex, (VALUES (1), (2), (4), (10)) l(n_probe)
       ORDER BY l.n_probe"""),
     benchFn = Some(s12Bench _))
+
+  // ======== D16 — filtered ANN on the published index (s13) ========
+
+  /** Root of the published ATTRIBUTE-CARRYING IVF-PQ index for `sfDir`
+    * (the s9 memo pattern with `attrs` = the embeddings label column
+    * denormalized into codes — the filtered-search artifact).
+    */
+  def filteredIndexRootFor(spark: SparkSession, sfDir: String): String =
+    publishedIndexRoots.computeIfAbsent("attr:" + sfDir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft-s13-attr").toString
+      val e = Tables.embeddings(spark, sfDir)
+      val rs = publishIvfPqIndex(e.select(col("vec_id"), col("embedding")),
+        root, token = "s13",
+        attrs = Some(e.select(col("vec_id"), col("label"))))
+      require(rs.size == 3 && rs.forall(_.published),
+        s"s13 index publish failed: $rs")
+      root
+    })
+
+  // D16 — ATTRIBUTE-CONSTRAINED retrieval (filtered vector search, the
+  // production story every vector store ships): top-k among corpus
+  // vectors with label = 1, served from the published index with the
+  // predicate PUSHED TO THE CODES PARQUET SCAN (attributes were
+  // denormalized at publish — zero query-time attribute joins;
+  // spec-asserted PushedFilters + zero non-broadcast exchange). The
+  // exact leg re-ranks the FILTERED universe (the honest denominator);
+  // the refine pool floor tracks the filtered corpus fraction so a
+  // selective predicate can't starve coverage (pre-filtering, not
+  // post-filtering a fixed pool). nProbe=6: a label filter thins every
+  // probed list ~|labels|x, so the filtered read probes deeper than
+  // s9's 4 for the same recall floor.
+  private def s13TopK(s: SparkSession, d: String): DataFrame = {
+    val root = filteredIndexRootFor(s, d)
+    val e = Tables.embeddings(s, d)
+    ivfPqTopKFromIndexWhere(s, root, e,
+      e.filter(col("vec_id") < NQueries), k = K, refine = 200, nProbe = 6,
+      col("label") === 1)
+  }
+
+  private val s13 = Relational.Q(
+    "s13_ann_filtered_topk",
+    (s, d) => recallBounds(
+      bruteTopKPairsWhere(Tables.embeddings(s, d), col("label") === 1),
+      s13TopK(s, d), 0.6),
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_transform(list_zip(q.qv, c.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+          / sqrt(
+              list_reduce(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)
+              * list_reduce(list_transform(c.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS cos
+        FROM q JOIN embeddings c
+          ON c.vec_id <> q.query_id AND c.label = 1),
+      ranked AS (
+        SELECT query_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored)
+      SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+        COUNT(*) AS exact_pairs, TRUE AS within_floor
+      FROM ranked WHERE rnk <= $K"""),
+    benchFn = Some(s13TopK _))
 
   /** D8's reduction, exposed for the spec: rank neighbors by COSINE of
     * the Bachrach et al. (2014, "Speeding Up the Xbox Recommender...")
@@ -1873,5 +1984,5 @@ object Similarity {
   }
 
   val all: Seq[Relational.Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10,
-    s11, s12)
+    s11, s12, s13)
 }

@@ -534,6 +534,57 @@ class OperatorSpec extends SparkSpec {
       s"full-probe scan ${curve.last._3} != ${nQ * (n - 1)}")
   }
 
+  test("s13 filtered ANN: label predicate pushed to the codes parquet scan; recall floor vs the filtered exact universe") {
+    import graft.operators.Similarity
+    val e = graft.Tables.embeddings(spark, sfDir)
+    // the benched entry end to end: dense ranks, every neighbor satisfies
+    // the predicate, recall vs the FILTERED brute force holds the band
+    val got = graft.SparkEntry.benchQueries("s13_ann_filtered_topk")(spark, sfDir)
+      .collect()
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length),
+        s"query $q ranks not dense")
+    }
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      assert(labels(r.getLong(2)) == 1,
+        s"neighbor ${r.getLong(2)} violates the label=1 predicate")
+    }
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val exact = (0L until 10L).flatMap { q =>
+      vecs.toSeq.filter { case (id, _) => id != q && labels(id) == 1 }
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy(t => (-t._2, t._1)).take(5).map(t => (q, t._1))
+    }.toSet
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (gotSet & exact).size.toDouble / exact.size
+    info(s"filtered-index recall vs filtered brute force: $recall")
+    assert(recall >= 0.6, s"s13 recall $recall < 0.6")
+    // plan contract: the predicate reaches the codes PARQUET SCAN
+    // (pre-filtering — candidate volume ∝ selectivity, no query-time
+    // attribute join) and nothing corpus-proportional re-shuffles
+    val root = Similarity.filteredIndexRootFor(spark, sfDir)
+    val scored = Similarity.ivfPqScoreFromIndexWhere(spark, root,
+      e.filter(col("vec_id") < 10), nProbe = 6, col("label") === 1)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).nonEmpty,
+      s"label predicate not pushed to the codes scan:\n$plan")
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(shuffles == 0, s"filtered codes path re-shuffles corpus data:\n$plan")
+  }
+
   test("s9 published-index read path: the BENCHED entry — recall floor, rank contract, zero non-broadcast exchange") {
     import graft.operators.Similarity
     // the queries() entry itself (what Bench and Verify run): first call

@@ -62,7 +62,16 @@ def load_rounds():
     out = []
     for f in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
         d = json.load(open(f))
-        qs = decode_queries((d.get("parsed") or {}).get("queries"))
+        qs = (d.get("parsed") or {}).get("queries")
+        # POINTER-typed queries ("BENCH_DETAIL.json") must NOT resolve
+        # here: the pointed-at file is whatever the LATEST bench wrote,
+        # not that round's numbers — resolving it would stamp today's
+        # times under a historical tag (observed r15: "q65 source r13").
+        # Pointer rounds contribute via their stamped tools/bench_rNN_*
+        # extras instead.
+        if isinstance(qs, str):
+            continue
+        qs = decode_queries(qs)
         if qs:
             out.append((os.path.basename(f).replace("BENCH_", "").replace(".json", ""),
                         qs))
