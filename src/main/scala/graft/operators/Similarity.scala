@@ -1426,12 +1426,26 @@ object Similarity {
     * rows bit-exactly across micro-batch slicings.
     */
   def ivfPqScoreStream(spark: SparkSession, root: String,
-      queryStream: DataFrame, nProbe: Int): DataFrame = {
+      queryStream: DataFrame, nProbe: Int): DataFrame =
+    ivfPqScoreStreamWhere(spark, root, queryStream, nProbe, lit(true))
+
+  /** The streaming probe with s13's attribute predicate on the static
+    * codes side (retrieval-at-ingest over the FILTERED universe —
+    * route-by-label at ingest): the predicate evaluates on the published
+    * codes scan exactly as in [[ivfPqScoreFromIndexWhere]], so it pushes
+    * to parquet and the per-micro-batch static build is sized by the
+    * selectivity. Same streaming-legal join direction as the unfiltered
+    * probe; spec pins streamed rows == the batch filtered scorer
+    * bit-exactly.
+    */
+  def ivfPqScoreStreamWhere(spark: SparkSession, root: String,
+      queryStream: DataFrame, nProbe: Int, pred: Column): DataFrame = {
     val lits = readIvfPqIndexLits(spark, root)
     val probes = ivfPqProbeFrame(lits, queryStream, nProbe)
     probes.join(
-        lits.codes.select(col("vec_id").as("neighbor_id"), col("list_id"),
-          ivfPqXhat(lits).as("xhat")),
+        lits.codes.filter(pred)
+          .select(col("vec_id").as("neighbor_id"), col("list_id"),
+            ivfPqXhat(lits).as("xhat")),
         Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("acos", CosF(col("qvp"), col("xhat")))

@@ -1880,6 +1880,36 @@ class EventsPipelineSpec extends SparkSpec {
         "streamed OPQ ADC scores must equal the batch read path bit-exactly")
       assert(batch.nonEmpty, "the probe must score candidates (non-vacuous)")
     } finally q.stop()
+    // the s13 predicate knob on the STREAM: arriving queries score only
+    // the label=1 slice of the published attribute-carrying index —
+    // route-by-label at ingest, bit-equal to the batch filtered scorer
+    val rootF = Similarity.filteredIndexRootFor(spark, sfDir)
+    val srcF = MemoryStream[(Long, Array[Float])]
+    val qF = Similarity.ivfPqScoreStreamWhere(spark, rootF,
+        srcF.toDS().toDF("vec_id", "embedding"), nProbe = 6,
+        col("label") === 1)
+      .writeStream.format("memory").queryName("opq_stream_filtered_test")
+      .outputMode("append").start()
+    try {
+      queries.grouped(4).foreach { chunk =>
+        srcF.addData(chunk.toIndexedSeq: _*)
+        qF.processAllAvailable()
+      }
+      val streamedF = spark.table("opq_stream_filtered_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val batchF = Similarity.ivfPqScoreFromIndexWhere(spark, rootF,
+          e.filter(col("vec_id") < 10), nProbe = 6, col("label") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("list_id"), col("acos"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(streamedF == batchF && batchF.nonEmpty,
+        "streamed FILTERED probe must equal the batch filtered scorer bit-exactly")
+      // every scored neighbor satisfies the predicate (fail-closed)
+      val allowed = e.filter(col("label") === 1).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamedF.forall(t => allowed(t._2)),
+        "filtered stream scored a neighbor outside the predicate")
+    } finally qF.stop()
   }
 
   test("streaming perceptual dedup probe (A40): arriving dHashes match the batch probe exactly") {
