@@ -1849,7 +1849,113 @@ object Pipeline {
       ORDER BY doc_id"""
     })
 
+  /** P27's core: DOMAIN REWEIGHTING for the training mix — the DoReMi
+    * shape (Xie et al., 2023: iteratively upweight the domains a proxy
+    * finds HARD, so the final mixture spends its tokens where learning
+    * headroom is) with the LINEAR multiplicative-weights update (Arora,
+    * Hazan & Kale 2012, "The Multiplicative Weights Update Method")
+    * instead of the exponentiated gradient — w·(1 + η·excess) is pure
+    * +/×/÷ IEEE arithmetic, so both engines replay every round
+    * bit-exactly with no libm exp in the loop (the q63 ln precedent
+    * capped at ONE call; an ITERATED exp would compound ulp drift
+    * through rounds). Excess loss proxy = quality-score deficit vs the
+    * best domain (meanQ integer-derived: Σ floor(q·10⁴+0.5) as BIGINT /
+    * (10⁴·n), the p5 discipline — exact regardless of accumulation
+    * order); each round renormalizes by the ascending-domain left-fold
+    * sum (the t21 contract) and mixes δ/D uniform smoothing (DoReMi's
+    * regularizer), then r4-quantizes so the engines re-sync every round.
+    *
+    * Scale shape: ONE corpus scan + one map-side-combinable aggregate;
+    * the iteration runs on the |lang×source|-row DOMAIN frame collected
+    * to the driver (parameter-bounded — the k-centroid/rotation
+    * adjudication class), so rounds cost nothing at any corpus size.
+    */
+  def doremiWeights(docs: DataFrame, eta: Double = 0.5,
+      smooth: Double = 0.1, rounds: Int = 5): DataFrame = {
+    require(eta > 0 && smooth >= 0 && smooth < 1 && rounds >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = docs
+      .select(concat_ws("/", col("lang"), col("source")).as("domain"),
+        floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + 0.5)
+          .cast("long").as("qi"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qi")).as("qsum"))
+      .collect() // |lang x source| rows — parameter-bounded driver frame
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, "doremiWeights needs at least one domain")
+    val means = stats.map { case (dom, n, s) =>
+      (dom, n, s.toDouble / (10000.0 * n)) }
+    val maxMean = means.map(_._3).max
+    val dCount = means.length
+    var w = means.map(_ => Num.r4Double(1.0 / dCount))
+    (1 to rounds).foreach { _ =>
+      val up = means.zip(w).map { case ((_, _, m), wi) =>
+        wi * (1.0 + eta * (maxMean - m)) }
+      var s = 0.0
+      up.foreach(x => s = s + x) // ascending-domain left fold
+      w = up.map(x => Num.r4Double((1.0 - smooth) * (x / s) + smooth / dCount))
+    }
+    means.zip(w).map { case ((dom, n, m), wi) =>
+      (dom, n, Num.r4Double(m), wi) }.toSeq
+      .toDF("domain", "n_docs", "mean_quality", "weight")
+      .orderBy(col("domain"))
+  }
+
+  // P27 — DoReMi-lite domain weights. FULL oracle: DuckDB replays the
+  // integer-exact domain means, the max, and all five multiplicative-
+  // weights rounds (same parenthesization, same ascending left folds,
+  // same per-round r4) via a recursive CTE over list columns.
+  private val p27 = Relational.Q(
+    "p27_doremi_weights",
+    // constants EXPLICIT at the call site (the p9 convention): the
+    // oracle below hardcodes eta 0.5 / smooth 0.1 / rounds 5
+    (s, d) => doremiWeights(
+      Tables.documents(s, d).select(col("lang"), col("source"), col("text")),
+      eta = 0.5, smooth = 0.1, rounds = 5),
+    Some {
+      val qSql = TextAnalysis.qualityScoreSql("text")
+      s"""
+      WITH RECURSIVE base AS (
+        SELECT lang || '/' || source AS domain, COUNT(*) AS n_docs,
+          SUM(CAST(FLOOR(($qSql) * 10000.0 + 0.5) AS BIGINT)) AS qsum
+        FROM documents GROUP BY 1),
+      doms AS (
+        SELECT list(domain ORDER BY domain) AS ds,
+          list(n_docs ORDER BY domain) AS ns,
+          list(CAST(qsum AS DOUBLE) / (10000.0 * n_docs)
+            ORDER BY domain) AS ms
+        FROM base),
+      cfg AS (
+        SELECT ds, ns, ms,
+          list_reduce(ms, (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS mx,
+          len(ds) AS dc
+        FROM doms),
+      it AS (
+        SELECT 0 AS r,
+          [FLOOR((1.0 / dc) * 10000.0 + 0.5) / 10000.0 FOR x IN ds] AS w,
+          ds, ns, ms, mx, dc
+        FROM cfg
+        UNION ALL
+        SELECT r + 1,
+          [FLOOR(((1.0 - 0.1) * (u.up[i] / u.s) + 0.1 / dc) * 10000.0 + 0.5)
+             / 10000.0 FOR i IN range(1, dc + 1)],
+          ds, ns, ms, mx, dc
+        FROM it, LATERAL (
+          SELECT up, list_reduce(up, (a, b) -> a + b) AS s
+          FROM (SELECT [w[i] * (1.0 + 0.5 * (mx - ms[i]))
+                  FOR i IN range(1, dc + 1)] AS up)) u
+        WHERE r < 5)
+      SELECT ds[i] AS domain, CAST(ns[i] AS BIGINT) AS n_docs,
+        FLOOR(ms[i] * 10000.0 + 0.5) / 10000.0 AS mean_quality,
+        w[i] AS weight
+      FROM it, LATERAL (SELECT unnest(range(1, dc + 1)) AS i)
+      WHERE r = 5
+      ORDER BY domain"""
+    })
+
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p26)
+    p26, p27)
 }

@@ -534,6 +534,35 @@ class OperatorSpec extends SparkSpec {
       s"full-probe scan ${curve.last._3} != ${nQ * (n - 1)}")
   }
 
+  test("p27 DoReMi weights: a distribution, monotone in quality deficit, uniform at eta->0") {
+    val rows = graft.SparkEntry.queries("p27_doremi_weights")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_._3).sum
+    assert(math.abs(wsum - 1.0) < 0.01,
+      s"weights must form a (r4-quantized) distribution, sum=$wsum")
+    // the MW update multiplier decreases in mean quality, so from a
+    // uniform start the final weight is non-increasing in meanQ (hard
+    // domains get MORE mix weight — DoReMi's point); r4 quantization
+    // can flip a near-tie by one quantum
+    rows.sortBy(_._2).toSeq.sliding(2).foreach {
+      case Seq((d1, q1, w1), (d2, q2, w2)) =>
+        if (q1 < q2)
+          assert(w1 >= w2 - 2e-4,
+            s"weight not monotone in deficit: $d1(q=$q1,w=$w1) vs $d2(q=$q2,w=$w2)")
+      case _ =>
+    }
+    // eta -> 0 degenerates to the smoothed uniform fixed point
+    val uni = graft.operators.Pipeline.doremiWeights(
+        graft.Tables.documents(spark, sfDir)
+          .select(col("lang"), col("source"), col("text")),
+        eta = 1e-12, smooth = 0.1, rounds = 5)
+      .collect().map(_.getDouble(3))
+    val expect = 1.0 / rows.length
+    assert(uni.forall(w => math.abs(w - expect) < 1e-3),
+      s"eta->0 must stay ~uniform (1/${rows.length}), got ${uni.take(5).toSeq}")
+  }
+
   test("s13 filtered ANN: label predicate pushed to the codes parquet scan; recall floor vs the filtered exact universe") {
     import graft.operators.Similarity
     val e = graft.Tables.embeddings(spark, sfDir)
