@@ -61,10 +61,11 @@ case class PqReconstruct(child: Expression,
     val bcRef = ctx.addReferenceObj("pqBooksBc", books,
       classOf[Broadcast[_]].getName)
     // resolve the broadcast ONCE per generated-class instance (per task),
-    // not per row — value() goes through the block-manager cache
+    // not per row — value() goes through the block-manager cache. Fresh
+    // name + forceInline: two PqReconstructs in one codegen stage (e.g.
+    // a future union of two index reads) must not collide on the field.
     val bk = ctx.addMutableState("float[][][]", "pqBooks",
-      v => s"$v = (float[][][]) $bcRef.value();", useFreshName = false,
-      forceInline = true)
+      v => s"$v = (float[][][]) $bcRef.value();", forceInline = true)
     nullSafeCodeGen(ctx, ev, c => {
       val d = ctx.freshName("d")
       val o = ctx.freshName("o")

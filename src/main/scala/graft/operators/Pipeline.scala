@@ -1875,15 +1875,41 @@ object Pipeline {
     require(eta > 0 && smooth >= 0 && smooth < 1 && rounds >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
-    val stats = docs
+    val stats = domainQualityStats(docs)
+      .collect() // |lang x source| rows — parameter-bounded driver frame
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    doremiFromStats(stats.toSeq, eta, smooth, rounds).toDF(
+      "domain", "n_docs", "mean_quality", "weight")
+      .orderBy(col("domain"))
+  }
+
+  /** P27's sufficient statistic: per-domain (n, Σ floor(q·10⁴+0.5)) —
+    * ONE map-side-combinable aggregate over a batch OR STREAMING frame
+    * (on a stream it is an update-mode running aggregate, the A59
+    * global-statistic class: integer sums are order-free, so the
+    * streamed totals equal the batch pass bit-for-bit under any
+    * micro-batch slicing, and [[doremiFromStats]] seals weight
+    * equality). State on a stream = one (long, long) per domain —
+    * |lang×source|-bounded, never corpus-proportional.
+    */
+  def domainQualityStats(docs: DataFrame): DataFrame =
+    docs
       .select(concat_ws("/", col("lang"), col("source")).as("domain"),
         floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + 0.5)
           .cast("long").as("qi"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(col("qi")).as("qsum"))
-      .collect() // |lang x source| rows — parameter-bounded driver frame
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
+
+  /** The MW fold on collected (domain, n, Σqi) stats — shared by the
+    * batch operator and A64's streaming consumer so both derive the
+    * SAME weights from the same sufficient statistic (running integer
+    * sums are order-free, so the streamed stats equal the batch
+    * aggregate bit-for-bit and this fold seals the equality).
+    */
+  def doremiFromStats(stats0: Seq[(String, Long, Long)], eta: Double,
+      smooth: Double, rounds: Int): Seq[(String, Long, Double, Double)] = {
+    val stats = stats0.sortBy(_._1)
     require(stats.nonEmpty, "doremiWeights needs at least one domain")
     val means = stats.map { case (dom, n, s) =>
       (dom, n, s.toDouble / (10000.0 * n)) }
@@ -1898,9 +1924,7 @@ object Pipeline {
       w = up.map(x => Num.r4Double((1.0 - smooth) * (x / s) + smooth / dCount))
     }
     means.zip(w).map { case ((dom, n, m), wi) =>
-      (dom, n, Num.r4Double(m), wi) }.toSeq
-      .toDF("domain", "n_docs", "mean_quality", "weight")
-      .orderBy(col("domain"))
+      (dom, n, Num.r4Double(m), wi) }
   }
 
   // P27 — DoReMi-lite domain weights. FULL oracle: DuckDB replays the

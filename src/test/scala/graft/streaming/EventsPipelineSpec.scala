@@ -583,6 +583,42 @@ class EventsPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming domain-mix monitor (A64): running quality stats -> shared MW fold == batch p27 bit-exactly") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val src = MemoryStream[(Long, String, String, String)]
+    // the BATCH aggregate attached to a stream: update-mode running
+    // per-domain totals (the A59 global-statistic class) — state is one
+    // (count, sum) pair per domain, |lang x source|-bounded
+    val q = graft.operators.Pipeline.domainQualityStats(
+        src.toDS().toDF("doc_id", "lang", "source", "text"))
+      .writeStream.format("memory").queryName("domain_mix_stream")
+      .outputMode("complete").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 4)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamedStats = spark.table("domain_mix_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // the consumer derives weights from the streamed sufficient
+      // statistic with the SHARED fold — bit-equal to the batch entry
+      val streamedWeights = graft.operators.Pipeline.doremiFromStats(
+        streamedStats, eta = 0.5, smooth = 0.1, rounds = 5)
+      val batch = graft.SparkEntry.queries("p27_doremi_weights")(spark, sfDir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSeq
+      assert(batch.nonEmpty && streamedWeights == batch,
+        s"streamed mixture weights diverge from batch p27: " +
+          s"missing=${(batch.toSet -- streamedWeights.toSet).take(3)} " +
+          s"extra=${(streamedWeights.toSet -- batch.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("row-local minhash banding is bit-compatible with the batch pipeline") {
     import spark.implicits._
     // the sf corpus PLUS hostile whitespace: Spark's trim strips only
