@@ -293,6 +293,34 @@ object ScaleCurve {
     // 4-table rotated artifact: the query-side rotation is one plan
     // literal, so the read curve must track s9's (three narrow scans +
     // parameter-bounded broadcasts), not grow with the corpus.
+    // s13: the FILTERED read path at 1x..maxF corpus — s9's leg with the
+    // label predicate pushed to the attribute-carrying codes scan. The
+    // filtered curve must track s9's (the filter only THINS the scan;
+    // candidate volume is the probed fraction x selectivity).
+    if (opFilter("s13_filtered_read")) factors.foreach { f =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-scale-s13-$f").toString
+      val e = scaledEmbeddings(f)
+        .withColumn("label", pmod(col("vec_id"), lit(4)).cast("int"))
+        .persist()
+      val tb = System.nanoTime()
+      val rs = Similarity.publishIvfPqIndex(
+        e.select(col("vec_id"), col("embedding")), root, token = s"scale-attr-$f",
+        attrs = Some(e.select(col("vec_id"), col("label"))))
+      require(rs.size == 3 && rs.forall(_.published), s"s13 publish failed at f=$f")
+      println(f"[scale] s13_attr_build        f=$f rows=${2000L * f}%9d ${(System.nanoTime() - tb) / 1e9}%7.2f s")
+      val q = e.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = Similarity.ivfPqTopKFromIndexWhere(spark, root, e, q,
+          k = 5, refine = 200, nProbe = 6, col("label") === 1).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (n, dt)
+      }
+      println(f"[scale] s13_filtered_read     f=$f rows=${times.head._1}%9d ${times.map(_._2).min}%7.2f s")
+      e.unpersist()
+    }
+
     if (opFilter("s11_index_read")) factors.foreach { f =>
       val root = java.nio.file.Files.createTempDirectory(s"graft-scale-s11-$f").toString
       val e = scaledEmbeddings(f).persist()
