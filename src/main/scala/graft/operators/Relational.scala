@@ -2478,6 +2478,31 @@ object Relational {
     profileFromPairs(pairs)
   }
 
+  /** B72's core: the ANYTIME/SAMPLED matrix profile (SCRIMP-class — Zhu
+    * et al., ICDM 2018 "Matrix Profile XI": compute the profile over a
+    * SUBSET of diagonals; the restricted min is a provable ONE-SIDED
+    * estimate, dist_est ≥ true dist per window, converging to exact as
+    * the subset grows). This is the published scale-out for the one
+    * intrinsically quadratic surface in the pack: the full q59 pair
+    * space is O(W²/stride) BY DEFINITION, and the sample knob cuts it to
+    * O(W²/(stride·E)) — the preview a 100 TB deployment runs before
+    * paying for the exact build. Deterministic diagonal lattice (every
+    * E-th admissible diagonal — see [[diagonalPairStats]]), so the
+    * estimate is cross-engine exact, not just bounded; r4 is monotone,
+    * so the one-sided property survives quantization. Windows whose
+    * every candidate diagonal was skipped drop (estimate undefined —
+    * the same convention as q59's partnerless windows).
+    */
+  def tsMatrixProfileSampled(events: DataFrame, L: Int, stride: Int,
+      sampleEvery: Int): DataFrame = {
+    require(L >= 1 && stride >= 1 && sampleEvery >= 1)
+    val st = diagonalPairStats(events, L, stride, sampleEvery)
+    val pairs = st.select(col("user_id"), col("s1"), col("s2"),
+      r4((col("sq1") + col("sq2") - lit(2L) * col("qt")).cast("double")
+        / lit(10000.0)).as("dist"))
+    profileFromPairs(pairs).withColumnRenamed("dist", "dist_est")
+  }
+
   /** The STOMP diagonal core shared by B59/B60 (Zhu et al., ICDM 2016):
     * per-pair window statistics WITHOUT a per-pair O(L) fold. Values are
     * scaled to exact integers X = floor(100·value + 0.5) (the events
@@ -2509,7 +2534,7 @@ object Relational {
     * window sort; no array payload ever crosses a shuffle.
     */
   private def diagonalPairStats(events: DataFrame, L: Int,
-      stride: Int): DataFrame = {
+      stride: Int, sampleDiagEvery: Int = 1): DataFrame = {
     val wPos = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     // FAIL-LOUD data contract: the ×100 quantization is exact only for
     // 2-decimal telemetry. On anything else the integer path would
@@ -2521,10 +2546,18 @@ object Relational {
     // per row inside codegen.
     val scaled = col("value") * 100.0
     val xi = floor(scaled + 0.5).cast("long")
+    // RELATIVE tolerance (r15 advice): a true 2-decimal value scales to
+    // an integer with only double representation error — ~1e-16 relative
+    // — so 1e-9·|scaled| admits it at ANY magnitude, where the old
+    // absolute 1e-6 rejected legitimate telemetry past |value| ≈ 5e7
+    // (representation error of value*100 alone exceeds 1e-6 there).
+    // floor(scaled+0.5) is correct round-to-nearest for negatives too
+    // once the guard passes (|scaled − xi| ≪ 0.5 by construction).
     val ser = events.select(col("user_id"), col("event_id"), col("value"))
       .withColumn("p", row_number().over(wPos).cast("long"))
       .withColumn("x",
-        when(abs(scaled - xi.cast("double")) < 1e-6, xi)
+        when(abs(scaled - xi.cast("double"))
+          < lit(1e-9) * greatest(abs(scaled), lit(1.0)), xi)
           .otherwise(raise_error(concat(
             lit("diagonalPairStats: value is not 2-decimal telemetry "
               + "(the STOMP integer discipline requires value*100 integral): "),
@@ -2536,9 +2569,19 @@ object Relational {
     // admissible diagonal; diagonals past N - L emit product rows but
     // never a complete window (p >= L unreachable), a <L-row tail per
     // user that vanishes in the filter below.
+    // DIAGONAL SUBSAMPLING (SCRIMP-class anytime preview, Zhu et al.
+    // ICDM 2018: the exact profile restricted to a diagonal subset is a
+    // one-sided estimate — min over fewer candidates ≥ the true min).
+    // The subsample is the DETERMINISTIC stride lattice d0 + k·stride·E
+    // (every E-th admissible diagonal), not a random draw: the work cut
+    // lands where it matters (the explode emits 1/E of the product rows,
+    // so everything downstream — join, window sums, argmin — shrinks
+    // proportionally) and the estimate replays EXACTLY in any engine
+    // (the q59 oracle discipline needs no pinned RNG).
+    val step = stride.toLong * sampleDiagEvery
     val right = ser.filter(col("p") > d0)
       .select(col("user_id"), col("p").as("p2"), col("x").as("y"),
-        explode(sequence(lit(d0), col("p") - 1, lit(stride.toLong))).as("d"))
+        explode(sequence(lit(d0), col("p") - 1, lit(step))).as("d"))
       .withColumn("p", col("p2") - col("d"))
     val prods = right.join(ser, Seq("user_id", "p"))
       .select(col("user_id"), col("d"), col("p"), col("x"), col("y"),
@@ -3028,6 +3071,19 @@ object Relational {
     cached.count()
     val prof = cached.localCheckpoint(true)
     cached.unpersist()
+    flussCacFromProfile(prof)
+  }
+
+  /** The FLUSS consumer tail on an ALREADY-MATERIALIZED profile frame
+    * (user_id, start, nn_start): dense indexing, arc-endpoint equi-join,
+    * ±1 difference running sum, CAC scalar tail — q64's everything-after-
+    * the-profile. Shared by the in-query spelling ([[tsFlussCacCore]],
+    * which materializes via persist+localCheckpoint because the profile
+    * feeds three frames below) and the PUBLISHED-ARTIFACT read path
+    * (q70), where the parquet artifact IS the materialization — three
+    * narrow column-pruned scans, nothing recomputed.
+    */
+  def flussCacFromProfile(prof: DataFrame): DataFrame = {
     val wIdx = Window.partitionBy(col("user_id")).orderBy(col("start"))
     val withI = prof.withColumn("i", (row_number().over(wIdx) - 1).cast("long"))
     val counts = withI.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
@@ -3073,13 +3129,22 @@ object Relational {
     * beyond the profile's own cost.
     */
   def tsRegimeBoundaries(events: DataFrame, L: Int, stride: Int,
-      threshold: Double, zone: Int): DataFrame = {
+      threshold: Double, zone: Int): DataFrame =
+    regimeExtractFromCurve(tsFlussCacCore(events, L, stride), threshold, zone)
+
+  /** B66's extraction tail on an already-computed CAC curve (user_id,
+    * boundary, crossings, cac): the two range-frame minima + first-of-tie
+    * filter — shared by the in-query spelling ([[tsRegimeBoundaries]])
+    * and the published-profile read path (q71).
+    */
+  def regimeExtractFromCurve(curve: DataFrame, threshold: Double,
+      zone: Int): DataFrame = {
     require(zone >= 1 && threshold > 0.0)
     val wPrev = Window.partitionBy(col("user_id")).orderBy(col("boundary"))
       .rangeBetween(-zone, -1)
     val wNext = Window.partitionBy(col("user_id")).orderBy(col("boundary"))
       .rangeBetween(1, zone)
-    tsFlussCacCore(events, L, stride)
+    curve
       .withColumn("mp", min(col("cac")).over(wPrev))
       .withColumn("mn", min(col("cac")).over(wNext))
       .filter(col("cac") <= threshold &&
@@ -3464,10 +3529,189 @@ object Relational {
         AND (mp IS NULL OR cac1 < mp) AND cac1 <= mn
       ORDER BY user_id, boundary"""))
 
+  // ======== B68-B71 — the matrix profile as a PUBLISHED ARTIFACT ========
+
+  /** Publish the RAW matrix profile (q59's frame: user_id, start,
+    * nn_start, dist) as a WAP artifact under `root` — the r15 verdict's
+    * lead item and the production shape the q59 Scaladoc already names:
+    * ONE artifact, MANY consumers. q61 (discords = maxima), q64 (FLUSS
+    * CAC = arc crossings) and q66 (regime extraction) all re-ran the
+    * O(W²/stride) diagonal pair pass per query (~7.4 s of the r15 bench
+    * was profile recomputation); at 100 TB the f² pass per consumer is
+    * the difference between one expensive build and three. The D7/P25
+    * lifecycle conventions: staged-bytes audit BEFORE the pointer moves —
+    * grid alignment of both endpoints, the ≥L non-overlap invariant,
+    * non-null non-negative distances, and ONE ROW PER ADMISSIBLE WINDOW
+    * (the count expectation derived independently from the event counts:
+    * a user with n stride-grid windows has max(0, n − max(0, 2·g0 − n))
+    * windows owning a non-overlapping partner, g0 = ⌈L/stride⌉ — windows
+    * in the middle of a short series have no admissible pair and drop,
+    * the literature's undefined-profile convention).
+    */
+  def publishTsProfile(events: DataFrame, root: String, token: String,
+      L: Int, stride: Int): Publish.WapResult = {
+    val prof = tsMatrixProfile(events, L, stride)
+    val g0 = ((L + stride - 1) / stride).toLong
+    val expected = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= L)
+      .select((floor((col("cnt") - lit(L.toLong)) / lit(stride.toLong)) + 1L)
+        .cast("long").as("n"))
+      .select(greatest(lit(0L),
+        col("n") - greatest(lit(0L), lit(2L * g0) - col("n"))).as("adm"))
+      .agg(coalesce(sum(col("adm")), lit(0L)).as("t"))
+      .collect()(0).getLong(0) // one driver long — parameter-bounded
+    val audit: Publish.Audit = staged =>
+      Publish.columnAudit(
+        "profile_start_on_grid" -> ((col("start") - 1) % stride =!= 0),
+        "profile_nn_on_grid" -> ((col("nn_start") - 1) % stride =!= 0),
+        "profile_non_overlap" ->
+          (abs(col("nn_start") - col("start")) < L),
+        "profile_dist_valid" -> (col("dist").isNull || col("dist") < 0.0))(staged)
+        .unionByName(staged.agg(count(lit(1)).as("n"))
+          .select(lit("profile_one_row_per_admissible_window").as("expectation"),
+            abs(col("n") - lit(expected)).cast("long").as("violations"),
+            (col("n") === lit(expected)).as("pass")))
+    Publish.writeAuditPublish(prof, s"$root/profile", audit, token)
+  }
+
+  /** The published profile, latest version (torn reads impossible: one
+    * table, one pointer).
+    */
+  def readTsProfile(spark: SparkSession, root: String): DataFrame =
+    Publish.readPublished(spark, s"$root/profile")
+
+  // the s9 memo discipline: the artifact builds ONCE per (sfDir) and the
+  // benched entries time the READ path — what a production deployment
+  // runs (the profile is a nightly build; discords/CAC/regimes are the
+  // every-analyst queries on it)
+  private val publishedProfileRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Root of the published matrix-profile artifact for `sfDir` at the
+    * pack's pinned (L=8, stride=4), building on first use.
+    */
+  def tsProfileRootFor(spark: SparkSession, sfDir: String): String =
+    publishedProfileRoots.computeIfAbsent(sfDir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q68-tsprofile").toString
+      val r = publishTsProfile(Tables.events(spark, sfDir), root,
+        token = "q68", L = 8, stride = 4)
+      require(r.published, s"ts-profile publish failed: $r")
+      root
+    })
+
+  private[graft] def clearPublishedProfileRoots(): Unit =
+    publishedProfileRoots.clear()
+
+  // B68 — the artifact read itself: byte-for-byte q59 (the integer
+  // replay pins the STORED bytes, not a recomputation — same FULL oracle,
+  // now gating the publish+read lifecycle end to end).
+  private val q68 = Q(
+    "q68_ts_profile_read",
+    (s, d) => readTsProfile(s, tsProfileRootFor(s, d))
+      .orderBy(col("user_id"), col("start")),
+    q59.oracle)
+
+  // B69 — discord top-k as a READ-PATH consumer: one
+  // TakeOrderedAndProject over the stored profile — zero pair work at
+  // query time. Same FULL oracle as q61.
+  private val q69 = Q(
+    "q69_ts_discord_read",
+    (s, d) => readTsProfile(s, tsProfileRootFor(s, d))
+      .orderBy(col("dist").desc, col("user_id"), col("start"))
+      .limit(10),
+    q61.oracle)
+
+  // B70 — FLUSS CAC as a READ-PATH consumer: the consumer tail
+  // ([[flussCacFromProfile]]) over the stored profile — the parquet
+  // artifact is the materialization the in-query spelling had to
+  // persist+checkpoint for. Same FULL oracle as q64.
+  private val q70 = Q(
+    "q70_ts_cac_read",
+    (s, d) => flussCacFromProfile(
+      readTsProfile(s, tsProfileRootFor(s, d))
+        .select(col("user_id"), col("start"), col("nn_start")))
+      .orderBy(col("user_id"), col("boundary")),
+    q64.oracle)
+
+  // B71 — regime extraction as a READ-PATH consumer: B66's two
+  // range-frame minima over the read-path curve. Same FULL oracle as q66.
+  private val q71 = Q(
+    "q71_ts_regime_read",
+    (s, d) => regimeExtractFromCurve(
+      flussCacFromProfile(
+        readTsProfile(s, tsProfileRootFor(s, d))
+          .select(col("user_id"), col("start"), col("nn_start"))),
+      threshold = 0.8, zone = 3),
+    q66.oracle)
+
+  // B72 — SCRIMP-class sampled profile at E=4 (a quarter of the
+  // diagonals → a quarter of the pair work). The VERIFY frame carries
+  // the exact-profile gate leg — one_sided is GENUINELY computed against
+  // q59's full profile in both engines (the x1 bounds-oracle discipline,
+  // here upgraded to a FULL oracle because the deterministic lattice
+  // replays exactly); the benched entry is the production sampled path
+  // alone (the SURVEY §6 bench/verify split).
+  private def q72Sampled(s: SparkSession, d: String): DataFrame =
+    tsMatrixProfileSampled(Tables.events(s, d), L = 8, stride = 4,
+      sampleEvery = 4)
+
+  private val q72 = Q(
+    "q72_ts_profile_sampled",
+    (s, d) => {
+      val exact = tsMatrixProfile(Tables.events(s, d), L = 8, stride = 4)
+        .select(col("user_id"), col("start"), col("dist").as("dist_true"))
+      q72Sampled(s, d).join(exact, Seq("user_id", "start"))
+        .select(col("user_id"), col("start"), col("nn_start"),
+          col("dist_est"),
+          (col("dist_est") >= col("dist_true")).as("one_sided"))
+        .orderBy(col("user_id"), col("start"))
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+          ORDER BY event_id) AS vs
+        FROM events GROUP BY user_id),
+      w AS (
+        SELECT user_id, s AS start, vs[s : s + 7] AS xs
+        FROM u, LATERAL (SELECT unnest(range(1, len(vs) + 1, 4)) AS s)
+        WHERE s + 7 <= len(vs)),
+      pall AS (
+        SELECT a.user_id, a.start AS s1, b.start AS s2,
+          ${Num.r4Sql("""CAST(list_reduce(
+            [(a.xs[i] - b.xs[i]) * (a.xs[i] - b.xs[i]) FOR i IN range(1, 9)],
+            (x, y) -> x + y) AS DOUBLE) / 10000.0""")} AS dist,
+          ((b.start - a.start - 8) % 16 = 0) AS sampled
+        FROM w a JOIN w b
+          ON a.user_id = b.user_id AND b.start >= a.start + 8),
+      mirr_est AS (
+        SELECT user_id, s1 AS start, s2 AS nn_start, dist FROM pall WHERE sampled
+        UNION ALL
+        SELECT user_id, s2 AS start, s1 AS nn_start, dist FROM pall WHERE sampled),
+      est AS (
+        SELECT user_id, CAST(start AS BIGINT) AS start,
+          CAST(nn_start AS BIGINT) AS nn_start, dist AS dist_est
+        FROM mirr_est
+        QUALIFY row_number() OVER (PARTITION BY user_id, start
+          ORDER BY dist, nn_start) = 1),
+      mirr_true AS (
+        SELECT user_id, s1 AS start, dist FROM pall
+        UNION ALL SELECT user_id, s2 AS start, dist FROM pall),
+      tru AS (
+        SELECT user_id, CAST(start AS BIGINT) AS start,
+          MIN(dist) AS dist_true
+        FROM mirr_true GROUP BY 1, 2)
+      SELECT e.user_id, e.start, e.nn_start, e.dist_est,
+        e.dist_est >= t.dist_true AS one_sided
+      FROM est e JOIN tru t
+        ON t.user_id = e.user_id AND t.start = e.start
+      ORDER BY e.user_id, e.start"""),
+    benchFn = Some(q72Sampled _))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
     q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
-    q67)
+    q67, q68, q69, q70, q71, q72)
 }

@@ -1015,7 +1015,11 @@ object Similarity {
         "books_centv_dim" -> (size(col("centv")) =!= ds),
         "books_sub_in_range" -> (col("sub") < 0 || col("sub") >= m),
         "books_cid_in_range" -> (col("cid") < 0 || col("cid") >= kc),
-        "books_metric_known" -> !col("metric").isin("cos", "l2"))(staged)
+        // isNull spelled out: `!isin` is NULL (not true) for a null
+        // metric, and columnAudit counts NULL as non-violation — the
+        // audit exists so refresh can TRUST this column, so null fails
+        "books_metric_known" ->
+          (col("metric").isNull || !col("metric").isin("cos", "l2")))(staged)
     val codesAudit: Publish.Audit = staged =>
       Publish.columnAudit(
         "codes_width" -> (size(col("codes")) =!= m),
@@ -1177,7 +1181,8 @@ object Similarity {
     * bit-exact across the refresh.
     */
   def refreshIvfPqIndex(spark: SparkSession, root: String,
-      newVectors: DataFrame, token: String): Seq[Publish.WapResult] = {
+      newVectors: DataFrame, token: String,
+      attrs: Option[DataFrame] = None): Seq[Publish.WapResult] = {
     val lists = Publish.readPublished(spark, s"$root/lists")
     val books = Publish.readPublished(spark, s"$root/books")
     val codes = Publish.readPublished(spark, s"$root/codes")
@@ -1226,8 +1231,35 @@ object Similarity {
         ms.head
       } else if (rotation.isDefined) "l2" else "cos"
     val subs = pqSubVectors(assigned.select(col("vec_id"), col("embedding")), m, ds)
-    val newCodes = encodePq(subs, books, metric)
+    val newCodes0 = encodePq(subs, books, metric)
       .join(assigned.select(col("vec_id"), col("list_id")), Seq("vec_id"))
+    // ATTRIBUTE-CARRYING indexes (publishIvfPqIndex(attrs=...), the D16
+    // filtered-search artifact) denormalize extra per-vector columns into
+    // codes: arrivals must carry the SAME columns or unionByName tears
+    // the refresh. The published schema is authoritative — extra columns
+    // there make `attrs` REQUIRED (same left-join fail-closed semantics
+    // as the publish path: a vector with no attribute row keeps null,
+    // which never matches an equality predicate at read time), and an
+    // `attrs` frame against a plain index is rejected as a misuse.
+    val extraCols = codes.columns.filterNot(
+      Set("vec_id", "codes", "list_id").contains).toSeq
+    val newCodes = (extraCols, attrs) match {
+      case (Nil, None) => newCodes0
+      case (Nil, Some(_)) => throw new IllegalArgumentException(
+        "refresh rejected: attrs supplied but the published codes table " +
+          "carries no attribute columns — this index was not built with attrs")
+      case (extra, None) => throw new IllegalArgumentException(
+        s"refresh rejected: published codes carry attribute columns " +
+          s"$extra — pass attrs with (vec_id, ${extra.mkString(", ")}) " +
+          "for the arrivals")
+      case (extra, Some(a)) =>
+        val missing = extra.filterNot(a.columns.contains)
+        require(missing.isEmpty,
+          s"refresh rejected: attrs frame missing columns $missing " +
+            s"required by the published codes schema")
+        newCodes0.join(
+          a.select((col("vec_id") +: extra.map(col)): _*), Seq("vec_id"), "left")
+    }
     // ALL arrival validation happens BEFORE any table publishes: the
     // three tables share one version sequence, so a refresh that stages
     // lists/books at N+1 and then fails the codes audit leaves the index

@@ -687,6 +687,61 @@ class OperatorSpec extends SparkSpec {
     assert(err.getMessage.contains("already indexed"))
   }
 
+  test("IVF-PQ refresh of an ATTRIBUTE-CARRYING index (D16/s13 shape): arrivals carry attrs, plain refresh rejected") {
+    import graft.operators.{Publish, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-attr-refresh").toString
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val held = e.filter(col("vec_id") % 7 === 3)
+    val initial = e.filter(col("vec_id") % 7 =!= 3)
+    // the s13 build shape: label denormalized into codes at publish
+    val r1 = Similarity.publishIvfPqIndex(
+      initial.select(col("vec_id"), col("embedding")), root, token = "v1attr",
+      attrs = Some(initial.select(col("vec_id"), col("label"))))
+    assert(r1.size == 3 && r1.forall(_.published), s"attr publish failed: $r1")
+    // refresh WITHOUT attrs must fail loudly BEFORE any publish (the
+    // r15 advice: unionByName used to throw AnalysisException mid-WAP)
+    val errNoAttrs = intercept[IllegalArgumentException] {
+      Similarity.refreshIvfPqIndex(spark, root, held, token = "v2plain")
+    }
+    assert(errNoAttrs.getMessage.contains("attribute columns"))
+    assert(Publish.currentVersion(spark, s"$root/codes").contains(1L),
+      "failed refresh moved the codes pointer")
+    // refresh WITH attrs: every arrival lands with its label; stored
+    // rows keep theirs bit-exact
+    val r2 = Similarity.refreshIvfPqIndex(spark, root, held, token = "v2attr",
+      attrs = Some(held.select(col("vec_id"), col("label"))))
+    assert(r2.size == 3 && r2.forall(_.published), s"attr refresh failed: $r2")
+    assert(r2.forall(_.version.contains(2L)), s"one version sequence expected: $r2")
+    val codesV2 = Publish.readPublished(spark, s"$root/codes")
+    assert(codesV2.columns.contains("label"), "refresh dropped the attr column")
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    codesV2.select(col("vec_id"), col("label")).collect().foreach { r =>
+      assert(!r.isNullAt(1) && r.getInt(1) == labels(r.getLong(0)),
+        s"vec ${r.getLong(0)} label mismatch after refresh")
+    }
+    // the refreshed artifact still serves the FILTERED read path: the
+    // predicate stays a pushed codes-scan filter, results all label=1
+    val queries = e.filter(col("vec_id") < 10)
+    val got = Similarity.ivfPqTopKFromIndexWhere(spark, root, e, queries,
+      k = 5, refine = 200, nProbe = 6, col("label") === 1).collect()
+    assert(got.nonEmpty, "filtered read on refreshed index returned nothing")
+    val lbl1 = e.filter(col("label") === 1).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    got.foreach(r => assert(lbl1.contains(r.getLong(2)),
+      s"filtered read leaked non-label-1 neighbor ${r.getLong(2)}"))
+    // attrs against a PLAIN index is a misuse, rejected symmetrically
+    val plainRoot = java.nio.file.Files.createTempDirectory("graft-ivfpq-plain").toString
+    val r3 = Similarity.publishIvfPqIndex(
+      initial.select(col("vec_id"), col("embedding")), plainRoot, token = "v1plain")
+    assert(r3.forall(_.published))
+    val errMisuse = intercept[IllegalArgumentException] {
+      Similarity.refreshIvfPqIndex(spark, plainRoot, held, token = "v2mis",
+        attrs = Some(held.select(col("vec_id"), col("label"))))
+    }
+    assert(errMisuse.getMessage.contains("not built with attrs"))
+  }
+
   test("PQ index lifecycle (s7): WAP publish, artifact bit-exact, zero staged-side exchange, recall holds") {
     val sf = "/root/testdata/sf0.01"
     val root = java.nio.file.Files.createTempDirectory("graft-pqindex").toString
