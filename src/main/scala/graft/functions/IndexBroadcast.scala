@@ -192,3 +192,57 @@ object ProbeTopLists {
     GraftColumnBridge.column(
       ProbeTopLists(GraftColumnBridge.expression(qv), lists, nProbe))
 }
+
+/** List-centroid lookup with the centroids shipped as a BROADCAST
+  * VARIABLE — the residual-decode sibling of [[PqReconstruct]]: a
+  * residual IVF-PQ read reconstructs x̂ = centroid(list_id) + decode(codes),
+  * and this supplies the centroid on the corpus-side hot path without a
+  * plan literal (same task-binary discipline). Out-of-range or null
+  * list ids yield NULL (unreachable on audited artifacts — codes carry
+  * the list-referential audit).
+  */
+case class ListCentroid(child: Expression,
+    lists: Broadcast[Array[Array[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(IntegerType)
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "list_centroid"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val id = input.asInstanceOf[Int]
+    val ls = lists.value
+    if (id < 0 || id >= ls.length) null
+    else new GenericArrayData(ls(id))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("listCentBc", lists,
+      classOf[Broadcast[_]].getName)
+    // one block-manager resolve per generated-class instance (per task);
+    // fresh name + forceInline — the PqReconstruct convention, and both
+    // expressions routinely share one codegen stage on the read path
+    val ls = ctx.addMutableState("float[][]", "listCents",
+      v => s"$v = (float[][]) $bcRef.value();", forceInline = true)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c < 0 || $c >= $ls.length) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($ls[$c]);
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ListCentroid =
+    copy(child = newChild)
+}
+
+object ListCentroid {
+  def apply(listId: Column, lists: Broadcast[Array[Array[Float]]]): Column =
+    GraftColumnBridge.column(
+      ListCentroid(GraftColumnBridge.expression(listId), lists))
+}

@@ -945,7 +945,8 @@ object Similarity {
       kc: Int = 16, pqIters: Int = 4,
       rotate: Boolean = false,
       pqMetric: String = "auto",
-      attrs: Option[DataFrame] = None): Seq[Publish.WapResult] = {
+      attrs: Option[DataFrame] = None,
+      residual: Boolean = false): Seq[Publish.WapResult] = {
     // "auto": the OPQ composition trains L2 subquantizers (the Jégou/Ge
     // objective — magnitude-aware, which allocated one-axis subspaces
     // require); the unrotated index keeps the pack's spherical
@@ -954,9 +955,21 @@ object Similarity {
     // the BUILD's metric even when an explicit override disagrees with
     // rotation presence (e.g. rotate=false + pqMetric="l2", the
     // rotate-then-score replication build).
-    val metric = if (pqMetric == "auto") { if (rotate) "l2" else "cos" } else pqMetric
+    // RESIDUAL encoding (FAISS-shape IVFPQ — Jégou et al. 2011 §III.A):
+    // subquantizers code x − centroid(list), not x. The residual is what
+    // remains AFTER the coarse quantizer explains the vector, so the
+    // subquantizer variance concentrates and recall lifts at unchanged
+    // bits. Residuals are displacement vectors with no directional
+    // meaning — the l2 objective is forced (cosine on a residual is
+    // meaningless, and "auto" resolves to l2).
+    val metric =
+      if (pqMetric == "auto") { if (residual || rotate) "l2" else "cos" }
+      else pqMetric
     require(metric == "cos" || metric == "l2",
       s"unknown PQ metric '$metric' (cos | l2)")
+    require(!(residual && metric == "cos"),
+      "residual encoding requires the l2 subquantizer objective " +
+        "(a residual is a displacement, not a direction)")
     val src = e.select(col("vec_id"), col("embedding"))
     // OPQ composition (Ge et al., CVPR 2013, the parametric solution):
     // rotate the corpus onto its PCA basis WITH EIGENVALUE ALLOCATION
@@ -986,12 +999,23 @@ object Similarity {
       .agg(max_by(col("list_id"),
         struct(col("ccos"), (-col("list_id")).as("tie"))).as("list_id"),
         first(col("embedding")).as("embedding"))
-    val subs = pqSubVectors(assigned.select(col("vec_id"), col("embedding")), m, ds)
+    // residual build: subtract the ASSIGNED list centroid before the
+    // subspace split — one broadcast (kIvf rows) + a narrow zip_with;
+    // training, encoding and (at read time) reconstruction all live in
+    // residual space, with the centroid added back per candidate row
+    val encInput =
+      if (!residual) assigned.select(col("vec_id"), col("embedding"))
+      else assigned.join(broadcast(lists), Seq("list_id"))
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("centv"),
+            (x, c) => (x - c).cast("float")).as("embedding"))
+    val subs = pqSubVectors(encInput, m, ds)
     val rawBooks = trainCentroidsKeyed(subs, base, kc, pqIters, metric)
     val wSub = Window.partitionBy(col("sub")).orderBy(col("centroid_id"))
     val books = rawBooks
       .withColumn("cid", (row_number().over(wSub) - 1).cast("int"))
-      .select(col("sub"), col("cid"), col("centv"), lit(metric).as("metric"))
+      .select(col("sub"), col("cid"), col("centv"), lit(metric).as("metric"),
+        lit(residual).as("residual"))
     // ATTRIBUTE DENORMALIZATION (filtered ANN, D16): optional per-vector
     // attribute columns land IN the codes table, so an attribute-
     // constrained search is a parquet-pushed predicate on the codes scan
@@ -1019,7 +1043,10 @@ object Similarity {
         // metric, and columnAudit counts NULL as non-violation — the
         // audit exists so refresh can TRUST this column, so null fails
         "books_metric_known" ->
-          (col("metric").isNull || !col("metric").isin("cos", "l2")))(staged)
+          (col("metric").isNull || !col("metric").isin("cos", "l2")),
+        // same trust contract for the residual flag: refresh and the
+        // read path both branch on it
+        "books_residual_known" -> col("residual").isNull)(staged)
     val codesAudit: Publish.Audit = staged =>
       Publish.columnAudit(
         "codes_width" -> (size(col("codes")) =!= m),
@@ -1230,7 +1257,23 @@ object Similarity {
           s"books artifact carries mixed encode metrics: ${ms.toSeq}")
         ms.head
       } else if (rotation.isDefined) "l2" else "cos"
-    val subs = pqSubVectors(assigned.select(col("vec_id"), col("embedding")), m, ds)
+    // residual builds encode x − centroid(list): arrivals replay the
+    // build's residual step against the PUBLISHED lists (the flag is
+    // persisted on books, the metric discipline)
+    val residualFlag = books.columns.contains("residual") && {
+      val fs = books.select(col("residual")).distinct().collect()
+        .map(_.getBoolean(0))
+      require(fs.length == 1,
+        s"books artifact carries mixed residual flags: ${fs.toSeq}")
+      fs.head
+    }
+    val encInput =
+      if (!residualFlag) assigned.select(col("vec_id"), col("embedding"))
+      else assigned.join(broadcast(lists), Seq("list_id"))
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("centv"),
+            (x, c) => (x - c).cast("float")).as("embedding"))
+    val subs = pqSubVectors(encInput, m, ds)
     val newCodes0 = encodePq(subs, books, metric)
       .join(assigned.select(col("vec_id"), col("list_id")), Seq("vec_id"))
     // ATTRIBUTE-CARRYING indexes (publishIvfPqIndex(attrs=...), the D16
@@ -1338,7 +1381,7 @@ object Similarity {
     */
   private final case class IvfPqIndexLits(codes: DataFrame, nLists: Int,
       rotation: Option[Array[Array[Double]]],
-      xhatOf: Column => Column,
+      xhatOf: (Column, Column) => Column, // (codes, list_id) -> x̂
       probeIdsOf: (Column, Int) => Column)
 
   private def readIvfPqIndexLits(spark: SparkSession,
@@ -1357,6 +1400,16 @@ object Similarity {
     val codes = Publish.readPublished(spark, s"$root/codes")
     val rows = booksDf.select(col("sub"), col("cid"), col("centv")).collect()
     require(rows.nonEmpty, "empty codebook artifact")
+    // residual artifacts reconstruct x̂ = centroid(list_id) + decode(codes)
+    // — the flag is persisted on books (the metric-column discipline);
+    // pre-flag artifacts are plain (residual encoding shipped after it)
+    val residual = booksDf.columns.contains("residual") && {
+      val fs = booksDf.select(col("residual")).distinct().collect()
+        .map(_.getBoolean(0))
+      require(fs.length == 1,
+        s"books artifact carries mixed residual flags: ${fs.toSeq}")
+      fs.head
+    }
     val m = rows.map(_.getInt(0)).max + 1
     val booksArr: Array[Array[Array[Float]]] = (0 until m).map { s =>
       rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
@@ -1367,6 +1420,10 @@ object Similarity {
     val listsArr: Array[Array[Float]] = listRows.sortBy(_.getInt(0))
       .map(_.getSeq[Float](1).toArray)
     val nLists = listsArr.length
+    // residual add-back shares the two spellings' float contract: both
+    // compute (decoded + centroid) element-wise in float
+    def plusCentroid(decoded: Column, centv: Column): Column =
+      zip_with(decoded, centv, (a, b) => (a + b).cast("float"))
     val payloadFloats =
       booksArr.iterator.map(_.iterator.map(_.length.toLong).sum).sum +
         listsArr.iterator.map(_.length.toLong).sum
@@ -1375,14 +1432,22 @@ object Similarity {
       val bcBooks = sc.broadcast(booksArr)
       val bcLists = sc.broadcast(listsArr)
       IvfPqIndexLits(codes, nLists, rotation,
-        cs => graft.functions.PqReconstruct(cs, bcBooks),
+        (cs, lid) => {
+          val dec = graft.functions.PqReconstruct(cs, bcBooks)
+          if (!residual) dec
+          else plusCentroid(dec, graft.functions.ListCentroid(lid, bcLists))
+        },
         (qvp, nProbe) => graft.functions.ProbeTopLists(qvp, bcLists, nProbe))
     } else {
       val booksLit = typedlit(booksArr.map(_.map(_.toSeq).toSeq).toSeq)
       val listsLit = typedlit(listsArr.map(_.toSeq).toSeq)
       IvfPqIndexLits(codes, nLists, rotation,
-        cs => flatten(transform(cs,
-          (c, s) => element_at(element_at(booksLit, s + 1), c + 1))),
+        (cs, lid) => {
+          val dec = flatten(transform(cs,
+            (c, s) => element_at(element_at(booksLit, s + 1), c + 1)))
+          if (!residual) dec
+          else plusCentroid(dec, element_at(listsLit, lid + 1))
+        },
         (qvp, nProbe) => transform(
           slice(array_sort(transform(sequence(lit(0), lit(nLists - 1)),
             i => struct((-coalesce(nanvl(CosF(qvp, element_at(listsLit, i + 1)),
@@ -1414,7 +1479,7 @@ object Similarity {
   }
 
   private def ivfPqXhat(lits: IvfPqIndexLits): Column =
-    lits.xhatOf(col("codes"))
+    lits.xhatOf(col("codes"), col("list_id"))
 
   def ivfPqScoreFromIndex(spark: SparkSession, root: String,
       queries: DataFrame, nProbe: Int): DataFrame =
@@ -2029,6 +2094,42 @@ object Similarity {
     emb.withColumn(out, graft.functions.RotateVector(col("embedding"), w))
   }
 
+  // ======== D17 — RESIDUAL IVF-PQ (s14) ========
+
+  /** Root of the published RESIDUAL IVF-PQ index for `sfDir` (the s9
+    * memo pattern with `residual = true`): subquantizers code
+    * x − centroid(list) under l2 — the FAISS-shape IVFPQ, the standard
+    * recall lift at unchanged bits.
+    */
+  def residualIndexRootFor(spark: SparkSession, sfDir: String): String =
+    publishedIndexRoots.computeIfAbsent("res:" + sfDir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft-s14-res").toString
+      val rs = publishIvfPqIndex(Tables.embeddings(spark, sfDir), root,
+        token = "s14", residual = true)
+      require(rs.size == 3 && rs.forall(_.published),
+        s"s14 residual index publish failed: $rs")
+      root
+    })
+
+  // D17 — the s9 read-path plan with the residual add-back fused into
+  // the reconstruction map (one zip_with / one ListCentroid lookup per
+  // candidate row — still zero non-broadcast exchange on the scoring
+  // stage). Floor RAISED to 0.7 (s9's band is 0.6): coding the residual
+  // concentrates subquantizer variance, the measured lift the r15
+  // verdict asked to pin.
+  private def s14TopK(s: SparkSession, d: String): DataFrame = {
+    val root = residualIndexRootFor(s, d)
+    val e = Tables.embeddings(s, d)
+    ivfPqTopKFromIndex(s, root, e, e.filter(col("vec_id") < NQueries),
+      k = K, refine = 200, nProbe = 4)
+  }
+
+  private val s14 = Relational.Q(
+    "s14_ann_residual_topk",
+    (s, d) => recallBounds(bruteTopKPairs(Tables.embeddings(s, d)), s14TopK(s, d), 0.7),
+    Some(exactTopKBoundsSql),
+    benchFn = Some(s14TopK _))
+
   val all: Seq[Relational.Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10,
-    s11, s12, s13)
+    s11, s12, s13, s14)
 }

@@ -58,6 +58,7 @@ object PlanAudit {
     "s11_ann_opq_topk" -> "query x nProbe probe frame (parameter-bounded; lists/books/rotation collapse to literals — s9's read-path classes with the rotation literal on the query side)",
     "s12_ann_recall_curve" -> "query x kIvf ranked probe frame + the s1-class exact gate leg's query set (all parameter-bounded — s11's classes; the bench leg is the s11 read path at nProbe=2)",
     "s13_ann_filtered_topk" -> "query x nProbe probe frame + the s1-class exact gate leg's query set (parameter-bounded — s9's classes over the attribute-filtered codes scan)",
+    "s14_ann_residual_topk" -> "query x nProbe probe frame (parameter-bounded — s9's read-path classes; the residual add-back is a per-row map, no new frame)",
     "t7_winnowing_fingerprints" -> "one-row nDocs aggregate",
     "t9_tfidf" -> "one-row nDocs aggregate",
     "t11_surprisal" -> "one-row total-tokens aggregate",
@@ -347,6 +348,8 @@ object PlanAudit {
       "the s1-class brute-force gate leg (broadcast fixed-size query set) + codes joined to the broadcast query x kIvf ranked probe frame on (query,list) — both sides of every array-carrying join are parameter-bounded or id-equi; the bench leg is s11's read-path shape at nProbe=2",
     "s13_ann_filtered_topk" ->
       "s9's read-path shape over the attribute-filtered codes scan (the predicate pushes to parquet BEFORE the broadcast probe join); the recall frame adds the s1-class brute-force gate leg over the filtered universe",
+    "s14_ann_residual_topk" ->
+      "s9's read-path shape verbatim over the residual artifact (reconstruction adds one zip_with per candidate row, no new join); the recall frame adds the s1-class brute-force gate leg",
     "s7_mips_topk" ->
       "corpus scanned once against the broadcast parameter-bounded query-vector set (the s1 class)",
     "t25_hybrid_rrf" ->
@@ -461,6 +464,8 @@ object PlanAudit {
         "the s1-class brute-force gate leg (broadcast fixed-size query set) + the one-row exact-stats x one-row level-hits cross (the x4 gate-leg shape)",
       "s13_ann_filtered_topk" ->
         "the recall frame's s1-class brute-force gate leg over the FILTERED universe (broadcast fixed-size query set) + its one-row recall cross (s9's adjudication verbatim)",
+      "s14_ann_residual_topk" ->
+        "the recall frame's s1-class brute-force gate leg (broadcast fixed-size query set) + its one-row recall cross (s9's adjudication verbatim)",
       "s4_ann_ivf_topk" ->
         "corpus x broadcast constant-size centroid sample (IVF assignment/probing)",
       "s5_ann_quantized_topk" ->

@@ -742,6 +742,61 @@ class OperatorSpec extends SparkSpec {
     assert(errMisuse.getMessage.contains("not built with attrs"))
   }
 
+  test("residual IVF-PQ (s14): flag persisted, refresh re-encodes arrivals in residual space, recall holds the raised floor, zero non-broadcast exchange") {
+    import graft.operators.{Publish, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-residual").toString
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val held = e.filter(col("vec_id") % 7 === 3)
+    val initial = e.filter(col("vec_id") % 7 =!= 3)
+    val r1 = Similarity.publishIvfPqIndex(initial, root, token = "v1res",
+      residual = true)
+    assert(r1.size == 3 && r1.forall(_.published), s"residual publish failed: $r1")
+    // the flag and the forced l2 objective are PERSISTED on books — what
+    // refresh and the read path branch on
+    val books = Publish.readPublished(spark, s"$root/books")
+    assert(books.select(col("residual")).distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(true))
+    assert(books.select(col("metric")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("l2"))
+    // refresh carries the flag: stored codes bit-exact, arrivals indexed
+    val codesV1 = Publish.readPublished(spark, s"$root/codes").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Int]]("codes").toList).toMap
+    val r2 = Similarity.refreshIvfPqIndex(spark, root, held, token = "v2res")
+    assert(r2.size == 3 && r2.forall(_.published), s"residual refresh failed: $r2")
+    val codesV2 = Publish.readPublished(spark, s"$root/codes").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Int]]("codes").toList).toMap
+    codesV1.foreach { case (id, c) =>
+      assert(codesV2(id) == c, s"refresh mutated stored residual code for vec $id")
+    }
+    // recall on the refreshed full index at s9's nProbe meets the RAISED
+    // floor (0.7 vs the plain band's 0.6 — the residual lift, pinned)
+    val queries = e.filter(col("vec_id") < 10)
+    val got = Similarity.ivfPqTopKFromIndex(spark, root, e, queries,
+      k = 5, refine = 200, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = graft.SparkEntry.queries("s1_ann_bruteforce_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    info(s"residual post-refresh recall vs brute force: $recall")
+    assert(recall >= 0.7, s"residual recall $recall < 0.7 (the raised floor)")
+    // the scoring stage stays zero-non-broadcast-exchange: the residual
+    // add-back is a per-row map, not a join
+    val scored = Similarity.ivfPqScoreFromIndex(spark, root, queries, nProbe = 4)
+    val shuffles = scored.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("Broadcast")).toSeq
+    assert(shuffles.isEmpty,
+      s"s14 read path re-shuffles corpus data:\n${shuffles.mkString("\n")}")
+    // residual + cosine is a contradiction, rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Similarity.publishIvfPqIndex(initial,
+        java.nio.file.Files.createTempDirectory("graft-rescos").toString,
+        token = "bad", residual = true, pqMetric = "cos")
+    }
+    assert(err.getMessage.contains("residual"))
+  }
+
   test("PQ index lifecycle (s7): WAP publish, artifact bit-exact, zero staged-side exchange, recall holds") {
     val sf = "/root/testdata/sf0.01"
     val root = java.nio.file.Files.createTempDirectory("graft-pqindex").toString
