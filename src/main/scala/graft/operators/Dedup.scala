@@ -2366,6 +2366,28 @@ object Dedup {
               .as("chunk")))).as("c"))
       .select(col("doc_id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
 
+  /** d21's dedup as a TEXT REWRITE — the composite-pipeline stage (p28):
+    * every doc keeps its globally-FIRST chunk instances (min (doc_id,
+    * pos) per chunk content, d21's dominance rule) reassembled in
+    * position order; docs under `chunkWords` words form no chunks and
+    * docs whose every chunk lost dominance emit no row (fully-duplicated
+    * text contributes nothing to a training corpus). Same chunking,
+    * dominance and ordering contract as [[paragraphDedup]] — the two
+    * stay replayable by one oracle CTE. The per-doc reassembly
+    * collect_list is doc-length-bounded (d21's adjudication argument).
+    */
+  def paragraphScrubText(docs: DataFrame, chunkWords: Int = 4): DataFrame = {
+    val ch = chunkInstances(docs, chunkWords)
+    val first = ch.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    ch.join(first, Seq("chunk"))
+      .filter(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("pos"), col("chunk")))),
+          c => c.getField("chunk")), " ").as("text"))
+  }
+
   def paragraphDedup(docs: DataFrame, chunkWords: Int = 4): DataFrame = {
     val ch = chunkInstances(docs, chunkWords)
     val first = ch.groupBy(col("chunk"))

@@ -392,7 +392,9 @@ object PlanAudit {
     "t17_bpe_train" ->
       "trainer executes at build (one bounded TakeOrderedAndProject probe per merge round — the d6 iterative class); the learned-table/gate frames are local relations with nothing to audit",
     "q55_ewma_windowed" ->
-      "iterative window fold (the A48 batch twin): per-window shape = one (user,window)-bounded aggregate + one user-keyed state join, localCheckpoint per window")
+      "iterative window fold (the A48 batch twin): per-window shape = one (user,window)-bounded aggregate + one user-keyed state join, localCheckpoint per window",
+    "p28_corpus_build" ->
+      "staged-artifact composite: every stage localCheckpoints at build (the d6 iterative class via connectedComponents); per-stage shapes are the stand-alone operators' audited shapes (d14/t18/t19/d1/d19/d21/d2+d6+d7/d8)")
 
   // d2's queries() entry returns the eagerly materialized pair-graph
   // view (a checkpointed-RDD scan — nothing to audit); audit the lazy

@@ -49,6 +49,17 @@ object TaskBinProbe {
     seen.asScala.foldLeft(0.0)(math.max)
   }
 
+  // Benched queries whose task binary legitimately sits at/over the warn
+  // line, each with its boundedness argument — the allowedHints
+  // discipline applied to closure size. Anything NOT listed that crosses
+  // the threshold is a plan-literal payload regression (the pre-r16
+  // dHash63 class: 126 unrolled substr trees at 1.7 MB/task).
+  val allowedTaskBin: Map[String, String] = Map(
+    "p26_rank_weighted_sample" ->
+      ("~1003 KiB at sf0.1: the iterative host-rank fold's accumulated plan " +
+        "(rankIterate localCheckpoints per round — closure carries the round's " +
+        "lineage, PARAMETER-bounded by the iteration count, never data-proportional)"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val warnKiB = args.lift(1).map(_.toDouble).getOrElse(1000.0)
@@ -62,12 +73,16 @@ object TaskBinProbe {
           println(s"[taskbin] $name FAILED: ${e.getMessage}"); 0.0
       }
       if (kib >= warnKiB) {
-        offenders ::= (name, kib)
-        println(f"[taskbin] $name%-28s max task binary $kib%.1f KiB  <== inspect")
+        if (allowedTaskBin.contains(name))
+          println(f"[taskbin] $name%-28s max task binary $kib%.1f KiB  [allowed: ${allowedTaskBin(name)}]")
+        else {
+          offenders ::= (name, kib)
+          println(f"[taskbin] $name%-28s max task binary $kib%.1f KiB  <== inspect")
+        }
       }
       spark.catalog.clearCache()
     }
-    println(s"[taskbin] queries past $warnKiB KiB: ${offenders.size}" +
+    println(s"[taskbin] queries with UNADJUDICATED task binaries past $warnKiB KiB: ${offenders.size}" +
       (if (offenders.isEmpty) "" else offenders.sortBy(-_._2)
         .map { case (n, k) => f"$n ($k%.1f KiB)" }.mkString(" — ", ", ", "")))
     spark.stop()
