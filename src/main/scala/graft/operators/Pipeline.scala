@@ -1914,17 +1914,91 @@ object Pipeline {
     val means = stats.map { case (dom, n, s) =>
       (dom, n, s.toDouble / (10000.0 * n)) }
     val maxMean = means.map(_._3).max
+    // quality deficit vs the best domain — hard = LOW quality
+    doremiMwFold(means, m => maxMean - m, eta, smooth, rounds)
+  }
+
+  /** The ONE multiplicative-weights fold (Arora/Hazan/Kale linear
+    * update) both excess signals route through — the quality-deficit
+    * legacy proxy ([[doremiFromStats]], A64's stream twin) and the
+    * paper-faithful proxy-LOSS excess ([[doremiFromSurprisalStats]]):
+    * w·(1 + η·excess), ascending-domain left-fold renormalization, δ/D
+    * uniform smoothing, per-round r4 re-sync. One body means the two
+    * entries (p27, p29) and the stream cannot drift on arithmetic.
+    */
+  private def doremiMwFold(means: Seq[(String, Long, Double)],
+      excess: Double => Double, eta: Double, smooth: Double,
+      rounds: Int): Seq[(String, Long, Double, Double)] = {
     val dCount = means.length
     var w = means.map(_ => Num.r4Double(1.0 / dCount))
     (1 to rounds).foreach { _ =>
       val up = means.zip(w).map { case ((_, _, m), wi) =>
-        wi * (1.0 + eta * (maxMean - m)) }
+        wi * (1.0 + eta * excess(m)) }
       var s = 0.0
       up.foreach(x => s = s + x) // ascending-domain left fold
       w = up.map(x => Num.r4Double((1.0 - smooth) * (x / s) + smooth / dCount))
     }
     means.zip(w).map { case ((dom, n, m), wi) =>
       (dom, n, Num.r4Double(m), wi) }
+  }
+
+  /** P29's fold: DoReMi with the PAPER'S excess signal — per-domain
+    * mean PROXY-MODEL LOSS (Xie et al. 2023 §3: upweight domains where
+    * the proxy's loss exceeds the reference) instead of p27's
+    * quality-deficit stand-in. The proxy here is the corpus bigram LM
+    * whose surprisal is integer-exact by construction (t16's bit-length
+    * log2 — no libm), so the per-domain mean is ONE IEEE division of
+    * two exact longs: mean bits/bigram = Σ total_bits / Σ n_bigrams.
+    * Excess = mean − min(mean) (hard = HIGH loss; the min-domain is the
+    * reference, the same role p27's best-quality domain plays).
+    * stats rows: (domain, n_docs, n_bigrams, total_bits).
+    */
+  def doremiFromSurprisalStats(stats0: Seq[(String, Long, Long, Long)],
+      eta: Double, smooth: Double,
+      rounds: Int): Seq[(String, Long, Double, Double)] = {
+    val stats = stats0.sortBy(_._1)
+    require(stats.nonEmpty, "doremiFromSurprisalStats needs at least one domain")
+    val means = stats.map { case (dom, n, nb, tb) =>
+      (dom, n, tb.toDouble / nb.toDouble) }
+    val minMean = means.map(_._3).min
+    doremiMwFold(means, m => m - minMean, eta, smooth, rounds)
+  }
+
+  /** P29's sufficient statistic: per-domain (n_docs, Σ n_bigrams,
+    * Σ total_bits) under the CORPUS bigram model (the DoReMi proxy
+    * trained on the current mix — t16's model, integer-exact bits).
+    * Map-side-combinable integer sums: order-free, so a streaming
+    * running aggregate equals the batch pass bit-for-bit (the
+    * domainQualityStats contract with one more long per domain).
+    */
+  def domainSurprisalStats(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      concat_ws("/", col("lang"), col("source")).as("domain"), col("text"))
+    val pairs = TextAnalysis.docBigrams(base.select(col("doc_id"), col("text")))
+    pairs
+      .join(TextAnalysis.bigramSurprisalModel(pairs).drop("n"), Seq("w1", "w2"))
+      .join(base.select(col("doc_id"), col("domain")), Seq("doc_id"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("total_bits"))
+  }
+
+  /** P29's operator: [[domainSurprisalStats]] collected to the
+    * parameter-bounded domain frame, folded by [[doremiMwFold]].
+    */
+  def doremiSurprisalWeights(docs: DataFrame, eta: Double = 0.5,
+      smooth: Double = 0.1, rounds: Int = 5): DataFrame = {
+    require(eta > 0 && smooth >= 0 && smooth < 1 && rounds >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = domainSurprisalStats(docs)
+      .collect() // |lang x source| rows — parameter-bounded driver frame
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    doremiFromSurprisalStats(stats.toSeq, eta, smooth, rounds).toDF(
+      "domain", "n_docs", "mean_bits", "weight")
+      .orderBy(col("domain"))
   }
 
   // P27 — DoReMi-lite domain weights. FULL oracle: DuckDB replays the
@@ -1978,6 +2052,72 @@ object Pipeline {
       WHERE r = 5
       ORDER BY domain"""
     })
+
+  // P29 — DoReMi with the paper's proxy-LOSS excess. FULL oracle: DuckDB
+  // replays t16's integer bit-length surprisal model, the per-domain
+  // integer sums, the one mean division, and all five MW rounds (p27's
+  // recursive CTE with excess = ms[i] − min) — every round r4-resynced.
+  private val p29 = Relational.Q(
+    "p29_doremi_surprisal",
+    (s, d) => doremiSurprisalWeights(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"), col("text")),
+      eta = 0.5, smooth = 0.1, rounds = 5),
+    Some(s"""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, lang || '/' || source AS domain,
+          string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM documents
+        WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 2),
+      bg AS (
+        SELECT doc_id, domain, u['w1'] AS w1, u['w2'] AS w2 FROM (
+          SELECT doc_id, domain,
+            unnest([{'w1': tk[i], 'w2': tk[i+1]} FOR i IN range(1, len(tk))]) AS u
+          FROM t)),
+      bc AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+      uc AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS cn FROM bc GROUP BY 1),
+      m AS (
+        SELECT w1, w2,
+          CASE WHEN (n << (length(bin(cn)) - length(bin(n)))) <= cn
+               THEN length(bin(cn)) - length(bin(n))
+               ELSE length(bin(cn)) - length(bin(n)) - 1 END AS bits
+        FROM bc JOIN uc USING (w1)),
+      base AS (
+        SELECT domain, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(m.bits) AS BIGINT) AS tb
+        FROM bg JOIN m USING (w1, w2) GROUP BY domain),
+      doms AS (
+        SELECT list(domain ORDER BY domain) AS ds,
+          list(n_docs ORDER BY domain) AS ns,
+          list(CAST(tb AS DOUBLE) / CAST(nb AS DOUBLE)
+            ORDER BY domain) AS ms
+        FROM base),
+      cfg AS (
+        SELECT ds, ns, ms,
+          list_reduce(ms, (a, b) -> CASE WHEN b < a THEN b ELSE a END) AS mn,
+          len(ds) AS dc
+        FROM doms),
+      it AS (
+        SELECT 0 AS r,
+          [FLOOR((1.0 / dc) * 10000.0 + 0.5) / 10000.0 FOR x IN ds] AS w,
+          ds, ns, ms, mn, dc
+        FROM cfg
+        UNION ALL
+        SELECT r + 1,
+          [FLOOR(((1.0 - 0.1) * (u.up[i] / u.s) + 0.1 / dc) * 10000.0 + 0.5)
+             / 10000.0 FOR i IN range(1, dc + 1)],
+          ds, ns, ms, mn, dc
+        FROM it, LATERAL (
+          SELECT up, list_reduce(up, (a, b) -> a + b) AS s
+          FROM (SELECT [w[i] * (1.0 + 0.5 * (ms[i] - mn))
+                  FOR i IN range(1, dc + 1)] AS up)) u
+        WHERE r < 5)
+      SELECT ds[i] AS domain, CAST(ns[i] AS BIGINT) AS n_docs,
+        FLOOR(ms[i] * 10000.0 + 0.5) / 10000.0 AS mean_bits,
+        w[i] AS weight
+      FROM it, LATERAL (SELECT unnest(range(1, dc + 1)) AS i)
+      WHERE r = 5
+      ORDER BY domain"""))
 
   // ======== P28 — the Dolma/RefinedWeb-shape END-TO-END corpus build ========
 
@@ -2250,5 +2390,5 @@ object Pipeline {
 
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p26, p27, p28)
+    p26, p27, p28, p29)
 }

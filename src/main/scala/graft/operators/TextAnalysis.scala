@@ -758,7 +758,7 @@ object TextAnalysis {
   /** Per-doc (doc_id, w1, w2) bigram occurrences — t13's map-side
     * shift-zip, shared by the model build and the scoring join.
     */
-  private def docBigrams(docs: DataFrame): DataFrame = {
+  private[operators] def docBigrams(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 2)
