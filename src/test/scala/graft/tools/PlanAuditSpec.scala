@@ -167,6 +167,40 @@ class PlanAuditSpec extends SparkSpec {
       s"unadjudicated global windows: ${offendersMsg(offenders)}")
   }
 
+  test("unpartitioned-window census reconciles EXACTLY against the adjudicated set (r15 item 6)") {
+    // The runtime "No Partition Defined for Window operation" warnings in
+    // the bench tail carry no query context, so a NEW enum/global window
+    // could hide among the known ones. This pins the full (query -> node
+    // count) census: a new offender, a removed one, or a stale
+    // allowedGlobalWindows entry each fails loudly with the diff.
+    val census = auditSurface.collect {
+      case (display, base, fn) if !PlanAudit.iterative.contains(base) =>
+        val audited = if (display == base) PlanAudit.lazyTwin.getOrElse(base, fn) else fn
+        val hits = try PlanAudit.globalWindows(audited(spark, sfDir)) catch {
+          case _: Throwable => Seq.empty
+        }
+        spark.catalog.clearCache()
+        (display, hits.size)
+    }.filter(_._2 > 0).toMap
+    val expected = Map(
+      "p14_epoch_shuffle" -> 1,
+      "p15_curriculum_order" -> 1,
+      "p17_weighted_sample" -> 1,
+      "p20_quality_weighted_sample" -> 1,
+      "p26_rank_weighted_sample" -> 1,
+      "p4_pack_sequences" -> 1,
+      "q39_revenue_share" -> 2,
+      "q48_surrogate_keys" -> 1)
+    assert(census == expected,
+      s"global-window census drifted — added: ${(census.toSet -- expected.toSet).toSeq.sorted}; " +
+        s"removed: ${(expected.toSet -- census.toSet).toSeq.sorted}. " +
+        "A new entry needs an allowedGlobalWindows adjudication AND this pin updated consciously.")
+    // every adjudication must correspond to a live window — stale
+    // entries would mask a future regression under an old excuse
+    val stale = PlanAudit.allowedGlobalWindows.keySet -- census.keySet
+    assert(stale.isEmpty, s"stale allowedGlobalWindows adjudications: $stale")
+  }
+
   test("the audited query+bench surface carries no unadjudicated corpus hints") {
     // every lazily-plannable SparkEntry query passes the guard or is in
     // the allowlist with a boundedness argument — the whole-repo
