@@ -321,6 +321,114 @@ object ScaleCurve {
       e.unpersist()
     }
 
+    // ---- round-16 curves (r15 verdict items 1/2/3/8) ----
+
+    // The published-profile lifecycle under W-growth (r15 item 1): the
+    // BUILD pays the f² pair space ONCE; every consumer reads the
+    // f-proportional artifact (one row per window) — discords are one
+    // TakeOrdered, CAC/regimes user-keyed narrow index arithmetic. The
+    // read curves must track PROFILE ROWS (~f), never the pair space —
+    // the whole point of materializing the artifact.
+    if (opFilter("q68_profile_read")) factors.foreach { f =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-scale-q68-$f").toString
+      val ev = scaledEvents(f).persist()
+      ev.count()
+      val tb = System.nanoTime()
+      val r = graft.operators.Relational.publishTsProfile(ev, root,
+        token = s"scale-$f", L = 8, stride = 4)
+      require(r.published, s"profile publish failed at f=$f")
+      println(f"[scale] q68_profile_build     f=$f rows=${0L}%9d ${(System.nanoTime() - tb) / 1e9}%7.2f s")
+      def timeRead(name: String, mk: => DataFrame): Unit = {
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = mk.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          (n, dt)
+        }
+        println(f"[scale] $name%-22s f=$f rows=${times.head._1}%9d ${times.map(_._2).min}%7.2f s")
+      }
+      import graft.operators.Relational._
+      timeRead("q68_profile_read", readTsProfile(spark, root))
+      timeRead("q69_discord_read", readTsProfile(spark, root)
+        .orderBy(col("dist").desc, col("user_id"), col("start")).limit(10))
+      timeRead("q70_cac_read", flussCacFromProfile(readTsProfile(spark, root)
+        .select(col("user_id"), col("start"), col("nn_start"))))
+      timeRead("q71_regime_read", regimeExtractFromCurve(
+        flussCacFromProfile(readTsProfile(spark, root)
+          .select(col("user_id"), col("start"), col("nn_start"))),
+        threshold = 0.8, zone = 3))
+      ev.unpersist()
+    }
+
+    // The q72 sample-fraction knob at a FIXED maxF W-growth corpus (r15
+    // item 2): diagonal lattice E = 1/2/4/8 — measured time must fall
+    // ~proportionally with pair work (1/E), the anytime-preview promise.
+    // maxF (not a small factor): the knob's effect is visible only where
+    // pair work dominates the fixed explode/join/window overhead.
+    if (opFilter("q72_sample_knob")) {
+      val ev = scaledEvents(maxF).persist()
+      ev.count()
+      Seq(1, 2, 4, 8).foreach { e =>
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = graft.operators.Relational
+            .tsMatrixProfileSampled(ev, L = 8, stride = 4, sampleEvery = e)
+            .count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          (n, dt)
+        }
+        println(f"[scale] q72_sample_knob       E=$e rows=${times.head._1}%9d ${times.map(_._2).min}%7.2f s")
+      }
+      ev.unpersist()
+    }
+
+    // s14: the RESIDUAL read path at 1x..maxF corpus (r15 item 3) — s9's
+    // leg with residual=true: the add-back is one zip_with per candidate
+    // row, so the curve must track s9's flat read shape.
+    if (opFilter("s14_residual_read")) factors.foreach { f =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-scale-s14-$f").toString
+      val e = scaledEmbeddings(f).persist()
+      val tb = System.nanoTime()
+      val rs = Similarity.publishIvfPqIndex(e, root, token = s"scale-res-$f",
+        residual = true)
+      require(rs.size == 3 && rs.forall(_.published), s"s14 publish failed at f=$f")
+      println(f"[scale] s14_residual_build    f=$f rows=${2000L * f}%9d ${(System.nanoTime() - tb) / 1e9}%7.2f s")
+      val q = e.filter(col("vec_id") < 10)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = Similarity.ivfPqTopKFromIndex(spark, root, e, q,
+          k = 5, refine = 200, nProbe = 4).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (n, dt)
+      }
+      println(f"[scale] s14_residual_read     f=$f rows=${times.head._1}%9d ${times.map(_._2).min}%7.2f s")
+      e.unpersist()
+    }
+
+    // p29 under growing |domains| (r15 item 8): 20f domains over a
+    // f×-growing synthetic corpus — the stats aggregate is one linear
+    // scan + model join; the MW fold runs on the |domains|-row driver
+    // frame, so the curve must be ~linear-in-scan with no domain term.
+    if (opFilter("p29_domains_grow")) factors.foreach { f =>
+      val docs = spark.range(4000L * f).select(
+        col("id").as("doc_id"),
+        concat(lit("l"), pmod(col("id"), lit(5L * f))).as("lang"),
+        concat(lit("src"), pmod(col("id") / lit(5L * f), lit(4L))).as("source"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit(s"w$j"), pmod(col("id") * (j + 3), lit(97L)))): _*).as("text"))
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = graft.operators.Pipeline.doremiSurprisalWeights(docs).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (n, dt)
+      }
+      println(f"[scale] p29_domains_grow      f=$f rows=${times.head._1}%9d ${times.map(_._2).min}%7.2f s")
+    }
+
     if (opFilter("s11_index_read")) factors.foreach { f =>
       val root = java.nio.file.Files.createTempDirectory(s"graft-scale-s11-$f").toString
       val e = scaledEmbeddings(f).persist()
