@@ -446,31 +446,12 @@ object Multimodal {
     * stays sign-safe in both engines). Pure codegen column expressions —
     * no UDF, oracle-expressible.
     */
-  def dHash63(text: Column): Column = {
-    // ONE 71-step fold, not 126 unrolled substr trees: the unrolled
-    // spelling serialized to a ~1.7 MB task binary (the r15 verdict's
-    // bench-tail finding, attributed by tools/TaskBinProbe) — every
-    // task shipped the whole expression forest. Arithmetic is
-    // bit-identical per sample (same int product, same /71.0 double
-    // division, same ascii-of-substr): position p = r*9+c with c < 8
-    // contributes bit i = r*8+c iff sample(p+1) > sample(p); bit 63
-    // (p = 70) stays dropped; 2^i is exact in double (a power of two),
-    // so the weighted sum reproduces the shifted-bit sum exactly. The
-    // lambda references only the OUTER text attribute — no nested HOF
-    // re-evaluation.
-    val n1 = length(text) - lit(1)
-    def luma(pc: Column): Column =
-      ascii(text.substr(
-        floor((pc * n1).cast("double") / lit(71.0)).cast("int") + lit(1),
-        lit(1)))
-    aggregate(sequence(lit(0), lit(70)), lit(0L), (acc, p) => {
-      val r = floor(p.cast("double") / lit(9.0)).cast("int")
-      val c = p - r * lit(9)
-      val i = r * lit(8) + c
-      acc + when(c < lit(8) && i <= lit(62) && luma(p + 1) > luma(p),
-        pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))
-    })
-  }
+  def dHash63(text: Column): Column =
+    // the codegen'd static-call spelling (functions/DHash63 — see its
+    // Scaladoc for the two measured failure modes it replaces: the
+    // 126-tree unroll's 1.7 MB task binary, the HOF fold's 9x interpreted
+    // slowdown); coalesce preserves the legacy null-text → 0 hash
+    graft.functions.DHash63(coalesce(text, lit("")))
 
   /** F6 — near-duplicate pairs by perceptual hash: hamming(dHash) <=
     * `maxHamming`. Candidates come from a 4x16-bit band equi-join
