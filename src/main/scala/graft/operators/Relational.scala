@@ -3549,8 +3549,17 @@ object Relational {
     * the literature's undefined-profile convention).
     */
   def publishTsProfile(events: DataFrame, root: String, token: String,
-      L: Int, stride: Int): Publish.WapResult = {
-    val prof = tsMatrixProfile(events, L, stride)
+      L: Int, stride: Int): Publish.WapResult =
+    Publish.writeAuditPublish(tsMatrixProfile(events, L, stride),
+      s"$root/profile", tsProfileAudit(events, L, stride), token)
+
+  /** The staged-bytes audit [[publishTsProfile]] runs — exposed so the
+    * spec can prove the rejection path on deliberately corrupted frames
+    * (the audit is the artifact's only defense; a vacuously-green audit
+    * is the failure mode this exposure exists to rule out).
+    */
+  private[graft] def tsProfileAudit(events: DataFrame, L: Int,
+      stride: Int): Publish.Audit = {
     val g0 = ((L + stride - 1) / stride).toLong
     val expected = events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("cnt"))
@@ -3561,7 +3570,7 @@ object Relational {
         col("n") - greatest(lit(0L), lit(2L * g0) - col("n"))).as("adm"))
       .agg(coalesce(sum(col("adm")), lit(0L)).as("t"))
       .collect()(0).getLong(0) // one driver long — parameter-bounded
-    val audit: Publish.Audit = staged =>
+    staged =>
       Publish.columnAudit(
         "profile_start_on_grid" -> ((col("start") - 1) % stride =!= 0),
         "profile_nn_on_grid" -> ((col("nn_start") - 1) % stride =!= 0),
@@ -3572,7 +3581,6 @@ object Relational {
           .select(lit("profile_one_row_per_admissible_window").as("expectation"),
             abs(col("n") - lit(expected)).cast("long").as("violations"),
             (col("n") === lit(expected)).as("pass")))
-    Publish.writeAuditPublish(prof, s"$root/profile", audit, token)
   }
 
   /** The published profile, latest version (torn reads impossible: one

@@ -4012,6 +4012,77 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("sampled profile (q72): E=1 IS the exact profile; every E is one-sided and covers a diagonal-lattice subset") {
+    import graft.operators.Relational
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = Relational.tsMatrixProfile(events, L = 8, stride = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // E=1 keeps every diagonal: the sampled operator degenerates to the
+    // exact profile bit-for-bit (same argmin, same tie-break)
+    val e1 = Relational.tsMatrixProfileSampled(events, L = 8, stride = 4,
+      sampleEvery = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(e1 == exact, "E=1 must equal the exact profile")
+    // every coarser lattice: one-sided per window (dist_est >= true dist),
+    // nn on the stride grid, and the kept diagonals on the E-lattice
+    Seq(2, 4, 8).foreach { e =>
+      val est = Relational.tsMatrixProfileSampled(events, L = 8, stride = 4,
+        sampleEvery = e).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(est.nonEmpty, s"E=$e produced no rows")
+      est.foreach { case (u, s, nn, dEst) =>
+        val (_, dTrue) = exact((u, s))
+        assert(dEst >= dTrue,
+          s"E=$e violates one-sidedness at ($u,$s): est $dEst < true $dTrue")
+        val gap = math.abs(nn - s)
+        assert(gap >= 8 && (gap - 8) % (4L * e) == 0,
+          s"E=$e neighbor off the diagonal lattice at ($u,$s): gap $gap")
+      }
+      // coverage shrinks monotonically with E but stays a subset of the
+      // exact window set
+      assert(est.map(r => (r._1, r._2)).toSet.subsetOf(exact.keySet))
+    }
+  }
+
+  test("published ts-profile artifact (q68): audit admits the honest build and rejects torn bytes") {
+    import graft.operators.{Publish, Relational}
+    val root = java.nio.file.Files.createTempDirectory("graft-tsprofile-spec").toString
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val r = Relational.publishTsProfile(events, root, token = "spec-v1",
+      L = 8, stride = 4)
+    assert(r.published && r.version.contains(1L), s"honest publish failed: $r")
+    // the stored bytes ARE q59: bit-exact round trip
+    val stored = Relational.readTsProfile(spark, root).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).sorted.toSeq
+    val direct = Relational.tsMatrixProfile(events, L = 8, stride = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).sorted.toSeq
+    assert(stored == direct, "artifact bytes diverge from the direct profile")
+    // read-path consumers == direct operators, bit-exact (the r15
+    // done-criterion: direct operators unchanged, reads equivalent)
+    val cacRead = Relational.flussCacFromProfile(
+      Relational.readTsProfile(spark, root)
+        .select(col("user_id"), col("start"), col("nn_start"))).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val cacDirect = Relational.tsFlussCac(events, L = 8, stride = 4).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(cacRead == cacDirect, "CAC read path diverges from the direct operator")
+    // the audit is LIVE, not vacuously green — every contract clause
+    // quarantines a deliberately corrupted candidate while the pointer
+    // stays put (tsProfileAudit exposed for exactly this)
+    val audit = Relational.tsProfileAudit(events, L = 8, stride = 4)
+    val good = Relational.readTsProfile(spark, root)
+    def rejected(tag: String, frame: org.apache.spark.sql.DataFrame): Unit = {
+      val badRoot = java.nio.file.Files.createTempDirectory(s"graft-tsp-$tag").toString
+      val res = Publish.writeAuditPublish(frame, s"$badRoot/profile", audit, tag)
+      assert(!res.published, s"$tag: corrupted profile published anyway")
+      assert(res.violations.nonEmpty, s"$tag: quarantine carried no violation rows")
+    }
+    rejected("offgrid", good.withColumn("start", col("start") + 1))
+    rejected("overlap", good.withColumn("nn_start", col("start")))
+    rejected("negdist", good.withColumn("dist", lit(-1.0)))
+    rejected("dropped", good.limit(5)) // one-row-per-admissible-window count
+  }
+
   test("discord top-k (q61): the planted anomaly window ranks first; discords are the profile maxima") {
     import spark.implicits._
     import graft.operators.Relational
