@@ -2533,8 +2533,19 @@ object Relational {
     * product rows feed ONE fine-grained (user, p) equi-join and ONE
     * window sort; no array payload ever crosses a shuffle.
     */
+  /** `newFrom`: optional per-user (user_id, old_max) stripe floor — the
+    * STAMPI refresh restriction (q73): only pairs whose LATER window
+    * starts past old_max are emitted, and only the rows those pairs'
+    * incremental window sums need are generated (the contiguous diagonal
+    * suffix from y-position old_max — the suffix's own cumulative sums
+    * telescope, so winSum stays exact wherever the lag-L row exists, and
+    * every row where it doesn't is an OLD pair the s2 filter drops).
+    * Users absent from the floor frame (new users, or users with no
+    * published window) keep their full pair space.
+    */
   private def diagonalPairStats(events: DataFrame, L: Int,
-      stride: Int, sampleDiagEvery: Int = 1): DataFrame = {
+      stride: Int, sampleDiagEvery: Int = 1,
+      newFrom: Option[DataFrame] = None): DataFrame = {
     val wPos = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     // FAIL-LOUD data contract: the ×100 quantization is exact only for
     // 2-decimal telemetry. On anything else the integer path would
@@ -2579,10 +2590,29 @@ object Relational {
     // proportionally) and the estimate replays EXACTLY in any engine
     // (the q59 oracle discipline needs no pinned RNG).
     val step = stride.toLong * sampleDiagEvery
-    val right = ser.filter(col("p") > d0)
+    val right0 = ser.filter(col("p") > d0)
       .select(col("user_id"), col("p").as("p2"), col("x").as("y"),
         explode(sequence(lit(d0), col("p") - 1, lit(step))).as("d"))
       .withColumn("p", col("p2") - col("d"))
+    // stripe restriction: a pair's y-window covers y-positions
+    // [s2, s2+L-1], so every row a NEW pair (s2 ≥ old_max + stride, the
+    // first new grid start) can touch has p2 ≥ old_max + stride — the
+    // kept set is a contiguous per-diagonal suffix whose own cumulative
+    // sums telescope. The first new window's lag-L row is absent by
+    // exactly one row, where coalesce-0 makes winSum the full suffix sum
+    // = precisely that window's L rows; every earlier (partial) row is
+    // an old pair the final s2 filter drops.
+    val right = newFrom match {
+      case None => right0
+      // no broadcast hint: the floor frame is USER-proportional (one
+      // long per published user) — AQE broadcasts it while small and
+      // degrades to a user-keyed shuffle when it is not (the d2 rule)
+      case Some(f) => right0
+        .join(f.select(col("user_id"), col("old_max")), Seq("user_id"), "left")
+        .filter(coalesce(
+          col("p2") >= col("old_max") + lit(stride.toLong), lit(true)))
+        .drop("old_max")
+    }
     val prods = right.join(ser, Seq("user_id", "p"))
       .select(col("user_id"), col("d"), col("p"), col("x"), col("y"),
         (col("x") * col("y")).as("xy"))
@@ -3589,6 +3619,59 @@ object Relational {
   def readTsProfile(spark: SparkSession, root: String): DataFrame =
     Publish.readPublished(spark, s"$root/profile")
 
+  /** INCREMENTAL profile refresh — STAMPI's shape (Yeh et al., ICDM 2016
+    * §VII: on appended points, the profile updates by min-merging the
+    * NEW pairs' contributions; old pairs' argmins are already stored),
+    * the D11 lifecycle applied to B68's artifact. `fullEvents` is the
+    * series INCLUDING the arrivals (appends only — every new event sits
+    * after a user's published positions; window starts are
+    * row-number-stable under appends, which is what makes old rows
+    * reusable at all). The stripe job generates ONLY the per-diagonal
+    * suffix the new pairs touch ([[diagonalPairStats]]'s `newFrom`), so
+    * refresh work is O(W_new · W_total) per user — STAMPI's linear
+    * increment, not the rebuild's O(W_total²). Both endpoints of every
+    * stripe pair enter the merge (a new window can improve an OLD
+    * window's neighbor — the retraction the ONLINE operators avoid by
+    * design, which a BATCH refresh handles exactly). Exactness: full
+    * argmin = min(argmin over old-only pairs, stripe contributions) —
+    * the stored rows ARE the first term, so the refreshed artifact is
+    * BIT-EQUAL to a from-scratch rebuild (spec-pinned; q73's oracle is
+    * q59's full replay). The staged union re-audits against
+    * [[tsProfileAudit]] derived from `fullEvents` — grid, non-overlap,
+    * and the one-row-per-admissible-window count over old + new.
+    */
+  def refreshTsProfile(spark: SparkSession, root: String,
+      fullEvents: DataFrame, token: String, L: Int,
+      stride: Int): Publish.WapResult = {
+    val old = readTsProfile(spark, root)
+    val oldMax = old.groupBy(col("user_id"))
+      .agg(max(col("start")).as("old_max"))
+    val st = diagonalPairStats(fullEvents, L, stride, newFrom = Some(oldMax))
+    val stripePairs = st
+      .join(oldMax, Seq("user_id"), "left")
+      .filter(coalesce(col("s2") > col("old_max"), lit(true)))
+      .select(col("user_id"), col("s1"), col("s2"),
+        r4((col("sq1") + col("sq2") - lit(2L) * col("qt")).cast("double")
+          / lit(10000.0)).as("dist"))
+    // min-merge: stored rows are candidates alongside both endpoints of
+    // every stripe pair — the same (dist, nn_start) struct-min argmin
+    val stripeBoth = stripePairs.select(col("user_id"), explode(array(
+        struct(col("s1").as("start"), col("s2").as("nn_start"), col("dist")),
+        struct(col("s2").as("start"), col("s1").as("nn_start"), col("dist"))))
+        .as("e"))
+      .select(col("user_id"), col("e.start").as("start"),
+        col("e.nn_start").as("nn_start"), col("e.dist").as("dist"))
+    val merged = old.select(col("user_id"), col("start"), col("nn_start"), col("dist"))
+      .unionByName(stripeBoth)
+      .groupBy(col("user_id"), col("start"))
+      .agg(min(struct(col("dist"), col("nn_start"))).as("m"))
+      .select(col("user_id"), col("start"), col("m.nn_start").as("nn_start"),
+        col("m.dist").as("dist"))
+      .orderBy(col("user_id"), col("start"))
+    Publish.writeAuditPublish(merged, s"$root/profile",
+      tsProfileAudit(fullEvents, L, stride), token)
+  }
+
   // the s9 memo discipline: the artifact builds ONCE per (sfDir) and the
   // benched entries time the READ path — what a production deployment
   // runs (the profile is a nightly build; discords/CAC/regimes are the
@@ -3610,6 +3693,37 @@ object Relational {
 
   private[graft] def clearPublishedProfileRoots(): Unit =
     publishedProfileRoots.clear()
+
+  /** Per-user FIRST-HALF slice (row_number ≤ cnt/2 by event order) — the
+    * deterministic history/arrivals split q73's lifecycle builds from.
+    */
+  private def firstHalfEvents(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    events.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("rn") * 2 <= col("cnt"))
+      .drop("rn", "cnt")
+  }
+
+  /** Root of the REFRESHED profile artifact for `sfDir`: v1 publishes
+    * from each user's first half, v2 refreshes with the full series —
+    * the benched/verified entry reads v2, so the oracle (q59's full
+    * replay) gates the refresh's exactness end to end.
+    */
+  def tsRefreshRootFor(spark: SparkSession, sfDir: String): String =
+    publishedProfileRoots.computeIfAbsent("q73:" + sfDir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q73-refresh").toString
+      val events = Tables.events(spark, sfDir)
+      val r1 = publishTsProfile(firstHalfEvents(events), root,
+        token = "q73-v1", L = 8, stride = 4)
+      require(r1.published, s"q73 v1 publish failed: $r1")
+      val r2 = refreshTsProfile(spark, root, events, token = "q73-v2",
+        L = 8, stride = 4)
+      require(r2.published && r2.version.contains(2L),
+        s"q73 refresh failed: $r2")
+      root
+    })
 
   // B68 — the artifact read itself: byte-for-byte q59 (the integer
   // replay pins the STORED bytes, not a recomputation — same FULL oracle,
@@ -3716,10 +3830,21 @@ object Relational {
       ORDER BY e.user_id, e.start"""),
     benchFn = Some(q72Sampled _))
 
+  // B73 — INCREMENTAL refresh of the published profile (STAMPI's shape):
+  // v1 from each user's first half, v2 = min-merge with the new-stripe
+  // pairs only. The FULL q59 oracle on the COMPLETE series gates the
+  // refreshed bytes — a refresh that missed a pair, double-counted a
+  // window, or drifted a tie would hash-mismatch.
+  private val q73 = Q(
+    "q73_ts_profile_refresh",
+    (s, d) => readTsProfile(s, tsRefreshRootFor(s, d))
+      .orderBy(col("user_id"), col("start")),
+    q59.oracle)
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
     q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69, q70, q71, q72)
+    q67, q68, q69, q70, q71, q72, q73)
 }

@@ -384,6 +384,35 @@ object ScaleCurve {
       ev.unpersist()
     }
 
+    // q73: INCREMENTAL refresh vs rebuild under HISTORY growth — fixed
+    // arrival stripe (the base corpus appended once) onto an f×-growing
+    // published history: the rebuild pays the full (f+1)² pair space,
+    // the refresh only the stripe's O(W_new · W_total) — so refresh must
+    // grow ~LINEARLY in f while rebuild grows ~quadratically.
+    if (opFilter("q73_refresh")) factors.foreach { f =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-scale-q73-$f").toString
+      val hist = scaledEvents(f).persist(); hist.count()
+      val full = scaledEvents(f + 1).persist(); full.count()
+      val r1 = graft.operators.Relational.publishTsProfile(hist, root,
+        token = s"scale-q73-$f", L = 8, stride = 4)
+      require(r1.published, s"q73 history publish failed at f=$f")
+      val t0 = System.nanoTime()
+      val r2 = graft.operators.Relational.refreshTsProfile(spark, root, full,
+        token = s"scale-q73r-$f", L = 8, stride = 4)
+      require(r2.published, s"q73 refresh failed at f=$f")
+      println(f"[scale] q73_refresh_stripe     f=$f rows=${0L}%9d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      // apples-to-apples: the rebuild leg PUBLISHES too (same WAP write
+      // + audit overhead on both sides — at this SF the fixed publish
+      // cost dominates both, so the curve's information is in the GROWTH)
+      val t1 = System.nanoTime()
+      val r3 = graft.operators.Relational.publishTsProfile(full,
+        java.nio.file.Files.createTempDirectory(s"graft-scale-q73rb-$f").toString,
+        token = s"scale-q73rb-$f", L = 8, stride = 4)
+      require(r3.published, s"q73 rebuild publish failed at f=$f")
+      println(f"[scale] q73_rebuild_full       f=$f rows=${0L}%9d ${(System.nanoTime() - t1) / 1e9}%7.2f s")
+      hist.unpersist(); full.unpersist()
+    }
+
     // s14: the RESIDUAL read path at 1x..maxF corpus (r15 item 3) — s9's
     // leg with residual=true: the add-back is one zip_with per candidate
     // row, so the curve must track s9's flat read shape.

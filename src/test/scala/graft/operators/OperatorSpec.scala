@@ -4083,6 +4083,39 @@ class OperatorSpec extends SparkSpec {
     rejected("dropped", good.limit(5)) // one-row-per-admissible-window count
   }
 
+  test("ts-profile refresh (q73): stripe min-merge == full rebuild bit-exactly, incl. users absent from v1") {
+    import graft.operators.{Publish, Relational}
+    val root = java.nio.file.Files.createTempDirectory("graft-tsrefresh-spec").toString
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    // history = first half of EVEN users only: odd users appear ONLY in
+    // the arrivals (the new-user edge: no stripe floor for them — the
+    // refresh must compute their full pair space)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val hist = events.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("user_id") % 2 === 0 && col("rn") * 2 <= col("cnt"))
+      .drop("rn", "cnt")
+    val r1 = Relational.publishTsProfile(hist, root, token = "v1", L = 8, stride = 4)
+    assert(r1.published && r1.version.contains(1L), s"v1 publish failed: $r1")
+    val r2 = Relational.refreshTsProfile(spark, root, events, token = "v2",
+      L = 8, stride = 4)
+    assert(r2.published && r2.version.contains(2L), s"refresh failed: $r2")
+    val refreshed = Relational.readTsProfile(spark, root).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).sorted.toSeq
+    val rebuilt = Relational.tsMatrixProfile(events, L = 8, stride = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).sorted.toSeq
+    assert(refreshed == rebuilt,
+      "refreshed artifact diverges from the from-scratch rebuild")
+    // v1 stays readable (time travel) and is a strict subset-by-key of v2
+    val v1Keys = Publish.readPublishedAt(spark, s"$root/profile", 1L).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val v2Keys = refreshed.map(x => (x._1, x._2)).toSet
+    assert(v1Keys.subsetOf(v2Keys), "refresh dropped published windows")
+    assert(v2Keys.size > v1Keys.size, "refresh added no windows on a grown series")
+  }
+
   test("discord top-k (q61): the planted anomaly window ranks first; discords are the profile maxima") {
     import spark.implicits._
     import graft.operators.Relational
