@@ -1048,6 +1048,51 @@ object Demo {
         s"alerts=${streamed.mkString(",")} batchEqual=${streamed == batch}")
     }
 
+    // 25. LIVE PROFILE MAINTENANCE (B68/B73 end to end): the nightly
+    // matrix-profile artifact + STAMPI refresh. History is a period-4
+    // sawtooth (stride == period, so every window has an exact twin —
+    // profile flat at 0); the APPENDED batch plants a spike. Before the
+    // refresh the stored discord is benign; after ONE stripe-cost
+    // refresh the top discord is the planted window — and the refreshed
+    // bytes equal a from-scratch rebuild, so every read consumer
+    // (discords, CAC, regimes) sees the new regime with no full re-pay.
+    {
+      import spark.implicits._
+      val hist = (1 to 80).map(t => (t.toLong, 1L, (t % 4).toDouble))
+      val arriv = (81 to 120).map { t =>
+        val v = if (t >= 100 && t <= 107) 50.0 else (t % 4).toDouble
+        (t.toLong, 1L, v)
+      }
+      val root = Files.createTempDirectory("graft-demo-tsprofile").toString
+      val histDf = hist.toDF("event_id", "user_id", "value")
+      val fullDf = (hist ++ arriv).toDF("event_id", "user_id", "value")
+      val R = graft.operators.Relational
+      val v1 = R.publishTsProfile(histDf, root, token = "demo-v1",
+        L = 8, stride = 4)
+      def topDiscord() = R.readTsProfile(spark, root)
+        .orderBy(org.apache.spark.sql.functions.col("dist").desc,
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("start"))
+        .limit(1).collect().head
+      val pre = topDiscord()
+      val v2 = R.refreshTsProfile(spark, root, fullDf, token = "demo-v2",
+        L = 8, stride = 4)
+      val post = topDiscord()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val refreshed = R.readTsProfile(spark, root).collect().map(key).sorted.toSeq
+      val rebuilt = R.tsMatrixProfile(fullDf, L = 8, stride = 4)
+        .collect().map(key).sorted.toSeq
+      check("live-profile-maintenance",
+        v1.published && v2.published && v2.version.contains(2L) &&
+          refreshed == rebuilt &&
+          pre.getDouble(3) == 0.0 && post.getDouble(3) > 100.0 &&
+          post.getLong(1) >= 93L && post.getLong(1) <= 105L,
+        s"pre=(${pre.getLong(1)},${pre.getDouble(3)}) " +
+          s"post=(${post.getLong(1)},${post.getDouble(3)}) " +
+          s"refreshEqualsRebuild=${refreshed == rebuilt}")
+    }
+
     results.toList
   }
 }
