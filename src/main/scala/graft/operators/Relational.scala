@@ -2543,28 +2543,32 @@ object Relational {
     * Users absent from the floor frame (new users, or users with no
     * published window) keep their full pair space.
     */
-  private def diagonalPairStats(events: DataFrame, L: Int,
-      stride: Int, sampleDiagEvery: Int = 1,
-      newFrom: Option[DataFrame] = None): DataFrame = {
+  /** The integer position series shared by the whole ts family
+    * ([[diagonalPairStats]], [[tsAcf]]): (user_id, p, x) with p the
+    * 1-based event_id rank and x = round(100·value) as an exact long.
+    *
+    * FAIL-LOUD data contract: the ×100 quantization is exact only for
+    * 2-decimal telemetry. On anything else the integer path would
+    * silently compute distances on ROUNDED values while the raw-double
+    * siblings (q58 tsMotifPerUser, q62 tsLeftProfile) fold the originals
+    * — breaking the spec-pinned "q59 minima reproduce q58's motif"
+    * invariant. The guard folds into x itself (not a droppable check
+    * column), so column pruning can't elide it; cost is one abs/compare
+    * per row inside codegen.
+    *
+    * RELATIVE tolerance (r15 advice): a true 2-decimal value scales to
+    * an integer with only double representation error — ~1e-16 relative
+    * — so 1e-9·|scaled| admits it at ANY magnitude, where the old
+    * absolute 1e-6 rejected legitimate telemetry past |value| ≈ 5e7
+    * (representation error of value*100 alone exceeds 1e-6 there).
+    * floor(scaled+0.5) is correct round-to-nearest for negatives too
+    * once the guard passes (|scaled − xi| ≪ 0.5 by construction).
+    */
+  private def integerSeries(events: DataFrame): DataFrame = {
     val wPos = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    // FAIL-LOUD data contract: the ×100 quantization is exact only for
-    // 2-decimal telemetry. On anything else the integer path would
-    // silently compute distances on ROUNDED values while the raw-double
-    // siblings (q58 tsMotifPerUser, q62 tsLeftProfile) fold the originals
-    // — breaking the spec-pinned "q59 minima reproduce q58's motif"
-    // invariant. The guard folds into x itself (not a droppable check
-    // column), so column pruning can't elide it; cost is one abs/compare
-    // per row inside codegen.
     val scaled = col("value") * 100.0
     val xi = floor(scaled + 0.5).cast("long")
-    // RELATIVE tolerance (r15 advice): a true 2-decimal value scales to
-    // an integer with only double representation error — ~1e-16 relative
-    // — so 1e-9·|scaled| admits it at ANY magnitude, where the old
-    // absolute 1e-6 rejected legitimate telemetry past |value| ≈ 5e7
-    // (representation error of value*100 alone exceeds 1e-6 there).
-    // floor(scaled+0.5) is correct round-to-nearest for negatives too
-    // once the guard passes (|scaled − xi| ≪ 0.5 by construction).
-    val ser = events.select(col("user_id"), col("event_id"), col("value"))
+    events.select(col("user_id"), col("event_id"), col("value"))
       .withColumn("p", row_number().over(wPos).cast("long"))
       .withColumn("x",
         when(abs(scaled - xi.cast("double"))
@@ -2574,6 +2578,12 @@ object Relational {
               + "(the STOMP integer discipline requires value*100 integral): "),
             col("value").cast("string")))))
       .select(col("user_id"), col("p"), col("x"))
+  }
+
+  private def diagonalPairStats(events: DataFrame, L: Int,
+      stride: Int, sampleDiagEvery: Int = 1,
+      newFrom: Option[DataFrame] = None): DataFrame = {
+    val ser = integerSeries(events)
     // smallest stride multiple >= L: the first admissible diagonal
     val d0 = ((L + stride - 1) / stride).toLong * stride
     // LATER endpoint at position p2 pairs with p = p2 - d for every
@@ -3841,10 +3851,243 @@ object Relational {
       .orderBy(col("user_id"), col("start")),
     q59.oracle)
 
+  /** B74's core: the per-user sample AUTOCORRELATION FUNCTION over the
+    * position axis, lags 1..maxLag — PERIOD DETECTION, the knob the
+    * whole profile family assumes as given (window length L and the
+    * FLOSS horizon are chosen FROM the dominant period in production;
+    * the Box–Jenkins estimator with the full-series mean and the
+    * full-series variance denominator). Integer-exact cross-engine:
+    * values quantize to longs (the [[integerSeries]] contract), every
+    * sufficient statistic — per-lag Σxy / Σx_head / Σx_tail / pair
+    * count, per-user n / Σx / Σx² — is an exact integer sum, and the
+    * scalar tail is ONE fixed parenthesized IEEE tree the oracle
+    * replays verbatim:
+    *   r(d) = (((C − x̄·A) − x̄·B) + m·x̄²) / (Q − n·x̄²),  x̄ = S/n.
+    * Flat series are decided on the EXACT integer variance n·Q − S²
+    * (the q60 discipline): acf = 0, no float epsilon. `is_period`
+    * flags the argmax lag ≥ 2 (lag 1 is trend/smoothness, not a
+    * period; acf ties break to the smaller lag, spelled as
+    * max(struct(acf, −lag)) so no float is ever negated).
+    *
+    * Scale shape: the lag explode emits ≤ maxLag rows per event — a
+    * PARAMETER bound, O(n·maxLag) total, never the O(n²) pair space —
+    * feeding one (user, p) equi-join and two map-side-combinable hash
+    * aggregates; the only sort is integerSeries' per-user rank. The
+    * per-user frames (tot, best) are user-proportional; AQE broadcasts
+    * them while small and degrades to the user-keyed shuffle when not
+    * (the d2 rule — no hint).
+    */
+  def tsAcf(events: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 2, "tsAcf: maxLag must be >= 2 (lag 1 is trend)")
+    val ser = integerSeries(events)
+    val tot = ser.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q"))
+    // TAIL endpoint at position p2 pairs with head p = p2 − d for every
+    // lag d ∈ [1, min(p2−1, maxLag)] (the diagonalPairStats explode
+    // shape; the p2 > 1 guard matters because Spark's sequence() runs
+    // DESCENDING when stop < start).
+    val st = ser.filter(col("p") > 1)
+      .select(col("user_id"), col("p").as("p2"), col("x").as("y"),
+        explode(sequence(lit(1L),
+          least(col("p") - 1, lit(maxLag.toLong)))).as("d"))
+      .withColumn("p", col("p2") - col("d"))
+      .join(ser, Seq("user_id", "p"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(sum(col("x") * col("y")).as("cxy"), sum(col("x")).as("ah"),
+        sum(col("y")).as("bt"), count(lit(1)).as("m"))
+    val xb = col("s").cast("double") / col("n").cast("double")
+    val num = col("cxy").cast("double") - xb * col("ah").cast("double") -
+      xb * col("bt").cast("double") +
+      col("m").cast("double") * xb * xb
+    val den = col("q").cast("double") - col("n").cast("double") * xb * xb
+    val curve = st.join(tot, Seq("user_id"))
+      .select(col("user_id"), col("d").as("lag"),
+        when(col("n") * col("q") - col("s") * col("s") === 0L, lit(0.0))
+          .otherwise(r4(num / den)).as("acf"))
+    val best = curve.filter(col("lag") >= 2)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("acf"), (-col("lag")).as("nl"))).as("b"))
+      .select(col("user_id"), (-col("b.nl")).as("blag"))
+    curve.join(best, Seq("user_id"), "left")
+      .select(col("user_id"), col("lag"), col("acf"),
+        coalesce(col("lag") === col("blag"), lit(false)).as("is_period"))
+      .orderBy(col("user_id"), col("lag"))
+  }
+
+  // B74 — ACF period detection. FULL oracle: DuckDB computes the same
+  // integer sufficient statistics as DIRECT per-lag pair folds
+  // (algorithm-independent — exact integers pin Spark's explode/join
+  // spelling bit-for-bit) and replays the identical parenthesized IEEE
+  // scalar tail on them; the argmax flag replays as a QUALIFY over the
+  // same r4 keys with the same (acf DESC, lag ASC) tie order.
+  private val q74 = Q(
+    "q74_ts_acf_period",
+    (s, d) => tsAcf(Tables.events(s, d), maxLag = 16),
+    Some(s"""
+      WITH ser AS (
+        SELECT user_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS p,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        FROM events),
+      tot AS (
+        SELECT user_id, count(*) AS n, sum(x) AS s, sum(x * x) AS q
+        FROM ser GROUP BY user_id),
+      st AS (
+        SELECT a.user_id, b.p - a.p AS lag, sum(a.x * b.x) AS cxy,
+          sum(a.x) AS ah, sum(b.x) AS bt, count(*) AS m
+        FROM ser a JOIN ser b
+          ON a.user_id = b.user_id AND b.p > a.p AND b.p <= a.p + 16
+        GROUP BY 1, 2),
+      curve AS (
+        SELECT st.user_id, CAST(lag AS BIGINT) AS lag,
+          CASE WHEN t.n * t.q - t.s * t.s = 0 THEN CAST(0 AS DOUBLE)
+            ELSE ${Num.r4Sql("""
+              ((CAST(cxy AS DOUBLE)
+                - (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * CAST(ah AS DOUBLE))
+                - (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * CAST(bt AS DOUBLE)
+                + CAST(m AS DOUBLE)
+                  * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+              / (CAST(t.q AS DOUBLE) - CAST(t.n AS DOUBLE)
+                  * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))""")}
+            END AS acf
+        FROM st JOIN tot t ON t.user_id = st.user_id),
+      best AS (
+        SELECT user_id, lag AS blag FROM curve WHERE lag >= 2
+        QUALIFY row_number() OVER (PARTITION BY user_id
+          ORDER BY acf DESC, lag) = 1)
+      SELECT c.user_id, c.lag, c.acf,
+        coalesce(c.lag = b.blag, FALSE) AS is_period
+      FROM curve c LEFT JOIN best b ON b.user_id = c.user_id
+      ORDER BY c.user_id, c.lag"""))
+
+  /** B75's core: the MATRIX PROFILE AB-JOIN (Yeh et al., ICDM 2016 §IV
+    * — the second canonical profile operator: for every window of
+    * series A, the nearest window of series B, NO exclusion zone —
+    * cross-series novelty/containment: a low AB-profile means A's
+    * pattern already exists in B, a high one means behavior B never
+    * exhibits). Series are the per-user event_type slices; positions
+    * are per-slice event_id ranks ([[integerSeries]] per side).
+    *
+    * Same STOMP diagonal decomposition as [[diagonalPairStats]],
+    * generalized to two series: a grid pair (sa, sb) lives on diagonal
+    * d = sb − sa (both grids ≡ 1 mod stride ⇒ d ≡ 0 mod stride — the
+    * lattice now runs NEGATIVE too, sb before sa, and d = 0 is
+    * admissible since the series are distinct), QT is the L-window sum
+    * over the diagonal's product series maintained by ONE
+    * unbounded-preceding frame per (user, d) — O(1) per pair — and the
+    * same pass carries ΣY² (B side) while ΣX² rides the A endpoint.
+    * Product rows O(nA·nB/stride) per user, spread over the (user, d)
+    * diagonal key family exactly like the self-join case.
+    *
+    * dist = (ΣX² + ΣY² − 2·QT)/10⁴ — the q59 AAMP integer identity —
+    * then a per-(user, sa) struct-argmin, ONE-directional (A → B).
+    * Windows of A with no complete B window drop (q59's partnerless
+    * convention).
+    */
+  def tsAbJoinProfile(events: DataFrame, typeA: String, typeB: String,
+      L: Int, stride: Int): DataFrame = {
+    require(L >= 1 && stride >= 1 && typeA != typeB)
+    val serA = integerSeries(events.filter(col("event_type") === typeA))
+    val serB = integerSeries(events.filter(col("event_type") === typeB))
+    val nA = serA.groupBy(col("user_id")).agg(max(col("p")).as("na"))
+    val sigma = stride.toLong
+    // B endpoint pB reaches A positions pA = pB − d ∈ [1, nA]:
+    // d ∈ [pB − nA, pB − 1] ∩ (stride lattice). dstart = smallest
+    // lattice point ≥ pB − nA via pmod (exact on negatives); dend =
+    // largest ≤ pB − 1. The nA join is user-proportional — AQE
+    // broadcasts while small, shuffles when not (the d2 rule, no hint).
+    val right = serB
+      .select(col("user_id"), col("p").as("p2"), col("x").as("y"))
+      .join(nA, Seq("user_id"))
+      .withColumn("k", col("p2") - col("na"))
+      .withColumn("dstart", col("k") + pmod(-col("k"), lit(sigma)))
+      .withColumn("dend",
+        col("p2") - 1 - pmod(col("p2") - 1, lit(sigma)))
+      .filter(col("dstart") <= col("dend"))
+      .select(col("user_id"), col("p2"), col("y"),
+        explode(sequence(col("dstart"), col("dend"), lit(sigma))).as("d"))
+      .withColumn("p", col("p2") - col("d"))
+    val prods = right.join(serA, Seq("user_id", "p"))
+    val run = Window.partitionBy(col("user_id"), col("d")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = Window.partitionBy(col("user_id"), col("d")).orderBy(col("p"))
+    // one Window operator per frame family (the diagonalPairStats
+    // one-select discipline): three running sums share `run`, three
+    // lags share `off`.
+    val cum = prods.select(col("user_id"), col("d"), col("p"),
+      sum(col("x") * col("y")).over(run).as("cxy"),
+      sum(col("x") * col("x")).over(run).as("cx2"),
+      sum(col("y") * col("y")).over(run).as("cy2"))
+    def winSum(c: String) =
+      (col(c) - coalesce(lag(col(c), L).over(off), lit(0L))).as(c + "w")
+    // complete windows: sa = p − L + 1 on the A grid and ≥ 1, sb =
+    // sa + d ≥ 1 (binding only for negative d); both imply every
+    // product row in [sa, p] exists on the diagonal, so the coalesce-0
+    // lag is exact (the diagonal's first window is its full prefix).
+    val pairs = cum.select(col("user_id"), col("d"), col("p"),
+        winSum("cxy"), winSum("cx2"), winSum("cy2"))
+      .filter(col("p") >= L && (col("p") - L) % sigma === 0 &&
+        col("p") - L + 1 + col("d") >= 1)
+      .select(col("user_id"), (col("p") - L + 1).as("sa"),
+        (col("p") - L + 1 + col("d")).as("sb"),
+        r4((col("cx2w") + col("cy2w") - lit(2L) * col("cxyw"))
+          .cast("double") / lit(10000.0)).as("dist"))
+    pairs.groupBy(col("user_id"), col("sa"))
+      .agg(min(struct(col("dist"), col("sb"))).as("m"))
+      .select(col("user_id"), col("sa").as("start"),
+        col("m.sb").as("nn_start"), col("m.dist").as("dist"))
+      .orderBy(col("user_id"), col("start"))
+  }
+
+  // B75 — AB-join profile (click windows vs view windows, L=4,
+  // stride=2). FULL oracle: DuckDB replays the pairwise arithmetic
+  // DIRECTLY over both grid-window tables (integer-scaled values, a
+  // plain per-pair fold — algorithm-independent, pinning the diagonal
+  // incremental path bit-exactly) and takes the per-A-window
+  // (dist, nn_start) argmin.
+  private val q75 = Q(
+    "q75_ts_ab_join",
+    (s, d) => tsAbJoinProfile(Tables.events(s, d),
+      typeA = "click", typeB = "view", L = 4, stride = 2),
+    Some(s"""
+      WITH ua AS (
+        SELECT user_id, list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+          ORDER BY event_id) AS vs
+        FROM events WHERE event_type = 'click' GROUP BY user_id),
+      ub AS (
+        SELECT user_id, list(CAST(floor(value * 100 + 0.5) AS BIGINT)
+          ORDER BY event_id) AS vs
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+      wa AS (
+        SELECT user_id, s AS start, vs[s : s + 3] AS xs
+        FROM ua, LATERAL (SELECT unnest(range(1, len(vs) + 1, 2)) AS s)
+        WHERE s + 3 <= len(vs)),
+      wb AS (
+        SELECT user_id, s AS start, vs[s : s + 3] AS xs
+        FROM ub, LATERAL (SELECT unnest(range(1, len(vs) + 1, 2)) AS s)
+        WHERE s + 3 <= len(vs)),
+      p AS (
+        SELECT a.user_id, a.start AS s1, b.start AS s2,
+          ${Num.r4Sql("""CAST(list_reduce(
+            [(a.xs[i] - b.xs[i]) * (a.xs[i] - b.xs[i]) FOR i IN range(1, 5)],
+            (x, y) -> x + y) AS DOUBLE) / 10000.0""")} AS dist
+        FROM wa a JOIN wb b ON a.user_id = b.user_id)
+      SELECT user_id, CAST(s1 AS BIGINT) AS start,
+        CAST(s2 AS BIGINT) AS nn_start, dist
+      FROM p
+      QUALIFY row_number() OVER (PARTITION BY user_id, s1
+        ORDER BY dist, s2) = 1
+      ORDER BY user_id, start"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
     q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69, q70, q71, q72, q73)
+    q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }

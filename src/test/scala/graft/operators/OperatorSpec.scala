@@ -5301,4 +5301,101 @@ class OperatorSpec extends SparkSpec {
     info(s"OPQ refreshed-index recall: $recallF")
     assert(recallF >= 0.6, s"refreshed OPQ recall $recallF < 0.6")
   }
+
+  test("ACF period detection (q74): planted period-4 series flags lag 4; flat series is acf 0 with the tie at lag 2; real corpus flags exactly one argmax lag per user") {
+    import graft.operators.Relational
+    import spark.implicits._
+    // planted period: user 1 cycles [1.0, 5.0, 2.0, 8.0] x 12 (n = 48);
+    // user 2 is CONSTANT (integer variance 0 -> acf 0 at every lag, so
+    // is_period falls to the smallest admissible lag by the tie rule)
+    val planted = (1 to 48).map(i =>
+      (1L, i.toLong, Seq(1.0, 5.0, 2.0, 8.0)((i - 1) % 4))) ++
+      (1 to 20).map(i => (2L, i.toLong, 7.25))
+    val df = planted.toDF("user_id", "event_id", "value")
+    val out = Relational.tsAcf(df, maxLag = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.length == 8, s"expected 8 lags: ${u1.toSeq}")
+    assert(u1.filter(_._4).map(_._2).toSeq == Seq(4L),
+      s"planted period not flagged: ${u1.toSeq}")
+    // period multiples dominate: acf(4)/acf(8) near their (n-d)/n caps,
+    // strictly above every non-multiple lag
+    val acfOf = u1.map(t => t._2 -> t._3).toMap
+    assert(acfOf(4L) > 0.9 && acfOf(8L) > 0.8, s"periodic acf weak: $acfOf")
+    Seq(1L, 2L, 3L, 5L, 6L, 7L).foreach(l =>
+      assert(acfOf(l) < acfOf(4L), s"lag $l should lose to lag 4: $acfOf"))
+    val u2 = out.filter(_._1 == 2L)
+    assert(u2.forall(_._3 == 0.0), s"flat series must be acf 0: ${u2.toSeq}")
+    assert(u2.filter(_._4).map(_._2).toSeq == Seq(2L),
+      "flat-series tie must break to lag 2 (lag 1 is never a period)")
+    // real corpus: exactly one flagged lag per user, always >= 2, and it
+    // is that user's argmax over lags >= 2
+    val real = Relational.tsAcf(graft.Tables.events(spark, sfDir), maxLag = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    real.groupBy(_._1).foreach { case (u, rows) =>
+      val flagged = rows.filter(_._4)
+      assert(flagged.length == 1, s"user $u flagged ${flagged.length} lags")
+      assert(flagged.head._2 >= 2L, s"user $u flagged the trend lag")
+      val best = rows.filter(_._2 >= 2L).map(_._3).max
+      assert(flagged.head._3 == best, s"user $u flag is not the acf argmax")
+    }
+  }
+
+  test("AB-join profile (q75): planted containment scores 0 aligned; constant-B ties break to the earliest start; brute force replays the diagonal path bit-exactly") {
+    import graft.operators.Relational
+    import spark.implicits._
+    // user 1: B is an exact copy of the strictly-increasing A series, so
+    // every A window finds its aligned twin at dist 0 (strict increase
+    // makes the argmin unique); user 2: constant far-away B, so every B
+    // window is identical and the (dist, nn_start) tie breaks to sb = 1
+    val a1 = (1 to 12).map(i => (1L, i.toLong, "click", i * 1.5))
+    val b1 = (1 to 12).map(i => (1L, (100 + i).toLong, "view", i * 1.5))
+    val a2 = (1 to 6).map(i => (2L, i.toLong, "click", i * 2.0))
+    val b2 = (1 to 6).map(i => (2L, (100 + i).toLong, "view", 50.0))
+    val df = (a1 ++ b1 ++ a2 ++ b2)
+      .toDF("user_id", "event_id", "event_type", "value")
+    val out = Relational.tsAbJoinProfile(df, "click", "view", L = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.map(_._2).sorted.toSeq == Seq(1L, 3L, 5L, 7L, 9L),
+      s"A grid windows wrong: ${u1.toSeq}")
+    u1.foreach { case (_, s, nn, d) =>
+      assert(nn == s && d == 0.0, s"containment missed at start $s: nn=$nn dist=$d")
+    }
+    val u2 = out.filter(_._1 == 2L)
+    assert(u2.length == 2 && u2.forall(t => t._3 == 1L && t._4 > 0.0),
+      s"constant-B tie rule broke: ${u2.toSeq}")
+    // real corpus: a direct per-pair fold over both window tables (the
+    // q59 oracle discipline, in-suite) == the diagonal incremental path
+    val events = graft.Tables.events(spark, sfDir)
+    val got = Relational.tsAbJoinProfile(events, "click", "view",
+        L = 4, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    def series(tpe: String): Map[Long, Vector[Long]] = events
+      .filter(col("event_type") === tpe)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.sortBy(_._2).map(t =>
+          math.floor(t._3 * 100 + 0.5).toLong).toVector
+      }
+    def windows(v: Vector[Long]) =
+      (1 to (v.length - 3) by 2).map(s => s.toLong -> v.slice(s - 1, s + 3))
+    val sa = series("click"); val sbm = series("view")
+    val expected = sa.toSeq.flatMap { case (u, va) =>
+      val wbs = sbm.get(u).map(windows).getOrElse(Seq.empty)
+      if (wbs.isEmpty) Seq.empty
+      else windows(va).map { case (s, xs) =>
+        val (d, nn) = wbs.map { case (s2, ys) =>
+          val di = xs.zip(ys).map { case (x, y) => (x - y) * (x - y) }.sum
+          (Num.r4Double(di.toDouble / 10000.0), s2)
+        }.min
+        (u, s, nn, d)
+      }
+    }.sorted
+    assert(got == expected,
+      s"AB-join diverges from brute force (${got.length} vs ${expected.length})")
+  }
 }
