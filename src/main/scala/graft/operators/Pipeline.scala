@@ -1705,6 +1705,80 @@ object Pipeline {
       iters: Int = 3): DataFrame =
     trustRankFrom(edges, seeds, iters)
 
+  /** P30's core: DOMAIN HITS (Kleinberg 1999, "Authoritative Sources in
+    * a Hyperlinked Environment") over the same [[hostGraph]] artifact —
+    * the hub/authority decomposition P23/P24 cannot express: a DIRECTORY
+    * host (links out to every good source, few in-links) is invisible to
+    * PageRank but is exactly a HITS hub; the mutually-reinforcing pair
+    *   a(v) = Σ_{u→v} w·h(u),   h(u) = Σ_{u→v} w·a(v)
+    * separates "points at quality" from "is pointed at by quality" — at
+    * corpus scale the hub score ranks CRAWL SEED LISTS while authority
+    * ranks content domains.
+    *
+    * Float discipline: HITS is SCALE-INVARIANT, so the usual per-round
+    * L2 normalization (a global order-SENSITIVE float sum — not
+    * cross-engine replayable) is deferred to ONE final division by the
+    * global max, which is order-FREE and exact. Each round's per-node
+    * sums fold in SORTED neighbor order (the t27/P23 contract), so all
+    * `iters` rounds are bit-identical in Spark and DuckDB and the
+    * operator is FULLY oracle-checked from raw HTML to final score.
+    *
+    * Scale: host-proportional frames throughout (the P23 argument);
+    * `iters` is a fixed small constant, the lazy plan nests the rounds;
+    * the final max is a one-row crossJoin(broadcast) — the t9/d14
+    * adjudicated class.
+    */
+  def domainHits(pages: DataFrame, iters: Int = 2): DataFrame =
+    hitsFrom(hostGraph(pages).localCheckpoint(true), iters)
+
+  /** Fully lazy spelling — audit surface only (the lazyTwin convention). */
+  def domainHitsLazy(pages: DataFrame, iters: Int = 2): DataFrame =
+    hitsFrom(hostGraph(pages), iters)
+
+  /** HITS from a published edge list — the P25 read path. */
+  def domainHitsFromEdges(edges: DataFrame, iters: Int = 2): DataFrame =
+    hitsFrom(edges, iters)
+
+  private def hitsFrom(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 4,
+      s"iters in [1,4] (lazy plan nests them), got $iters")
+    val nodes = edges.select(col("src").as("host"))
+      .unionByName(edges.select(col("dst").as("host"))).distinct()
+    def sortedFold(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+        neighbor: String, out: String) =
+      grouped.agg(aggregate(
+        array_sort(collect_list(struct(col(neighbor).as("s"), col("c").as("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as(out))
+    var hub = nodes.select(col("host"), lit(1.0).as("h"))
+    var auth = nodes.select(col("host"), lit(0.0).as("a"))
+    (0 until iters).foreach { _ =>
+      val aNew = sortedFold(edges
+        .join(hub.select(col("host").as("src"), col("h")), Seq("src"))
+        .withColumn("c", col("w").cast("double") * col("h"))
+        .groupBy(col("dst")), "src", "a")
+        .select(col("dst").as("host"), col("a"))
+      auth = nodes.join(aNew, Seq("host"), "left")
+        .select(col("host"), coalesce(col("a"), lit(0.0)).as("a"))
+      val hNew = sortedFold(edges
+        .join(auth.select(col("host").as("dst"), col("a")), Seq("dst"))
+        .withColumn("c", col("w").cast("double") * col("a"))
+        .groupBy(col("src")), "dst", "h")
+        .select(col("src").as("host"), col("h"))
+      hub = nodes.join(hNew, Seq("host"), "left")
+        .select(col("host"), coalesce(col("h"), lit(0.0)).as("h"))
+    }
+    val mx = auth.join(hub, Seq("host"))
+      .agg(max(col("a")).as("ma"), max(col("h")).as("mh"))
+    auth.join(hub, Seq("host"))
+      .crossJoin(broadcast(mx))
+      .select(col("host"),
+        when(col("mh") === 0.0, lit(0.0))
+          .otherwise(r4(col("h") / col("mh"))).as("hub"),
+        when(col("ma") === 0.0, lit(0.0))
+          .otherwise(r4(col("a") / col("ma"))).as("authority"))
+      .orderBy(col("host"))
+  }
+
   /** P24's fixture seed set (three mid-graph hosts, deliberately NOT the
     * planted hub — trust must reach the hub through links, not by fiat).
     */
@@ -2388,7 +2462,73 @@ object Pipeline {
         UNION ALL ${funnelCardSql(8, "8_decontaminated", "s8")}
       ) ORDER BY stage_ord, lang"""))
 
+  // P30 — domain HITS (round 16): hub/authority over the p23 fixture
+  // graph (the planted hub host draws the in-link mass; every host also
+  // hubs out, so the two scores genuinely differ). FULL oracle: DuckDB
+  // rebuilds the edges from doc_id arithmetic (p23's CTEs), replays both
+  // sorted-fold iteration rounds bit-exactly, and applies the same
+  // order-free max normalization.
+  private val p30 = Relational.Q(
+    "p30_domain_hits",
+    (s, d) => {
+      import graft.operators.{TextAnalysis => T}
+      domainHits(Tables.documents(s, d)
+        .select(col("doc_id"), T.fixtureDirtyUrl.as("url"),
+          T.fixtureLinkedHtml.as("html")))
+    },
+    Some {
+      def aSql(prevH: String, out: String) = s"""
+      $out AS (
+        SELECT n.host, COALESCE(c.a, 0.0) AS a
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS host,
+            list_reduce(list_prepend(0.0, list_transform(
+              list_sort(list({'s': e.src,
+                'c': CAST(e.w AS DOUBLE) * p.h})),
+              x -> x['c'])), (acc, v) -> acc + v) AS a
+          FROM edges e JOIN $prevH p ON p.host = e.src
+          GROUP BY e.dst) c USING (host))"""
+      def hSql(prevA: String, out: String) = s"""
+      $out AS (
+        SELECT n.host, COALESCE(c.h, 0.0) AS h
+        FROM nodes n LEFT JOIN (
+          SELECT e.src AS host,
+            list_reduce(list_prepend(0.0, list_transform(
+              list_sort(list({'s': e.dst,
+                'c': CAST(e.w AS DOUBLE) * p.a})),
+              x -> x['c'])), (acc, v) -> acc + v) AS h
+          FROM edges e JOIN $prevA p ON p.host = e.dst
+          GROUP BY e.src) c USING (host))"""
+      s"""
+      WITH r AS (SELECT doc_id, unnest(range(3)) AS i FROM documents),
+      lk AS (
+        SELECT doc_id % 50 AS s,
+          CASE i WHEN 0 THEN (doc_id*7+1) % 50
+                 WHEN 1 THEN (doc_id+1) % 50
+                 ELSE 0 END AS t
+        FROM r WHERE i < 2 OR doc_id % 4 = 0),
+      edges AS (
+        SELECT 'site' || s || '.example.com' AS src,
+               'site' || t || '.example.com' AS dst, COUNT(*) AS w
+        FROM lk WHERE s <> t GROUP BY 1, 2),
+      nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+      h0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+      ${aSql("h0", "a1")},
+      ${hSql("a1", "h1")},
+      ${aSql("h1", "a2")},
+      ${hSql("a2", "h2")},
+      mx AS (SELECT MAX(a) AS ma FROM a2),
+      mh AS (SELECT MAX(h) AS mh FROM h2)
+      SELECT n.host,
+        CASE WHEN mh.mh = 0 THEN CAST(0 AS DOUBLE)
+          ELSE ${r4Sql("h2.h / mh.mh")} END AS hub,
+        CASE WHEN mx.ma = 0 THEN CAST(0 AS DOUBLE)
+          ELSE ${r4Sql("a2.a / mx.ma")} END AS authority
+      FROM nodes n JOIN a2 USING (host) JOIN h2 USING (host), mx, mh
+      ORDER BY n.host"""
+    })
+
   val all: Seq[Relational.Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p26, p27, p28, p29)
+    p26, p27, p28, p29, p30)
 }

@@ -86,7 +86,8 @@ object PlanAudit {
     "p17_weighted_sample" -> "one-row w_total + buckets-row weighted-offsets frame (parameter-bounded — the p14 class)",
     "p26_rank_weighted_sample" -> "one-row w_total + buckets-row offsets + host-proportional rank frame (the p17/p23 classes)",
     "p20_quality_weighted_sample" -> "one-row w_total + buckets-row offsets + dim(=4096)-row model frame (parameter-bounded — the p17/t15 classes)",
-    "p18_d4_diversify" -> "one-row w_total + 2^signBits-row targets + 2^signBits x buckets-row offsets (parameter-bounded — the p12 class)")
+    "p18_d4_diversify" -> "one-row w_total + 2^signBits-row targets + 2^signBits x buckets-row offsets (parameter-bounded — the p12 class)",
+    "p30_domain_hits" -> "one-row (max hub, max authority) aggregate for the final scale-invariant normalization (the t9/d14 class)")
 
   /** The global-window invariant, mechanized like the hint guard: every
     * logical Window (or WindowGroupLimit) with an EMPTY partition spec.
@@ -267,7 +268,9 @@ object PlanAudit {
     "p26_rank_weighted_sample" ->
       "p23's rankIterate fold over the host graph (shared code, IN-DEGREE-bounded — the p23 adjudication verbatim)",
     "q63_psi_drift" ->
-      "per-group PSI term fold: BINS-bounded (<= `bins` observed buckets per group, a query PARAMETER — the sorted fold is the cross-engine ln contract)")
+      "per-group PSI term fold: BINS-bounded (<= `bins` observed buckets per group, a query PARAMETER — the sorted fold is the cross-engine ln contract)",
+    "p30_domain_hits" ->
+      "p23's per-node in-/out-neighbor contribution folds on the HOST graph: DEGREE-bounded, host-proportional (the p23 adjudication verbatim, both directions)")
 
   /** The d17-class guard, mechanized like the hint/window guards: every
     * join whose BOTH inputs carry an ArrayType column AND whose two
@@ -420,6 +423,14 @@ object PlanAudit {
           org.apache.spark.sql.functions.col("doc_id"),
           graft.operators.TextAnalysis.fixtureDirtyUrl.as("url"),
           graft.operators.TextAnalysis.fixtureLinkedHtml.as("html")))),
+      // p30 eager-materializes the host-proportional edge list once
+      // (the p23 idiom); audit the lazy spelling
+      "p30_domain_hits" ->
+      ((s, d) => graft.operators.Pipeline.domainHitsLazy(
+        graft.Tables.documents(s, d).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          graft.operators.TextAnalysis.fixtureDirtyUrl.as("url"),
+          graft.operators.TextAnalysis.fixtureLinkedHtml.as("html")))),
       "p26_rank_weighted_sample" ->
       ((s, d) => {
         import org.apache.spark.sql.functions.{col, round}
@@ -452,6 +463,8 @@ object PlanAudit {
   // allowedHints but missing here, a drift class the shared list +
   // sweep now makes impossible.
   val allowedBnlj = Map(
+      "p30_domain_hits" ->
+        "crossJoin(broadcast(<one-row (max hub, max authority) frame>)) for the final scale-invariant normalization (the t9/d14 shape)",
       "s1_ann_bruteforce_topk" ->
         "corpus scanned once against the broadcast fixed-size query set (theta join)",
       "s2_ann_lsh_topk" ->

@@ -4920,6 +4920,46 @@ class OperatorSpec extends SparkSpec {
     assert(Pipeline.hostGraph(selfy).count() == 0L)
   }
 
+  test("domain HITS (p30): directories hub without authority, sinks the reverse; weight doubling is bit-invariant; the planted fixture hub tops authority") {
+    import spark.implicits._
+    def page(host: String, rep: Int, outs: String*) =
+      (s"https://$host/", outs.flatMap(o => (0 until rep).map(i =>
+        s"""<a href="https://$o/x$i">l</a>""")).mkString)
+    // dir.com links to every content host but receives NO in-links — the
+    // directory shape PageRank cannot see (it floors at 0.15 there) but
+    // HITS ranks as the TOP hub; c9 is endorsed only by a weak hub and
+    // links nowhere (a pure sink: hub exactly 0)
+    def fixture(rep: Int) = Seq(
+      page("dir.com", rep, "c1.com", "c2.com", "c3.com"),
+      page("c1.com", rep, "c2.com"),
+      page("c2.com", rep, "c1.com"),
+      page("c3.com", rep, "c9.com")).toDF("url", "html")
+    val out = Pipeline.domainHits(fixture(1), iters = 2).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set("dir.com", "c1.com", "c2.com", "c3.com", "c9.com"))
+    assert(out("dir.com")._2 == 0.0 && out("dir.com")._1 == 1.0,
+      s"directory must be the max hub with zero authority: $out")
+    assert(out("c9.com")._1 == 0.0 && out("c9.com")._2 > 0.0,
+      s"sink must have zero hub, positive authority: $out")
+    assert(out("c9.com")._2 < out("c1.com")._2 &&
+      out("c9.com")._2 < out("c2.com")._2,
+      s"weak endorsement must rank below directory+mutual endorsement: $out")
+    // scale invariance, exactly: doubling every link count scales the
+    // unnormalized scores by powers of 2 (IEEE-exact), so the
+    // max-normalized output is BIT-identical
+    val out2 = Pipeline.domainHits(fixture(2), iters = 2).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out2 == out, s"uniform weight doubling must be invariant:\n$out\nvs\n$out2")
+    // the p23 fixture: the planted in-link hub is the top AUTHORITY
+    val fx = Pipeline.domainHits(graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.fixtureDirtyUrl.as("url"),
+        TextAnalysis.fixtureLinkedHtml.as("html"))).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(fx.length == 50)
+    assert(fx.maxBy(_._3)._1 == "site0.example.com",
+      s"planted hub must top authority: ${fx.maxBy(_._3)}")
+  }
+
   test("anchor extraction (t36): (url, text) pairs in document order; per-host profile counts") {
     import spark.implicits._
     val html =
