@@ -3965,6 +3965,113 @@ object Relational {
       FROM curve c LEFT JOIN best b ON b.user_id = c.user_id
       ORDER BY c.user_id, c.lag"""))
 
+  /** B76's core: classical SEASONAL-TREND DECOMPOSITION (the moving-
+    * average decomposition STL approximates; Kendall & Stuart's
+    * textbook form) at a known even period P — the consumer of B74's
+    * detected period: value = trend + seasonal + residual, where the
+    * RESIDUAL is what anomaly gates (q54's IQR fences, B53's EWMA)
+    * should run on once telemetry is known-periodic.
+    *
+    * Integer-exact cross-engine: trend numerator is the 2×P centered
+    * MA with half-weighted ends — T_num(p) = x_{p−h} + x_{p+h} +
+    * 2·Σ_{i∈(p−h, p+h)} x_i, h = P/2 — an exact integer (one lag + one
+    * lead + one rows-frame sum per user), trend = T_num/(200·P); the
+    * detrended series stays integer as d_scaled = 2P·x − T_num; the
+    * per-phase means m_φ and the re-centering mean are the only IEEE
+    * ops, folded in PHASE ORDER (a P-row parameter-bounded sorted fold
+    * — the t27 contract), so the oracle replays every round verbatim.
+    * Interior rows only (the MA needs h rows each side); seasonal
+    * s_φ = m_φ − mean_φ(m) sums to ~0 by construction.
+    *
+    * Scale shape: one per-user window pass (dense ranks make rows ==
+    * positions, so the frames are exact), one (user, phase) hash
+    * aggregate, one P-row-per-user fold, two user-keyed joins — all
+    * linear, no pair space, the q53-class state never exceeds P rows.
+    */
+  def tsSeasonalDecompose(events: DataFrame, period: Int): DataFrame = {
+    require(period >= 2 && period % 2 == 0,
+      "tsSeasonalDecompose: even period (the 2xP centered MA)")
+    val h = period / 2
+    val ser = integerSeries(events)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("p"))
+    val inner = Window.partitionBy(col("user_id")).orderBy(col("p"))
+      .rowsBetween(-(h - 1), h - 1)
+    val tnum = lag(col("x"), h).over(w) + lead(col("x"), h).over(w) +
+      lit(2L) * sum(col("x")).over(inner)
+    val base = ser.select(col("user_id"), col("p"), col("x"),
+        tnum.as("tnum"))
+      .filter(col("tnum").isNotNull)
+      .withColumn("phase", pmod(col("p"), lit(period.toLong)))
+      .withColumn("dsc", lit(2L * period) * col("x") - col("tnum"))
+    val ph = base.groupBy(col("user_id"), col("phase"))
+      .agg(sum(col("dsc")).as("sphi"), count(lit(1)).as("cnt"))
+    val mPhi = col("sphi").cast("double") / col("cnt").cast("double") /
+      lit(period * 200.0)
+    val adj = ph.select(col("user_id"), col("phase"), mPhi.as("m"))
+      .groupBy(col("user_id"))
+      .agg((aggregate(
+        array_sort(collect_list(struct(col("phase").as("ph"), col("m").as("m")))),
+        lit(0.0), (acc, x) => acc + x.getField("m"))
+        / count(lit(1)).cast("double")).as("madj"))
+    val seas = ph.join(adj, Seq("user_id"))
+      .select(col("user_id"), col("phase"), (mPhi - col("madj")).as("s"))
+    val trend = col("tnum").cast("double") / lit(period * 200.0)
+    base.join(seas, Seq("user_id", "phase"))
+      .select(col("user_id"), col("p").as("pos"),
+        (col("x").cast("double") / lit(100.0)).as("value"),
+        r4(trend).as("trend"),
+        r4(col("s")).as("seasonal"),
+        r4((col("x").cast("double") / lit(100.0) - trend) - col("s"))
+          .as("resid"))
+      .orderBy(col("user_id"), col("pos"))
+  }
+
+  // B76 — seasonal decomposition at P=4. FULL oracle: DuckDB replays
+  // the integer MA numerator (lag + lead + rows frame), the integer
+  // detrended sums, and the identical IEEE division/fold trees.
+  private val q76 = Q(
+    "q76_ts_seasonal",
+    (s, d) => tsSeasonalDecompose(Tables.events(s, d), period = 4),
+    Some(s"""
+      WITH ser AS (
+        SELECT user_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS p,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        FROM events),
+      tn AS (
+        SELECT user_id, p, x,
+          lag(x, 2) OVER w + lead(x, 2) OVER w + 2 * sum(x) OVER
+            (PARTITION BY user_id ORDER BY p
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS tnum
+        FROM ser WINDOW w AS (PARTITION BY user_id ORDER BY p)),
+      base AS (
+        SELECT user_id, p, x, p % 4 AS phase, tnum, 8 * x - tnum AS dsc
+        FROM tn WHERE tnum IS NOT NULL),
+      ph AS (
+        SELECT user_id, phase, sum(dsc) AS sphi, count(*) AS cnt
+        FROM base GROUP BY 1, 2),
+      adj AS (
+        SELECT user_id,
+          list_reduce(list_prepend(0.0, list_transform(
+            list_sort(list({'ph': phase,
+              'm': CAST(sphi AS DOUBLE) / CAST(cnt AS DOUBLE) / 800.0})),
+            x -> x['m'])), (a, v) -> a + v)
+            / CAST(count(*) AS DOUBLE) AS madj
+        FROM ph GROUP BY user_id)
+      SELECT b.user_id, CAST(b.p AS BIGINT) AS pos,
+        CAST(b.x AS DOUBLE) / 100.0 AS value,
+        ${Num.r4Sql("CAST(b.tnum AS DOUBLE) / 800.0")} AS trend,
+        ${Num.r4Sql("""CAST(sm.sphi AS DOUBLE) / CAST(sm.cnt AS DOUBLE)
+          / 800.0 - a.madj""")} AS seasonal,
+        ${Num.r4Sql("""(CAST(b.x AS DOUBLE) / 100.0
+            - CAST(b.tnum AS DOUBLE) / 800.0)
+          - (CAST(sm.sphi AS DOUBLE) / CAST(sm.cnt AS DOUBLE) / 800.0
+            - a.madj)""")} AS resid
+      FROM base b
+      JOIN ph sm ON sm.user_id = b.user_id AND sm.phase = b.phase
+      JOIN adj a ON a.user_id = b.user_id
+      ORDER BY b.user_id, pos"""))
+
   /** B75's core: the MATRIX PROFILE AB-JOIN (Yeh et al., ICDM 2016 §IV
     * — the second canonical profile operator: for every window of
     * series A, the nearest window of series B, NO exclusion zone —
@@ -4089,5 +4196,5 @@ object Relational {
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
     q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69, q70, q71, q72, q73, q74, q75)
+    q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }

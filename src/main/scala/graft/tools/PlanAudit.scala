@@ -270,7 +270,9 @@ object PlanAudit {
     "q63_psi_drift" ->
       "per-group PSI term fold: BINS-bounded (<= `bins` observed buckets per group, a query PARAMETER — the sorted fold is the cross-engine ln contract)",
     "p30_domain_hits" ->
-      "p23's per-node in-/out-neighbor contribution folds on the HOST graph: DEGREE-bounded, host-proportional (the p23 adjudication verbatim, both directions)")
+      "p23's per-node in-/out-neighbor contribution folds on the HOST graph: DEGREE-bounded, host-proportional (the p23 adjudication verbatim, both directions)",
+    "q76_ts_seasonal" ->
+      "per-user phase-mean re-centering fold: PERIOD-bounded (exactly P rows per user, a query parameter — the fixed-order fold is the cross-engine float contract)")
 
   /** The d17-class guard, mechanized like the hint/window guards: every
     * join whose BOTH inputs carry an ArrayType column AND whose two

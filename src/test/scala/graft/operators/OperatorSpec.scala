@@ -5382,6 +5382,54 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("seasonal decomposition (q76): planted trend+period-4 signal separates exactly; value == trend + seasonal + resid; interior-row contract") {
+    import graft.operators.Relational
+    import spark.implicits._
+    // value(i) = linear trend 0.1*i + periodic base[(i-1) % 4]: the 2x4
+    // centered MA recovers linear-plus-cycle-mean EXACTLY, so the
+    // residual must be identically zero and the seasonal must equal the
+    // de-meaned cycle
+    val base = Seq(1.0, 5.0, 2.0, 8.0) // mean 4.0
+    val df = (1 to 40).map(i => (1L, i.toLong, base((i - 1) % 4) + 0.1 * i))
+      .toDF("user_id", "event_id", "value")
+    val out = Relational.tsSeasonalDecompose(df, period = 4).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.length == 36, s"interior rows: ${out.length}")  // 40 - 2h*2
+    out.foreach { case (p, _, trend, seasonal, resid) =>
+      assert(resid == 0.0, s"planted signal must leave zero residual at $p: $resid")
+      val expTrend = 4.0 + 0.1 * p
+      assert(math.abs(trend - expTrend) <= 1e-4, s"trend at $p: $trend != $expTrend")
+      val expSeas = base(((p - 1) % 4).toInt) - 4.0
+      assert(math.abs(seasonal - expSeas) <= 1e-4, s"seasonal at $p: $seasonal != $expSeas")
+    }
+    // real corpus: additive identity up to the three r4 roundings, and
+    // the interior-row contract n - period per user
+    val events = graft.Tables.events(spark, sfDir)
+    val real = Relational.tsSeasonalDecompose(events, period = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val n = events.count()
+    val users = events.select("user_id").distinct().count()
+    assert(real.length == n - 4 * users,
+      s"interior contract: ${real.length} != $n - 4*$users")
+    real.foreach { case (u, v, t, s, r) =>
+      assert(math.abs(v - (t + s + r)) <= 2e-4,
+        s"identity broke for user $u: $v vs ${t + s + r}")
+    }
+    // seasonal indices re-center BY CONSTRUCTION: the P distinct phase
+    // indices sum to Σm − P·madj = 0 per user (up to IEEE residue)
+    val byPhase = Relational.tsSeasonalDecompose(events, period = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1) % 4), r.getDouble(4)))
+      .groupBy(_._1).toSeq.map { case (k, vs) => (k._1, vs.head._2) }
+    byPhase.groupBy(_._1).foreach { case (u, idx) =>
+      assert(idx.size == 4, s"user $u missing phases")
+      val s = idx.map(_._2).sum
+      // each index is r4-quantized, so the zero-sum holds to 4 x 5e-5
+      assert(math.abs(s) < 2.5e-4, s"seasonal indices of user $u sum to $s")
+    }
+  }
+
   test("AB-join profile (q75): planted containment scores 0 aligned; constant-B ties break to the earliest start; brute force replays the diagonal path bit-exactly") {
     import graft.operators.Relational
     import spark.implicits._
