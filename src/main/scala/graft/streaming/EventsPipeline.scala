@@ -721,6 +721,91 @@ object EventsPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class AcfState(n: Long, s: Long, q: Long, tail: Seq[Long],
+      cxy: Seq[Long], ah: Seq[Long], bt: Seq[Long], m: Seq[Long])
+  final case class AcfUpdate(user_id: Long, pos: Long, period: Long,
+      acf: Double)
+
+  /** A65 — STREAMING ACF period monitor (B74's twin): the live
+    * periodicity estimate a telemetry pipeline keeps per user — "has
+    * this user's dominant cycle shifted?" — emitted after every
+    * arrival. State per user is the last maxLag SCALED values plus
+    * 3 + 4·maxLag exact integer accumulators (n/Σx/Σx² and per-lag
+    * Σxy/Σx_head/Σx_tail/pair count) — PARAMETER-bounded regardless of
+    * stream length (the A48/A56 discipline), and because every
+    * accumulator is an exact integer the fold is order-free WITHIN the
+    * arithmetic: after the last arrival the accumulators are
+    * bit-identical to the batch q74 sufficient statistics under ANY
+    * micro-batch slicing, and the scalar tail replays batch q74's
+    * parenthesized IEEE tree verbatim ([[graft.operators.Num.r4Double]],
+    * the shared r4 contract). Emission = the argmax lag ≥ 2 with the
+    * same (acf desc, lag asc) tie rule and the same exact integer
+    * flatness guard, so the FINAL emission per user equals q74's
+    * `is_period` row exactly (spec-pinned across ≥ 2 slicings). Same
+    * in-order-by-event_id arrival contract as A56/A57.
+    */
+  class AcfProcessor(maxLag: Int)
+      extends StatefulProcessor[Long, (Long, Long, Double), AcfUpdate] {
+    @transient private var state: ValueState[AcfState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[AcfState](
+        "acf", Encoders.product[AcfState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Double)],
+        timers: TimerValues): Iterator[AcfUpdate] = {
+      val z = Vector.fill(maxLag)(0L)
+      var st = if (state.exists()) state.get() else AcfState(0L, 0L, 0L,
+        Vector.empty, z, z, z, z)
+      val out = Seq.newBuilder[AcfUpdate]
+      rows.toSeq.sortBy(_._1).foreach { case (_, _, v) =>
+        val x = math.floor(v * 100.0 + 0.5).toLong
+        val tail = st.tail.toVector
+        val reach = math.min(st.n, maxLag.toLong).toInt
+        var cxy = st.cxy.toVector; var ah = st.ah.toVector
+        var bt = st.bt.toVector; var m = st.m.toVector
+        (1 to reach).foreach { d =>
+          val xh = tail(tail.size - d)
+          cxy = cxy.updated(d - 1, cxy(d - 1) + xh * x)
+          ah = ah.updated(d - 1, ah(d - 1) + xh)
+          bt = bt.updated(d - 1, bt(d - 1) + x)
+          m = m.updated(d - 1, m(d - 1) + 1L)
+        }
+        val n = st.n + 1
+        val s = st.s + x
+        val q = st.q + x * x
+        st = AcfState(n, s, q, (tail :+ x).takeRight(maxLag), cxy, ah, bt, m)
+        if (n >= 3) {
+          val xb = s.toDouble / n.toDouble
+          val flat = n * q - s * s == 0L
+          val best = (2 to math.min(maxLag.toLong, n - 1).toInt).map { d =>
+            val acf =
+              if (flat) 0.0
+              else graft.operators.Num.r4Double(
+                (cxy(d - 1).toDouble - xb * ah(d - 1).toDouble -
+                  xb * bt(d - 1).toDouble +
+                  m(d - 1).toDouble * xb * xb) /
+                (q.toDouble - n.toDouble * xb * xb))
+            (acf, d.toLong)
+          }.maxBy { case (a, d) => (a, -d) }
+          out += AcfUpdate(user, n, best._2, best._1)
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  def acfPeriodTws(events: Dataset[(Long, Long, Double)],
+      maxLag: Int): Dataset[AcfUpdate] = {
+    require(maxLag >= 2, "acfPeriodTws: maxLag must be >= 2")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new AcfProcessor(maxLag),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class PerplexityFlag(doc_id: Long, n_bigrams: Long,
       total_bits: Long, keep: Boolean)
 

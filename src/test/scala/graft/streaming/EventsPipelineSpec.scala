@@ -2159,4 +2159,51 @@ class EventsPipelineSpec extends SparkSpec {
       assert(rows.length == 4, s"one update per micro-batch: ${rows.length}")
     } finally q.stop()
   }
+
+  test("streaming ACF period monitor (A65): final emission per user == batch q74's is_period row across two slicings; positions strictly advance") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val saved = EventsPipeline.RocksDBStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "user_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.operators.Relational.tsAcf(Tables.events(spark, sf),
+        maxLag = 16)
+      .filter(col("is_period")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val nPerUser = rows.groupBy(_._2).map { case (u, rs) => u -> rs.length.toLong }
+    Seq(5, 2).foreach { slices =>
+      val src = MemoryStream[(Long, Long, Double)]
+      val q = EventsPipeline.acfPeriodTws(src.toDS(), maxLag = 16)
+        .writeStream.format("memory").queryName(s"acf_tws_$slices")
+        .outputMode("update").start()
+      try {
+        rows.grouped(math.max(1, rows.length / slices)).foreach { chunk =>
+          src.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        val got = spark.table(s"acf_tws_$slices").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        // one emission per arrival past n=2, positions strictly advance
+        got.groupBy(_._1).foreach { case (u, es) =>
+          val ps = es.map(_._2).sorted
+          assert(ps.toSeq == (3L to nPerUser(u)).toSeq,
+            s"user $u emissions not one-per-arrival: ${ps.take(5).toSeq}...")
+        }
+        // the final live estimate IS the batch argmax, bit-equal
+        val fin = got.groupBy(_._1).map { case (u, es) =>
+          u -> { val l = es.maxBy(_._2); (l._3, l._4) } }
+        assert(fin == batch,
+          s"slices=$slices: final estimates diverge from batch q74: " +
+            s"${(fin.toSet -- batch.toSet).take(3)} vs ${(batch.toSet -- fin.toSet).take(3)}")
+      } finally q.stop()
+    }
+    saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
