@@ -1093,6 +1093,48 @@ object Demo {
           s"refreshEqualsRebuild=${refreshed == rebuilt}")
     }
 
+    // 26. LIVE PERIOD-SHIFT MONITOR (A65/B74 end to end): a telemetry
+    // series changes its dominant cycle mid-stream (period-3 sawtooth →
+    // period-5 pattern); the streaming ACF monitor's live estimate reads
+    // 3 while the old regime dominates and flips to 5 once the new
+    // regime's pair mass outweighs it — online, bounded state, and the
+    // final estimate is bit-equal to the batch q74 operator on the same
+    // series (the twin contract, live).
+    {
+      import spark.implicits._
+      val p3 = Seq(0.0, 9.0, 3.0)
+      val p5 = Seq(1.0, 7.0, 2.0, 9.0, 4.0)
+      val series = (1 to 300).map { t =>
+        val v = if (t <= 60) p3((t - 1) % 3) else p5((t - 61) % 5)
+        (t.toLong, 1L, v)
+      }
+      val src = MemoryStream[(Long, Long, Double)]
+      val q = EventsPipeline.acfPeriodTws(src.toDS(), maxLag = 8)
+        .writeStream.format("memory").queryName("demo_period_monitor")
+        .outputMode("update").start()
+      val emitted =
+        try {
+          series.grouped(60).foreach { chunk =>
+            src.addData(chunk.toIndexedSeq: _*)
+            q.processAllAvailable()
+          }
+          spark.table("demo_period_monitor").collect()
+            .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+            .sortBy(_._1)
+        } finally q.stop()
+      val at60 = emitted.find(_._1 == 60L).get
+      val fin = emitted.last
+      val batch = graft.operators.Relational.tsAcf(
+          series.toDF("event_id", "user_id", "value"), maxLag = 8)
+        .filter(org.apache.spark.sql.functions.col("is_period"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+      check("live-period-shift-monitor",
+        at60._2 == 3L && fin._1 == 300L && fin._2 == 5L &&
+          (fin._2, fin._3) == batch,
+        s"at60=(${at60._2},${at60._3}) final=(${fin._2},${fin._3}) " +
+          s"batch=$batch")
+    }
+
     results.toList
   }
 }

@@ -256,6 +256,40 @@ object ScaleCurve {
     ops14.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
     ops15.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
 
+    // ---- round-16b curves (q74/q75/q76/p30/A65's batch core) ----
+
+    // q75 needs the event_type slices the shared scaledEvents drops
+    def scaledEventsTyped(f: Int): DataFrame = {
+      val base = graft.Tables.events(spark, sfDir)
+        .filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+      (0 until f).map(i => base.withColumn("event_id",
+          col("event_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+    }
+    val ops16b: Seq[(String, Int, Int => DataFrame)] = Seq(
+      // the lag explode is PARAMETER-bounded: ~linear in rows
+      ("q74_acf_Wgrowth", maxF, f =>
+        Relational.tsAcf(scaledEvents(f), maxLag = 16)),
+      // fixed corpus, growing maxLag: ~linear in the lag parameter
+      ("q74_acf_lagGrowth", maxF, f =>
+        Relational.tsAcf(baseEvents, maxLag = 16 * f)),
+      // AB pair space grows ~f² on the concatenated series (both type
+      // slices grow f×) — the diagonal spread must keep time tracking
+      // PAIR COUNT, q59's curve class
+      ("q75_abjoin_Wgrowth", maxF, f =>
+        Relational.tsAbJoinProfile(scaledEventsTyped(f), "click", "view",
+          L = 4, stride = 2)),
+      // one per-user window pass + hash aggregates: the scan class
+      ("q76_seasonal_Wgrowth", maxF, f =>
+        Relational.tsSeasonalDecompose(scaledEvents(f), period = 4)),
+      // HITS under growing hosts: host-proportional frames, fixed
+      // iteration count — p24's curve class
+      ("p30_hits_hostsgrow", maxF, f =>
+        graft.operators.Pipeline.domainHits(linkPages(f))))
+    ops16b.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
+
     // d3 auto-selection evidence: the 1% cut picks the measured-cheaper
     // spelling in BOTH regimes at every factor
     if (opFilter("d3_auto_pick")) factors.foreach { f =>
