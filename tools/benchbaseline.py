@@ -82,8 +82,16 @@ def main(extra):
     rounds = load_rounds()
     for f in extra:
         d = json.load(open(f))
-        qs = decode_queries(d.get("queries")
-                            or (d.get("parsed") or {}).get("queries"))
+        raw = d.get("queries") or (d.get("parsed") or {}).get("queries")
+        # POINTER-typed extras are the same stale-provenance hazard as
+        # pointer-typed driver rounds (observed r16b: four r15_run files
+        # resolved to TODAY'S BENCH_DETAIL and stamped current times
+        # under an r15 tag) — a stamped extra must carry its own numbers.
+        if isinstance(raw, str) and os.path.exists(os.path.join(ROOT, raw)):
+            print(f"SKIP pointer-typed extra {f}: materialize the detail "
+                  f"into the file before stamping", file=sys.stderr)
+            continue
+        qs = decode_queries(raw)
         if qs:
             rounds.append((os.path.basename(f), qs))
     best = {}
