@@ -4026,14 +4026,14 @@ object Relational {
       .orderBy(col("user_id"), col("pos"))
   }
 
-  // B76 — seasonal decomposition at P=4. FULL oracle: DuckDB replays
-  // the integer MA numerator (lag + lead + rows frame), the integer
-  // detrended sums, and the identical IEEE division/fold trees.
-  private val q76 = Q(
-    "q76_ts_seasonal",
-    (s, d) => tsSeasonalDecompose(Tables.events(s, d), period = 4),
-    Some(s"""
-      WITH ser AS (
+  /** q76's decomposition as a shared oracle CTE chain ending in `dec`
+    * (user_id, pos, value, trend, seasonal, resid) — consumed by both
+    * the q76 and q77 oracles (the pairwiseSql shared-fragment
+    * discipline: a decomposition semantics change cannot silently
+    * diverge the anomaly gate).
+    */
+  private val seasonalDecCtesSql: String = s"""
+      ser AS (
         SELECT user_id,
           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS p,
           CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
@@ -4057,20 +4057,84 @@ object Relational {
               'm': CAST(sphi AS DOUBLE) / CAST(cnt AS DOUBLE) / 800.0})),
             x -> x['m'])), (a, v) -> a + v)
             / CAST(count(*) AS DOUBLE) AS madj
-        FROM ph GROUP BY user_id)
-      SELECT b.user_id, CAST(b.p AS BIGINT) AS pos,
-        CAST(b.x AS DOUBLE) / 100.0 AS value,
-        ${Num.r4Sql("CAST(b.tnum AS DOUBLE) / 800.0")} AS trend,
-        ${Num.r4Sql("""CAST(sm.sphi AS DOUBLE) / CAST(sm.cnt AS DOUBLE)
-          / 800.0 - a.madj""")} AS seasonal,
-        ${Num.r4Sql("""(CAST(b.x AS DOUBLE) / 100.0
-            - CAST(b.tnum AS DOUBLE) / 800.0)
-          - (CAST(sm.sphi AS DOUBLE) / CAST(sm.cnt AS DOUBLE) / 800.0
-            - a.madj)""")} AS resid
-      FROM base b
-      JOIN ph sm ON sm.user_id = b.user_id AND sm.phase = b.phase
-      JOIN adj a ON a.user_id = b.user_id
-      ORDER BY b.user_id, pos"""))
+        FROM ph GROUP BY user_id),
+      dec AS (
+        SELECT b.user_id, CAST(b.p AS BIGINT) AS pos,
+          CAST(b.x AS DOUBLE) / 100.0 AS value,
+          ${Num.r4Sql("CAST(b.tnum AS DOUBLE) / 800.0")} AS trend,
+          ${Num.r4Sql("""CAST(sm.sphi AS DOUBLE) / CAST(sm.cnt AS DOUBLE)
+            / 800.0 - a.madj""")} AS seasonal,
+          ${Num.r4Sql("""(CAST(b.x AS DOUBLE) / 100.0
+              - CAST(b.tnum AS DOUBLE) / 800.0)
+            - (CAST(sm.sphi AS DOUBLE) / CAST(sm.cnt AS DOUBLE) / 800.0
+              - a.madj)""")} AS resid
+        FROM base b
+        JOIN ph sm ON sm.user_id = b.user_id AND sm.phase = b.phase
+        JOIN adj a ON a.user_id = b.user_id)"""
+
+  // B76 — seasonal decomposition at P=4. FULL oracle: DuckDB replays
+  // the integer MA numerator (lag + lead + rows frame), the integer
+  // detrended sums, and the identical IEEE division/fold trees.
+  private val q76 = Q(
+    "q76_ts_seasonal",
+    (s, d) => tsSeasonalDecompose(Tables.events(s, d), period = 4),
+    Some(s"""
+      WITH $seasonalDecCtesSql
+      SELECT user_id, pos, value, trend, seasonal, resid FROM dec
+      ORDER BY user_id, pos"""))
+
+  /** B77's core: SEASONAL-ADJUSTED ANOMALY GATE — q54's IQR discipline
+    * applied to q76's RESIDUALS per user, with Tukey's far-out 3.0
+    * multiplier (anomalies, not mild outliers): on periodic telemetry a
+    * raw-value fence flags every cycle peak, the residual fence flags
+    * only what the period + trend CANNOT explain. Output is the q54
+    * summary shape per user. At 100 TB the decomposition is a published
+    * artifact read by many consumers (the B68 convention); this query
+    * composes it lazily as the correctness witness.
+    */
+  def tsSeasonalAnomalies(events: DataFrame, period: Int): DataFrame = {
+    val dec = tsSeasonalDecompose(events, period)
+      .select(col("user_id"), col("resid"))
+    val f = dec.groupBy(col("user_id"))
+      .agg(expr("percentile(resid, 0.25)").as("q1"),
+        expr("percentile(resid, 0.75)").as("q3"),
+        count(lit(1)).as("n_interior"))
+      .withColumn("lo", col("q1") - lit(3.0) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(3.0) * (col("q3") - col("q1")))
+    dec.join(f, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(first(col("n_interior")).as("n_interior"),
+        r2(first(col("q1"))).as("q1"),
+        r2(first(col("q3"))).as("q3"),
+        sum(when(col("resid") < col("lo") || col("resid") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("user_id"))
+  }
+
+  // B77 — seasonal-adjusted anomalies. FULL oracle: the shared
+  // decomposition CTE chain + exact per-user quantile fences (q54's
+  // convention — quantile_cont == Spark's exact percentile on the
+  // bit-identical resid multiset).
+  private val q77 = Q(
+    "q77_ts_seasonal_anomalies",
+    (s, d) => tsSeasonalAnomalies(Tables.events(s, d), period = 4),
+    Some(s"""
+      WITH $seasonalDecCtesSql,
+      f AS (
+        SELECT user_id,
+          quantile_cont(resid, 0.25) AS q1,
+          quantile_cont(resid, 0.75) AS q3,
+          COUNT(*) AS n_interior
+        FROM dec GROUP BY user_id)
+      SELECT d.user_id, f.n_interior,
+        ${Num.r2Sql("f.q1")} AS q1,
+        ${Num.r2Sql("f.q3")} AS q3,
+        CAST(SUM(CASE WHEN d.resid < f.q1 - 3.0*(f.q3 - f.q1)
+                        OR d.resid > f.q3 + 3.0*(f.q3 - f.q1)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dec d JOIN f USING (user_id)
+      GROUP BY d.user_id, f.n_interior, f.q1, f.q3
+      ORDER BY d.user_id"""))
 
   /** B75's core: the MATRIX PROFILE AB-JOIN (Yeh et al., ICDM 2016 §IV
     * — the second canonical profile operator: for every window of
@@ -4196,5 +4260,5 @@ object Relational {
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
     q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+    q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
 }

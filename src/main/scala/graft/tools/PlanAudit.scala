@@ -272,7 +272,9 @@ object PlanAudit {
     "p30_domain_hits" ->
       "p23's per-node in-/out-neighbor contribution folds on the HOST graph: DEGREE-bounded, host-proportional (the p23 adjudication verbatim, both directions)",
     "q76_ts_seasonal" ->
-      "per-user phase-mean re-centering fold: PERIOD-bounded (exactly P rows per user, a query parameter — the fixed-order fold is the cross-engine float contract)")
+      "per-user phase-mean re-centering fold: PERIOD-bounded (exactly P rows per user, a query parameter — the fixed-order fold is the cross-engine float contract)",
+    "q77_ts_seasonal_anomalies" ->
+      "q76's period-bounded phase fold verbatim (the gate composes the decomposition on both join sides)")
 
   /** The d17-class guard, mechanized like the hint/window guards: every
     * join whose BOTH inputs carry an ArrayType column AND whose two

@@ -5473,6 +5473,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("seasonal anomaly gate (q77): clean periodic series flags nothing; a planted spike flags only its MA footprint where the raw IQR gate flags every cycle peak") {
+    import graft.operators.Relational
+    import spark.implicits._
+    // user 1: pure period-4 [0,0,0,10] — residual identically 0, no flags;
+    // user 2: same cycle with a +100 spike at one zero-phase position
+    val cycle = Seq(0.0, 0.0, 0.0, 10.0)
+    val clean = (1 to 80).map(i => (1L, i.toLong, cycle((i - 1) % 4)))
+    // the spike replaces a cycle PEAK (i=28, phase 3): the raw 75th
+    // percentile then interpolates inside the zeros (19 peaks < 25% of
+    // rows), so the raw fence flags every remaining peak
+    val spiked = (1 to 80).map(i =>
+      (2L, i.toLong, if (i == 28) 100.0 else cycle((i - 1) % 4)))
+    val df = (clean ++ spiked).toDF("user_id", "event_id", "value")
+    val out = Relational.tsSeasonalAnomalies(df, period = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    assert(out(1L) == ((76L, 0L)), s"clean series must flag nothing: ${out(1L)}")
+    val (nInt, nOut) = out(2L)
+    assert(nInt == 76L)
+    // the spike's MA footprint is +-h rows: 1..(2h+1) flags, never the
+    // cycle peaks
+    assert(nOut >= 1L && nOut <= 6L, s"spiked series flagged $nOut rows")
+    // contrast: q54's RAW-value fence on the same user flags every cycle
+    // peak (20 of them) — the decomposition is what makes the gate
+    // usable on periodic telemetry
+    val raw = df.filter(col("user_id") === 2L)
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3")).collect().head
+    val (rq1, rq3) = (raw.getDouble(0), raw.getDouble(1))
+    val (rlo, rhi) = (rq1 - 1.5 * (rq3 - rq1), rq3 + 1.5 * (rq3 - rq1))
+    val rawFlags = spiked.count { case (_, _, v) => v < rlo || v > rhi }
+    assert(rawFlags >= 15, s"fixture lost its point: raw gate flags $rawFlags")
+    assert(nOut < rawFlags / 2,
+      s"seasonal gate ($nOut) must be far more precise than raw ($rawFlags)")
+  }
+
   test("AB-join profile (q75): planted containment scores 0 aligned; constant-B ties break to the earliest start; brute force replays the diagonal path bit-exactly") {
     import graft.operators.Relational
     import spark.implicits._
