@@ -3988,7 +3988,12 @@ object Relational {
     * aggregate, one P-row-per-user fold, two user-keyed joins — all
     * linear, no pair space, the q53-class state never exceeds P rows.
     */
-  def tsSeasonalDecompose(events: DataFrame, period: Int): DataFrame = {
+  /** The (interior-rows, seasonal-index) frames shared by B76/B78:
+    * base = (user_id, p, x, phase, tnum, dsc) on the MA interior;
+    * seas = (user_id, phase, s) with the re-centered phase index.
+    */
+  private def seasonalParts(events: DataFrame,
+      period: Int): (DataFrame, DataFrame) = {
     require(period >= 2 && period % 2 == 0,
       "tsSeasonalDecompose: even period (the 2xP centered MA)")
     val h = period / 2
@@ -4015,6 +4020,11 @@ object Relational {
         / count(lit(1)).cast("double")).as("madj"))
     val seas = ph.join(adj, Seq("user_id"))
       .select(col("user_id"), col("phase"), (mPhi - col("madj")).as("s"))
+    (base, seas)
+  }
+
+  def tsSeasonalDecompose(events: DataFrame, period: Int): DataFrame = {
+    val (base, seas) = seasonalParts(events, period)
     val trend = col("tnum").cast("double") / lit(period * 200.0)
     base.join(seas, Seq("user_id", "phase"))
       .select(col("user_id"), col("p").as("pos"),
@@ -4135,6 +4145,77 @@ object Relational {
       FROM dec d JOIN f USING (user_id)
       GROUP BY d.user_id, f.n_interior, f.q1, f.q3
       ORDER BY d.user_id"""))
+
+  /** B78's core: SEASONAL-NAIVE + DRIFT FORECAST (the two classical
+    * baselines composed — Hyndman & Athanasopoulos's "drift" and
+    * "seasonal naive" methods, the benchmarks every forecasting paper
+    * must beat): forecast_{n+k} = T_last + slope·k + s_{φ(n+k)}, where
+    * T_last is the decomposition's final interior trend, slope the
+    * endpoint drift (T_last − T_first)/(p_last − p_first), and s the
+    * re-centered phase index — capacity planning from nothing but the
+    * q76 parts. Everything derives from integers (endpoint MA
+    * numerators via min_by/max_by on the unique position key — exactly
+    * two interior rows per user feed the slope) + one fixed IEEE tree
+    * the oracle replays. Users with fewer than two interior rows drop
+    * (no slope); horizon phases missing from a short user's interior
+    * drop with the inner join (cross-engine identically).
+    *
+    * Scale: one bounded aggregate over the interior + an H-row explode
+    * per user (parameter-bounded) + one (user, phase) join — linear.
+    */
+  def tsSeasonalForecast(events: DataFrame, period: Int, h: Int): DataFrame = {
+    require(h >= 1)
+    val (base, seas) = seasonalParts(events, period)
+    val ends = base.groupBy(col("user_id")).agg(
+        min(col("p")).as("pf"), max(col("p")).as("pl"),
+        min_by(col("tnum"), col("p")).as("tf"),
+        max_by(col("tnum"), col("p")).as("tl"),
+        count(lit(1)).as("ni"))
+      .filter(col("ni") >= 2)
+    val fc = ends
+      .select(col("user_id"), col("pf"), col("tf"), col("pl"), col("tl"),
+        explode(sequence(lit(1L), lit(h.toLong))).as("k"))
+      .withColumn("pos", col("pl") + col("k"))
+      .withColumn("phase", pmod(col("pos"), lit(period.toLong)))
+    val tlast = col("tl").cast("double") / lit(period * 200.0)
+    val slope = (col("tl") - col("tf")).cast("double") /
+      (lit(period * 200.0) * (col("pl") - col("pf")).cast("double"))
+    fc.join(seas, Seq("user_id", "phase"))
+      .select(col("user_id"), col("k"), col("pos"),
+        r4(tlast + slope * col("k").cast("double") + col("s")).as("forecast"))
+      .orderBy(col("user_id"), col("k"))
+  }
+
+  // B78 — seasonal + drift forecast, H=8. FULL oracle: the shared
+  // decomposition CTEs + endpoint min_by/max_by on the unique position
+  // key + the identical IEEE tree (left-assoc add chain).
+  private val q78 = Q(
+    "q78_ts_forecast",
+    (s, d) => tsSeasonalForecast(Tables.events(s, d), period = 4, h = 8),
+    Some(s"""
+      WITH $seasonalDecCtesSql,
+      ends AS (
+        SELECT user_id, min(p) AS pf, max(p) AS pl,
+          min_by(tnum, p) AS tf, max_by(tnum, p) AS tl,
+          count(*) AS ni
+        FROM base GROUP BY user_id),
+      sidx AS (
+        SELECT ph.user_id, ph.phase,
+          CAST(sphi AS DOUBLE) / CAST(cnt AS DOUBLE) / 800.0 - a.madj AS s
+        FROM ph JOIN adj a USING (user_id)),
+      fc AS (
+        SELECT e.user_id, k.k, e.pl + k.k AS pos,
+          (e.pl + k.k) % 4 AS phase, e.pf, e.pl, e.tf, e.tl
+        FROM ends e, range(1, 9) k(k) WHERE e.ni >= 2)
+      SELECT f.user_id, CAST(f.k AS BIGINT) AS k,
+        CAST(f.pos AS BIGINT) AS pos,
+        ${Num.r4Sql("""CAST(f.tl AS DOUBLE) / 800.0
+          + CAST(f.tl - f.tf AS DOUBLE)
+            / (800.0 * CAST(f.pl - f.pf AS DOUBLE)) * CAST(f.k AS DOUBLE)
+          + s.s""")} AS forecast
+      FROM fc f JOIN sidx s
+        ON s.user_id = f.user_id AND s.phase = f.phase
+      ORDER BY f.user_id, k"""))
 
   /** B75's core: the MATRIX PROFILE AB-JOIN (Yeh et al., ICDM 2016 §IV
     * — the second canonical profile operator: for every window of
@@ -4260,5 +4341,5 @@ object Relational {
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
     q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
+    q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }

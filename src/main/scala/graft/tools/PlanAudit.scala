@@ -274,7 +274,9 @@ object PlanAudit {
     "q76_ts_seasonal" ->
       "per-user phase-mean re-centering fold: PERIOD-bounded (exactly P rows per user, a query parameter — the fixed-order fold is the cross-engine float contract)",
     "q77_ts_seasonal_anomalies" ->
-      "q76's period-bounded phase fold verbatim (the gate composes the decomposition on both join sides)")
+      "q76's period-bounded phase fold verbatim (the gate composes the decomposition on both join sides)",
+    "q78_ts_forecast" ->
+      "q76's period-bounded phase fold verbatim (the forecast consumes the seasonal-index frame)")
 
   /** The d17-class guard, mechanized like the hint/window guards: every
     * join whose BOTH inputs carry an ArrayType column AND whose two

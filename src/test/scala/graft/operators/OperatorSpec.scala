@@ -5473,6 +5473,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("seasonal forecast (q78): a planted trend+period-4 signal extrapolates to its exact continuation; short users drop; horizon/phase contract") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val base = Seq(1.0, 5.0, 2.0, 8.0)
+    val df = ((1 to 40).map(i => (1L, i.toLong, base((i - 1) % 4) + 0.1 * i)) ++
+      Seq((2L, 1L, 3.0), (2L, 2L, 4.0), (2L, 3L, 5.0))) // < period+1: no interior pair
+      .toDF("user_id", "event_id", "value")
+    val out = Relational.tsSeasonalForecast(df, period = 4, h = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // user 2 has zero interior rows (n=3 < 2h+1) -> drops entirely
+    assert(out.forall(_._1 == 1L), s"short user must not forecast: ${out.toSeq}")
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.map(_._2).sorted.toSeq == (1L to 8L).toSeq, s"horizon: ${u1.toSeq}")
+    // on the exactly-decomposable signal the drift slope IS the true
+    // 0.1/step and the phase index the true de-meaned cycle, so the
+    // forecast equals the signal's continuation
+    u1.foreach { case (_, _, pos, f) =>
+      val truth = base(((pos - 1) % 4).toInt) + 0.1 * pos
+      assert(math.abs(f - truth) <= 1e-3,
+        s"forecast at pos $pos: $f != continuation $truth")
+    }
+    // positions continue the series: last interior p is 38, horizon 39..46
+    assert(u1.map(_._3).sorted.toSeq == (39L to 46L).toSeq)
+  }
+
   test("seasonal anomaly gate (q77): clean periodic series flags nothing; a planted spike flags only its MA footprint where the raw IQR gate flags every cycle peak") {
     import graft.operators.Relational
     import spark.implicits._
