@@ -2315,8 +2315,14 @@ object Pipeline {
     // the oracle COMPOSES the existing per-stage CTEs (d14/t18/t19/d1/
     // d19/d21/d2+d6+d7/d8 — each fragment is its stand-alone oracle's
     // spelling, parameterized on the previous stage's CTE), so a stage
-    // semantics change cannot silently diverge the composite
-    Some(s"""
+    // semantics change cannot silently diverge the composite.
+    // MATERIALIZED (r16b): DuckDB inlines CTEs per reference, and every
+    // stage here feeds BOTH its card branch and the next stage — the
+    // inlined plan re-evaluated the chain once per card row (measured
+    // 188 s + an intermittent 32-thread allocator OOM; 0.6 s
+    // materialized, identical rows). `comp` is the RECURSIVE member —
+    // the annotation cannot apply to it.
+    Some(Relational.materializeCtes(except = Set("comp"), sql = s"""
       WITH RECURSIVE
       b0 AS (
         SELECT doc_id, COALESCE(text, '') AS text FROM documents
@@ -2460,7 +2466,7 @@ object Pipeline {
         UNION ALL ${funnelCardSql(6, "6_paragraph_scrub", "s6")}
         UNION ALL ${funnelCardSql(7, "7_neardup_canonical", "s7")}
         UNION ALL ${funnelCardSql(8, "8_decontaminated", "s8")}
-      ) ORDER BY stage_ord, lang"""))
+      ) ORDER BY stage_ord, lang""")))
 
   // P30 — domain HITS (round 16): hub/authority over the p23 fixture
   // graph (the planted hub host draws the in-link mass; every host also

@@ -38,6 +38,24 @@ object Relational {
       oracle: Option[String],
       benchFn: Option[(SparkSession, String) => DataFrame] = None)
 
+  /** Annotate every CTE in an oracle as `AS MATERIALIZED` (DuckDB
+    * inlines CTEs PER REFERENCE by default, so a staged chain whose
+    * members feed both their own output branch and the next stage is
+    * re-evaluated once per consumer — measured on the p28 oracle:
+    * 188 s and an intermittent allocator OOM at 32 threads inlined,
+    * 0.6 s materialized, identical rows). `except` skips names the
+    * annotation cannot apply to (RECURSIVE members). Callers' SQL must
+    * not use named-WINDOW syntax (`WINDOW w AS (`) — the rewrite would
+    * catch it.
+    */
+  def materializeCtes(sql: String, except: Set[String] = Set.empty): String = {
+    require(!sql.contains("WINDOW"),
+      "materializeCtes: named-WINDOW syntax would be rewritten — annotate by hand")
+    "(\\w+)\\s+AS\\s*\\(".r.replaceAllIn(sql, m =>
+      if (except.contains(m.group(1))) m.matched
+      else m.group(1) + " AS MATERIALIZED (")
+  }
+
   // B1 — full-table agg with decimal-exact money math (TPC-H Q1 flavor).
   private val q01 = Q(
     "q01_pricing_summary",

@@ -287,7 +287,14 @@ object ScaleCurve {
       // HITS under growing hosts: host-proportional frames, fixed
       // iteration count — p24's curve class
       ("p30_hits_hostsgrow", maxF, f =>
-        graft.operators.Pipeline.domainHits(linkPages(f))))
+        graft.operators.Pipeline.domainHits(linkPages(f))),
+      // the gate composes the decomposition on both join sides: 2x
+      // q76's linear pass + per-user exact percentiles
+      ("q77_anomaly_Wgrowth", maxF, f =>
+        Relational.tsSeasonalAnomalies(scaledEvents(f), period = 4)),
+      // bounded endpoint aggregate + H-row explode: ~flat
+      ("q78_forecast_Wgrowth", maxF, f =>
+        Relational.tsSeasonalForecast(scaledEvents(f), period = 4, h = 8)))
     ops16b.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
 
     // d3 auto-selection evidence: the 1% cut picks the measured-cheaper
