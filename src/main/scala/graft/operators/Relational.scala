@@ -4235,6 +4235,158 @@ object Relational {
         ON s.user_id = f.user_id AND s.phase = f.phase
       ORDER BY f.user_id, k"""))
 
+  /** B79's core: the sample CROSS-CORRELATION FUNCTION between two
+    * event-type slices on the SHARED per-user position axis — the
+    * lead/lag detector ("clicks lead purchases by k steps"): positive
+    * lag d means type A at position p co-varies with type B at p + d
+    * (A LEADS); the argmax lag is the offset a causal pipeline uses to
+    * align the two signals. Negative lags (B leads) are first-class —
+    * the lag axis runs −maxLag..maxLag, 0 included.
+    *
+    * Estimator (the Box–Jenkins CCF, q74's discipline): over pairs
+    * (p type A, p+d type B),
+    *   r(d) = (((C − b̄·A) − ā·B) + m·ā·b̄)
+    *          / (√(Qa − na·ā²) · √(Qb − nb·b̄²)),
+    * with C/A/B/m the per-lag integer pair sums and na/Sa/Qa, nb/Sb/Qb
+    * the per-slice integer totals; ā = Sa/na, b̄ = Sb/nb. Every input
+    * is an exact integer, the scalar tail one fixed parenthesized IEEE
+    * tree (√ is correctly rounded — the q60 contract), flat slices are
+    * decided on the EXACT integer variances (ccf = 0). `is_peak` flags
+    * the argmax lag (ties → smaller lag, the q74 float-free spelling).
+    * Lags with zero pairs drop (cross-engine identically).
+    *
+    * Scale shape: the explode emits ≤ 2·maxLag+1 rows per B-typed
+    * event — a PARAMETER bound, O(n·maxLag), never the pair space —
+    * one (user, p) equi-join against the A slice, hash aggregates, and
+    * the per-user frames ride AQE (the d2 rule, no hint).
+    */
+  def tsCcf(events: DataFrame, typeA: String, typeB: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && typeA != typeB)
+    val ser = integerSeriesTyped(events)
+    val a = ser.filter(col("event_type") === typeA)
+      .select(col("user_id"), col("p"), col("x"))
+    val b = ser.filter(col("event_type") === typeB)
+      .select(col("user_id"), col("p"), col("x"))
+    val ta = a.groupBy(col("user_id")).agg(count(lit(1)).as("na"),
+      sum(col("x")).as("sa"), sum(col("x") * col("x")).as("qa"))
+    val tb = b.groupBy(col("user_id")).agg(count(lit(1)).as("nb"),
+      sum(col("x")).as("sb"), sum(col("x") * col("x")).as("qb"))
+    // d = pB − pA: pA ≥ 1 caps the UPPER end at pB − 1 (negative lags
+    // are always admissible — pA > pB just probes later A positions,
+    // the join bounds them); lower end is −maxLag, and the sequence is
+    // never descending because pB − 1 ≥ 0 ≥ −maxLag.
+    val st = b.select(col("user_id"), col("p").as("p2"), col("x").as("y"),
+        explode(sequence(lit(-maxLag.toLong),
+          least(lit(maxLag.toLong), col("p") - 1))).as("d"))
+      .withColumn("p", col("p2") - col("d"))
+      .join(a, Seq("user_id", "p"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(sum(col("x") * col("y")).as("cxy"), sum(col("x")).as("ah"),
+        sum(col("y")).as("bt"), count(lit(1)).as("m"))
+    val ab = col("sa").cast("double") / col("na").cast("double")
+    val bb = col("sb").cast("double") / col("nb").cast("double")
+    val num = col("cxy").cast("double") - bb * col("ah").cast("double") -
+      ab * col("bt").cast("double") +
+      col("m").cast("double") * ab * bb
+    val den =
+      sqrt(col("qa").cast("double") - col("na").cast("double") * ab * ab) *
+      sqrt(col("qb").cast("double") - col("nb").cast("double") * bb * bb)
+    val flat = col("na") * col("qa") - col("sa") * col("sa") === 0L ||
+      col("nb") * col("qb") - col("sb") * col("sb") === 0L
+    val curve = st.join(ta, Seq("user_id")).join(tb, Seq("user_id"))
+      .select(col("user_id"), col("d").as("lag"),
+        when(flat, lit(0.0)).otherwise(r4(num / den)).as("ccf"))
+    val best = curve.groupBy(col("user_id"))
+      .agg(max(struct(col("ccf"), (-col("lag")).as("nl"))).as("b"))
+      .select(col("user_id"), (-col("b.nl")).as("blag"))
+    curve.join(best, Seq("user_id"), "left")
+      .select(col("user_id"), col("lag"), col("ccf"),
+        coalesce(col("lag") === col("blag"), lit(false)).as("is_peak"))
+      .orderBy(col("user_id"), col("lag"))
+  }
+
+  /** [[integerSeries]] keeping event_type: positions stay the FULL
+    * per-user rank (the shared axis two type slices align on).
+    */
+  private def integerSeriesTyped(events: DataFrame): DataFrame = {
+    val wPos = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val scaled = col("value") * 100.0
+    val xi = floor(scaled + 0.5).cast("long")
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("p", row_number().over(wPos).cast("long"))
+      .withColumn("x",
+        when(abs(scaled - xi.cast("double"))
+          < lit(1e-9) * greatest(abs(scaled), lit(1.0)), xi)
+          .otherwise(raise_error(concat(
+            lit("diagonalPairStats: value is not 2-decimal telemetry "
+              + "(the STOMP integer discipline requires value*100 integral): "),
+            col("value").cast("string")))))
+      .select(col("user_id"), col("p"), col("event_type"), col("x"))
+  }
+
+  // B79 — cross-correlation lead/lag detection. FULL oracle: DuckDB
+  // computes the same integer pair sums as direct per-lag folds over
+  // the shared position axis and replays the identical scalar tail
+  // (√ correctly rounded in both engines) + QUALIFY argmax.
+  private val q79 = Q(
+    "q79_ts_ccf",
+    (s, d) => tsCcf(Tables.events(s, d),
+      typeA = "click", typeB = "purchase", maxLag = 8),
+    Some(s"""
+      WITH ser AS (
+        SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS p,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        FROM events),
+      a AS (SELECT user_id, p, x FROM ser WHERE event_type = 'click'),
+      b AS (SELECT user_id, p, x FROM ser WHERE event_type = 'purchase'),
+      ta AS (
+        SELECT user_id, count(*) AS na, sum(x) AS sa, sum(x * x) AS qa
+        FROM a GROUP BY user_id),
+      tb AS (
+        SELECT user_id, count(*) AS nb, sum(x) AS sb, sum(x * x) AS qb
+        FROM b GROUP BY user_id),
+      st AS (
+        SELECT a.user_id, b.p - a.p AS lag, sum(a.x * b.x) AS cxy,
+          sum(a.x) AS ah, sum(b.x) AS bt, count(*) AS m
+        FROM a JOIN b
+          ON a.user_id = b.user_id
+          AND b.p - a.p BETWEEN -8 AND 8
+        GROUP BY 1, 2),
+      curve AS (
+        SELECT st.user_id, CAST(lag AS BIGINT) AS lag,
+          CASE WHEN ta.na * ta.qa - ta.sa * ta.sa = 0
+                 OR tb.nb * tb.qb - tb.sb * tb.sb = 0 THEN CAST(0 AS DOUBLE)
+            ELSE ${Num.r4Sql("""
+              ((CAST(cxy AS DOUBLE)
+                - (CAST(tb.sb AS DOUBLE) / CAST(tb.nb AS DOUBLE))
+                  * CAST(ah AS DOUBLE))
+                - (CAST(ta.sa AS DOUBLE) / CAST(ta.na AS DOUBLE))
+                  * CAST(bt AS DOUBLE)
+                + CAST(m AS DOUBLE)
+                  * (CAST(ta.sa AS DOUBLE) / CAST(ta.na AS DOUBLE))
+                  * (CAST(tb.sb AS DOUBLE) / CAST(tb.nb AS DOUBLE)))
+              / (sqrt(CAST(ta.qa AS DOUBLE) - CAST(ta.na AS DOUBLE)
+                  * (CAST(ta.sa AS DOUBLE) / CAST(ta.na AS DOUBLE))
+                  * (CAST(ta.sa AS DOUBLE) / CAST(ta.na AS DOUBLE)))
+                * sqrt(CAST(tb.qb AS DOUBLE) - CAST(tb.nb AS DOUBLE)
+                  * (CAST(tb.sb AS DOUBLE) / CAST(tb.nb AS DOUBLE))
+                  * (CAST(tb.sb AS DOUBLE) / CAST(tb.nb AS DOUBLE))))""")}
+            END AS ccf
+        FROM st
+        JOIN ta ON ta.user_id = st.user_id
+        JOIN tb ON tb.user_id = st.user_id),
+      best AS (
+        SELECT user_id, lag AS blag FROM curve
+        QUALIFY row_number() OVER (PARTITION BY user_id
+          ORDER BY ccf DESC, lag) = 1)
+      SELECT c.user_id, c.lag, c.ccf,
+        coalesce(c.lag = b.blag, FALSE) AS is_peak
+      FROM curve c LEFT JOIN best b ON b.user_id = c.user_id
+      ORDER BY c.user_id, c.lag"""))
+
   /** B75's core: the MATRIX PROFILE AB-JOIN (Yeh et al., ICDM 2016 §IV
     * — the second canonical profile operator: for every window of
     * series A, the nearest window of series B, NO exclusion zone —
@@ -4359,5 +4511,6 @@ object Relational {
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
     q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
+    q79)
 }

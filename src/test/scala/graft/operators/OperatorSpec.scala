@@ -5473,6 +5473,45 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("CCF lead/lag (q79): planted A-leads-B peaks at +3, planted B-leads-A at -5; parity-impossible lags drop; a flat slice zeroes the curve") {
+    import graft.operators.Relational
+    import spark.implicits._
+    def av(k: Long) = ((k * 37) % 97).toDouble
+    // user 1: A on odd positions, B on even; every B value echoes the A
+    // value 3 positions earlier -> the pair (pA, pA+3) is identical and
+    // the CCF peaks at lag +3 (A LEADS). Parity makes every A->B gap
+    // odd, so even lags have no pairs at all.
+    val u1 = (1 to 80).map { t =>
+      val v = if (t % 2 == 1) av(t) else if (t > 3) av(t - 3) else 50.0
+      (1L, t.toLong, if (t % 2 == 1) "click" else "purchase", v)
+    }
+    // user 2: roles swapped and A echoes B from 5 positions earlier ->
+    // the peak sits at lag -5 (B LEADS; the negative axis is real)
+    val u2 = (1 to 80).map { t =>
+      val v = if (t % 2 == 1) av(t + 13) else if (t > 5) av(t - 5 + 13) else 20.0
+      (2L, t.toLong, if (t % 2 == 0) "click" else "purchase", v)
+    }
+    // user 3: constant A slice -> exact integer variance 0 -> zero curve
+    val u3 = (1 to 20).map(t =>
+      (3L, t.toLong, if (t % 2 == 1) "click" else "purchase",
+        if (t % 2 == 1) 5.0 else av(t)))
+    val df = (u1 ++ u2 ++ u3)
+      .toDF("user_id", "event_id", "event_type", "value")
+    val out = Relational.tsCcf(df, "click", "purchase", maxLag = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val p1 = out.filter(t => t._1 == 1L && t._4)
+    assert(p1.map(_._2).toSeq == Seq(3L) && p1.head._3 > 0.9,
+      s"A-leads peak wrong: ${out.filter(_._1 == 1L).toSeq}")
+    assert(out.filter(_._1 == 1L).forall(t => (t._2 % 2 + 2) % 2 == 1),
+      "even lags must have no pairs under the parity layout")
+    val p2 = out.filter(t => t._1 == 2L && t._4)
+    assert(p2.map(_._2).toSeq == Seq(-5L) && p2.head._3 > 0.9,
+      s"B-leads peak wrong: ${out.filter(_._1 == 2L).toSeq}")
+    val f3 = out.filter(_._1 == 3L)
+    assert(f3.nonEmpty && f3.forall(_._3 == 0.0),
+      s"flat slice must zero the curve: ${f3.toSeq}")
+  }
+
   test("seasonal forecast (q78): a planted trend+period-4 signal extrapolates to its exact continuation; short users drop; horizon/phase contract") {
     import graft.operators.Relational
     import spark.implicits._
