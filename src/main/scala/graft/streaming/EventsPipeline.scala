@@ -806,6 +806,75 @@ object EventsPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class SeasState(n: Long, ring: Seq[Long],
+      sphi: Seq[Long], cnt: Seq[Long])
+  final case class SeasUpdate(user_id: Long, pos: Long, phase: Long,
+      tnum: Long, sphi: Long, cnt: Long)
+
+  /** A66 — STREAMING seasonal-trend MA (B76's twin): the centered 2×P
+    * moving average is a DELAYED-EMISSION statistic — position p's
+    * trend needs h = P/2 future values, so the row for p − h completes
+    * exactly when p arrives. State per user = a ring of the last
+    * 2h + 1 scaled values + P running integer phase sums
+    * (PARAMETER-bounded, the A48/A56 discipline). Every emitted field
+    * is an exact integer (tnum = the MA numerator; sphi/cnt = the
+    * running detrended phase sums after this row), so the stream is
+    * bit-equal to batch q76 under ANY micro-batch slicing: emitted
+    * r4(tnum/(200P)) == the batch trend column row for row, and the
+    * LAST emission per (user, phase) carries exactly the batch phase
+    * sufficient statistics — the batch seasonal index derives from
+    * them by the same IEEE tree (spec-pinned). Same
+    * in-order-by-event_id contract as A56/A57/A65.
+    */
+  class SeasonalMaProcessor(period: Int)
+      extends StatefulProcessor[Long, (Long, Long, Double), SeasUpdate] {
+    require(period >= 2 && period % 2 == 0)
+    private val h = period / 2
+    @transient private var state: ValueState[SeasState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SeasState](
+        "seas", Encoders.product[SeasState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Double)],
+        timers: TimerValues): Iterator[SeasUpdate] = {
+      var st = if (state.exists()) state.get() else SeasState(0L,
+        Vector.empty, Vector.fill(period)(0L), Vector.fill(period)(0L))
+      val out = Seq.newBuilder[SeasUpdate]
+      rows.toSeq.sortBy(_._1).foreach { case (_, _, v) =>
+        val x = math.floor(v * 100.0 + 0.5).toLong
+        val n = st.n + 1
+        val ring = (st.ring.toVector :+ x).takeRight(2 * h + 1)
+        var sphi = st.sphi.toVector; var cnt = st.cnt.toVector
+        if (n >= 2L * h + 1) {
+          val pos = n - h
+          // ring spans positions [pos − h, pos + h]: half-weighted ends
+          val tnum = ring.head + ring.last +
+            2L * ring.slice(1, 2 * h).sum
+          val xm = ring(h) // the value AT pos
+          val phase = pos % period
+          val dsc = 2L * period * xm - tnum
+          val pi = phase.toInt
+          sphi = sphi.updated(pi, sphi(pi) + dsc)
+          cnt = cnt.updated(pi, cnt(pi) + 1L)
+          out += SeasUpdate(user, pos, phase, tnum, sphi(pi), cnt(pi))
+        }
+        st = SeasState(n, ring, sphi, cnt)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  def seasonalMaTws(events: Dataset[(Long, Long, Double)],
+      period: Int): Dataset[SeasUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new SeasonalMaProcessor(period),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class PerplexityFlag(doc_id: Long, n_bigrams: Long,
       total_bits: Long, keep: Boolean)
 

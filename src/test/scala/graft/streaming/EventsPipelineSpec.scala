@@ -2206,4 +2206,64 @@ class EventsPipelineSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("streaming seasonal MA (A66): delayed-by-h trend emissions bit-equal batch q76 across two slicings; final phase sums derive the batch seasonal index exactly") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val saved = EventsPipeline.RocksDBStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "user_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.operators.Relational.tsSeasonalDecompose(
+        Tables.events(spark, sf), period = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    val bTrend = batch.map(t => (t._1, t._2) -> t._3).toMap
+    val bSeas = batch.map(t => (t._1, t._2 % 4) -> t._4).toMap
+    Seq(5, 3).foreach { slices =>
+      val src = MemoryStream[(Long, Long, Double)]
+      val q = EventsPipeline.seasonalMaTws(src.toDS(), period = 4)
+        .writeStream.format("memory").queryName(s"seas_tws_$slices")
+        .outputMode("update").start()
+      try {
+        rows.grouped(math.max(1, rows.length / slices)).foreach { chunk =>
+          src.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        val got = spark.table(s"seas_tws_$slices").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5)))
+        // every interior row emits exactly once and the r4 trend is the
+        // batch column bit-for-bit
+        assert(got.length == batch.length,
+          s"slices=$slices: ${got.length} emissions vs ${batch.length} batch rows")
+        got.foreach { case (u, pos, _, tnum, _, _) =>
+          val t = graft.operators.Num.r4Double(tnum.toDouble / 800.0)
+          assert(t == bTrend((u, pos)),
+            s"slices=$slices: trend diverges at ($u,$pos): $t vs ${bTrend((u, pos))}")
+        }
+        // the LAST emission per (user, phase) carries the batch phase
+        // sufficient statistics: replay the seasonal tree on them
+        val fin = got.groupBy(t => (t._1, t._3)).map { case (k, es) =>
+          val l = es.maxBy(_._2); k -> ((l._5, l._6)) }
+        fin.groupBy(_._1._1).foreach { case (u, phs) =>
+          assert(phs.size == 4, s"user $u missing phases")
+          val ms = phs.toSeq.sortBy(_._1._2)
+            .map { case (_, (sp, c)) => sp.toDouble / c.toDouble / 800.0 }
+          val madj = ms.sum / 4.0
+          phs.toSeq.sortBy(_._1._2).zip(ms).foreach { case (((_, ph), _), m) =>
+            val sIdx = graft.operators.Num.r4Double(m - madj)
+            assert(sIdx == bSeas((u, ph)),
+              s"slices=$slices: seasonal diverges at ($u,$ph): $sIdx vs ${bSeas((u, ph))}")
+          }
+        }
+      } finally q.stop()
+    }
+    saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
