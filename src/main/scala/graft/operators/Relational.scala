@@ -4387,6 +4387,101 @@ object Relational {
       FROM curve c LEFT JOIN best b ON b.user_id = c.user_id
       ORDER BY c.user_id, c.lag"""))
 
+  /** B80's core: one-sided CUSUM CHANGEPOINT ALARMS (Page 1954 — the
+    * classical sequential mean-shift detector; the complement of B66's
+    * retrospective regime extraction: CUSUM answers "has the mean
+    * drifted up past the allowance k, and WHEN did the evidence cross
+    * H" online). Per user: μ0 is the mean of the first `warmup`
+    * positions, the monitored tail folds
+    *   S_t = max(0, S_{t−1} + (value_t − μ0 − k)),
+    * and an ALARM is an UPCROSSING of H (no reset — S keeps its
+    * evidence, so one sustained shift is one alarm, the q67 alert
+    * discipline).
+    *
+    * The recursion is spelled via the PREFIX-SUM IDENTITY
+    *   S_t = (Z_t − min(0, min_{j≤t} Z_j)) / (100·W),
+    *   Z_t = Σ (W·x_i − Sw − W·kC)   (x scaled ints, Sw = warm-up sum,
+    *   kC = 100·k) —
+    * every term an EXACT INTEGER, so the whole operator is two window
+    * passes (cumulative sum + running min, both order-free on
+    * integers) and one lag: NO pinned float fold, no collect_list, no
+    * q53-class state — the rare recursive statistic with a perfectly
+    * scale-free spelling. The threshold compare is integer too
+    * (Z − minP > W·hC). `s_value` = the crossing's S in original
+    * units, ONE IEEE division at the end, r4.
+    *
+    * Scale: one per-user window sort shared by all three frames —
+    * linear, bounded state, growing-key partitioning.
+    */
+  def tsCusumAlarms(events: DataFrame, warmup: Int = 16,
+      kCents: Long = 200L, hCents: Long = 1200L): DataFrame = {
+    require(warmup >= 1 && kCents >= 0 && hCents > 0)
+    val ser = integerSeries(events)
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("p"))
+    val w = warmup.toLong
+    // warm-up sum rides the same sorted pass as the cumsum: Sw = the
+    // cumulative sum AT p = warmup, joined back user-keyed (AQE frame)
+    val cums = ser.select(col("user_id"), col("p"), col("x"),
+      sum(col("x")).over(wU).as("cx"))
+    val sw = cums.filter(col("p") === w)
+      .select(col("user_id"), col("cx").as("swu"))
+    val z = cums.join(sw, Seq("user_id"))
+      .filter(col("p") > w)
+      .select(col("user_id"), col("p"),
+        (lit(w) * (col("cx") - col("swu")) -
+          (col("p") - lit(w)) * (col("swu") + lit(w) * lit(kCents)))
+          .as("zt"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = z.select(col("user_id"), col("p"),
+        (col("zt") - least(lit(0L), min(col("zt")).over(run))).as("sZ"))
+      .withColumn("above", col("sZ") > lit(w) * lit(hCents))
+      .withColumn("prevAbove",
+        coalesce(lag(col("above"), 1).over(wU), lit(false)))
+    st.filter(col("above") && !col("prevAbove"))
+      .select(col("user_id"), col("p").as("pos"),
+        r4(col("sZ").cast("double") / lit(100.0 * warmup)).as("s_value"))
+      .orderBy(col("user_id"), col("pos"))
+  }
+
+  // B80 — CUSUM upcrossing alarms. FULL oracle: the identical integer
+  // prefix-sum identity in SQL (cumsum + running min + lag), threshold
+  // compared as integers, one final division replayed verbatim.
+  private val q80 = Q(
+    "q80_ts_cusum",
+    (s, d) => tsCusumAlarms(Tables.events(s, d)),
+    Some(s"""
+      WITH ser AS (
+        SELECT user_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS p,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        FROM events),
+      cums AS (
+        SELECT user_id, p, x,
+          sum(x) OVER (PARTITION BY user_id ORDER BY p) AS cx
+        FROM ser),
+      sw AS (SELECT user_id, cx AS swu FROM cums WHERE p = 16),
+      z AS (
+        SELECT c.user_id, c.p,
+          16 * (c.cx - s.swu) - (c.p - 16) * (s.swu + 16 * 200) AS zt
+        FROM cums c JOIN sw s ON s.user_id = c.user_id
+        WHERE c.p > 16),
+      st AS (
+        SELECT user_id, p,
+          zt - least(CAST(0 AS BIGINT), min(zt) OVER
+            (PARTITION BY user_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sz
+        FROM z),
+      fl AS (
+        SELECT user_id, p, sz, sz > 16 * 1200 AS above,
+          coalesce(lag(sz > 16 * 1200, 1) OVER
+            (PARTITION BY user_id ORDER BY p), FALSE) AS prev_above
+        FROM st)
+      SELECT user_id, CAST(p AS BIGINT) AS pos,
+        ${Num.r4Sql("CAST(sz AS DOUBLE) / 1600.0")} AS s_value
+      FROM fl WHERE above AND NOT prev_above
+      ORDER BY user_id, pos"""))
+
   /** B75's core: the MATRIX PROFILE AB-JOIN (Yeh et al., ICDM 2016 §IV
     * — the second canonical profile operator: for every window of
     * series A, the nearest window of series B, NO exclusion zone —
@@ -4512,5 +4607,5 @@ object Relational {
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
     q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79)
+    q79, q80)
 }

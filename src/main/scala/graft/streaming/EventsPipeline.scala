@@ -875,6 +875,65 @@ object EventsPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class CusumState(n: Long, sw: Long, z: Long, zmin: Long,
+      prevAbove: Boolean)
+  final case class CusumAlarm(user_id: Long, pos: Long, s_value: Double)
+
+  /** A67 — STREAMING CUSUM mean-shift alarms (B80's twin): the
+    * detector CUSUM was INVENTED as (Page 1954 — sequential by
+    * construction), run live. State per user = FIVE scalars (position,
+    * warm-up sum, Z, running min of Z, the upcrossing latch) — O(1),
+    * the strongest state bound in the pack. Every scalar is an exact
+    * integer, so the emitted alarm set is bit-equal to batch q80
+    * under ANY micro-batch slicing (spec-pinned across 2 slicings);
+    * the one IEEE division happens at emission, the shared r4
+    * contract. Same in-order-by-event_id contract as A56/A65/A66.
+    */
+  class CusumProcessor(warmup: Int, kCents: Long, hCents: Long)
+      extends StatefulProcessor[Long, (Long, Long, Double), CusumAlarm] {
+    private val w = warmup.toLong
+    @transient private var state: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CusumState](
+        "cusum", Encoders.product[CusumState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Double)],
+        timers: TimerValues): Iterator[CusumAlarm] = {
+      var st = if (state.exists()) state.get()
+        else CusumState(0L, 0L, 0L, Long.MaxValue, prevAbove = false)
+      val out = Seq.newBuilder[CusumAlarm]
+      rows.toSeq.sortBy(_._1).foreach { case (_, _, v) =>
+        val x = math.floor(v * 100.0 + 0.5).toLong
+        val n = st.n + 1
+        if (n <= w) st = CusumState(n, st.sw + x, 0L, Long.MaxValue, false)
+        else {
+          val z = st.z + (w * x - st.sw - w * kCents)
+          val zmin = math.min(st.zmin, z)
+          val s = z - math.min(0L, zmin)
+          val above = s > w * hCents
+          if (above && !st.prevAbove)
+            out += CusumAlarm(user, n,
+              graft.operators.Num.r4Double(s.toDouble / (100.0 * warmup)))
+          st = CusumState(n, st.sw, z, zmin, above)
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  def cusumAlarmsTws(events: Dataset[(Long, Long, Double)],
+      warmup: Int = 16, kCents: Long = 200L,
+      hCents: Long = 1200L): Dataset[CusumAlarm] = {
+    require(warmup >= 1 && kCents >= 0 && hCents > 0)
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new CusumProcessor(warmup, kCents, hCents),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class PerplexityFlag(doc_id: Long, n_bigrams: Long,
       total_bits: Long, keep: Boolean)
 

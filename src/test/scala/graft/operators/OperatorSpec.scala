@@ -5473,6 +5473,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("CUSUM alarms (q80): a mean shift past the allowance alarms once at the exact evidence-crossing position; in-band drift never alarms") {
+    import graft.operators.Relational
+    import spark.implicits._
+    // mu0 = 5 (16-sample warm-up); k = 2, H = 12. User 2 shifts 5 -> 9
+    // at p = 41: evidence grows (9-5-2) = 2/step, crosses H = 12 at
+    // p = 47 with S = 14 exactly — integer arithmetic, no tolerance.
+    // User 3 drifts to exactly mu0 + k = 7: deviation 0, never alarms.
+    val df = ((1 to 60).map(i => (1L, i.toLong, 5.0)) ++
+      (1 to 60).map(i => (2L, i.toLong, if (i <= 40) 5.0 else 9.0)) ++
+      (1 to 60).map(i => (3L, i.toLong, if (i <= 16) 5.0 else 7.0)))
+      .toDF("user_id", "event_id", "value")
+    val out = Relational.tsCusumAlarms(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((2L, 47L, 14.0)),
+      s"expected exactly one alarm (2, 47, 14.0): ${out.toSeq}")
+  }
+
   test("CCF lead/lag (q79): planted A-leads-B peaks at +3, planted B-leads-A at -5; parity-impossible lags drop; a flat slice zeroes the curve") {
     import graft.operators.Relational
     import spark.implicits._

@@ -2266,4 +2266,40 @@ class EventsPipelineSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("streaming CUSUM alarms (A67): emitted alarm set bit-equal to batch q80 across two slicings; O(1) scalar state") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val saved = EventsPipeline.RocksDBStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "user_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.operators.Relational.tsCusumAlarms(
+        Tables.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture must produce some alarms")
+    Seq(4, 2).foreach { slices =>
+      val src = MemoryStream[(Long, Long, Double)]
+      val q = EventsPipeline.cusumAlarmsTws(src.toDS())
+        .writeStream.format("memory").queryName(s"cusum_tws_$slices")
+        .outputMode("update").start()
+      try {
+        rows.grouped(math.max(1, rows.length / slices)).foreach { chunk =>
+          src.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        val got = spark.table(s"cusum_tws_$slices").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got == batch,
+          s"slices=$slices: missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+      } finally q.stop()
+    }
+    saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
