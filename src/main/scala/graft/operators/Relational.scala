@@ -4482,6 +4482,83 @@ object Relational {
       FROM fl WHERE above AND NOT prev_above
       ORDER BY user_id, pos"""))
 
+  /** B81's core: per-user OLS TREND LINE over the position axis —
+    * slope, intercept and R² (the "is this user's telemetry trending,
+    * and how confidently" one-liner; B78's drift uses two endpoints,
+    * this is the least-squares fit over ALL points). Five integer
+    * sufficient statistics per user (n, Σp, Σp², Σx, Σx², Σp·x — one
+    * map-side-combinable hash aggregate, NO window sort even:
+    * positions come from the shared rank pass) and one fixed IEEE
+    * tail:
+    *   slope = (n·Spx − Sp·Sx)/(n·Spp − Sp²)/100,
+    *   intercept = (Sx/100 − slope·100·Sp... spelled as one tree below,
+    *   R² = (n·Spx − Sp·Sx)²/((n·Spp − Sp²)·(n·Sxx − Sx²)).
+    * Flat series are decided on the EXACT integer variance (R² = 0,
+    * slope = 0 — a constant has no trend); single-event users drop
+    * (no slope). Everything before the tail is exact, so the oracle
+    * replays verbatim.
+    */
+  def tsTrendLine(events: DataFrame): DataFrame = {
+    val ser = integerSeries(events)
+    val st = ser.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"), sum(col("p")).as("sp"),
+      sum(col("p") * col("p")).as("spp"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("p") * col("x")).as("spx"))
+      .filter(col("n") >= 2)
+    val covN = col("n") * col("spx") - col("sp") * col("sx") // integer
+    val varP = col("n") * col("spp") - col("sp") * col("sp") // integer > 0
+    val varX = col("n") * col("sxx") - col("sx") * col("sx") // integer >= 0
+    val slope = covN.cast("double") / varP.cast("double") / lit(100.0)
+    // intercept in original units: (Sx/n − slope·100·(Sp/n))/100 spelled
+    // as ONE left-assoc tree both engines replay
+    val intercept =
+      (col("sx").cast("double") / col("n").cast("double") -
+        covN.cast("double") / varP.cast("double") *
+          (col("sp").cast("double") / col("n").cast("double"))) / lit(100.0)
+    val r2c = covN.cast("double") * covN.cast("double") /
+      (varP.cast("double") * varX.cast("double"))
+    st.select(col("user_id"), col("n").as("n_events"),
+      when(varX === 0L, lit(0.0)).otherwise(r4(slope)).as("slope"),
+      when(varX === 0L, r4(col("sx").cast("double") / col("n").cast("double") / lit(100.0)))
+        .otherwise(r4(intercept)).as("intercept"),
+      when(varX === 0L, lit(0.0)).otherwise(r4(r2c)).as("r2"))
+      .orderBy(col("user_id"))
+  }
+
+  // B81 — OLS trend line. FULL oracle: the same six integer sufficient
+  // statistics as direct folds + the identical IEEE tail trees.
+  private val q81 = Q(
+    "q81_ts_trendline",
+    (s, d) => tsTrendLine(Tables.events(s, d)),
+    Some(s"""
+      WITH ser AS (
+        SELECT user_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS p,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        FROM events),
+      st AS (
+        SELECT user_id, count(*) AS n, sum(p) AS sp, sum(p * p) AS spp,
+          sum(x) AS sx, sum(x * x) AS sxx, sum(p * x) AS spx
+        FROM ser GROUP BY user_id HAVING count(*) >= 2)
+      SELECT user_id, n AS n_events,
+        CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+          ELSE ${Num.r4Sql("""CAST(n * spx - sp * sx AS DOUBLE)
+            / CAST(n * spp - sp * sp AS DOUBLE) / 100.0""")} END AS slope,
+        CASE WHEN n * sxx - sx * sx = 0
+          THEN ${Num.r4Sql("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0")}
+          ELSE ${Num.r4Sql("""(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(n * spx - sp * sx AS DOUBLE)
+              / CAST(n * spp - sp * sp AS DOUBLE)
+              * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0""")}
+          END AS intercept,
+        CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+          ELSE ${Num.r4Sql("""CAST(n * spx - sp * sx AS DOUBLE)
+            * CAST(n * spx - sp * sx AS DOUBLE)
+            / (CAST(n * spp - sp * sp AS DOUBLE)
+              * CAST(n * sxx - sx * sx AS DOUBLE))""")} END AS r2
+      FROM st ORDER BY user_id"""))
+
   /** B75's core: the MATRIX PROFILE AB-JOIN (Yeh et al., ICDM 2016 §IV
     * — the second canonical profile operator: for every window of
     * series A, the nearest window of series B, NO exclusion zone —
@@ -4607,5 +4684,5 @@ object Relational {
     q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52,
     q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q80)
+    q79, q80, q81)
 }

@@ -1135,6 +1135,40 @@ object Demo {
           s"batch=$batch")
     }
 
+    // 27. LIVE MEAN-SHIFT ALARM (A67/B80 end to end): telemetry holds
+    // at its baseline, shifts up past the CUSUM allowance mid-stream,
+    // and the sequential detector raises exactly ONE alarm at the
+    // integer-exact evidence-crossing position (p=47, S=14.00) — while
+    // the evidence is still accumulating, with five scalars of state.
+    // The alarm set equals batch q80 on the same series.
+    {
+      import spark.implicits._
+      val series = (1 to 80).map { t =>
+        (t.toLong, 1L, if (t <= 40) 5.0 else 9.0)
+      }
+      val src = MemoryStream[(Long, Long, Double)]
+      val q = EventsPipeline.cusumAlarmsTws(src.toDS())
+        .writeStream.format("memory").queryName("demo_cusum_alarm")
+        .outputMode("update").start()
+      val (mid, fin) =
+        try {
+          src.addData(series.take(44).toIndexedSeq: _*)
+          q.processAllAvailable()
+          val m = spark.table("demo_cusum_alarm").count()
+          src.addData(series.drop(44).toIndexedSeq: _*)
+          q.processAllAvailable()
+          val f = spark.table("demo_cusum_alarm").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+          (m, f)
+        } finally q.stop()
+      val batch = graft.operators.Relational.tsCusumAlarms(
+          series.toDF("event_id", "user_id", "value")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      check("live-mean-shift-alarm",
+        mid == 0L && fin == Seq((1L, 47L, 14.0)) && fin == batch,
+        s"preAlarmCount=$mid alarms=$fin batch=$batch")
+    }
+
     results.toList
   }
 }

@@ -5473,6 +5473,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("OLS trend line (q81): an exact line fits with r2 = 1 and the true coefficients; a constant fits slope 0 / r2 0 at its mean; noise lands strictly between") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val df = ((1 to 50).map(i => (1L, i.toLong, 2.0 + 0.1 * i)) ++
+      (1 to 50).map(i => (2L, i.toLong, 7.25)) ++
+      (1 to 50).map(i => (3L, i.toLong, 1.0 + 0.2 * i + (if (i % 2 == 0) 3.0 else -3.0))) ++
+      Seq((4L, 1L, 9.0))) // single event: no slope, drops
+      .toDF("user_id", "event_id", "value")
+    val out = Relational.tsTrendLine(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(!out.contains(4L), "single-event user must drop")
+    val (n1, s1, i1, r1) = out(1L)
+    assert(n1 == 50L && s1 == 0.1 && i1 == 2.0 && r1 == 1.0,
+      s"exact line misfit: $s1 $i1 $r1")
+    val (_, s2, i2, r2v) = out(2L)
+    assert(s2 == 0.0 && i2 == 7.25 && r2v == 0.0, s"constant misfit: $s2 $i2 $r2v")
+    val (_, s3, _, r3) = out(3L)
+    assert(math.abs(s3 - 0.2) < 0.02 && r3 > 0.4 && r3 < 1.0,
+      s"noisy fit out of band: $s3 $r3")
+  }
+
   test("CUSUM alarms (q80): a mean shift past the allowance alarms once at the exact evidence-crossing position; in-band drift never alarms") {
     import graft.operators.Relational
     import spark.implicits._
