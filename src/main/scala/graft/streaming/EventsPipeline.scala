@@ -934,6 +934,70 @@ object EventsPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TrendState(n: Long, sp: Long, spp: Long, sx: Long,
+      sxx: Long, spx: Long)
+  final case class TrendUpdate(user_id: Long, n_events: Long,
+      slope: Double, intercept: Double, r2: Double)
+
+  /** A68 — STREAMING OLS trend monitor (B81's twin): the live
+    * "is this user trending" readout. State per user = SIX integer
+    * scalars (the OLS sufficient statistics — O(1), the A67 class);
+    * integer accumulation is order-free, so after any prefix the
+    * emitted fit equals batch q81 on that prefix BIT-EXACTLY (the
+    * scalar tails are the shared IEEE trees, r4). Emits one updated
+    * fit per arrival once n ≥ 2. Same in-order contract as A65-A67
+    * only for the POSITION assignment (the statistics themselves are
+    * permutation-invariant).
+    */
+  class TrendProcessor
+      extends StatefulProcessor[Long, (Long, Long, Double), TrendUpdate] {
+    @transient private var state: ValueState[TrendState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TrendState](
+        "trend", Encoders.product[TrendState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Double)],
+        timers: TimerValues): Iterator[TrendUpdate] = {
+      var st = if (state.exists()) state.get()
+        else TrendState(0L, 0L, 0L, 0L, 0L, 0L)
+      val out = Seq.newBuilder[TrendUpdate]
+      rows.toSeq.sortBy(_._1).foreach { case (_, _, v) =>
+        val x = math.floor(v * 100.0 + 0.5).toLong
+        val p = st.n + 1
+        st = TrendState(p, st.sp + p, st.spp + p * p, st.sx + x,
+          st.sxx + x * x, st.spx + p * x)
+        if (p >= 2) {
+          val covN = st.n * st.spx - st.sp * st.sx
+          val varP = st.n * st.spp - st.sp * st.sp
+          val varX = st.n * st.sxx - st.sx * st.sx
+          val r4 = graft.operators.Num.r4Double _
+          if (varX == 0L)
+            out += TrendUpdate(user, st.n, 0.0,
+              r4(st.sx.toDouble / st.n.toDouble / 100.0), 0.0)
+          else out += TrendUpdate(user, st.n,
+            r4(covN.toDouble / varP.toDouble / 100.0),
+            r4((st.sx.toDouble / st.n.toDouble -
+              covN.toDouble / varP.toDouble *
+                (st.sp.toDouble / st.n.toDouble)) / 100.0),
+            r4(covN.toDouble * covN.toDouble /
+              (varP.toDouble * varX.toDouble)))
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  def trendLineTws(
+      events: Dataset[(Long, Long, Double)]): Dataset[TrendUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new TrendProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class PerplexityFlag(doc_id: Long, n_bigrams: Long,
       total_bits: Long, keep: Boolean)
 

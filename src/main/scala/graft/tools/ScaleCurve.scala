@@ -294,7 +294,17 @@ object ScaleCurve {
         Relational.tsSeasonalAnomalies(scaledEvents(f), period = 4)),
       // bounded endpoint aggregate + H-row explode: ~flat
       ("q78_forecast_Wgrowth", maxF, f =>
-        Relational.tsSeasonalForecast(scaledEvents(f), period = 4, h = 8)))
+        Relational.tsSeasonalForecast(scaledEvents(f), period = 4, h = 8)),
+      // parameter-bounded lag explode over the typed axis: ~linear
+      ("q79_ccf_Wgrowth", maxF, f =>
+        Relational.tsCcf(scaledEventsTyped(f), "click", "purchase",
+          maxLag = 8)),
+      // two order-free window passes + one lag: the scan class
+      ("q80_cusum_Wgrowth", maxF, f =>
+        Relational.tsCusumAlarms(scaledEvents(f))),
+      // one map-side-combinable hash aggregate: the flattest shape here
+      ("q81_trend_Wgrowth", maxF, f =>
+        Relational.tsTrendLine(scaledEvents(f))))
     ops16b.foreach { case (name, fmax, mk) => runPoints(name, fmax, mk) }
 
     // d3 auto-selection evidence: the 1% cut picks the measured-cheaper

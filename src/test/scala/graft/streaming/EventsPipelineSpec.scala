@@ -2302,4 +2302,45 @@ class EventsPipelineSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("streaming trend monitor (A68): final emission per user bit-equal to batch q81 across two slicings; fits emitted from n=2 on") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val saved = EventsPipeline.RocksDBStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventsPipeline.RocksDBStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "user_id", "value").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.operators.Relational.tsTrendLine(Tables.events(spark, sf))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    Seq(4, 2).foreach { slices =>
+      val src = MemoryStream[(Long, Long, Double)]
+      val q = EventsPipeline.trendLineTws(src.toDS())
+        .writeStream.format("memory").queryName(s"trend_tws_$slices")
+        .outputMode("update").start()
+      try {
+        rows.grouped(math.max(1, rows.length / slices)).foreach { chunk =>
+          src.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        val got = spark.table(s"trend_tws_$slices").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4)))
+        got.groupBy(_._1).foreach { case (u, es) =>
+          assert(es.map(_._2).sorted.toSeq == (2L to es.map(_._2).max).toSeq,
+            s"user $u: one fit per arrival from n=2")
+          val l = es.maxBy(_._2)
+          assert((l._2, l._3, l._4, l._5) == batch(u),
+            s"slices=$slices user $u: final fit ${(l._2, l._3, l._4, l._5)} != batch ${batch(u)}")
+        }
+      } finally q.stop()
+    }
+    saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
