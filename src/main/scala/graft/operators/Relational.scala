@@ -2485,7 +2485,17 @@ object Relational {
     * literature's convention).
     */
   def tsMatrixProfile(events: DataFrame, L: Int, stride: Int,
-      buckets: Int = 4): DataFrame = {
+      buckets: Int = 4): DataFrame =
+    tsMatrixProfileCore(events, L, stride, buckets)
+      .orderBy(col("user_id"), col("start"))
+
+  /** [[tsMatrixProfile]] without the presentation sort — the q61/q64/q66
+    * consumers re-sort (TakeOrdered) or re-partition by user anyway, so
+    * the global range exchange between profile and consumer is pure
+    * waste (the tsFlussCacCore discipline, r16).
+    */
+  private[graft] def tsMatrixProfileCore(events: DataFrame, L: Int,
+      stride: Int, buckets: Int = 4): DataFrame = {
     require(L >= 1 && stride >= 1 && buckets >= 1)
     val st = diagonalPairStats(events, L, stride)
     // dist = Σ(x_i − y_i)² = (ΣX² + ΣY² − 2·QT)/10⁴ — one exact integer,
@@ -2493,7 +2503,7 @@ object Relational {
     val pairs = st.select(col("user_id"), col("s1"), col("s2"),
       r4((col("sq1") + col("sq2") - lit(2L) * col("qt")).cast("double")
         / lit(10000.0)).as("dist"))
-    profileFromPairs(pairs)
+    profileFromPairs(pairs, sorted = false)
   }
 
   /** B72's core: the ANYTIME/SAMPLED matrix profile (SCRIMP-class — Zhu
@@ -2676,7 +2686,8 @@ object Relational {
     * candidate neighbor to BOTH windows; ties break on the smaller
     * neighbor start (deterministic, cross-engine).
     */
-  private def profileFromPairs(pairs: DataFrame): DataFrame = {
+  private def profileFromPairs(pairs: DataFrame,
+      sorted: Boolean = true): DataFrame = {
     // mirror via a narrow per-row EXPLODE, not a unionAll of two
     // projections: the union spelling executes the whole pair pipeline
     // TWICE (no exchange to reuse between the branches — measured 2x on
@@ -2687,11 +2698,11 @@ object Relational {
         .as("e"))
       .select(col("user_id"), col("e.start").as("start"),
         col("e.nn_start").as("nn_start"), col("e.dist").as("dist"))
-    both.groupBy(col("user_id"), col("start"))
+    val prof = both.groupBy(col("user_id"), col("start"))
       .agg(min(struct(col("dist"), col("nn_start"))).as("m"))
       .select(col("user_id"), col("start"), col("m.nn_start").as("nn_start"),
         col("m.dist").as("dist"))
-      .orderBy(col("user_id"), col("start"))
+    if (sorted) prof.orderBy(col("user_id"), col("start")) else prof
   }
 
   /** B60's core: the Z-NORMALIZED matrix profile — the canonical
@@ -2831,7 +2842,9 @@ object Relational {
   def tsDiscordTopK(events: DataFrame, L: Int, stride: Int, k: Int,
       buckets: Int = 4): DataFrame = {
     require(k >= 1)
-    tsMatrixProfile(events, L, stride, buckets)
+    // unsorted core: the top-k sort here subsumes the presentation sort
+    // (orderBy+limit plans as a k-row TakeOrdered heap, no global sort)
+    tsMatrixProfileCore(events, L, stride, buckets)
       .orderBy(col("dist").desc, col("user_id"), col("start"))
       .limit(k)
   }
@@ -3122,47 +3135,54 @@ object Relational {
     * windows re-partition by user anyway, so the global range exchange
     * would be pure waste between them.
     */
-  private def tsFlussCacCore(events: DataFrame, L: Int, stride: Int): DataFrame = {
-    val prof0 = tsMatrixProfile(events, L, stride)
-      .select(col("user_id"), col("start"), col("nn_start"))
-    val cached = prof0.persist()
-    cached.count()
-    val prof = cached.localCheckpoint(true)
-    cached.unpersist()
-    flussCacFromProfile(prof)
-  }
+  private def tsFlussCacCore(events: DataFrame, L: Int, stride: Int): DataFrame =
+    // the r16 tail reads the profile exactly ONCE (start-space difference
+    // array, no self-join), so the in-query spelling needs no
+    // persist/localCheckpoint materialization anymore — the profile
+    // flows straight into the consumer
+    flussCacFromProfile(
+      tsMatrixProfileCore(events, L, stride)
+        .select(col("user_id"), col("start"), col("nn_start")))
 
-  /** The FLUSS consumer tail on an ALREADY-MATERIALIZED profile frame
-    * (user_id, start, nn_start): dense indexing, arc-endpoint equi-join,
-    * ±1 difference running sum, CAC scalar tail — q64's everything-after-
-    * the-profile. Shared by the in-query spelling ([[tsFlussCacCore]],
-    * which materializes via persist+localCheckpoint because the profile
-    * feeds three frames below) and the PUBLISHED-ARTIFACT read path
-    * (q70), where the parquet artifact IS the materialization — three
-    * narrow column-pruned scans, nothing recomputed.
+  /** The FLUSS consumer tail on a profile frame (user_id, start,
+    * nn_start) — q64's everything-after-the-profile, shared by the
+    * in-query spelling ([[tsFlussCacCore]]) and the PUBLISHED-ARTIFACT
+    * read path (q70).
+    *
+    * r16 rewrite — the difference array lives in START space, not dense-
+    * index space: an arc (start, nn_start) crosses the boundary between
+    * consecutive present windows s_i < s_{i+1} iff min(start, nn_start)
+    * ≤ s_i < s_{i+1} ≤ max(start, nn_start), so running-summing (+1 at
+    * min, −1 at max) over the per-user START order gives exactly the old
+    * spelling's crossings (+1 at dense(lo), −1 at dense(hi) — the dense
+    * index is monotone in start, so the prefix sets are identical),
+    * while the dense boundary index itself is row_number()−1 over the
+    * SAME window pass. nn_start is always a present window start (it
+    * has its own profile row), so the groupBy spine is precisely the
+    * present-window set — gap structures (e.g. a 3-window user's
+    * partnerless middle window) index identically to the old
+    * row_number spelling. This replaces a row_number Window, an
+    * arc-endpoint self-join, a counts aggregate and two re-joins
+    * (~8 exchanges) with ONE groupBy + ONE user-partitioned window
+    * (row_number, running sum and total count share the sort). All
+    * values stay exact integers until the unchanged CAC scalar tail, so
+    * the result is bit-equal (spec-pinned vs the old spelling's DuckDB
+    * replay).
     */
   def flussCacFromProfile(prof: DataFrame): DataFrame = {
-    val wIdx = Window.partitionBy(col("user_id")).orderBy(col("start"))
-    val withI = prof.withColumn("i", (row_number().over(wIdx) - 1).cast("long"))
-    val counts = withI.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-    val arcs = withI.select(col("user_id"), col("nn_start"), col("i").as("ia"))
-      .join(withI.select(col("user_id"), col("start").as("nn_start"),
-        col("i").as("ib")), Seq("user_id", "nn_start"))
-      .select(col("user_id"), least(col("ia"), col("ib")).as("lo"),
-        greatest(col("ia"), col("ib")).as("hi"))
-    // difference array: an arc opens at lo and closes at hi, so the
-    // running sum of (+1 at lo, −1 at hi) at index i IS the number of
-    // arcs crossing the boundary between windows i and i+1
-    val deltas = arcs.select(col("user_id"), explode(array(
-        struct(col("lo").as("i"), lit(1L).as("d")),
-        struct(col("hi").as("i"), lit(-1L).as("d")))).as("e"))
-      .select(col("user_id"), col("e.i").as("i"), col("e.d").as("d"))
-      .groupBy(col("user_id"), col("i")).agg(sum(col("d")).as("d"))
-    val wRun = Window.partitionBy(col("user_id")).orderBy(col("i"))
-    withI.select(col("user_id"), col("i"))
-      .join(deltas, Seq("user_id", "i"), "left")
-      .withColumn("c", sum(coalesce(col("d"), lit(0L))).over(wRun))
-      .join(counts, Seq("user_id"))
+    val deltas = prof.select(col("user_id"), explode(array(
+        struct(col("start").as("pos"), lit(0L).as("d")),
+        struct(least(col("start"), col("nn_start")).as("pos"), lit(1L).as("d")),
+        struct(greatest(col("start"), col("nn_start")).as("pos"), lit(-1L).as("d")))).as("e"))
+      .select(col("user_id"), col("e.pos").as("pos"), col("e.d").as("d"))
+      .groupBy(col("user_id"), col("pos")).agg(sum(col("d")).as("d"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("pos"))
+    val wAll = wRun.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    deltas
+      .select(col("user_id"),
+        (row_number().over(wRun) - 1).cast("long").as("i"),
+        sum(col("d")).over(wRun).as("c"),
+        count(lit(1)).over(wAll).as("n"))
       .filter(col("i") + 1 < col("n"))
       .select(col("user_id"), (col("i") + 1).as("boundary"),
         col("n").as("n_windows"), col("c").as("crossings"),
@@ -3335,19 +3355,29 @@ object Relational {
         (floor((col("cnt") - lit(L.toLong)) / lit(stride.toLong)) + 1L)
           .cast("long").as("n"))
     // difference array: arc (j -> i) crosses boundary b iff j < b <= i;
-    // +1 at j, -1 at i, running sum at index t = crossings of boundary t+1
+    // +1 at j, -1 at i, running sum at index t = crossings of boundary
+    // t+1. r16 fusion: the dense-index spine rows (needed so
+    // zero-crossing boundaries still emit — left-profile gaps are
+    // structural, e.g. the first g0 windows have no left-NN) enter the
+    // SAME aggregate as d=0 markers instead of a separate left join, and
+    // the per-user window count n rides the running-sum window as an
+    // unbounded count (the spine covers exactly 0..n−1), dropping the
+    // deltas⋈spine and ⋈counts exchanges. Integer-exact throughout;
+    // bit-equal to the old spelling (same DuckDB replay).
     val deltas = arcs.select(col("user_id"), explode(array(
         struct(col("j").as("i"), lit(1L).as("d")),
         struct(col("i"), lit(-1L).as("d")))).as("e"))
       .select(col("user_id"), col("e.i").as("i"), col("e.d").as("d"))
-      .groupBy(col("user_id"), col("i")).agg(sum(col("d")).as("d"))
     // dense index spine so zero-crossing boundaries still emit
     val spine = counts.select(col("user_id"),
-      explode(sequence(lit(0L), col("n") - 1)).as("i"))
+      explode(sequence(lit(0L), col("n") - 1)).as("i"), lit(0L).as("d"))
     val wRun = Window.partitionBy(col("user_id")).orderBy(col("i"))
-    spine.join(deltas, Seq("user_id", "i"), "left")
-      .withColumn("c", sum(coalesce(col("d"), lit(0L))).over(wRun))
-      .join(counts, Seq("user_id"))
+    val wAll = wRun.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spine.unionByName(deltas)
+      .groupBy(col("user_id"), col("i")).agg(sum(col("d")).as("d"))
+      .select(col("user_id"), col("i"),
+        sum(col("d")).over(wRun).as("c"),
+        count(lit(1)).over(wAll).as("n"))
       .filter(col("i") + 1 >= gmax && col("i") + 1 <= col("n") - gmax)
       .select(col("user_id"), (col("i") + 1).as("boundary"),
         col("c").as("crossings"),

@@ -39,6 +39,28 @@ object Similarity {
   private def refinePool(n: Long, floorPool: Int): Int =
     math.max(floorPool, math.ceil(RefineFraction * n).toInt)
 
+  /** Corpus size at or below which the approximate entries probe
+    * EXHAUSTIVELY (the refinePool corpus-aware discipline applied to
+    * probe pruning, r16): pruning — LSH probe balls, IVF nProbe <
+    * nLists — is a SCALE optimization, not a correctness feature, and
+    * on a corpus this small the pruned scan saves nothing while a fixed
+    * geometry can drop recall below the spec floors on an unlucky tiny
+    * sample (measured on the sf0.001 embeddings: s2 0.60 vs its 0.8
+    * floor, s14 under its 0.7 — the r16 inherited-state fix). At or
+    * below this size the probe set covers the table (LSH: full-radius
+    * masks, so the candidate set IS the corpus; IVF: nProbe = nLists),
+    * making the entry exhaustive — recall 1.0 up to the refine pool,
+    * under the exact tie-break — while every benched scale (sf0.1 =
+    * 2000 vectors and up) keeps its pruning geometry unchanged.
+    */
+  private val ExhaustiveBelow = 1000L
+
+  /** IVF probe width: all lists at or below [[ExhaustiveBelow]] (the
+    * downstream probe selectors cap at the list count), `nProbe` above.
+    */
+  private def effNProbe(corpusN: Long, nLists: Int, nProbe: Int): Int =
+    if (corpusN <= ExhaustiveBelow) nLists else nProbe
+
   /** Deterministic +-1 hyperplane weight for (plane p, dim i): the sign of
     * a fixed hash — reproducible across engines/runs, no RNG state.
     */
@@ -185,8 +207,8 @@ object Similarity {
   private val NTables = 4
   private val PlanesPerTable = 8
   private val ProbeRadius = 2
-  private val ProbeMasks: Seq[Long] =
-    (0L until (1L << PlanesPerTable)).filter(java.lang.Long.bitCount(_) <= ProbeRadius)
+  private def probeMasks(radius: Int): Seq[Long] =
+    (0L until (1L << PlanesPerTable)).filter(java.lang.Long.bitCount(_) <= radius)
 
   /** Join key for table t's (possibly mask-perturbed) bucket: table id in
     * the high bits keeps tables disjoint in one equi-join key space.
@@ -209,11 +231,15 @@ object Similarity {
       val e = Tables.spread(Tables.embeddings(s, d))
         .withColumn("allbits", rhpBucket(col("embedding"), NTables * PlanesPerTable))
         .persist()
+      // corpus-aware probe radius (one count on the frame the pipeline
+      // materializes anyway): at/below ExhaustiveBelow the full-radius
+      // ball covers every bucket of every table — candidates == corpus
+      val radius = if (e.count() <= ExhaustiveBelow) PlanesPerTable else ProbeRadius
       val corpusKeys = e.select(col("vec_id").as("neighbor_id"),
         explode(array((0 until NTables).map(t => tableKey(col("allbits"), t, 0L)): _*)).as("bkey"))
       val probeKeys = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"),
-          explode(array((for { t <- 0 until NTables; m <- ProbeMasks }
+          explode(array((for { t <- 0 until NTables; m <- probeMasks(radius) }
             yield tableKey(col("allbits"), t, m)): _*)).as("bkey"))
       val cands = corpusKeys.join(broadcast(probeKeys), Seq("bkey"))
         .filter(col("neighbor_id") =!= col("query_id"))
@@ -257,7 +283,7 @@ object Similarity {
         .withColumn("allbits", rhpBucket(col("embedding"), NTables * PlanesPerTable))
         .persist()
       val aKeys = e.select(col("vec_id").as("id_a"),
-        explode(array((for { t <- 0 until NTables; m <- ProbeMasks }
+        explode(array((for { t <- 0 until NTables; m <- probeMasks(ProbeRadius) }
           yield tableKey(col("allbits"), t, m)): _*)).as("bkey"))
       val bKeys = e.select(col("vec_id").as("id_b"),
         explode(array((0 until NTables).map(t => tableKey(col("allbits"), t, 0L)): _*)).as("bkey"))
@@ -339,32 +365,60 @@ object Similarity {
     * an approximate index build, and irrelevant to the exact re-scoring
     * every probe performs.
     */
-  def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+  def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 3): DataFrame =
+    centDF(vectors.sparkSession, trainCentroidsLocal(vectors, k, iters))
+
+  /** [[trainCentroids]] returning the k (id, vec) rows driver-local —
+    * the r16 Lloyd loop (guide §1.2/§2.4): per round the OLD spelling
+    * paid a broadcast build, an n×k broadcast-join expansion carrying
+    * the embedding payload, a groupBy(vec_id) exchange of n payload
+    * rows, a second groupBy exchange, and an EAGER localCheckpoint; the
+    * new round is ONE job — a map-side [[graft.functions.NearestCentroidId]]
+    * projection (zero expansion, zero extra exchange) into the same
+    * map-side-combinable VectorSumCount aggregate, collected k rows
+    * (parameter-bounded). Assignment rule, tie-breaks and the float-mean
+    * arithmetic are the old spelling's verbatim; the summation order
+    * stays nondeterministic in the same class (the recall floor is
+    * what's contractual — the r15 verdict note).
+    */
+  def trainCentroidsLocal(vectors: DataFrame, k: Int,
+      iters: Int = 3): Seq[(Long, Array[Float])] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     import graft.functions.{HashFunctions => H}
-    var cent = vectors
+    var cent: Seq[(Long, Array[Float])] = vectors
       .orderBy(H.md5Hash56(col("vec_id").cast("string")), col("vec_id"))
       .limit(k)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
-      .localCheckpoint(true)
+      .select(col("vec_id"), col("embedding"))
+      .collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     (0 until iters).foreach { _ =>
-      val assigned = vectors.join(broadcast(cent), lit(true))
-        .withColumn("ccos", CosF(col("embedding"), col("centv")))
-        .groupBy(col("vec_id"))
-        .agg(
-          max_by(col("centroid_id"),
-            struct(col("ccos"), (-col("centroid_id")).as("tie"))).as("centroid_id"),
-          first(col("embedding")).as("embedding"))
-      cent = assigned
-        .groupBy(col("centroid_id"))
-        .agg(graft.functions.VectorSumCount(
-          col("embedding").cast("array<double>")).as("sc"))
-        .select(col("centroid_id"),
-          transform(col("sc.vsum"), x => (x / col("sc.n")).cast("float")).as("centv"))
-        .localCheckpoint(true)
+      if (cent.nonEmpty) {
+        val book = graft.functions.CentroidBook.single(cent)
+        cent = vectors
+          .select(graft.functions.NearestCentroidId(
+              col("embedding"), lit(0), book).as("centroid_id"),
+            col("embedding"))
+          .groupBy(col("centroid_id"))
+          .agg(graft.functions.VectorSumCount(
+            col("embedding").cast("array<double>")).as("sc"))
+          .select(col("centroid_id"),
+            transform(col("sc.vsum"), x => (x / col("sc.n")).cast("float")).as("centv"))
+          .collect().toSeq
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      }
     }
     cent
+  }
+
+  /** (centroid_id, centv) frame from driver-local centroid rows — a
+    * LocalRelation, so downstream broadcast joins skip the build job.
+    */
+  private def centDF(spark: SparkSession,
+      cent: Seq[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    cent.toDF("centroid_id", "centv")
+      .select(col("centroid_id"), col("centv").cast("array<float>").as("centv"))
   }
 
   // D4 — IVF ANN: k-means-trained centroids partition the corpus into
@@ -379,22 +433,20 @@ object Similarity {
       // latent label clusters and training recovers them, which is what
       // moves recall: probed lists then ARE the neighbor clusters):
       // queries scan nProbe/10 = 40% of the corpus regardless of SF
-      val centroids = trainCentroids(Tables.embeddings(s, d), k = 10, iters = 6)
-      // inverted lists: nearest centroid per corpus vector. Arg-max via
-      // max_by: a map-side-combinable hash aggregate — each partition
-      // reduces its n x C scored rows to n partials before the exchange,
-      // where the previous window row_number spelling exchanged + sorted
-      // the whole n x C cross product. Tie-break matches the old ordering
-      // (ccos desc, centroid_id asc) by keying max_by on (ccos, -id).
-      val assigned = e.join(broadcast(centroids), lit(true))
-        .withColumn("ccos", CosF(col("embedding"), col("centv")))
-        .groupBy(col("vec_id"))
-        .agg(
-          max_by(col("centroid_id"),
-            struct(col("ccos"), (-col("centroid_id")).as("tie"))).as("centroid_id"),
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val centArr = trainCentroidsLocal(Tables.embeddings(s, d), k = 10, iters = 6)
+      val centroids = centDF(s, centArr)
+      // inverted lists: nearest centroid per corpus vector — r16: a
+      // MAP-SIDE NearestCentroidId projection over the driver-collected
+      // codebook (guide §2.4), replacing the n×k broadcast-join
+      // expansion + groupBy(vec_id) max_by exchange of n payload rows.
+      // Winner and tie-break (ccos desc, centroid_id asc) are identical.
+      val assigned = e.select(col("vec_id"), col("embedding"),
+          graft.functions.NearestCentroidId(col("embedding"), lit(0),
+            graft.functions.CentroidBook.single(centArr)).as("centroid_id"))
         .persist()
+      // corpus-aware probe width (one count on the persisted assignment
+      // frame the query path materializes anyway): exhaustive at tiny n
+      val nProbeEff = effNProbe(assigned.count(), 10, nProbe)
       // queries probe their nProbe nearest centroids
       val q = assigned.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -402,7 +454,7 @@ object Similarity {
       val probes = q.join(broadcast(centroids), lit(true))
         .withColumn("pcos", CosF(col("qv"), col("centv")))
         .withColumn("prnk", row_number().over(wProbe))
-        .filter(col("prnk") <= nProbe)
+        .filter(col("prnk") <= nProbeEff)
         .select(col("query_id"), col("qv"), col("centroid_id"))
       // search only the probed lists
       val scored = probes
@@ -536,42 +588,64 @@ object Similarity {
     * (vec_id)-keyed frame used for seed selection.
     */
   def trainCentroidsKeyed(subVectors: DataFrame, seedFrom: DataFrame,
-      k: Int, iters: Int = 3, metric: String = "cos"): DataFrame = {
+      k: Int, iters: Int = 3, metric: String = "cos"): DataFrame =
+    keyedCentDF(subVectors.sparkSession,
+      trainCentroidsKeyedLocal(subVectors, seedFrom, k, iters, metric))
+
+  /** [[trainCentroidsKeyed]] returning the m·k (sub, id, vec) rows
+    * driver-local — the r16 Lloyd loop ([[trainCentroidsLocal]]'s shape
+    * with the per-`sub` codebook dispatched inside the ONE map-side
+    * [[graft.functions.NearestCentroidId]] projection). Semantics
+    * preserved verbatim: a zero subvector has no cosine and the "cos"
+    * metric pinned it to −2 (below every real cosine, ties to the
+    * smallest centroid id) — the expression's invalid-below-valid order
+    * picks the same winner; metric "l2" (the published PQ formulation —
+    * Jégou et al. 2011) scores by NEGATED squared Euclidean distance,
+    * where a ragged score was an un-coalesced NULL — the same
+    * invalid-below-valid order again (Spark ranks a null struct head
+    * below every non-null). Float-mean arithmetic unchanged.
+    */
+  def trainCentroidsKeyedLocal(subVectors: DataFrame, seedFrom: DataFrame,
+      k: Int, iters: Int = 3,
+      metric: String = "cos"): Seq[(Int, Long, Array[Float])] = {
     require(k > 0, s"k must be positive, got $k")
+    require(metric == "cos" || metric == "l2", s"unknown PQ metric '$metric'")
     import graft.functions.{HashFunctions => H}
     val seedIds = seedFrom
       .orderBy(H.md5Hash56(col("vec_id").cast("string")), col("vec_id"))
       .limit(k).select(col("vec_id"))
-    var cent = subVectors.join(broadcast(seedIds), Seq("vec_id"))
-      .select(col("sub"), col("vec_id").as("centroid_id"), col("embedding").as("centv"))
-      .localCheckpoint(true)
+    var cent: Seq[(Int, Long, Array[Float])] = subVectors
+      .join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("sub"), col("vec_id"), col("embedding"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
     (0 until iters).foreach { _ =>
-      val assigned = subVectors.join(broadcast(cent), Seq("sub"))
-        // a zero subvector has no cosine: coalesce to sentinel -2 so
-        // max_by still assigns it (ties break to the SMALLEST centroid
-        // id via -centroid_id, the line-250 convention) instead of
-        // emitting a null code that would silently drop the vector.
-        // metric "l2" (the published PQ formulation — Jégou et al. 2011)
-        // scores by NEGATED squared Euclidean distance: magnitude-aware,
-        // which cosine per-subvector is not — essential once an OPQ
-        // rotation concentrates a subspace onto one dominant axis, where
-        // every subvector points along ±axis and cosine collapses the
-        // codebook to two effective directions.
-        .withColumn("ccos", subScore(metric, col("embedding"), col("centv")))
-        .groupBy(col("sub"), col("vec_id"))
-        .agg(
-          max_by(col("centroid_id"),
-            struct(col("ccos"), (-col("centroid_id")).as("tie"))).as("centroid_id"),
-          first(col("embedding")).as("embedding"))
-      cent = assigned
-        .groupBy(col("sub"), col("centroid_id"))
-        .agg(graft.functions.VectorSumCount(
-          col("embedding").cast("array<double>")).as("sc"))
-        .select(col("sub"), col("centroid_id"),
-          transform(col("sc.vsum"), x => (x / col("sc.n")).cast("float")).as("centv"))
-        .localCheckpoint(true)
+      if (cent.nonEmpty) {
+        val book = graft.functions.CentroidBook.keyed(cent, useL2 = metric == "l2")
+        cent = subVectors
+          .select(col("sub"),
+            graft.functions.NearestCentroidId(
+              col("embedding"), col("sub"), book).as("centroid_id"),
+            col("embedding"))
+          .groupBy(col("sub"), col("centroid_id"))
+          .agg(graft.functions.VectorSumCount(
+            col("embedding").cast("array<double>")).as("sc"))
+          .select(col("sub"), col("centroid_id"),
+            transform(col("sc.vsum"), x => (x / col("sc.n")).cast("float")).as("centv"))
+          .collect().toSeq
+          .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+      }
     }
     cent
+  }
+
+  /** (sub, centroid_id, centv) LocalRelation from driver-local rows. */
+  private def keyedCentDF(spark: SparkSession,
+      cent: Seq[(Int, Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    cent.toDF("sub", "centroid_id", "centv")
+      .select(col("sub"), col("centroid_id"),
+        col("centv").cast("array<float>").as("centv"))
   }
 
   /** The (sub, vec_id, subvector) frame for PQ: m contiguous ds-dim
@@ -609,18 +683,23 @@ object Similarity {
       val e = Tables.spread(Tables.embeddings(s, d)).persist()
       val Refine = refinePool(e.count(), 60 * K)
       val subs = pqSubVectors(e, M, Ds)
-      val books = trainCentroidsKeyed(subs, e, Kc, iters = 4)
-      val codes = subs.join(broadcast(books), Seq("sub"))
-        .withColumn("scos", coalesce(CosF(col("embedding"), col("centv")), lit(-2.0)))
-        .groupBy(col("sub"), col("vec_id"))
-        .agg(max_by(col("centroid_id"),
-          struct(col("scos"), (-col("centroid_id")).as("tie"))).as("centroid_id"))
-      // reconstruct x-hat once per vector: codes -> centroids, assembled
-      // in subspace order (array_sort on (sub, centv) structs)
-      val xhat = codes.join(broadcast(books), Seq("sub", "centroid_id"))
-        .groupBy(col("vec_id"))
-        .agg(flatten(transform(array_sort(collect_list(struct(col("sub"), col("centv")))),
-          f => f.getField("centv"))).as("xhat"))
+      val booksArr = trainCentroidsKeyedLocal(subs, e, Kc, iters = 4)
+      // r16 encode+reconstruct (guide §2.4): one map-side projection —
+      // PqEncodeCodes arg-maxes each subspace against the driver-collected
+      // codebook (the exploded-slice ⋈ broadcast-books + double-groupBy
+      // pipeline's winner, verbatim tie-breaks) and PqReconstruct
+      // assembles x̂ from the same id-sorted codebook layout in subspace
+      // order. Two exchanges and an n×m expansion deleted; ADC scan
+      // unchanged. A null embedding produced no exploded rows before and
+      // yields a null x̂ now — the isNotNull filter keeps the scan's row
+      // set identical.
+      val encBook = graft.functions.CentroidBook.keyed(booksArr, useL2 = false)
+      val bcBooks = s.sparkContext.broadcast(encBook.vecs)
+      val xhat = e.select(col("vec_id"),
+          graft.functions.PqReconstruct(
+            graft.functions.PqEncodeCodes(col("embedding"), Ds, encBook),
+            bcBooks).as("xhat"))
+        .filter(col("xhat").isNotNull)
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       // ADC scan is SLIM: only x-hat crosses the scan; true vectors are
@@ -860,29 +939,28 @@ object Similarity {
     // (s6's r12 rule — a fixed count is a shrinking corpus fraction).
     // One count on the persisted corpus frame the trainer is about to
     // materialize anyway.
-    val refineEff = refinePool(e.count(), refine)
-    val cent = trainCentroids(e, kIvf, ivfIters)
-    // inverted-list assignment — s4's map-side-combinable max_by shape
-    val assigned = e.join(broadcast(cent), lit(true))
-      .withColumn("ccos", CosF(col("embedding"), col("centv")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"),
-        struct(col("ccos"), (-col("centroid_id")).as("tie"))).as("list_id"),
-        first(col("embedding")).as("embedding"))
+    val nVec = e.count()
+    val refineEff = refinePool(nVec, refine)
+    // corpus-aware probe width (the s4 rule): exhaustive at tiny n
+    val nProbeEff = effNProbe(nVec, kIvf, nProbe)
+    val centArr = trainCentroidsLocal(e, kIvf, ivfIters)
+    val cent = centDF(e.sparkSession, centArr)
+    // inverted-list assignment — r16: the s4 map-side NearestCentroidId
+    // projection (guide §2.4) over the driver-collected lists
+    val assigned = e.select(col("vec_id"), col("embedding"),
+        graft.functions.NearestCentroidId(col("embedding"), lit(0),
+          graft.functions.CentroidBook.single(centArr)).as("list_id"))
       .persist()
-    // PQ encode — s6's broadcast-codebook shape
+    // PQ encode + x̂ reconstruction — the s6 r16 one-projection shape
     val subs = pqSubVectors(assigned.select(col("vec_id"), col("embedding")), m, ds)
-    val books = trainCentroidsKeyed(subs, e, kc, pqIters)
-    val codes = subs.join(broadcast(books), Seq("sub"))
-      .withColumn("scos", coalesce(CosF(col("embedding"), col("centv")), lit(-2.0)))
-      .groupBy(col("sub"), col("vec_id"))
-      .agg(max_by(col("centroid_id"),
-        struct(col("scos"), (-col("centroid_id")).as("tie"))).as("centroid_id"))
-    val xhat = codes.join(broadcast(books), Seq("sub", "centroid_id"))
-      .groupBy(col("vec_id"))
-      .agg(flatten(transform(array_sort(collect_list(struct(col("sub"), col("centv")))),
-        f => f.getField("centv"))).as("xhat"))
-      .join(assigned.select(col("vec_id"), col("list_id")), Seq("vec_id"))
+    val booksArr = trainCentroidsKeyedLocal(subs, e, kc, pqIters)
+    val encBook = graft.functions.CentroidBook.keyed(booksArr, useL2 = false)
+    val bcBooks = e.sparkSession.sparkContext.broadcast(encBook.vecs)
+    val xhat = assigned.select(col("vec_id"), col("list_id"),
+        graft.functions.PqReconstruct(
+          graft.functions.PqEncodeCodes(col("embedding"), ds, encBook),
+          bcBooks).as("xhat"))
+      .filter(col("xhat").isNotNull)
     // queries probe their nProbe nearest lists (s4's probe shape)
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -895,7 +973,7 @@ object Similarity {
     val probes = q.join(broadcast(cent), lit(true))
       .withColumn("pcos", coalesce(nanvl(CosF(col("qv"), col("centv")), lit(-2.0)), lit(-2.0)))
       .withColumn("prnk", row_number().over(wProbe))
-      .filter(col("prnk") <= nProbe)
+      .filter(col("prnk") <= nProbeEff)
       .select(col("query_id"), col("qv"), col("centroid_id").as("list_id"))
     // ADC scan over the PROBED lists only: a broadcast equi-join on the
     // list id — the codes scan never sees an unprobed list's rows
@@ -1566,15 +1644,18 @@ object Similarity {
   def ivfPqTopKFromIndexWhere(spark: SparkSession, root: String,
       corpus: DataFrame, queries: DataFrame, k: Int, refine: Int,
       nProbe: Int, pred: Column): DataFrame = {
-    val scored = ivfPqScoreFromIndexWhere(spark, root, queries, nProbe, pred)
     // `refine` is the pool FLOOR (the s6/s8 r12 rule on the production
     // READ path too): the effective pool tracks the indexed-corpus
     // fraction — the FILTERED universe under a predicate, so a selective
     // filter can never silently starve coverage. The count reads the
     // published codes table (filter-pushed parquet scan, no full pass).
-    val refineEff = refinePool(
-      Publish.readPublished(spark, s"$root/codes").filter(pred).count(),
-      refine)
+    val codesN = Publish.readPublished(spark, s"$root/codes").filter(pred).count()
+    val refineEff = refinePool(codesN, refine)
+    // corpus-aware probe width (the s4 rule), reusing the same count:
+    // at/below ExhaustiveBelow probe every list (the probe selectors cap
+    // at the published list count)
+    val nProbeEff = effNProbe(codesN, Int.MaxValue, nProbe)
+    val scored = ivfPqScoreFromIndexWhere(spark, root, queries, nProbeEff, pred)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("neighbor_id"))
     val refined = scored.withColumn("qrnk", row_number().over(wq))
       .filter(col("qrnk") <= refineEff)

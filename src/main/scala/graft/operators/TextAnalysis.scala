@@ -1040,6 +1040,45 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("w"))
       .limit(vocabCap)
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    localMergeLoop(top, numMerges, minPairCount)
+  }
+
+  /** The word-frequency dict + trainer auto-selection (the d3
+    * ngramJaccardAuto discipline applied to E17, r16): the merge loop's
+    * only input is the dict, so when the dict PROVABLY fits under
+    * `vocabCap` the driver-local loop — spec-pinned merge-for-merge
+    * equal to [[bpeTrainMerges]] — replaces numMerges distributed
+    * count-and-probe rounds with ONE distributed word-count pass. The
+    * selection probe rides the dict pass itself: collect vocabCap+1
+    * rows (a TakeOrderedAndProject heap, parameter-bounded), and an
+    * overflow row means the cap would bite (truncation could drop
+    * pair mass and change merges), so the distributed sequential
+    * trainer runs unchanged. No scan is spent on selection that the
+    * local path wouldn't spend anyway.
+    */
+  def bpeTrainMergesAuto(docs: DataFrame, numMerges: Int,
+      vocabCap: Int = 100000,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(vocabCap >= 1, s"vocabCap must be >= 1, got $vocabCap")
+    val top = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(vocabCap + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    if (top.length <= vocabCap) localMergeLoop(top, numMerges, minPairCount)
+    else bpeTrainMerges(docs, numMerges, minPairCount)
+  }
+
+  /** The sequential-Sennrich merge loop on a driver-local
+    * word-frequency dict — [[bpeTrainMergesLocal]]'s body, shared with
+    * [[bpeTrainMergesAuto]]. Tie-breaks (count desc, a, b) and the
+    * left-to-right non-overlapping fusion are [[bpeTrainMerges]]'
+    * verbatim.
+    */
+  private def localMergeLoop(top: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long): Seq[(String, String)] = {
     var vocab: Array[(Array[String], Long)] = top.map { case (w, n) =>
       val cps = new scala.collection.mutable.ArrayBuffer[String](w.length)
       var i = 0
@@ -1179,7 +1218,11 @@ object TextAnalysis {
   // the production merges-table spelling.
   private def t17Table(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    bpeTrainMerges(Tables.documents(s, d), numMerges = 16)
+    // r16: auto-selected trainer — one distributed dict pass + the
+    // driver-local merge loop when the vocab provably fits the cap
+    // (merge-for-merge equal, spec-pinned), the distributed sequential
+    // rounds otherwise. Same merges table either way.
+    bpeTrainMergesAuto(Tables.documents(s, d), numMerges = 16)
       .zipWithIndex
       .map { case ((a, b), i) => (i.toLong, a, b) }
       .toDF("rank", "left", "right")
