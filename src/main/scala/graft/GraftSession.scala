@@ -33,6 +33,16 @@ object GraftSession {
       // persist) otherwise pay a redundant re-shuffle between the partial
       // and final aggregate over every InMemoryTableScan
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // Joins (optimization guide §3.1): let the planner pick a
+      // shuffled-hash join where its size conditions hold instead of
+      // always sort-merge (skips both per-partition sorts), and let AQE
+      // rewrite SMJ→SHJ at runtime when every post-shuffle partition is
+      // under the threshold. Both knobs are SIZE-conditioned, so they
+      // are scale-honest: at cluster scale an oversized build side keeps
+      // sort-merge (its spill path) automatically — nothing here is a
+      // local[32]-only constant.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .withExtensions(new GraftExtensions)
 
   /** Local session with `cores` threads; `cores` defaults to the

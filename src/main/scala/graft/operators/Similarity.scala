@@ -1649,12 +1649,16 @@ object Similarity {
     // fraction — the FILTERED universe under a predicate, so a selective
     // filter can never silently starve coverage. The count reads the
     // published codes table (filter-pushed parquet scan, no full pass).
-    val codesN = Publish.readPublished(spark, s"$root/codes").filter(pred).count()
+    val codesAll = Publish.readPublished(spark, s"$root/codes")
+    val codesN = codesAll.filter(pred).count()
     val refineEff = refinePool(codesN, refine)
-    // corpus-aware probe width (the s4 rule), reusing the same count:
-    // at/below ExhaustiveBelow probe every list (the probe selectors cap
-    // at the published list count)
-    val nProbeEff = effNProbe(codesN, Int.MaxValue, nProbe)
+    // corpus-aware probe width (the s4 rule) keyed on the UNFILTERED
+    // index size — the probe geometry is a property of the index, so a
+    // selective attribute predicate must not flip it (and the benched
+    // filtered entry keeps its floor-stamped plan); at/below
+    // ExhaustiveBelow probe every list (the probe selectors cap at the
+    // published list count). Metadata-cheap count on the codes parquet.
+    val nProbeEff = effNProbe(codesAll.count(), Int.MaxValue, nProbe)
     val scored = ivfPqScoreFromIndexWhere(spark, root, queries, nProbeEff, pred)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("neighbor_id"))
     val refined = scored.withColumn("qrnk", row_number().over(wq))
