@@ -39,6 +39,21 @@ object Bench {
     if (dec == 0) math.round(r).toString else r.toString
   }
 
+  /** The FULL result line — every query at centisecond precision under
+    * its full name, no size budget. Written to SPARK_GRAFT_BENCH_OUT
+    * (a file has no capture-window limit), restoring the per-query
+    * channel the stdout line loses at 220 queries (r16 verdict item 2:
+    * the tiered stdout line degrades to a BENCH_DETAIL.json pointer
+    * above ~170 queries, which left the driver with per_query = {}).
+    */
+  private[graft] def renderFullLine(results: Seq[(String, Double)], nFailed: Int,
+      sfName: String): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfName"}"""
+  }
+
   /** Render the one stdout JSON line under a HARD size budget (the
     * driver captures only the last ~2000 stdout chars and sbt appends a
     * ~70-char [success] trailer). Tiered degradation — centisecond
@@ -79,12 +94,27 @@ object Bench {
     val rebuild: Map[String, () => Unit] = Map(
       "d2_dedup_minhash_lsh" -> (() => graft.operators.Dedup.clearPairViews()),
       "d6_dedup_clusters" -> (() => graft.operators.Dedup.clearClusterViews()))
+    // Timed action (r16 verdict item 1 / guide §1.4): the NOOP SINK, which
+    // eagerly computes EVERY column of EVERY row — count() lets Catalyst
+    // prune columns and sometimes whole subtrees (q65's old tail elided its
+    // entire left-profile pass; q59's count excludes the window-sum
+    // arithmetic its consumers pay), so count-stamped floors certified work
+    // that never executed. All BASELINE.md floors are re-stamped on the
+    // noop action in the same commit as this switch; the old count-action
+    // numbers are kept in OPTIMIZATION_r17.md. SPARK_GRAFT_BENCH_ACTION=
+    // count preserves the old action for cross-methodology A/B runs.
+    val countAction = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("count")
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       rebuild.get(name).foreach(_.apply())
       val t0 = System.nanoTime()
       // a crashing query must NOT report its time-to-fail as a legitimate
       // timing: mark the run negative and log to stderr
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try {
+        val df = fn(spark, sfDir)
+        if (countAction) df.count()
+        else df.write.format("noop").mode("overwrite").save()
+        true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
@@ -139,7 +169,10 @@ object Bench {
     val detail = runsByName
       .map { case (n, ts) => "\"" + n + "\":[" + ts.map(fmt(_, 2)).mkString(",") + "]" }
       .mkString(s"""{"sf":"$sfName","passes":$nRuns,"runs":{""", ",", "}}")
-    (sys.env.get("SPARK_GRAFT_BENCH_OUT").map(_ -> json).toSeq :+ ("BENCH_DETAIL.json" -> detail))
+    // the OUT file carries the FULL per-query map (no capture window to
+    // overflow); stdout keeps the budgeted line
+    val fullJson = renderFullLine(results, nFailed, sfName)
+    (sys.env.get("SPARK_GRAFT_BENCH_OUT").map(_ -> fullJson).toSeq :+ ("BENCH_DETAIL.json" -> detail))
       .foreach { case (p, s) =>
         try Files.writeString(Paths.get(p), s)
         catch { case e: Exception =>

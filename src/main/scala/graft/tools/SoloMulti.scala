@@ -5,11 +5,16 @@ object SoloMulti {
     val runs = args(1).toInt
     val names = args.drop(2)
     val spark = graft.GraftSession.local()
+    // same timed action as Bench (noop sink; SPARK_GRAFT_BENCH_ACTION=count
+    // for the old methodology) so solo pairs stay bench-comparable
+    val countAction = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("count")
     names.foreach { name =>
       val fn = graft.SparkEntry.benchQueries(name)
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        if (countAction) df.count()
+        else df.write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }

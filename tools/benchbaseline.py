@@ -16,6 +16,7 @@ Rewrites BASELINE.md in place. Extra files are raw Bench stdout JSON
 """
 import json
 import glob
+import re
 import sys
 import os
 
@@ -28,23 +29,19 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # so benchcompare grades against a floor the query can actually repost
 # on an idle box; benchcompare attaches the reason to its output.
 PINNED = {
-    # r16 optimization round: the s4/s6/s8/t17 pins (in-query training /
-    # BPE rounds as the r13 solo asymptote) are REMOVED — the training
-    # loops were restructured (map-side NearestCentroidId assignment,
-    # one job per Lloyd round; t17's auto-selected local merge loop), so
-    # the old asymptotes no longer bind and the new minima are
-    # repostable (measured on a 1.33x-host box: s8 2.44, s4 1.00,
-    # s6 1.87, t17 0.20 — min-of-3 full-bench passes).
-    "s6": (1.4, "r16 map-side-encode asymptote: min-of-3 full-bench "
-                "passes posts 1.87s on a 1.33x-host box (~1.4 "
-                "normalized); the raw 0.99 min-of-history is the same "
-                "pre-r13 full-bench-warm fluke the old 2.0 pin "
-                "adjudicated, not repostable even after the r16 rewrite"),
-    "d4": (1.2, "every driver bench r11-r13 posted ~1.2s; the 0.8 floor "
-                "was a single bench_r12_clean artifact"),
-    "x3": (0.6, "driver benches post 1.0-1.7s, r13 idle solo 0.6-0.9s; "
-                "the 0.2 floor was a bench_r12_clean artifact"),
+    # r17 optimization round: ALL pins removed along with the count-era
+    # floors. The timed action changed from count() to the noop sink
+    # (guide §1.4; r16 verdict item 1), which re-bases every number —
+    # count-action minima (and the count-era s6/d4/x3 pins) certify work
+    # the new action measures differently, so the noop era starts fresh
+    # from the r17 clean-box baseline and only noop-action artifacts
+    # (BENCH_r17+ driver rounds, stamped tools/bench_r17* extras) feed
+    # the floors from here on.
 }
+
+# First driver round benched with the noop action; earlier rounds are
+# count-action history and must not feed noop-era floors.
+NOOP_ERA_FIRST_ROUND = 17
 
 
 def decode_queries(qs):
@@ -62,12 +59,19 @@ def decode_queries(qs):
             qs = json.loads(qs)
         except ValueError:
             return None
-    return qs if isinstance(qs, dict) else None
+    if not isinstance(qs, dict):
+        return None
+    # r17+: the SPARK_GRAFT_BENCH_OUT artifact carries FULL query names
+    # (the restored per-query channel); fold to the short baseline key.
+    return {name.split("_")[0]: t for name, t in qs.items()}
 
 
 def load_rounds():
     out = []
     for f in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
+        m = re.match(r"BENCH_r(\d+)", os.path.basename(f))
+        if m and int(m.group(1)) < NOOP_ERA_FIRST_ROUND:
+            continue  # count-action era: incomparable to noop floors
         d = json.load(open(f))
         qs = (d.get("parsed") or {}).get("queries")
         # POINTER-typed queries ("BENCH_DETAIL.json") must NOT resolve
@@ -117,10 +121,16 @@ def main(extra):
     lines = [
         "# BASELINE — frozen per-query bench floor (sf0.1, local[32])",
         "",
-        "Min-of-history per query across every parsed driver bench artifact",
-        "(BENCH_r03..latest) plus stamped clean local runs. A min is",
-        "contention-immune: machine load only ever inflates a time, so the",
-        "floor is the cleanest number the query has actually posted.",
+        "NOOP ERA (r17+): the bench's timed action switched from count()",
+        "to the noop sink in round 17 (guide §1.4 — count() let Catalyst",
+        "prune columns and whole subtrees, so some count-era floors",
+        "certified work that never executed: t10 0.17 vs 19.2 honest,",
+        "q31 0.33 vs 3.3, x5 0.18 vs 2.9). Floors below are min-of-history",
+        "over NOOP-action artifacts only (BENCH_r17+ driver rounds plus",
+        "stamped clean noop runs); count-era artifacts are incomparable",
+        "and excluded. A min is contention-immune: machine load only ever",
+        "inflates a time, so the floor is the cleanest number the query",
+        "has actually posted.",
         "Grade a new round with `python3 tools/benchcompare.py BENCH_rNN.json`:",
         "a regression is >1.5x over floor AND >0.4s absolute (the r10/r11",
         "triage thresholds); anything else is contention noise by the",
@@ -143,44 +153,14 @@ def main(extra):
     lines.append(f"Sum of floors: {total:.2f} s (an idealized no-contention "
                  "total — real interleaved-pass totals sit above it).")
     lines.append("")
-    lines.append("## Root-cause notes (r13 measurements; adjudicated r14)")
+    lines.append("## Era note (r17)")
     lines.append("")
-    lines.append("As of r14 the six adjudicated entries (s4/s6/s8/t17/d4/x3)")
-    lines.append("carry PINNED floors in the table above — the measured solo")
-    lines.append("asymptotes / repeatable driver-bench numbers below — so")
-    lines.append("benchcompare grades them mechanically, no manual triage.")
-    lines.append("")
-    lines.append("The four in-query TRAINING entries (s4/s6/s8 k-means+PQ,")
-    lines.append("t17 BPE merges) are round-structured: ~10 sequential")
-    lines.append("driver-synchronized stages whose cost at sf0.1 is stage")
-    lines.append("LATENCY, not data. Measured r13 on an idle box (SoloTime,")
-    lines.append("bench spelling, 8-10 warm runs): s8 asymptote 2.86s vs")
-    lines.append("floor 2.1, s4 2.1 vs 1.4, s6 2.0 vs 1.5, t17 2.4 vs 1.4 —")
-    lines.append("the floors are lucky full-bench-warm minima, real but not")
-    lines.append("repeatable solo. Two hypotheses were MEASURED AND")
-    lines.append("EXCLUDED for s8: the corpus-aware 0.15-n refine pool")
-    lines.append("(pinned back to fixed 200: 3.2-4.1s, identical) and the")
-    lines.append("recompute shape (VectorSumCount single-aggregate: -0.1s at")
-    lines.append("this SF; its win is shuffle VOLUME at scale). Driver-bench")
-    lines.append("excursions above ~3s on these four are load on the")
-    lines.append("sequential-round critical path — the class median")
-    lines.append("host-factor calibration cannot see. The production answer")
-    lines.append("stays s9 (read path, 0.5s floor, zero training rounds).")
-    lines.append("")
-    lines.append("d3 (r13 mid-round): the floor (2.66, r04) predates the")
-    lines.append("auto-selection stats pass the spelling gained in r12 and")
-    lines.append("the eager cache-release materialization from the r12")
-    lines.append("advice; two mechanical costs of that change (orderBy's")
-    lines.append("range-sampling re-execution, localCheckpoint's non-AQE")
-    lines.append(".rdd plan losing the broadcast) were measured and fixed")
-    lines.append("r13 (persist+count, checkpoint-from-cache, sort last —")
-    lines.append("4.9s back to ~3.3s clean). The remaining delta vs 2.66 is")
-    lines.append("the stats pass: a feature, not a regression.")
-    lines.append("")
-    lines.append("x3 (r13): the 0.20s floor is a bench_r12_clean artifact —")
-    lines.append("every DRIVER bench in history posted 1.0-1.7s and r13's")
-    lines.append("idle-box solo sits at 0.6-0.9s with unchanged code; treat")
-    lines.append("excursions to ~0.7s as floor-artifact noise, not drift.")
+    lines.append("The r17 action switch (count() -> noop sink) re-based every")
+    lines.append("floor; the r13/r14 adjudicated pins (s4/s6/s8/t17/d4/x3) and")
+    lines.append("count-era root-cause notes were retired with the count-era")
+    lines.append("floors they annotated (see git history and")
+    lines.append("OPTIMIZATION_r17.md for the full account, including the")
+    lines.append("count-vs-noop per-query deltas measured on the same box).")
     lines.append("")
     out = "\n".join(lines) + "\n"
     open(os.path.join(ROOT, "BASELINE.md"), "w").write(out)
