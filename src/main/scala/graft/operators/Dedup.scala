@@ -329,9 +329,15 @@ object Dedup {
     * stays outside the cache so AQE plans it fresh per consumer.
     */
   private def gramAgg(docs: DataFrame): DataFrame =
-    H.charGramIds(docs, lower(col("text")), 4)
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("g"))).as("sg"))
+    // r17: ONE map-side codegen projection (SortedGramIdSet) replaces
+    // the relational repartition + char posexplode + lead window +
+    // groupBy(collect_set) pipeline — the set is a row-local function of
+    // the text, so the two corpus-character-proportional exchanges were
+    // pure overhead (guide §2.4; CharGramSetsSpec pins bit-equality,
+    // incl. the sub-4-char docs-drop the filter reproduces).
+    docs.select(col("doc_id"),
+        graft.functions.SortedGramIdSet(lower(col("text")), 4).as("sg"))
+      .filter(size(col("sg")) > 0)
       .withColumn("sz", size(col("sg")))
 
   def ngramJaccardBucketed(docs: DataFrame, t: Double = 0.62): DataFrame = {

@@ -1363,16 +1363,37 @@ object Pipeline {
     "p21_web_pipeline",
     (s, d) => {
       import graft.operators.{TextAnalysis => T}
-      val staged = Tables.documents(s, d)
-        .select(col("doc_id"), T.fixtureDirtyUrl.as("url"),
-          T.htmlToText(T.fixtureHtml).as("text"))
-      val urlKeep = T.urlCanonicalDedup(staged.select(col("doc_id"), col("url")))
-        .filter(col("keep")).select(col("doc_id"), col("canon_url"))
-      val ent = staged.select(col("doc_id"),
-        r4(graft.functions.CharEntropy(col("text")).getField("h_bits")).as("h_bits"))
-      staged.join(urlKeep, Seq("doc_id"))
-        .join(ent, Seq("doc_id"))
-        .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      // r17 single-pass rewrite (guide §2.3/§2.4 + compute-after-filter):
+      // the old three-branch join spelling ran the 10-regex htmlToText
+      // extraction over the WHOLE corpus in two branches and shuffled the
+      // extracted text by doc_id. The URL-dedup keep is doc_id ==
+      // min(doc_id) per canon_url — decidable on the slim (doc_id,
+      // canon_url) projection alone — so: one map-side-combinable min
+      // aggregate picks the survivors, one id-equi join re-attaches them
+      // (AQE broadcasts the url-proportional min frame at bench scale;
+      // at 100 TB it degrades to an id-keyed join, never shuffling text
+      // by the skewable canon_url), and extraction + entropy + word
+      // count run AFTER the keep filter, on survivors only. Row-local
+      // columns commute with the inner join/filter, so the output is
+      // bit-identical (oracle-checked tri-SF).
+      val docs = Tables.documents(s, d)
+      val canon = T.canonicalizeUrl(T.fixtureDirtyUrl)
+      // doc_id is unique, so joining on it alone is equivalent to the
+      // (canon_url, doc_id) keep test and lets canon_url ride the
+      // BROADCAST side — the probe never computes the regex-heavy
+      // canonicalization. Opaque (guide §4.4) pins the extraction where
+      // it is written: without it Catalyst pushed the h_bits/n_words
+      // predicate below the join, re-running the extraction over every
+      // corpus row instead of the ~survivor set.
+      val minIds = docs.select(col("doc_id"), canon.as("canon_url"))
+        .groupBy(col("canon_url")).agg(min(col("doc_id")).as("doc_id"))
+      val xt = graft.functions.Opaque(T.htmlToText(T.fixtureHtml))
+      docs.select(col("doc_id"), col("text"))
+        .join(minIds, Seq("doc_id"))
+        .select(col("doc_id"), col("canon_url"), xt.as("xt"))
+        .select(col("doc_id"), col("canon_url"),
+          r4(graft.functions.CharEntropy(col("xt")).getField("h_bits")).as("h_bits"),
+          size(split(col("xt"), " ")).cast("long").as("n_words"))
         .filter(col("h_bits") >= 2.0 && col("h_bits") <= 6.0 && col("n_words") >= 5)
         .select(col("doc_id"), col("canon_url"), col("n_words"), r4(col("h_bits")).as("h_bits"))
         .orderBy(col("doc_id"))
@@ -1862,7 +1883,16 @@ object Pipeline {
       val docs = Tables.documents(s, d)
       val pages = docs.select(col("doc_id"), T.fixtureDirtyUrl.as("url"),
         T.fixtureLinkedHtml.as("html"))
+      // r17: materialize the HOST-bounded rank table once (the edge-list
+      // localCheckpoint idiom one level up). The systematic sampler
+      // below reads its input three times (w_total + bucket offsets +
+      // within-bucket cum), and each read replayed the full lazy
+      // 3-iteration rank plan — ~146 Exchanges in the before plan,
+      // ~46 after (plans/r17/p26_*). Host-proportional, never
+      // corpus-sized, so the materialization is as bounded as the
+      // edge list's.
       val ranks = domainPageRank(pages).select(col("host"), col("score"))
+        .localCheckpoint(true)
       val withW = docs
         .select(col("doc_id"), col("lang"),
           T.hostOf(T.canonicalizeUrl(T.fixtureDirtyUrl)).as("host"))

@@ -213,17 +213,16 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       val k = 4  // gram length (<= 4 keeps the gram id injective + oracle-able)
       val w = 3  // winnow window (~1/3 of positions selected)
-      // Shared relational gram pipeline (HashFunctions.charGramIds). The
-      // gram-lead pass and the winnowing min below share ONE per-doc sort
-      // (same window partition/order).
-      val grams = graft.functions.HashFunctions
-        .charGramIds(graft.Tables.documents(s, d), lower(col("text")), k)
-      val winnowWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(0, w - 1)
-      val fps = grams
-        .withColumn("fp", min(col("g")).over(winnowWin))
-        .select(col("doc_id"), col("fp"))
-        .distinct()
+      // r17: the per-doc fingerprint SET is a row-local function of the
+      // text, so the relational pipeline (repartition + char posexplode
+      // + lead window + window-min + distinct — two corpus-character-
+      // proportional exchanges) collapses into ONE map-side codegen
+      // projection (WinnowFingerprintSet; CharGramSetsSpec pins
+      // bit-equality incl. the shrinking tail window).
+      val fps = graft.Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowFingerprintSet(
+            lower(col("text")), k, w)).as("fp"))
         .persist()
       // Candidate generation and overlap scoring use different views of
       // the fingerprint index, all derived relationally (the doc count
@@ -366,11 +365,13 @@ object TextAnalysis {
       val profile = langs.flatMap { case (lang, alt) =>
         profileTrigrams(alt).map(t => (lang, packTrigram(t)))
       }.toDF("plang", "g")
-      // shared relational gram pipeline; k=3 ids are the same injective
-      // 16-bit pack packTrigram uses for the profile side
-      val grams = graft.functions.HashFunctions
-        .charGramIds(Tables.documents(s, d), lower(col("text")), 3)
-        .dropDuplicates("doc_id", "g")
+      // r17: map-side distinct trigram set (same injective 16-bit pack
+      // packTrigram uses) — replaces the relational charGramIds pipeline
+      // + dropDuplicates, whose explode/window/dedup exchanges carried
+      // one row per character (guide §2.4; CharGramSetsSpec).
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.SortedGramIdSet(lower(col("text")), 3)).as("g"))
       val hits = grams.join(broadcast(profile), Seq("g"))
         .groupBy(col("doc_id"))
         .agg(
@@ -466,11 +467,16 @@ object TextAnalysis {
   private val t10 = Relational.Q(
     "t10_repetition",
     (s, d) => {
-      val tk = split(lower(trim(col("text"))), "\\s+")
+      // ONE-pass codegen shingle stats (r17): the old spelling's
+      // interpreted transform lambda re-tokenized the text 3x per
+      // shingle (O(T²)/row — see ShingleStats doc; 19.2 s -> sub-second
+      // at sf0.1). ShingleStatsSpec pins bit-equality to the old
+      // greatest(size-2)/wordShingles columns.
+      val st = graft.functions.ShingleStats(col("text"), 3)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          greatest(size(tk) - 2, lit(0)).cast("long").as("n_shingles"),
-          size(graft.functions.HashFunctions.wordShingles(tk, 3)).cast("long").as("n_distinct"))
+          st.getField("n_shingles").as("n_shingles"),
+          st.getField("n_distinct").as("n_distinct"))
         .filter(col("n_shingles") > 0)
         .withColumn("rep_ratio",
           r4(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles")))
@@ -2517,11 +2523,14 @@ object TextAnalysis {
     //     on (doc_id,phrase), the per-doc rank window), so this is the
     //     operator's ONLY exchange — everything after it is co-partitioned
     //     map-side work, the shape that shards at 100 TB.
+    // r17: the regex split (stopword alternation + \b backtracking per
+    // char) was the operator's dominant cost; RakeSplitPhrases is the
+    // same split → trim → drop-empties as ONE codegen char walk
+    // (RakeSplitPhrasesSpec pins equality to the regex spelling).
     val ph = docs
       .select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), RakeDelim)).as("p"))
-      .select(col("doc_id"), trim(col("p")).as("phrase"))
-      .filter(col("phrase") =!= "")
+        explode(graft.functions.RakeSplitPhrases(
+          lower(trim(col("text"))), StopEn.split('|').toSeq)).as("phrase"))
       .repartition(col("doc_id"))
     val pw = ph.select(col("doc_id"),
       size(split(col("phrase"), "\\s+")).cast("long").as("plen"),
