@@ -976,20 +976,25 @@ object Dedup {
     * — d8's building block, also the batch twin of the streaming
     * decontamination operator's row-local gram hashing.
     */
-  def wordGramHashes(docs: DataFrame, n: Int,
-      hasher: Column => Column = c => xxhash64(c)): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.spread(docs.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), posexplode(H.tokens(col("text"))).as(Seq("pos", "tok")))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
-      toks
-        .select((Seq(col("doc_id"), col("tok")) ++ leads): _*)
-        .filter(col(s"t${n - 1}").isNotNull) // n-1 leads over ONE window sort
-        .select(col("doc_id"),
-          hasher(concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)).as("g"))
-        .dropDuplicates("doc_id", "g")
-  }
+  def wordGramHashes(docs: DataFrame, n: Int): DataFrame =
+    wordGramHashesBy(docs, n, md5 = false)
+
+  /** x11's variant: the cross-engine md5-56 gram hash instead of
+    * xxhash64 (the bloom artifact must be DuckDB-replayable).
+    */
+  def wordGramHashesMd5(docs: DataFrame, n: Int): DataFrame =
+    wordGramHashesBy(docs, n, md5 = true)
+
+  // r17: the per-doc distinct gram-hash set is a row-local function of
+  // the text, so the old posexplode + n−1 lead windows + dropDuplicates
+  // pipeline (two corpus-token-proportional exchanges) collapses into
+  // one codegen projection (guide §2.4; WordGramHashSetSpec pins both
+  // hash variants bit-equal to the relational spelling). spread() keeps
+  // the heavy per-row hashing parallel on few-file scans.
+  private def wordGramHashesBy(docs: DataFrame, n: Int, md5: Boolean): DataFrame =
+    Tables.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.WordGramHashSet(col("text"), n, md5)).as("g"))
 
   /** Row-local twin of [[wordGramHashes]] for STREAMING inputs — same
     * UTF8String tokenization (trim strips only ' ', locale-free lower,

@@ -1788,9 +1788,13 @@ object Pipeline {
       hub = nodes.join(hNew, Seq("host"), "left")
         .select(col("host"), coalesce(col("h"), lit(0.0)).as("h"))
     }
-    val mx = auth.join(hub, Seq("host"))
-      .agg(max(col("a")).as("ma"), max(col("h")).as("mh"))
-    auth.join(hub, Seq("host"))
+    // r17: materialize the HOST-bounded final scores once (the p26/rank
+    // idiom) — the max-normalizer and the output otherwise each replay
+    // the whole nested iteration ladder (the before plan carried ~130
+    // Exchanges for a 2-iteration HITS on a 50-node graph)
+    val scores = auth.join(hub, Seq("host")).localCheckpoint(true)
+    val mx = scores.agg(max(col("a")).as("ma"), max(col("h")).as("mh"))
+    scores
       .crossJoin(broadcast(mx))
       .select(col("host"),
         when(col("mh") === 0.0, lit(0.0))

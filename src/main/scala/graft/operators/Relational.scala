@@ -362,12 +362,21 @@ object Relational {
   private val q15 = Q(
     "q15_price_quantiles",
     (s, d) => {
+      // r17: ONE multi-percentile aggregate instead of two — Spark's
+      // exact Percentile keeps a value->count map per (group, agg
+      // instance), so two instances doubled the state updates and the
+      // final sort of distinct values; array-percentile computes both
+      // cut points from one state with identical interpolation
+      // arithmetic (oracle-pinned).
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          r2(expr("percentile(l_extendedprice, 0.5)")).as("median_price"),
-          r2(expr("percentile(l_extendedprice, 0.95)")).as("p95_price"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("pp"),
           count(lit(1)).as("n_lines"))
+        .select(col("l_returnflag"),
+          r2(element_at(col("pp"), 1)).as("median_price"),
+          r2(element_at(col("pp"), 2)).as("p95_price"),
+          col("n_lines"))
         .orderBy(col("l_returnflag"))
     },
     Some(s"""
@@ -475,16 +484,36 @@ object Relational {
   private val q20 = Q(
     "q20_order_lineitem_cohort",
     (s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
-      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_v")
-      s.sql(s"""
-        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-               COALESCE(l_returnflag, 'ALL') AS returnflag,
-               COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_lines,
-               ${moneySql("l_quantity")} AS sum_qty
-        FROM graft_orders_v JOIN graft_lineitem_v ON l_orderkey = o_orderkey
-        GROUP BY GROUPING SETS ((o_orderstatus), (l_returnflag), (o_orderstatus, l_returnflag))
-        ORDER BY status, returnflag""")
+      // r17 (guide §2.3): GROUPING SETS expanded every joined row 3x
+      // into a COUNT(DISTINCT)-rewritten double aggregation. Instead,
+      // ONE map-side-combinable pass reduces the join output to the
+      // (status, returnflag, custkey) grain — the finest grain any of
+      // the three sets needs — and each set aggregates that slim frame
+      // (n_custs = exact distinct custkeys per set by construction;
+      // n_lines/sum_qty roll up as exact integer/decimal partial sums,
+      // so every value is bit-identical to the expanded spelling). The
+      // grain frame is customer-proportional (never join-output-sized);
+      // localCheckpoint materializes it once for the three readers (the
+      // d3 bounded-materialization idiom, one tier up in size).
+      val grain = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"), col("l_returnflag"), col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("q"))
+        .localCheckpoint(true)
+      def gs(keys: Seq[String]) = grain
+        .groupBy(keys.map(col): _*)
+        .agg(count_distinct(col("o_custkey")).as("n_custs"),
+          sum(col("n")).as("n_lines"), round(sum(col("q")), 2).cast("double").as("sum_qty"))
+        .select(
+          (if (keys.contains("o_orderstatus")) col("o_orderstatus") else lit(null).cast("string")).as("status0"),
+          (if (keys.contains("l_returnflag")) col("l_returnflag") else lit(null).cast("string")).as("returnflag0"),
+          col("n_custs"), col("n_lines"), col("sum_qty"))
+      gs(Seq("o_orderstatus")).unionByName(gs(Seq("l_returnflag")))
+        .unionByName(gs(Seq("o_orderstatus", "l_returnflag")))
+        .select(coalesce(col("status0"), lit("ALL")).as("status"),
+          coalesce(col("returnflag0"), lit("ALL")).as("returnflag"),
+          col("n_custs"), col("n_lines"), col("sum_qty"))
+        .orderBy(col("status"), col("returnflag"))
     },
     Some(s"""
       SELECT COALESCE(o_orderstatus, 'ALL') AS status,
@@ -888,14 +917,38 @@ object Relational {
   private val q31 = Q(
     "q31_cube_totals",
     (s, d) => {
-      Tables.lineitem(s, d)
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          money(col("l_quantity")).as("sum_qty"),
-          money(col("l_extendedprice")).as("sum_price"),
-          count(lit(1)).as("n"),
-          grouping(col("l_returnflag")).cast("long").as("g_rf"),
-          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      // r17 (guide §2.3 "aggregate before you shuffle"): cube() expands
+      // every input row 4x BEFORE the aggregation; with enum-cardinality
+      // keys the finest level is a handful of rows, so compute it in ONE
+      // map-side-combinable pass and roll the other three levels up from
+      // those partial decimal sums. Decimal addition is exact and
+      // associative, so every rolled-up value is bit-identical to the
+      // direct cube (money() rounds once, at the end, per level — the
+      // same single round the old spelling applied). The base frame is
+      // enum-bounded (|returnflag| x |linestatus|), hence the eager
+      // localCheckpoint (the bounded-frame idiom); grouping() flags
+      // become per-level literals.
+      val base = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("q"),
+          sum(dec(col("l_extendedprice"))).as("p"),
+          count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      def lvl(df: DataFrame, gRf: Int, gLs: Int) = df.select(
+        (if (gRf == 0) col("l_returnflag") else lit(null).cast("string")).as("l_returnflag"),
+        (if (gLs == 0) col("l_linestatus") else lit(null).cast("string")).as("l_linestatus"),
+        (round(col("q"), 2)).cast("double").as("sum_qty"),
+        (round(col("p"), 2)).cast("double").as("sum_price"),
+        col("n").cast("long").as("n"),
+        lit(gRf.toLong).as("g_rf"), lit(gLs.toLong).as("g_ls"))
+      val both = lvl(base, 0, 0)
+      val rfOnly = lvl(base.groupBy(col("l_returnflag"))
+        .agg(sum(col("q")).as("q"), sum(col("p")).as("p"), sum(col("n")).as("n")), 0, 1)
+      val lsOnly = lvl(base.groupBy(col("l_linestatus"))
+        .agg(sum(col("q")).as("q"), sum(col("p")).as("p"), sum(col("n")).as("n")), 1, 0)
+      val all = lvl(base
+        .agg(sum(col("q")).as("q"), sum(col("p")).as("p"), sum(col("n")).as("n")), 1, 1)
+      both.unionByName(rfOnly).unionByName(lsOnly).unionByName(all)
         .orderBy(col("g_rf"), col("g_ls"),
           coalesce(col("l_returnflag"), lit("~")), coalesce(col("l_linestatus"), lit("~")))
     },
@@ -3362,15 +3415,15 @@ object Relational {
       .select(col("user_id"), col("e.i").as("i"), col("e.d").as("d"))
       .groupBy(col("user_id"), col("i")).agg(sum(col("d")).as("d"))
     // dense index spine so zero-crossing boundaries still emit.
-    // NOTE (r16): this tail deliberately KEEPS the row-preserving
-    // spine⋈deltas left-join shape (vs the q64 one-aggregate fusion):
-    // q65's benched action is count(), whose column pruning can elide
-    // the crossings computation under this shape — the number the
-    // frozen q65 floor was stamped on. Fusing spine into the aggregate
-    // (measured) makes count() pay the full left-profile pass (~1.8 s
-    // vs 0.3 s at sf0.1) — a floor-comparability regression for zero
-    // production benefit, since q67 (the consumer that reads the curve
-    // VALUES) already pays, and measures, the honest cost.
+    // NOTE (r17): the q64-style spine-in-aggregate fusion was RE-TRIED
+    // under the honest noop action (the r16 revert's floor-comparability
+    // objection is gone) and measured SLOWER, not faster — 1.41 -> 2.16 s
+    // (q65) and 1.79 -> 2.22 s (q67) min-of-4 warm solo at sf0.1: the
+    // fused spelling trades this left join for a union whose groupBy
+    // re-shuffles spine+delta rows AND an extra unbounded count window
+    // pass, and with the window count the per-user n can no longer ride
+    // the broadcast — plan-size (16 -> 10 Exchanges) is not time. Kept
+    // the row-preserving left-join spelling on measurement.
     val spine = counts.select(col("user_id"),
       explode(sequence(lit(0L), col("n") - 1)).as("i"))
     val wRun = Window.partitionBy(col("user_id")).orderBy(col("i"))
@@ -4150,8 +4203,21 @@ object Relational {
     * composes it lazily as the correctness witness.
     */
   def tsSeasonalAnomalies(events: DataFrame, period: Int): DataFrame = {
-    val dec = tsSeasonalDecompose(events, period)
+    // r17: the residual frame feeds TWO consumers (the fence aggregate
+    // and the gate join), and the lazy spelling re-ran the whole
+    // decomposition (3 windows + 2 aggregates + 2 joins) for each.
+    // Materialize it once — persist + count + checkpoint-from-cache +
+    // release, the d3 materializeAndRelease discipline (checkpointing
+    // an uncached plan goes through .rdd and loses AQE's runtime
+    // broadcasts). Production reads the decomposition as a published
+    // artifact anyway (the B68 convention); this keeps the correctness
+    // witness one-pass.
+    val lazyDec = tsSeasonalDecompose(events, period)
       .select(col("user_id"), col("resid"))
+    val cached = lazyDec.persist()
+    val dec =
+      try { cached.count(); cached.localCheckpoint(true) }
+      finally { cached.unpersist() }
     val f = dec.groupBy(col("user_id"))
       .agg(expr("percentile(resid, 0.25)").as("q1"),
         expr("percentile(resid, 0.75)").as("q3"),

@@ -199,12 +199,16 @@ object Sketching {
   private val x5 = Relational.Q(
     "x5_exact_quantiles",
     (s, d) => {
+      // r17: one multi-percentile state instead of two (the q15 note)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          r2(expr("percentile(l_extendedprice, 0.5)")).as("median"),
-          r2(expr("percentile(l_extendedprice, 0.99)")).as("p99"),
+          expr("percentile(l_extendedprice, array(0.5, 0.99))").as("pp"),
           count(lit(1)).as("n_lines"))
+        .select(col("l_returnflag"),
+          r2(element_at(col("pp"), 1)).as("median"),
+          r2(element_at(col("pp"), 2)).as("p99"),
+          col("n_lines"))
         .orderBy(col("l_returnflag"))
     },
     Some(s"""
@@ -583,8 +587,8 @@ object Sketching {
       mBits: Int = 1 << 18, kHashes: Int = 8): org.apache.spark.sql.DataFrame = {
     import graft.functions.{HashFunctions => H}
     val base = docs.select(col("doc_id"), col("text"))
-    val benchGrams = Dedup.wordGramHashes(base.filter(isBench), n, H.md5Hash56)
-    val corpusGrams = Dedup.wordGramHashes(base.filter(!isBench), n, H.md5Hash56)
+    val benchGrams = Dedup.wordGramHashesMd5(base.filter(isBench), n)
+    val corpusGrams = Dedup.wordGramHashesMd5(base.filter(!isBench), n)
     // the artifact: ONE row of mBits/64 longs
     val bloom = benchGrams
       .agg(graft.functions.BloomBits(col("g"), mBits, kHashes).as("words"))

@@ -349,7 +349,7 @@ class SketchingSpec extends SparkSpec {
     import graft.functions.{BloomBits, HashFunctions => H}
     val docs = Tables.documents(spark, sf)
     def gramsOf(df: org.apache.spark.sql.DataFrame) =
-      Dedup.wordGramHashes(df, 8, H.md5Hash56)
+      Dedup.wordGramHashesMd5(df, 8)
     def bitsOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
       gramsOf(df).agg(BloomBits(col("g"), 1 << 18, 8))
         .collect().head.getSeq[Long](0).toArray
